@@ -1,0 +1,111 @@
+"""Frozen configuration — the "same config ⇒ same clusters" contract.
+
+Semantic constants are taken from the reference (OTMT) so that cluster
+assignments are comparable at the same shingle/signature config:
+
+- Simhash: f=64 bits, width-4 lowercase character shingles, md5 feature
+  hash, majority bit vote with strict ``> 0`` rule — the library-default
+  semantics of the ``simhash`` package the reference calls at
+  ``otmt/metadata_calcluations.py:56-58`` and
+  ``otmt/timemap_measures.py:235-247``.
+- Chain-scan suppression: hamming/64 > 0.2 keeps a row, initial anchor is
+  Simhash(0) (``bin/exclude_duplicates:27-29,84-103``).
+- Exact-cluster rule: groups of >= 2 identical simhash values per slice;
+  everything else is noise (-1) — the degenerate DBSCAN at
+  ``bin/cluster_by_simhash:82-86``.
+- Measure thresholds: ``otmt/timemap_measures.py:895-970``.
+
+MinHash/LSH parameters are new-engine additions (the scale path that the
+reference's exact per-pair Jaccard measure cannot take); b=32 bands x r=4
+rows over K=128 permutations gives pair recall >= 0.99 at Jaccard 0.8
+(1 - (1 - 0.8^4)^32 ≈ 0.9999995).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+# Measure thresholds and comparison directions, verbatim from the reference
+# registry (otmt/timemap_measures.py:895-970). A memento/turn is OFF-topic
+# when  score <direction> threshold  holds.
+DEFAULT_THRESHOLDS: dict[str, tuple[str, float]] = {
+    "cosine": ("<", 0.12),
+    "bytecount": ("<", -0.43),
+    "wordcount": ("<", -0.70),
+    "tfintersection": (">", 0.0),
+    "jaccard": (">", 0.96),
+    "sorensen": (">", 0.93),
+    "levenshtein": (">", 0.05),
+    "nlevenshtein": (">", 0.05),
+    "raw_simhash": (">", 38),
+    "tf_simhash": (">", 34),
+    "gensim_lsi": ("<", 0.07),
+    "gensim_lda": ("<", 0.15),
+    # collection-wide measures (otmt/collection_measures.py:195-214)
+    "collection_jaccard": (">", 0.96),
+    "collection_sorensen": (">", 0.96),
+}
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All knobs that affect signatures / candidate generation / clustering.
+
+    Identical config ⇒ byte-identical signatures ⇒ reproducible clusters.
+    Broadcast once (``ray.put``) and read inside every actor; never rebuilt
+    per batch.
+    """
+
+    # --- Simhash (reference parity; see module docstring) ---
+    simhash_f: int = 64
+    simhash_shingle_width: int = 4
+
+    # --- MinHash over w-word shingles of the normalized token stream ---
+    minhash_num_perms: int = 128
+    minhash_shingle_words: int = 3
+    minhash_seed: int = 4242
+
+    # --- LSH banding: bands * rows == num_perms ---
+    lsh_bands: int = 32
+    lsh_rows: int = 4
+    # hot-bucket handling: buckets larger than this are salted into
+    # sub-buckets; buckets still larger than pair_cap after salting get
+    # their pair generation capped (documented lossy guard for 100TB runs;
+    # planted-family tests keep it un-hit).
+    lsh_bucket_salt_above: int = 256
+    lsh_bucket_pair_cap: int = 100_000
+
+    # --- Duplicate decision thresholds ---
+    jaccard_dup_threshold: float = 0.8   # verified shingle-set Jaccard ≥ t ⇒ dup pair
+    simhash_dup_hamming: int = 12        # Hamming ≤ h ⇒ simhash-near pair (FIXTURES §1.3)
+    chain_scan_threshold: float = 0.2    # hamming/64 > t keeps row (bin/exclude_duplicates:27)
+
+    # --- Tokenization (deterministic re-spec of otmt full_tokenize) ---
+    stemming: bool = True
+    remove_stopwords: bool = True
+
+    # --- Suffix-array long-span pass ---
+    min_span_chars: int = 200
+
+    # --- Execution knobs (do not affect results, only performance) ---
+    batch_size: int = 4096
+    signature_concurrency: int | None = None  # None → let Ray size the task pool
+
+    # --- Off-topic thresholds (overridable per measure like OTMT's -tm) ---
+    thresholds: dict[str, tuple[str, float]] = field(
+        default_factory=lambda: dict(DEFAULT_THRESHOLDS)
+    )
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.minhash_num_perms:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal minhash_num_perms ({self.minhash_num_perms})"
+            )
+
+    def with_overrides(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = DedupConfig()

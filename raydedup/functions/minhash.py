@@ -1,0 +1,91 @@
+"""MinHash signatures over w-word shingles, vectorized over batches.
+
+The engine's scale replacement for the reference's exact per-pair set
+Jaccard (otmt/timemap_measures.py:380-401): K independent min-wise hashes
+estimate Jaccard without materializing pairwise token sets; LSH banding over
+the signature (raydedup/stages/lsh.py) turns candidate generation into a
+groupby instead of an O(n^2) scan (Broder 1997; Leskovec/Rajaraman/Ullman,
+"Mining of Massive Datasets" ch.3 — public algorithms).
+
+Permutations are ``h_i(x) = (a_i * x + b_i) mod 2^64`` with a_i ODD — an
+exact bijection of the 64-bit space (odd multiplier mod a power of two is
+invertible), so each h_i is a genuine permutation of hash values; the
+min-wise estimator needs exactly that. Seeded deterministically from the
+config seed — same seed ⇒ identical signatures on every worker of every run.
+
+The base shingle hash is the full 64-bit blake2b-64 of the shingle text
+(cached per actor). All K mins for all docs in a batch are computed with two
+numpy ops (broadcast multiply-add with natural uint64 wraparound +
+``np.minimum.reduceat``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _blake64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+class MinHasher:
+    """Stateful (cache-carrying) minhash kernel; one per actor."""
+
+    def __init__(self, num_perms: int, seed: int):
+        self.num_perms = num_perms
+        rng = np.random.default_rng(seed)
+        # odd 64-bit multipliers → each h_i is a bijection of Z_2^64
+        self.a = (
+            rng.integers(0, 1 << 62, size=num_perms, dtype=np.uint64) * np.uint64(2)
+            + np.uint64(1)
+        )
+        self.b = rng.integers(0, 1 << 63, size=num_perms, dtype=np.uint64)
+        self._cache: dict[str, int] = {}
+
+    def _base_hashes(self, shingles: list[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(shingles), dtype=np.uint64)
+        for i, sh in enumerate(shingles):
+            h = cache.get(sh)
+            if h is None:
+                h = _blake64(sh)
+                cache[sh] = h
+            out[i] = h
+        return out
+
+    def signature(self, shingles: list[str]) -> np.ndarray:
+        """(K,) uint64 signature of one shingle list. Empty list → all-ones
+        sentinel (an 'empty' signature that never collides with real ones)."""
+        if not shingles:
+            return np.full(self.num_perms, _EMPTY, dtype=np.uint64)
+        x = self._base_hashes(shingles)
+        vals = self.a[None, :] * x[:, None] + self.b[None, :]  # uint64 wrap
+        return vals.min(axis=0)
+
+    def signatures_batch(self, shingle_lists: list[list[str]]) -> np.ndarray:
+        """(n_docs, K) uint64 signatures; one reduceat for the whole batch."""
+        n = len(shingle_lists)
+        out = np.full((n, self.num_perms), _EMPTY, dtype=np.uint64)
+        flat: list[str] = []
+        doc_ids: list[int] = []
+        for d, shingles in enumerate(shingle_lists):
+            flat.extend(shingles)
+            doc_ids.extend([d] * len(shingles))
+        if not flat:
+            return out
+        x = self._base_hashes(flat)
+        vals = self.a[None, :] * x[:, None] + self.b[None, :]  # uint64 wrap
+        doc_arr = np.array(doc_ids, dtype=np.int64)
+        # docs are already in order; reduceat over the run starts
+        starts = np.flatnonzero(np.r_[True, doc_arr[1:] != doc_arr[:-1]])
+        mins = np.minimum.reduceat(vals, starts, axis=0)
+        out[doc_arr[starts]] = mins
+        return out
+
+    @staticmethod
+    def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float((sig_a == sig_b).mean())

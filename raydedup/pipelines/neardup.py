@@ -1,0 +1,123 @@
+"""The flagship near-duplicate detection + clustering DAG.
+
+    read → signatures (actor pool) → exact dedup (sha256 groupby)
+         → LSH band explode → bucket groupby → verified pairs
+         → union-find components → cluster assignment → clusters / survivors
+
+This is the new-engine replacement for the reference's storytelling chain
+``detect_off_topic → slice_by_datetime → cluster_by_simhash →
+exclude_duplicates → select_high_quality`` (SURVEY §3.2): file hand-offs
+become one lazy Dataset DAG; the per-slice identical-simhash DBSCAN becomes
+exact-text groups ∪ verified MinHash-LSH near-dup components.
+
+Scale notes (10^12-turn design):
+- only hashes cross the wide shuffles (text dropped after signatures);
+- exact dedup first ⇒ LSH never sees hot identical-text buckets;
+- verified edges are sparse ⇒ driver union-find is safe; the distributed
+  label-propagation backend (state/unionfind.py) is the fallback when the
+  component map itself outgrows the driver;
+- the final cluster map is broadcast once via ``ray.put`` and read inside
+  each assignment task — never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from raydedup.config import DedupConfig, DEFAULT_CONFIG
+from raydedup.stages.exact import add_row_key, exact_dedup
+from raydedup.stages.lsh import lsh_verified_pairs
+from raydedup.stages.signatures import compute_signatures
+from raydedup.state.unionfind import UnionFind
+
+
+def transcript_key_cols() -> list[str]:
+    return ["conv_id", "turn_idx"]
+
+
+def signatures_with_rep(ds, cfg: DedupConfig = DEFAULT_CONFIG,
+                        key_cols: list[str] | None = None,
+                        text_col: str = "text"):
+    """rows → signature rows with exact-dup representative assignment."""
+    key_cols = key_cols or transcript_key_cols()
+    keyed = add_row_key(ds.select_columns(key_cols + [text_col]), key_cols)
+    sigs = compute_signatures(keyed, cfg, text_col=text_col)
+    return exact_dedup(sigs)
+
+
+def near_dup_pairs(assigned_sigs, cfg: DedupConfig = DEFAULT_CONFIG,
+                   min_jaccard: float | None = None):
+    """exact-dedup-assigned signatures → verified near-dup pairs between
+    REPRESENTATIVE keys (exact-dup members are reattached at clustering)."""
+    reps = assigned_sigs.filter(expr="is_rep")
+    reps = reps.select_columns(["row_key", "minhash", "shingle_hashes", "n_shingles"])
+    return lsh_verified_pairs(reps, cfg, min_jaccard=min_jaccard)
+
+
+def cluster_assignments(assigned_sigs, pairs_ds,
+                        cfg: DedupConfig = DEFAULT_CONFIG):
+    """→ Dataset(row_key, rep_key, cluster_id, is_duplicate).
+
+    cluster_id = lexicographic min row_key of the connected component of
+    the row's exact-dup representative; a row whose component has a single
+    member (n_exact == 1 and no near-dup edge) keeps its own key and
+    is_duplicate = False. is_duplicate = True for every member of a >= 2
+    cluster except the canonical (min-key) one — the 'survivor'.
+    """
+    uf = UnionFind()
+    # near-dup edges between representatives
+    for batch in pairs_ds.select_columns(["a_key", "b_key"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for a, b in zip(batch["a_key"].to_pylist(), batch["b_key"].to_pylist()):
+            uf.union(a, b)
+    rep_to_cluster = uf.components()  # reps touched by near-dup edges only
+    cluster_ref = ray.put(rep_to_cluster)
+
+    class Assign:
+        def __init__(self, ref):
+            self.map: dict[str, str] = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            reps = batch["rep_key"].to_pylist()
+            cluster = [self.map.get(r, r) for r in reps]
+            keys = batch["row_key"].to_pylist()
+            is_dup = [k != c for k, c in zip(keys, cluster)]
+            return pa.table(
+                {
+                    "row_key": batch["row_key"],
+                    "rep_key": batch["rep_key"],
+                    "cluster_id": pa.array(cluster, type=pa.string()),
+                    "is_duplicate": pa.array(is_dup, type=pa.bool_()),
+                }
+            )
+
+    return assigned_sigs.map_batches(
+        Assign,
+        fn_constructor_args=(cluster_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def near_dup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG,
+                      key_cols: list[str] | None = None,
+                      text_col: str = "text"):
+    """Full DAG; returns (clusters_ds, pairs_ds)."""
+    assigned = signatures_with_rep(ds, cfg, key_cols, text_col)
+    # signatures feed two consumers (LSH and final assignment): materialize
+    # once so the signature actors run a single pass over the input.
+    assigned = assigned.materialize()
+    pairs = near_dup_pairs(assigned, cfg).materialize()
+    clusters = cluster_assignments(assigned, pairs, cfg)
+    return clusters, pairs
+
+
+def survivors(clusters_ds):
+    """Canonical one-row-per-cluster keep list (≡ the reference's
+    'nonduplicates' output files, bin/exclude_duplicates:108-111)."""
+    return clusters_ds.filter(expr="is_duplicate == False")
