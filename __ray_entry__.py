@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dup pipeline on sf0.001 transcripts;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names, floats rounded to 6 decimals on
+both sides so value-hashes compare).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the raydedup library) calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,595 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.sources.transcripts import (
+    TRANSCRIPTS_SQL,
+    transcripts_from_documents,
+)
+from raydedup.textnorm import STOPWORDS
+
+# Simple-token config: no stemming/stopwords → expressible in ANSI SQL, so
+# the whole near-dup DAG gets a value-level DuckDB oracle. The stemmed
+# reference config is exercised by the pytest suite against the
+# single-process oracle instead (SURVEY §5).
+SIMPLE_CFG = DEFAULT_CONFIG.with_overrides(stemming=False, remove_stopwords=False)
+
+_ROUND = 6
+
+
+def _round_col(ds, col):
+    def r(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(col)
+        # half_towards_infinity == DuckDB round() (half away from zero);
+        # pyarrow's default half_to_even would disagree on exact .5 digits
+        rounded = pc.round(batch[col], ndigits=_ROUND,
+                           round_mode="half_towards_infinity")
+        return batch.set_column(i, col, rounded)
+
+    return ds.map_batches(r, batch_format="pyarrow")
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_survivors(sf_dir: str):
+    from raydedup.pipelines.neardup import signatures_with_rep
+
+    assigned = signatures_with_rep(_docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"])
+    return assigned.filter(expr="is_rep == True").select_columns(["row_key"])
+
+
+def q_exact_dup_clusters(sf_dir: str):
+    from raydedup.pipelines.neardup import signatures_with_rep
+    from raydedup.stages.exact import exact_clusters
+
+    assigned = signatures_with_rep(_docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"])
+    return exact_clusters(assigned)
+
+
+def q_near_dup_pairs_docs(sf_dir: str):
+    from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
+
+    assigned = signatures_with_rep(
+        _docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"]
+    ).materialize()
+    return _round_col(near_dup_pairs(assigned, SIMPLE_CFG), "jaccard")
+
+
+def q_near_dup_clusters_docs(sf_dir: str):
+    from raydedup.pipelines.neardup import near_dup_pipeline
+
+    clusters, _ = near_dup_pipeline(_docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"])
+    return clusters.select_columns(["row_key", "cluster_id"])
+
+
+def q_near_dup_clusters_transcripts(sf_dir: str):
+    """Flagship: full near-dup DAG over the derived transcript table with
+    the reference (stemmed) config — non-SQL, rows-only check; value-level
+    parity is covered by tests/test_pipeline.py."""
+    from raydedup.pipelines.neardup import near_dup_pipeline
+
+    ts = transcripts_from_documents(sf_dir)
+    clusters, _ = near_dup_pipeline(ts, DEFAULT_CONFIG)
+    return clusters
+
+
+def q_otmt_bytecount(sf_dir: str):
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.measures import anchor_measures
+
+    ts = add_row_key(transcripts_from_documents(sf_dir), ["conv_id", "turn_idx"])
+    scores = anchor_measures(ts, ["bytecount"], DEFAULT_CONFIG)
+    out = scores.select_columns(["conv_id", "turn_idx", "bytecount"])
+    return _round_col(out, "bytecount")
+
+
+def q_otmt_wordcount_simple(sf_dir: str):
+    """wordcount with the SQL-mirrorable tokenizer (lower \\w+ runs)."""
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.measures import anchor_measures
+
+    ts = add_row_key(transcripts_from_documents(sf_dir), ["conv_id", "turn_idx"])
+    scores = anchor_measures(ts, ["wordcount"], SIMPLE_CFG)
+    out = scores.select_columns(["conv_id", "turn_idx", "wordcount"])
+    return _round_col(out, "wordcount")
+
+
+def q_otmt_jaccard_simple(sf_dir: str):
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.measures import anchor_measures
+
+    ts = add_row_key(transcripts_from_documents(sf_dir), ["conv_id", "turn_idx"])
+    scores = anchor_measures(ts, ["jaccard"], SIMPLE_CFG)
+    out = scores.select_columns(["conv_id", "turn_idx", "jaccard"])
+    return _round_col(out, "jaccard")
+
+
+def q_otmt_sorensen_simple(sf_dir: str):
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.measures import anchor_measures
+
+    ts = add_row_key(transcripts_from_documents(sf_dir), ["conv_id", "turn_idx"])
+    scores = anchor_measures(ts, ["sorensen"], SIMPLE_CFG)
+    out = scores.select_columns(["conv_id", "turn_idx", "sorensen"])
+    return _round_col(out, "sorensen")
+
+
+def q_collection_jaccard(sf_dir: str):
+    from raydedup.stages.collection import collection_measures
+
+    out = collection_measures(
+        _docs(sf_dir), key_cols=["doc_id"], simple_tokens=True
+    )
+    out = _round_col(out, "collection_jaccard")
+    out = _round_col(out, "collection_sorensen")
+    return out.select_columns(
+        ["doc_id", "n_distinct_tokens", "collection_jaccard", "collection_sorensen"]
+    )
+
+
+def q_slice_events(sf_dir: str):
+    import ray.data
+
+    from raydedup.stages.slicing import slice_by_time
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts": batch["ts"],
+                "row_key": pc.cast(batch["event_id"], pa.string()),
+            }
+        )
+
+    keyed = ev.map_batches(key, batch_format="pyarrow")
+    return slice_by_time(keyed, ts_col="ts")
+
+
+def q_token_counts(sf_dir: str):
+    from raydedup.stages.textstats import token_counts
+
+    return token_counts(_docs(sf_dir)).select_columns(
+        ["doc_id", "ws_tokens", "bpe_tokens"]
+    )
+
+
+def q_quality_scores(sf_dir: str):
+    from raydedup.stages.textstats import quality_scores
+
+    out = quality_scores(_docs(sf_dir))
+    for c in ("stopword_ratio", "punct_ratio", "mean_word_len"):
+        out = _round_col(out, c)
+    return out.select_columns(
+        ["doc_id", "n_chars_q", "n_words", "stopword_ratio", "punct_ratio",
+         "mean_word_len"]
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from raydedup.stages.embeddings import knn_brute
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_brute(emb, query_ids=list(range(10)), k=10)
+    return _round_col(out, "cosine").select_columns(
+        ["query_id", "neighbor_id", "cosine", "rank"]
+    )
+
+
+def q_embedding_near_pairs(sf_dir: str):
+    import ray.data
+
+    from raydedup.stages.embeddings import embedding_near_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_pairs(emb, threshold=0.35)
+    return _round_col(out, "cosine")
+
+
+def q_langid(sf_dir: str):
+    from raydedup.stages.textstats import detect_language
+
+    return detect_language(_docs(sf_dir)).select_columns(
+        ["doc_id", "detected_lang"]
+    )
+
+
+def q_chain_scan_transcripts(sf_dir: str):
+    from raydedup.pipelines.neardup import signatures_with_rep
+    from raydedup.stages.chain_scan import chain_scan_survivors
+
+    ts = transcripts_from_documents(sf_dir)
+    sigs = signatures_with_rep(ts, DEFAULT_CONFIG)
+    return chain_scan_survivors(sigs)
+
+
+def q_long_span_pairs(sf_dir: str):
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.suffix_span import long_span_pairs
+
+    docs = add_row_key(_docs(sf_dir), ["doc_id"])
+    return long_span_pairs(docs, DEFAULT_CONFIG)
+
+
+def q_simhash_near_docs(sf_dir: str):
+    from raydedup.pipelines.neardup import signatures_with_rep
+    from raydedup.stages.simhash_near import simhash_near_pairs
+
+    assigned = signatures_with_rep(_docs(sf_dir), DEFAULT_CONFIG,
+                                   key_cols=["doc_id"])
+    reps = assigned.filter(expr="is_rep == True")
+    return simhash_near_pairs(reps, DEFAULT_CONFIG)
+
+
+def q_fingerprints(sf_dir: str):
+    from raydedup.stages.textstats import fingerprints
+
+    out = fingerprints(_docs(sf_dir))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        fps = batch["fingerprints"].combine_chunks()
+        n = [len(fps[i]) for i in range(len(fps))]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_fingerprints": pa.array(n, type=pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_multimodal_decode(sf_dir: str):
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.multimodal import attach_fake_payloads, decode_images
+
+    docs = add_row_key(_docs(sf_dir), ["doc_id"])
+    decoded = decode_images(attach_fake_payloads(docs), fake=True)
+    return decoded.select_columns(["doc_id", "media_type", "meta_w", "meta_h"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (driver smoke check)."""
+    return q_near_dup_clusters_transcripts("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "exact_dedup_survivors": q_exact_dedup_survivors,
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "near_dup_pairs_docs": q_near_dup_pairs_docs,
+        "near_dup_clusters_docs": q_near_dup_clusters_docs,
+        "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
+        "otmt_bytecount": q_otmt_bytecount,
+        "otmt_wordcount_simple": q_otmt_wordcount_simple,
+        "otmt_jaccard_simple": q_otmt_jaccard_simple,
+        "otmt_sorensen_simple": q_otmt_sorensen_simple,
+        "collection_jaccard": q_collection_jaccard,
+        "slice_events": q_slice_events,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "ann_topk": q_ann_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "langid": q_langid,
+        "chain_scan_transcripts": q_chain_scan_transcripts,
+        "long_span_pairs": q_long_span_pairs,
+        "simhash_near_docs": q_simhash_near_docs,
+        "fingerprints": q_fingerprints,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = """
+tokens AS (
+    SELECT conv_id, turn_idx, t.tok
+    FROM transcripts,
+         UNNEST(regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')) AS t(tok)
+),
+tokset AS (
+    SELECT DISTINCT conv_id, turn_idx, tok FROM tokens
+),
+setsize AS (
+    SELECT conv_id, turn_idx, count(*) AS n FROM tokset GROUP BY 1, 2
+)
+"""
+
+# 3-word shingle set per doc with the simple tokenizer (mirrors
+# full_tokenize(stemming=False, remove_stopwords=False) + word_shingles;
+# DuckDB 1.0 lacks WITH ORDINALITY → list_transform over index ranges)
+_DOC_SHINGLES_CTE = """
+arrs AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[0-9a-zA-Z_]+') AS arr
+    FROM documents
+),
+shingle_lists AS (
+    -- docs with > 3 tokens: sliding 3-grams; docs with 1..3 tokens: one
+    -- shingle of all tokens (word_shingles short-doc rule); 0 tokens: none
+    SELECT doc_id,
+           CASE WHEN len(arr) > 3 THEN
+               list_transform(range(len(arr) - 2),
+                   i -> arr[i + 1] || ' ' || arr[i + 2] || ' ' || arr[i + 3])
+           ELSE [array_to_string(arr, ' ')] END AS shl
+    FROM arrs WHERE len(arr) > 0
+),
+shingles AS (
+    SELECT DISTINCT doc_id, s.sh
+    FROM shingle_lists, UNNEST(shl) AS s(sh)
+),
+shsize AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+pair_common AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+    FROM shingles a JOIN shingles b
+      ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+near_pairs AS (
+    SELECT p.a_id, p.b_id,
+           CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) AS jaccard
+    FROM pair_common p
+    JOIN shsize sa ON sa.doc_id = p.a_id
+    JOIN shsize sb ON sb.doc_id = p.b_id
+    WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= 0.8
+)
+"""
+
+_STOPWORD_LIST = ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_survivors": """
+            SELECT min(CAST(doc_id AS VARCHAR)) AS row_key
+            FROM documents GROUP BY text
+        """,
+        "exact_dup_clusters": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_key,
+                   CASE WHEN count(*) OVER (PARTITION BY text) >= 2
+                        THEN min(CAST(doc_id AS VARCHAR)) OVER (PARTITION BY text)
+                        ELSE '-1' END AS cluster_id,
+                   CAST(count(*) OVER (PARTITION BY text) AS INTEGER)
+                       AS cluster_size
+            FROM documents
+        """,
+        "near_dup_pairs_docs": f"""
+            WITH {_DOC_SHINGLES_CTE}
+            SELECT CAST(a_id AS VARCHAR) AS a_key,
+                   CAST(b_id AS VARCHAR) AS b_key,
+                   round(jaccard, {_ROUND}) AS jaccard
+            FROM near_pairs
+            WHERE CAST(a_id AS VARCHAR) < CAST(b_id AS VARCHAR)
+            UNION ALL
+            SELECT CAST(b_id AS VARCHAR), CAST(a_id AS VARCHAR),
+                   round(jaccard, {_ROUND})
+            FROM near_pairs
+            WHERE CAST(b_id AS VARCHAR) < CAST(a_id AS VARCHAR)
+        """,
+        "near_dup_clusters_docs": f"""
+            WITH RECURSIVE {_DOC_SHINGLES_CTE},
+            exact_edges AS (
+                SELECT CAST(a.doc_id AS VARCHAR) AS a_key,
+                       CAST(b.doc_id AS VARCHAR) AS b_key
+                FROM documents a JOIN documents b
+                  ON a.text = b.text AND a.doc_id <> b.doc_id
+            ),
+            near_edges AS (
+                SELECT CAST(a_id AS VARCHAR) AS a_key,
+                       CAST(b_id AS VARCHAR) AS b_key
+                FROM near_pairs
+            ),
+            edges AS (
+                SELECT a_key, b_key FROM exact_edges
+                UNION SELECT b_key, a_key FROM exact_edges
+                UNION SELECT a_key, b_key FROM near_edges
+                UNION SELECT b_key, a_key FROM near_edges
+            ),
+            reach(node, r) AS (
+                SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR)
+                FROM documents
+                UNION
+                SELECT reach.node, edges.b_key
+                FROM reach JOIN edges ON reach.r = edges.a_key
+            )
+            SELECT node AS row_key, min(r) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "otmt_bytecount": TRANSCRIPTS_SQL + f"""
+            SELECT t.conv_id, t.turn_idx,
+                   round(CAST(length(t.text) AS DOUBLE)
+                         / length(a.text) - 1, {_ROUND}) AS bytecount
+            FROM transcripts t
+            JOIN transcripts a
+              ON a.conv_id = t.conv_id AND a.turn_idx = 0
+        """,
+        "otmt_wordcount_simple": TRANSCRIPTS_SQL + f"""
+            , wc AS (
+                SELECT conv_id, turn_idx,
+                       len(regexp_extract_all(lower(text), '[0-9a-zA-Z_]+'))
+                           AS n
+                FROM transcripts
+            )
+            SELECT t.conv_id, t.turn_idx,
+                   round(CAST(t.n AS DOUBLE) / a.n - 1, {_ROUND}) AS wordcount
+            FROM wc t JOIN wc a
+              ON a.conv_id = t.conv_id AND a.turn_idx = 0
+        """,
+        "otmt_jaccard_simple": TRANSCRIPTS_SQL + f""", {_TOKENS_CTE},
+            inter AS (
+                SELECT m.conv_id, m.turn_idx, count(*) AS c
+                FROM tokset m
+                JOIN tokset a
+                  ON a.conv_id = m.conv_id AND a.turn_idx = 0
+                 AND a.tok = m.tok
+                GROUP BY 1, 2
+            )
+            SELECT m.conv_id, m.turn_idx,
+                   round(1.0 - CAST(coalesce(i.c, 0) AS DOUBLE)
+                         / (m.n + a.n - coalesce(i.c, 0)), {_ROUND}) AS jaccard
+            FROM setsize m
+            JOIN setsize a ON a.conv_id = m.conv_id AND a.turn_idx = 0
+            LEFT JOIN inter i
+              ON i.conv_id = m.conv_id AND i.turn_idx = m.turn_idx
+        """,
+        "otmt_sorensen_simple": TRANSCRIPTS_SQL + f""", {_TOKENS_CTE},
+            inter AS (
+                SELECT m.conv_id, m.turn_idx, count(*) AS c
+                FROM tokset m
+                JOIN tokset a
+                  ON a.conv_id = m.conv_id AND a.turn_idx = 0
+                 AND a.tok = m.tok
+                GROUP BY 1, 2
+            )
+            SELECT m.conv_id, m.turn_idx,
+                   round(1.0 - 2.0 * CAST(coalesce(i.c, 0) AS DOUBLE)
+                         / (m.n + a.n), {_ROUND}) AS sorensen
+            FROM setsize m
+            JOIN setsize a ON a.conv_id = m.conv_id AND a.turn_idx = 0
+            LEFT JOIN inter i
+              ON i.conv_id = m.conv_id AND i.turn_idx = m.turn_idx
+        """,
+        "collection_jaccard": f"""
+            WITH tok AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     UNNEST(regexp_extract_all(lower(text), '[0-9a-zA-Z_]+'))
+                         AS t(tok)
+            ),
+            per_doc AS (
+                SELECT doc_id, count(DISTINCT tok) AS a FROM tok GROUP BY 1
+            ),
+            g AS (SELECT count(DISTINCT tok) AS g FROM tok)
+            SELECT d.doc_id,
+                   coalesce(p.a, 0) AS n_distinct_tokens,
+                   round(1.0 - CAST(coalesce(p.a, 0) AS DOUBLE) / g.g,
+                         {_ROUND}) AS collection_jaccard,
+                   round(1.0 - 2.0 * CAST(coalesce(p.a, 0) AS DOUBLE)
+                         / (coalesce(p.a, 0) + g.g), {_ROUND})
+                       AS collection_sorensen
+            FROM documents d
+            LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            CROSS JOIN g
+        """,
+        "slice_events": """
+            WITH ranked AS (
+                SELECT CAST(event_id AS VARCHAR) AS row_key,
+                       row_number() OVER
+                           (ORDER BY ts, CAST(event_id AS VARCHAR)) - 1 AS rn,
+                       count(*) OVER () AS n
+                FROM events
+            ),
+            params AS (
+                SELECT n,
+                       CASE WHEN n > 28
+                            THEN CAST(floor(28 + log10(n)) AS BIGINT)
+                            ELSE n END AS slice_count
+                FROM (SELECT DISTINCT n FROM ranked)
+            ),
+            p2 AS (
+                SELECT n, CAST(floor(CAST(n AS DOUBLE) / slice_count) AS BIGINT)
+                           AS per FROM params
+            )
+            SELECT CAST(CAST(ceil(CAST(r.rn AS DOUBLE) / p.per) AS BIGINT)
+                        AS INTEGER) AS slice_number,
+                   r.row_key
+            FROM ranked r CROSS JOIN p2 p
+            WHERE r.rn <= p.per * CAST(floor(CAST(r.n - 1 AS DOUBLE) / p.per)
+                                       AS BIGINT)
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS bpe_tokens
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH words AS (
+                SELECT doc_id, w.word
+                FROM documents,
+                     UNNEST(regexp_extract_all(lower(text), '\\S+')) AS w(word)
+            ),
+            agg AS (
+                SELECT doc_id,
+                       count(*) AS n_words,
+                       sum(CASE WHEN word IN ({_STOPWORD_LIST})
+                           THEN 1 ELSE 0 END) AS n_stop,
+                       sum(length(word)) AS word_chars
+                FROM words GROUP BY 1
+            ),
+            punct AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       len(regexp_extract_all(
+                           text, '[.,;:!?''"()\\[\\]{{}}]')) AS n_punct
+                FROM documents
+            )
+            SELECT p.doc_id,
+                   p.n_chars AS n_chars_q,
+                   coalesce(a.n_words, 0) AS n_words,
+                   round(CAST(coalesce(a.n_stop, 0) AS DOUBLE)
+                         / greatest(coalesce(a.n_words, 0), 1), {_ROUND})
+                       AS stopword_ratio,
+                   round(CAST(p.n_punct AS DOUBLE)
+                         / greatest(p.n_chars, 1), {_ROUND}) AS punct_ratio,
+                   round(CAST(coalesce(a.word_chars, 0) AS DOUBLE)
+                         / greatest(coalesce(a.n_words, 0), 1), {_ROUND})
+                       AS mean_word_len
+            FROM punct p LEFT JOIN agg a ON a.doc_id = p.doc_id
+        """,
+        "ann_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 10
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qv AS DOUBLE[])) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id,
+                   round(cosine, {_ROUND}) AS cosine, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "embedding_near_pairs": f"""
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), {_ROUND}) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        # langid / chain_scan_transcripts / long_span_pairs /
+        # simhash_near_docs / fingerprints / multimodal_decode /
+        # near_dup_clusters_transcripts: non-SQL-expressible (model scoring,
+        # md5 simhash, winnowing, stateful scan) → rows-only checks.
+    }

@@ -1,0 +1,141 @@
+"""Bench harness: headline dedup pipeline + per-operator timings.
+
+Prints ONE JSON line:
+    {"metric": "neardup_pipeline_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": <sf>, "num_cpus": N,
+     "turns": n, "turns_per_sec": r}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32),
+     BENCH_REPEATS (transcript expansion factor, default 8).
+
+``--scaling`` runs the plain bench twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for
+N-node vs 4N-node clusters) and prints throughput at both plus the
+scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "8"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.pipelines.neardup import (
+        cluster_assignments,
+        near_dup_pairs,
+        signatures_with_rep,
+    )
+    from raydedup.sources.transcripts import expand_documents_to_transcripts
+    from raydedup.stages.chain_scan import chain_scan_survivors
+    from raydedup.stages.measures import anchor_measures
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.embeddings import knn_brute
+
+    queries: dict[str, float] = {}
+
+    # warm the page cache (untimed read) so we measure compute, not cold IO
+    ts_warm = expand_documents_to_transcripts(sf_dir, repeats).materialize()
+    n_turns = ts_warm.count()
+
+    t_total0 = time.time()
+
+    t0 = time.time()
+    assigned = signatures_with_rep(ts_warm, DEFAULT_CONFIG).materialize()
+    queries["signatures_exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pairs = near_dup_pairs(assigned, DEFAULT_CONFIG).materialize()
+    n_pairs = pairs.count()
+    queries["lsh_verified_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    clusters = cluster_assignments(assigned, pairs, DEFAULT_CONFIG)
+    out_dir = f"/tmp/raydedup_bench/{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    clusters.write_parquet(out_dir)
+    queries["cluster_assign_write"] = round(time.time() - t0, 3)
+
+    headline = round(time.time() - t_total0, 3)
+
+    # secondary operators (not in the headline number)
+    t0 = time.time()
+    chain_scan_survivors(assigned).count()
+    queries["chain_scan"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ts_keyed = add_row_key(ts_warm, ["conv_id", "turn_idx"])
+    anchor_measures(
+        ts_keyed, ["bytecount", "jaccard", "raw_simhash"], DEFAULT_CONFIG
+    ).count()
+    queries["anchor_measures"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    knn_brute(emb, query_ids=list(range(10)), k=10).count()
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "neardup_pipeline_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "pairs": n_pairs,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "turns_per_sec_8": lo["turns_per_sec"],
+        "turns_per_sec_32": hi["turns_per_sec"],
+        "turns": lo["turns"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

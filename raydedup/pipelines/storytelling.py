@@ -1,0 +1,121 @@
+"""The storytelling/dedup chain — the reference's four-script pipeline
+``detect_off_topic → slice_by_datetime → cluster_by_simhash →
+select_high_quality`` (SURVEY §3.2) as ONE lazy DAG with Parquet
+checkpoints instead of JSON/TSV file hand-offs.
+
+Faithful semantics per stage:
+  - signatures: per-row 64-bit simhash (≡ detect_off_topic's phase-3
+    "raw memento simhash value");
+  - slices: equal-count datetime slices with the flush/drop quirks
+    (stages/slicing.py);
+  - clusters: per-slice groups of >= 2 IDENTICAL simhash values, noise -1
+    (≡ cluster_by_simhash's degenerate DBSCAN, bin/cluster_by_simhash:82-86);
+  - survivors: chain-scan suppression (stages/chain_scan.py);
+  - story: top-1 by quality per (slice, cluster) (stages/quality.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from raydedup.config import DedupConfig, DEFAULT_CONFIG
+from raydedup.pipelines.neardup import signatures_with_rep
+from raydedup.stages.chain_scan import chain_scan_survivors
+from raydedup.stages.quality import select_high_quality, uri_scores
+from raydedup.stages.slicing import slice_by_time
+
+
+def cluster_by_simhash_per_slice(sigs_with_slices):
+    """(slice_number, simhash) groups of >= 2 identical values get a
+    cluster id (min row_key); everything else is noise '-1'."""
+
+    def label(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = group.num_rows
+        if n >= 2:
+            cid = pc.min(group["row_key"]).as_py()
+        else:
+            cid = "-1"
+        return pa.table(
+            {
+                "slice_number": group["slice_number"],
+                "cluster_id": pa.array([cid] * n, type=pa.string()),
+                "row_key": group["row_key"],
+            }
+        )
+
+    return sigs_with_slices.groupby(["slice_number", "simhash"]).map_groups(
+        label, batch_format="pyarrow"
+    )
+
+
+def storytelling_chain(ds, cfg: DedupConfig = DEFAULT_CONFIG,
+                       key_cols: list[str] | None = None,
+                       ts_col: str = "ts"):
+    """transcripts → (slices, clusters, survivors, story) datasets."""
+    key_cols = key_cols or ["conv_id", "turn_idx"]
+    keep = ds.select_columns(key_cols + ["text", ts_col])
+    sigs = signatures_with_rep(keep.drop_columns([ts_col]), cfg,
+                               key_cols=key_cols).materialize()
+
+    # reattach ts for slicing (kept separate so signature shuffles move
+    # hashes only)
+    ts_keyed = ds.select_columns(key_cols + [ts_col])
+    from raydedup.stages.exact import add_row_key
+
+    ts_keyed = add_row_key(ts_keyed, key_cols).select_columns(
+        ["row_key", ts_col]
+    )
+    slices = slice_by_time(ts_keyed, ts_col=ts_col).materialize()
+
+    # join slice assignments onto signatures (broadcast: the slice table is
+    # two small columns)
+    import ray
+
+    slice_map = {
+        r["row_key"]: r["slice_number"] for r in slices.take_all()
+    }
+    ref = ray.put(slice_map)
+
+    class AttachSlice:
+        def __init__(self, ref):
+            self.map = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sl = [self.map.get(k, -1) for k in batch["row_key"].to_pylist()]
+            return batch.append_column(
+                "slice_number", pa.array(sl, type=pa.int32())
+            )
+
+    sigs_sliced = sigs.map_batches(
+        AttachSlice, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).filter(expr="slice_number >= 0")
+
+    clusters = cluster_by_simhash_per_slice(sigs_sliced)
+
+    survivors = chain_scan_survivors(sigs, threshold=cfg.chain_scan_threshold)
+
+    # synthesize a URI per row for the quality scorer (the reference scores
+    # archived-page URIs; transcript rows carry none, so the engine derives
+    # a stable pseudo-URI from the key — documented deviation)
+    def with_uri(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uri = pc.binary_join_element_wise(
+            pa.array(["https://corpus.example/"] * batch.num_rows),
+            pc.replace_substring(batch["row_key"], ":", "/"),
+            "",
+        )
+        return batch.append_column("uri", uri)
+
+    scored = uri_scores(
+        clusters.map_batches(with_uri, batch_format="pyarrow"), uri_col="uri"
+    )
+    story = select_high_quality(
+        scored.filter(expr="cluster_id != '-1'"),
+        group_cols=("slice_number", "cluster_id"),
+    )
+    return slices, clusters, survivors, story

@@ -79,6 +79,52 @@ def transcripts_from_documents(sf_dir: str):
     return docs.map_batches(derive, batch_format="pyarrow")
 
 
+def expand_documents_to_transcripts(sf_dir: str, repeats: int = 8):
+    """Bench-scale deterministic expansion: each (doc, r) for r in
+    0..repeats-1 becomes one turn; r == 0 keeps the text verbatim, r > 0
+    deterministically rewrites r words — planting exact-dup groups
+    (identical docs exist in the tables) and near-dup families (small
+    edits) at a controlled rate. Pure map_batches, no driver loop, no RNG.
+    """
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        conv, turn, role, out_t, tool, ts = [], [], [], [], [], []
+        for d, t in zip(doc_ids, texts):
+            words = (t or "").split()
+            for r in range(repeats):
+                if r == 0 or not words:
+                    new = t or ""
+                else:
+                    w = list(words)
+                    for e in range(r):
+                        w[(d + 7 * e) % len(w)] = f"edit{r}x{e}"
+                    new = " ".join(w)
+                conv.append(f"conv-{int(d) % N_CONVS_FROM_DOCS}")
+                turn.append(int(d) // N_CONVS_FROM_DOCS * repeats + r)
+                role.append(["user", "assistant", "tool"][r % 3])
+                out_t.append(new)
+                tool.append("search" if r % 3 == 2 else "")
+                ts.append(_EPOCH_US + (int(d) * repeats + r) * 60_000_000)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, type=pa.string()),
+                "turn_idx": pa.array(turn, type=pa.int32()),
+                "role": pa.array(role, type=pa.string()),
+                "text": pa.array(out_t, type=pa.string()),
+                "tool": pa.array(tool, type=pa.string()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+            }
+        )
+
+    return docs.map_batches(expand, batch_format="pyarrow")
+
+
 _VOCAB = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
     "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "

@@ -1,0 +1,78 @@
+"""Collection-wide measures — reference parity for
+``otmt/collection_measures.py:96-214``.
+
+The reference concatenates EVERY memento's token list into one global bag
+and scores each memento's tokens against it with distance.jaccard /
+distance.sorensen (set semantics). Because each doc's token SET is a
+subset of the global set G, the scores reduce to closed forms:
+
+    jaccard  = 1 - |A| / |G|
+    sorensen = 1 - 2|A| / (|A| + |G|)
+
+which turns the reference's quadratic re-read into two cheap aggregates:
+one distributed distinct-token count (the canonical partial-then-merge
+aggregation, SURVEY §2.6) and a per-row distinct count. The tokenizer is
+selectable: the stemmed engine tokenizer (reference semantics) or the
+simple lowercase tokenizer (SQL-mirrorable for the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydedup.textnorm import full_tokenize, simple_tokenize
+
+
+def _token_prep(simple: bool):
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+        if simple:
+            sets = [set(simple_tokenize(t)) for t in texts]
+        else:
+            sets = [set(full_tokenize(t)) for t in texts]
+        cols = {n: batch[n] for n in batch.column_names if n != "text"}
+        cols["token_set"] = pa.array([sorted(s) for s in sets],
+                                     type=pa.list_(pa.string()))
+        cols["n_distinct_tokens"] = pa.array([len(s) for s in sets],
+                                             type=pa.int64())
+        return pa.table(cols)
+
+    return prep
+
+
+def collection_measures(ds, key_cols: list[str], simple_tokens: bool = False):
+    """→ Dataset(key_cols..., n_distinct_tokens, collection_jaccard,
+    collection_sorensen). Two passes over a small prepped projection:
+    pass 1 aggregates |G| (distinct-token count via explode+groupby);
+    pass 2 is a stateless map with |G| closed over."""
+    prepped = ds.map_batches(_token_prep(simple_tokens),
+                             batch_format="pyarrow").materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = batch["token_set"].combine_chunks()
+        return pa.table({"token": toks.flatten()})
+
+    distinct = (
+        prepped.select_columns(["token_set"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("token")
+        .count()
+    )
+    g_size = distinct.count()
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch["n_distinct_tokens"], pa.float64())
+        g = pa.scalar(float(g_size))
+        jac = pc.subtract(pa.scalar(1.0), pc.divide(a, g))
+        sor = pc.subtract(
+            pa.scalar(1.0),
+            pc.divide(pc.multiply(pa.scalar(2.0), a), pc.add(a, g)),
+        )
+        cols = {c: batch[c] for c in key_cols}
+        cols["n_distinct_tokens"] = batch["n_distinct_tokens"]
+        cols["collection_jaccard"] = jac
+        cols["collection_sorensen"] = sor
+        return pa.table(cols)
+
+    return prepped.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,308 @@
+"""Group-wise anchor measures — the reference's "TimeMap measures"
+(otmt/timemap_measures.py:105-970) re-expressed Ray-Data-first.
+
+Template parity (compute_score_across_TimeMap, timemap_measures.py:105-232):
+within each conversation (≡ TimeMap) the ANCHOR is the min-turn_idx row
+(≡ first memento); every member is scored against it. An anchor whose
+prepared data is empty poisons the whole group for that measure — every
+member gets an error instead of a score (timemap_measures.py:161-176);
+an individual member with empty data still gets a score (the score
+functions define both-empty → 0 / identity semantics, e.g.
+timemap_measures.py:274-318).
+
+Execution shape: a stateless vectorized PREP ``map_batches`` computes all
+per-row features once (token lists, counts, simhashes); ONE
+``groupby(conv_id).map_groups`` then scores every requested measure inside
+the group task — conversations are small (SURVEY §4.1 memory note), so the
+group fits trivially and measures that need the whole group corpus
+(cosine TF-IDF, LSI, LDA — group-local model fits, timemap_measures.py:
+547-893) run in the same task with zero extra shuffles.
+
+Output: one row per input row with ``<measure>`` (float64, null on error)
+and ``<measure>_error`` (string, null when scored) columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from raydedup.config import DedupConfig, DEFAULT_CONFIG
+from raydedup.functions.setsim import (
+    jaccard_distance,
+    levenshtein_tokens,
+    nlevenshtein_tokens,
+    sorensen_distance,
+    tfintersection,
+)
+from raydedup.functions.simhash import simhash64_batch, hamming_distance, _md5_low64
+from raydedup.textnorm import full_tokenize
+
+ANCHOR_EMPTY_ERROR = "anchor row has no content after preparation"
+
+RAW_MEASURES = {"bytecount", "raw_simhash"}
+TOKEN_MEASURES = {
+    "wordcount", "jaccard", "sorensen", "levenshtein", "nlevenshtein",
+    "tfintersection", "tf_simhash", "cosine", "gensim_lsi", "gensim_lda",
+}
+ALL_MEASURES = sorted(RAW_MEASURES | TOKEN_MEASURES)
+
+
+def tf_simhash_of_tokens(tokens: list[str], cache: dict[str, int]) -> int:
+    """Simhash built from token FEATURES (each occurrence votes weight 1) —
+    the reference's Simhash(list) call path (timemap_measures.py:262-272)."""
+    counts: dict[str, int] = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    v = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok, w in counts.items():
+        h = cache.get(tok)
+        if h is None:
+            h = _md5_low64(tok)
+            cache[tok] = h
+        bits = (np.uint64(h) >> shifts) & np.uint64(1)
+        v += np.where(bits.astype(bool), w, -w)
+    return int(((v > 0).astype(np.uint64) << shifts).sum())
+
+
+class MeasurePrep:
+    """Per-row feature extraction (actor pool; caches persist per actor)."""
+
+    def __init__(self, cfg: DedupConfig = DEFAULT_CONFIG, text_col: str = "text"):
+        self.cfg = cfg
+        self.text_col = text_col
+        self.simhash_cache: dict[str, int] = {}
+        self.token_hash_cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
+        token_lists = [
+            full_tokenize(t, self.cfg.stemming, self.cfg.remove_stopwords)
+            for t in texts
+        ]
+        raw_sim = simhash64_batch(texts, self.cfg.simhash_shingle_width,
+                                  self.simhash_cache)
+        tf_sim = [tf_simhash_of_tokens(tl, self.token_hash_cache)
+                  for tl in token_lists]
+        cols = {n: batch[n] for n in batch.column_names if n != self.text_col}
+        cols["n_chars"] = pa.array([len(t) for t in texts], type=pa.int64())
+        cols["tokens"] = pa.array(token_lists, type=pa.list_(pa.string()))
+        cols["n_tokens"] = pa.array([len(t) for t in token_lists], type=pa.int32())
+        cols["raw_simhash_val"] = pa.array(raw_sim, type=pa.uint64())
+        cols["tf_simhash_val"] = pa.array(tf_sim, type=pa.uint64())
+        return pa.table(cols)
+
+
+def _ratio_score(member: int, anchor: int) -> float:
+    # both-empty → 0; anchor-empty is poisoned before we get here
+    if member == 0 and anchor == 0:
+        return 0.0
+    return member / anchor - 1.0
+
+
+def _tfidf_cosine_scores(token_lists: list[list[str]]) -> list[float]:
+    """Group-local TF-IDF (sklearn-default formula: raw tf,
+    idf=ln((1+n)/(1+df))+1, l2 norm) + cosine of each doc vs doc 0 —
+    reference semantics of compute_cosine_across_TimeMap
+    (timemap_measures.py:547-711) re-derived with numpy."""
+    vocab: dict[str, int] = {}
+    for toks in token_lists:
+        for t in toks:
+            vocab.setdefault(t, len(vocab))
+    n, v = len(token_lists), len(vocab)
+    if v == 0:
+        return [0.0] * n
+    X = np.zeros((n, v), dtype=np.float64)
+    for i, toks in enumerate(token_lists):
+        for t in toks:
+            X[i, vocab[t]] += 1.0
+    df = (X > 0).sum(axis=0)
+    idf = np.log((1.0 + n) / (1.0 + df)) + 1.0
+    W = X * idf[None, :]
+    norms = np.linalg.norm(W, axis=1)
+    norms[norms == 0] = 1.0
+    W = W / norms[:, None]
+    return (W @ W[0]).tolist()
+
+
+def _lsi_scores(token_lists: list[list[str]], num_topics: int = 10) -> list[float]:
+    """Group-local LSI via exact truncated SVD of the BoW matrix; score =
+    cosine similarity of each doc to doc 0 in topic space. Deterministic
+    re-specification of the reference's gensim LsiModel(num_topics=10)
+    path (timemap_measures.py:713-885; gensim's stochastic SVD is
+    approximate — documented deviation, same geometry)."""
+    vocab: dict[str, int] = {}
+    for toks in token_lists:
+        for t in toks:
+            vocab.setdefault(t, len(vocab))
+    n, v = len(token_lists), len(vocab)
+    if v == 0:
+        return [0.0] * n
+    X = np.zeros((n, v), dtype=np.float64)
+    for i, toks in enumerate(token_lists):
+        for t in toks:
+            X[i, vocab[t]] += 1.0
+    k = min(num_topics, n, v)
+    # docs projected on the top-k right singular vectors
+    _, _, vt = np.linalg.svd(X, full_matrices=False)
+    proj = X @ vt[:k].T
+    norms = np.linalg.norm(proj, axis=1)
+    norms[norms == 0] = 1.0
+    proj = proj / norms[:, None]
+    return (proj @ proj[0]).tolist()
+
+
+def _lda_scores(token_lists: list[list[str]], num_topics: int = 2,
+                iters: int = 30, seed: int = 7) -> list[float]:
+    """Deterministic 2-topic pLSA-style EM as the engine's stand-in for the
+    reference's gensim LdaModel(num_topics=2) — which is NONdeterministic
+    (its own tests only bound the score, reference
+    tests/timemap_measures_test.py:33-42). Score = cosine of each doc's
+    topic mixture vs doc 0's."""
+    vocab: dict[str, int] = {}
+    for toks in token_lists:
+        for t in toks:
+            vocab.setdefault(t, len(vocab))
+    n, v = len(token_lists), len(vocab)
+    if v == 0:
+        return [0.0] * n
+    X = np.zeros((n, v), dtype=np.float64)
+    for i, toks in enumerate(token_lists):
+        for t in toks:
+            X[i, vocab[t]] += 1.0
+    rng = np.random.default_rng(seed)
+    phi = rng.dirichlet(np.ones(v), size=num_topics)          # topic-word
+    theta = np.full((n, num_topics), 1.0 / num_topics)        # doc-topic
+    for _ in range(iters):
+        # E: responsibilities per (doc, word, topic) via matrix form
+        # p[d, w, t] ∝ theta[d, t] * phi[t, w]
+        weighted = theta[:, :, None] * phi[None, :, :]        # (n, T, v)
+        denom = weighted.sum(axis=1, keepdims=True)
+        denom[denom == 0] = 1.0
+        resp = weighted / denom
+        # M
+        counts = resp * X[:, None, :]                         # (n, T, v)
+        theta = counts.sum(axis=2) + 1e-9
+        theta = theta / theta.sum(axis=1, keepdims=True)
+        phi = counts.sum(axis=0) + 1e-9
+        phi = phi / phi.sum(axis=1, keepdims=True)
+    norms = np.linalg.norm(theta, axis=1)
+    norms[norms == 0] = 1.0
+    T = theta / norms[:, None]
+    return (T @ T[0]).tolist()
+
+
+def _score_group(group: pa.Table, measures: list[str]) -> pa.Table:
+    order = np.argsort(group["turn_idx"].to_numpy(), kind="stable")
+    n = group.num_rows
+    idx = [int(i) for i in order]
+    tokens = group["tokens"].to_pylist()
+    n_chars = group["n_chars"].to_numpy()
+    n_tokens = group["n_tokens"].to_numpy()
+    raw_sim = group["raw_simhash_val"].to_numpy(zero_copy_only=False)
+    tf_sim = group["tf_simhash_val"].to_numpy(zero_copy_only=False)
+
+    a = idx[0]  # anchor = min turn_idx
+    # combine_chunks: passthrough columns are zero-copy slices of the group
+    # block; Ray's buffer-slicing serialization trips on them (ArrowIndexError)
+    out: dict[str, pa.Array] = {
+        "conv_id": group["conv_id"].combine_chunks(),
+        "turn_idx": group["turn_idx"].combine_chunks(),
+        "row_key": group["row_key"].combine_chunks(),
+    }
+
+    def emit(name: str, scores_by_row: dict[int, float] | None, err: bool):
+        if err:
+            out[name] = pa.array([None] * n, type=pa.float64())
+            out[name + "_error"] = pa.array([ANCHOR_EMPTY_ERROR] * n,
+                                            type=pa.string())
+        else:
+            out[name] = pa.array(
+                [scores_by_row.get(i) for i in range(n)], type=pa.float64()
+            )
+            out[name + "_error"] = pa.array([None] * n, type=pa.string())
+
+    group_scores_cache: dict[str, list[float]] = {}
+
+    for m in measures:
+        raw = m in RAW_MEASURES
+        anchor_empty = (n_chars[a] == 0) if raw else (n_tokens[a] == 0)
+        # group-corpus measures keep reference anchor-empty semantics too
+        if anchor_empty:
+            emit(m, None, err=True)
+            continue
+        scores: dict[int, float] = {}
+        if m == "bytecount":
+            for i in idx:
+                scores[i] = _ratio_score(int(n_chars[i]), int(n_chars[a]))
+        elif m == "wordcount":
+            for i in idx:
+                scores[i] = _ratio_score(int(n_tokens[i]), int(n_tokens[a]))
+        elif m == "jaccard":
+            sa = set(tokens[a])
+            for i in idx:
+                scores[i] = jaccard_distance(sa, tokens[i])
+        elif m == "sorensen":
+            sa = set(tokens[a])
+            for i in idx:
+                scores[i] = sorensen_distance(sa, tokens[i])
+        elif m == "levenshtein":
+            for i in idx:
+                scores[i] = float(levenshtein_tokens(tokens[a], tokens[i]))
+        elif m == "nlevenshtein":
+            for i in idx:
+                scores[i] = nlevenshtein_tokens(tokens[a], tokens[i])
+        elif m == "tfintersection":
+            for i in idx:
+                scores[i] = float(tfintersection(tokens[a], tokens[i]))
+        elif m == "raw_simhash":
+            for i in idx:
+                scores[i] = float(hamming_distance(int(raw_sim[a]), int(raw_sim[i])))
+        elif m == "tf_simhash":
+            for i in idx:
+                scores[i] = float(hamming_distance(int(tf_sim[a]), int(tf_sim[i])))
+        elif m in ("cosine", "gensim_lsi", "gensim_lda"):
+            if m not in group_scores_cache:
+                ordered_tokens = [tokens[i] for i in idx]
+                if m == "cosine":
+                    vals = _tfidf_cosine_scores(ordered_tokens)
+                elif m == "gensim_lsi":
+                    vals = _lsi_scores(ordered_tokens)
+                else:
+                    vals = _lda_scores(ordered_tokens)
+                group_scores_cache[m] = vals
+            vals = group_scores_cache[m]
+            for pos, i in enumerate(idx):
+                scores[i] = float(vals[pos])
+        else:
+            raise ValueError(f"unknown measure {m!r}")
+        emit(m, scores, err=False)
+
+    return pa.table(out)
+
+
+def anchor_measures(ds, measures: list[str] | None = None,
+                    cfg: DedupConfig = DEFAULT_CONFIG,
+                    text_col: str = "text"):
+    """transcripts (with row_key) → per-row measure scores vs the
+    conversation anchor. ``measures`` defaults to ALL_MEASURES."""
+    measures = measures or ALL_MEASURES
+    unknown = set(measures) - set(ALL_MEASURES)
+    if unknown:
+        raise ValueError(f"unknown measures: {sorted(unknown)}")
+    prepped = ds.map_batches(
+        MeasurePrep,
+        fn_constructor_kwargs={"cfg": cfg, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, 32),
+        num_cpus=1,
+    )
+
+    def score(group: pa.Table) -> pa.Table:
+        return _score_group(group, measures)
+
+    return prepped.groupby("conv_id").map_groups(score, batch_format="pyarrow")

@@ -1,0 +1,83 @@
+"""Storytelling-chain selection operators — reference parity for
+``bin/select_high_quality`` and ``bin/select_by_language``.
+
+- URI category score: regex hostname classes with fixed weights
+  (bin/select_high_quality:44-79);
+- URI depth score: path-slash count / 10 (bin/select_high_quality:81-90);
+- memento damage: an external REST call in the reference
+  (bin/select_high_quality:92-120) — stubbed to 0.0 here (no network in
+  this engine; the actor signature is kept so a real client slots in);
+- combined quality = -0.40*damage + 0.15*category + 0.45*depth
+  (bin/select_high_quality:122-133);
+- per-(slice, cluster) top-1 selection (bin/select_high_quality:156-170);
+- language filter (bin/select_by_language:58-74).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_CATEGORY_PATTERNS: list[tuple[str, float]] = [
+    # (hostname regex, weight) — same classes/weights as the reference
+    (r"(twitter|facebook|instagram|t\.co)", 1.0),      # social
+    (r"(youtube|youtu\.be|vimeo)", 0.9),               # video
+    (r"(flickr|photobucket)", 0.8),                    # photo
+    (r"(blogspot|wordpress|blogger)", 0.5),            # blog
+    (r"(cnn|bbc|reuters|nytimes|news)", 0.3),          # news
+]
+
+
+def uri_scores(ds, uri_col: str = "uri"):
+    """→ adds category_score, depth_score, damage_score, quality_score."""
+    compiled = [(re.compile(p), w) for p, w in _CATEGORY_PATTERNS]
+
+    def score(batch: pa.Table) -> pa.Table:
+        uris = ["" if u is None else u for u in batch[uri_col].to_pylist()]
+        cat = np.zeros(len(uris))
+        for i, u in enumerate(uris):
+            host = u.split("//", 1)[-1].split("/", 1)[0].lower()
+            for rx, w in compiled:
+                if rx.search(host):
+                    cat[i] = w
+                    break
+        path = [u.split("//", 1)[-1] for u in uris]
+        depth = np.array([p.count("/") for p in path], dtype=np.float64) / 10.0
+        damage = np.zeros(len(uris))  # external service stub (see module doc)
+        quality = -0.40 * damage + 0.15 * cat + 0.45 * depth
+        out = {n: batch[n] for n in batch.column_names}
+        out["category_score"] = pa.array(cat)
+        out["depth_score"] = pa.array(depth)
+        out["damage_score"] = pa.array(damage)
+        out["quality_score"] = pa.array(quality)
+        return pa.table(out)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def select_high_quality(scored_ds, group_cols=("slice_number", "cluster_id"),
+                        quality_col: str = "quality_score",
+                        key_col: str = "row_key"):
+    """Top-1 by quality per (slice, cluster) — grouped arg-max with the
+    reference's sort-desc-take-first tie-break (sorted() on score only is
+    stable in Python, so the FIRST max in iteration order wins; we pin the
+    deterministic equivalent: max score, ties broken by min key)."""
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        best = g.sort_values([quality_col, key_col],
+                             ascending=[False, True]).head(1)
+        return best
+
+    return scored_ds.groupby(list(group_cols)).map_groups(
+        top1, batch_format="pandas"
+    )
+
+
+def select_by_language(ds, lang: str, lang_col: str = "detected_lang"):
+    """Keep rows whose detected language equals ``lang``
+    (bin/select_by_language:58-74)."""
+    return ds.filter(expr=f"{lang_col} == {lang!r}")

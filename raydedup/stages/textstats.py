@@ -1,0 +1,167 @@
+"""Per-document text analysis for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+These are new-engine first-class operators (task brief: "text analysis")
+layered on the same vectorized map_batches idiom as the dedup stages. The
+quality/token kernels are deliberately expressible in ANSI SQL so the
+DuckDB oracle can verify them value-for-value; language ID and rolling-hash
+fingerprints are rows-only-checked (non-SQL).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydedup.textnorm import STOPWORDS
+
+# --- token counting -------------------------------------------------------
+
+_WS_RE = re.compile(r"\s+")
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def token_counts(ds, text_col: str = "text"):
+    """whitespace token count + BPE-ish regex token count per row.
+    SQL mirror: length(regexp_extract_all(...)) with the same patterns."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        ws = [len([w for w in _WS_RE.split(t) if w]) for t in texts]
+        bpe = [len(_BPE_RE.findall(t)) for t in texts]
+        cols = {n: batch[n] for n in batch.column_names if n != text_col}
+        cols["ws_tokens"] = pa.array(ws, type=pa.int64())
+        cols["bpe_tokens"] = pa.array(bpe, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+# --- quality scoring ------------------------------------------------------
+
+
+def quality_scores(ds, text_col: str = "text"):
+    """length / punctuation-ratio / stopword-ratio / mean-word-length
+    heuristics (the standard Gopher/C4-style quality signals, computed
+    vectorized). All four are SQL-mirrorable."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+        words = [t.lower().split() for t in texts]
+        n_words = np.array([len(w) for w in words], dtype=np.int64)
+        n_stop = np.array(
+            [sum(1 for w in ws if w in STOPWORDS) for ws in words], dtype=np.int64
+        )
+        n_punct = np.array(
+            [sum(1 for ch in t if ch in ".,;:!?'\"()[]{}") for t in texts],
+            dtype=np.int64,
+        )
+        total_word_chars = np.array(
+            [sum(len(w) for w in ws) for ws in words], dtype=np.int64
+        )
+        denom_w = np.maximum(n_words, 1).astype(np.float64)
+        denom_c = np.maximum(n_chars, 1).astype(np.float64)
+        cols = {n: batch[n] for n in batch.column_names if n != text_col}
+        cols["n_chars_q"] = pa.array(n_chars)
+        cols["n_words"] = pa.array(n_words)
+        cols["stopword_ratio"] = pa.array(n_stop / denom_w)
+        cols["punct_ratio"] = pa.array(n_punct / denom_c)
+        cols["mean_word_len"] = pa.array(total_word_chars / denom_w)
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- language identification ---------------------------------------------
+
+# Tiny deterministic char-frequency profiles (top letters + marker chars)
+# for the languages present in the synthetic corpus. A real deployment
+# swaps in fastText/langdetect inside the same actor signature; this
+# heuristic is the dependency-free stand-in (reference analogue:
+# langdetect.detect per memento, otmt/metadata_calcluations.py:117-164).
+_LANG_MARKERS: dict[str, set[str]] = {
+    "en": set("the and of to in is you that it he".split()),
+    "de": set("der die und das ist nicht ein ich zu mit".split()),
+    "es": set("el la de que y en un ser los por".split()),
+    "fr": set("le la de et les des en un du est".split()),
+    "zh": set(),  # CJK detected by codepoint range below
+}
+
+
+class LangId:
+    """Actor-pool language classifier (stateful: compiled tables)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-zà-ÿäöüß]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
+        langs = []
+        for t in texts:
+            if any("一" <= ch <= "鿿" for ch in t[:400]):
+                langs.append("zh")
+                continue
+            words = set(self.word_re.findall(t.lower()))
+            best, best_hits = "unknown", 0
+            for lang, markers in _LANG_MARKERS.items():
+                hits = len(words & markers)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            langs.append(best)
+        cols = {n: batch[n] for n in batch.column_names if n != self.text_col}
+        cols["detected_lang"] = pa.array(langs, type=pa.string())
+        return pa.table(cols)
+
+
+def detect_language(ds, text_col: str = "text"):
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        num_cpus=1,
+    )
+
+
+# --- document fingerprinting ---------------------------------------------
+
+
+def fingerprints(ds, text_col: str = "text", k: int = 32, window: int = 64):
+    """Winnowing-style rolling-hash fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — public algorithm): polynomial rolling hash over k-char
+    grams, keep the min hash of each sliding window → compact doc sketch
+    usable for plagiarism-style overlap detection."""
+    B = np.uint64(1000003)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        sketches = []
+        for t in texts:
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if data.size < k:
+                sketches.append([])
+                continue
+            # rolling polynomial hash of all k-grams, fully vectorized:
+            # h[i] = sum data[i+j] * B^(k-1-j)
+            powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+            n = data.size - k + 1
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                h += data[j : j + n].astype(np.uint64) * powers[j]
+            if h.size <= window:
+                mins = np.unique(h.min(keepdims=True))
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(h, window)
+                mins = np.unique(w.min(axis=1))
+            sketches.append(mins.tolist())
+        cols = {n: batch[n] for n in batch.column_names if n != text_col}
+        cols["fingerprints"] = pa.array(sketches, type=pa.list_(pa.uint64()))
+        return pa.table(cols)
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at a given sf dir and diff against oracle_sql() via DuckDB
+(row count + schema + order-insensitive value comparison)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str, only: list[str] | None = None):
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"query raised: {e!r}"))
+            print(f"[FAIL] {name}: query raised {e!r}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(mine)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            theirs = canon(con.sql(oracles[name]).df())
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"oracle raised: {e!r}"))
+            print(f"[FAIL] {name}: oracle raised {e!r}")
+            continue
+        status = []
+        if list(mine.columns) != list(theirs.columns):
+            status.append(f"schema {list(mine.columns)} != {list(theirs.columns)}")
+        elif len(mine) != len(theirs):
+            status.append(f"rows {len(mine)} != {len(theirs)}")
+        else:
+            try:
+                pd.testing.assert_frame_equal(
+                    mine, theirs, check_dtype=False, check_exact=False,
+                    rtol=1e-6, atol=1e-9,
+                )
+            except AssertionError as e:
+                status.append(f"values differ: {str(e)[:300]}")
+        if status:
+            failures.append((name, "; ".join(status)))
+            print(f"[FAIL] {name}: {'; '.join(status)}")
+        else:
+            print(f"[ok]   {name}: {len(mine)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures")
+    return failures
+
+
+if __name__ == "__main__":
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    fails = main(sf, only)
+    ray.shutdown()
+    sys.exit(1 if fails else 0)

@@ -1,0 +1,130 @@
+"""simhash-near pairs, union-find backends, exact clusters, collection
+measures."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.functions.simhash import hamming_distance
+from raydedup.pipelines.neardup import signatures_with_rep
+from raydedup.sources.transcripts import generate_transcripts
+from raydedup.stages.collection import collection_measures
+from raydedup.stages.exact import exact_clusters
+from raydedup.stages.simhash_near import simhash_near_pairs
+from raydedup.state.unionfind import (
+    UnionFind,
+    connected_components_distributed,
+    connected_components_driver,
+)
+from raydedup.textnorm import simple_tokenize
+
+
+def test_simhash_near_pairs_vs_bruteforce():
+    rng = np.random.default_rng(11)
+    base = int(rng.integers(0, 2**63))
+    sims = [base]
+    for _ in range(40):
+        if rng.random() < 0.5:
+            s = base
+            for _ in range(int(rng.integers(1, 20))):
+                s ^= 1 << int(rng.integers(0, 64))
+            sims.append(s)
+        else:
+            sims.append(int(rng.integers(0, 2**63)))
+    keys = [f"k{i:03d}" for i in range(len(sims))]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "row_key": keys,
+                "simhash": pa.array(sims, type=pa.uint64()),
+            }
+        )
+    )
+    got = {
+        (r["a_key"], r["b_key"]): r["hamming"]
+        for r in simhash_near_pairs(ds, DEFAULT_CONFIG).take_all()
+    }
+    expected = {}
+    h = DEFAULT_CONFIG.simhash_dup_hamming
+    for i in range(len(sims)):
+        for j in range(i + 1, len(sims)):
+            d = hamming_distance(sims[i], sims[j])
+            if d <= h:
+                expected[(keys[i], keys[j])] = d
+    assert got == expected  # pigeonhole blocks are exact for hamming <= h
+
+
+def test_unionfind_canonical_min():
+    uf = UnionFind()
+    uf.union("c", "b")
+    uf.union("a", "b")
+    uf.union("x", "y")
+    comp = uf.components()
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_distributed_components_match_driver():
+    rng = np.random.default_rng(3)
+    edges = []
+    for _ in range(200):
+        a, b = rng.integers(0, 80, size=2)
+        if a != b:
+            edges.append((f"n{min(a,b):03d}", f"n{max(a,b):03d}"))
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a_key": [e[0] for e in edges],
+                "b_key": [e[1] for e in edges],
+            }
+        )
+    )
+    driver = connected_components_driver(pairs)
+    dist = {
+        r["node"]: r["label"]
+        for r in connected_components_distributed(pairs).take_all()
+    }
+    assert dist == driver
+
+
+def test_exact_clusters_reference_noise_label():
+    tbl = pa.table(
+        {
+            "conv_id": ["a", "b", "c", "d"],
+            "turn_idx": pa.array([0, 0, 0, 0], type=pa.int32()),
+            "text": ["dup text", "dup text", "unique one", "unique two"],
+        }
+    )
+    assigned = signatures_with_rep(ray.data.from_arrow(tbl), DEFAULT_CONFIG)
+    rows = exact_clusters(assigned).take_all()
+    by = {r["row_key"]: r for r in rows}
+    assert by["a:0"]["cluster_id"] == "a:0"
+    assert by["b:0"]["cluster_id"] == "a:0"
+    # groups of size 1 are 'noise' −1 (reference DBSCAN label semantics)
+    assert by["c:0"]["cluster_id"] == "-1"
+    assert by["d:0"]["cluster_id"] == "-1"
+
+
+def test_collection_measures_closed_form():
+    tbl = generate_transcripts(n_convs=10, seed=2)
+    ds = ray.data.from_arrow(tbl)
+    rows = collection_measures(
+        ds, key_cols=["conv_id", "turn_idx"], simple_tokens=True
+    ).take_all()
+    texts = tbl["text"].to_pylist()
+    global_set = set()
+    per_row = []
+    for t in texts:
+        s = set(simple_tokenize(t or ""))
+        per_row.append(s)
+        global_set |= s
+    g = len(global_set)
+    by = {(r["conv_id"], r["turn_idx"]): r for r in rows}
+    for i in range(tbl.num_rows):
+        key = (tbl["conv_id"][i].as_py(), tbl["turn_idx"][i].as_py())
+        a = len(per_row[i])
+        assert by[key]["n_distinct_tokens"] == a
+        assert abs(by[key]["collection_jaccard"] - (1 - a / g)) < 1e-12
+        assert abs(by[key]["collection_sorensen"] - (1 - 2 * a / (a + g))) < 1e-12

@@ -1,0 +1,76 @@
+"""ANN (brute-force cosine top-k) and embedding near-pairs vs numpy."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from raydedup.stages.embeddings import embedding_near_pairs, knn_brute, rp_bucket
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb_ds):
+    rows = emb_ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], M[order]
+
+
+def _norm(M):
+    n = np.linalg.norm(M, axis=1)
+    n[n == 0] = 1
+    return M / n[:, None]
+
+
+def test_knn_matches_numpy(emb_ds, emb_np):
+    ids, M = emb_np
+    Mn = _norm(M)
+    queries = [0, 1, 2]
+    got = knn_brute(emb_ds, queries, k=5).take_all()
+    for q in queries:
+        qi = np.where(ids == q)[0][0]
+        sims = Mn @ Mn[qi]
+        mask = ids != q
+        cand_ids, cand = ids[mask], sims[mask]
+        sel = np.lexsort((cand_ids, -cand))[:5]
+        expected = list(zip(cand_ids[sel].tolist(), cand[sel].tolist()))
+        mine = sorted(
+            [(r["neighbor_id"], r["cosine"], r["rank"]) for r in got
+             if r["query_id"] == q],
+            key=lambda x: x[2],
+        )
+        assert [m[0] for m in mine] == [e[0] for e in expected]
+        for m, e in zip(mine, expected):
+            assert m[1] == pytest.approx(e[1])
+
+
+def test_near_pairs_match_numpy(emb_ds, emb_np):
+    ids, M = emb_np
+    Mn = _norm(M)
+    sims = Mn @ Mn.T
+    thr = 0.95
+    expected = set()
+    n = len(ids)
+    iu, ju = np.nonzero(sims >= thr)
+    for i, j in zip(iu, ju):
+        if ids[i] < ids[j]:
+            expected.add((int(ids[i]), int(ids[j])))
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_pairs(emb_ds, threshold=thr).take_all()
+    }
+    assert got == expected
+
+
+def test_rp_bucket_deterministic(emb_ds):
+    b1 = {r["vec_id"]: r["bucket"] for r in rp_bucket(emb_ds).take_all()}
+    b2 = {r["vec_id"]: r["bucket"] for r in rp_bucket(emb_ds).take_all()}
+    assert b1 == b2

@@ -1,0 +1,150 @@
+"""Anchor-measure parity: identity corpus, hand-computed goldens, and
+error-path semantics (mirrors the reference test strategy,
+tests/timemap_measures_test.py — identity table at :22-42, golden
+regressions at :424-472, error paths at :643-956)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.stages.exact import add_row_key
+from raydedup.stages.measures import (
+    ALL_MEASURES,
+    ANCHOR_EMPTY_ERROR,
+    anchor_measures,
+)
+from raydedup.stages.threshold import classify_offtopic
+from raydedup.textnorm import full_tokenize
+
+
+def _ds(rows):
+    conv, turn, text = zip(*rows)
+    tbl = pa.table(
+        {
+            "conv_id": list(conv),
+            "turn_idx": pa.array(list(turn), type=pa.int32()),
+            "text": list(text),
+        }
+    )
+    return add_row_key(ray.data.from_arrow(tbl), ["conv_id", "turn_idx"])
+
+
+DOC_A = "The quick brown fox jumps over the lazy dog near the river bank"
+DOC_B = "A slow green turtle walks under the busy bridge near the river bank"
+
+
+def _scores(rows, measures=None):
+    out = anchor_measures(_ds(rows), measures, DEFAULT_CONFIG).take_all()
+    return {r["row_key"]: r for r in out}
+
+
+def test_identity_scores_all_measures():
+    """same docs ⇒ 'same' score per measure (reference same_scores table)."""
+    rows = [("c", 0, DOC_A), ("c", 1, DOC_A)]
+    s = _scores(rows)["c:1"]
+    assert s["bytecount"] == 0.0
+    assert s["wordcount"] == 0.0
+    assert s["jaccard"] == 0.0
+    assert s["sorensen"] == 0.0
+    assert s["levenshtein"] == 0.0
+    assert s["nlevenshtein"] == 0.0
+    assert s["raw_simhash"] == 0.0
+    assert s["tf_simhash"] == 0.0
+    assert s["cosine"] == pytest.approx(1.0)
+    assert s["gensim_lsi"] == pytest.approx(1.0)
+    assert s["gensim_lda"] == pytest.approx(1.0)
+
+
+def test_golden_bytecount_wordcount():
+    rows = [("c", 0, DOC_A), ("c", 1, DOC_B)]
+    s = _scores(rows, ["bytecount", "wordcount"])["c:1"]
+    assert s["bytecount"] == pytest.approx(len(DOC_B) / len(DOC_A) - 1)
+    ta = full_tokenize(DOC_A)
+    tb = full_tokenize(DOC_B)
+    assert s["wordcount"] == pytest.approx(len(tb) / len(ta) - 1)
+
+
+def test_golden_jaccard_sorensen():
+    rows = [("c", 0, DOC_A), ("c", 1, DOC_B)]
+    s = _scores(rows, ["jaccard", "sorensen"])["c:1"]
+    sa, sb = set(full_tokenize(DOC_A)), set(full_tokenize(DOC_B))
+    inter = len(sa & sb)
+    assert s["jaccard"] == pytest.approx(1 - inter / len(sa | sb))
+    assert s["sorensen"] == pytest.approx(1 - 2 * inter / (len(sa) + len(sb)))
+
+
+def test_golden_cosine_tfidf():
+    """Hand-computed sklearn-default TF-IDF cosine on a 2-doc corpus."""
+    rows = [("c", 0, DOC_A), ("c", 1, DOC_B)]
+    s = _scores(rows, ["cosine"])["c:1"]
+    ta, tb = full_tokenize(DOC_A), full_tokenize(DOC_B)
+    vocab = sorted(set(ta) | set(tb))
+    n = 2
+
+    def vec(toks):
+        tf = np.array([toks.count(v) for v in vocab], dtype=float)
+        df = np.array([(v in ta) + (v in tb) for v in vocab], dtype=float)
+        idf = np.log((1 + n) / (1 + df)) + 1
+        w = tf * idf
+        return w / np.linalg.norm(w)
+
+    expected = float(vec(ta) @ vec(tb))
+    assert s["cosine"] == pytest.approx(expected)
+
+
+def test_anchor_empty_poisons_group():
+    rows = [("c", 0, ""), ("c", 1, DOC_A)]
+    s = _scores(rows, ["jaccard", "bytecount"])
+    for key in ("c:0", "c:1"):
+        assert s[key]["jaccard"] is None
+        assert s[key]["jaccard_error"] == ANCHOR_EMPTY_ERROR
+        assert s[key]["bytecount"] is None
+
+
+def test_empty_member_still_scored():
+    rows = [("c", 0, DOC_A), ("c", 1, "")]
+    s = _scores(rows, ["bytecount", "jaccard"])
+    assert s["c:1"]["bytecount"] == pytest.approx(-1.0)
+    assert s["c:1"]["jaccard"] == pytest.approx(1.0)  # disjoint sets
+    assert s["c:1"]["jaccard_error"] is None
+
+
+def test_stopword_only_anchor_poisons_token_measures_not_raw():
+    rows = [("c", 0, "the of and to"), ("c", 1, DOC_A)]
+    s = _scores(rows, ["jaccard", "bytecount"])
+    assert s["c:1"]["jaccard_error"] == ANCHOR_EMPTY_ERROR  # no tokens
+    assert s["c:1"]["bytecount"] is not None  # raw measure: chars exist
+
+
+def test_single_turn_conversation():
+    rows = [("solo", 0, DOC_A)]
+    s = _scores(rows)["solo:0"]
+    assert s["jaccard"] == 0.0 and s["cosine"] == pytest.approx(1.0)
+
+
+def test_threshold_classification():
+    rows = [("c", 0, DOC_A), ("c", 1, DOC_B), ("c", 2, DOC_A)]
+    scored = anchor_measures(_ds(rows), ["jaccard", "raw_simhash"], DEFAULT_CONFIG)
+    out = classify_offtopic(scored, ["jaccard", "raw_simhash"]).take_all()
+    by = {r["row_key"]: r for r in out}
+    # identical copy: on-topic everywhere
+    assert by["c:2"]["jaccard_status"] == "on-topic"
+    assert by["c:2"]["overall_status"] == "on-topic"
+    # DOC_B shares tokens with DOC_A → jaccard below 0.96 → on-topic
+    assert by["c:1"]["jaccard_status"] == "on-topic"
+
+
+def test_threshold_flags_offtopic():
+    far = "zzz qqq xxx completely different vocabulary entirely"
+    rows = [("c", 0, DOC_A), ("c", 1, far)]
+    scored = anchor_measures(_ds(rows), ["jaccard"], DEFAULT_CONFIG)
+    out = classify_offtopic(scored, ["jaccard"]).take_all()
+    by = {r["row_key"]: r for r in out}
+    assert by["c:1"]["jaccard_status"] == "off-topic"  # distance 1.0 > 0.96
+    assert by["c:1"]["overall_status"] == "off-topic"
+    assert by["c:0"]["overall_status"] == "on-topic"

@@ -1,0 +1,106 @@
+"""End-to-end near-dup pipeline parity vs the single-process oracle."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.pipelines.neardup import (
+    cluster_assignments,
+    near_dup_pairs,
+    near_dup_pipeline,
+    signatures_with_rep,
+    survivors,
+)
+from raydedup.sources.transcripts import generate_transcripts
+from testing.oracle import oracle_near_dup, pair_recall
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(n_convs=80, seed=42)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(corpus):
+    ds = ray.data.from_arrow(corpus)
+    clusters, pairs = near_dup_pipeline(ds, DEFAULT_CONFIG)
+    return clusters.take_all(), pairs.take_all()
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    return oracle_near_dup(corpus, DEFAULT_CONFIG)
+
+
+def test_pair_recall_against_oracle(pipeline_result, oracle_result):
+    _, pairs = pipeline_result
+    got = {(r["a_key"], r["b_key"]) for r in pairs}
+    expected = set(oracle_result["pairs"].keys())
+    assert pair_recall(expected, got) >= 0.99  # BASELINE.json contract
+    # verified-exact pipeline ⇒ no false positives at all
+    assert not (got - expected)
+
+
+def test_pair_jaccard_values_match_oracle(pipeline_result, oracle_result):
+    _, pairs = pipeline_result
+    for r in pairs:
+        exp = oracle_result["pairs"].get((r["a_key"], r["b_key"]))
+        assert exp is not None
+        assert r["jaccard"] == pytest.approx(exp)
+
+
+def test_cluster_assignments_match_oracle(pipeline_result, oracle_result):
+    clusters, _ = pipeline_result
+    got = {r["row_key"]: r["cluster_id"] for r in clusters}
+    assert got == oracle_result["clusters"]
+
+
+def test_survivors_one_per_cluster(pipeline_result):
+    clusters, _ = pipeline_result
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keep = [m for m in members if not m["is_duplicate"]]
+        assert len(keep) == 1
+        assert keep[0]["row_key"] == cid  # canonical min member survives
+
+
+def test_pipeline_deterministic_rerun(corpus):
+    ds = ray.data.from_arrow(corpus)
+    _, pairs1 = near_dup_pipeline(ds, DEFAULT_CONFIG)
+    ds2 = ray.data.from_arrow(corpus).random_shuffle(seed=3)
+    _, pairs2 = near_dup_pipeline(ds2, DEFAULT_CONFIG)
+    p1 = {(r["a_key"], r["b_key"]) for r in pairs1.take_all()}
+    p2 = {(r["a_key"], r["b_key"]) for r in pairs2.take_all()}
+    assert p1 == p2  # arrival order must not affect results
+
+
+def test_exact_dedup_representative_is_min_key():
+    tbl = pa.table(
+        {
+            "conv_id": ["c1", "c2", "c3"],
+            "turn_idx": pa.array([0, 0, 0], type=pa.int32()),
+            "text": ["same text here"] * 3,
+        }
+    )
+    assigned = signatures_with_rep(ray.data.from_arrow(tbl), DEFAULT_CONFIG)
+    rows = assigned.take_all()
+    assert all(r["rep_key"] == "c1:0" for r in rows)
+    assert sum(r["is_rep"] for r in rows) == 1
+    assert all(r["n_exact"] == 3 for r in rows)
+
+
+def test_empty_texts_do_not_pair():
+    tbl = pa.table(
+        {
+            "conv_id": ["a", "b", "c"],
+            "turn_idx": pa.array([0, 0, 0], type=pa.int32()),
+            "text": ["", "the of and", "   "],  # empty / stopword-only / ws
+        }
+    )
+    assigned = signatures_with_rep(ray.data.from_arrow(tbl), DEFAULT_CONFIG)
+    pairs = near_dup_pairs(assigned.materialize(), DEFAULT_CONFIG)
+    assert pairs.count() == 0
