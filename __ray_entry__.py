@@ -51,7 +51,8 @@ def _docs(sf_dir: str):
     import ray.data
 
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=64)
 
 
 # ---------------------------------------------------------------------------

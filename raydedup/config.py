@@ -16,9 +16,11 @@ assignments are comparable at the same shingle/signature config:
 - Measure thresholds: ``otmt/timemap_measures.py:895-970``.
 
 MinHash/LSH parameters are new-engine additions (the scale path that the
-reference's exact per-pair Jaccard measure cannot take); b=32 bands x r=4
-rows over K=128 permutations gives pair recall >= 0.99 at Jaccard 0.8
-(1 - (1 - 0.8^4)^32 ≈ 0.9999995).
+reference's exact per-pair Jaccard measure cannot take); b=16 bands x r=4
+rows over K=64 permutations gives pair recall >= 0.99 at Jaccard 0.8
+(1 - (1 - 0.8^4)^16 ≈ 0.9998) at half the signature bandwidth of K=128 —
+the memory-bandwidth of the (shingles x K) min-reduction is the measured
+signature-stage bottleneck under full task concurrency.
 """
 
 from __future__ import annotations
@@ -62,12 +64,12 @@ class DedupConfig:
     simhash_shingle_width: int = 4
 
     # --- MinHash over w-word shingles of the normalized token stream ---
-    minhash_num_perms: int = 128
+    minhash_num_perms: int = 64
     minhash_shingle_words: int = 3
     minhash_seed: int = 4242
 
     # --- LSH banding: bands * rows == num_perms ---
-    lsh_bands: int = 32
+    lsh_bands: int = 16
     lsh_rows: int = 4
     # hot-bucket handling: buckets larger than this are salted into
     # sub-buckets; buckets still larger than pair_cap after salting get
@@ -89,7 +91,10 @@ class DedupConfig:
     min_span_chars: int = 200
 
     # --- Execution knobs (do not affect results, only performance) ---
-    batch_size: int = 4096
+    # 1024 keeps the signature kernel's temporaries (bit-vote and min-hash
+    # matrices) cache-friendly under 32-way task concurrency; 4096 was
+    # measured 3-5x slower from DRAM-bandwidth contention
+    batch_size: int = 1024
     signature_concurrency: int | None = None  # None → let Ray size the task pool
 
     # --- Off-topic thresholds (overridable per measure like OTMT's -tm) ---

@@ -42,7 +42,13 @@ def transcript_key_cols() -> list[str]:
 def signatures_with_rep(ds, cfg: DedupConfig = DEFAULT_CONFIG,
                         key_cols: list[str] | None = None,
                         text_col: str = "text"):
-    """rows → signature rows with exact-dup representative assignment."""
+    """rows → signature rows with exact-dup representative assignment.
+
+    Parallelism note: block fan-out is the SOURCE's job
+    (``read_parquet(override_num_blocks=...)``) — a mid-pipeline
+    ``repartition`` here was measured to stall the streaming executor
+    behind an AllToAll barrier for longer than the compute it parallelized.
+    """
     key_cols = key_cols or transcript_key_cols()
     keyed = add_row_key(ds.select_columns(key_cols + [text_col]), key_cols)
     sigs = compute_signatures(keyed, cfg, text_col=text_col)
@@ -54,7 +60,9 @@ def near_dup_pairs(assigned_sigs, cfg: DedupConfig = DEFAULT_CONFIG,
     """exact-dedup-assigned signatures → verified near-dup pairs between
     REPRESENTATIVE keys (exact-dup members are reattached at clustering)."""
     reps = assigned_sigs.filter(expr="is_rep")
-    reps = reps.select_columns(["row_key", "minhash", "shingle_hashes", "n_shingles"])
+    reps = reps.select_columns(
+        ["row_key", "band_hashes", "shingle_hashes", "n_shingles"]
+    )
     return lsh_verified_pairs(reps, cfg, min_jaccard=min_jaccard)
 
 
@@ -78,30 +86,22 @@ def cluster_assignments(assigned_sigs, pairs_ds,
     rep_to_cluster = uf.components()  # reps touched by near-dup edges only
     cluster_ref = ray.put(rep_to_cluster)
 
-    class Assign:
-        def __init__(self, ref):
-            self.map: dict[str, str] = ray.get(ref)
+    def assign(batch: pa.Table) -> pa.Table:
+        cmap: dict[str, str] = ray.get(cluster_ref)
+        reps = batch["rep_key"].to_pylist()
+        cluster = [cmap.get(r, r) for r in reps]
+        keys = batch["row_key"].to_pylist()
+        is_dup = [k != c for k, c in zip(keys, cluster)]
+        return pa.table(
+            {
+                "row_key": batch["row_key"].combine_chunks(),
+                "rep_key": batch["rep_key"].combine_chunks(),
+                "cluster_id": pa.array(cluster, type=pa.string()),
+                "is_duplicate": pa.array(is_dup, type=pa.bool_()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            reps = batch["rep_key"].to_pylist()
-            cluster = [self.map.get(r, r) for r in reps]
-            keys = batch["row_key"].to_pylist()
-            is_dup = [k != c for k, c in zip(keys, cluster)]
-            return pa.table(
-                {
-                    "row_key": batch["row_key"],
-                    "rep_key": batch["rep_key"],
-                    "cluster_id": pa.array(cluster, type=pa.string()),
-                    "is_duplicate": pa.array(is_dup, type=pa.bool_()),
-                }
-            )
-
-    return assigned_sigs.map_batches(
-        Assign,
-        fn_constructor_args=(cluster_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    return assigned_sigs.map_batches(assign, batch_format="pyarrow")
 
 
 def near_dup_pipeline(ds, cfg: DedupConfig = DEFAULT_CONFIG,

@@ -55,7 +55,8 @@ def read_transcripts(path: str):
 def transcripts_from_documents(sf_dir: str):
     """documents.parquet → transcript Dataset (see TRANSCRIPTS_SQL)."""
     docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=64,
     )
 
     def derive(batch: pa.Table) -> pa.Table:
@@ -81,15 +82,16 @@ def transcripts_from_documents(sf_dir: str):
 
 def expand_documents_to_transcripts(sf_dir: str, repeats: int = 8):
     """Bench-scale deterministic expansion: each (doc, r) for r in
-    0..repeats-1 becomes one turn; r == 0 keeps the text verbatim, r > 0
-    deterministically rewrites r words — planting exact-dup groups
-    (identical docs exist in the tables) and near-dup families (small
-    edits) at a controlled rate. Pure map_batches, no driver loop, no RNG.
+    0..repeats-1 becomes one turn; r <= 1 keeps the text verbatim (planting
+    one exact-dup pair per doc), r >= 2 deterministically rewrites r-1
+    words (near-dup families of graded distance). Pure map_batches, no
+    driver loop, no RNG.
     """
     import ray.data
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=64)
 
     def expand(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
@@ -98,11 +100,11 @@ def expand_documents_to_transcripts(sf_dir: str, repeats: int = 8):
         for d, t in zip(doc_ids, texts):
             words = (t or "").split()
             for r in range(repeats):
-                if r == 0 or not words:
+                if r <= 1 or not words:
                     new = t or ""
                 else:
                     w = list(words)
-                    for e in range(r):
+                    for e in range(r - 1):
                         w[(d + 7 * e) % len(w)] = f"edit{r}x{e}"
                     new = " ".join(w)
                 conv.append(f"conv-{int(d) % N_CONVS_FROM_DOCS}")

@@ -12,6 +12,24 @@ of copies of trivial turns ("ok", tool boilerplate) collapse to ONE
 representative row here, so downstream near-dup candidate generation never
 sees them as an O(n^2) bucket.
 
+Execution shape (the measured-fast path): in real corpora the vast
+majority of sha groups are singletons, and a ``groupby().map_groups``
+pays a Python call per group — millions of calls for zero information.
+Instead:
+
+  1. one NATIVE grouped aggregate (vectorized sort-shuffle) computes
+     ``(text_sha256, n_exact, rep_key=min(row_key))`` — no Python per
+     group;
+  2. only groups with n_exact >= 2 are broadcast (``ray.put`` once) and a
+     stateless ``map_batches`` paints rep_key/n_exact/is_rep onto every
+     row — singletons take the fast default path.
+
+Scale note: the broadcast map holds one entry per DUPLICATED text. If that
+outgrows driver memory (extreme corpora), swap step 2 for
+``Dataset.join`` on text_sha256 — same semantics, one more shuffle; the
+broadcast path is chosen because the duplicated-text dictionary is
+typically millions of entries even at 10^12 rows (hot rows collapse).
+
 Canonical representative = lexicographic min row_key within the group
 (order-independent, deterministic under any parallelism).
 """
@@ -20,6 +38,9 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Min
 
 
 def add_row_key(ds, key_cols: list[str]):
@@ -38,29 +59,48 @@ def add_row_key(ds, key_cols: list[str]):
     return ds.map_batches(_add, batch_format="pyarrow")
 
 
-def _assign_rep(group: pa.Table) -> pa.Table:
-    rep = pc.min(group["row_key"]).as_py()
-    n = group.num_rows
-    return (
-        group.append_column("rep_key", pa.array([rep] * n, type=pa.string()))
-        .append_column("n_exact", pa.array([n] * n, type=pa.int32()))
-        .append_column(
-            "is_rep", pc.equal(group["row_key"], pa.scalar(rep, type=pa.string()))
-        )
-    )
-
-
 def exact_dedup(sigs_ds):
     """signatures → same rows + (rep_key, n_exact, is_rep).
 
-    One all-to-all shuffle keyed on ``text_sha256``. At 10^12-row scale the
-    key is uniform (a cryptographic hash), so no skew handling is needed
-    beyond Ray's sort-based shuffle; group sizes are the number of exact
-    copies, which IS the skew we are collapsing.
+    One all-to-all shuffle keyed on ``text_sha256`` (native aggregate).
+    The key is uniform (a cryptographic hash), so no skew handling is
+    needed beyond Ray's sort-based shuffle; group sizes are the number of
+    exact copies, which IS the skew being collapsed.
     """
-    return sigs_ds.groupby("text_sha256").map_groups(
-        _assign_rep, batch_format="pyarrow"
+    sigs_ds = sigs_ds.materialize()
+    groups = sigs_ds.groupby("text_sha256").aggregate(
+        Count(alias_name="n_exact"),
+        Min("row_key", alias_name="rep_key"),
     )
+    dup_groups = groups.filter(expr="n_exact >= 2")
+    dup_map = {
+        r["text_sha256"]: (r["rep_key"], r["n_exact"])
+        for r in dup_groups.iter_rows()
+    }
+    ref = ray.put(dup_map)
+
+    def paint(batch: pa.Table) -> pa.Table:
+        dmap = ray.get(ref)
+        shas = batch["text_sha256"].to_pylist()
+        keys = batch["row_key"].to_pylist()
+        reps, counts, is_rep = [], [], []
+        for sha, key in zip(shas, keys):
+            hit = dmap.get(sha)
+            if hit is None:
+                reps.append(key)
+                counts.append(1)
+                is_rep.append(True)
+            else:
+                reps.append(hit[0])
+                counts.append(hit[1])
+                is_rep.append(key == hit[0])
+        return (
+            batch.append_column("rep_key", pa.array(reps, type=pa.string()))
+            .append_column("n_exact", pa.array(counts, type=pa.int32()))
+            .append_column("is_rep", pa.array(is_rep, type=pa.bool_()))
+        )
+
+    return sigs_ds.map_batches(paint, batch_format="pyarrow")
 
 
 def exact_clusters(assigned_ds, min_size: int = 2):

@@ -68,32 +68,29 @@ def tf_simhash_of_tokens(tokens: list[str], cache: dict[str, int]) -> int:
     return int(((v > 0).astype(np.uint64) << shifts).sum())
 
 
-class MeasurePrep:
-    """Per-row feature extraction (actor pool; caches persist per actor)."""
+# per-worker-process hash caches (deterministic content; process reuse only
+# skips rebuild — same stateless-task-with-module-state pattern as
+# stages/signatures.py, chosen over an actor pool for zero spin-up latency)
+_SIMHASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE: dict[str, int] = {}
 
-    def __init__(self, cfg: DedupConfig = DEFAULT_CONFIG, text_col: str = "text"):
-        self.cfg = cfg
-        self.text_col = text_col
-        self.simhash_cache: dict[str, int] = {}
-        self.token_hash_cache: dict[str, int] = {}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
-        token_lists = [
-            full_tokenize(t, self.cfg.stemming, self.cfg.remove_stopwords)
-            for t in texts
-        ]
-        raw_sim = simhash64_batch(texts, self.cfg.simhash_shingle_width,
-                                  self.simhash_cache)
-        tf_sim = [tf_simhash_of_tokens(tl, self.token_hash_cache)
-                  for tl in token_lists]
-        cols = {n: batch[n] for n in batch.column_names if n != self.text_col}
-        cols["n_chars"] = pa.array([len(t) for t in texts], type=pa.int64())
-        cols["tokens"] = pa.array(token_lists, type=pa.list_(pa.string()))
-        cols["n_tokens"] = pa.array([len(t) for t in token_lists], type=pa.int32())
-        cols["raw_simhash_val"] = pa.array(raw_sim, type=pa.uint64())
-        cols["tf_simhash_val"] = pa.array(tf_sim, type=pa.uint64())
-        return pa.table(cols)
+def measure_prep_batch(batch: pa.Table, cfg: DedupConfig,
+                       text_col: str = "text") -> pa.Table:
+    """Per-row feature extraction for the measure stage."""
+    texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+    token_lists = [
+        full_tokenize(t, cfg.stemming, cfg.remove_stopwords) for t in texts
+    ]
+    raw_sim = simhash64_batch(texts, cfg.simhash_shingle_width, _SIMHASH_CACHE)
+    tf_sim = [tf_simhash_of_tokens(tl, _TOKEN_HASH_CACHE) for tl in token_lists]
+    cols = {n: batch[n] for n in batch.column_names if n != text_col}
+    cols["n_chars"] = pa.array([len(t) for t in texts], type=pa.int64())
+    cols["tokens"] = pa.array(token_lists, type=pa.list_(pa.string()))
+    cols["n_tokens"] = pa.array([len(t) for t in token_lists], type=pa.int32())
+    cols["raw_simhash_val"] = pa.array(raw_sim, type=pa.uint64())
+    cols["tf_simhash_val"] = pa.array(tf_sim, type=pa.uint64())
+    return pa.table(cols)
 
 
 def _ratio_score(member: int, anchor: int) -> float:
@@ -284,23 +281,144 @@ def _score_group(group: pa.Table, measures: list[str]) -> pa.Table:
     return pa.table(out)
 
 
+GROUP_CORPUS_MEASURES = {"cosine", "gensim_lsi", "gensim_lda"}
+
+
+def _rowwise_score(m: str, member: dict, anchor: dict) -> float:
+    """One member-vs-anchor score; feature dicts carry n_chars, n_tokens,
+    tokens, raw_sim, tf_sim. Shared by the groupby and broadcast paths so
+    both produce identical values."""
+    if m == "bytecount":
+        return _ratio_score(member["n_chars"], anchor["n_chars"])
+    if m == "wordcount":
+        return _ratio_score(member["n_tokens"], anchor["n_tokens"])
+    if m == "jaccard":
+        return jaccard_distance(anchor["token_set"], member["tokens"])
+    if m == "sorensen":
+        return sorensen_distance(anchor["token_set"], member["tokens"])
+    if m == "levenshtein":
+        return float(levenshtein_tokens(anchor["tokens"], member["tokens"]))
+    if m == "nlevenshtein":
+        return nlevenshtein_tokens(anchor["tokens"], member["tokens"])
+    if m == "tfintersection":
+        return float(tfintersection(anchor["tokens"], member["tokens"]))
+    if m == "raw_simhash":
+        return float(hamming_distance(anchor["raw_sim"], member["raw_sim"]))
+    if m == "tf_simhash":
+        return float(hamming_distance(anchor["tf_sim"], member["tf_sim"]))
+    raise ValueError(f"unknown rowwise measure {m!r}")
+
+
+def _anchor_measures_broadcast(prepped, measures: list[str]):
+    """Shuffle-free path for row-wise measures: the per-conversation
+    anchors (min turn_idx) are a SMALL side — aggregate them, broadcast
+    once via ``ray.put``, and score in a stateless ``map_batches``. Used
+    whenever no group-corpus measure (cosine/LSI/LDA) is requested; those
+    need the whole conversation in one task and take the groupby path.
+
+    Scale assumption (documented): one anchor feature set per conversation
+    fits the object store (conversations are ~10-50 turns, so anchors are
+    2-10% of the corpus ... at extreme conversation counts force the
+    groupby path via ``group_path=True``)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    prepped = prepped.materialize()
+    min_turn = prepped.groupby("conv_id").aggregate(
+        Min("turn_idx", alias_name="min_turn")
+    )
+    mt_map = {r["conv_id"]: r["min_turn"] for r in min_turn.iter_rows()}
+    mt_ref = ray.put(mt_map)
+
+    def pick_anchors(batch: pa.Table) -> pa.Table:
+        mt = ray.get(mt_ref)
+        keep = [
+            mt.get(c) == t
+            for c, t in zip(batch["conv_id"].to_pylist(),
+                            batch["turn_idx"].to_pylist())
+        ]
+        return batch.filter(pa.array(keep))
+
+    anchors: dict[str, dict] = {}
+    for b in prepped.map_batches(pick_anchors, batch_format="pyarrow").iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        for i in range(b.num_rows):
+            toks = b["tokens"][i].as_py()
+            anchors[b["conv_id"][i].as_py()] = {
+                "n_chars": b["n_chars"][i].as_py(),
+                "n_tokens": b["n_tokens"][i].as_py(),
+                "tokens": toks,
+                "token_set": set(toks),
+                "raw_sim": b["raw_simhash_val"][i].as_py(),
+                "tf_sim": b["tf_simhash_val"][i].as_py(),
+            }
+    a_ref = ray.put(anchors)
+
+    def score(batch: pa.Table) -> pa.Table:
+        amap = ray.get(a_ref)
+        n = batch.num_rows
+        convs = batch["conv_id"].to_pylist()
+        toks_col = batch["tokens"].to_pylist()
+        n_chars = batch["n_chars"].to_numpy()
+        n_tokens = batch["n_tokens"].to_numpy()
+        raw_sim = batch["raw_simhash_val"].to_numpy(zero_copy_only=False)
+        tf_sim = batch["tf_simhash_val"].to_numpy(zero_copy_only=False)
+        out = {
+            "conv_id": batch["conv_id"].combine_chunks(),
+            "turn_idx": batch["turn_idx"].combine_chunks(),
+            "row_key": batch["row_key"].combine_chunks(),
+        }
+        cols: dict[str, list] = {m: [] for m in measures}
+        errs: dict[str, list] = {m: [] for m in measures}
+        for i in range(n):
+            anchor = amap[convs[i]]
+            member = {
+                "n_chars": int(n_chars[i]),
+                "n_tokens": int(n_tokens[i]),
+                "tokens": toks_col[i],
+                "raw_sim": int(raw_sim[i]),
+                "tf_sim": int(tf_sim[i]),
+            }
+            for m in measures:
+                raw = m in RAW_MEASURES
+                empty = (anchor["n_chars"] == 0) if raw else (anchor["n_tokens"] == 0)
+                if empty:
+                    cols[m].append(None)
+                    errs[m].append(ANCHOR_EMPTY_ERROR)
+                else:
+                    cols[m].append(_rowwise_score(m, member, anchor))
+                    errs[m].append(None)
+        for m in measures:
+            out[m] = pa.array(cols[m], type=pa.float64())
+            out[m + "_error"] = pa.array(errs[m], type=pa.string())
+        return pa.table(out)
+
+    return prepped.map_batches(score, batch_format="pyarrow")
+
+
 def anchor_measures(ds, measures: list[str] | None = None,
                     cfg: DedupConfig = DEFAULT_CONFIG,
-                    text_col: str = "text"):
+                    text_col: str = "text",
+                    group_path: bool = False):
     """transcripts (with row_key) → per-row measure scores vs the
-    conversation anchor. ``measures`` defaults to ALL_MEASURES."""
+    conversation anchor. ``measures`` defaults to ALL_MEASURES.
+
+    Execution: row-wise measures take the broadcast-anchor path (no
+    shuffle); any group-corpus measure (cosine/LSI/LDA) in the list — or
+    ``group_path=True`` — switches to ``groupby(conv_id).map_groups``.
+    """
     measures = measures or ALL_MEASURES
     unknown = set(measures) - set(ALL_MEASURES)
     if unknown:
         raise ValueError(f"unknown measures: {sorted(unknown)}")
     prepped = ds.map_batches(
-        MeasurePrep,
-        fn_constructor_kwargs={"cfg": cfg, "text_col": text_col},
+        lambda b: measure_prep_batch(b, cfg, text_col),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, 32),
-        num_cpus=1,
     )
+    if not group_path and not (set(measures) & GROUP_CORPUS_MEASURES):
+        return _anchor_measures_broadcast(prepped, measures)
 
     def score(group: pa.Table) -> pa.Table:
         return _score_group(group, measures)

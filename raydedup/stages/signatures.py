@@ -1,4 +1,5 @@
-"""Signature stage: per-row text → (sha256, simhash64, minhash, shingle hashes).
+"""Signature stage: per-row text → (sha256, simhash64, band hashes,
+shingle hashes).
 
 The engine's replacement for the reference's per-memento Simhash pass
 (otmt/metadata_calcluations.py:20-67) plus the prep work its per-pair
@@ -6,19 +7,25 @@ Jaccard would redo for every comparison (otmt/timemap_measures.py:45-62,
 380-401): tokenization, shingling and hashing happen ONCE per row here, and
 every downstream comparison is hash arithmetic.
 
-Ray Data shape: a CALLABLE CLASS passed to ``map_batches`` → actor pool.
-``__init__`` (once per actor) builds the MinHasher permutation table and the
-shingle-hash caches; ``__call__`` (per batch) is numpy-vectorized. Batches
-are Arrow in / Arrow out (zero-copy from the object store).
+Ray Data shape: a STATELESS task function over Arrow batches. Worker
+processes are reused across tasks, so the expensive state (MinHasher
+permutation table, shingle→hash caches) lives in a module-level
+per-process registry keyed by config — the amortization of an actor pool
+without its spin-up latency or fixed pool sizing (measured: actor-pool
+ramp dominated wall time at small scale).
+
+LSH band hashes are folded HERE (rather than shipping the full K-perm
+minhash downstream): the K=128 × 8B signature never leaves the task;
+only b=32 band hashes (4× smaller) cross the exact-dedup and LSH
+shuffles. Set ``keep_minhash=True`` to retain the full signature column.
 
 Output schema (key columns passed through):
     text_sha256: string (hex)     — exact-dup key
     simhash:     uint64           — reference-parity 64-bit simhash
-    minhash:     fixed_size_list<uint64, K>
+    band_hashes: fixed_size_list<uint64, b>
     shingle_hashes: list<uint64>  — sorted unique 64-bit shingle hashes
                                     (exact Jaccard on these ≡ exact shingle
-                                    Jaccard w.h.p.; avoids re-tokenizing in
-                                    the verify stage)
+                                    Jaccard w.h.p.)
     n_tokens, n_shingles: int32
 """
 
@@ -34,78 +41,112 @@ from raydedup.functions.minhash import MinHasher
 from raydedup.functions.simhash import simhash64_batch
 from raydedup.textnorm import full_tokenize, word_shingles
 
+# per-worker-process state registry: config fingerprint → (MinHasher,
+# simhash cache). Deterministic (seeded) state, so process reuse across
+# tasks cannot change results — only skip rebuilds.
+_STATE: dict[tuple, tuple[MinHasher, dict]] = {}
 
-class SignatureStage:
-    """Stateful signature computer; one instance per actor."""
 
-    def __init__(self, cfg: DedupConfig, text_col: str = "text"):
-        self.cfg = cfg
-        self.text_col = text_col
-        self.minhasher = MinHasher(cfg.minhash_num_perms, cfg.minhash_seed)
-        self.simhash_cache: dict[str, int] = {}
+def _state_for(cfg: DedupConfig) -> tuple[MinHasher, dict]:
+    key = (cfg.minhash_num_perms, cfg.minhash_seed)
+    st = _STATE.get(key)
+    if st is None:
+        st = (MinHasher(cfg.minhash_num_perms, cfg.minhash_seed), {})
+        _STATE[key] = st
+    return st
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        texts = batch[self.text_col].to_pylist()
-        texts = ["" if t is None else t for t in texts]
 
-        sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
-        simhashes = simhash64_batch(
-            texts, width=cfg.simhash_shingle_width, cache=self.simhash_cache
-        )
+def band_hashes_from_minhash(minhash: np.ndarray, bands: int,
+                             rows: int) -> np.ndarray:
+    """(n, K) minhash → (n, bands) uint64 FNV-1a band folds."""
+    n = minhash.shape[0]
+    grouped = minhash.reshape(n, bands, rows)
+    h = np.full((n, bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(rows):
+        h = (h ^ grouped[:, :, j]) * prime
+    return h
 
-        token_lists = [
-            full_tokenize(t, stemming=cfg.stemming,
-                          remove_stopwords=cfg.remove_stopwords)
-            for t in texts
-        ]
-        shingle_lists = [
-            word_shingles(toks, cfg.minhash_shingle_words) if toks else []
-            for toks in token_lists
-        ]
-        minhash = self.minhasher.signatures_batch(shingle_lists)
 
-        # sorted unique shingle hashes per row (for the exact-Jaccard verify)
-        shingle_hash_lists = []
-        base = self.minhasher._base_hashes
-        for shingles in shingle_lists:
-            if shingles:
-                shingle_hash_lists.append(np.unique(base(shingles)))
-            else:
-                shingle_hash_lists.append(np.empty(0, dtype=np.uint64))
+def signature_batch(batch: pa.Table, cfg: DedupConfig,
+                    text_col: str = "text",
+                    keep_minhash: bool = False) -> pa.Table:
+    minhasher, simhash_cache = _state_for(cfg)
+    texts = batch[text_col].to_pylist()
+    texts = ["" if t is None else t for t in texts]
 
-        n_tokens = pa.array([len(t) for t in token_lists], type=pa.int32())
-        n_shingles = pa.array([len(s) for s in shingle_hash_lists], type=pa.int32())
+    sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+    simhashes = simhash64_batch(
+        texts, width=cfg.simhash_shingle_width, cache=simhash_cache
+    )
 
-        cols = {name: batch[name] for name in batch.column_names}
-        cols["text_sha256"] = pa.array(sha, type=pa.string())
-        cols["simhash"] = pa.array(simhashes, type=pa.uint64())
+    token_lists = [
+        full_tokenize(t, stemming=cfg.stemming,
+                      remove_stopwords=cfg.remove_stopwords)
+        for t in texts
+    ]
+    shingle_lists = [
+        word_shingles(toks, cfg.minhash_shingle_words) if toks else []
+        for toks in token_lists
+    ]
+    minhash = minhasher.signatures_batch(shingle_lists)
+    bands = band_hashes_from_minhash(minhash, cfg.lsh_bands, cfg.lsh_rows)
+
+    shingle_hash_lists = []
+    base = minhasher._base_hashes
+    for shingles in shingle_lists:
+        if shingles:
+            shingle_hash_lists.append(np.unique(base(shingles)))
+        else:
+            shingle_hash_lists.append(np.empty(0, dtype=np.uint64))
+
+    cols = {name: batch[name] for name in batch.column_names
+            if name != text_col}
+    cols["text_sha256"] = pa.array(sha, type=pa.string())
+    cols["simhash"] = pa.array(simhashes, type=pa.uint64())
+    cols["band_hashes"] = pa.FixedSizeListArray.from_arrays(
+        pa.array(bands.reshape(-1), type=pa.uint64()), cfg.lsh_bands
+    )
+    if keep_minhash:
         cols["minhash"] = pa.FixedSizeListArray.from_arrays(
-            pa.array(minhash.reshape(-1), type=pa.uint64()), cfg.minhash_num_perms
+            pa.array(minhash.reshape(-1), type=pa.uint64()),
+            cfg.minhash_num_perms,
         )
-        cols["shingle_hashes"] = pa.array(
-            [h.tolist() for h in shingle_hash_lists], type=pa.list_(pa.uint64())
-        )
-        cols["n_tokens"] = n_tokens
-        cols["n_shingles"] = n_shingles
-        return pa.table(cols)
+    cols["shingle_hashes"] = pa.array(
+        [h.tolist() for h in shingle_hash_lists], type=pa.list_(pa.uint64())
+    )
+    cols["n_tokens"] = pa.array([len(t) for t in token_lists], type=pa.int32())
+    cols["n_shingles"] = pa.array(
+        [len(s) for s in shingle_hash_lists], type=pa.int32()
+    )
+    return pa.table(cols)
 
 
 def compute_signatures(ds, cfg: DedupConfig, text_col: str = "text",
-                       keep_text: bool = False):
-    """read → signature actor pool. Drops the raw text column afterwards
-    (unless ``keep_text``) so the wide shuffles that follow move hashes,
-    not payloads — the single biggest byte-saver at 100 TB scale."""
-    out = ds.map_batches(
-        SignatureStage,
-        fn_constructor_kwargs={"cfg": cfg, "text_col": text_col},
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        # autoscaling actor pool: grows to the CPU budget under load, so
-        # the same code paces itself at num_cpus=8 and num_cpus=32
-        concurrency=cfg.signature_concurrency or (1, 32),
-        num_cpus=1,
-    )
-    if not keep_text:
-        out = out.drop_columns([text_col])
-    return out
+                       keep_minhash: bool = False):
+    """read → signature tasks. The raw text column is dropped in-stage so
+    the wide shuffles that follow move hashes, not payloads — the single
+    biggest byte-saver at 100 TB scale."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return signature_batch(batch, cfg, text_col=text_col,
+                               keep_minhash=keep_minhash)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=cfg.batch_size)
+
+
+class SignatureStage:
+    """Actor-pool variant of the same kernel (kept for callers that want
+    explicit pool sizing, e.g. constant-memory streaming over 100 TB)."""
+
+    def __init__(self, cfg: DedupConfig, text_col: str = "text",
+                 keep_minhash: bool = False):
+        self.cfg = cfg
+        self.text_col = text_col
+        self.keep_minhash = keep_minhash
+        _state_for(cfg)  # build state at actor init
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return signature_batch(batch, self.cfg, self.text_col,
+                               self.keep_minhash)

@@ -148,3 +148,25 @@ def test_threshold_flags_offtopic():
     assert by["c:1"]["jaccard_status"] == "off-topic"  # distance 1.0 > 0.96
     assert by["c:1"]["overall_status"] == "off-topic"
     assert by["c:0"]["overall_status"] == "on-topic"
+
+
+def test_broadcast_and_group_paths_agree():
+    """The shuffle-free broadcast-anchor path must produce byte-identical
+    scores to the groupby path for every row-wise measure."""
+    rows = [
+        ("c1", 0, DOC_A), ("c1", 1, DOC_B), ("c1", 2, ""),
+        ("c2", 0, ""), ("c2", 1, DOC_A),
+        ("c3", 5, DOC_B), ("c3", 7, DOC_A),  # anchor at min turn_idx != 0
+    ]
+    ms = ["bytecount", "wordcount", "jaccard", "sorensen", "levenshtein",
+          "nlevenshtein", "tfintersection", "raw_simhash", "tf_simhash"]
+    bc = {r["row_key"]: r for r in
+          anchor_measures(_ds(rows), ms, DEFAULT_CONFIG).take_all()}
+    gp = {r["row_key"]: r for r in
+          anchor_measures(_ds(rows), ms, DEFAULT_CONFIG,
+                          group_path=True).take_all()}
+    assert bc.keys() == gp.keys()
+    for k in bc:
+        for m in ms:
+            assert bc[k][m] == gp[k][m], (k, m)
+            assert bc[k][m + "_error"] == gp[k][m + "_error"], (k, m)
