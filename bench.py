@@ -111,8 +111,17 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # The scaling criterion measures how throughput grows with cluster
+    # size, so the input must be large enough that distributed compute
+    # dominates the fixed per-execution costs (driver planning, task
+    # dispatch, broadcast round-trips ≈ 8-10 s on this machine regardless
+    # of CPU count). 192 repeats ≈ 1M turns puts the 8-CPU run around
+    # 100 s of mostly-compute.
+    scaling_repeats = os.environ.get("BENCH_SCALING_REPEATS", "192")
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_REPEATS=scaling_repeats)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -67,7 +67,9 @@ class MinHasher:
         return vals.min(axis=0)
 
     def signatures_batch(self, shingle_lists: list[list[str]]) -> np.ndarray:
-        """(n_docs, K) uint64 signatures; one reduceat for the whole batch."""
+        """(n_docs, K) uint64 signatures; chunked segment-min so the
+        (shingles, K) permutation matrix stays cache-resident (the
+        unchunked version is DRAM-bound and kills multi-task scaling)."""
         n = len(shingle_lists)
         out = np.full((n, self.num_perms), _EMPTY, dtype=np.uint64)
         flat: list[str] = []
@@ -78,12 +80,25 @@ class MinHasher:
         if not flat:
             return out
         x = self._base_hashes(flat)
-        vals = self.a[None, :] * x[:, None] + self.b[None, :]  # uint64 wrap
         doc_arr = np.array(doc_ids, dtype=np.int64)
-        # docs are already in order; reduceat over the run starts
         starts = np.flatnonzero(np.r_[True, doc_arr[1:] != doc_arr[:-1]])
-        mins = np.minimum.reduceat(vals, starts, axis=0)
-        out[doc_arr[starts]] = mins
+        seg_docs = doc_arr[starts]
+        bounds = np.r_[starts, len(flat)]
+        CHUNK = 2048
+        seg_lo = 0
+        n_segs = len(starts)
+        while seg_lo < n_segs:
+            seg_hi = seg_lo + 1
+            while (seg_hi < n_segs
+                   and bounds[seg_hi + 1] - bounds[seg_lo] <= CHUNK):
+                seg_hi += 1
+            s_lo, s_hi = bounds[seg_lo], bounds[seg_hi]
+            vals = (self.a[None, :] * x[s_lo:s_hi, None]
+                    + self.b[None, :])  # uint64 wrap
+            mins = np.minimum.reduceat(vals, starts[seg_lo:seg_hi] - s_lo,
+                                       axis=0)
+            out[seg_docs[seg_lo:seg_hi]] = mins
+            seg_lo = seg_hi
         return out
 
     @staticmethod

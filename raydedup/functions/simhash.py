@@ -121,13 +121,29 @@ def simhash64_batch(
 
     hashes = np.array(all_hashes, dtype=np.uint64)
     weights = np.concatenate(weight_arrays).astype(np.int32)
-    # (S, 64) signed votes in int32 (half the memory traffic of int64),
-    # one reduceat per batch — no per-doc numpy calls.
-    bits = ((hashes[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int8)
-    signed = (2 * bits - 1).astype(np.int32) * weights[:, None]
-    sums = np.add.reduceat(signed, offsets[:-1])
-    # reduceat quirk: offsets[i] == offsets[i+1] would grab the next doc's
-    # row — impossible here because every doc emits >= 1 shingle.
+    n_docs = len(texts)
+    sums = np.empty((n_docs, 64), dtype=np.int32)
+    # Chunked bit-vote: the (S, 64) expansion is processed in doc ranges of
+    # ~4096 shingles so the int8/int32 temporaries stay L2-resident. The
+    # unchunked version is DRAM-bandwidth-bound, which destroys multi-task
+    # scaling (measured: 32 concurrent tasks ran 5x slower per task).
+    CHUNK = 4096
+    doc_lo = 0
+    while doc_lo < n_docs:
+        doc_hi = doc_lo + 1
+        while doc_hi < n_docs and offsets[doc_hi + 1] - offsets[doc_lo] <= CHUNK:
+            doc_hi += 1
+        s_lo, s_hi = offsets[doc_lo], offsets[doc_hi]
+        h = hashes[s_lo:s_hi]
+        w = weights[s_lo:s_hi]
+        bits = ((h[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int8)
+        signed = (2 * bits - 1).astype(np.int32) * w[:, None]
+        # reduceat quirk: an empty segment would grab the next doc's row —
+        # impossible here because every doc emits >= 1 shingle.
+        sums[doc_lo:doc_hi] = np.add.reduceat(
+            signed, (offsets[doc_lo:doc_hi] - s_lo)
+        )
+        doc_lo = doc_hi
     return ((sums > 0).astype(np.uint64) * _POW2[None, :]).sum(axis=1, dtype=np.uint64)
 
 

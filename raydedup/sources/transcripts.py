@@ -81,11 +81,15 @@ def transcripts_from_documents(sf_dir: str):
 
 
 def expand_documents_to_transcripts(sf_dir: str, repeats: int = 8):
-    """Bench-scale deterministic expansion: each (doc, r) for r in
-    0..repeats-1 becomes one turn; r <= 1 keeps the text verbatim (planting
-    one exact-dup pair per doc), r >= 2 deterministically rewrites r-1
-    words (near-dup families of graded distance). Pure map_batches, no
-    driver loop, no RNG.
+    """Bench-scale deterministic expansion with CONSTANT duplicate-family
+    size: each doc becomes ``repeats`` turns organized as groups of 8;
+    each group gets a unique salt phrase (pushing cross-group shingle
+    Jaccard well below the dup threshold, so family size stays 8 and the
+    verified-pair count grows LINEARLY with input size — a quadratic pair
+    blow-up would make scaling benchmarks measure pair volume, not
+    throughput). Within a group: members 0-1 are verbatim (one exact-dup
+    pair), members 2-7 rewrite m-1 words (graded near dups). Pure
+    map_batches, no driver loop, no RNG.
     """
     import ray.data
 
@@ -98,14 +102,23 @@ def expand_documents_to_transcripts(sf_dir: str, repeats: int = 8):
         texts = batch["text"].to_pylist()
         conv, turn, role, out_t, tool, ts = [], [], [], [], [], []
         for d, t in zip(doc_ids, texts):
-            words = (t or "").split()
+            base_words = (t or "").split()
             for r in range(repeats):
-                if r <= 1 or not words:
-                    new = t or ""
+                g, m = r // 8, r % 8
+                # every 3rd word replaced by a (doc, group)-unique token:
+                # every 3-word shingle then contains a salted word, so
+                # cross-group shingle overlap is exactly zero — no
+                # candidate leakage between groups
+                words = [
+                    f"g{g}s{int(d)}p{k}" if k % 3 == 0 else base_words[k]
+                    for k in range(len(base_words))
+                ]
+                if m <= 1 or not base_words:
+                    new = " ".join(words)
                 else:
                     w = list(words)
-                    for e in range(r - 1):
-                        w[(d + 7 * e) % len(w)] = f"edit{r}x{e}"
+                    for e in range(m - 1):
+                        w[(int(d) + 7 * e) % len(w)] = f"edit{m}x{e}"
                     new = " ".join(w)
                 conv.append(f"conv-{int(d) % N_CONVS_FROM_DOCS}")
                 turn.append(int(d) // N_CONVS_FROM_DOCS * repeats + r)

