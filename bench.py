@@ -118,6 +118,8 @@ def run_scaling() -> dict:
     # of CPU count). 192 repeats ≈ 1M turns puts the 8-CPU run around
     # 100 s of mostly-compute.
     scaling_repeats = os.environ.get("BENCH_SCALING_REPEATS", "192")
+    cpus = os.environ.get("BENCH_SCALING_CPUS", "8,32")
+    n_lo, n_hi = (int(x) for x in cpus.split(","))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -128,16 +130,16 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    lo, hi = one(n_lo), one(n_hi)
+    eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "turns_per_sec_8": lo["turns_per_sec"],
-        "turns_per_sec_32": hi["turns_per_sec"],
+        f"sec_{n_lo}": lo["value"],
+        f"sec_{n_hi}": hi["value"],
+        f"turns_per_sec_{n_lo}": lo["turns_per_sec"],
+        f"turns_per_sec_{n_hi}": hi["turns_per_sec"],
         "turns": lo["turns"],
         "sf": lo["sf"],
     }
