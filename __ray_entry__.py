@@ -36,12 +36,25 @@ _ROUND = 6
 
 
 def _round_col(ds, col):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quant = Decimal(1).scaleb(-_ROUND)
+
     def r(batch: pa.Table) -> pa.Table:
         i = batch.schema.get_field_index(col)
-        # half_towards_infinity == DuckDB round() (half away from zero);
-        # pyarrow's default half_to_even would disagree on exact .5 digits
-        rounded = pc.round(batch[col], ndigits=_ROUND,
-                           round_mode="half_towards_infinity")
+        # Decimal half-up quantize = correctly-rounded half-away-from-zero,
+        # matching DuckDB's round() bit-for-bit; pc.round can land one ulp
+        # off (breaks value comparison when the two sides sum in different
+        # orders) and Python round() breaks ties half-to-even.
+        vals = batch[col].to_pylist()
+        rounded = pa.array(
+            [
+                None if v is None
+                else float(Decimal(v).quantize(quant, rounding=ROUND_HALF_UP))
+                for v in vals
+            ],
+            type=pa.float64(),
+        )
         return batch.set_column(i, col, rounded)
 
     return ds.map_batches(r, batch_format="pyarrow")
@@ -267,6 +280,31 @@ def q_fingerprints(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_windowed_events(sf_dir: str):
+    import ray.data
+
+    from raydedup.stages.windows import tumbling_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    out = tumbling_window_agg(ev, window_sec=3600)
+    out = _round_col(out, "sum_value")
+    out = _round_col(out, "mean_value")
+    return out.select_columns(
+        ["user_id", "window_start", "n_events", "sum_value", "mean_value"]
+    )
+
+
+def q_sessionize_events(sf_dir: str):
+    import ray.data
+
+    from raydedup.stages.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return sessionize(ev, gap_sec=1800)
+
+
 def q_multimodal_decode(sf_dir: str):
     from raydedup.stages.exact import add_row_key
     from raydedup.stages.multimodal import attach_fake_payloads, decode_images
@@ -304,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_docs": q_simhash_near_docs,
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
+        "windowed_events": q_windowed_events,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -602,6 +642,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        "windowed_events": f"""
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                       AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), {_ROUND}) AS sum_value,
+                   round(avg(value), {_ROUND}) AS mean_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH ordered AS (
+                SELECT event_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS tss,
+                       lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(CASE WHEN prev IS NULL OR tss - prev > 1800
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY tss, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+            FROM ordered
         """,
         # langid / chain_scan_transcripts / long_span_pairs /
         # simhash_near_docs / fingerprints / multimodal_decode /

