@@ -121,12 +121,20 @@ def simhash64_batch(
 
     hashes = np.array(all_hashes, dtype=np.uint64)
     weights = np.concatenate(weight_arrays).astype(np.int32)
-    n_docs = len(texts)
+    return bit_vote_batch(hashes, weights, offsets)
+
+
+def bit_vote_batch(hashes: np.ndarray, weights: np.ndarray,
+                   offsets: np.ndarray) -> np.ndarray:
+    """Weighted 64-bit majority vote per segment → uint64 simhash values.
+
+    Chunked: the (S, 64) expansion is processed in segment ranges of
+    ~4096 feature rows so the int8/int32 temporaries stay L2-resident. The
+    unchunked version is DRAM-bandwidth-bound, which destroys multi-task
+    scaling (measured: 32 concurrent tasks ran 5x slower per task).
+    Every segment must be non-empty (reduceat quirk)."""
+    n_docs = len(offsets) - 1
     sums = np.empty((n_docs, 64), dtype=np.int32)
-    # Chunked bit-vote: the (S, 64) expansion is processed in doc ranges of
-    # ~4096 shingles so the int8/int32 temporaries stay L2-resident. The
-    # unchunked version is DRAM-bandwidth-bound, which destroys multi-task
-    # scaling (measured: 32 concurrent tasks ran 5x slower per task).
     CHUNK = 4096
     doc_lo = 0
     while doc_lo < n_docs:
@@ -138,8 +146,6 @@ def simhash64_batch(
         w = weights[s_lo:s_hi]
         bits = ((h[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int8)
         signed = (2 * bits - 1).astype(np.int32) * w[:, None]
-        # reduceat quirk: an empty segment would grab the next doc's row —
-        # impossible here because every doc emits >= 1 shingle.
         sums[doc_lo:doc_hi] = np.add.reduceat(
             signed, (offsets[doc_lo:doc_hi] - s_lo)
         )

@@ -53,19 +53,45 @@ ALL_MEASURES = sorted(RAW_MEASURES | TOKEN_MEASURES)
 def tf_simhash_of_tokens(tokens: list[str], cache: dict[str, int]) -> int:
     """Simhash built from token FEATURES (each occurrence votes weight 1) —
     the reference's Simhash(list) call path (timemap_measures.py:262-272)."""
-    counts: dict[str, int] = {}
-    for t in tokens:
-        counts[t] = counts.get(t, 0) + 1
-    v = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for tok, w in counts.items():
-        h = cache.get(tok)
-        if h is None:
-            h = _md5_low64(tok)
-            cache[tok] = h
-        bits = (np.uint64(h) >> shifts) & np.uint64(1)
-        v += np.where(bits.astype(bool), w, -w)
-    return int(((v > 0).astype(np.uint64) << shifts).sum())
+    return int(tf_simhash_batch([tokens], cache)[0])
+
+
+def tf_simhash_batch(token_lists: list[list[str]],
+                     cache: dict[str, int]) -> np.ndarray:
+    """Vectorized tf_simhash over many token lists: one chunked bit-vote
+    for the whole batch (functions/simhash.py:bit_vote_batch). Empty token
+    lists vote a single zero-weight feature → value 0 (all vote sums 0,
+    strict >0 rule)."""
+    from raydedup.functions.simhash import bit_vote_batch
+
+    hashes: list[int] = []
+    weights: list[int] = []
+    offsets = np.empty(len(token_lists) + 1, dtype=np.int64)
+    offsets[0] = 0
+    get = cache.get
+    for i, tokens in enumerate(token_lists):
+        counts: dict[str, int] = {}
+        for t in tokens:
+            counts[t] = counts.get(t, 0) + 1
+        if not counts:
+            hashes.append(0)
+            weights.append(0)  # zero weight → all sums 0 → simhash 0
+        else:
+            for tok, w in counts.items():
+                h = get(tok)
+                if h is None:
+                    h = _md5_low64(tok)
+                    cache[tok] = h
+                hashes.append(h)
+                weights.append(w)
+        offsets[i + 1] = len(hashes)
+    if not token_lists:
+        return np.empty(0, dtype=np.uint64)
+    return bit_vote_batch(
+        np.array(hashes, dtype=np.uint64),
+        np.array(weights, dtype=np.int32),
+        offsets,
+    )
 
 
 # per-worker-process hash caches (deterministic content; process reuse only
@@ -83,7 +109,7 @@ def measure_prep_batch(batch: pa.Table, cfg: DedupConfig,
         full_tokenize(t, cfg.stemming, cfg.remove_stopwords) for t in texts
     ]
     raw_sim = simhash64_batch(texts, cfg.simhash_shingle_width, _SIMHASH_CACHE)
-    tf_sim = [tf_simhash_of_tokens(tl, _TOKEN_HASH_CACHE) for tl in token_lists]
+    tf_sim = tf_simhash_batch(token_lists, _TOKEN_HASH_CACHE)
     cols = {n: batch[n] for n in batch.column_names if n != text_col}
     cols["n_chars"] = pa.array([len(t) for t in texts], type=pa.int64())
     cols["tokens"] = pa.array(token_lists, type=pa.list_(pa.string()))

@@ -1,0 +1,93 @@
+"""End-to-end tests for the off-topic and storytelling pipeline DAGs and
+the CLI runner."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.pipelines.offtopic import detect_off_topic, topic_lists
+from raydedup.pipelines.storytelling import storytelling_chain
+from raydedup.sources.transcripts import generate_transcripts
+from raydedup.stages.slicing import slice_params
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(n_convs=40, seed=9)
+
+
+def test_offtopic_pipeline(corpus):
+    ds = ray.data.from_arrow(corpus)
+    classified = detect_off_topic(
+        ds, measures=["bytecount", "jaccard", "raw_simhash"]
+    )
+    rows = classified.take_all()
+    assert len(rows) == corpus.num_rows
+    statuses = {r["overall_status"] for r in rows}
+    assert statuses <= {"on-topic", "off-topic"}
+    # word-salad turns vs unrelated anchors: both classes should exist
+    assert "off-topic" in statuses and "on-topic" in statuses
+    off, on = topic_lists(classified)
+    assert off.count() + on.count() == corpus.num_rows
+
+
+def test_storytelling_chain(corpus):
+    ds = ray.data.from_arrow(corpus)
+    slices, clusters, survivors, story = storytelling_chain(ds, DEFAULT_CONFIG)
+    n = corpus.num_rows
+    _, per = slice_params(n)
+    expected_sliced = per * ((n - 1) // per) + 1  # flush/drop quirk
+    slice_rows = slices.take_all()
+    assert len(slice_rows) == expected_sliced
+    assert clusters.count() == expected_sliced
+    # survivors = chain-scan keep list over all conversations
+    assert 0 < survivors.count() <= n
+    # every story row is a (slice, cluster) representative of a real cluster
+    for r in story.take_all():
+        assert r["cluster_id"] != "-1"
+
+
+def test_exact_dedup_collapses_hot_rows():
+    """FIXTURES family 5: thousands of identical trivial rows must collapse
+    to ONE representative before LSH (the hot-bucket guard)."""
+    n = 3000
+    tbl = pa.table(
+        {
+            "conv_id": [f"c{i:05d}" for i in range(n)],
+            "turn_idx": pa.array([0] * n, type=pa.int32()),
+            "text": ["ok"] * n,
+        }
+    )
+    from raydedup.pipelines.neardup import near_dup_pipeline
+
+    clusters, pairs = near_dup_pipeline(
+        ray.data.from_arrow(tbl), DEFAULT_CONFIG
+    )
+    assert pairs.count() == 0  # one rep → no near-dup pairs at all
+    rows = clusters.take_all()
+    assert len({r["cluster_id"] for r in rows}) == 1
+    assert sum(not r["is_duplicate"] for r in rows) == 1
+
+
+def test_cli_neardup_and_resume(tmp_path):
+    run_dir = tmp_path / "run"
+    cmd = [
+        sys.executable, "-m", "raydedup.cli", "neardup",
+        "--input", "/root/testdata/sf0.001",
+        "--run-dir", str(run_dir), "--num-cpus", "4",
+    ]
+    out1 = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    summary1 = json.loads(out1.stdout.strip().splitlines()[-1])
+    assert summary1["rows"] == 500 and summary1["clusters"] == 500
+    # resume run must produce the identical summary (skip-completed)
+    out2 = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    summary2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert summary2 == summary1
