@@ -27,7 +27,9 @@ import time
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "8"))
+    # 64 repeats ≈ 320k turns at sf0.1: large enough that per-stage fixed
+    # costs (~8-10 s) don't dominate the throughput number
+    repeats = int(os.environ.get("BENCH_REPEATS", "64"))
 
     import ray
 

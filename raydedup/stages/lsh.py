@@ -5,26 +5,27 @@ were already folded into b band hashes by the signature stage; this stage
 finds colliding buckets and verifies exact shingle-hash Jaccard inside
 them — pairs leave verified, no second shuffle or join.
 
-Execution shape (measured-fast path): with n rows × b bands exploded, the
-overwhelming majority of buckets are singletons, and a naive
-``groupby().map_groups`` pays a Python call per bucket — millions of
-calls producing nothing. Instead:
+Two interchangeable execution paths (equal output — asserted by
+tests/test_pipeline.py::test_lsh_copartition_path_matches_driver_path):
 
-  1. LIGHT explode: (bucket, row_key) only — the bucket key is ONE fused
-     int64 (band hash mixed with the band id), so the native count
-     aggregate sorts a single skinny column;
-  2. surviving buckets (count >= 2) are collected (sparse: one entry per
-     actual collision) and broadcast via ``ray.put``;
-  3. HEAVY explode re-emits rows (with band-hash vectors + shingle hashes)
-     ONLY for surviving buckets — most input rows emit nothing;
-  4. a second, tiny ``groupby(bucket).map_groups`` runs the pairwise
-     verify.
+DEFAULT (``_driver_pair_verify``) — a hand-rolled ref-based shuffle tuned
+for minimal serial time: bundled map tasks emit per-partition
+(bucket, key_hash) numpy arrays as separate ObjectRefs; per-partition
+reducers run vectorized run-length pair generation; candidate pairs are
+deduped with lexsort+diff and verified (exact shingle-hash Jaccard) by
+parallel tasks reading zero-copy numpy block stores through a global
+searchsorted index. Pair dedup via a global unique replaces the classic
+first-colliding-band rule. The driver only routes refs and merges the
+final small pair arrays.
 
-Cross-band de-duplication uses the classic "first collision wins" rule:
-each row carries all b band hashes, and a pair found in band j is emitted
-only if NO earlier band i < j also collides for that pair, so every true
-candidate pair is verified exactly once globally with no pair-level
-groupby.
+SCALE (``copartition_verify=True``) — pure Dataset ops for corpora whose
+exploded bucket membership outgrows one machine: a skinny light explode
+through a native count aggregate finds >= 2-member buckets (naive
+``groupby().map_groups`` would pay a Python call per singleton bucket —
+millions of calls producing nothing); a heavy explode re-emits payloads
+for surviving buckets only; a groupby co-locates buckets and an in-bucket
+verify applies the first-colliding-band rule so each pair is verified
+once.
 
 Skew handling (SURVEY §7.5): exact duplicates were collapsed before this
 stage, so a bucket's size is the number of DISTINCT near-identical texts.
