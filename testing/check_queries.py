@@ -76,9 +76,10 @@ def main(sf_dir: str, only: list[str] | None = None):
             status.append(f"rows {len(mine)} != {len(theirs)}")
         else:
             try:
+                # BIT-EXACT: the driver hashes values, so tolerance-based
+                # comparison would hide real mismatches
                 pd.testing.assert_frame_equal(
-                    mine, theirs, check_dtype=False, check_exact=False,
-                    rtol=1e-6, atol=1e-9,
+                    mine, theirs, check_dtype=False, check_exact=True,
                 )
             except AssertionError as e:
                 status.append(f"values differ: {str(e)[:300]}")
