@@ -227,7 +227,8 @@ def q_embedding_near_pairs(sf_dir: str):
     from raydedup.stages.embeddings import embedding_near_pairs
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = embedding_near_pairs(emb, threshold=0.35)
+    # exercise the distributed-exact blockwise path (the 100-TB default)
+    out = embedding_near_pairs(emb, threshold=0.35, method="blockwise")
     return _round_col(out, "cosine")
 
 

@@ -70,29 +70,16 @@ def storytelling_chain(ds, cfg: DedupConfig = DEFAULT_CONFIG,
     )
     slices = slice_by_time(ts_keyed, ts_col=ts_col).materialize()
 
-    # join slice assignments onto signatures (broadcast: the slice table is
-    # two small columns)
-    import ray
-
-    slice_map = {
-        r["row_key"]: r["slice_number"] for r in slices.take_all()
-    }
-    ref = ray.put(slice_map)
-
-    class AttachSlice:
-        def __init__(self, ref):
-            self.map = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sl = [self.map.get(k, -1) for k in batch["row_key"].to_pylist()]
-            return batch.append_column(
-                "slice_number", pa.array(sl, type=pa.int32())
-            )
-
-    sigs_sliced = sigs.map_batches(
-        AttachSlice, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).filter(expr="slice_number >= 0")
+    # join slice assignments onto signatures. Distributed hash join on
+    # row_key — rows the slicer dropped (the reference's tail-drop quirk)
+    # vanish via the inner join; nothing is ever collected on the driver.
+    # (Arrow's hash join rejects fixed_size_list payload columns — project
+    # down to the two columns clustering needs before the shuffle, which is
+    # also the right scale move: hashes only across the exchange.)
+    n_parts = max(2, min(64, sigs.num_blocks()))
+    sigs_sliced = sigs.select_columns(["row_key", "simhash"]).join(
+        slices, join_type="inner", num_partitions=n_parts, on=("row_key",)
+    )
 
     clusters = cluster_by_simhash_per_slice(sigs_sliced)
 

@@ -5,11 +5,22 @@
   each batch does one float64 matmul against the broadcast matrix and
   emits only its LOCAL top-k per query, so the final per-query merge
   (groupby + take-k) shuffles k·Q·num_batches rows, not n·Q.
-- ``embedding_near_pairs``: all-pairs cosine >= t near-duplicate pairs,
-  with the full (small) matrix broadcast and each batch matmul'd against
-  it — the embedding-cosine near-dup operator. Scale path: random
-  hyperplane LSH bucketing (``rp_bucket``) to confine comparisons to
-  buckets, same verify kernel.
+- ``embedding_near_pairs``: all-pairs cosine >= t near-duplicate pairs.
+  Three backends behind one front door:
+    * ``broadcast`` — full normalized matrix broadcast once, one matmul
+      per batch. Fastest when the matrix fits comfortably in a worker.
+    * ``blockwise`` — EXACT distributed all-pairs: the table is chunked,
+      each chunk normalized into an object-store numpy block, and one Ray
+      task per chunk-pair does the matmul. Nothing is collected on the
+      driver; results stream back as Arrow block refs. Same float64
+      dot products as broadcast ⇒ bit-identical pairs.
+    * ``lsh`` — approximate scale path: random-hyperplane bucketing
+      (``rp_bucket``) over ``n_tables`` independent plane sets confines
+      comparisons to buckets; recall for pairs at cosine >= t is
+      1-(1-p^b)^T with p = 1-acos(t)/pi (>=0.99 at t=0.95 with the
+      defaults b=8, T=12 — asserted by a planted-pair recall test).
+  ``method="auto"`` picks broadcast under ``broadcast_limit`` rows and
+  blockwise above it.
 """
 
 from __future__ import annotations
@@ -103,10 +114,23 @@ def knn_brute(ds, query_ids: list[int], k: int = 10,
 
 
 def embedding_near_pairs(ds, threshold: float = 0.95,
-                         id_col: str = "vec_id", vec_col: str = "embedding"):
-    """All-pairs cosine >= threshold (a_id < b_id). The full normalized
-    matrix is broadcast once (embeddings are the small side relative to
-    text); per-batch work is one matmul + threshold mask."""
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         method: str = "auto",
+                         broadcast_limit: int = 200_000):
+    """All-pairs cosine >= threshold (a_id < b_id). See module docstring
+    for the backend trade-offs; ``auto`` = broadcast below
+    ``broadcast_limit`` rows, exact blockwise above."""
+    if method == "auto":
+        n = ds.count()
+        method = "broadcast" if n <= broadcast_limit else "blockwise"
+    if method == "blockwise":
+        return embedding_near_pairs_blockwise(
+            ds, threshold, id_col=id_col, vec_col=vec_col
+        )
+    if method == "lsh":
+        return embedding_near_pairs_lsh(
+            ds, threshold, id_col=id_col, vec_col=vec_col
+        )
     all_rows = ds.select_columns([id_col, vec_col]).take_all()
     ids = np.array([r[id_col] for r in all_rows], dtype=np.int64)
     M = _l2norm(np.array([r[vec_col] for r in all_rows], dtype=np.float64))
@@ -140,6 +164,172 @@ def embedding_near_pairs(ds, threshold: float = 0.95,
         batch_size=4096,
         concurrency=(1, 16),
         num_cpus=1,
+    )
+
+
+def _pair_table(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "a_id": pa.array(a, type=pa.int64()),
+            "b_id": pa.array(b, type=pa.int64()),
+            "cosine": pa.array(c, type=pa.float64()),
+        }
+    )
+
+
+@ray.remote
+def _prep_chunk(tbl: pa.Table, id_col: str, vec_col: str):
+    ids = tbl[id_col].to_numpy().astype(np.int64)
+    return ids, _l2norm(_to_matrix(tbl, vec_col))
+
+
+@ray.remote
+def _cross_chunk(chunk_a, chunk_b, thr: float, same: bool) -> pa.Table:
+    ia, Ma = chunk_a
+    ib, Mb = chunk_b
+    sims = Ma @ Mb.T
+    mask = sims >= thr
+    if same:
+        mask &= ia[:, None] < ib[None, :]
+    rows, cols = np.nonzero(mask)
+    a, b, c = ia[rows], ib[cols], sims[rows, cols]
+    if not same:
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b = np.where(swap, a, b)
+        a = a2
+        keep = a != b
+        a, b, c = a[keep], b[keep], c[keep]
+    return _pair_table(a, b, c)
+
+
+def embedding_near_pairs_blockwise(ds, threshold: float = 0.95,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   rows_per_chunk: int = 8192,
+                                   max_chunks: int = 256):
+    """EXACT distributed all-pairs cosine: chunk → normalize once per
+    chunk into the object store → one Ray task per chunk pair. O(n²/K²)
+    memory per task, zero driver materialization (results come back as
+    Arrow block refs feeding ``from_arrow_refs``). The Dataset API has no
+    triangular self-join, hence raw tasks for exactly this exchange."""
+    import math
+
+    import ray.data
+
+    slim = ds.select_columns([id_col, vec_col]).materialize()
+    n = slim.count()
+    if n == 0:
+        return ray.data.from_arrow(_pair_table(
+            np.array([], dtype=np.int64), np.array([], dtype=np.int64),
+            np.array([], dtype=np.float64)))
+    k = max(1, min(max_chunks, math.ceil(n / rows_per_chunk)))
+    parts = slim.repartition(k).to_arrow_refs()
+    chunks = [_prep_chunk.remote(p, id_col, vec_col) for p in parts]
+    out_refs = []
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            out_refs.append(
+                _cross_chunk.remote(chunks[i], chunks[j], threshold, i == j)
+            )
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def _pack_matrix(M: np.ndarray) -> pa.Array:
+    """(n, d) float64 → fixed_size_binary[d*8] column (vectorized; lets
+    vectors cross Arrow hash joins, which reject list columns)."""
+    n, d = M.shape
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(d * 8), n,
+        [None, pa.py_buffer(np.ascontiguousarray(M).tobytes())],
+    )
+
+
+def _unpack_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """fixed_size_binary column → (n, d) float64, zero-copy."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    width = arr.type.byte_width
+    d = width // 8
+    data = np.frombuffer(arr.buffers()[1], dtype=np.float64)
+    start = arr.offset * d
+    return data[start:start + len(arr) * d].reshape(len(arr), d)
+
+
+def embedding_near_pairs_lsh(ds, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_planes: int = 8, n_tables: int = 12,
+                             seed: int = 99,
+                             num_partitions: int | None = None):
+    """Approximate scale path: ``n_tables`` independent random-hyperplane
+    bucketings; candidate pairs are verified (exact cosine) ONLY inside a
+    shared bucket, then deduped across tables with a groupby. Singleton
+    buckets (the vast majority) are dropped by a count-filter semi-join
+    before the per-group verify, so no Python call is paid for them.
+    Vectors ride the shuffle packed as fixed_size_binary (normalized once,
+    up front)."""
+    from ray.data.aggregate import Max
+
+    def pack(batch: pa.Table) -> pa.Table:
+        M = _l2norm(_to_matrix(batch, vec_col))
+        return pa.table(
+            {id_col: batch[id_col], "vecbin": _pack_matrix(M)}
+        )
+
+    packed = ds.select_columns([id_col, vec_col]).map_batches(
+        pack, batch_format="pyarrow"
+    ).materialize()
+
+    planes_by_table = {}
+
+    def bucket_all(batch: pa.Table) -> pa.Table:
+        M = _unpack_matrix(batch["vecbin"])
+        if not planes_by_table:
+            for t in range(n_tables):
+                rng = np.random.default_rng(seed * 1000 + t)
+                planes_by_table[t] = rng.standard_normal(
+                    (M.shape[1], n_planes)
+                )
+        parts = []
+        for t in range(n_tables):
+            signs = (M @ planes_by_table[t]) > 0
+            bits = (signs.astype(np.int64) <<
+                    np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            parts.append(pa.table(
+                {
+                    "bucket": pa.array(bits * n_tables + t, type=pa.int64()),
+                    id_col: batch[id_col],
+                    "vecbin": batch["vecbin"],
+                }
+            ))
+        return pa.concat_tables(parts)
+
+    tagged = packed.map_batches(bucket_all, batch_format="pyarrow").materialize()
+    n_parts = num_partitions or max(2, min(64, tagged.num_blocks()))
+
+    counts = tagged.groupby("bucket").count()
+
+    def strip(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.greater_equal(batch["count()"], pa.scalar(2))
+        return batch.filter(mask).select(["bucket"])
+
+    hot = counts.map_batches(strip, batch_format="pyarrow")
+    cands = tagged.join(hot, join_type="inner", num_partitions=n_parts,
+                        on=("bucket",))
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy().astype(np.int64)
+        M = _unpack_matrix(group["vecbin"])  # already normalized
+        sims = M @ M.T
+        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        rows, cols = np.nonzero(mask)
+        return _pair_table(ids[rows], ids[cols], sims[rows, cols])
+
+    pairs = cands.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    return pairs.groupby(["a_id", "b_id"]).aggregate(
+        Max("cosine", alias_name="cosine")
     )
 
 

@@ -67,16 +67,20 @@ def connected_components_driver(pairs_ds) -> dict[str, str]:
     return uf.components()
 
 
-def connected_components_distributed(pairs_ds, max_rounds: int = 50):
+def connected_components_distributed(pairs_ds, max_rounds: int = 50,
+                                      num_partitions: int | None = None):
     """Distributed min-label propagation; returns a Dataset
-    (row_key, component) for every node that appears in an edge.
+    (node, label) for every node that appears in an edge.
 
     Each round: label(node) = min(label(node), min over neighbors'
-    labels); implemented as edge re-labeling + groupby-min. Terminates when
-    a round changes nothing (checked via an aggregate, not a collect).
+    labels); the neighbor-label lookup is a distributed ``Dataset.join``
+    of the edge list against the current labels, the reduction a
+    ``groupby(node).min``, and convergence a ``sum`` aggregate over a
+    changed-flag column — nothing ever lands on the driver. Converges in
+    O(component diameter) rounds; near-dup clusters are shallow
+    (diameter rarely > 3) and each round shuffles only the edge set.
     """
-    import ray.data
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Min, Sum
 
     # edges both directions: (node, peer)
     def both_dirs(batch):
@@ -96,6 +100,7 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 50):
     edges = pairs_ds.select_columns(["a_key", "b_key"]).map_batches(
         both_dirs, batch_format="pyarrow"
     ).materialize()
+    n_parts = num_partitions or max(2, min(64, edges.num_blocks()))
 
     # label(node) = min(node, min(peer)) initially
     labels = edges.groupby("node").aggregate(Min("peer", alias_name="label"))
@@ -111,27 +116,44 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 50):
 
     labels = labels.map_batches(clamp, batch_format="pyarrow").materialize()
 
+    def as_peer_label(batch):
+        import pyarrow as pa
+
+        return pa.table({"peer": batch["node"], "peer_label": batch["label"]})
+
     for _ in range(max_rounds):
-        # propagate: join labels onto edges via pandas merge per bucket is
-        # overkill here — edge set is small relative to input; use a
-        # driver-side merge via pandas for the label join, keeping the
-        # groupby distributed. (Scale note: swap for Dataset.join when the
-        # edge list itself outgrows the driver.)
-        lab_df = labels.to_pandas()
-        edge_df = edges.to_pandas()
-        merged = edge_df.merge(
-            lab_df.rename(columns={"node": "peer", "label": "peer_label"}),
-            on="peer", how="left",
+        peer_labels = labels.map_batches(as_peer_label, batch_format="pyarrow")
+        cand = (
+            edges.join(peer_labels, join_type="inner",
+                       num_partitions=n_parts, on=("peer",))
+            .groupby("node")
+            .aggregate(Min("peer_label", alias_name="cand"))
         )
-        cand = merged.groupby("node")["peer_label"].min().reset_index()
-        new = lab_df.merge(cand, on="node", how="left")
-        new["new_label"] = new[["label", "peer_label"]].min(axis=1)
-        changed = int((new["new_label"] != new["label"]).sum())
-        new_labels = new[["node", "new_label"]].rename(columns={"new_label": "label"})
-        labels = ray.data.from_pandas(new_labels)
+        merged = labels.join(cand, join_type="left_outer",
+                             num_partitions=n_parts, on=("node",))
+
+        def relabel(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            new_label = pc.min_element_wise(
+                batch["label"],
+                pc.coalesce(batch["cand"], batch["label"]),
+            )
+            changed = pc.cast(
+                pc.not_equal(new_label, batch["label"]), pa.int64()
+            )
+            return pa.table(
+                {"node": batch["node"], "label": new_label, "changed": changed}
+            )
+
+        new_labels = merged.map_batches(
+            relabel, batch_format="pyarrow"
+        ).materialize()
+        changed = new_labels.aggregate(Sum("changed", alias_name="n"))["n"] or 0
+        labels = new_labels.drop_columns(["changed"])
         if changed == 0:
             break
-        labels = labels.materialize()
     return labels
 
 

@@ -70,6 +70,73 @@ def test_near_pairs_match_numpy(emb_ds, emb_np):
     assert got == expected
 
 
+def test_blockwise_matches_broadcast(emb_ds):
+    """The exact distributed path must be bit-identical to broadcast."""
+    from raydedup.stages.embeddings import embedding_near_pairs_blockwise
+
+    thr = 0.3  # low enough for nonempty pairs on synthetic embeddings
+    brd = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in embedding_near_pairs(
+            emb_ds, threshold=thr, method="broadcast").take_all()
+    }
+    blk = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in embedding_near_pairs_blockwise(
+            emb_ds, threshold=thr, rows_per_chunk=64).take_all()
+    }
+    assert len(brd) > 0
+    # same pair set; cosines agree to the last few ulps (BLAS blocking
+    # differs with matrix shape, so bitwise equality is not guaranteed)
+    assert set(blk) == set(brd)
+    for k, v in brd.items():
+        assert blk[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_lsh_recall_on_planted_pairs():
+    """Planted near-dup pairs (cosine >= 0.95) must be recovered by the
+    LSH path with recall >= 0.99 at the default (b=8, T=12) config."""
+    from raydedup.stages.embeddings import (
+        embedding_near_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_groups = 32, 120
+    vecs, ids = [], []
+    vid = 0
+    for g in range(n_groups):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(2):  # two members per planted group
+            noisy = base + rng.standard_normal(dim) * 0.02
+            vecs.append(noisy.tolist())
+            ids.append(vid)
+            vid += 1
+    for _ in range(200):  # background noise vectors
+        vecs.append(rng.standard_normal(dim).tolist())
+        ids.append(vid)
+        vid += 1
+    import pandas as pd
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": vecs})
+    )
+    thr = 0.95
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_pairs(
+            ds, threshold=thr, method="broadcast").take_all()
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_pairs_lsh(ds, threshold=thr).take_all()
+    }
+    assert len(truth) >= 100
+    assert not (got - truth)  # verify step is exact: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.99
+
+
 def test_rp_bucket_deterministic(emb_ds):
     b1 = {r["vec_id"]: r["bucket"] for r in rp_bucket(emb_ds).take_all()}
     b2 = {r["vec_id"]: r["bucket"] for r in rp_bucket(emb_ds).take_all()}
