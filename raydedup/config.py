@@ -71,12 +71,16 @@ class DedupConfig:
     # --- LSH banding: bands * rows == num_perms ---
     lsh_bands: int = 16
     lsh_rows: int = 4
-    # hot-bucket handling: buckets larger than this are salted into
-    # sub-buckets; buckets still larger than pair_cap after salting get
-    # their pair generation capped (documented lossy guard for 100TB runs;
-    # planted-family tests keep it un-hit).
+    # hot-bucket handling: a bucket whose member count exceeds this is
+    # SALTED into s = ceil(n / limit) classes and every (i, j) salt-pair
+    # becomes its own bounded group — exact coverage, no recall loss
+    # (stages/lsh.py module docstring). pair_cap only bounds the
+    # simhash-near pigeonhole stage (stages/simhash_near.py).
     lsh_bucket_salt_above: int = 256
     lsh_bucket_pair_cap: int = 100_000
+    # lsh_verified_pairs auto path pick: driver ref-shuffle at or below
+    # this many representatives, co-partitioned Dataset path above
+    lsh_driver_max_rows: int = 5_000_000
 
     # --- Duplicate decision thresholds ---
     jaccard_dup_threshold: float = 0.8   # verified shingle-set Jaccard ≥ t ⇒ dup pair

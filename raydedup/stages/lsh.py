@@ -6,32 +6,42 @@ finds colliding buckets and verifies exact shingle-hash Jaccard inside
 them — pairs leave verified, no second shuffle or join.
 
 Two interchangeable execution paths (equal output — asserted by
-tests/test_pipeline.py::test_lsh_copartition_path_matches_driver_path):
+tests/test_pipeline.py::test_lsh_copartition_path_matches_driver_path);
+``lsh_verified_pairs`` picks one by input size unless forced:
 
-DEFAULT (``_driver_pair_verify``) — a hand-rolled ref-based shuffle tuned
-for minimal serial time: bundled map tasks emit per-partition
-(bucket, key_hash) numpy arrays as separate ObjectRefs; per-partition
-reducers run vectorized run-length pair generation; candidate pairs are
-deduped with lexsort+diff and verified (exact shingle-hash Jaccard) by
-parallel tasks reading zero-copy numpy block stores through a global
-searchsorted index. Pair dedup via a global unique replaces the classic
-first-colliding-band rule. The driver only routes refs and merges the
-final small pair arrays.
+DRIVER (small/medium inputs) — a hand-rolled ref-based shuffle tuned for
+minimal serial time: bundled map tasks emit per-partition
+(bucket, row_id) numpy arrays as separate ObjectRefs; per-partition
+reducers run vectorized run-length pair generation (tiled for hot runs —
+full coverage, bounded memory); candidate pairs are deduped with
+lexsort+diff and verified (exact shingle-hash Jaccard) by parallel tasks
+reading zero-copy numpy block stores. Row identity is a composite
+(bundle << 40 | row) id — collision-FREE by construction at any scale
+(the earlier 63-bit key hashes had certain birthday collisions above
+~2^31 rows). The driver only routes refs and merges the final small pair
+arrays.
 
-SCALE (``copartition_verify=True``) — pure Dataset ops for corpora whose
+SCALE (``copartition_verify=True``, the default above
+``cfg.lsh_driver_max_rows``) — pure Dataset ops for corpora whose
 exploded bucket membership outgrows one machine: a skinny light explode
-through a native count aggregate finds >= 2-member buckets (naive
+through a count aggregate finds >= 2-member buckets (naive
 ``groupby().map_groups`` would pay a Python call per singleton bucket —
 millions of calls producing nothing); a heavy explode re-emits payloads
 for surviving buckets only; a groupby co-locates buckets and an in-bucket
 verify applies the first-colliding-band rule so each pair is verified
 once.
 
-Skew handling (SURVEY §7.5): exact duplicates were collapsed before this
-stage, so a bucket's size is the number of DISTINCT near-identical texts.
-Buckets larger than ``cfg.lsh_bucket_salt_above`` fall back to
-sorted-window pairing and per-bucket pair caps (documented lossy guards;
-never triggered by the planted-family corpora).
+Skew handling (SURVEY §7.5): REAL salting, exact coverage. Exact
+duplicates were collapsed before this stage, so a bucket's size is the
+number of DISTINCT near-identical texts. A bucket whose global count
+exceeds ``cfg.lsh_bucket_salt_above`` is split into s = ceil(n / limit)
+salt classes at heavy-explode time; each member is re-emitted to every
+(salt_i, salt_j) pair-group (s copies), so the groupby distributes the
+bucket across s*(s+1)/2 bounded-size tasks and EVERY cross pair is still
+verified exactly once — no window, no pair cap, no recall loss (asserted
+by a planted-hot-bucket recall test). Total work stays O(n^2) per hot
+bucket — inherent to pair-level semantics — but per-task memory and the
+prior-band matrix are bounded by ~2*limit rows.
 
 Rows with zero shingles (empty/stopword-only text) are excluded: they have
 no shingle-set semantics to be "near" anything.
@@ -58,6 +68,13 @@ _PAIR_SCHEMA = pa.schema(
 
 # odd 64-bit mixing constant: fused bucket key = band_hash ^ (band_id * MIX)
 _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+# composite row id: (bundle index << _ID_BITS) | row index within bundle
+_ID_BITS = 40
+_ID_MASK = (1 << _ID_BITS) - 1
+
+# salt pair-group encoding: sgrp = salt_i * _MAXS + salt_j (salt_i <= salt_j)
+_MAXS = 1 << 15
 
 
 def _unique_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -108,14 +125,22 @@ def light_explode(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
 
 def heavy_explode(batch: pa.Table, cfg: DedupConfig,
-                  surviving: set[int]) -> pa.Table:
-    """rows → bucket rows (with payloads) for SURVIVING buckets only."""
+                  surviving: np.ndarray,
+                  hot_sizes: dict[int, int]) -> pa.Table:
+    """rows → bucket rows (with payloads) for SURVIVING buckets only.
+
+    ``surviving`` is a SORTED int64 array of >= 2-member bucket keys;
+    ``hot_sizes`` maps bucket → global member count for buckets above the
+    salt limit. Hot-bucket members are replicated into every
+    (salt_i, salt_j) pair-group (see module docstring)."""
     batch = batch.filter(pc.greater(batch["n_shingles"], 0))
     n = batch.num_rows
     b = cfg.lsh_bands
     empty = pa.table(
         {
             "bucket": pa.array([], type=pa.int64()),
+            "sgrp": pa.array([], type=pa.int64()),
+            "salt": pa.array([], type=pa.int32()),
             "band_id": pa.array([], type=pa.int32()),
             "row_key": pa.array([], type=pa.string()),
             "band_hashes": pa.array([], type=pa.list_(pa.uint64())),
@@ -126,20 +151,56 @@ def heavy_explode(batch: pa.Table, cfg: DedupConfig,
         return empty
     bh = _bands_matrix(batch, b)
     fused = _fused_buckets(bh, b)
-    # vectorized membership: surviving sets are small → np.isin on the
-    # sorted surviving array beats n*b Python set lookups
-    surv_arr = np.fromiter(surviving, dtype=np.int64, count=len(surviving))
-    mask = np.isin(fused, surv_arr)
+    # vectorized membership against the broadcast sorted survivors array
+    mask = np.isin(fused, surviving)
     rows_out, bands_out = np.nonzero(mask)
     if rows_out.size == 0:
         return empty
+    buckets = fused[rows_out, bands_out]
+
+    sgrp = np.zeros(rows_out.size, dtype=np.int64)
+    salt = np.zeros(rows_out.size, dtype=np.int32)
+    if hot_sizes:
+        limit = cfg.lsh_bucket_salt_above
+        hot_here = np.isin(buckets, np.fromiter(
+            hot_sizes, dtype=np.int64, count=len(hot_sizes)))
+        if hot_here.any():
+            cold_idx = np.nonzero(~hot_here)[0]
+            parts_r = [rows_out[cold_idx]]
+            parts_b = [bands_out[cold_idx]]
+            parts_bk = [buckets[cold_idx]]
+            parts_sg = [sgrp[cold_idx]]
+            parts_sa = [salt[cold_idx]]
+            hot_idx = np.nonzero(hot_here)[0]
+            for hb in np.unique(buckets[hot_idx]):
+                p = hot_idx[buckets[hot_idx] == hb]
+                s = -(-hot_sizes[int(hb)] // limit)  # ceil
+                salts_local = (np.arange(p.size) % s).astype(np.int32)
+                reps = np.repeat(p, s)
+                k = np.repeat(salts_local, s)
+                j = np.tile(np.arange(s, dtype=np.int32), p.size)
+                lo = np.minimum(k, j).astype(np.int64)
+                hi = np.maximum(k, j).astype(np.int64)
+                parts_r.append(rows_out[reps])
+                parts_b.append(bands_out[reps])
+                parts_bk.append(buckets[reps])
+                parts_sg.append(lo * _MAXS + hi)
+                parts_sa.append(k)
+            rows_out = np.concatenate(parts_r)
+            bands_out = np.concatenate(parts_b)
+            buckets = np.concatenate(parts_bk)
+            sgrp = np.concatenate(parts_sg)
+            salt = np.concatenate(parts_sa)
+
     idx = pa.array(rows_out)
     bh_list = pa.FixedSizeListArray.from_arrays(
         pa.array(bh.reshape(-1), type=pa.uint64()), b
     )
     return pa.table(
         {
-            "bucket": pa.array(fused[rows_out, bands_out]),
+            "bucket": pa.array(buckets),
+            "sgrp": pa.array(sgrp),
+            "salt": pa.array(salt),
             "band_id": pa.array(bands_out.astype(np.int32)),
             "row_key": pc.take(batch["row_key"], idx),
             "band_hashes": pc.take(bh_list, idx),
@@ -157,7 +218,13 @@ def _exact_jaccard(x: np.ndarray, y: np.ndarray) -> float:
 
 
 class BucketVerify:
-    """map_groups body over surviving buckets → verified pairs."""
+    """map_groups body over surviving (bucket, sgrp) groups → verified
+    pairs. Within-salt groups (i == j) pair all members; cross-salt groups
+    pair only across the two salt classes — together this covers every
+    in-bucket pair exactly once. The first-colliding-band rule (skip pairs
+    already sharing an earlier band) dedups across bands; it is checked
+    VECTORIZED over the candidate pair arrays, never as an O(m^2 * b)
+    broadcast."""
 
     def __init__(self, cfg: DedupConfig, min_jaccard: float | None = None):
         self.cfg = cfg
@@ -171,54 +238,48 @@ class BucketVerify:
             return _PAIR_SCHEMA.empty_table()
         cfg = self.cfg
         band_j = group["band_id"][0].as_py()
+        sgrp = group["sgrp"][0].as_py()
+        si, sj = sgrp // _MAXS, sgrp % _MAXS
         keys = group["row_key"].to_pylist()
         bh = (
             group["band_hashes"].combine_chunks().flatten()
             .to_numpy(zero_copy_only=False).reshape(m, cfg.lsh_bands)
         )
         shingle_col = group["shingle_hashes"].combine_chunks()
+
+        if si == sj:
+            pi, pj = np.triu_indices(m, k=1)
+        else:
+            salts = group["salt"].to_numpy()
+            a_idx = np.nonzero(salts == si)[0]
+            b_idx = np.nonzero(salts == sj)[0]
+            pi = np.repeat(a_idx, b_idx.size)
+            pj = np.tile(b_idx, a_idx.size)
+        if pi.size == 0:
+            return _PAIR_SCHEMA.empty_table()
+        if band_j > 0:
+            # first-colliding-band rule, vectorized over the pair arrays
+            prior = bh[:, :band_j]
+            fresh = ~(prior[pi] == prior[pj]).any(axis=1)
+            pi, pj = pi[fresh], pj[fresh]
+
         shingles = [
             shingle_col[i].values.to_numpy(zero_copy_only=False)
             for i in range(m)
         ]
-
-        order = np.arange(m)
-        window = m
-        if m > cfg.lsh_bucket_salt_above:
-            # hot bucket: sort rows by their band-hash vector and only pair
-            # within a sliding window — documented lossy fallback
-            order = np.lexsort(bh.T[::-1])
-            window = cfg.lsh_bucket_salt_above
-
-        prior_eq = None
-        if band_j > 0:
-            prior = bh[order][:, :band_j]
-            prior_eq = (prior[:, None, :] == prior[None, :, :]).any(axis=2)
-
         a_out: list[str] = []
         b_out: list[str] = []
         j_out: list[float] = []
-        cap = cfg.lsh_bucket_pair_cap
-        emitted = 0
         thr = self.min_jaccard
-        for ii in range(m):
-            hi = min(ii + window, m)
-            for jj in range(ii + 1, hi):
-                if prior_eq is not None and prior_eq[ii, jj]:
-                    continue
-                jac = _exact_jaccard(shingles[order[ii]], shingles[order[jj]])
-                if jac >= thr:
-                    ka, kb = keys[order[ii]], keys[order[jj]]
-                    if kb < ka:
-                        ka, kb = kb, ka
-                    a_out.append(ka)
-                    b_out.append(kb)
-                    j_out.append(jac)
-                emitted += 1
-                if emitted >= cap:
-                    break
-            if emitted >= cap:
-                break
+        for ii, jj in zip(pi, pj):
+            jac = _exact_jaccard(shingles[ii], shingles[jj])
+            if jac >= thr:
+                ka, kb = keys[ii], keys[jj]
+                if kb < ka:
+                    ka, kb = kb, ka
+                a_out.append(ka)
+                b_out.append(kb)
+                j_out.append(jac)
         return pa.table(
             {
                 "a_key": pa.array(a_out, type=pa.string()),
@@ -228,59 +289,17 @@ class BucketVerify:
         )
 
 
-@ray.remote(num_cpus=1)
-def _gen_pairs_task(b_arr: np.ndarray, h_arr: np.ndarray,
-                    cap_members: int) -> tuple[np.ndarray, np.ndarray]:
-    """Run-length candidate pair generation over one bucket partition:
-    sort by (bucket, hash), find >=2-member runs, emit canonical (lo, hi)
-    hash pairs with the hot-bucket member cap applied."""
-    order = np.lexsort((h_arr, b_arr))
-    sb, sh = b_arr[order], h_arr[order]
-    starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
-    lens = np.diff(np.r_[starts, sb.size])
-    pa_l, pb_l = [], []
-    for L in np.unique(lens):
-        if L < 2:
-            continue
-        run_starts = starts[lens == L]
-        eff = min(int(L), cap_members)  # hot-bucket cap (documented lossy)
-        M = sh[run_starts[:, None] + np.arange(eff)[None, :]]
-        iu, ju = np.triu_indices(eff, k=1)
-        pa_l.append(M[:, iu].ravel())
-        pb_l.append(M[:, ju].ravel())
-    if not pa_l:
-        e = np.empty(0, dtype=np.int64)
-        return e, e
-    a = np.concatenate(pa_l)
-    b = np.concatenate(pb_l)
-    lo = np.minimum(a, b)
-    hi = np.maximum(a, b)
-    return _unique_pairs(lo, hi)
-
-
-def _key_hash_batch(keys_arr: pa.Array) -> np.ndarray:
-    """Vectorized-ish 63-bit key hashes (blake2b low bits, sign cleared)."""
-    import hashlib
-
-    out = np.empty(len(keys_arr), dtype=np.int64)
-    for i, k in enumerate(keys_arr.to_pylist()):
-        h = int.from_bytes(
-            hashlib.blake2b(k.encode(), digest_size=8).digest(), "big"
-        )
-        out[i] = h >> 1
-    return out
-
-
 _N_PARTS = 32
 
 
-@ray.remote(num_cpus=1, num_returns=_N_PARTS + 5)
-def _light_part_task(bands: int, *tbls: pa.Table):
+@ray.remote(num_cpus=1, num_returns=_N_PARTS + 4)
+def _light_part_task(bundle_idx: int, bands: int, *tbls: pa.Table):
     """A bundle of signature blocks → _N_PARTS per-partition
-    (bucket, key_hash) stacked arrays (each an (2, m) int64) followed by
-    the bundle's store columns (key hashes, shingle flat values/offsets,
-    key bytes/offsets). Separate returns → reducers address exactly their
-    partition's ref; everything numpy → zero-copy."""
+    (bucket, row_id) stacked arrays (each a (2, m) int64) followed by the
+    bundle's store columns (shingle flat values/offsets, key
+    bytes/offsets). Row ids are composite (bundle << 40 | row) —
+    globally unique, zero collisions. Separate returns → reducers address
+    exactly their partition's ref; everything numpy → zero-copy."""
     tbl = pa.concat_tables(tbls).combine_chunks()
     tbl = tbl.filter(pc.greater(tbl["n_shingles"], 0))
     n = tbl.num_rows
@@ -289,13 +308,12 @@ def _light_part_task(bands: int, *tbls: pa.Table):
         eu = np.empty(0, dtype=np.uint64)
         e8 = np.empty(0, dtype=np.uint8)
         return tuple([e2] * _N_PARTS) + (
-            np.empty(0, np.int64), eu, np.zeros(1, np.int64),
-            e8, np.zeros(1, np.int64),
+            eu, np.zeros(1, np.int64), e8, np.zeros(1, np.int64),
         )
     fused = _fused_buckets(_bands_matrix(tbl, bands), bands)
-    kh = _key_hash_batch(tbl["row_key"].combine_chunks())
+    ids = (np.int64(bundle_idx) << _ID_BITS) | np.arange(n, dtype=np.int64)
     flat_b = fused.reshape(-1)
-    flat_h = np.repeat(kh, bands)
+    flat_h = np.repeat(ids, bands)
     part = flat_b & (_N_PARTS - 1)
     order = np.argsort(part, kind="stable")
     sorted_part = part[order]
@@ -312,11 +330,43 @@ def _light_part_task(bands: int, *tbls: pa.Table):
     key_offsets = np.zeros(len(key_enc) + 1, dtype=np.int64)
     np.cumsum([len(e) for e in key_enc], out=key_offsets[1:])
     key_bytes = np.frombuffer(b"".join(key_enc), dtype=np.uint8)
-    return parts + (kh, sh_values, sh_offsets, key_bytes, key_offsets)
+    return parts + (sh_values, sh_offsets, key_bytes, key_offsets)
+
+
+_PAIR_TILE = 4096
+
+
+def _emit_run_pairs(sh: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                    out_a: list, out_b: list) -> None:
+    """All unordered pairs within each >= 2-member run of the sorted
+    (bucket, id) arrays. Runs up to _PAIR_TILE are batched per length
+    (vectorized triu); longer (hot) runs are emitted in (i-tile, j-tile)
+    blocks — full coverage, bounded memory, NO pair cap."""
+    for L in np.unique(lens):
+        if L < 2:
+            continue
+        run_starts = starts[lens == L]
+        if L <= _PAIR_TILE:
+            M = sh[run_starts[:, None] + np.arange(int(L))[None, :]]
+            iu, ju = np.triu_indices(int(L), k=1)
+            out_a.append(M[:, iu].ravel())
+            out_b.append(M[:, ju].ravel())
+            continue
+        for st in run_starts:
+            row = sh[st: st + int(L)]
+            for i0 in range(0, int(L), _PAIR_TILE):
+                a_blk = row[i0: i0 + _PAIR_TILE]
+                iu, ju = np.triu_indices(a_blk.size, k=1)
+                out_a.append(a_blk[iu])
+                out_b.append(a_blk[ju])
+                for j0 in range(i0 + _PAIR_TILE, int(L), _PAIR_TILE):
+                    b_blk = row[j0: j0 + _PAIR_TILE]
+                    out_a.append(np.repeat(a_blk, b_blk.size))
+                    out_b.append(np.tile(b_blk, a_blk.size))
 
 
 @ray.remote(num_cpus=1)
-def _pairgen_reducer(cap_members: int, *parts):
+def _pairgen_reducer(*parts):
     """Reducer for one bucket partition: concat the mappers' stacked
     (2, m) arrays and run run-length pair generation."""
     b_arr = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
@@ -328,16 +378,9 @@ def _pairgen_reducer(cap_members: int, *parts):
     sb, sh = b_arr[order], h_arr[order]
     starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
     lens = np.diff(np.r_[starts, sb.size])
-    pa_l, pb_l = [], []
-    for L in np.unique(lens):
-        if L < 2:
-            continue
-        run_starts = starts[lens == L]
-        eff = min(int(L), cap_members)  # hot-bucket cap (documented lossy)
-        M = sh[run_starts[:, None] + np.arange(eff)[None, :]]
-        iu, ju = np.triu_indices(eff, k=1)
-        pa_l.append(M[:, iu].ravel())
-        pb_l.append(M[:, ju].ravel())
+    pa_l: list = []
+    pb_l: list = []
+    _emit_run_pairs(sh, starts, lens, pa_l, pb_l)
     if not pa_l:
         e = np.empty(0, dtype=np.int64)
         return e, e
@@ -350,19 +393,18 @@ def _pairgen_reducer(cap_members: int, *parts):
 
 @ray.remote(num_cpus=1)
 def _verify_task(pair_a: np.ndarray, pair_b: np.ndarray, min_jaccard: float,
-                 index, blocks):
-    """Verify a slice of candidate pairs. ``index`` = (kh_sorted,
-    block_of, row_of) global hash index; ``blocks`` = list of per-block
-    store tuples. Everything arrives zero-copy."""
-    kh_sorted, block_of, row_of = index
-    ia = np.searchsorted(kh_sorted, pair_a)
-    ib = np.searchsorted(kh_sorted, pair_b)
+                 blocks):
+    """Verify a slice of candidate pairs. Composite ids resolve directly
+    to (bundle, row) — no hash index, no collisions. ``blocks`` = list of
+    per-bundle store tuples; everything arrives zero-copy."""
+    ba = (pair_a >> _ID_BITS).astype(np.int64)
+    ra = (pair_a & _ID_MASK).astype(np.int64)
+    bb = (pair_b >> _ID_BITS).astype(np.int64)
+    rb = (pair_b & _ID_MASK).astype(np.int64)
     a_out, b_out, j_out = [], [], []
-    for x, y in zip(ia, ib):
-        bx, rx = block_of[x], row_of[x]
-        by, ry = block_of[y], row_of[y]
-        _, _, shv_x, sho_x, kb_x, ko_x = blocks[bx]
-        _, _, shv_y, sho_y, kb_y, ko_y = blocks[by]
+    for bx, rx, by, ry in zip(ba, ra, bb, rb):
+        shv_x, sho_x, kb_x, ko_x = blocks[bx]
+        shv_y, sho_y, kb_y, ko_y = blocks[by]
         xa = shv_x[sho_x[rx]: sho_x[rx + 1]]
         xb = shv_y[sho_y[ry]: sho_y[ry + 1]]
         inter = np.intersect1d(xa, xb, assume_unique=True).size
@@ -392,8 +434,8 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
     numpy blocks; the driver only routes ObjectRefs and merges the final
     (small) pair arrays. This keeps the serial fraction near zero, which
     is what the two-cluster-size scaling criterion actually measures.
-    (The co-partitioned Dataset groupby path remains for corpora whose
-    exploded bucket membership outgrows single-machine memory.)"""
+    (The co-partitioned Dataset groupby path is the default for corpora
+    whose exploded bucket membership outgrows single-machine memory.)"""
     import ray.data as rd
 
     block_refs = rep_sigs_ds.materialize().to_arrow_refs()
@@ -402,18 +444,13 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
     per = -(-len(block_refs) // n_bundles)
     bundles = [block_refs[o: o + per] for o in range(0, len(block_refs), per)]
     map_futs = [
-        _light_part_task.remote(cfg.lsh_bands, *bundle)
-        for bundle in bundles
+        _light_part_task.remote(i, cfg.lsh_bands, *bundle)
+        for i, bundle in enumerate(bundles)
     ]
-    # per-bundle refs: [part_0 .. part_{P-1}, kh, shv, sho, kb, ko]
-    kh_refs = [f[_N_PARTS] for f in map_futs]
 
     # reducers get only their own partition's refs — no routing tasks
     red_futs = [
-        _pairgen_reducer.remote(
-            cfg.lsh_bucket_salt_above,
-            *[f[p] for f in map_futs],
-        )
+        _pairgen_reducer.remote(*[f[p] for f in map_futs])
         for p in range(_N_PARTS)
     ]
     results = ray.get(red_futs)
@@ -423,28 +460,13 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
     a = np.concatenate([r[0] for r in results])
     b = np.concatenate([r[1] for r in results])
     pair_a, pair_b = _unique_pairs(a, b)
-    keep = pair_a != pair_b  # same row in one bucket via two bands
-    pair_a, pair_b = pair_a[keep], pair_b[keep]
     if pair_a.size == 0:
         return rd.from_arrow(_PAIR_SCHEMA.empty_table())
 
-    # tiny global hash index: block kh arrays are small (8B/row)
-    kh_parts = ray.get(kh_refs)
-    kh_all = np.concatenate(kh_parts)
-    block_of_all = np.concatenate(
-        [np.full(len(k), i, dtype=np.int32) for i, k in enumerate(kh_parts)]
-    )
-    row_of_all = np.concatenate(
-        [np.arange(len(k), dtype=np.int64) for k in kh_parts]
-    )
-    order = np.argsort(kh_all)
-    index_ref = ray.put(
-        (kh_all[order], block_of_all[order], row_of_all[order])
-    )
     # per-bundle store tuples gathered into one broadcastable list
     block_tuples = [
         _pack_block.remote(f[_N_PARTS], f[_N_PARTS + 1], f[_N_PARTS + 2],
-                           f[_N_PARTS + 3], f[_N_PARTS + 4])
+                           f[_N_PARTS + 3])
         for f in map_futs
     ]
     blocks_list_ref = _gather_blocks.remote(*block_tuples)
@@ -454,7 +476,7 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
     step = -(-n_pairs // n_chunks)
     ver_futs = [
         _verify_task.remote(pair_a[o: o + step], pair_b[o: o + step],
-                            min_jaccard, index_ref, blocks_list_ref)
+                            min_jaccard, blocks_list_ref)
         for o in range(0, n_pairs, step)
     ]
     tables = ray.get(ver_futs)
@@ -463,8 +485,8 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
 
 
 @ray.remote(num_cpus=0.5)
-def _pack_block(kh, shv, sho, kb, ko):
-    return (kh, None, shv, sho, kb, ko)
+def _pack_block(shv, sho, kb, ko):
+    return (shv, sho, kb, ko)
 
 
 @ray.remote(num_cpus=0.5)
@@ -474,16 +496,26 @@ def _gather_blocks(*blocks):
 
 def lsh_verified_pairs(rep_sigs_ds, cfg: DedupConfig,
                        min_jaccard: float | None = None,
-                       distributed_counts: bool = False,
-                       copartition_verify: bool = False):
+                       distributed_counts: bool | None = None,
+                       copartition_verify: bool | None = None):
     """representatives' signatures → verified near-dup pairs
     (a_key < b_key, exact shingle Jaccard >= threshold). Each true pair is
-    emitted exactly once."""
+    emitted exactly once.
+
+    Path selection (``copartition_verify=None``): the driver-routed
+    ref-shuffle below ``cfg.lsh_driver_max_rows`` representatives (lowest
+    serial overhead), the co-partitioned Dataset path above it — so the
+    pipeline that runs by default at scale IS the scale pipeline."""
     thr = cfg.jaccard_dup_threshold if min_jaccard is None else min_jaccard
+    rep_sigs_ds = rep_sigs_ds.materialize()
+    if copartition_verify is None:
+        copartition_verify = rep_sigs_ds.count() > cfg.lsh_driver_max_rows
+        if distributed_counts is None:
+            distributed_counts = copartition_verify
+    if distributed_counts is None:
+        distributed_counts = False
     if not copartition_verify:
         return _driver_pair_verify(rep_sigs_ds, cfg, thr)
-
-    rep_sigs_ds = rep_sigs_ds.materialize()
 
     # materialized once: the skinny (bucket, row_key) explode is consumed
     # twice (count pass + surviving-membership collect)
@@ -491,15 +523,24 @@ def lsh_verified_pairs(rep_sigs_ds, cfg: DedupConfig,
         lambda t: light_explode(t, cfg),
         batch_format="pyarrow", batch_size=cfg.batch_size,
     ).materialize()
+    salt_limit = cfg.lsh_bucket_salt_above
+    hot_sizes: dict[int, int] = {}
     if distributed_counts:
         # 10^12-row path: bucket cardinality outgrows the driver → native
         # grouped count (sort shuffle), stream the survivors back
         counts = light.groupby("bucket").aggregate(Count(alias_name="n"))
-        surviving: set[int] = set()
+        surv_parts: list[np.ndarray] = []
         for b in counts.filter(expr="n >= 2").iter_batches(
             batch_size=65536, batch_format="pyarrow"
         ):
-            surviving.update(b["bucket"].to_pylist())
+            bk = b["bucket"].to_numpy()
+            nn = b["n"].to_numpy()
+            surv_parts.append(bk)
+            hot = nn > salt_limit
+            if hot.any():
+                hot_sizes.update(zip(bk[hot].tolist(), nn[hot].tolist()))
+        surviving = (np.sort(np.concatenate(surv_parts))
+                     if surv_parts else np.empty(0, np.int64))
     else:
         # partial per-batch counts + one numpy merge on the driver: for
         # collection sizes whose bucket keys fit memory this is ~10x
@@ -522,18 +563,24 @@ def lsh_verified_pairs(rep_sigs_ds, cfg: DedupConfig,
             all_c = np.concatenate(count_arrs)
             u, inv = np.unique(all_b, return_inverse=True)
             totals = np.bincount(inv, weights=all_c)
-            surviving = set(u[totals >= 2].tolist())
+            keep = totals >= 2
+            surviving = np.sort(u[keep])
+            hot = totals > salt_limit
+            hot_sizes = dict(zip(
+                u[hot].tolist(), totals[hot].astype(np.int64).tolist()
+            ))
         else:
-            surviving = set()
-    if not surviving:
+            surviving = np.empty(0, np.int64)
+    if surviving.size == 0:
         import ray.data as rd
 
         return rd.from_arrow(_PAIR_SCHEMA.empty_table())
 
-    surv_ref = ray.put(surviving)
+    surv_ref = ray.put((surviving, hot_sizes))
 
     def heavy(batch: pa.Table) -> pa.Table:
-        return heavy_explode(batch, cfg, ray.get(surv_ref))
+        surv, hot = ray.get(surv_ref)
+        return heavy_explode(batch, cfg, surv, hot)
 
     exploded = rep_sigs_ds.map_batches(
         heavy, batch_format="pyarrow", batch_size=cfg.batch_size
@@ -543,6 +590,6 @@ def lsh_verified_pairs(rep_sigs_ds, cfg: DedupConfig,
     def verify_bucket(group: pa.Table) -> pa.Table:
         return bv(group)
 
-    return exploded.groupby("bucket").map_groups(
+    return exploded.groupby(["bucket", "sgrp"]).map_groups(
         verify_bucket, batch_format="pyarrow"
     )

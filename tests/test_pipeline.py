@@ -124,3 +124,59 @@ def test_lsh_copartition_path_matches_driver_path(corpus):
                reps, DEFAULT_CONFIG, copartition_verify=True,
                distributed_counts=True).take_all()}
     assert drv == cop
+
+
+def test_hot_bucket_salting_exact_recall():
+    """A planted hot LSH bucket (one near-dup family far above
+    lsh_bucket_salt_above) must still yield EVERY true pair through the
+    salted co-partition path — salting is exact coverage, not a lossy
+    window (VERDICT r1 #6)."""
+    import numpy as np
+
+    from raydedup.stages.lsh import lsh_verified_pairs
+
+    cfg = DEFAULT_CONFIG.with_overrides(lsh_bucket_salt_above=40)
+    n_fam = 300  # >> salt limit ⇒ s = ceil(300/40) = 8 salt classes
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon") * 3
+    rows = {"conv_id": [], "turn_idx": [], "text": []}
+    words = base.split()
+    for i in range(n_fam):
+        w = list(words)
+        w[i % len(w)] = f"tweak{i}"  # one-word tweak: high pairwise Jaccard
+        rows["conv_id"].append(f"fam{i:04d}")
+        rows["turn_idx"].append(0)
+        rows["text"].append(" ".join(w))
+    tbl = pa.table({
+        "conv_id": pa.array(rows["conv_id"]),
+        "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
+        "text": pa.array(rows["text"]),
+    })
+    assigned = signatures_with_rep(ray.data.from_arrow(tbl), cfg).materialize()
+    reps = assigned.filter(expr="is_rep").select_columns(
+        ["row_key", "band_hashes", "shingle_hashes", "n_shingles"]
+    )
+    got = {(r["a_key"], r["b_key"])
+           for r in lsh_verified_pairs(
+               reps, cfg, copartition_verify=True,
+               distributed_counts=True).take_all()}
+    # brute-force oracle over the same signatures: any banded collision
+    # pair with exact shingle Jaccard >= threshold must be found
+    sig_rows = reps.take_all()
+    keys = [r["row_key"] for r in sig_rows]
+    bands = np.array([r["band_hashes"] for r in sig_rows], dtype=np.uint64)
+    shingles = [np.array(r["shingle_hashes"], dtype=np.uint64)
+                for r in sig_rows]
+    expected = set()
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            if not (bands[i] == bands[j]).any():
+                continue
+            inter = np.intersect1d(shingles[i], shingles[j],
+                                   assume_unique=True).size
+            union = shingles[i].size + shingles[j].size - inter
+            if union and inter / union >= cfg.jaccard_dup_threshold:
+                a, b = sorted((keys[i], keys[j]))
+                expected.add((a, b))
+    assert len(expected) > 2000  # the bucket really is hot
+    assert got == expected  # exact: recall 1.0, zero false positives
