@@ -307,12 +307,15 @@ def q_sessionize_events(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
-    from raydedup.stages.exact import add_row_key
-    from raydedup.stages.multimodal import attach_fake_payloads, decode_images
+    """REAL image decode: genuine PPM payloads (closed-form content per
+    doc_id) parsed by the numpy codec; the oracle recomputes width /
+    height / pixel checksum from doc_id alone."""
+    from raydedup.stages.multimodal import attach_synthetic_images, decode_images
 
-    docs = add_row_key(_docs(sf_dir), ["doc_id"])
-    decoded = decode_images(attach_fake_payloads(docs), fake=True)
-    return decoded.select_columns(["doc_id", "media_type", "meta_w", "meta_h"])
+    decoded = decode_images(attach_synthetic_images(_docs(sf_dir)))
+    return decoded.select_columns(
+        ["doc_id", "media_type", "meta_w", "meta_h", "pix_sum"]
+    )
 
 
 def entry() -> Any:
@@ -409,6 +412,168 @@ near_pairs AS (
 _STOPWORD_LIST = ", ".join(
     "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)
 )
+
+
+def _simhash_cte(src: str, key_expr: str) -> str:
+    """CTE chain computing the reference-parity 64-bit simhash
+    (lowercase, strip non-word chars, width-4 char shingles, md5 low-64,
+    strict >0 weighted bit vote — functions/simhash.py) for every row of
+    ``src``; yields ``simhashes(sh_key, simhash)``. Parity asserted by
+    tests and the hash-green driver rows that consume it."""
+    return f"""
+sh_prep AS (
+    SELECT {key_expr} AS sh_key,
+           coalesce(array_to_string(
+               regexp_extract_all(lower(text), '[0-9a-z_]+'), ''), '')
+               AS content
+    FROM {src}
+),
+sh_lists AS (
+    SELECT sh_key,
+           CASE WHEN length(content) <= 4 THEN [content]
+                ELSE list_transform(range(length(content) - 3),
+                                    i -> substr(content, i + 1, 4)) END AS shl
+    FROM sh_prep
+),
+sh_inst AS (SELECT sh_key, s.g FROM sh_lists, UNNEST(shl) AS s(g)),
+sh_cnt AS (SELECT sh_key, g, count(*) AS w FROM sh_inst GROUP BY 1, 2),
+sh_hash AS (
+    SELECT sh_key, w,
+           CAST('0x' || substr(md5(g), 17, 16) AS UBIGINT) AS h
+    FROM sh_cnt
+),
+sh_votes AS (
+    SELECT sh_key, CAST(b.bit AS INTEGER) AS bit,
+           sum(CASE WHEN (h >> CAST(b.bit AS UBIGINT)) & 1 = 1
+               THEN w ELSE -w END) AS v
+    FROM sh_hash, UNNEST(range(64)) AS b(bit)
+    GROUP BY 1, 2
+),
+simhashes AS (
+    SELECT sh_key,
+           bit_or(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << bit
+                       ELSE CAST(0 AS UBIGINT) END) AS simhash
+    FROM sh_votes GROUP BY 1
+)
+"""
+
+
+def _langid_sql() -> str:
+    """SQL mirror of stages/textstats.py LangId: script ranges over the
+    first 400 chars, then distinct-marker-word hit counts with
+    first-maximal tie-break in the fixed language order."""
+    from raydedup.stages.textstats import LANG_MARKERS, LANG_SCRIPTS
+
+    langs = list(LANG_MARKERS)
+    hit_cols = []
+    for lang in langs:
+        lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        hit_cols.append(f"len(list_intersect(w, [{lst}])) AS h_{lang}")
+    script_cases = "\n".join(
+        f"        WHEN regexp_matches(head, '[{lo}-{hi}]') THEN '{lang}'"
+        for lang, lo, hi in LANG_SCRIPTS
+    )
+    all_hits = ", ".join(f"h_{lang}" for lang in langs)
+    tie_cases = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join(f"h_{l2}" for l2 in langs[i + 1:])
+        greatest = f"greatest({rest})" if "," in rest else rest
+        tie_cases.append(f"        WHEN h_{lang} >= {greatest} THEN '{lang}'")
+    tie = "\n".join(tie_cases)
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_distinct(regexp_extract_all(
+                       lower(text), '[a-zà-ÿäöüß]+')) AS w,
+                   substr(text, 1, 400) AS head
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, head, {", ".join(hit_cols)}
+            FROM words
+        )
+        SELECT doc_id, CASE
+{script_cases}
+        WHEN greatest({all_hits}) = 0 THEN 'unknown'
+{tie}
+        ELSE '{langs[-1]}' END AS detected_lang
+        FROM hits
+    """
+
+
+def _fingerprints_sql() -> str:
+    """SQL mirror of stages/textstats.py fingerprints: rolling polynomial
+    k-gram hash (B=1000003 mod 2^64, k=32), min per 64-wide window,
+    distinct-min count per doc. Powers are precomputed modpow constants;
+    per-gram sums stay in HUGEINT (< 2^77) before the mod."""
+    k, window, b = 32, 64, 1000003
+    pw_vals = ", ".join(
+        f"({j}, CAST('{pow(b, k - 1 - j, 1 << 64)}' AS UBIGINT))"
+        for j in range(k)
+    )
+    return f"""
+        WITH bytes AS (
+            SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+                   ascii(substr(text, CAST(t.i + 1 AS INTEGER), 1)) AS b
+            FROM documents, UNNEST(range(length(text))) AS t(i)
+        ),
+        pw(j, p) AS (VALUES {pw_vals}),
+        grams AS (
+            SELECT b.doc_id, b.i - p.j AS pos,
+                   CAST(sum(CAST(b.b AS HUGEINT) * CAST(p.p AS HUGEINT))
+                        % CAST('18446744073709551616' AS HUGEINT)
+                        AS UBIGINT) AS h
+            FROM bytes b JOIN pw p ON b.i - p.j >= 0
+            GROUP BY 1, 2 HAVING count(*) = {k}
+        ),
+        wm AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {window - 1} FOLLOWING) AS mh,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM grams
+        )
+        SELECT d.doc_id, count(DISTINCT w.mh) AS n_fingerprints
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, mh FROM wm
+                   WHERE pos <= greatest(ng - {window}, 0)) w
+          ON w.doc_id = d.doc_id
+        GROUP BY 1
+    """
+
+
+def _long_span_sql(span: int) -> str:
+    """Pairs sharing a verbatim span >= ``span`` chars, with the exact
+    longest-common-substring length: matched span-grams on a (pos_a -
+    pos_b) diagonal form gaps-and-islands runs; LCS = span + maxrun - 1."""
+    return f"""
+        WITH grams AS (
+            SELECT CAST(doc_id AS VARCHAR) AS key, CAST(t.i AS BIGINT) AS pos,
+                   substr(text, CAST(t.i + 1 AS INTEGER), {span}) AS g
+            FROM documents,
+                 UNNEST(range(greatest(length(text) - {span - 1}, 0))) AS t(i)
+        ),
+        m AS (
+            SELECT a.key AS a_key, b.key AS b_key, a.pos AS i,
+                   a.pos - b.pos AS diag
+            FROM grams a JOIN grams b ON a.g = b.g AND a.key < b.key
+        ),
+        runs AS (
+            SELECT a_key, b_key, diag, i,
+                   i - row_number() OVER (PARTITION BY a_key, b_key, diag
+                                          ORDER BY i) AS grp
+            FROM m
+        ),
+        spans AS (
+            SELECT a_key, b_key, max(cnt) AS maxrun FROM (
+                SELECT a_key, b_key, diag, grp, count(*) AS cnt
+                FROM runs GROUP BY 1, 2, 3, 4
+            ) GROUP BY 1, 2
+        )
+        SELECT a_key, b_key, CAST({span - 1} + maxrun AS BIGINT) AS span_len
+        FROM spans
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -670,8 +835,72 @@ def oracle_sql() -> dict[str, str]:
                        AS session_id
             FROM ordered
         """,
-        # langid / chain_scan_transcripts / long_span_pairs /
-        # simhash_near_docs / fingerprints / multimodal_decode /
-        # near_dup_clusters_transcripts: non-SQL-expressible (model scoring,
-        # md5 simhash, winnowing, stateful scan) → rows-only checks.
+        "langid": _langid_sql(),
+        "fingerprints": _fingerprints_sql(),
+        "long_span_pairs": _long_span_sql(DEFAULT_CONFIG.min_span_chars),
+        "simhash_near_docs": f"""
+            WITH reps AS (
+                SELECT min(CAST(doc_id AS VARCHAR)) AS k, text
+                FROM documents GROUP BY text
+            ),
+            {_simhash_cte("reps", "k")}
+            SELECT a.sh_key AS a_key, b.sh_key AS b_key,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                       AS hamming
+            FROM simhashes a JOIN simhashes b ON a.sh_key < b.sh_key
+            WHERE bit_count(xor(a.simhash, b.simhash))
+                  <= {DEFAULT_CONFIG.simhash_dup_hamming}
+        """,
+        "chain_scan_transcripts": TRANSCRIPTS_SQL + f"""
+            , ts_keyed AS (
+                SELECT conv_id, turn_idx,
+                       conv_id || ':' || CAST(turn_idx AS VARCHAR) AS k,
+                       text
+                FROM transcripts
+            ),
+            {_simhash_cte("ts_keyed", "k")},
+            scan AS (
+                SELECT t.k, s.simhash,
+                       lag(s.simhash, 1, CAST(0 AS UBIGINT)) OVER
+                           (PARTITION BY t.conv_id ORDER BY t.turn_idx)
+                           AS prev
+                FROM ts_keyed t JOIN simhashes s ON s.sh_key = t.k
+            )
+            SELECT k AS row_key FROM scan
+            WHERE CAST(bit_count(xor(simhash, prev)) AS DOUBLE) / 64
+                  > {DEFAULT_CONFIG.chain_scan_threshold}
+        """,
+        "multimodal_decode": """
+            WITH dims AS (
+                SELECT doc_id,
+                       16 + doc_id % 17 AS w,
+                       16 + doc_id % 13 AS h,
+                       (7 * doc_id) % 256 AS a
+                FROM documents
+            ),
+            sums AS (
+                SELECT doc_id, w, h,
+                       3 * w * h AS n, a,
+                       (3 * w * h) // 256 AS cycles,
+                       (3 * w * h) % 256 AS rem
+                FROM dims
+            )
+            SELECT doc_id,
+                   'image/ppm' AS media_type,
+                   CAST(w AS INTEGER) AS meta_w,
+                   CAST(h AS INTEGER) AS meta_h,
+                   CAST(cycles * 32640 +
+                        CASE WHEN a + rem <= 256
+                             THEN rem * a + (rem * (rem - 1)) // 2
+                             ELSE (256 - a) * a
+                                  + ((256 - a) * (256 - a - 1)) // 2
+                                  + ((rem - (256 - a))
+                                     * (rem - (256 - a) - 1)) // 2
+                        END AS BIGINT) AS pix_sum
+            FROM sums
+        """,
+        # near_dup_clusters_transcripts: the flagship runs the stemmed
+        # reference config (Porter stemmer — not SQL-expressible); its
+        # value-level parity is covered by tests/test_pipeline.py against
+        # the single-process oracle → rows-only here.
     }

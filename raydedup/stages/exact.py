@@ -59,27 +59,36 @@ def add_row_key(ds, key_cols: list[str]):
     return ds.map_batches(_add, batch_format="pyarrow")
 
 
-def exact_dedup(sigs_ds, distributed_counts: bool = False):
+def exact_dedup(sigs_ds, distributed_counts: bool | None = None,
+                driver_max_rows: int = 5_000_000):
     """signatures → same rows + (rep_key, n_exact, is_rep).
 
-    Default path: per-batch partial (sha → count, min_key) tables merged
-    once on the driver — no shuffle at all; only the DUPLICATED-text
-    entries are broadcast. ``distributed_counts=True`` switches to a
-    native grouped aggregate (sort shuffle) for corpora whose distinct-sha
-    table outgrows the driver; the sha key is uniform (cryptographic), so
-    that shuffle needs no skew handling.
+    Small-input path: per-batch partial (sha → count, min_key) tables
+    merged once on the driver — no shuffle at all. Its merged dict holds
+    every DISTINCT sha, so it is only the default at or below
+    ``driver_max_rows`` rows; above that (``distributed_counts=None``
+    auto-picks, or force with True) a native grouped aggregate (sort
+    shuffle) computes the groups and only the DUPLICATED-text entries —
+    a far smaller set (hot rows collapse) — are broadcast for the paint.
+    The sha key is uniform (cryptographic), so the shuffle needs no skew
+    handling.
     """
     sigs_ds = sigs_ds.materialize()
+    if distributed_counts is None:
+        distributed_counts = sigs_ds.count() > driver_max_rows
     if distributed_counts:
         groups = sigs_ds.groupby("text_sha256").aggregate(
             Count(alias_name="n_exact"),
             Min("row_key", alias_name="rep_key"),
         )
         dup_groups = groups.filter(expr="n_exact >= 2")
-        dup_map = {
-            r["text_sha256"]: (r["rep_key"], r["n_exact"])
-            for r in dup_groups.iter_rows()
-        }
+        dup_map = {}
+        for b in dup_groups.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow"):
+            for sha, rep, n in zip(b["text_sha256"].to_pylist(),
+                                   b["rep_key"].to_pylist(),
+                                   b["n_exact"].to_pylist()):
+                dup_map[sha] = (rep, n)
     else:
         # per-batch dict partials (distributed) + one dict merge on the
         # driver. Benchmarked against a pandas groupby partial: the dict

@@ -79,18 +79,43 @@ def quality_scores(ds, text_col: str = "text"):
 
 # --- language identification ---------------------------------------------
 
-# Tiny deterministic char-frequency profiles (top letters + marker chars)
-# for the languages present in the synthetic corpus. A real deployment
-# swaps in fastText/langdetect inside the same actor signature; this
-# heuristic is the dependency-free stand-in (reference analogue:
-# langdetect.detect per memento, otmt/metadata_calcluations.py:117-164).
-_LANG_MARKERS: dict[str, set[str]] = {
-    "en": set("the and of to in is you that it he".split()),
-    "de": set("der die und das ist nicht ein ich zu mit".split()),
-    "es": set("el la de que y en un ser los por".split()),
-    "fr": set("le la de et les des en un du est".split()),
-    "zh": set(),  # CJK detected by codepoint range below
+# Deterministic two-stage classifier (reference analogue: langdetect.detect
+# per memento, otmt/metadata_calcluations.py:117-164):
+#   1. script detection over the first 400 chars (hiragana/katakana → ja,
+#      hangul → ko, CJK ideographs → zh, Cyrillic → ru);
+#   2. function-word profile scoring for Latin-script languages: the
+#      distinct lowercased words are intersected with each language's
+#      marker set (high-frequency function words — public knowledge);
+#      label = first language (fixed order) with the maximal nonzero hit
+#      count, else 'unknown'.
+# Both stages are deliberately SQL-expressible so the DuckDB oracle checks
+# the exact same decision function value-for-value.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ("the and of to in is you that it he was for on are with as at "
+           "be this have from they which not but had his her").split(),
+    "de": ("der die und das ist nicht ein ich zu mit den von sie dem auf "
+           "für werden eine als auch sich nach bei einem wurde").split(),
+    "es": ("el la los las de que y en un ser por con para una su del "
+           "está como más pero sus le ha este cuando").split(),
+    "fr": ("le la les des et en un du est une dans que pour qui sur pas "
+           "plus par avec au ce il se ne sont cette").split(),
+    "it": ("il di che la e un per con del non una sono nel alla più "
+           "anche come dalla gli della le si da questo").split(),
+    "pt": ("o de que e do da em um para é com não uma os no se na por "
+           "mais dos as ao como mas foi pelo").split(),
+    "nl": ("de het een van ik je dat is en niet op te zijn met voor er "
+           "maar om hij ook als dan nog naar bij uit").split(),
 }
+
+# script ranges, checked in this order over the first 400 chars
+LANG_SCRIPTS: list[tuple[str, str, str]] = [
+    ("ja", "぀", "ヿ"),  # hiragana + katakana
+    ("ko", "가", "힯"),  # hangul syllables
+    ("zh", "一", "鿿"),  # CJK unified ideographs
+    ("ru", "Ѐ", "ӿ"),  # Cyrillic
+]
+
+_WORD_RE_PATTERN = r"[a-zà-ÿäöüß]+"
 
 
 class LangId:
@@ -98,18 +123,25 @@ class LangId:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[a-zà-ÿäöüß]+")
+        self.word_re = re.compile(_WORD_RE_PATTERN)
+        self.markers = {k: set(v) for k, v in LANG_MARKERS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
         langs = []
         for t in texts:
-            if any("一" <= ch <= "鿿" for ch in t[:400]):
-                langs.append("zh")
+            head = t[:400]
+            script = None
+            for lang, lo, hi in LANG_SCRIPTS:
+                if any(lo <= ch <= hi for ch in head):
+                    script = lang
+                    break
+            if script is not None:
+                langs.append(script)
                 continue
             words = set(self.word_re.findall(t.lower()))
             best, best_hits = "unknown", 0
-            for lang, markers in _LANG_MARKERS.items():
+            for lang, markers in self.markers.items():
                 hits = len(words & markers)
                 if hits > best_hits:
                     best, best_hits = lang, hits

@@ -105,9 +105,12 @@ def test_fake_payload_roundtrip_and_decode():
     ]
 
 
-def test_real_decode_raises():
-    with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)._decode(b"\x89PNG")
+def test_real_decode_unknown_format_raises():
+    dec = DecodeImage(fake=False)
+    if dec.pil is not None:
+        pytest.skip("PIL present: PNG handled for real")
+    with pytest.raises(ValueError):
+        dec._decode(b"\x89PNG")
 
 
 def test_resize_and_frames():
@@ -168,3 +171,157 @@ def test_fingerprints_shared_for_identical_text():
     rows = {r["row_key"]: r["fingerprints"] for r in fingerprints(ds).take_all()}
     assert rows["a"] == rows["b"]
     assert len(rows["a"]) > 0
+
+
+# --- real codecs -------------------------------------------------------------
+
+
+def test_ppm_roundtrip():
+    import numpy as np
+
+    from raydedup.stages.multimodal import decode_ppm, encode_ppm
+
+    w, h = 5, 3
+    pix = np.arange(3 * w * h, dtype=np.uint8)
+    got_w, got_h, img = decode_ppm(encode_ppm(w, h, pix))
+    assert (got_w, got_h) == (w, h)
+    assert img.shape == (h, w, 3)
+    assert np.array_equal(img.reshape(-1), pix)
+
+
+def test_ppm_comment_header():
+    import numpy as np
+
+    from raydedup.stages.multimodal import decode_ppm
+
+    pix = bytes(range(12))
+    payload = b"P6\n# a comment\n2 2\n255\n" + pix
+    w, h, img = decode_ppm(payload)
+    assert (w, h) == (2, 2)
+    assert img.tobytes() == pix
+
+
+def test_bmp_decode():
+    import numpy as np
+
+    from raydedup.stages.multimodal import decode_bmp
+
+    # hand-built 2x2 uncompressed 24-bit BMP, bottom-up rows, 4-byte padded
+    w, h = 2, 2
+    stride = (3 * w + 3) & ~3  # 8
+    # rows bottom-up: row0(bottom) = red,green  row1(top) = blue,white
+    red, green, blue, white = b"\x00\x00\xff", b"\x00\xff\x00", b"\xff\x00\x00", b"\xff\xff\xff"
+    pixel_data = (red + green + b"\x00\x00") + (blue + white + b"\x00\x00")
+    header = (
+        b"BM" + (54 + len(pixel_data)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(pixel_data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    gw, gh, img = decode_bmp(header + pixel_data)
+    assert (gw, gh) == (w, h)
+    # top row first after flip; BGR converted to RGB
+    assert img[0, 0].tolist() == [0, 0, 255]    # blue
+    assert img[0, 1].tolist() == [255, 255, 255]
+    assert img[1, 0].tolist() == [255, 0, 0]    # red
+    assert img[1, 1].tolist() == [0, 255, 0]    # green
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from raydedup.stages.multimodal import decode_wav, encode_wav
+
+    samples = (np.sin(np.linspace(0, 20, 800)) * 3000).astype(np.int16)
+    sr, n, got = decode_wav(encode_wav(16000, samples))
+    assert sr == 16000
+    assert n == 800
+    assert np.array_equal(got, samples)
+
+
+def test_resize_nearest():
+    import numpy as np
+
+    from raydedup.stages.multimodal import resize_nearest
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    out = resize_nearest(img, 4, 4)
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out[0, 0], img[0, 0])
+    assert np.array_equal(out[3, 3], img[1, 1])
+
+
+def test_synthetic_images_real_decode():
+    """Real PPM payloads decoded by the real kernel: dims + pixel checksum
+    must equal the closed-form oracle values."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.multimodal import attach_synthetic_images, decode_images
+
+    ids = [0, 1, 5, 16, 17, 123, 9999]
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
+    rows = {r["doc_id"]: r
+            for r in decode_images(attach_synthetic_images(ds)).take_all()}
+    for d in ids:
+        w, h = 16 + d % 17, 16 + d % 13
+        pix = (np.int64(7 * d) + np.arange(3 * w * h, dtype=np.int64)) % 256
+        r = rows[d]
+        assert r["meta_w"] == w and r["meta_h"] == h
+        assert r["pix_sum"] == int(pix.sum())
+        assert r["media_type"] == "image/ppm"
+
+
+def test_decode_audio_stage():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.multimodal import decode_audio, encode_wav
+
+    payloads = [encode_wav(8000 * (i + 1), np.zeros(100 * (i + 1), np.int16))
+                for i in range(3)]
+    ds = ray.data.from_arrow(pa.table({"payload": pa.array(payloads, type=pa.binary())}))
+    rows = sorted(decode_audio(ds).take_all(), key=lambda r: r["meta_sr"])
+    assert [r["meta_sr"] for r in rows] == [8000, 16000, 24000]
+    assert [r["meta_samples"] for r in rows] == [100, 200, 300]
+
+
+def test_langid_labeled_fixtures():
+    """Real sentences in 9 languages must get the right label."""
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.textstats import detect_language
+
+    fixtures = [
+        ("en", "The quick brown fox jumps over the lazy dog and it was "
+               "not at all surprised by this turn of events."),
+        ("de", "Der schnelle braune Fuchs springt über den faulen Hund "
+               "und ist nicht überrascht von dieser Wendung."),
+        ("es", "El rápido zorro marrón salta sobre el perro perezoso y "
+               "no está sorprendido por este giro de los acontecimientos."),
+        ("fr", "Le renard brun rapide saute par-dessus le chien paresseux "
+               "et il n'est pas du tout surpris par cette tournure."),
+        ("it", "La rapida volpe marrone salta sopra il cane pigro e non "
+               "è per niente sorpresa da questo giro di eventi."),
+        ("pt", "A rápida raposa marrom pula sobre o cão preguiçoso e não "
+               "está nada surpresa com essa virada dos acontecimentos."),
+        ("nl", "De snelle bruine vos springt over de luie hond en hij is "
+               "er niet door verrast, want dat was te verwachten."),
+        ("zh", "敏捷的棕色狐狸跳过了懒狗，它对这一转折并不感到惊讶。"),
+        ("ru", "Быстрая коричневая лиса перепрыгивает через ленивую "
+               "собаку и совсем не удивлена таким поворотом событий."),
+    ]
+    tbl = pa.table({
+        "expected": pa.array([f[0] for f in fixtures]),
+        "text": pa.array([f[1] for f in fixtures]),
+    })
+    rows = detect_language(ray.data.from_arrow(tbl)).take_all()
+    wrong = [(r["expected"], r["detected_lang"]) for r in rows
+             if r["expected"] != r["detected_lang"]]
+    assert not wrong, wrong
