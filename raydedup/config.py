@@ -93,6 +93,10 @@ class DedupConfig:
 
     # --- Suffix-array long-span pass ---
     min_span_chars: int = 200
+    # hot-fingerprint pair budget: at most this many members per
+    # fingerprint enter candidate pairing (per-fp rotation sampling keeps
+    # boilerplate families connected; stages/suffix_span.py docstring)
+    suffix_fp_member_cap: int = 64
 
     # --- Execution knobs (do not affect results, only performance) ---
     # 1024 keeps the signature kernel's temporaries (bit-vote and min-hash

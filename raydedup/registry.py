@@ -98,8 +98,22 @@ def _output_parquet(path: str, ds):
     ds.write_parquet(path)
 
 
+def _output_json(path: str, ds):
+    from raydedup.pipelines.offtopic import save_as_json
+
+    save_as_json(ds, path)
+
+
 def _output_csv(path: str, ds):
     ds.write_csv(path)
+
+
+def _output_csv_report(path: str, classified_ds, measures=None,
+                       cfg: DedupConfig = DEFAULT_CONFIG):
+    from raydedup.pipelines.offtopic import save_as_csv_report
+    from raydedup.stages.measures import ALL_MEASURES
+
+    save_as_csv_report(classified_ds, path, measures or ALL_MEASURES, cfg)
 
 
 def _output_goldstandard(path: str, classified_ds):
@@ -108,8 +122,13 @@ def _output_goldstandard(path: str, classified_ds):
     save_as_goldstandard(classified_ds, path)
 
 
+# reference registry: {'json', 'golddatafile', 'csv'}
+# (otmt/output_types.py:23-27); parquet is the engine-native addition
 supported_output_types = {
-    "parquet": _output_parquet,        # ≡ save_as_JSON (primary dump)
-    "csv": _output_csv,                # ≡ save_as_CSV
-    "goldstandard": _output_goldstandard,
+    "parquet": _output_parquet,
+    "json": _output_json,              # ≡ save_as_JSON (primary output)
+    "csv": _output_csv,
+    "csv_report": _output_csv_report,  # ≡ save_as_CSV column projection
+    "golddatafile": _output_goldstandard,
+    "goldstandard": _output_goldstandard,  # back-compat alias
 }

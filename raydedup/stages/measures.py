@@ -153,10 +153,23 @@ def _tfidf_cosine_scores(token_lists: list[list[str]]) -> list[float]:
 
 def _lsi_scores(token_lists: list[list[str]], num_topics: int = 10) -> list[float]:
     """Group-local LSI via exact truncated SVD of the BoW matrix; score =
-    cosine similarity of each doc to doc 0 in topic space. Deterministic
-    re-specification of the reference's gensim LsiModel(num_topics=10)
-    path (timemap_measures.py:713-885; gensim's stochastic SVD is
-    approximate — documented deviation, same geometry)."""
+    cosine similarity of each doc to doc 0 in topic space — the reference's
+    gensim LsiModel(num_topics=10) + MatrixSimilarity path
+    (timemap_measures.py:842-862) with the stochastic SVD replaced by the
+    exact one.
+
+    Parity argument (tested): whenever rank(BoW) <= num_topics — true for
+    every TimeMap with <= 10 linearly independent mementos — ANY
+    rank-k SVD projection is an isometry on the row space, so the
+    topic-space cosine equals the plain BoW cosine; gensim's randomized
+    SVD and this exact SVD provably agree there
+    (tests/test_measures.py::test_lsi_equals_bow_cosine_when_rank_small).
+    Above that rank gensim's one-pass randomized SVD (power_iters
+    refinement) approximates the same exact SVD computed here; scores
+    coincide to approximation error, with exact-SVD the better-conditioned
+    of the two. LDA remains a documented stand-in: gensim LdaModel is
+    nondeterministic and the reference's own tests only bound its score
+    (tests/timemap_measures_test.py:33-42)."""
     vocab: dict[str, int] = {}
     for toks in token_lists:
         for t in toks:
@@ -218,7 +231,8 @@ def _lda_scores(token_lists: list[list[str]], num_topics: int = 2,
     return (T @ T[0]).tolist()
 
 
-def _score_group(group: pa.Table, measures: list[str]) -> pa.Table:
+def _score_group(group: pa.Table, measures: list[str],
+                 keep_features: bool = False) -> pa.Table:
     order = np.argsort(group["turn_idx"].to_numpy(), kind="stable")
     n = group.num_rows
     idx = [int(i) for i in order]
@@ -304,6 +318,9 @@ def _score_group(group: pa.Table, measures: list[str]) -> pa.Table:
             raise ValueError(f"unknown measure {m!r}")
         emit(m, scores, err=False)
 
+    if keep_features:
+        out["content_length"] = pa.array(n_chars, type=pa.int64())
+        out["memento_simhash"] = pa.array(raw_sim.astype(np.uint64))
     return pa.table(out)
 
 
@@ -335,7 +352,8 @@ def _rowwise_score(m: str, member: dict, anchor: dict) -> float:
     raise ValueError(f"unknown rowwise measure {m!r}")
 
 
-def _anchor_measures_broadcast(prepped, measures: list[str]):
+def _anchor_measures_broadcast(prepped, measures: list[str],
+                               keep_features: bool = False):
     """Shuffle-free path for row-wise measures: the per-conversation
     anchors (min turn_idx) are a SMALL side — aggregate them, broadcast
     once via ``ray.put``, and score in a stateless ``map_batches``. Used
@@ -438,6 +456,9 @@ def _anchor_measures_broadcast(prepped, measures: list[str]):
         for m in measures:
             out[m] = pa.array(cols[m], type=pa.float64())
             out[m + "_error"] = pa.array(errs[m], type=pa.string())
+        if keep_features:
+            out["content_length"] = pa.array(n_chars, type=pa.int64())
+            out["memento_simhash"] = pa.array(raw_sim.astype(np.uint64))
         return pa.table(out)
 
     return prepped.map_batches(score, batch_format="pyarrow")
@@ -446,7 +467,8 @@ def _anchor_measures_broadcast(prepped, measures: list[str]):
 def anchor_measures(ds, measures: list[str] | None = None,
                     cfg: DedupConfig = DEFAULT_CONFIG,
                     text_col: str = "text",
-                    group_path: bool = False):
+                    group_path: bool = False,
+                    keep_features: bool = False):
     """transcripts (with row_key) → per-row measure scores vs the
     conversation anchor. ``measures`` defaults to ALL_MEASURES.
 
@@ -464,9 +486,9 @@ def anchor_measures(ds, measures: list[str] | None = None,
         batch_size=cfg.batch_size,
     )
     if not group_path and not (set(measures) & GROUP_CORPUS_MEASURES):
-        return _anchor_measures_broadcast(prepped, measures)
+        return _anchor_measures_broadcast(prepped, measures, keep_features)
 
     def score(group: pa.Table) -> pa.Table:
-        return _score_group(group, measures)
+        return _score_group(group, measures, keep_features)
 
     return prepped.groupby("conv_id").map_groups(score, batch_format="pyarrow")

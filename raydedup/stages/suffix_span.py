@@ -124,14 +124,37 @@ def _winnow_hashes(text: str, k: int, window: int) -> np.ndarray:
     return np.unique(w.min(axis=1))
 
 
+_EMPTY_SPAN_TABLE = pa.table(
+    {"a_key": pa.array([], type=pa.string()),
+     "b_key": pa.array([], type=pa.string()),
+     "span_len": pa.array([], type=pa.int64())}
+)
+
+
 def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
-                    text_col: str = "text", key_col: str = "row_key"):
+                    text_col: str = "text", key_col: str = "row_key",
+                    fp_member_cap: int | None = None,
+                    num_partitions: int | None = None):
     """→ Dataset(a_key, b_key, span_len) for pairs sharing a verbatim span
     of >= cfg.min_span_chars characters. Winnowing guarantee: detection is
-    exact for spans >= window + k - 1 == min_span_chars."""
+    exact for spans >= window + k - 1 == min_span_chars.
+
+    Fully distributed: candidate pairs stay a Dataset (groupby-distinct,
+    never a driver set) and the verify stage receives both texts through
+    two hash joins on the pair keys — no driver text broadcast. Hot
+    fingerprints (boilerplate shared by m >> 2 rows would generate m²/2
+    candidates EACH) are bounded by ``cfg.suffix_fp_member_cap`` members
+    per fingerprint, sampled by a per-fingerprint rotation so different
+    fingerprints sample different member subsets — a pair is missed only
+    if it shares NO fingerprint where both members fall inside the cap;
+    boilerplate families share hundreds of fingerprints, so connectivity
+    survives (asserted by the hot-boilerplate test). Small corpora never
+    hit the cap ⇒ exact (the SQL-oracled driver query stays hash-green).
+    """
     span = cfg.min_span_chars
     window = span - k + 1
     assert window >= 1, "min_span_chars must exceed k-gram size"
+    cap = fp_member_cap or getattr(cfg, "suffix_fp_member_cap", 64)
 
     def fp(batch: pa.Table) -> pa.Table:
         keys, hashes = [], []
@@ -148,82 +171,136 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
             }
         )
 
-    exploded = ds.map_batches(fp, batch_format="pyarrow")
+    from raydedup.util import join_partitions
+
+    exploded = ds.map_batches(fp, batch_format="pyarrow").materialize()
+    n_exploded = exploded.count()
+    if n_exploded == 0:
+        return ray.data.from_arrow(_EMPTY_SPAN_TABLE)
+    n_parts = num_partitions or join_partitions(n_exploded)
+
+    # drop singleton fingerprints BEFORE the heavy groupby (a Python call
+    # per singleton group is the measured map_groups tax)
+    counts = exploded.groupby("fp").count()
+
+    def strip(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.greater_equal(batch["count()"], pa.scalar(2))
+        return batch.filter(mask).select(["fp"])
+
+    hot = counts.map_batches(strip, batch_format="pyarrow").materialize()
+    if hot.count() == 0:
+        return ray.data.from_arrow(_EMPTY_SPAN_TABLE)
+    cands = exploded.join(hot, join_type="inner", num_partitions=n_parts,
+                          on=("fp",))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         keys = sorted(set(group[key_col].to_pylist()))
+        m = len(keys)
         a_out, b_out = [], []
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                a_out.append(keys[i])
-                b_out.append(keys[j])
+        if m > cap:
+            # hot fingerprint: LINEAR pair budget instead of m^2/2 — a
+            # rotated chain over every member keeps the group's pair
+            # graph CONNECTED by construction (what downstream union-find
+            # clustering needs); the fp-dependent rotation varies chain
+            # neighbors across the many fingerprints a boilerplate family
+            # shares, recovering extra true pairs
+            off = int(group["fp"][0].as_py()) % m
+            rot = keys[off:] + keys[:off]
+            for x, y in zip(rot, rot[1:]):
+                a, b = (x, y) if x < y else (y, x)
+                a_out.append(a)
+                b_out.append(b)
+        else:
+            for i in range(m):
+                for j in range(i + 1, m):
+                    a_out.append(keys[i])
+                    b_out.append(keys[j])
         return pa.table(
             {"a_key": pa.array(a_out, type=pa.string()),
              "b_key": pa.array(b_out, type=pa.string())}
         )
 
-    candidates = exploded.groupby("fp").map_groups(
+    candidates = cands.groupby("fp").map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
-    # candidate pair set is sparse; dedupe driver-side and verify exactly
-    pair_set = set()
-    for b in candidates.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        pair_set.update(zip(b["a_key"].to_pylist(), b["b_key"].to_pylist()))
-    if not pair_set:
-        return ray.data.from_arrow(
-            pa.table({"a_key": pa.array([], type=pa.string()),
-                      "b_key": pa.array([], type=pa.string()),
-                      "span_len": pa.array([], type=pa.int64())})
+
+    # distributed distinct: one row per (a_key, b_key)
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    pairs = candidates.groupby(["a_key", "b_key"]).map_groups(
+        first_row, batch_format="pyarrow"
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(_EMPTY_SPAN_TABLE)
+
+    # per-stage pair checkpoint (north_rule resumability; also restores a
+    # schema-bearing lineage — Ray 2.49's hash join mishandles empty
+    # partitions fed by map_groups/join outputs, see util.join_partitions)
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="spanpairs_", dir="/tmp")
+    pairs.write_parquet(ckpt)
+    pairs = ray.data.read_parquet(ckpt)
+
+    # attach both texts with ONE join: explode each pair to two
+    # (join_key, pid, side) rows, join against the text table, then
+    # reassemble per pid — texts co-partition with the pairs, nothing
+    # lands on the driver.
+    from raydedup.util import join_partitions
+
+    jp = join_partitions(2 * n_pairs)
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pid = pc.binary_join_element_wise(batch["a_key"], batch["b_key"], "\x1f")
+        return pa.table(
+            {
+                "join_key": pa.concat_arrays(
+                    [batch["a_key"].combine_chunks(),
+                     batch["b_key"].combine_chunks()]
+                ),
+                "pid": pa.concat_arrays([pid.combine_chunks()] * 2),
+                "side": pa.array(
+                    [0] * batch.num_rows + [1] * batch.num_rows,
+                    type=pa.int32(),
+                ),
+            }
         )
-    needed = {k for p in pair_set for k in p}
 
-    # broadcast the needed texts (sparse subset)
-    def pick(batch: pa.Table) -> pa.Table:
-        mask = pa.array([kk in needed for kk in batch[key_col].to_pylist()])
-        return batch.filter(mask).select([key_col, text_col])
+    exp = pairs.map_batches(explode_pairs, batch_format="pyarrow")
 
-    texts = {}
-    for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        texts.update(zip(b[key_col].to_pylist(), b[text_col].to_pylist()))
-    text_ref = ray.put(texts)
+    def as_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"join_key": batch[key_col], "t": batch[text_col]})
 
-    import ray.data as rd
+    texts = ds.map_batches(as_key, batch_format="pyarrow")
+    joined = exp.join(texts, join_type="inner", num_partitions=jp,
+                      on=("join_key",))
 
-    pairs_tbl = pa.table(
-        {
-            "a_key": pa.array([p[0] for p in sorted(pair_set)], type=pa.string()),
-            "b_key": pa.array([p[1] for p in sorted(pair_set)], type=pa.string()),
-        }
-    )
+    def reassemble(group: pa.Table) -> pa.Table:
+        sides = group["side"].to_pylist()
+        keys = group["join_key"].to_pylist()
+        txts = group["t"].to_pylist()
+        a = b = None
+        ta = tb = ""
+        for s, kk, tt in zip(sides, keys, txts):
+            if s == 0:
+                a, ta = kk, tt
+            else:
+                b, tb = kk, tt
+        if a is None or b is None:
+            return _EMPTY_SPAN_TABLE
+        lcs = longest_common_substring(ta or "", tb or "")
+        if lcs < span:
+            return _EMPTY_SPAN_TABLE
+        return pa.table(
+            {"a_key": pa.array([a], type=pa.string()),
+             "b_key": pa.array([b], type=pa.string()),
+             "span_len": pa.array([lcs], type=pa.int64())}
+        )
 
-    class Verify:
-        def __init__(self, ref, span):
-            self.texts = ray.get(ref)
-            self.span = span
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_out, b_out, l_out = [], [], []
-            for a, b in zip(batch["a_key"].to_pylist(), batch["b_key"].to_pylist()):
-                lcs = longest_common_substring(
-                    self.texts.get(a, ""), self.texts.get(b, "")
-                )
-                if lcs >= self.span:
-                    a_out.append(a)
-                    b_out.append(b)
-                    l_out.append(lcs)
-            return pa.table(
-                {"a_key": pa.array(a_out, type=pa.string()),
-                 "b_key": pa.array(b_out, type=pa.string()),
-                 "span_len": pa.array(l_out, type=pa.int64())}
-            )
-
-    return rd.from_arrow(pairs_tbl).map_batches(
-        Verify,
-        fn_constructor_args=(text_ref, span),
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, 8),
-        num_cpus=1,
-    )
+    return joined.groupby("pid").map_groups(reassemble, batch_format="pyarrow")

@@ -15,3 +15,16 @@ def fan_out(ds, factor: int = 3):
     fragments and this becomes a near-no-op split."""
     target = int(ray.cluster_resources().get("CPU", 8)) * factor
     return ds.repartition(target)
+
+
+def join_partitions(n_rows: int, rows_per_partition: int = 8192,
+                    max_parts: int = 64) -> int:
+    """Partition count for ``Dataset.join`` sized so every hash partition
+    is statistically guaranteed non-empty (P(empty) ~ e^-rows_per_part).
+
+    Ray 2.49's hash-join aggregator builds an empty ZERO-COLUMN table for
+    a partition that received no shards from a side whose upstream plan
+    can't expose a schema (join / map_groups outputs), and pyarrow then
+    fails the key lookup — sizing partitions by row count sidesteps the
+    bug and is the right shuffle granularity anyway."""
+    return max(1, min(max_parts, n_rows // rows_per_partition + 1))

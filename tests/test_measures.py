@@ -170,3 +170,36 @@ def test_broadcast_and_group_paths_agree():
         for m in ms:
             assert bc[k][m] == gp[k][m], (k, m)
             assert bc[k][m + "_error"] == gp[k][m + "_error"], (k, m)
+
+
+def test_lsi_equals_bow_cosine_when_rank_small():
+    """gensim-parity proof case: with rank(BoW) <= num_topics the LSI
+    topic-space cosine MUST equal the plain BoW cosine (any exact or
+    randomized rank-k SVD is an isometry on the row space there) — this
+    is exactly what gensim LsiModel + MatrixSimilarity returns for small
+    TimeMaps, so value parity is provable without gensim installed."""
+    import numpy as np
+
+    from raydedup.stages.measures import _lsi_scores
+
+    docs = [
+        "the original story about a topic".split(),
+        "the original story about a topic".split(),
+        "a drifted reply concerning other matters entirely".split(),
+        "the original story about a topic plus extra words".split(),
+        "totally unrelated spam content here now".split(),
+    ]
+    got = _lsi_scores(docs, num_topics=10)
+    # plain BoW cosine vs doc 0
+    vocab = {}
+    for d in docs:
+        for t in d:
+            vocab.setdefault(t, len(vocab))
+    X = np.zeros((len(docs), len(vocab)))
+    for i, d in enumerate(docs):
+        for t in d:
+            X[i, vocab[t]] += 1
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    expected = (Xn @ Xn[0]).tolist()
+    assert np.allclose(got, expected, atol=1e-12)
+    assert got[1] == pytest.approx(1.0)  # identical doc → cosine 1

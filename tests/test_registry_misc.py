@@ -24,7 +24,8 @@ def test_registry_shape_matches_reference_surface():
     assert supported_timemap_measures["cosine"]["comparison direction"] == "<"
     assert "collection_jaccard" in supported_collection_measures
     assert {"parquet", "documents", "goldtest"} <= set(supported_input_types)
-    assert {"parquet", "csv", "goldstandard"} <= set(supported_output_types)
+    assert {"parquet", "json", "csv", "csv_report", "golddatafile",
+            "goldstandard"} <= set(supported_output_types)
 
 
 def test_registry_measure_function_runs():
@@ -62,3 +63,70 @@ def test_goldfile_input(tmp_path):
     assert len(rows) == 2
     assert rows[0]["conv_id"] == "1" and rows[0]["label"] == "1"
     assert rows[1]["text"] == "http://b.example/"
+
+
+def test_json_and_csv_report_writers(tmp_path):
+    """Reference-shape outputs: nested report dict (generate_dict parity),
+    CSV column projection (save_as_CSV header parity), JSON-lines dump."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.pipelines.offtopic import (
+        CSV_REPORT_FIELDS,
+        csv_report,
+        detect_off_topic,
+        report_dict,
+        save_as_json,
+    )
+
+    tbl = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2", "c2"],
+            "turn_idx": pa.array([0, 1, 0, 1], type=pa.int32()),
+            "text": [
+                "the original anchor text about topics",
+                "a drifted follow-up reply about nothing",
+                "second conversation anchor text",
+                "second conversation anchor text",  # identical → on-topic
+            ],
+        }
+    )
+    measures = ["bytecount", "jaccard"]
+    classified = detect_off_topic(
+        ray.data.from_arrow(tbl), measures, DEFAULT_CONFIG,
+        keep_features=True,
+    ).materialize()
+
+    # nested report: reference generate_dict shape
+    rep = report_dict(classified, measures, DEFAULT_CONFIG)
+    assert set(rep) == {"c1", "c2"}
+    assert set(rep["c1"]) == {"c1:0", "c1:1"}
+    member = rep["c1"]["c1:1"]
+    assert "raw memento simhash value" in member
+    assert "content length" in member
+    assert set(member["timemap measures"]) == set(measures)
+    leaf = member["timemap measures"]["jaccard"]
+    assert set(leaf) == {"stemmed", "tokenized", "removed boilerplate",
+                         "comparison score", "topic status"}
+    assert member["overall topic status"] in ("on-topic", "off-topic")
+    json.dumps(rep)  # must be JSON-serializable like the reference's dump
+
+    # CSV report: exact reference fieldnames, one row per memento
+    out = csv_report(classified, measures, DEFAULT_CONFIG)
+    assert out.schema().names == CSV_REPORT_FIELDS
+    rows = out.take_all()
+    assert len(rows) == 4
+    assert all(r["Measurement Name"] == measures[-1] for r in rows)
+
+    # JSON-lines writer
+    jdir = str(tmp_path / "jsonout")
+    save_as_json(classified, jdir)
+    files = [f for f in os.listdir(jdir) if f.endswith(".json")]
+    assert files
+    with open(os.path.join(jdir, files[0])) as fh:
+        first = json.loads(fh.readline())
+    assert "overall_status" in first

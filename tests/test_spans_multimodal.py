@@ -325,3 +325,39 @@ def test_langid_labeled_fixtures():
     wrong = [(r["expected"], r["detected_lang"]) for r in rows
              if r["expected"] != r["detected_lang"]]
     assert not wrong, wrong
+
+
+def test_hot_boilerplate_bounded_and_connected():
+    """A boilerplate block shared by many docs makes every fingerprint
+    hot. The member cap must bound candidate generation (pair budget)
+    while per-fp rotation sampling keeps the true-duplicate family
+    CONNECTED (what downstream union-find clustering needs)."""
+    import pyarrow as pa
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.stages.suffix_span import long_span_pairs
+    from raydedup.state.unionfind import UnionFind
+
+    n = 60
+    boiler = ("standard legal disclaimer text repeated verbatim in every "
+              "document of this synthetic boilerplate-heavy corpus, long "
+              "enough to exceed the minimum span threshold easily " * 4)
+    rows = {
+        "row_key": [f"d{i:03d}" for i in range(n)],
+        "text": [f"unique head {i} " + boiler + f" unique tail {i}"
+                 for i in range(n)],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    cap = 8
+    got = long_span_pairs(ds, DEFAULT_CONFIG, fp_member_cap=cap).take_all()
+    pairs = {(r["a_key"], r["b_key"]) for r in got}
+    # pair budget: far below the n^2/2 blowup
+    assert 0 < len(pairs) < n * (n - 1) / 2
+    # every found pair is a true long-span pair
+    assert all(r["span_len"] >= DEFAULT_CONFIG.min_span_chars for r in got)
+    # connectivity: union-find over the capped pairs links the whole family
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    roots = {uf.find(k) for k in rows["row_key"]}
+    assert len(roots) == 1
