@@ -81,75 +81,103 @@ def simhash64_batch(
     """
     if cache is None:
         cache = {}
-    all_hashes: list[int] = []
-    weight_arrays: list[np.ndarray] = []
+    if not texts:
+        return np.empty(0, dtype=np.uint64)
+    cache_get = cache.get
+    window_arrays: list[np.ndarray] = []
     offsets = np.empty(len(texts) + 1, dtype=np.int64)
     offsets[0] = 0
-    cache_get = cache.get
-    void16 = np.dtype((np.void, 4 * width))
     count = 0
+    pad = b"\x00\x00\x00\x00"
     for row, text in enumerate(texts):
         content = simhash_preprocess(text if text is not None else "")
         if len(content) <= width:
-            # the slide rule's single (short) shingle
-            sh = content
-            key = sh.encode("utf-32-le")
-            h = cache_get(key)
-            if h is None:
-                h = _md5_low64(sh)
-                cache[key] = h
-            all_hashes.append(h)
-            weight_arrays.append(_ONE)
+            # the slide rule's single (short) shingle, NUL-padded into the
+            # same fixed-width key space (preprocessed text has no NULs,
+            # so padded keys cannot collide with real windows)
+            kb = content.encode("utf-32-le")
+            kb += pad * (width - len(content))
+            window_arrays.append(
+                np.frombuffer(kb, dtype=np.uint32).reshape(1, width)
+            )
             count += 1
         else:
             cps = np.frombuffer(content.encode("utf-32-le"), dtype=np.uint32)
             win = np.lib.stride_tricks.sliding_window_view(cps, width)
-            keys = np.ascontiguousarray(win).view(void16).ravel()
-            uniq, counts = np.unique(keys, return_counts=True)
-            for key in uniq:
-                kb = key.tobytes()
-                h = cache_get(kb)
-                if h is None:
-                    h = _md5_low64(kb.decode("utf-32-le"))
-                    cache[kb] = h
-                all_hashes.append(h)
-            weight_arrays.append(counts.astype(np.int32))
-            count += len(uniq)
+            window_arrays.append(win)
+            count += len(win)
         offsets[row + 1] = count
-    if not texts:
-        return np.empty(0, dtype=np.uint64)
 
-    hashes = np.array(all_hashes, dtype=np.uint64)
-    weights = np.concatenate(weight_arrays).astype(np.int32)
+    # No per-doc dedup: voting every window with weight 1 is identical to
+    # weighting per-doc-unique shingles by their counts. ONE batch-level
+    # unique (integer lexsort + diff — the void-compare np.unique was the
+    # measured hot spot) maps every window to a batch-distinct shingle;
+    # the Python md5/cache loop then touches only those (~100x fewer).
+    all_win = np.ascontiguousarray(np.concatenate(window_arrays))
+    n_win = all_win.shape[0]
+    if (4 * width) % 8 == 0:
+        pairs = all_win.view(np.uint64).reshape(n_win, -1)
+    else:  # odd widths: pad a zero column so the uint64 view works
+        padded = np.zeros((n_win, width + (width & 1)), dtype=np.uint32)
+        padded[:, :width] = all_win
+        pairs = padded.view(np.uint64).reshape(n_win, -1)
+    order = np.lexsort(tuple(pairs[:, c] for c in range(pairs.shape[1] - 1, -1, -1)))
+    sorted_pairs = pairs[order]
+    new_grp = np.r_[True, (sorted_pairs[1:] != sorted_pairs[:-1]).any(axis=1)]
+    grp_of_sorted = np.cumsum(new_grp) - 1
+    inv = np.empty(n_win, dtype=np.int64)
+    inv[order] = grp_of_sorted
+    rep_rows = order[new_grp]  # one window index per distinct shingle
+
+    bh = np.empty(len(rep_rows), dtype=np.uint64)
+    for i, r in enumerate(rep_rows):
+        kb = all_win[r].tobytes()
+        h = cache_get(kb)
+        if h is None:
+            h = _md5_low64(kb.decode("utf-32-le").rstrip("\x00"))
+            cache[kb] = h
+        bh[i] = h
+    hashes = bh[inv]
+    weights = np.ones(n_win, dtype=np.int32)
     return bit_vote_batch(hashes, weights, offsets)
+
+
+# (256, 8) byte-value → ±1 per bit table for the byte-plane vote
+_SIGN_TABLE = (
+    2 * ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1) - 1
+).astype(np.int64)
+_SIGN_TABLE_F = _SIGN_TABLE.astype(np.float64)
 
 
 def bit_vote_batch(hashes: np.ndarray, weights: np.ndarray,
                    offsets: np.ndarray) -> np.ndarray:
     """Weighted 64-bit majority vote per segment → uint64 simhash values.
 
-    Chunked: the (S, 64) expansion is processed in segment ranges of
-    ~4096 feature rows so the int8/int32 temporaries stay L2-resident. The
-    unchunked version is DRAM-bandwidth-bound, which destroys multi-task
-    scaling (measured: 32 concurrent tasks ran 5x slower per task).
-    Every segment must be non-empty (reduceat quirk)."""
+    Byte-plane bincount formulation: instead of expanding every feature
+    to a (S, 64) signed matrix (64-256 B of DRAM traffic per feature —
+    bandwidth-bound, which destroyed multi-task scaling), each of the 8
+    bytes of the hash is bincounted per doc (9 B/feature/plane) and the
+    256-entry ±1 sign table turns byte counts into the 8 bit sums. Exact:
+    integer counts stay below 2^53 in the float64 bincount."""
     n_docs = len(offsets) - 1
-    sums = np.empty((n_docs, 64), dtype=np.int32)
-    CHUNK = 4096
-    doc_lo = 0
-    while doc_lo < n_docs:
-        doc_hi = doc_lo + 1
-        while doc_hi < n_docs and offsets[doc_hi + 1] - offsets[doc_lo] <= CHUNK:
-            doc_hi += 1
-        s_lo, s_hi = offsets[doc_lo], offsets[doc_hi]
-        h = hashes[s_lo:s_hi]
-        w = weights[s_lo:s_hi]
-        bits = ((h[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int8)
-        signed = (2 * bits - 1).astype(np.int32) * w[:, None]
-        sums[doc_lo:doc_hi] = np.add.reduceat(
-            signed, (offsets[doc_lo:doc_hi] - s_lo)
-        )
-        doc_lo = doc_hi
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64)
+    seg_len = np.diff(offsets)
+    doc_key = np.repeat(np.arange(n_docs, dtype=np.int64), seg_len) << 8
+    planes = hashes.view(np.uint8).reshape(-1, 8)  # little-endian planes
+    all_ones = bool(weights.size == 0 or (weights == 1).all())
+    wf = None if all_ones else weights.astype(np.float64)
+    sums = np.empty((n_docs, 64), dtype=np.int64)
+    for p in range(8):
+        key = doc_key | planes[:, p]
+        if all_ones:
+            counts = np.bincount(key, minlength=n_docs * 256)
+            counts = counts.reshape(n_docs, 256)
+            sums[:, 8 * p : 8 * p + 8] = counts @ _SIGN_TABLE
+        else:
+            counts = np.bincount(key, weights=wf, minlength=n_docs * 256)
+            counts = counts.reshape(n_docs, 256)
+            sums[:, 8 * p : 8 * p + 8] = (counts @ _SIGN_TABLE_F).astype(np.int64)
     return ((sums > 0).astype(np.uint64) * _POW2[None, :]).sum(axis=1, dtype=np.uint64)
 
 

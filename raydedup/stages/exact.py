@@ -59,6 +59,69 @@ def add_row_key(ds, key_cols: list[str]):
     return ds.map_batches(_add, batch_format="pyarrow")
 
 
+_EX_PARTS = 16
+
+
+@ray.remote(num_cpus=1, num_returns=_EX_PARTS)
+def _exact_partial_task(*tbls: pa.Table):
+    """Bundle of (text_sha256, row_key) blocks → per-partition
+    (sha, min_key, count) partial tables, partitioned by sha prefix."""
+    agg: dict[str, list] = {}
+    for t in tbls:
+        for sha, key in zip(t["text_sha256"].to_pylist(),
+                            t["row_key"].to_pylist()):
+            hit = agg.get(sha)
+            if hit is None:
+                agg[sha] = [key, 1]
+            else:
+                if key < hit[0]:
+                    hit[0] = key
+                hit[1] += 1
+    outs: list[tuple[list, list, list]] = [
+        ([], [], []) for _ in range(_EX_PARTS)
+    ]
+    for sha, (rep, n) in agg.items():
+        o = outs[int(sha[:2], 16) & (_EX_PARTS - 1)]
+        o[0].append(sha)
+        o[1].append(rep)
+        o[2].append(n)
+    return tuple(
+        pa.table(
+            {
+                "text_sha256": pa.array(o[0], type=pa.string()),
+                "rep_key": pa.array(o[1], type=pa.string()),
+                "n_exact": pa.array(o[2], type=pa.int64()),
+            }
+        )
+        for o in outs
+    )
+
+
+@ray.remote(num_cpus=1)
+def _exact_merge_task(*parts: pa.Table) -> pa.Table:
+    """Merge one sha partition across bundles; emit ONLY dup entries."""
+    merged: dict[str, list] = {}
+    for t in parts:
+        for sha, rep, n in zip(t["text_sha256"].to_pylist(),
+                               t["rep_key"].to_pylist(),
+                               t["n_exact"].to_pylist()):
+            hit = merged.get(sha)
+            if hit is None:
+                merged[sha] = [rep, n]
+            else:
+                if rep < hit[0]:
+                    hit[0] = rep
+                hit[1] += n
+    dups = [(sha, v[0], v[1]) for sha, v in merged.items() if v[1] >= 2]
+    return pa.table(
+        {
+            "text_sha256": pa.array([d[0] for d in dups], type=pa.string()),
+            "rep_key": pa.array([d[1] for d in dups], type=pa.string()),
+            "n_exact": pa.array([d[2] for d in dups], type=pa.int64()),
+        }
+    )
+
+
 def exact_dedup(sigs_ds, distributed_counts: bool | None = None,
                 driver_max_rows: int = 5_000_000):
     """signatures → same rows + (rep_key, n_exact, is_rep).
@@ -90,44 +153,32 @@ def exact_dedup(sigs_ds, distributed_counts: bool | None = None,
                                    b["n_exact"].to_pylist()):
                 dup_map[sha] = (rep, n)
     else:
-        # per-batch dict partials (distributed) + one dict merge on the
-        # driver. Benchmarked against a pandas groupby partial: the dict
-        # path is ~20x faster (object-dtype groupby per small batch is
-        # pathological).
-        def partial(batch: pa.Table) -> pa.Table:
-            agg: dict[str, tuple[str, int]] = {}
-            for sha, key in zip(batch["text_sha256"].to_pylist(),
-                                batch["row_key"].to_pylist()):
-                hit = agg.get(sha)
-                if hit is None:
-                    agg[sha] = (key, 1)
-                else:
-                    agg[sha] = (min(hit[0], key), hit[1] + 1)
-            return pa.table(
-                {
-                    "text_sha256": pa.array(list(agg.keys()), type=pa.string()),
-                    "rep_key": pa.array([v[0] for v in agg.values()],
-                                        type=pa.string()),
-                    "n_exact": pa.array([v[1] for v in agg.values()],
-                                        type=pa.int64()),
-                }
-            )
-
-        merged: dict[str, tuple[str, int]] = {}
-        for b in (
-            sigs_ds.select_columns(["text_sha256", "row_key"])
-            .map_batches(partial, batch_format="pyarrow")
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-        ):
-            for sha, key, n in zip(b["text_sha256"].to_pylist(),
-                                   b["rep_key"].to_pylist(),
-                                   b["n_exact"].to_pylist()):
-                hit = merged.get(sha)
-                if hit is None:
-                    merged[sha] = (key, n)
-                else:
-                    merged[sha] = (min(hit[0], key), hit[1] + n)
-        dup_map = {sha: v for sha, v in merged.items() if v[1] >= 2}
+        # ref-based parallel merge: bundle tasks aggregate (sha → min_key,
+        # count) partials and re-partition them by sha prefix; one merge
+        # task per partition combines across bundles and returns ONLY the
+        # duplicated entries. The driver never touches the distinct-sha
+        # table — it collects the (small) dup partitions. (A per-batch
+        # dict beats a pandas object-dtype groupby ~20x, and the sha key
+        # is itself uniform so the prefix partitioning is balanced.)
+        slim = sigs_ds.select_columns(["text_sha256", "row_key"]).materialize()
+        block_refs = slim.to_arrow_refs()
+        n_bundles = max(1, min(64, len(block_refs)))
+        per = -(-len(block_refs) // n_bundles)
+        bundles = [block_refs[o: o + per]
+                   for o in range(0, len(block_refs), per)]
+        part_futs = [_exact_partial_task.remote(*b) for b in bundles]
+        if _EX_PARTS == 1:
+            part_futs = [[f] for f in part_futs]
+        merge_futs = [
+            _exact_merge_task.remote(*[f[p] for f in part_futs])
+            for p in range(_EX_PARTS)
+        ]
+        dup_map = {}
+        for t in ray.get(merge_futs):
+            for sha, rep, n in zip(t["text_sha256"].to_pylist(),
+                                   t["rep_key"].to_pylist(),
+                                   t["n_exact"].to_pylist()):
+                dup_map[sha] = (rep, n)
     ref = ray.put(dup_map)
 
     def paint(batch: pa.Table) -> pa.Table:

@@ -365,15 +365,33 @@ def _emit_run_pairs(sh: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                     out_b.append(np.tile(b_blk, a_blk.size))
 
 
-@ray.remote(num_cpus=1)
+def _partition_pairs(lo: np.ndarray, hi: np.ndarray) -> tuple:
+    """Split canonical pair arrays into _N_PARTS stacked (2, m) arrays by
+    a symmetric pair hash, so cross-partition dedup can run in parallel
+    tasks instead of one driver merge."""
+    mix = ((lo.view(np.uint64) * _MIX) ^ hi.view(np.uint64)).view(np.int64)
+    part = mix & (_N_PARTS - 1)
+    order = np.argsort(part, kind="stable")
+    sorted_part = part[order]
+    cuts = np.searchsorted(sorted_part, np.arange(_N_PARTS + 1))
+    return tuple(
+        np.stack([lo[order[cuts[p]: cuts[p + 1]]],
+                  hi[order[cuts[p]: cuts[p + 1]]]])
+        for p in range(_N_PARTS)
+    )
+
+
+@ray.remote(num_cpus=1, num_returns=_N_PARTS)
 def _pairgen_reducer(*parts):
     """Reducer for one bucket partition: concat the mappers' stacked
-    (2, m) arrays and run run-length pair generation."""
+    (2, m) arrays, run run-length pair generation, dedup locally, and
+    re-partition the candidate pairs by pair hash for the parallel
+    cross-partition dedup+verify tasks."""
     b_arr = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
     h_arr = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+    empty = np.empty((2, 0), dtype=np.int64)
     if b_arr.size == 0:
-        e = np.empty(0, dtype=np.int64)
-        return e, e
+        return tuple([empty] * _N_PARTS)
     order = np.lexsort((h_arr, b_arr))
     sb, sh = b_arr[order], h_arr[order]
     starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
@@ -382,21 +400,28 @@ def _pairgen_reducer(*parts):
     pb_l: list = []
     _emit_run_pairs(sh, starts, lens, pa_l, pb_l)
     if not pa_l:
-        e = np.empty(0, dtype=np.int64)
-        return e, e
+        return tuple([empty] * _N_PARTS)
     a = np.concatenate(pa_l)
     b = np.concatenate(pb_l)
     lo = np.minimum(a, b)
     hi = np.maximum(a, b)
-    return _unique_pairs(lo, hi)
+    lo, hi = _unique_pairs(lo, hi)
+    keep = lo != hi  # same row colliding via two bands
+    return _partition_pairs(lo[keep], hi[keep])
 
 
 @ray.remote(num_cpus=1)
-def _verify_task(pair_a: np.ndarray, pair_b: np.ndarray, min_jaccard: float,
-                 blocks):
-    """Verify a slice of candidate pairs. Composite ids resolve directly
-    to (bundle, row) — no hash index, no collisions. ``blocks`` = list of
-    per-bundle store tuples; everything arrives zero-copy."""
+def _dedup_verify_task(min_jaccard: float, blocks, *parts) -> pa.Table:
+    """One pair-hash partition: concat the reducers' candidate arrays,
+    cross-partition dedup (every copy of a pair lands here), then verify.
+    Composite ids resolve directly to (bundle, row) — no hash index, no
+    collisions. ``blocks`` = list of per-bundle store tuples; everything
+    arrives zero-copy."""
+    lo = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    hi = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+    if lo.size == 0:
+        return _PAIR_SCHEMA.empty_table()
+    pair_a, pair_b = _unique_pairs(lo, hi)
     ba = (pair_a >> _ID_BITS).astype(np.int64)
     ra = (pair_a & _ID_MASK).astype(np.int64)
     bb = (pair_b >> _ID_BITS).astype(np.int64)
@@ -429,13 +454,15 @@ def _verify_task(pair_a: np.ndarray, pair_b: np.ndarray, min_jaccard: float,
 
 def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
     """Single-node-fast LSH tail as a hand-rolled ref-based shuffle: every
-    phase (partitioned light explode, per-partition pair generation,
-    candidate verification) runs in parallel Ray tasks over zero-copy
-    numpy blocks; the driver only routes ObjectRefs and merges the final
-    (small) pair arrays. This keeps the serial fraction near zero, which
-    is what the two-cluster-size scaling criterion actually measures.
-    (The co-partitioned Dataset groupby path is the default for corpora
-    whose exploded bucket membership outgrows single-machine memory.)"""
+    phase (partitioned light explode, per-bucket-partition pair
+    generation, pair-hash-partitioned cross dedup + verification) runs in
+    parallel Ray tasks over zero-copy numpy blocks; the DRIVER ONLY
+    ROUTES OBJECTREFS — no candidate-pair merge, no table concat — which
+    keeps the serial fraction near zero (what the two-cluster-size
+    scaling criterion actually measures). The verified pair tables feed
+    ``from_arrow_refs`` directly. (The co-partitioned Dataset groupby
+    path is the default for corpora whose exploded bucket membership
+    outgrows single-machine memory.)"""
     import ray.data as rd
 
     block_refs = rep_sigs_ds.materialize().to_arrow_refs()
@@ -448,20 +475,14 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
         for i, bundle in enumerate(bundles)
     ]
 
-    # reducers get only their own partition's refs — no routing tasks
+    # reducers get only their own bucket partition's refs; each returns
+    # its candidate pairs re-partitioned by pair hash
     red_futs = [
         _pairgen_reducer.remote(*[f[p] for f in map_futs])
         for p in range(_N_PARTS)
     ]
-    results = ray.get(red_futs)
-    results = [r for r in results if r[0].size]
-    if not results:
-        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
-    a = np.concatenate([r[0] for r in results])
-    b = np.concatenate([r[1] for r in results])
-    pair_a, pair_b = _unique_pairs(a, b)
-    if pair_a.size == 0:
-        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+    if _N_PARTS == 1:
+        red_futs = [[r] for r in red_futs]
 
     # per-bundle store tuples gathered into one broadcastable list
     block_tuples = [
@@ -471,17 +492,13 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
     ]
     blocks_list_ref = _gather_blocks.remote(*block_tuples)
 
-    n_pairs = len(pair_a)
-    n_chunks = max(1, min(64, n_pairs // 2048))
-    step = -(-n_pairs // n_chunks)
     ver_futs = [
-        _verify_task.remote(pair_a[o: o + step], pair_b[o: o + step],
-                            min_jaccard, blocks_list_ref)
-        for o in range(0, n_pairs, step)
+        _dedup_verify_task.remote(
+            min_jaccard, blocks_list_ref, *[r[q] for r in red_futs]
+        )
+        for q in range(_N_PARTS)
     ]
-    tables = ray.get(ver_futs)
-    out = pa.concat_tables(tables) if tables else _PAIR_SCHEMA.empty_table()
-    return rd.from_arrow(out)
+    return rd.from_arrow_refs(ver_futs)
 
 
 @ray.remote(num_cpus=0.5)
