@@ -32,8 +32,14 @@ _CATEGORY_PATTERNS: list[tuple[str, float]] = [
 ]
 
 
-def uri_scores(ds, uri_col: str = "uri"):
-    """→ adds category_score, depth_score, damage_score, quality_score."""
+def uri_scores(ds, uri_col: str = "uri", damage_fn=None):
+    """→ adds category_score, depth_score, damage_score, quality_score.
+
+    ``damage_fn``: optional ``list[str] -> array-like of float`` scoring
+    memento damage per URI — the injection point for the reference's REST
+    client (bin/select_high_quality:92-120). Must be a deterministic
+    serializable callable (it ships to workers). Default: 0.0 per row
+    (no network in this engine)."""
     compiled = [(re.compile(p), w) for p, w in _CATEGORY_PATTERNS]
 
     def score(batch: pa.Table) -> pa.Table:
@@ -47,7 +53,10 @@ def uri_scores(ds, uri_col: str = "uri"):
                     break
         path = [u.split("//", 1)[-1] for u in uris]
         depth = np.array([p.count("/") for p in path], dtype=np.float64) / 10.0
-        damage = np.zeros(len(uris))  # external service stub (see module doc)
+        if damage_fn is None:
+            damage = np.zeros(len(uris))
+        else:
+            damage = np.asarray(damage_fn(uris), dtype=np.float64)
         quality = -0.40 * damage + 0.15 * cat + 0.45 * depth
         out = {n: batch[n] for n in batch.column_names}
         out["category_score"] = pa.array(cat)

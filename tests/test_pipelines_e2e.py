@@ -91,3 +91,37 @@ def test_cli_neardup_and_resume(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     summary2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert summary2 == summary1
+
+
+def test_uri_scores_injectable_damage():
+    """The damage scorer is the injection point for the reference's REST
+    client (bin/select_high_quality:92-120); verify the combined weight
+    formula -0.40*damage + 0.15*category + 0.45*depth against a mocked
+    deterministic service."""
+    from raydedup.stages.quality import uri_scores
+
+    tbl = pa.table({
+        "row_key": ["a", "b", "c"],
+        "uri": [
+            "https://twitter.com/x/status/1",        # category 1.0
+            "https://example.org/one/two/three",      # category 0.0
+            "https://news.site/article",              # category 0.3
+        ],
+    })
+
+    def fake_damage(uris):
+        # deterministic stand-in for the memento-damage REST service
+        return [len(u) % 7 / 10.0 for u in uris]
+
+    out = {r["row_key"]: r for r in
+           uri_scores(ray.data.from_arrow(tbl), damage_fn=fake_damage)
+           .take_all()}
+    for key, uri in zip(tbl["row_key"].to_pylist(), tbl["uri"].to_pylist()):
+        r = out[key]
+        assert r["damage_score"] == pytest.approx(len(uri) % 7 / 10.0)
+        expect = (-0.40 * r["damage_score"] + 0.15 * r["category_score"]
+                  + 0.45 * r["depth_score"])
+        assert r["quality_score"] == pytest.approx(expect)
+    # default path stays the documented 0.0 stub
+    stub = uri_scores(ray.data.from_arrow(tbl)).take_all()
+    assert all(r["damage_score"] == 0.0 for r in stub)
