@@ -84,37 +84,53 @@ def simhash64_batch(
     if not texts:
         return np.empty(0, dtype=np.uint64)
     cache_get = cache.get
-    window_arrays: list[np.ndarray] = []
+    pad = b"\x00\x00\x00\x00"
+
+    # ONE UTF-32 encode of the whole batch + ONE sliding window over the
+    # concatenated code points; windows that straddle a doc boundary are
+    # masked out by a vectorized range-diff (the per-doc encode/window
+    # loop was ~25 us/doc of pure Python overhead). Docs with
+    # len <= width take the slide rule's single NUL-padded shingle
+    # (preprocessed text has no NULs, so padded keys cannot collide with
+    # real windows).
+    contents = [simhash_preprocess(t if t is not None else "") for t in texts]
+    lens = np.array([len(c) for c in contents], dtype=np.int64)
+    # len == width docs are "long": their one boundary-valid window is
+    # byte-identical to the zero-padded short key
+    counts = np.where(lens >= width, lens - width + 1, 1)
     offsets = np.empty(len(texts) + 1, dtype=np.int64)
     offsets[0] = 0
-    count = 0
-    pad = b"\x00\x00\x00\x00"
-    for row, text in enumerate(texts):
-        content = simhash_preprocess(text if text is not None else "")
-        if len(content) <= width:
-            # the slide rule's single (short) shingle, NUL-padded into the
-            # same fixed-width key space (preprocessed text has no NULs,
-            # so padded keys cannot collide with real windows)
-            kb = content.encode("utf-32-le")
-            kb += pad * (width - len(content))
-            window_arrays.append(
-                np.frombuffer(kb, dtype=np.uint32).reshape(1, width)
-            )
-            count += 1
-        else:
-            cps = np.frombuffer(content.encode("utf-32-le"), dtype=np.uint32)
-            win = np.lib.stride_tricks.sliding_window_view(cps, width)
-            window_arrays.append(win)
-            count += len(win)
-        offsets[row + 1] = count
+    np.cumsum(counts, out=offsets[1:])
+    n_win = int(offsets[-1])
+    is_short = lens < width
+    all_win = np.empty((n_win, width), dtype=np.uint32)
+    cps = np.frombuffer("".join(contents).encode("utf-32-le"), dtype=np.uint32)
+    doc_off = np.empty(len(texts) + 1, dtype=np.int64)
+    doc_off[0] = 0
+    np.cumsum(lens, out=doc_off[1:])
+    n_pos = cps.size - width + 1
+    if n_pos > 0 and not is_short.all():
+        sw = np.lib.stride_tricks.sliding_window_view(cps, width)
+        # a start p is invalid iff its window crosses a doc boundary b:
+        # p in [b-width+1, b-1]; overlapping ranges stack in the diff
+        bad = np.zeros(n_pos + 1, dtype=np.int64)
+        inner = doc_off[1:-1]
+        np.add.at(bad, np.clip(inner - width + 1, 0, n_pos), 1)
+        np.add.at(bad, np.clip(inner, 0, n_pos), -1)
+        valid = np.cumsum(bad[:-1]) == 0
+        long_mask = np.ones(n_win, dtype=bool)
+        long_mask[offsets[:-1][is_short]] = False
+        all_win[long_mask] = sw[valid]
+    for i in np.flatnonzero(is_short):
+        kb = contents[i].encode("utf-32-le")
+        kb += pad * (width - int(lens[i]))
+        all_win[offsets[i]] = np.frombuffer(kb, dtype=np.uint32)
 
     # No per-doc dedup: voting every window with weight 1 is identical to
     # weighting per-doc-unique shingles by their counts. ONE batch-level
     # unique (integer lexsort + diff — the void-compare np.unique was the
     # measured hot spot) maps every window to a batch-distinct shingle;
     # the Python md5/cache loop then touches only those (~100x fewer).
-    all_win = np.ascontiguousarray(np.concatenate(window_arrays))
-    n_win = all_win.shape[0]
     if (4 * width) % 8 == 0:
         pairs = all_win.view(np.uint64).reshape(n_win, -1)
     else:  # odd widths: pad a zero column so the uint64 view works
