@@ -28,6 +28,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from raydedup.config import DedupConfig, DEFAULT_CONFIG
 from raydedup.functions.setsim import (
@@ -103,19 +104,39 @@ _TOKEN_HASH_CACHE: dict[str, int] = {}
 
 def measure_prep_batch(batch: pa.Table, cfg: DedupConfig,
                        text_col: str = "text") -> pa.Table:
-    """Per-row feature extraction for the measure stage."""
+    """Per-row feature extraction for the measure stage. Tokenization and
+    both simhashes run once per DISTINCT text in the batch and scatter to
+    rows (identical text ⇒ identical features by construction; dedup
+    corpora repeat texts heavily, same pattern as the signature stage)."""
     texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+    uniq_index: dict[str, int] = {}
+    row_to_uniq = np.empty(len(texts), dtype=np.int64)
+    uniq_texts: list[str] = []
+    for i, t in enumerate(texts):
+        j = uniq_index.get(t)
+        if j is None:
+            j = len(uniq_texts)
+            uniq_index[t] = j
+            uniq_texts.append(t)
+        row_to_uniq[i] = j
+
     token_lists = [
-        full_tokenize(t, cfg.stemming, cfg.remove_stopwords) for t in texts
+        full_tokenize(t, cfg.stemming, cfg.remove_stopwords)
+        for t in uniq_texts
     ]
-    raw_sim = simhash64_batch(texts, cfg.simhash_shingle_width, _SIMHASH_CACHE)
-    tf_sim = tf_simhash_batch(token_lists, _TOKEN_HASH_CACHE)
+    u_raw = simhash64_batch(uniq_texts, cfg.simhash_shingle_width,
+                            _SIMHASH_CACHE)
+    u_tf = tf_simhash_batch(token_lists, _TOKEN_HASH_CACHE)
+    sel = pa.array(row_to_uniq)
     cols = {n: batch[n] for n in batch.column_names if n != text_col}
-    cols["n_chars"] = pa.array([len(t) for t in texts], type=pa.int64())
-    cols["tokens"] = pa.array(token_lists, type=pa.list_(pa.string()))
-    cols["n_tokens"] = pa.array([len(t) for t in token_lists], type=pa.int32())
-    cols["raw_simhash_val"] = pa.array(raw_sim, type=pa.uint64())
-    cols["tf_simhash_val"] = pa.array(tf_sim, type=pa.uint64())
+    cols["n_chars"] = pc.take(
+        pa.array([len(t) for t in uniq_texts], type=pa.int64()), sel)
+    cols["tokens"] = pc.take(
+        pa.array(token_lists, type=pa.list_(pa.string())), sel)
+    cols["n_tokens"] = pc.take(
+        pa.array([len(t) for t in token_lists], type=pa.int32()), sel)
+    cols["raw_simhash_val"] = pa.array(u_raw[row_to_uniq])
+    cols["tf_simhash_val"] = pa.array(u_tf[row_to_uniq])
     return pa.table(cols)
 
 
