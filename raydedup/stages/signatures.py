@@ -133,12 +133,18 @@ def signature_batch(batch: pa.Table, cfg: DedupConfig,
             pa.array(u_minhash[row_to_uniq].reshape(-1), type=pa.uint64()),
             cfg.minhash_num_perms,
         )
-    u_shingle_arr = pa.array(
-        [h.tolist() for h in shingle_hash_lists], type=pa.list_(pa.uint64())
+    # ListArray straight from offsets + concatenated values — boxing each
+    # uint64 through Python (`.tolist()`) was a measured per-batch drag
+    u_nsh = np.array([len(s) for s in shingle_hash_lists], dtype=np.int32)
+    sh_offs = np.zeros(len(shingle_hash_lists) + 1, dtype=np.int32)
+    np.cumsum(u_nsh, out=sh_offs[1:])
+    sh_values = (np.concatenate(shingle_hash_lists)
+                 if shingle_hash_lists else np.empty(0, dtype=np.uint64))
+    u_shingle_arr = pa.ListArray.from_arrays(
+        pa.array(sh_offs), pa.array(sh_values, type=pa.uint64())
     )
     cols["shingle_hashes"] = pc.take(u_shingle_arr, sel)
     u_ntok = np.array([len(t) for t in token_lists], dtype=np.int32)
-    u_nsh = np.array([len(s) for s in shingle_hash_lists], dtype=np.int32)
     cols["n_tokens"] = pa.array(u_ntok[row_to_uniq])
     cols["n_shingles"] = pa.array(u_nsh[row_to_uniq])
     return pa.table(cols)
