@@ -217,6 +217,45 @@ def _exact_jaccard(x: np.ndarray, y: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+def _tiled_pair_jaccard(flat: np.ndarray, offs: np.ndarray,
+                        pi: np.ndarray, pj: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for index pairs over a flattened list column of
+    per-row SORTED-UNIQUE uint64 sets. Same tiled pad-sort-count kernel
+    as ``_batch_intersections`` (one np.sort per tile replaces a per-pair
+    ``np.intersect1d`` Python loop)."""
+    n = pi.size
+    la = (offs[pi + 1] - offs[pi]).astype(np.int64)
+    lb = (offs[pj + 1] - offs[pj]).astype(np.int64)
+    tot = la + lb
+    inter = np.empty(n, dtype=np.int64)
+    order = np.argsort(tot, kind="stable")
+    _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+    _TILE_ELEMS = 1 << 19
+    pos = 0
+    while pos < n:
+        hi_pos = pos + 1
+        lmax = int(tot[order[pos]])
+        while hi_pos < n:
+            cand = max(lmax, int(tot[order[hi_pos]]))
+            if (hi_pos + 1 - pos) * cand > _TILE_ELEMS and hi_pos > pos:
+                break
+            lmax = cand
+            hi_pos += 1
+        idx = order[pos:hi_pos]
+        buf = np.full((idx.size, max(lmax, 1)), _SENTINEL, dtype=np.uint64)
+        for k, i in enumerate(idx):
+            m = la[i]
+            buf[k, :m] = flat[offs[pi[i]]: offs[pi[i] + 1]]
+            buf[k, m: tot[i]] = flat[offs[pj[i]]: offs[pj[i] + 1]]
+        buf.sort(axis=1)
+        eq = buf[:, 1:] == buf[:, :-1]
+        valid = np.arange(buf.shape[1] - 1)[None, :] < (tot[idx] - 1)[:, None]
+        inter[idx] = (eq & valid).sum(axis=1)
+        pos = hi_pos
+    union = la + lb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
 class BucketVerify:
     """map_groups body over surviving (bucket, sgrp) groups → verified
     pairs. Within-salt groups (i == j) pair all members; cross-salt groups
@@ -263,23 +302,20 @@ class BucketVerify:
             fresh = ~(prior[pi] == prior[pj]).any(axis=1)
             pi, pj = pi[fresh], pj[fresh]
 
-        shingles = [
-            shingle_col[i].values.to_numpy(zero_copy_only=False)
-            for i in range(m)
-        ]
+        flat = shingle_col.values.to_numpy(zero_copy_only=False)
+        offs = shingle_col.offsets.to_numpy().astype(np.int64)
+        jac = _tiled_pair_jaccard(flat, offs, pi, pj)
+        keep = np.flatnonzero(jac >= self.min_jaccard)
         a_out: list[str] = []
         b_out: list[str] = []
         j_out: list[float] = []
-        thr = self.min_jaccard
-        for ii, jj in zip(pi, pj):
-            jac = _exact_jaccard(shingles[ii], shingles[jj])
-            if jac >= thr:
-                ka, kb = keys[ii], keys[jj]
-                if kb < ka:
-                    ka, kb = kb, ka
-                a_out.append(ka)
-                b_out.append(kb)
-                j_out.append(jac)
+        for i in keep:
+            ka, kb = keys[pi[i]], keys[pj[i]]
+            if kb < ka:
+                ka, kb = kb, ka
+            a_out.append(ka)
+            b_out.append(kb)
+            j_out.append(float(jac[i]))
         return pa.table(
             {
                 "a_key": pa.array(a_out, type=pa.string()),
