@@ -13,9 +13,10 @@ exact-text groups ∪ verified MinHash-LSH near-dup components.
 Scale notes (10^12-turn design):
 - only hashes cross the wide shuffles (text dropped after signatures);
 - exact dedup first ⇒ LSH never sees hot identical-text buckets;
-- verified edges are sparse ⇒ driver union-find is safe; the distributed
-  label-propagation backend (state/unionfind.py) is the fallback when the
-  component map itself outgrows the driver;
+- verified edges are sparse ⇒ driver-side components are safe and run
+  fully vectorized (dictionary-encode + numpy pointer jumping); the
+  distributed label-propagation backend (state/unionfind.py) is the
+  fallback when the component map itself outgrows the driver;
 - the final cluster map is broadcast once via ``ray.put`` and read inside
   each assignment task — never re-shipped per batch.
 """

@@ -17,12 +17,15 @@ majority of sha groups are singletons, and a ``groupby().map_groups``
 pays a Python call per group — millions of calls for zero information.
 Instead:
 
-  1. one NATIVE grouped aggregate (vectorized sort-shuffle) computes
-     ``(text_sha256, n_exact, rep_key=min(row_key))`` — no Python per
-     group;
+  1. the duplicated-text table ``(text_sha256, n_exact,
+     rep_key=min(row_key))`` is computed either by sha-prefix-partitioned
+     partial/merge tasks (small inputs; no shuffle) or by one NATIVE
+     grouped aggregate (vectorized sort-shuffle) above the row threshold
+     — no Python call per group on either path;
   2. only groups with n_exact >= 2 are broadcast (``ray.put`` once) and a
-     stateless ``map_batches`` paints rep_key/n_exact/is_rep onto every
-     row — singletons take the fast default path.
+     stateless vectorized ``map_batches`` (``pc.index_in`` probe) paints
+     rep_key/n_exact/is_rep onto every row — singletons take the fast
+     default path.
 
 Scale note: the broadcast map holds one entry per DUPLICATED text. If that
 outgrows driver memory (extreme corpora), swap step 2 for
@@ -128,15 +131,17 @@ def exact_dedup(sigs_ds, distributed_counts: bool | None = None,
                 driver_max_rows: int = 5_000_000):
     """signatures → same rows + (rep_key, n_exact, is_rep).
 
-    Small-input path: per-batch partial (sha → count, min_key) tables
-    merged once on the driver — no shuffle at all. Its merged dict holds
-    every DISTINCT sha, so it is only the default at or below
-    ``driver_max_rows`` rows; above that (``distributed_counts=None``
-    auto-picks, or force with True) a native grouped aggregate (sort
-    shuffle) computes the groups and only the DUPLICATED-text entries —
-    a far smaller set (hot rows collapse) — are broadcast for the paint.
-    The sha key is uniform (cryptographic), so the shuffle needs no skew
-    handling.
+    Small-input path (at or below ``driver_max_rows``): ref-based
+    parallel merge — bundle tasks build (sha → count, min_key) partials
+    partitioned by sha prefix; one merge task per partition combines
+    across bundles and returns ONLY the duplicated entries, so neither
+    the driver nor any single task ever holds the distinct-sha table.
+    Above the threshold (``distributed_counts=None`` auto-picks, or force
+    with True) a native grouped aggregate (sort shuffle) computes the
+    groups and streams back the duplicated entries. Either way only the
+    DUPLICATED-text set — far smaller than the corpus (hot rows
+    collapse) — is broadcast for the vectorized paint. The sha key is
+    uniform (cryptographic), so the shuffle needs no skew handling.
     """
     sigs_ds = sigs_ds.materialize()
     if distributed_counts is None:
