@@ -128,3 +128,65 @@ def test_collection_measures_closed_form():
         assert by[key]["n_distinct_tokens"] == a
         assert abs(by[key]["collection_jaccard"] - (1 - a / g)) < 1e-12
         assert abs(by[key]["collection_sorensen"] - (1 - 2 * a / (a + g))) < 1e-12
+
+
+def test_tiled_pair_jaccard_matches_bruteforce():
+    """The tiled pad-sort-count kernel must agree exactly with per-pair
+    np.intersect1d over random sorted-unique uint64 sets, including empty
+    sets and pairs spanning tile boundaries."""
+    from raydedup.stages.lsh import _exact_jaccard, _tiled_pair_jaccard
+
+    rng = np.random.default_rng(7)
+    sets = []
+    for _ in range(200):
+        n = int(rng.integers(0, 60))
+        sets.append(np.unique(rng.integers(0, 80, size=n).astype(np.uint64)))
+    # make some near-identical pairs so high-jaccard values occur
+    for i in range(0, 40, 2):
+        sets[i + 1] = np.unique(
+            np.concatenate([sets[i], rng.integers(0, 80, 2).astype(np.uint64)])
+        )
+    flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+    offs = np.zeros(len(sets) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in sets], out=offs[1:])
+    pi = rng.integers(0, len(sets), size=500).astype(np.int64)
+    pj = rng.integers(0, len(sets), size=500).astype(np.int64)
+    got = _tiled_pair_jaccard(flat, offs, pi, pj)
+    for k in range(len(pi)):
+        expect = _exact_jaccard(sets[pi[k]], sets[pj[k]])
+        assert got[k] == expect, (k, pi[k], pj[k])
+
+
+def test_vectorized_components_match_unionfind():
+    """cluster_assignments' numpy pointer-jumping components must assign
+    the same lexicographic-min cluster ids as the reference UnionFind."""
+    import ray
+    from raydedup.pipelines.neardup import cluster_assignments
+
+    rng = np.random.default_rng(11)
+    keys = [f"k{idx:04d}" for idx in range(120)]
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.integers(0, len(keys), 2)
+        if a != b:
+            edges.add((keys[min(a, b)], keys[max(a, b)]))
+    edges = sorted(edges)
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    expected = uf.components()
+
+    pairs = ray.data.from_arrow(pa.table({
+        "a_key": [e[0] for e in edges],
+        "b_key": [e[1] for e in edges],
+    }))
+    assigned = ray.data.from_arrow(pa.table({
+        "row_key": keys,
+        "rep_key": keys,
+    }))
+    out = {r["row_key"]: r for r in
+           cluster_assignments(assigned, pairs).take_all()}
+    for k in keys:
+        want = expected.get(k, k)
+        assert out[k]["cluster_id"] == want, k
+        assert out[k]["is_duplicate"] == (k != want)
