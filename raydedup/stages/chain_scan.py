@@ -70,10 +70,20 @@ def chain_scan_survivors(sigs_ds, threshold: float = 0.2,
 
     def scan(group: pa.Table) -> pa.Table:
         order = np.argsort(group[order_col].to_numpy(), kind="stable")
-        keys = [group["row_key"][int(i)].as_py() for i in order]
-        shs = [int(group["simhash"][int(i)].as_py()) for i in order]
+        key_arr = group["row_key"].take(pa.array(order)).combine_chunks()
+        shs_np = group["simhash"].to_numpy(zero_copy_only=False)[order]
         consider = ray.get(consider_ref)
-        kept = _scan_group(shs, keys, threshold, consider)
+        if consider is None:
+            # every row updates state ⇒ prev is just the shifted column;
+            # hamming(cur, prev) vectorizes as a popcount of the xor
+            prev = np.r_[np.zeros(1, dtype=np.uint64), shs_np[:-1]]
+            x = (shs_np ^ prev).view(np.uint8)
+            ham = np.unpackbits(x).reshape(-1, 64).sum(axis=1)
+            keep = ham / 64 > threshold
+            return pa.table({"row_key": key_arr.filter(pa.array(keep))})
+        keys = key_arr.to_pylist()
+        kept = _scan_group([int(s) for s in shs_np], keys, threshold,
+                           consider)
         return pa.table({"row_key": pa.array(kept, type=pa.string())})
 
     return sigs_ds.groupby(group_col).map_groups(scan, batch_format="pyarrow")
