@@ -26,7 +26,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -102,15 +101,17 @@ def knn_brute(ds, query_ids: list[int], k: int = 10,
         num_cpus=1,
     )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def final_topk(g: pa.Table) -> pa.Table:
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -cos))[:k]
+        out = g.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
 
     return partial.groupby("query_id").map_groups(final_topk,
-                                                  batch_format="pandas")
+                                                  batch_format="pyarrow")
 
 
 def embedding_near_pairs(ds, threshold: float = 0.95,

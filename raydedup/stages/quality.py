@@ -18,7 +18,6 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -76,13 +75,16 @@ def select_high_quality(scored_ds, group_cols=("slice_number", "cluster_id"),
     stable in Python, so the FIRST max in iteration order wins; we pin the
     deterministic equivalent: max score, ties broken by min key)."""
 
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        best = g.sort_values([quality_col, key_col],
-                             ascending=[False, True]).head(1)
-        return best
+    def top1(g: pa.Table) -> pa.Table:
+        q = g[quality_col].to_numpy(zero_copy_only=False)
+        cand = np.flatnonzero(q == q.max())
+        if cand.size > 1:  # ties: min key wins (few rows, keys are strings)
+            keys = g[key_col].take(pa.array(cand)).to_pylist()
+            cand = cand[[min(range(len(keys)), key=keys.__getitem__)]]
+        return g.take(pa.array(cand[:1]))
 
     return scored_ds.groupby(list(group_cols)).map_groups(
-        top1, batch_format="pandas"
+        top1, batch_format="pyarrow"
     )
 
 

@@ -18,7 +18,6 @@ contract, SURVEY §2.9):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -60,12 +59,20 @@ def sessionize(ds, gap_sec: int = 1800, key_col: str = "user_id",
     within a user whenever the gap to the previous event exceeds
     ``gap_sec`` (1-based; events sorted by (ts, event_id) within user)."""
 
-    def scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        ts = g[ts_col].astype("int64").to_numpy() // 1_000_000
+    def scan(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // 1_000_000
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ts = ts[order]
         new_session = np.r_[True, np.diff(ts) > gap_sec]
-        g = g[[id_col, key_col]].copy()
-        g["session_id"] = np.cumsum(new_session)
-        return g
+        sel = pa.array(order)
+        return pa.table(
+            {
+                id_col: g[id_col].take(sel),
+                key_col: g[key_col].take(sel),
+                "session_id": pa.array(np.cumsum(new_session)),
+            }
+        )
 
-    return ds.groupby(key_col).map_groups(scan, batch_format="pandas")
+    return ds.groupby(key_col).map_groups(scan, batch_format="pyarrow")
