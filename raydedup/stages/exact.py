@@ -71,6 +71,9 @@ def _exact_partial_task(*tbls: pa.Table):
     (sha, min_key, count) partial tables, partitioned by sha prefix."""
     agg: dict[str, list] = {}
     for t in tbls:
+        if t.num_rows == 0:
+            # empty pass-through blocks keep the pre-map schema — skip
+            continue
         # zero-copy column projection of the full signature block — the
         # caller hands whole blocks so no slim copy transits the store
         for sha, key in zip(t["text_sha256"].to_pylist(),

@@ -336,9 +336,12 @@ def _light_part_task(bundle_idx: int, bands: int, *tbls: pa.Table):
     bytes/offsets). Row ids are composite (bundle << 40 | row) —
     globally unique, zero collisions. Separate returns → reducers address
     exactly their partition's ref; everything numpy → zero-copy."""
-    tbl = pa.concat_tables(tbls).combine_chunks()
-    tbl = tbl.filter(pc.greater(tbl["n_shingles"], 0))
-    n = tbl.num_rows
+    tbls = [t for t in tbls if t.num_rows > 0]  # empty blocks keep the
+    n = 0                                       # pre-map schema — drop
+    if tbls:
+        tbl = pa.concat_tables(tbls).combine_chunks()
+        tbl = tbl.filter(pc.greater(tbl["n_shingles"], 0))
+        n = tbl.num_rows
     if n == 0:
         e2 = np.empty((2, 0), dtype=np.int64)
         eu = np.empty(0, dtype=np.uint64)

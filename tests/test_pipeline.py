@@ -180,3 +180,28 @@ def test_hot_bucket_salting_exact_recall():
                 expected.add((a, b))
     assert len(expected) > 2000  # the bucket really is hot
     assert got == expected  # exact: recall 1.0, zero false positives
+
+
+def test_empty_and_single_row_inputs():
+    """Zero-row and one-row corpora must flow through the full DAG (Ray
+    passes empty blocks through map_batches with the PRE-map schema, so
+    the ref-based tasks must skip them rather than index mapped columns)."""
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.pipelines.neardup import near_dup_pipeline
+
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "text": pa.array([], pa.string())})
+    clusters, pairs = near_dup_pipeline(ray.data.from_arrow(empty),
+                                        DEFAULT_CONFIG)
+    assert clusters.count() == 0
+    assert pairs.count() == 0
+
+    one = pa.table({"conv_id": ["c1"], "turn_idx": pa.array([0], pa.int32()),
+                    "text": ["hello world"]})
+    c2, p2 = near_dup_pipeline(ray.data.from_arrow(one), DEFAULT_CONFIG)
+    rows = c2.take_all()
+    assert len(rows) == 1 and rows[0]["is_duplicate"] is False
+    assert p2.count() == 0
