@@ -32,6 +32,58 @@ def _blake64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+# token-polynomial shingle hash: h(shingle) = fmix64(poly_C over the
+# per-token blake2b-64 hashes). Equivalent in role to hashing the joined
+# shingle string, but the blake step runs once per DISTINCT TOKEN
+# (Zipf-small) instead of once per distinct shingle, and the polynomial
+# combine over sliding windows vectorizes — the per-shingle Python
+# dict loop was ~25% of the signature kernel. Order-sensitive (poly) and
+# avalanche-mixed (murmur fmix64) — engine-internal; no SQL oracle
+# depends on the hash values (oracles compare shingle STRINGS).
+_POLY_C = 0x9E3779B97F4A7C15
+_M64 = (1 << 64) - 1
+
+
+def _fmix64_scalar(x: int) -> int:
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & _M64
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & _M64
+    x ^= x >> 33
+    return x
+
+
+def _fmix64_batch(x: np.ndarray) -> np.ndarray:
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def shingle_hashes_ref(tokens: list[str], w: int,
+                       token_hash=_blake64) -> list[int]:
+    """Scalar REFERENCE implementation of the token-polynomial shingle
+    hash (mirrors ``word_shingles`` windowing: a doc with 0 < n <= w
+    tokens yields one shingle over all its tokens; 0 tokens yield none).
+    The vectorized batch path must agree exactly (pytest parity test)."""
+    if not tokens:
+        return []
+    th = [token_hash(t) for t in tokens]
+
+    def poly(seg: list[int]) -> int:
+        h = 0
+        for v in seg:
+            h = (h * _POLY_C + v) & _M64
+        return _fmix64_scalar(h)
+
+    if len(tokens) <= w:
+        return [poly(th)]
+    return [poly(th[i: i + w]) for i in range(len(th) - w + 1)]
+
+
 class MinHasher:
     """Stateful (cache-carrying) minhash kernel; one per actor."""
 
@@ -98,6 +150,95 @@ class MinHasher:
             mins = np.minimum.reduceat(vals, starts[seg_lo:seg_hi] - s_lo,
                                        axis=0)
             out[seg_docs[seg_lo:seg_hi]] = mins
+            seg_lo = seg_hi
+        return out
+
+    def shingle_hash_arrays(
+        self, token_lists: list[list[str]], w: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch token-polynomial shingle hashes → (flat uint64 hashes,
+        per-doc int64 offsets). blake2b runs only on tokens NOT yet in the
+        per-actor cache; instance lookups are a C-speed
+        ``pc.dictionary_encode`` + numpy gather; window combines are a
+        w-step vectorized polynomial with doc boundaries masked by a
+        range diff. Agrees exactly with ``shingle_hashes_ref``."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n_docs = len(token_lists)
+        lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+        counts = np.where(lens == 0, 0,
+                          np.where(lens <= w, 1, lens - w + 1))
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        out = np.empty(int(offsets[-1]), dtype=np.uint64)
+        flat_tokens = [t for lst in token_lists for t in lst]
+        if not flat_tokens:
+            return out, offsets
+        enc = pc.dictionary_encode(pa.array(flat_tokens, type=pa.string()))
+        idx = enc.indices.to_numpy().astype(np.int64)
+        cache = self._cache
+        cache_get = cache.get
+        dvals = enc.dictionary.to_pylist()
+        dh = np.empty(len(dvals), dtype=np.uint64)
+        for i, s in enumerate(dvals):
+            h = cache_get(s)
+            if h is None:
+                h = _blake64(s)
+                cache[s] = h
+            dh[i] = h
+        th = dh[idx]
+        tok_off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=tok_off[1:])
+        C = np.uint64(_POLY_C)
+        is_short = (lens > 0) & (lens < w)  # len == w rides the window path
+        n_pos = th.size - w + 1
+        if n_pos > 0 and bool((lens >= w).any()):
+            acc = np.zeros(n_pos, dtype=np.uint64)
+            for j in range(w):
+                acc = acc * C + th[j: j + n_pos]
+            bad = np.zeros(n_pos + 1, dtype=np.int64)
+            inner = tok_off[1:-1]
+            np.add.at(bad, np.clip(inner - w + 1, 0, n_pos), 1)
+            np.add.at(bad, np.clip(inner, 0, n_pos), -1)
+            valid = np.cumsum(bad[:-1]) == 0
+            long_sel = np.ones(int(offsets[-1]), dtype=bool)
+            long_sel[offsets[:-1][is_short]] = False
+            out[long_sel] = _fmix64_batch(acc[valid])
+        for d in np.flatnonzero(is_short):
+            h = 0
+            for v in th[tok_off[d]: tok_off[d + 1]]:
+                h = (h * _POLY_C + int(v)) & _M64
+            out[offsets[d]] = _fmix64_scalar(h)
+        return out, offsets
+
+    def signatures_from_flat(self, flat: np.ndarray,
+                             offsets: np.ndarray) -> np.ndarray:
+        """(flat shingle hashes, per-doc offsets) → (n_docs, K) uint64
+        signatures; empty docs get the all-ones sentinel. Same chunked
+        segment-min as ``signatures_batch``."""
+        n = len(offsets) - 1
+        out = np.full((n, self.num_perms), _EMPTY, dtype=np.uint64)
+        if flat.size == 0:
+            return out
+        seg_len = np.diff(offsets)
+        nonempty = np.flatnonzero(seg_len > 0)
+        starts = offsets[nonempty]
+        bounds = np.r_[starts, offsets[-1]]
+        CHUNK = 2048
+        n_segs = len(nonempty)
+        seg_lo = 0
+        while seg_lo < n_segs:
+            seg_hi = seg_lo + 1
+            while (seg_hi < n_segs
+                   and bounds[seg_hi + 1] - bounds[seg_lo] <= CHUNK):
+                seg_hi += 1
+            s_lo, s_hi = bounds[seg_lo], bounds[seg_hi]
+            vals = (self.a[None, :] * flat[s_lo:s_hi, None]
+                    + self.b[None, :])  # uint64 wrap
+            mins = np.minimum.reduceat(vals, starts[seg_lo:seg_hi] - s_lo,
+                                       axis=0)
+            out[nonempty[seg_lo:seg_hi]] = mins
             seg_lo = seg_hi
         return out
 

@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 from raydedup.config import DedupConfig
 from raydedup.functions.minhash import MinHasher
 from raydedup.functions.simhash import simhash64_batch
-from raydedup.textnorm import full_tokenize, word_shingles
+from raydedup.textnorm import full_tokenize
 
 # per-worker-process state registry: config fingerprint → (MinHasher,
 # simhash cache). Deterministic (seeded) state, so process reuse across
@@ -102,20 +102,16 @@ def signature_batch(batch: pa.Table, cfg: DedupConfig,
                       remove_stopwords=cfg.remove_stopwords)
         for t in uniq_texts
     ]
-    shingle_lists = [
-        word_shingles(toks, cfg.minhash_shingle_words) if toks else []
-        for toks in token_lists
-    ]
-    u_minhash = minhasher.signatures_batch(shingle_lists)
+    flat_sh, sh_doc_offs = minhasher.shingle_hash_arrays(
+        token_lists, cfg.minhash_shingle_words
+    )
+    u_minhash = minhasher.signatures_from_flat(flat_sh, sh_doc_offs)
     u_bands = band_hashes_from_minhash(u_minhash, cfg.lsh_bands, cfg.lsh_rows)
 
-    shingle_hash_lists = []
-    base = minhasher._base_hashes
-    for shingles in shingle_lists:
-        if shingles:
-            shingle_hash_lists.append(np.unique(base(shingles)))
-        else:
-            shingle_hash_lists.append(np.empty(0, dtype=np.uint64))
+    shingle_hash_lists = [
+        np.unique(flat_sh[sh_doc_offs[d]: sh_doc_offs[d + 1]])
+        for d in range(len(token_lists))
+    ]
 
     sel = pa.array(row_to_uniq)
     cols = {name: batch[name] for name in batch.column_names

@@ -15,9 +15,9 @@ import numpy as np
 import pyarrow as pa
 
 from raydedup.config import DedupConfig
-from raydedup.functions.minhash import _blake64
+from raydedup.functions.minhash import shingle_hashes_ref
 from raydedup.state.unionfind import UnionFind
-from raydedup.textnorm import full_tokenize, word_shingles
+from raydedup.textnorm import full_tokenize
 
 import hashlib
 
@@ -31,7 +31,7 @@ def shingle_hash_set(text: str, cfg: DedupConfig) -> frozenset[int]:
                          remove_stopwords=cfg.remove_stopwords)
     if not toks:
         return frozenset()
-    return frozenset(_blake64(s) for s in word_shingles(toks, cfg.minhash_shingle_words))
+    return frozenset(shingle_hashes_ref(toks, cfg.minhash_shingle_words))
 
 
 def oracle_near_dup(table: pa.Table, cfg: DedupConfig,

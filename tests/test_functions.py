@@ -159,3 +159,25 @@ def test_tfintersection_asymmetric_top20():
     b = [f"t{i}" for i in range(15)]
     # a's top 20 = t0..t19; b's top 20 = all 15 → overlap 15
     assert tfintersection(a, b) == 15
+
+
+def test_shingle_hash_batch_matches_scalar_reference():
+    """The vectorized token-polynomial shingle hash must agree exactly
+    with the scalar reference over random token lists, all widths,
+    including empty docs and docs shorter than the window."""
+    import numpy as np
+
+    from raydedup.functions.minhash import MinHasher, shingle_hashes_ref
+
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{j}" for j in range(50)]
+    mh = MinHasher(64, 7)
+    lists = []
+    for _ in range(300):
+        n = int(rng.integers(0, 12))
+        lists.append([vocab[int(rng.integers(0, 50))] for _ in range(n)])
+    for w in (1, 2, 3, 5):
+        flat, offs = mh.shingle_hash_arrays(lists, w)
+        for d, toks in enumerate(lists):
+            got = flat[offs[d]: offs[d + 1]].tolist()
+            assert got == shingle_hashes_ref(toks, w), (w, d, toks)
