@@ -62,6 +62,10 @@ class DedupConfig:
     # --- Simhash (reference parity; see module docstring) ---
     simhash_f: int = 64
     simhash_shingle_width: int = 4
+    # seeded bit permutation applied before pigeonhole block split in
+    # simhash-near search (hamming-invariant; scatters correlated bit
+    # positions across blocks — see stages/simhash_near.py)
+    simhash_block_seed: int = 1337
 
     # --- MinHash over w-word shingles of the normalized token stream ---
     minhash_num_perms: int = 64

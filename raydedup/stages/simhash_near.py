@@ -10,12 +10,17 @@ public algorithm).
 With the default h=12 → 13 blocks of ~5 bits each, block keys are LOW
 entropy, so this stage MUST run after exact dedup (representatives only)
 and uses in-bucket vectorized hamming verification with the same
-first-colliding-block dedup rule as the minhash LSH stage. At 10^12-row
-scale low-entropy blocks make this shuffle degenerate — the documented
-partitioning assumption is that simhash-near search runs per partition
-(e.g. per time slice, like the reference's per-slice DBSCAN) or with a
-tighter h; the config default targets correctness on collection scales
-where bucket size ~ n / 2^5 stays workable after exact dedup.
+first-colliding-block dedup rule as the minhash LSH stage. A seeded bit
+PERMUTATION is applied before the block split (hamming-invariant, so the
+pigeonhole guarantee is exact): correlated/biased bit positions — the
+usual cause of a near-constant block — are scattered uniformly across
+blocks instead of concentrating. Residual caveat at 10^12-row scale:
+overall simhash entropy bounds what any reordering can do, so the
+documented partitioning assumption remains that simhash-near search runs
+per partition (e.g. per time slice, like the reference's per-slice
+DBSCAN) or with a tighter h; the config default targets correctness on
+collection scales where bucket size ~ n / 2^5 stays workable after exact
+dedup.
 """
 
 from __future__ import annotations
@@ -26,6 +31,24 @@ import pyarrow.compute as pc
 
 from raydedup.config import DedupConfig
 from raydedup.functions.simhash import hamming_batch
+
+
+def _bit_perm(f: int, seed: int) -> np.ndarray:
+    """Seeded permutation of bit positions. Applied to every simhash
+    before block split: hamming distance is invariant under a fixed bit
+    permutation, so the pigeonhole guarantee is untouched, while
+    correlated/biased bit positions (the low-entropy degeneracy the
+    module docstring warns about) are scattered uniformly across blocks
+    instead of leaving whole blocks constant."""
+    return np.random.default_rng(seed).permutation(f).astype(np.uint64)
+
+
+def _permute_bits(sims: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(sims)
+    one = np.uint64(1)
+    for i, p in enumerate(perm):
+        out |= ((sims >> p) & one) << np.uint64(i)
+    return out
 
 
 def _block_bounds(f: int, n_blocks: int) -> list[tuple[int, int]]:
@@ -48,10 +71,12 @@ class SimhashBlockExplode:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         sims = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        psims = _permute_bits(sims, _bit_perm(self.cfg.simhash_f,
+                                              self.cfg.simhash_block_seed))
         block_ids, block_bits, idx = [], [], []
         for bid, (start, width) in enumerate(self.bounds):
             mask = np.uint64((1 << width) - 1)
-            bits = (sims >> np.uint64(start)) & mask
+            bits = (psims >> np.uint64(start)) & mask
             block_ids.append(np.full(n, bid, dtype=np.int32))
             block_bits.append(bits)
             idx.append(np.arange(n, dtype=np.int64))
@@ -90,17 +115,20 @@ def simhash_near_pairs(rep_sigs_ds, cfg: DedupConfig):
             return empty
         bid = group["block_id"][0].as_py()
         sims = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        psims = _permute_bits(sims, _bit_perm(cfg.simhash_f,
+                                              cfg.simhash_block_seed))
         keys = group["row_key"].to_pylist()
         # pairwise hamming matrix (m small after exact dedup + 2^width split)
         ham = np.zeros((m, m), dtype=np.int32)
         for i in range(m):
             ham[i] = hamming_batch(sims, sims[i])
-        # first-colliding-block rule: emit only if no earlier block matches
+        # first-colliding-block rule (over PERMUTED bits, matching the
+        # explode): emit only if no earlier block matches
         prior = np.zeros((m, m), dtype=bool)
         for pb in range(bid):
             start, width = bounds[pb]
             mask = np.uint64((1 << width) - 1)
-            bits = (sims >> np.uint64(start)) & mask
+            bits = (psims >> np.uint64(start)) & mask
             prior |= bits[:, None] == bits[None, :]
         a_out, b_out, h_out = [], [], []
         emitted = 0
