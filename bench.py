@@ -145,6 +145,11 @@ def run_scaling() -> dict:
     cpus = os.environ.get("BENCH_SCALING_CPUS", "2,8")
     n_lo, n_hi = (int(x) for x in cpus.split(","))
 
+    # The shared VM's background load swings identical runs by up to 2x;
+    # noise is strictly additive, so the MIN wall time per leg over
+    # interleaved trials is the faithful estimate of each leg's capacity.
+    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_REPEATS=scaling_repeats,
@@ -155,7 +160,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = one(n_lo), one(n_hi)
+    lo_runs, hi_runs = [], []
+    for _ in range(trials):  # interleave legs to decorrelate load
+        lo_runs.append(one(n_lo))
+        hi_runs.append(one(n_hi))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
     return {
         "metric": "scaling_efficiency",
@@ -165,6 +175,8 @@ def run_scaling() -> dict:
         f"sec_{n_hi}": hi["value"],
         f"turns_per_sec_{n_lo}": lo["turns_per_sec"],
         f"turns_per_sec_{n_hi}": hi["turns_per_sec"],
+        f"trials_sec_{n_lo}": [r["value"] for r in lo_runs],
+        f"trials_sec_{n_hi}": [r["value"] for r in hi_runs],
         "turns": lo["turns"],
         "sf": lo["sf"],
     }
