@@ -103,14 +103,23 @@ def simhash64_batch(
     np.cumsum(counts, out=offsets[1:])
     n_win = int(offsets[-1])
     is_short = lens < width
-    all_win = np.empty((n_win, width), dtype=np.uint32)
     cps = np.frombuffer("".join(contents).encode("utf-32-le"), dtype=np.uint32)
     doc_off = np.empty(len(texts) + 1, dtype=np.int64)
     doc_off[0] = 0
     np.cumsum(lens, out=doc_off[1:])
     n_pos = cps.size - width + 1
+
+    # No per-doc dedup: voting every window with weight 1 is identical to
+    # weighting per-doc-unique shingles by their counts. Batch-distinct
+    # windows are found HASH-first: a mixed 64-bit key per window (built
+    # column-wise straight off the code-point array — the window matrix
+    # is never materialized), one single-key np.unique, then an exact
+    # column-wise verification of every window against its group
+    # representative. On the ~1-in-10^8-per-batch chance of a mix
+    # collision the lexsort-exact fallback runs instead. The Python
+    # md5/cache loop touches only batch-distinct shingles (~100x fewer).
+    hashes = np.empty(n_win, dtype=np.uint64)
     if n_pos > 0 and not is_short.all():
-        sw = np.lib.stride_tricks.sliding_window_view(cps, width)
         # a start p is invalid iff its window crosses a doc boundary b:
         # p in [b-width+1, b-1]; overlapping ranges stack in the diff
         bad = np.zeros(n_pos + 1, dtype=np.int64)
@@ -118,42 +127,53 @@ def simhash64_batch(
         np.add.at(bad, np.clip(inner - width + 1, 0, n_pos), 1)
         np.add.at(bad, np.clip(inner, 0, n_pos), -1)
         valid = np.cumsum(bad[:-1]) == 0
-        long_mask = np.ones(n_win, dtype=bool)
-        long_mask[offsets[:-1][is_short]] = False
-        all_win[long_mask] = sw[valid]
+        pos = np.flatnonzero(valid)
+        mixc = np.uint64(0x9E3779B97F4A7C15)
+        acc = np.zeros(pos.size, dtype=np.uint64)
+        for j in range(width):
+            acc = acc * mixc + cps[pos + j]
+        acc ^= acc >> np.uint64(33)
+        acc *= np.uint64(0xFF51AFD7ED558CCD)
+        acc ^= acc >> np.uint64(33)
+        _, rep_i, inv = np.unique(acc, return_index=True,
+                                  return_inverse=True)
+        rep_pos = pos[rep_i]
+        exact = True
+        for j in range(width):
+            if not np.array_equal(cps[pos + j], cps[rep_pos[inv] + j]):
+                exact = False
+                break
+        if not exact:  # mix collision: exact lexsort grouping instead
+            aw = np.ascontiguousarray(
+                np.lib.stride_tricks.sliding_window_view(cps, width)[valid]
+            )
+            order = np.lexsort(tuple(aw[:, c].astype(np.uint64)
+                                     for c in range(width - 1, -1, -1)))
+            saw = aw[order]
+            new_grp = np.r_[True, (saw[1:] != saw[:-1]).any(axis=1)]
+            grp = np.cumsum(new_grp) - 1
+            inv = np.empty(len(aw), dtype=np.int64)
+            inv[order] = grp
+            rep_pos = pos[order[new_grp]]
+        bh = np.empty(len(rep_pos), dtype=np.uint64)
+        for i, rp in enumerate(rep_pos):
+            kb = cps[rp: rp + width].tobytes()
+            h = cache_get(kb)
+            if h is None:
+                h = _md5_low64(kb.decode("utf-32-le"))
+                cache[kb] = h
+            bh[i] = h
+        long_sel = np.ones(n_win, dtype=bool)
+        long_sel[offsets[:-1][is_short]] = False
+        hashes[long_sel] = bh[inv]
     for i in np.flatnonzero(is_short):
         kb = contents[i].encode("utf-32-le")
         kb += pad * (width - int(lens[i]))
-        all_win[offsets[i]] = np.frombuffer(kb, dtype=np.uint32)
-
-    # No per-doc dedup: voting every window with weight 1 is identical to
-    # weighting per-doc-unique shingles by their counts. ONE batch-level
-    # unique (integer lexsort + diff — the void-compare np.unique was the
-    # measured hot spot) maps every window to a batch-distinct shingle;
-    # the Python md5/cache loop then touches only those (~100x fewer).
-    if (4 * width) % 8 == 0:
-        pairs = all_win.view(np.uint64).reshape(n_win, -1)
-    else:  # odd widths: pad a zero column so the uint64 view works
-        padded = np.zeros((n_win, width + (width & 1)), dtype=np.uint32)
-        padded[:, :width] = all_win
-        pairs = padded.view(np.uint64).reshape(n_win, -1)
-    order = np.lexsort(tuple(pairs[:, c] for c in range(pairs.shape[1] - 1, -1, -1)))
-    sorted_pairs = pairs[order]
-    new_grp = np.r_[True, (sorted_pairs[1:] != sorted_pairs[:-1]).any(axis=1)]
-    grp_of_sorted = np.cumsum(new_grp) - 1
-    inv = np.empty(n_win, dtype=np.int64)
-    inv[order] = grp_of_sorted
-    rep_rows = order[new_grp]  # one window index per distinct shingle
-
-    bh = np.empty(len(rep_rows), dtype=np.uint64)
-    for i, r in enumerate(rep_rows):
-        kb = all_win[r].tobytes()
         h = cache_get(kb)
         if h is None:
             h = _md5_low64(kb.decode("utf-32-le").rstrip("\x00"))
             cache[kb] = h
-        bh[i] = h
-    hashes = bh[inv]
+        hashes[offsets[i]] = h
     weights = np.ones(n_win, dtype=np.int32)
     return bit_vote_batch(hashes, weights, offsets)
 
