@@ -148,7 +148,7 @@ def run_scaling() -> dict:
     # The shared VM's background load swings identical runs by up to 2x;
     # noise is strictly additive, so the MIN wall time per leg over
     # interleaved trials is the faithful estimate of each leg's capacity.
-    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
+    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
