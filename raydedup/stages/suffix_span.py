@@ -226,12 +226,11 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
         bucket_pairs, batch_format="pyarrow"
     )
 
-    # distributed distinct: one row per (a_key, b_key)
-    def first_row(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    pairs = candidates.groupby(["a_key", "b_key"]).map_groups(
-        first_row, batch_format="pyarrow"
+    # distributed distinct: one row per (a_key, b_key) via the NATIVE
+    # grouped count (vectorized sort-shuffle — a map_groups first-row
+    # scan pays a Python call per candidate pair)
+    pairs = candidates.groupby(["a_key", "b_key"]).count().drop_columns(
+        ["count()"]
     ).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
