@@ -424,7 +424,7 @@ def _simhash_cte(src: str, key_expr: str) -> str:
 sh_prep AS (
     SELECT {key_expr} AS sh_key,
            coalesce(array_to_string(
-               regexp_extract_all(lower(text), '[0-9a-z_]+'), ''), '')
+               regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+'), ''), '')
                AS content
     FROM {src}
 ),

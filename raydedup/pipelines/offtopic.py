@@ -96,9 +96,11 @@ def report_dict(classified_ds, measures: list[str],
             urit = row["conv_id"]
             urim = row["row_key"]
             entry = out.setdefault(str(urit), {}).setdefault(urim, {})
-            if row.get("memento_simhash"):
+            # presence test, not truthiness: a legitimate 0 value (empty
+            # text → content_length 0, simhash 0) must still be reported
+            if row.get("memento_simhash") is not None:
                 entry["raw memento simhash value"] = int(row["memento_simhash"])
-            if row.get("content_length"):
+            if row.get("content_length") is not None:
                 entry["content length"] = int(row["content_length"])
             mm = entry.setdefault("timemap measures", {})
             for m in measures:

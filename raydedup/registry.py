@@ -113,7 +113,15 @@ def _output_csv_report(path: str, classified_ds, measures=None,
     from raydedup.pipelines.offtopic import save_as_csv_report
     from raydedup.stages.measures import ALL_MEASURES
 
-    save_as_csv_report(classified_ds, path, measures or ALL_MEASURES, cfg)
+    if measures is None:
+        # derive the measure list from the dataset itself: classified
+        # datasets carry one <m>_status column per computed measure, so
+        # the generic two-arg registry call works on any measure subset
+        # (a fixed ALL_MEASURES default raised KeyError on datasets
+        # classified with fewer measures)
+        names = set(classified_ds.schema().names)
+        measures = [m for m in ALL_MEASURES if f"{m}_status" in names]
+    save_as_csv_report(classified_ds, path, measures, cfg)
 
 
 def _output_goldstandard(path: str, classified_ds):

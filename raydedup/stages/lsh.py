@@ -161,10 +161,27 @@ def heavy_explode(batch: pa.Table, cfg: DedupConfig,
     sgrp = np.zeros(rows_out.size, dtype=np.int64)
     salt = np.zeros(rows_out.size, dtype=np.int32)
     if hot_sizes:
+        import hashlib
+
         limit = cfg.lsh_bucket_salt_above
         hot_here = np.isin(buckets, np.fromiter(
             hot_sizes, dtype=np.int64, count=len(hot_sizes)))
         if hot_here.any():
+            # salt class = hash of the GLOBAL row identity (row_key), not
+            # batch-local position: members of one hot bucket arrive
+            # scattered across many batches, and a positional assignment
+            # would put every batch's first member in class 0 — one
+            # (bucket, sgrp) group would then receive the whole bucket,
+            # recreating the O(n^2) single-task blowup salting prevents.
+            # Coverage is exact for ANY salt assignment; identity hashing
+            # keeps the classes balanced w.h.p.
+            key_hash = np.fromiter(
+                (int.from_bytes(
+                    hashlib.blake2b(k.encode(), digest_size=4).digest(),
+                    "big")
+                 for k in batch["row_key"].to_pylist()),
+                dtype=np.int64, count=n,
+            )
             cold_idx = np.nonzero(~hot_here)[0]
             parts_r = [rows_out[cold_idx]]
             parts_b = [bands_out[cold_idx]]
@@ -175,7 +192,11 @@ def heavy_explode(batch: pa.Table, cfg: DedupConfig,
             for hb in np.unique(buckets[hot_idx]):
                 p = hot_idx[buckets[hot_idx] == hb]
                 s = -(-hot_sizes[int(hb)] // limit)  # ceil
-                salts_local = (np.arange(p.size) % s).astype(np.int32)
+                # sgrp packs (lo, hi) as lo*_MAXS+hi: cap s so the
+                # encoding cannot overflow (degenerate > limit*_MAXS
+                # member buckets trade bounded class size for validity)
+                s = int(min(s, _MAXS - 1))
+                salts_local = (key_hash[rows_out[p]] % s).astype(np.int32)
                 reps = np.repeat(p, s)
                 k = np.repeat(salts_local, s)
                 j = np.tile(np.arange(s, dtype=np.int32), p.size)
@@ -217,41 +238,62 @@ def _exact_jaccard(x: np.ndarray, y: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
-def _tiled_pair_jaccard(flat: np.ndarray, offs: np.ndarray,
-                        pi: np.ndarray, pj: np.ndarray) -> np.ndarray:
-    """Exact Jaccard for index pairs over a flattened list column of
-    per-row SORTED-UNIQUE uint64 sets. Same tiled pad-sort-count kernel
-    as ``_batch_intersections`` (one np.sort per tile replaces a per-pair
-    ``np.intersect1d`` Python loop)."""
-    n = pi.size
-    la = (offs[pi + 1] - offs[pi]).astype(np.int64)
-    lb = (offs[pj + 1] - offs[pj]).astype(np.int64)
+_PAIR_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+_PAIR_TILE_ELEMS = 1 << 19  # 4 MB of uint64 per tile: stays cache-resident
+
+
+def _tiled_intersections(la: np.ndarray, lb: np.ndarray,
+                         fill) -> np.ndarray:
+    """Intersection sizes for pairs of per-row SORTED-UNIQUE uint64 sets.
+    Pairs are tiled by combined length; each tile pads both sides into
+    one (P, Lmax) row-sorted buffer and counts adjacent equals — a value
+    present on both sides of a pair appears exactly twice, padding
+    sentinels are masked by the per-pair length. ONE np.sort per tile
+    replaces a per-pair ``np.intersect1d`` Python loop (~80 us/pair of
+    numpy call overhead; 32 concurrent copies contended on the shared
+    store — measured anti-scaling 8 -> 32 CPUs). ``fill(buf_row, i)``
+    writes pair i's two segments into ``buf_row[:la[i]+lb[i]]``."""
+    n = la.size
     tot = la + lb
     inter = np.empty(n, dtype=np.int64)
     order = np.argsort(tot, kind="stable")
-    _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
-    _TILE_ELEMS = 1 << 19
     pos = 0
     while pos < n:
         hi_pos = pos + 1
         lmax = int(tot[order[pos]])
         while hi_pos < n:
             cand = max(lmax, int(tot[order[hi_pos]]))
-            if (hi_pos + 1 - pos) * cand > _TILE_ELEMS and hi_pos > pos:
+            if (hi_pos + 1 - pos) * cand > _PAIR_TILE_ELEMS and hi_pos > pos:
                 break
             lmax = cand
             hi_pos += 1
         idx = order[pos:hi_pos]
-        buf = np.full((idx.size, max(lmax, 1)), _SENTINEL, dtype=np.uint64)
+        buf = np.full((idx.size, max(lmax, 1)), _PAIR_SENTINEL,
+                      dtype=np.uint64)
         for k, i in enumerate(idx):
-            m = la[i]
-            buf[k, :m] = flat[offs[pi[i]]: offs[pi[i] + 1]]
-            buf[k, m: tot[i]] = flat[offs[pj[i]]: offs[pj[i] + 1]]
+            fill(buf[k], i)
         buf.sort(axis=1)
         eq = buf[:, 1:] == buf[:, :-1]
         valid = np.arange(buf.shape[1] - 1)[None, :] < (tot[idx] - 1)[:, None]
         inter[idx] = (eq & valid).sum(axis=1)
         pos = hi_pos
+    return inter
+
+
+def _tiled_pair_jaccard(flat: np.ndarray, offs: np.ndarray,
+                        pi: np.ndarray, pj: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for index pairs over a flattened list column of
+    per-row sorted-unique uint64 sets (shared kernel:
+    ``_tiled_intersections``)."""
+    la = (offs[pi + 1] - offs[pi]).astype(np.int64)
+    lb = (offs[pj + 1] - offs[pj]).astype(np.int64)
+
+    def fill(row: np.ndarray, i: int) -> None:
+        m = la[i]
+        row[:m] = flat[offs[pi[i]]: offs[pi[i] + 1]]
+        row[m: m + lb[i]] = flat[offs[pj[i]]: offs[pj[i] + 1]]
+
+    inter = _tiled_intersections(la, lb, fill)
     union = la + lb - inter
     return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
@@ -450,15 +492,10 @@ def _pairgen_reducer(*parts):
 
 
 def _batch_intersections(blocks, ba, ra, bb, rb) -> tuple:
-    """Vectorized intersection sizes for candidate pairs whose sides are
-    per-row SORTED-UNIQUE uint64 shingle sets inside the per-bundle
-    stores. Pairs are tiled by combined length; each tile pads both sides
-    into one (P, Lmax) row-sorted buffer and counts adjacent equals — a
-    value present on both sides of a pair appears exactly twice, padding
-    sentinels are masked by the per-pair length. Replaces the per-pair
-    ``np.intersect1d`` Python loop (~80 us/pair of numpy call overhead,
-    and 32 concurrent copies contended on the shared store; measured
-    anti-scaling 8 -> 32 CPUs). Returns (inter, la, lb) int64 arrays."""
+    """Intersection sizes for candidate pairs whose sides are per-row
+    sorted-unique uint64 shingle sets inside the per-bundle stores
+    (composite (bundle, row) addressing; shared kernel:
+    ``_tiled_intersections``). Returns (inter, la, lb) int64 arrays."""
     n = ba.size
     la = np.empty(n, dtype=np.int64)
     lb = np.empty(n, dtype=np.int64)
@@ -468,34 +505,15 @@ def _batch_intersections(blocks, ba, ra, bb, rb) -> tuple:
             sho = blocks[bu][1]
             r = side_r[m]
             out[m] = sho[r + 1] - sho[r]
-    tot = la + lb
-    inter = np.empty(n, dtype=np.int64)
-    order = np.argsort(tot, kind="stable")
-    _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
-    _TILE_ELEMS = 1 << 19  # 4 MB of uint64 per tile: stays cache-friendly
-    pos = 0
-    while pos < n:
-        hi_pos = pos + 1
-        lmax = int(tot[order[pos]])
-        while hi_pos < n:
-            cand = max(lmax, int(tot[order[hi_pos]]))
-            if (hi_pos + 1 - pos) * cand > _TILE_ELEMS and hi_pos > pos:
-                break
-            lmax = cand
-            hi_pos += 1
-        idx = order[pos:hi_pos]
-        buf = np.full((idx.size, lmax), _SENTINEL, dtype=np.uint64)
-        for k, i in enumerate(idx):
-            shv_x, sho_x = blocks[ba[i]][0], blocks[ba[i]][1]
-            shv_y, sho_y = blocks[bb[i]][0], blocks[bb[i]][1]
-            m = la[i]
-            buf[k, :m] = shv_x[sho_x[ra[i]]: sho_x[ra[i] + 1]]
-            buf[k, m: tot[i]] = shv_y[sho_y[rb[i]]: sho_y[rb[i] + 1]]
-        buf.sort(axis=1)
-        eq = buf[:, 1:] == buf[:, :-1]
-        valid = np.arange(lmax - 1)[None, :] < (tot[idx] - 1)[:, None]
-        inter[idx] = (eq & valid).sum(axis=1)
-        pos = hi_pos
+
+    def fill(row: np.ndarray, i: int) -> None:
+        shv_x, sho_x = blocks[ba[i]][0], blocks[ba[i]][1]
+        shv_y, sho_y = blocks[bb[i]][0], blocks[bb[i]][1]
+        m = la[i]
+        row[:m] = shv_x[sho_x[ra[i]]: sho_x[ra[i] + 1]]
+        row[m: m + lb[i]] = shv_y[sho_y[rb[i]]: sho_y[rb[i] + 1]]
+
+    inter = _tiled_intersections(la, lb, fill)
     return inter, la, lb
 
 

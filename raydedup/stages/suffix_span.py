@@ -134,7 +134,8 @@ _EMPTY_SPAN_TABLE = pa.table(
 def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
                     text_col: str = "text", key_col: str = "row_key",
                     fp_member_cap: int | None = None,
-                    num_partitions: int | None = None):
+                    num_partitions: int | None = None,
+                    checkpoint_dir: str | None = None):
     """→ Dataset(a_key, b_key, span_len) for pairs sharing a verbatim span
     of >= cfg.min_span_chars characters. Winnowing guarantee: detection is
     exact for spans >= window + k - 1 == min_span_chars.
@@ -238,12 +239,21 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
 
     # per-stage pair checkpoint (north_rule resumability; also restores a
     # schema-bearing lineage — Ray 2.49's hash join mishandles empty
-    # partitions fed by map_groups/join outputs, see util.join_partitions)
+    # partitions fed by map_groups/join outputs, see util.join_partitions).
+    # ``checkpoint_dir`` must be storage every node can read (shared FS /
+    # object store URI) on a multi-node cluster; when None, a node-local
+    # temp dir is used, the re-read is materialized (pair sets are the
+    # sparse survivors, orders smaller than the corpus), and the dir is
+    # removed — leaving it behind leaked the full pair set per call.
+    import shutil
     import tempfile
 
-    ckpt = tempfile.mkdtemp(prefix="spanpairs_", dir="/tmp")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="spanpairs_", dir="/tmp")
     pairs.write_parquet(ckpt)
     pairs = ray.data.read_parquet(ckpt)
+    if checkpoint_dir is None:
+        pairs = pairs.materialize()
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     # attach both texts with ONE join: explode each pair to two
     # (join_key, pid, side) rows, join against the text table, then

@@ -205,3 +205,52 @@ def test_empty_and_single_row_inputs():
     rows = c2.take_all()
     assert len(rows) == 1 and rows[0]["is_duplicate"] is False
     assert p2.count() == 0
+
+
+def test_hot_bucket_salt_is_global_identity_not_batch_position():
+    """Hot-bucket salt classes must come from the global row identity:
+    members of one hot bucket scattered one-per-batch must still spread
+    across salt classes (a batch-positional assignment puts every batch's
+    first member in class 0, funneling the whole bucket into one verify
+    task)."""
+    import numpy as np
+
+    from raydedup.stages.lsh import heavy_explode
+    from raydedup.stages.signatures import signature_batch, _state_for
+
+    cfg = DEFAULT_CONFIG.with_overrides(lsh_bucket_salt_above=10)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = []
+    for i in range(80):
+        w = list(words) * 3
+        w[i % len(w)] = f"tweak{i}"
+        texts.append(" ".join(w))
+    _state_for(cfg)
+    # one signature batch just to discover the family's shared buckets
+    full = pa.table({
+        "row_key": [f"k{i:03d}" for i in range(80)],
+        "text": texts,
+    })
+    sigs = signature_batch(full, cfg)
+    import collections
+    from raydedup.stages.lsh import light_explode
+    light = light_explode(sigs, cfg)
+    sizes = collections.Counter(light["bucket"].to_pylist())
+    hot = {b: n for b, n in sizes.items() if n > cfg.lsh_bucket_salt_above}
+    assert hot, "fixture must produce at least one hot bucket"
+    surviving = np.sort(np.array([b for b, n in sizes.items() if n >= 2],
+                                 dtype=np.int64))
+    # feed the SAME rows one-per-batch (worst-case scatter) and collect
+    # the salt class of each member of the hottest bucket
+    hottest = max(hot, key=hot.get)
+    salts = []
+    for i in range(80):
+        one = signature_batch(full.slice(i, 1), cfg)
+        out = heavy_explode(one, cfg, surviving, hot)
+        m = [s for b, s in zip(out["bucket"].to_pylist(),
+                               out["salt"].to_pylist()) if b == hottest]
+        salts.extend(set(m))
+    s_classes = -(-hot[hottest] // cfg.lsh_bucket_salt_above)
+    assert len(set(salts)) >= max(2, s_classes // 2), (
+        f"salt classes collapsed: {sorted(set(salts))} of {s_classes}")
