@@ -373,10 +373,19 @@ setsize AS (
 # full_tokenize(stemming=False, remove_stopwords=False) + word_shingles;
 # DuckDB 1.0 lacks WITH ORDINALITY → list_transform over index ranges)
 _DOC_SHINGLES_CTE = """
+-- near-dup pairs are defined BETWEEN exact-text representatives
+-- (min doc_id per identical text), mirroring the engine contract:
+-- exact-dup members collapse in exact_dedup and reattach at CLUSTERING,
+-- so the pairs operator never emits member pairs (identical-text pairs
+-- are exact pairs, not near pairs)
+doc_reps AS (
+    SELECT min(CAST(doc_id AS VARCHAR)) AS rep FROM documents GROUP BY text
+),
 arrs AS (
     SELECT doc_id,
            regexp_extract_all(lower(text), '[0-9a-zA-Z_]+') AS arr
     FROM documents
+    WHERE CAST(doc_id AS VARCHAR) IN (SELECT rep FROM doc_reps)
 ),
 shingle_lists AS (
     -- docs with > 3 tokens: sliding 3-grams; docs with 1..3 tokens: one
