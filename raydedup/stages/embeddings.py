@@ -122,8 +122,11 @@ def embedding_near_pairs(ds, threshold: float = 0.95,
     for the backend trade-offs; ``auto`` = broadcast below
     ``broadcast_limit`` rows, exact blockwise above."""
     if method == "auto":
-        n = ds.count()
-        method = "broadcast" if n <= broadcast_limit else "blockwise"
+        # materialize BEFORE counting so the backend below reuses the
+        # executed blocks (a bare count() on a lazy ds ran the upstream
+        # pipeline once for the size probe and again in the backend)
+        ds = ds.materialize()
+        method = "broadcast" if ds.count() <= broadcast_limit else "blockwise"
     if method == "blockwise":
         return embedding_near_pairs_blockwise(
             ds, threshold, id_col=id_col, vec_col=vec_col
@@ -308,15 +311,9 @@ def embedding_near_pairs_lsh(ds, threshold: float = 0.95,
     tagged = packed.map_batches(bucket_all, batch_format="pyarrow").materialize()
     n_parts = num_partitions or max(2, min(64, tagged.num_blocks()))
 
-    counts = tagged.groupby("bucket").count()
+    from raydedup.util import repeated_keys
 
-    def strip(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.greater_equal(batch["count()"], pa.scalar(2))
-        return batch.filter(mask).select(["bucket"])
-
-    hot = counts.map_batches(strip, batch_format="pyarrow")
+    hot = repeated_keys(tagged, "bucket")
     cands = tagged.join(hot, join_type="inner", num_partitions=n_parts,
                         on=("bucket",))
 

@@ -74,8 +74,6 @@ def _exact_partial_task(*tbls: pa.Table):
         if t.num_rows == 0:
             # empty pass-through blocks keep the pre-map schema — skip
             continue
-        # zero-copy column projection of the full signature block — the
-        # caller hands whole blocks so no slim copy transits the store
         for sha, key in zip(t["text_sha256"].to_pylist(),
                             t["row_key"].to_pylist()):
             hit = agg.get(sha)
@@ -167,7 +165,13 @@ def exact_dedup(sigs_ds, distributed_counts: bool | None = None,
         # table — it collects the (small) dup partitions. (A per-batch
         # dict beats a pandas object-dtype groupby ~20x, and the sha key
         # is itself uniform so the prefix partitioning is balanced.)
-        block_refs = sigs_ds.to_arrow_refs()
+        # skinny two-column blocks: select_columns executes a zero-copy
+        # projection pass, so off-node partial tasks pull ~100 B/row
+        # instead of the full signature block (shingle lists dominate)
+        block_refs = (
+            sigs_ds.select_columns(["text_sha256", "row_key"])
+            .to_arrow_refs()
+        )
         n_bundles = max(1, min(64, len(block_refs)))
         per = -(-len(block_refs) // n_bundles)
         bundles = [block_refs[o: o + per]

@@ -174,14 +174,18 @@ def heavy_explode(batch: pa.Table, cfg: DedupConfig,
             # (bucket, sgrp) group would then receive the whole bucket,
             # recreating the O(n^2) single-task blowup salting prevents.
             # Coverage is exact for ANY salt assignment; identity hashing
-            # keeps the classes balanced w.h.p.
-            key_hash = np.fromiter(
-                (int.from_bytes(
-                    hashlib.blake2b(k.encode(), digest_size=4).digest(),
-                    "big")
-                 for k in batch["row_key"].to_pylist()),
-                dtype=np.int64, count=n,
-            )
+            # keeps the classes balanced w.h.p. Hash ONLY the rows with a
+            # hot incidence (a batch-wide pass would run on nearly every
+            # batch once one bucket is globally hot).
+            hot_pre = np.nonzero(hot_here)[0]
+            need_rows = np.unique(rows_out[hot_pre])
+            keys_col = batch["row_key"]
+            key_hash = np.zeros(n, dtype=np.int64)
+            for r in need_rows:
+                key_hash[r] = int.from_bytes(
+                    hashlib.blake2b(
+                        keys_col[int(r)].as_py().encode(), digest_size=4
+                    ).digest(), "big")
             cold_idx = np.nonzero(~hot_here)[0]
             parts_r = [rows_out[cold_idx]]
             parts_b = [bands_out[cold_idx]]

@@ -77,7 +77,15 @@ def select_high_quality(scored_ds, group_cols=("slice_number", "cluster_id"),
 
     def top1(g: pa.Table) -> pa.Table:
         q = g[quality_col].to_numpy(zero_copy_only=False)
-        cand = np.flatnonzero(q == q.max())
+        # NaN-safe max (an injected damage_fn can produce NaN scores):
+        # the best NON-NaN row wins, matching the replaced pandas
+        # sort_values(...).head(1); an all-NaN group keeps its first row
+        finite = ~np.isnan(q)
+        if finite.any():
+            best = q[finite].max()
+            cand = np.flatnonzero(finite & (q == best))
+        else:
+            cand = np.array([0], dtype=np.int64)
         if cand.size > 1:  # ties: min key wins (few rows, keys are strings)
             keys = g[key_col].take(pa.array(cand)).to_pylist()
             cand = cand[[min(range(len(keys)), key=keys.__getitem__)]]

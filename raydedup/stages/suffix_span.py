@@ -180,17 +180,9 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
         return ray.data.from_arrow(_EMPTY_SPAN_TABLE)
     n_parts = num_partitions or join_partitions(n_exploded)
 
-    # drop singleton fingerprints BEFORE the heavy groupby (a Python call
-    # per singleton group is the measured map_groups tax)
-    counts = exploded.groupby("fp").count()
+    from raydedup.util import repeated_keys
 
-    def strip(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.greater_equal(batch["count()"], pa.scalar(2))
-        return batch.filter(mask).select(["fp"])
-
-    hot = counts.map_batches(strip, batch_format="pyarrow").materialize()
+    hot = repeated_keys(exploded, "fp").materialize()
     if hot.count() == 0:
         return ray.data.from_arrow(_EMPTY_SPAN_TABLE)
     cands = exploded.join(hot, join_type="inner", num_partitions=n_parts,
@@ -259,7 +251,6 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
     # (join_key, pid, side) rows, join against the text table, then
     # reassemble per pid — texts co-partition with the pairs, nothing
     # lands on the driver.
-    from raydedup.util import join_partitions
 
     jp = join_partitions(2 * n_pairs)
 

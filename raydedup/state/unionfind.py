@@ -76,9 +76,11 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 50,
     labels); the neighbor-label lookup is a distributed ``Dataset.join``
     of the edge list against the current labels, the reduction a
     ``groupby(node).min``, and convergence a ``sum`` aggregate over a
-    changed-flag column — nothing ever lands on the driver. Converges in
-    O(component diameter) rounds; near-dup clusters are shallow
-    (diameter rarely > 3) and each round shuffles only the edge set.
+    changed-flag column — nothing ever lands on the driver. Each round
+    also POINTER-JUMPS (label(node) <- label(label(node)) via a second
+    join), so reach doubles per round and ``max_rounds=50`` covers any
+    realizable component diameter; a non-converged exit raises instead
+    of silently returning split components.
     """
     from ray.data.aggregate import Min, Sum
 
@@ -147,13 +149,53 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 50,
                 {"node": batch["node"], "label": new_label, "changed": changed}
             )
 
-        new_labels = merged.map_batches(
-            relabel, batch_format="pyarrow"
+        stepped = merged.map_batches(relabel, batch_format="pyarrow")
+
+        # pointer jumping: label(node) <- label(label(node)). One-hop
+        # propagation alone needs O(diameter) rounds and the suffix-span
+        # hot-fingerprint ROTATED CHAINS produce path graphs of diameter
+        # ~m; flattening each round doubles the effective reach, so
+        # max_rounds=50 covers any component a physical machine can hold.
+        def as_jump(batch):
+            import pyarrow as pa
+
+            return pa.table(
+                {"label": batch["node"], "jump": batch["label"]}
+            )
+
+        jump = stepped.map_batches(as_jump, batch_format="pyarrow")
+        flat = stepped.join(jump, join_type="left_outer",
+                            num_partitions=n_parts, on=("label",))
+
+        def flatten(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            nl = pc.min_element_wise(
+                batch["label"], pc.coalesce(batch["jump"], batch["label"])
+            )
+            changed = pc.cast(
+                pc.or_(pc.cast(batch["changed"], pa.bool_()),
+                       pc.not_equal(nl, batch["label"])),
+                pa.int64(),
+            )
+            return pa.table(
+                {"node": batch["node"], "label": nl, "changed": changed}
+            )
+
+        new_labels = flat.map_batches(
+            flatten, batch_format="pyarrow"
         ).materialize()
         changed = new_labels.aggregate(Sum("changed", alias_name="n"))["n"] or 0
         labels = new_labels.drop_columns(["changed"])
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components_distributed did not converge in "
+            f"{max_rounds} rounds — component diameter exceeds the "
+            f"doubling reach; raise max_rounds"
+        )
     return labels
 
 

@@ -28,3 +28,21 @@ def join_partitions(n_rows: int, rows_per_partition: int = 8192,
     fails the key lookup — sizing partitions by row count sidesteps the
     bug and is the right shuffle granularity anyway."""
     return max(1, min(max_parts, n_rows // rows_per_partition + 1))
+
+
+def repeated_keys(ds, key_col: str):
+    """Keys appearing on >= 2 rows of ``ds``, as a one-column Dataset —
+    the standard pre-filter semi-join side that drops singleton groups
+    BEFORE a heavy groupby (a Python call per singleton group is the
+    measured ``map_groups`` tax). Shared by the embedding-LSH and
+    suffix-span candidate stages."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    counts = ds.groupby(key_col).count()
+
+    def strip(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch["count()"], pa.scalar(2))
+        return batch.filter(mask).select([key_col])
+
+    return counts.map_batches(strip, batch_format="pyarrow")

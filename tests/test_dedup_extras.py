@@ -190,3 +190,19 @@ def test_vectorized_components_match_unionfind():
         want = expected.get(k, k)
         assert out[k]["cluster_id"] == want, k
         assert out[k]["is_duplicate"] == (k != want)
+
+
+def test_distributed_components_long_chain_pointer_jumping():
+    """A 200-node path graph (diameter 199) must converge well inside the
+    round budget: each round pointer-jumps (label <- label(label)), so
+    reach doubles per round; one-hop-only propagation would need 199
+    rounds and previously exited silently with split components."""
+    keys = [f"n{i:04d}" for i in range(200)]
+    pairs = ray.data.from_arrow(pa.table({
+        "a_key": keys[:-1], "b_key": keys[1:],
+    }))
+    out = {r["node"]: r["label"]
+           for r in connected_components_distributed(
+               pairs, max_rounds=12).take_all()}
+    assert len(out) == 200
+    assert all(v == "n0000" for v in out.values())
