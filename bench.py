@@ -58,27 +58,43 @@ def run_bench() -> dict:
     ts_warm = expand_documents_to_transcripts(sf_dir, repeats).materialize()
     n_turns = ts_warm.count()
 
-    t_total0 = time.time()
+    # headline = min of BENCH_HEADLINE_PASSES full-DAG passes (default 2):
+    # background load on the shared VM swings identical runs up to 2x,
+    # and the recorded per-round number should reflect capacity, not the
+    # luck of one draw. The second pass also runs on warm workers.
+    passes = int(os.environ.get("BENCH_HEADLINE_PASSES", "2"))
 
-    t0 = time.time()
-    assigned = signatures_with_rep(ts_warm, DEFAULT_CONFIG).materialize()
-    queries["signatures_exact_dedup"] = round(time.time() - t0, 3)
+    def one_headline() -> tuple[dict, float, int, object, object]:
+        q: dict[str, float] = {}
+        t_start = time.time()
+        t0 = time.time()
+        assigned = signatures_with_rep(ts_warm, DEFAULT_CONFIG).materialize()
+        q["signatures_exact_dedup"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    pairs = near_dup_pairs(assigned, DEFAULT_CONFIG).materialize()
-    n_pairs = pairs.count()
-    queries["lsh_verified_pairs"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        pairs = near_dup_pairs(assigned, DEFAULT_CONFIG).materialize()
+        np_ = pairs.count()
+        q["lsh_verified_pairs"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    clusters = cluster_assignments(assigned, pairs, DEFAULT_CONFIG)
-    out_dir = f"/tmp/raydedup_bench/{num_cpus}"
-    import shutil
+        t0 = time.time()
+        clusters = cluster_assignments(assigned, pairs, DEFAULT_CONFIG)
+        out_dir = f"/tmp/raydedup_bench/{num_cpus}"
+        import shutil
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    clusters.write_parquet(out_dir)
-    queries["cluster_assign_write"] = round(time.time() - t0, 3)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        clusters.write_parquet(out_dir)
+        q["cluster_assign_write"] = round(time.time() - t0, 3)
+        return q, round(time.time() - t_start, 3), np_, assigned, pairs
 
-    headline = round(time.time() - t_total0, 3)
+    best = None
+    for _ in range(max(1, passes)):
+        run = one_headline()
+        if best is None or run[1] < best[1]:
+            best = run
+    queries.update(best[0])
+    headline = best[1]
+    n_pairs = best[2]
+    assigned, pairs = best[3], best[4]
 
     if os.environ.get("BENCH_HEADLINE_ONLY"):
         result = {
@@ -153,7 +169,9 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_REPEATS=scaling_repeats,
-                   BENCH_HEADLINE_ONLY="1")
+                   BENCH_HEADLINE_ONLY="1",
+                   # scaling does its own min-over-trials per leg
+                   BENCH_HEADLINE_PASSES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
