@@ -59,6 +59,21 @@ def storytelling_chain(ds, cfg: DedupConfig = DEFAULT_CONFIG,
     keep = ds.select_columns(key_cols + ["text", ts_col])
     sigs = signatures_with_rep(keep.drop_columns([ts_col]), cfg,
                                key_cols=key_cols).materialize()
+    if sigs.count() == 0:
+        # zero-row short-circuit with the documented schemas (Ray 2.49's
+        # hash join cannot finalize over all-empty partitions)
+        import ray.data as rd
+
+        empty_str = pa.array([], type=pa.string())
+        slices = rd.from_arrow(pa.table(
+            {"slice_number": pa.array([], type=pa.int32()),
+             "row_key": empty_str}))
+        clusters = rd.from_arrow(pa.table(
+            {"slice_number": pa.array([], type=pa.int32()),
+             "cluster_id": empty_str, "row_key": empty_str}))
+        survivors = rd.from_arrow(pa.table({"row_key": empty_str}))
+        story = clusters
+        return slices, clusters, survivors, story
 
     # reattach ts for slicing (kept separate so signature shuffles move
     # hashes only)
