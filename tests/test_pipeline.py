@@ -254,3 +254,65 @@ def test_hot_bucket_salt_is_global_identity_not_batch_position():
     s_classes = -(-hot[hottest] // cfg.lsh_bucket_salt_above)
     assert len(set(salts)) >= max(2, s_classes // 2), (
         f"salt classes collapsed: {sorted(set(salts))} of {s_classes}")
+
+
+def test_random_corpus_fuzz_vs_oracle():
+    """Randomized corpora through the FULL dedup DAG vs the single-process
+    brute-force oracle: planted duplicate families with random tweak
+    rates, random short/empty turns, random conversation shapes. Every
+    seed must give pair recall 1.0 with zero extra pairs and matching
+    cluster assignment counts."""
+    import numpy as np
+
+    from raydedup.pipelines.neardup import near_dup_pipeline
+    from testing.oracle import oracle_near_dup, pair_recall
+
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "mu nu xi omicron rho sigma tau upsilon phi chi psi").split()
+    for seed in range(4):
+        rng = np.random.default_rng(1000 + seed)
+        rows = {"conv_id": [], "turn_idx": [], "text": []}
+        n_conv = int(rng.integers(10, 30))
+        for c in range(n_conv):
+            n_turns = int(rng.integers(1, 9))
+            base = [vocab[int(rng.integers(0, len(vocab)))]
+                    for _ in range(int(rng.integers(0, 40)))]
+            for t in range(n_turns):
+                kind = rng.random()
+                if kind < 0.15:
+                    text = ""                       # empty turn
+                elif kind < 0.3:
+                    text = vocab[int(rng.integers(0, len(vocab)))]  # tiny
+                elif kind < 0.6 and base:
+                    w = list(base)                  # near-dup of base
+                    for _ in range(int(rng.integers(0, 3))):
+                        w[int(rng.integers(0, len(w)))] = (
+                            vocab[int(rng.integers(0, len(vocab)))])
+                    text = " ".join(w)
+                elif kind < 0.75 and base:
+                    text = " ".join(base)           # exact dup of base
+                else:
+                    text = " ".join(
+                        vocab[int(rng.integers(0, len(vocab)))]
+                        for _ in range(int(rng.integers(1, 50))))
+                rows["conv_id"].append(f"c{c:03d}")
+                rows["turn_idx"].append(t)
+                rows["text"].append(text)
+        tbl = pa.table({
+            "conv_id": pa.array(rows["conv_id"]),
+            "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
+            "text": pa.array(rows["text"]),
+        })
+        clusters, pairs = near_dup_pipeline(
+            ray.data.from_arrow(tbl), DEFAULT_CONFIG)
+        got = {(r["a_key"], r["b_key"]) for r in pairs.take_all()}
+        o = oracle_near_dup(tbl, DEFAULT_CONFIG)
+        want = set(o["pairs"])
+        assert pair_recall(want, got) == 1.0, (seed, want - got)
+        assert not (got - want), (seed, got - want)
+        crows = clusters.take_all()
+        assert len(crows) == tbl.num_rows, seed
+        want_cluster = o["clusters"]
+        for r in crows:
+            assert r["cluster_id"] == want_cluster[r["row_key"]], (
+                seed, r["row_key"])
