@@ -59,40 +59,36 @@ def tf_simhash_of_tokens(tokens: list[str], cache: dict[str, int]) -> int:
 
 def tf_simhash_batch(token_lists: list[list[str]],
                      cache: dict[str, int]) -> np.ndarray:
-    """Vectorized tf_simhash over many token lists: one chunked bit-vote
-    for the whole batch (functions/simhash.py:bit_vote_batch). Empty token
-    lists vote a single zero-weight feature → value 0 (all vote sums 0,
-    strict >0 rule)."""
+    """Vectorized tf_simhash over many token lists: every token OCCURRENCE
+    votes weight 1 (identical sums to weighting distinct tokens by count);
+    instance lookups run through one C-speed ``pc.dictionary_encode`` so
+    the md5/cache loop touches only batch-DISTINCT tokens. Empty token
+    lists are empty vote segments → all sums 0, strict >0 rule → 0."""
     from raydedup.functions.simhash import bit_vote_batch
 
-    hashes: list[int] = []
-    weights: list[int] = []
-    offsets = np.empty(len(token_lists) + 1, dtype=np.int64)
-    offsets[0] = 0
-    get = cache.get
-    for i, tokens in enumerate(token_lists):
-        counts: dict[str, int] = {}
-        for t in tokens:
-            counts[t] = counts.get(t, 0) + 1
-        if not counts:
-            hashes.append(0)
-            weights.append(0)  # zero weight → all sums 0 → simhash 0
-        else:
-            for tok, w in counts.items():
-                h = get(tok)
-                if h is None:
-                    h = _md5_low64(tok)
-                    cache[tok] = h
-                hashes.append(h)
-                weights.append(w)
-        offsets[i + 1] = len(hashes)
-    if not token_lists:
+    n = len(token_lists)
+    if n == 0:
         return np.empty(0, dtype=np.uint64)
-    return bit_vote_batch(
-        np.array(hashes, dtype=np.uint64),
-        np.array(weights, dtype=np.int32),
-        offsets,
-    )
+    lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = [t for lst in token_lists for t in lst]
+    if not flat:
+        return np.zeros(n, dtype=np.uint64)
+    enc = pc.dictionary_encode(pa.array(flat, type=pa.string()))
+    idx = enc.indices.to_numpy().astype(np.int64)
+    get = cache.get
+    dvals = enc.dictionary.to_pylist()
+    dh = np.empty(len(dvals), dtype=np.uint64)
+    for i, s in enumerate(dvals):
+        h = get(s)
+        if h is None:
+            h = _md5_low64(s)
+            cache[s] = h
+        dh[i] = h
+    hashes = dh[idx]
+    return bit_vote_batch(hashes, np.ones(hashes.size, dtype=np.int32),
+                          offsets)
 
 
 # per-worker-process hash caches (deterministic content; process reuse only
