@@ -221,6 +221,22 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN run with nprobe == n_centroids — exact by
+    construction (every cell probed), so the brute-force SQL oracle
+    applies; lower nprobe is the documented recall/speed knob."""
+    import ray.data
+
+    from raydedup.stages.embeddings import knn_ivf
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_ivf(emb, query_ids=list(range(10)), k=10,
+                  n_centroids=16, nprobe=16)
+    return _round_col(out, "cosine").select_columns(
+        ["query_id", "neighbor_id", "cosine", "rank"]
+    )
+
+
 def q_embedding_near_pairs(sf_dir: str):
     import ray.data
 
@@ -339,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_pairs": q_embedding_near_pairs,
         "langid": q_langid,
         "chain_scan_transcripts": q_chain_scan_transcripts,
@@ -785,6 +802,30 @@ def oracle_sql() -> dict[str, str]:
             FROM punct p LEFT JOIN agg a ON a.doc_id = p.doc_id
         """,
         "ann_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 10
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qv AS DOUBLE[])) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id,
+                   round(cosine, {_ROUND}) AS cosine, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "ann_topk_ivf": f"""
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv
                 FROM embeddings WHERE vec_id < 10
