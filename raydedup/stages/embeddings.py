@@ -44,22 +44,45 @@ def _l2norm(m: np.ndarray) -> np.ndarray:
     return m / norms[:, None]
 
 
-def knn_brute(ds, query_ids: list[int], k: int = 10,
-              id_col: str = "vec_id", vec_col: str = "embedding"):
-    """→ Dataset(query_id, neighbor_id, cosine, rank) — exact top-k by
-    cosine, ties broken by neighbor_id ascending; self-matches excluded."""
-    qset = set(int(q) for q in query_ids)
+def _collect_queries(ds, query_ids, id_col: str, vec_col: str):
+    """Pull the query rows (a small side) to the driver: one streaming
+    filter scan, rows sorted by id, matrix L2-normalized."""
+    wanted = np.unique(np.asarray(list(query_ids), dtype=np.int64))
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
-        mask = np.isin(ids, list(qset))
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(np.isin(ids, wanted)))
 
     q_rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     order = np.argsort(q_ids)
     q_ids = q_ids[order]
-    Q = _l2norm(np.array([q_rows[i][vec_col] for i in order], dtype=np.float64))
+    Q = _l2norm(np.array([q_rows[i][vec_col] for i in order],
+                         dtype=np.float64))
+    return q_ids, Q
+
+
+def _rank_topk(k: int):
+    """Per-query final merge: global top-k by (cosine desc, id asc) over
+    the per-batch partial top-ks, with a 1-based rank column."""
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((nid, -cos))[:k]
+        out = g.take(pa.array(sel))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(sel) + 1, dtype=np.int64))
+        )
+
+    return final_topk
+
+
+def knn_brute(ds, query_ids: list[int], k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """→ Dataset(query_id, neighbor_id, cosine, rank) — exact top-k by
+    cosine, ties broken by neighbor_id ascending; self-matches excluded."""
+    q_ids, Q = _collect_queries(ds, query_ids, id_col, vec_col)
     q_ref = ray.put((q_ids, Q))
 
     class PartialTopK:
@@ -101,16 +124,7 @@ def knn_brute(ds, query_ids: list[int], k: int = 10,
         num_cpus=1,
     )
 
-    def final_topk(g: pa.Table) -> pa.Table:
-        cos = g["cosine"].to_numpy(zero_copy_only=False)
-        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((nid, -cos))[:k]
-        out = g.take(pa.array(order))
-        return out.append_column(
-            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
-        )
-
-    return partial.groupby("query_id").map_groups(final_topk,
+    return partial.groupby("query_id").map_groups(_rank_topk(k),
                                                   batch_format="pyarrow")
 
 
@@ -381,98 +395,81 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10,
             n_centroids: int = 16, nprobe: int = 4,
             id_col: str = "vec_id", vec_col: str = "embedding",
             seed: int = 7, sample_size: int = 4096):
-    """Approximate top-k via an inverted file: rows are bucketed to their
-    nearest of ``n_centroids`` k-means centroids (one vectorized
-    map_batches pass); each query scores ONLY the rows of its ``nprobe``
-    nearest cells (cell-grouped ``map_groups``), so per-query work drops
-    by ~n_centroids/nprobe versus brute force. ``nprobe == n_centroids``
-    degenerates to EXACT brute-force results (same tie-break — the basis
-    of the value-level oracle); lower nprobe trades recall for speed, the
-    standard IVF knob (Johnson et al., "Billion-scale similarity search",
-    public algorithm). Same output schema as ``knn_brute``."""
-    qset = set(int(q) for q in query_ids)
-    ds = ds.materialize()
+    """Approximate top-k via an inverted file: each row belongs to its
+    nearest of ``n_centroids`` k-means cells; a query scores ONLY rows
+    whose cell is among its ``nprobe`` nearest centroids, so per-query
+    dot-product work drops by ~n_centroids/nprobe versus brute force.
+    ``nprobe == n_centroids`` degenerates to EXACT brute-force results
+    (same tie-break — the basis of the value-level oracle); lower nprobe
+    trades recall for speed, the standard IVF knob (Johnson et al.,
+    "Billion-scale similarity search", public algorithm).
 
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy()
-        return batch.filter(pa.array(np.isin(ids, list(qset))))
-
-    q_rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    order = np.argsort(q_ids)
-    q_ids = q_ids[order]
-    Q = _l2norm(np.array([q_rows[i][vec_col] for i in order],
-                         dtype=np.float64))
+    Scale shape: centroids come from a bounded prefix sample
+    (``limit(sample_size)``); the scoring pass is a single streaming
+    ``map_batches`` that assigns cells AND emits per-batch partial
+    top-ks in one matmul — no vector shuffle, no full materialization;
+    the input is scanned twice (query pick + scoring), which beats
+    spilling 100 TB to the object store. Only k·Q·num_batches partial
+    rows reach the final per-query merge. Same output schema as
+    ``knn_brute``."""
+    q_ids, Q = _collect_queries(ds, query_ids, id_col, vec_col)
 
     sample_tbl = ds.limit(sample_size).take_all()
     S = _l2norm(np.array([r[vec_col] for r in sample_tbl], dtype=np.float64))
     cent = _kmeans_centroids(S, n_centroids, seed)
-    n_cells = cent.shape[0]
-    probe = min(nprobe, n_cells)
+    probe = min(nprobe, cent.shape[0])
     # per-query probed cells (nprobe nearest centroids)
     q_cell_sims = Q @ cent.T
     probes = np.argsort(-q_cell_sims, axis=1)[:, :probe]  # (q, probe)
-    cell_to_queries: dict[int, list[int]] = {}
-    for qi in range(len(q_ids)):
-        for c in probes[qi]:
-            cell_to_queries.setdefault(int(c), []).append(qi)
-    ref = ray.put((q_ids, Q, cent, cell_to_queries, k))
+    cell_to_queries: dict[int, np.ndarray] = {}
+    for c in np.unique(probes):
+        qsel = np.nonzero((probes == c).any(axis=1))[0]
+        cell_to_queries[int(c)] = qsel
+    ref = ray.put((q_ids, Q, cent, cell_to_queries))
 
-    def tag(batch: pa.Table) -> pa.Table:
-        _, _, C, _, _ = ray.get(ref)
-        X = _l2norm(_to_matrix(batch, vec_col))
-        cell = np.argmax(X @ C.T, axis=1).astype(np.int64)
-        return pa.table(
-            {"cell": pa.array(cell), id_col: batch[id_col],
-             "vecbin": _pack_matrix(X)}
-        )
+    class IVFPartial:
+        """Assign cells and emit this batch's top-k per probing query —
+        one pass, state loaded once per actor."""
 
-    tagged = ds.select_columns([id_col, vec_col]).map_batches(
-        tag, batch_format="pyarrow"
+        def __init__(self, ref, k):
+            self.q_ids, self.Q, self.cent, self.c2q = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _l2norm(_to_matrix(batch, vec_col))
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            cell = np.argmax(X @ self.cent.T, axis=1)
+            out_q, out_n, out_c = [], [], []
+            for c in np.unique(cell):
+                wanted = self.c2q.get(int(c))
+                if wanted is None:
+                    continue
+                rmask = cell == c
+                rids = ids[rmask]
+                sims = X[rmask] @ self.Q[wanted].T  # (rows_in_cell, |wanted|)
+                for col, qi in enumerate(wanted):
+                    m = rids != self.q_ids[qi]
+                    cand_ids, cand = rids[m], sims[:, col][m]
+                    if cand.size == 0:
+                        continue
+                    sel = np.lexsort((cand_ids, -cand))[: min(self.k,
+                                                              cand.size)]
+                    out_q.extend([int(self.q_ids[qi])] * sel.size)
+                    out_n.extend(cand_ids[sel].tolist())
+                    out_c.extend(cand[sel].tolist())
+            return pa.table(
+                {"query_id": pa.array(out_q, type=pa.int64()),
+                 "neighbor_id": pa.array(out_n, type=pa.int64()),
+                 "cosine": pa.array(out_c, type=pa.float64())}
+            )
+
+    partial = ds.select_columns([id_col, vec_col]).map_batches(
+        IVFPartial,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 16),
+        num_cpus=1,
     )
-
-    def score_cell(group: pa.Table) -> pa.Table:
-        qids, Qm, _, c2q, kk = ray.get(ref)
-        cell = int(group["cell"][0].as_py())
-        wanted = c2q.get(cell)
-        empty = pa.table(
-            {"query_id": pa.array([], type=pa.int64()),
-             "neighbor_id": pa.array([], type=pa.int64()),
-             "cosine": pa.array([], type=pa.float64())}
-        )
-        if not wanted:
-            return empty
-        ids = group[id_col].to_numpy().astype(np.int64)
-        M = _unpack_matrix(group["vecbin"])
-        sims = M @ Qm[wanted].T  # (rows, wanted)
-        out_q, out_n, out_c = [], [], []
-        for col, qi in enumerate(wanted):
-            mask = ids != qids[qi]
-            cand_ids, cand = ids[mask], sims[:, col][mask]
-            if cand.size == 0:
-                continue
-            sel = np.lexsort((cand_ids, -cand))[: min(kk, cand.size)]
-            out_q.extend([int(qids[qi])] * sel.size)
-            out_n.extend(cand_ids[sel].tolist())
-            out_c.extend(cand[sel].tolist())
-        return pa.table(
-            {"query_id": pa.array(out_q, type=pa.int64()),
-             "neighbor_id": pa.array(out_n, type=pa.int64()),
-             "cosine": pa.array(out_c, type=pa.float64())}
-        )
-
-    partial = tagged.groupby("cell").map_groups(
-        score_cell, batch_format="pyarrow"
-    )
-
-    def final_topk(g: pa.Table) -> pa.Table:
-        cos = g["cosine"].to_numpy(zero_copy_only=False)
-        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
-        sel = np.lexsort((nid, -cos))[:k]
-        out = g.take(pa.array(sel))
-        return out.append_column(
-            "rank", pa.array(np.arange(1, len(sel) + 1, dtype=np.int64))
-        )
-
-    return partial.groupby("query_id").map_groups(final_topk,
+    return partial.groupby("query_id").map_groups(_rank_topk(k),
                                                   batch_format="pyarrow")
