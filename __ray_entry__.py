@@ -169,6 +169,57 @@ def q_collection_jaccard(sf_dir: str):
     )
 
 
+def q_top_terms_global(sf_dir: str):
+    """Global term-frequency top-20 with the reference tie-break (count
+    desc, token reverse-lex — otmt/timemap_measures.py:474-491)."""
+    from raydedup.stages.collection import global_top_terms
+
+    return global_top_terms(_docs(sf_dir), k=20, simple_tokens=True)
+
+
+# Closed-form synthetic URI corpus for the select_high_quality oracle:
+# host class and path depth derive from doc_id alone, so DuckDB recomputes
+# the quality score arithmetic while the ENGINE side still runs the real
+# regex classifier in uri_scores (same pattern as the multimodal oracle).
+_SHQ_HOSTS = ["twitter.com", "youtube.com", "flickr.com",
+              "wordpress.org", "cnn.com", "example.org"]
+_SHQ_WEIGHTS = [1.0, 0.9, 0.8, 0.5, 0.3, 0.0]
+
+
+def q_select_high_quality(sf_dir: str):
+    import ray.data
+
+    from raydedup.stages.quality import select_high_quality, uri_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        uris = ["http://%s/%s" % (_SHQ_HOSTS[int(i) % 6], "a/" * (int(i) % 8))
+                for i in ids]
+        return pa.table(
+            {
+                "row_key": pc.cast(batch["doc_id"], pa.string()),
+                "cluster_id": pa.array(ids % 37, type=pa.int64()),
+                "uri": pa.array(uris, type=pa.string()),
+            }
+        )
+
+    scored = uri_scores(docs.map_batches(attach, batch_format="pyarrow"))
+    top = select_high_quality(scored, group_cols=("cluster_id",))
+    top = _round_col(top, "quality_score")
+    return top.select_columns(["cluster_id", "row_key", "quality_score"])
+
+
+def q_select_by_language(sf_dir: str):
+    from raydedup.stages.quality import select_by_language
+    from raydedup.stages.textstats import detect_language
+
+    kept = select_by_language(detect_language(_docs(sf_dir)), "en")
+    return kept.select_columns(["doc_id", "detected_lang"])
+
+
 def q_slice_events(sf_dir: str):
     import ray.data
 
@@ -351,6 +402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "otmt_jaccard_simple": q_otmt_jaccard_simple,
         "otmt_sorensen_simple": q_otmt_sorensen_simple,
         "collection_jaccard": q_collection_jaccard,
+        "top_terms_global": q_top_terms_global,
+        "select_high_quality": q_select_high_quality,
+        "select_by_language": q_select_by_language,
         "slice_events": q_slice_events,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -734,6 +788,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN per_doc p ON p.doc_id = d.doc_id
             CROSS JOIN g
+        """,
+        "top_terms_global": """
+            WITH tok AS (
+                SELECT t.tok
+                FROM documents,
+                     UNNEST(regexp_extract_all(lower(text), '[0-9a-zA-Z_]+'))
+                         AS t(tok)
+            )
+            SELECT tok AS term, count(*) AS n
+            FROM tok GROUP BY 1
+            ORDER BY n DESC, term DESC
+            LIMIT 20
+        """,
+        # quality_score arithmetic in DOUBLE (e-notation literals) so
+        # equal-score TIES are bit-identical to the numpy side — the
+        # row_number tie-break (score desc, row_key asc) then picks the
+        # same survivor as select_high_quality's min-key rule
+        "select_high_quality": f"""
+            WITH scored AS (
+                SELECT doc_id % 37 AS cluster_id,
+                       CAST(doc_id AS VARCHAR) AS row_key,
+                       0.15e0 * (CASE doc_id % 6
+                                 WHEN 0 THEN 1.0e0 WHEN 1 THEN 0.9e0
+                                 WHEN 2 THEN 0.8e0 WHEN 3 THEN 0.5e0
+                                 WHEN 4 THEN 0.3e0 ELSE 0.0e0 END)
+                       + 0.45e0 * (CAST(1 + doc_id % 8 AS DOUBLE) / 10.0e0)
+                           AS quality_score
+                FROM documents
+            ),
+            ranked AS (
+                SELECT cluster_id, row_key, quality_score,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY quality_score DESC,
+                                                   row_key) AS rn
+                FROM scored
+            )
+            SELECT cluster_id, row_key,
+                   round(quality_score, {_ROUND}) AS quality_score
+            FROM ranked WHERE rn = 1
+        """,
+        "select_by_language": f"""
+            SELECT doc_id, detected_lang
+            FROM ({_langid_sql()})
+            WHERE detected_lang = 'en'
         """,
         "slice_events": """
             WITH ranked AS (

@@ -76,3 +76,39 @@ def collection_measures(ds, key_cols: list[str], simple_tokens: bool = False):
         return pa.table(cols)
 
     return prepped.map_batches(score, batch_format="pyarrow")
+
+
+def global_top_terms(ds, k: int = 20, text_col: str = "text",
+                     simple_tokens: bool = True):
+    """→ Dataset(term, n): global term-frequency top-k with the reference
+    tie-break — (count, token) tuple-sorted DESCENDING, i.e. count ties
+    break reverse-lexicographically (calculate_term_frequencies,
+    otmt/timemap_measures.py:474-491; scalar twin in
+    functions/setsim.py:top_terms).
+
+    Distributed as partial-then-merge: each batch emits its own
+    (term, count) partials via one ``pc.value_counts`` call, the groupby
+    sums over DISTINCT terms only (vocabulary-sized, not corpus-sized),
+    and the final sort+limit runs over the vocabulary table."""
+    tokenize = simple_tokenize if simple_tokens else full_tokenize
+    empty = pa.table({"term": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch[text_col].to_pylist():
+            if t:
+                toks.extend(tokenize(t))
+        if not toks:
+            return empty
+        vc = pc.value_counts(pa.array(toks, type=pa.string()))
+        return pa.table({"term": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    counts = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    totals = counts.groupby("term").aggregate(Sum("n", alias_name="n"))
+    return totals.sort(["n", "term"], descending=[True, True]).limit(k)

@@ -206,3 +206,23 @@ def test_distributed_components_long_chain_pointer_jumping():
                pairs, max_rounds=12).take_all()}
     assert len(out) == 200
     assert all(v == "n0000" for v in out.values())
+
+
+def test_global_top_terms_vs_scalar_twin():
+    # distributed partial-then-merge top-k == brute-force Counter with the
+    # reference tie-break (count desc, token reverse-lex —
+    # functions/setsim.py:top_terms)
+    from collections import Counter
+
+    from raydedup.stages.collection import global_top_terms
+
+    tbl = generate_transcripts(n_convs=25, seed=7)
+    got = global_top_terms(
+        ray.data.from_arrow(tbl), k=15, simple_tokens=True
+    ).take_all()
+    counts = Counter()
+    for t in tbl["text"].to_pylist():
+        counts.update(simple_tokenize(t or ""))
+    want = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]),
+                  reverse=True)[:15]
+    assert [(r["term"], r["n"]) for r in got] == want
