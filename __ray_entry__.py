@@ -156,6 +156,48 @@ def q_otmt_sorensen_simple(sf_dir: str):
     return _round_col(out, "sorensen")
 
 
+def _anchor_measure_query(sf_dir: str, measure: str, cfg=None):
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.measures import anchor_measures
+
+    ts = add_row_key(transcripts_from_documents(sf_dir), ["conv_id", "turn_idx"])
+    scores = anchor_measures(ts, [measure], cfg or SIMPLE_CFG)
+    out = scores.select_columns(["conv_id", "turn_idx", measure])
+    return _round_col(out, measure)
+
+
+def q_otmt_levenshtein_simple(sf_dir: str):
+    """Token-level edit distance vs the conversation anchor."""
+    return _anchor_measure_query(sf_dir, "levenshtein")
+
+
+def q_otmt_nlevenshtein_simple(sf_dir: str):
+    """Method-1 normalized Levenshtein (dist / max(len))."""
+    return _anchor_measure_query(sf_dir, "nlevenshtein")
+
+
+def q_otmt_tfintersection_simple(sf_dir: str):
+    """|top-20 terms(anchor) ∩ top-20 terms(member)|."""
+    return _anchor_measure_query(sf_dir, "tfintersection")
+
+
+def q_otmt_raw_simhash(sf_dir: str):
+    """Hamming distance of raw-content simhashes vs the anchor (raw
+    measure — tokenizer config is irrelevant)."""
+    return _anchor_measure_query(sf_dir, "raw_simhash", DEFAULT_CONFIG)
+
+
+def q_otmt_tf_simhash_simple(sf_dir: str):
+    """Hamming distance of token-feature simhashes vs the anchor."""
+    return _anchor_measure_query(sf_dir, "tf_simhash")
+
+
+def q_otmt_cosine_simple(sf_dir: str):
+    """Group-local TF-IDF cosine vs the anchor (group-corpus measure —
+    exercises the groupby path rather than the broadcast path)."""
+    return _anchor_measure_query(sf_dir, "cosine")
+
+
 def q_collection_jaccard(sf_dir: str):
     from raydedup.stages.collection import collection_measures
 
@@ -401,6 +443,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "otmt_wordcount_simple": q_otmt_wordcount_simple,
         "otmt_jaccard_simple": q_otmt_jaccard_simple,
         "otmt_sorensen_simple": q_otmt_sorensen_simple,
+        "otmt_levenshtein_simple": q_otmt_levenshtein_simple,
+        "otmt_nlevenshtein_simple": q_otmt_nlevenshtein_simple,
+        "otmt_tfintersection_simple": q_otmt_tfintersection_simple,
+        "otmt_raw_simhash": q_otmt_raw_simhash,
+        "otmt_tf_simhash_simple": q_otmt_tf_simhash_simple,
+        "otmt_cosine_simple": q_otmt_cosine_simple,
         "collection_jaccard": q_collection_jaccard,
         "top_terms_global": q_top_terms_global,
         "select_high_quality": q_select_high_quality,
@@ -437,6 +485,83 @@ tokset AS (
 ),
 setsize AS (
     SELECT conv_id, turn_idx, count(*) AS n FROM tokset GROUP BY 1, 2
+)
+"""
+
+# ordered token instances (position-preserving) for the sequence measures
+_ORDERED_TOKENS_CTE = """
+arrs AS (
+    SELECT conv_id, turn_idx,
+           regexp_extract_all(lower(text), '[0-9a-zA-Z_]+') AS arr
+    FROM transcripts
+),
+tokpos AS (
+    SELECT conv_id, turn_idx, CAST(t.i AS BIGINT) AS p, arr[t.i + 1] AS tok
+    FROM arrs, UNNEST(range(len(arr))) AS t(i)
+)
+"""
+
+# token-feature simhash per turn (md5-low64 per token, every occurrence
+# votes weight 1, strict >0 bit rule — stages/measures.py:tf_simhash_batch);
+# empty-token turns coalesce to simhash 0
+_TF_SIMHASH_CTE = """
+tfcnt AS (
+    SELECT conv_id, turn_idx, tok, count(*) AS w FROM tokpos GROUP BY 1, 2, 3
+),
+tfhash AS (
+    SELECT conv_id, turn_idx, w,
+           CAST('0x' || substr(md5(tok), 17, 16) AS UBIGINT) AS h
+    FROM tfcnt
+),
+tfvotes AS (
+    SELECT conv_id, turn_idx, CAST(b.bit AS INTEGER) AS bit,
+           sum(CASE WHEN (h >> CAST(b.bit AS UBIGINT)) & 1 = 1
+               THEN w ELSE -w END) AS v
+    FROM tfhash, UNNEST(range(64)) AS b(bit)
+    GROUP BY 1, 2, 3
+),
+tfsh AS (
+    SELECT conv_id, turn_idx,
+           bit_or(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << bit
+                       ELSE CAST(0 AS UBIGINT) END) AS sh
+    FROM tfvotes GROUP BY 1, 2
+),
+allsh AS (
+    SELECT t.conv_id, t.turn_idx, coalesce(x.sh, CAST(0 AS UBIGINT)) AS sh
+    FROM transcripts t
+    LEFT JOIN tfsh x ON x.conv_id = t.conv_id AND x.turn_idx = t.turn_idx
+)
+"""
+
+# token sequences of member and anchor encoded as single-byte-per-token
+# strings with a PER-PAIR local alphabet, so DuckDB's (byte-based)
+# levenshtein() equals the engine's token-level edit distance. Tokens only
+# matter up to equality within one (anchor, member) pair, and the max
+# per-pair distinct-token vocabulary in the test tables is 31 (measured at
+# sf0.1) — far under the 126 single-byte codepoints chr(1..126).
+_LEV_ENC_CTE = """
+pairtok AS (
+    SELECT m.conv_id, m.turn_idx, 0 AS side, p.p, p.tok
+    FROM arrs m JOIN tokpos p
+      ON p.conv_id = m.conv_id AND p.turn_idx = m.turn_idx
+    UNION ALL
+    SELECT m.conv_id, m.turn_idx, 1, p.p, p.tok
+    FROM arrs m JOIN tokpos p
+      ON p.conv_id = m.conv_id AND p.turn_idx = 0
+),
+ranked AS (
+    SELECT conv_id, turn_idx, side, p,
+           dense_rank() OVER (PARTITION BY conv_id, turn_idx
+                              ORDER BY tok) AS r
+    FROM pairtok
+),
+enc AS (
+    SELECT conv_id, turn_idx,
+           coalesce(string_agg(CASE WHEN side = 0
+               THEN chr(CAST(r AS INTEGER)) END, '' ORDER BY p), '') AS s_m,
+           coalesce(string_agg(CASE WHEN side = 1
+               THEN chr(CAST(r AS INTEGER)) END, '' ORDER BY p), '') AS s_a
+    FROM ranked GROUP BY 1, 2
 )
 """
 
@@ -766,6 +891,117 @@ def oracle_sql() -> dict[str, str]:
             JOIN setsize a ON a.conv_id = m.conv_id AND a.turn_idx = 0
             LEFT JOIN inter i
               ON i.conv_id = m.conv_id AND i.turn_idx = m.turn_idx
+        """,
+        "otmt_levenshtein_simple": TRANSCRIPTS_SQL + f""",
+            {_ORDERED_TOKENS_CTE}, {_LEV_ENC_CTE}
+            SELECT conv_id, turn_idx,
+                   round(CAST(levenshtein(s_a, s_m) AS DOUBLE), {_ROUND})
+                       AS levenshtein
+            FROM enc
+        """,
+        "otmt_nlevenshtein_simple": TRANSCRIPTS_SQL + f""",
+            {_ORDERED_TOKENS_CTE}, {_LEV_ENC_CTE}
+            SELECT conv_id, turn_idx,
+                   round(CASE WHEN greatest(length(s_a), length(s_m)) = 0
+                         THEN 0.0e0
+                         ELSE CAST(levenshtein(s_a, s_m) AS DOUBLE)
+                              / greatest(length(s_a), length(s_m)) END,
+                         {_ROUND}) AS nlevenshtein
+            FROM enc
+        """,
+        "otmt_tfintersection_simple": TRANSCRIPTS_SQL + f""",
+            {_ORDERED_TOKENS_CTE},
+            cnt AS (
+                SELECT conv_id, turn_idx, tok, count(*) AS c
+                FROM tokpos GROUP BY 1, 2, 3
+            ),
+            -- top-20 by (count desc, token reverse-lex) — the reference
+            -- tuple-sort tie-break (functions/setsim.py:top_terms)
+            topk AS (
+                SELECT conv_id, turn_idx, tok FROM (
+                    SELECT conv_id, turn_idx, tok,
+                           row_number() OVER (PARTITION BY conv_id, turn_idx
+                                              ORDER BY c DESC, tok DESC) AS rn
+                    FROM cnt
+                ) WHERE rn <= 20
+            ),
+            inter AS (
+                SELECT m.conv_id, m.turn_idx, count(*) AS c
+                FROM topk m JOIN topk a
+                  ON a.conv_id = m.conv_id AND a.turn_idx = 0
+                 AND a.tok = m.tok
+                GROUP BY 1, 2
+            )
+            SELECT t.conv_id, t.turn_idx,
+                   round(CAST(coalesce(i.c, 0) AS DOUBLE), {_ROUND})
+                       AS tfintersection
+            FROM transcripts t
+            LEFT JOIN inter i
+              ON i.conv_id = t.conv_id AND i.turn_idx = t.turn_idx
+        """,
+        "otmt_raw_simhash": TRANSCRIPTS_SQL + f""",
+            ts_keyed AS (
+                SELECT conv_id, turn_idx,
+                       conv_id || ':' || CAST(turn_idx AS VARCHAR) AS k,
+                       text
+                FROM transcripts
+            ),
+            {_simhash_cte("ts_keyed", "k")},
+            sh AS (
+                SELECT t.conv_id, t.turn_idx, s.simhash
+                FROM ts_keyed t JOIN simhashes s ON s.sh_key = t.k
+            )
+            SELECT m.conv_id, m.turn_idx,
+                   round(CAST(bit_count(xor(m.simhash, a.simhash)) AS DOUBLE),
+                         {_ROUND}) AS raw_simhash
+            FROM sh m JOIN sh a ON a.conv_id = m.conv_id AND a.turn_idx = 0
+        """,
+        "otmt_tf_simhash_simple": TRANSCRIPTS_SQL + f""",
+            {_ORDERED_TOKENS_CTE}, {_TF_SIMHASH_CTE}
+            SELECT m.conv_id, m.turn_idx,
+                   round(CAST(bit_count(xor(m.sh, a.sh)) AS DOUBLE),
+                         {_ROUND}) AS tf_simhash
+            FROM allsh m JOIN allsh a
+              ON a.conv_id = m.conv_id AND a.turn_idx = 0
+        """,
+        "otmt_cosine_simple": TRANSCRIPTS_SQL + f""",
+            {_ORDERED_TOKENS_CTE},
+            cnt AS (
+                SELECT conv_id, turn_idx, tok, count(*) AS c
+                FROM tokpos GROUP BY 1, 2, 3
+            ),
+            nconv AS (SELECT conv_id, count(*) AS n FROM transcripts GROUP BY 1),
+            dft AS (SELECT conv_id, tok, count(*) AS df FROM cnt GROUP BY 1, 2),
+            -- sklearn-default tf-idf: raw tf, idf = ln((1+n)/(1+df)) + 1
+            w AS (
+                SELECT c.conv_id, c.turn_idx, c.tok,
+                       CAST(c.c AS DOUBLE)
+                       * (ln((1.0e0 + n.n) / (1.0e0 + d.df)) + 1.0e0) AS w
+                FROM cnt c
+                JOIN nconv n ON n.conv_id = c.conv_id
+                JOIN dft d ON d.conv_id = c.conv_id AND d.tok = c.tok
+            ),
+            nrm AS (
+                SELECT conv_id, turn_idx, sqrt(sum(w * w)) AS nn
+                FROM w GROUP BY 1, 2
+            ),
+            dot AS (
+                SELECT m.conv_id, m.turn_idx, sum(m.w * a.w) AS d
+                FROM w m JOIN w a
+                  ON a.conv_id = m.conv_id AND a.turn_idx = 0
+                 AND a.tok = m.tok
+                GROUP BY 1, 2
+            )
+            SELECT t.conv_id, t.turn_idx,
+                   round(CASE WHEN nm.nn IS NULL OR na.nn IS NULL
+                              OR d.d IS NULL THEN 0.0e0
+                         ELSE d.d / (nm.nn * na.nn) END, {_ROUND}) AS cosine
+            FROM transcripts t
+            LEFT JOIN nrm nm
+              ON nm.conv_id = t.conv_id AND nm.turn_idx = t.turn_idx
+            LEFT JOIN nrm na ON na.conv_id = t.conv_id AND na.turn_idx = 0
+            LEFT JOIN dot d
+              ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
         """,
         "collection_jaccard": f"""
             WITH tok AS (
