@@ -35,7 +35,7 @@ SIMPLE_CFG = DEFAULT_CONFIG.with_overrides(stemming=False, remove_stopwords=Fals
 _ROUND = 6
 
 
-def _round_col(ds, col):
+def _round_col(ds, col, nudge: float = 0.0):
     from decimal import ROUND_HALF_UP, Decimal
 
     quant = Decimal(1).scaleb(-_ROUND)
@@ -45,12 +45,19 @@ def _round_col(ds, col):
         # Decimal half-up quantize = correctly-rounded half-away-from-zero,
         # matching DuckDB's round() bit-for-bit; pc.round can land one ulp
         # off (breaks value comparison when the two sides sum in different
-        # orders) and Python round() breaks ties half-to-even.
+        # orders) and Python round() breaks ties half-to-even. `nudge` is
+        # for measures whose engine arithmetic takes a different FP path
+        # than the oracle (e.g. LSI via SVD vs. direct BoW cosine): when a
+        # true value is an exact half-boundary dyadic rational, 1e-16 ulp
+        # noise flips the rounded digit; adding the same tiny epsilon on
+        # BOTH sides (round(v + nudge) here, round(v + nudge) in SQL)
+        # moves ties off the boundary consistently.
         vals = batch[col].to_pylist()
         rounded = pa.array(
             [
                 None if v is None
-                else float(Decimal(v).quantize(quant, rounding=ROUND_HALF_UP))
+                else float(Decimal(v + nudge).quantize(quant,
+                                                       rounding=ROUND_HALF_UP))
                 for v in vals
             ],
             type=pa.float64(),
@@ -196,6 +203,37 @@ def q_otmt_cosine_simple(sf_dir: str):
     """Group-local TF-IDF cosine vs the anchor (group-corpus measure —
     exercises the groupby path rather than the broadcast path)."""
     return _anchor_measure_query(sf_dir, "cosine")
+
+
+def q_otmt_lsi_simple(sf_dir: str):
+    """LSI cosine over the first 10 turns of every conversation — each
+    group then has <= num_topics docs, the rank <= num_topics regime where
+    the truncated-SVD projection is an isometry on the row space, so
+    topic-space cosine PROVABLY equals plain BoW cosine
+    (tests/test_measures.py::test_lsi_equals_bow_cosine_when_rank_small);
+    that equality is what the DuckDB oracle recomputes. The turn-idx
+    filter is an oracle-domain restriction, not an engine limit (the full
+    engine path runs on every turn count)."""
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.measures import anchor_measures
+
+    ts = add_row_key(transcripts_from_documents(sf_dir),
+                     ["conv_id", "turn_idx"])
+
+    def fl(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["turn_idx"], 9))
+
+    scores = anchor_measures(ts.map_batches(fl, batch_format="pyarrow"),
+                             ["gensim_lsi"], SIMPLE_CFG)
+    out = scores.select_columns(["conv_id", "turn_idx", "gensim_lsi"])
+    return _round_col(out, "gensim_lsi", nudge=1e-9)
+
+
+def q_otmt_lda(sf_dir: str):
+    """Deterministic pLSA stand-in for gensim LDA (iterative EM — not
+    SQL-expressible; rows-only driver check, value parity bounded by
+    pytest as in the reference's own LDA test)."""
+    return _anchor_measure_query(sf_dir, "gensim_lda")
 
 
 def q_collection_jaccard(sf_dir: str):
@@ -449,6 +487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "otmt_raw_simhash": q_otmt_raw_simhash,
         "otmt_tf_simhash_simple": q_otmt_tf_simhash_simple,
         "otmt_cosine_simple": q_otmt_cosine_simple,
+        "otmt_lsi_simple": q_otmt_lsi_simple,
+        "otmt_lda": q_otmt_lda,
         "collection_jaccard": q_collection_jaccard,
         "top_terms_global": q_top_terms_global,
         "select_high_quality": q_select_high_quality,
@@ -997,6 +1037,46 @@ def oracle_sql() -> dict[str, str]:
                               OR d.d IS NULL THEN 0.0e0
                          ELSE d.d / (nm.nn * na.nn) END, {_ROUND}) AS cosine
             FROM transcripts t
+            LEFT JOIN nrm nm
+              ON nm.conv_id = t.conv_id AND nm.turn_idx = t.turn_idx
+            LEFT JOIN nrm na ON na.conv_id = t.conv_id AND na.turn_idx = 0
+            LEFT JOIN dot d
+              ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
+        """,
+        # LSI on rank-small conversations == plain BoW cosine (see
+        # q_otmt_lsi_simple docstring for the isometry argument)
+        "otmt_lsi_simple": TRANSCRIPTS_SQL + f""",
+            tcap AS (
+                SELECT * FROM transcripts WHERE turn_idx <= 9
+            ),
+            tokpos AS (
+                SELECT conv_id, turn_idx, t.tok
+                FROM tcap,
+                     UNNEST(regexp_extract_all(lower(text), '[0-9a-zA-Z_]+'))
+                         AS t(tok)
+            ),
+            cnt AS (
+                SELECT conv_id, turn_idx, tok,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM tokpos GROUP BY 1, 2, 3
+            ),
+            nrm AS (
+                SELECT conv_id, turn_idx, sqrt(sum(c * c)) AS nn
+                FROM cnt GROUP BY 1, 2
+            ),
+            dot AS (
+                SELECT m.conv_id, m.turn_idx, sum(m.c * a.c) AS d
+                FROM cnt m JOIN cnt a
+                  ON a.conv_id = m.conv_id AND a.turn_idx = 0
+                 AND a.tok = m.tok
+                GROUP BY 1, 2
+            )
+            SELECT t.conv_id, t.turn_idx,
+                   round(CASE WHEN nm.nn IS NULL OR na.nn IS NULL
+                              OR d.d IS NULL THEN 0.0e0
+                         ELSE d.d / (nm.nn * na.nn) END + 1.0e-9, {_ROUND})
+                       AS gensim_lsi
+            FROM tcap t
             LEFT JOIN nrm nm
               ON nm.conv_id = t.conv_id AND nm.turn_idx = t.turn_idx
             LEFT JOIN nrm na ON na.conv_id = t.conv_id AND na.turn_idx = 0
