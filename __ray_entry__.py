@@ -113,8 +113,14 @@ def q_near_dup_clusters_docs(sf_dir: str):
 
 def q_near_dup_clusters_transcripts(sf_dir: str):
     """Flagship: full near-dup DAG over the derived transcript table with
-    the reference (stemmed) config — non-SQL, rows-only check; value-level
-    parity is covered by tests/test_pipeline.py."""
+    the reference (stemmed) config. Value-level DuckDB oracle: Porter
+    stemming itself is not ANSI-SQL-expressible, but the testdata
+    vocabulary is a closed 31-word set, so the oracle embeds a literal
+    stem lookup (_PORTER_SQL_STEMS — asserted equal to porter_stem and to
+    cover the testdata vocab by tests/test_registry_misc.py) and then
+    independently recomputes EVERYTHING downstream of per-token stemming:
+    post-stem stopword filter, 3-word shingles, rep grouping, brute-force
+    pair jaccard >= 0.8, and recursive-CTE connected components."""
     from raydedup.pipelines.neardup import near_dup_pipeline
 
     ts = transcripts_from_documents(sf_dir)
@@ -658,6 +664,29 @@ _STOPWORD_LIST = ", ".join(
     "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)
 )
 
+# Literal Porter-stem lookup for the CLOSED testdata vocabulary: the
+# scalar stemmer (textnorm.porter_stem, golden-tested against the Porter
+# 1980 paper) is not SQL-expressible, so stemmed-config oracles embed its
+# output for the 31 words that occur in /root/testdata documents.
+# tests/test_registry_misc.py asserts (a) every entry equals porter_stem
+# and (b) the testdata vocabulary is covered; an uncovered word falls
+# through AS-IS in SQL, which fails the gate loudly rather than silently.
+_PORTER_SQL_STEMS = {
+    "a": "a", "agg": "agg", "batch": "batch", "big": "big",
+    "column": "column", "customer": "custom", "data": "data", "dup": "dup",
+    "fast": "fast", "filter": "filter", "group": "group", "hash": "hash",
+    "join": "join", "key": "kei", "line": "line", "merge": "merg",
+    "order": "order", "part": "part", "query": "queri", "row": "row",
+    "scan": "scan", "slow": "slow", "small": "small", "sort": "sort",
+    "spark": "spark", "stream": "stream", "table": "tabl", "the": "the",
+    "value": "valu", "vector": "vector", "window": "window",
+}
+
+_STEM_CASE = "CASE t " + " ".join(
+    f"WHEN '{w}' THEN '{s}'"
+    for w, s in sorted(_PORTER_SQL_STEMS.items()) if w != s
+) + " ELSE t END"
+
 
 def _simhash_cte(src: str, key_expr: str) -> str:
     """CTE chain computing the reference-parity 64-bit simhash
@@ -1082,6 +1111,84 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nrm na ON na.conv_id = t.conv_id AND na.turn_idx = 0
             LEFT JOIN dot d
               ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
+        """,
+        # Full stemmed-config dedup DAG over transcripts; see
+        # q_near_dup_clusters_transcripts docstring for the stem-lookup
+        # argument. Structure mirrors near_dup_clusters_docs: rows attach
+        # to their exact-text rep, near edges are brute-force jaccard
+        # >= 0.8 between reps, cluster_id = lexicographic component min.
+        "near_dup_clusters_transcripts": TRANSCRIPTS_SQL.replace(
+            "WITH ", "WITH RECURSIVE ", 1) + f""",
+            rk AS (
+                SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR)
+                           AS row_key,
+                       text
+                FROM transcripts
+            ),
+            reps AS (
+                SELECT min(row_key) AS row_key, text FROM rk GROUP BY text
+            ),
+            rep_of AS (
+                SELECT r.row_key, p.row_key AS rep_key
+                FROM rk r JOIN reps p USING (text)
+            ),
+            tok_lists AS (
+                SELECT row_key,
+                       list_filter(
+                           list_transform(
+                               regexp_extract_all(text, '[0-9a-zA-Z_]+'),
+                               t -> {_STEM_CASE}),
+                           t -> t NOT IN ({_STOPWORD_LIST})) AS ftoks
+                FROM reps
+            ),
+            shingle_lists AS (
+                SELECT row_key,
+                       CASE WHEN len(ftoks) > 3 THEN
+                           list_transform(range(len(ftoks) - 2),
+                               i -> ftoks[i + 1] || ' ' || ftoks[i + 2]
+                                    || ' ' || ftoks[i + 3])
+                       ELSE [array_to_string(ftoks, ' ')] END AS shl
+                FROM tok_lists WHERE len(ftoks) > 0
+            ),
+            shingles AS (
+                SELECT DISTINCT row_key, s.sh
+                FROM shingle_lists, UNNEST(shl) AS s(sh)
+            ),
+            shsize AS (
+                SELECT row_key, count(*) AS n FROM shingles GROUP BY 1
+            ),
+            pair_common AS (
+                SELECT a.row_key AS a_id, b.row_key AS b_id, count(*) AS c
+                FROM shingles a JOIN shingles b
+                  ON a.sh = b.sh AND a.row_key < b.row_key
+                GROUP BY 1, 2
+            ),
+            near_pairs AS (
+                SELECT p.a_id, p.b_id
+                FROM pair_common p
+                JOIN shsize sa ON sa.row_key = p.a_id
+                JOIN shsize sb ON sb.row_key = p.b_id
+                WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= 0.8
+            ),
+            edges AS (
+                SELECT row_key AS a_key, rep_key AS b_key FROM rep_of
+                UNION SELECT rep_key, row_key FROM rep_of
+                UNION SELECT a_id, b_id FROM near_pairs
+                UNION SELECT b_id, a_id FROM near_pairs
+            ),
+            reach(node, r) AS (
+                SELECT row_key, row_key FROM rk
+                UNION
+                SELECT reach.node, edges.b_key
+                FROM reach JOIN edges ON reach.r = edges.a_key
+            ),
+            comp AS (
+                SELECT node AS row_key, min(r) AS cluster_id
+                FROM reach GROUP BY node
+            )
+            SELECT c.row_key, ro.rep_key, c.cluster_id,
+                   c.row_key <> c.cluster_id AS is_duplicate
+            FROM comp c JOIN rep_of ro USING (row_key)
         """,
         "collection_jaccard": f"""
             WITH tok AS (

@@ -130,3 +130,33 @@ def test_json_and_csv_report_writers(tmp_path):
     with open(os.path.join(jdir, files[0])) as fh:
         first = json.loads(fh.readline())
     assert "overall_status" in first
+
+
+def test_sql_stem_lookup_matches_porter_and_covers_testdata_vocab():
+    """The near_dup_clusters_transcripts oracle embeds a literal Porter
+    lookup (stemming is not ANSI-SQL); this pins it to the real stemmer
+    and to the closed testdata vocabulary so drift fails here, not as a
+    silent oracle pass-through."""
+    import os
+    import re
+
+    import duckdb
+
+    from __ray_entry__ import _PORTER_SQL_STEMS
+    from raydedup.textnorm import porter_stem
+
+    for word, stem in _PORTER_SQL_STEMS.items():
+        assert porter_stem(word) == stem, word
+
+    word_re = re.compile(r"[0-9a-zA-Z_]+")
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        vocab = {
+            tok
+            for (text,) in con.sql(f"SELECT text FROM '{path}'").fetchall()
+            for tok in word_re.findall(text)
+        }
+        assert vocab <= set(_PORTER_SQL_STEMS), vocab - set(_PORTER_SQL_STEMS)
