@@ -98,12 +98,37 @@ _SIMHASH_CACHE: dict[str, int] = {}
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 
 
+FULL_FEATURES = frozenset(("tokens", "raw", "tf"))
+
+
+def features_needed(measures: list[str],
+                    keep_features: bool = False) -> frozenset:
+    """Which prep features a measure set actually reads: ``tokens`` for
+    every TOKEN_MEASURE, ``raw`` for raw_simhash (and keep_features'
+    ``memento_simhash`` output column), ``tf`` for tf_simhash. Gating the
+    prep on this skips the most expensive kernels when they're unused —
+    e.g. a bytecount-only pass never tokenizes or simhashes at all."""
+    ms = set(measures)
+    need = set()
+    if ms & TOKEN_MEASURES:
+        need.add("tokens")
+    if "raw_simhash" in ms or keep_features:
+        need.add("raw")
+    if "tf_simhash" in ms:
+        need.add("tf")
+        need.add("tokens")
+    return frozenset(need)
+
+
 def measure_prep_batch(batch: pa.Table, cfg: DedupConfig,
-                       text_col: str = "text") -> pa.Table:
+                       text_col: str = "text",
+                       need: frozenset = FULL_FEATURES) -> pa.Table:
     """Per-row feature extraction for the measure stage. Tokenization and
     both simhashes run once per DISTINCT text in the batch and scatter to
     rows (identical text ⇒ identical features by construction; dedup
-    corpora repeat texts heavily, same pattern as the signature stage)."""
+    corpora repeat texts heavily, same pattern as the signature stage).
+    ``need`` gates the feature kernels (see ``features_needed``); the
+    output schema is constant for a given ``need``."""
     texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
     uniq_index: dict[str, int] = {}
     row_to_uniq = np.empty(len(texts), dtype=np.int64)
@@ -116,23 +141,26 @@ def measure_prep_batch(batch: pa.Table, cfg: DedupConfig,
             uniq_texts.append(t)
         row_to_uniq[i] = j
 
-    token_lists = [
-        full_tokenize(t, cfg.stemming, cfg.remove_stopwords)
-        for t in uniq_texts
-    ]
-    u_raw = simhash64_batch(uniq_texts, cfg.simhash_shingle_width,
-                            _SIMHASH_CACHE)
-    u_tf = tf_simhash_batch(token_lists, _TOKEN_HASH_CACHE)
     sel = pa.array(row_to_uniq)
     cols = {n: batch[n] for n in batch.column_names if n != text_col}
     cols["n_chars"] = pc.take(
         pa.array([len(t) for t in uniq_texts], type=pa.int64()), sel)
-    cols["tokens"] = pc.take(
-        pa.array(token_lists, type=pa.list_(pa.string())), sel)
-    cols["n_tokens"] = pc.take(
-        pa.array([len(t) for t in token_lists], type=pa.int32()), sel)
-    cols["raw_simhash_val"] = pa.array(u_raw[row_to_uniq])
-    cols["tf_simhash_val"] = pa.array(u_tf[row_to_uniq])
+    if "tokens" in need:
+        token_lists = [
+            full_tokenize(t, cfg.stemming, cfg.remove_stopwords)
+            for t in uniq_texts
+        ]
+        cols["tokens"] = pc.take(
+            pa.array(token_lists, type=pa.list_(pa.string())), sel)
+        cols["n_tokens"] = pc.take(
+            pa.array([len(t) for t in token_lists], type=pa.int32()), sel)
+    if "raw" in need:
+        u_raw = simhash64_batch(uniq_texts, cfg.simhash_shingle_width,
+                                _SIMHASH_CACHE)
+        cols["raw_simhash_val"] = pa.array(u_raw[row_to_uniq])
+    if "tf" in need:
+        u_tf = tf_simhash_batch(token_lists, _TOKEN_HASH_CACHE)
+        cols["tf_simhash_val"] = pa.array(u_tf[row_to_uniq])
     return pa.table(cols)
 
 
@@ -253,11 +281,15 @@ def _score_group(group: pa.Table, measures: list[str],
     order = np.argsort(group["turn_idx"].to_numpy(), kind="stable")
     n = group.num_rows
     idx = [int(i) for i in order]
-    tokens = group["tokens"].to_pylist()
+    names = group.column_names
+    tokens = group["tokens"].to_pylist() if "tokens" in names else None
     n_chars = group["n_chars"].to_numpy()
-    n_tokens = group["n_tokens"].to_numpy()
-    raw_sim = group["raw_simhash_val"].to_numpy(zero_copy_only=False)
-    tf_sim = group["tf_simhash_val"].to_numpy(zero_copy_only=False)
+    n_tokens = (group["n_tokens"].to_numpy()
+                if "n_tokens" in names else np.zeros(n, dtype=np.int64))
+    raw_sim = (group["raw_simhash_val"].to_numpy(zero_copy_only=False)
+               if "raw_simhash_val" in names else None)
+    tf_sim = (group["tf_simhash_val"].to_numpy(zero_copy_only=False)
+              if "tf_simhash_val" in names else None)
 
     a = idx[0]  # anchor = min turn_idx
     # combine_chunks: passthrough columns are zero-copy slices of the group
@@ -369,6 +401,32 @@ def _rowwise_score(m: str, member: dict, anchor: dict) -> float:
     raise ValueError(f"unknown rowwise measure {m!r}")
 
 
+_LOOP_MEASURES = {"levenshtein", "nlevenshtein", "tfintersection"}
+
+# per-worker cache of Arrow/numpy structures derived from a broadcast
+# anchor payload, keyed by ObjectRef id: the payload itself is plain
+# numpy/python (plasma-friendly); the pa.StringArray used by index_in is
+# rebuilt once per worker, not once per batch
+_ANCHOR_DERIVED_CACHE: dict[bytes, tuple] = {}
+
+
+def _segment_sorted_unique(codes: np.ndarray,
+                           offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat codes, offsets) → per-segment SORTED-UNIQUE (flat, offsets):
+    one lexsort + boundary diff over (segment, code), no per-row
+    ``np.unique`` loop (same pattern as the signature stage)."""
+    n_rows = offs.size - 1
+    if codes.size == 0:
+        return codes.astype(np.uint64), np.zeros(n_rows + 1, dtype=np.int64)
+    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offs))
+    order = np.lexsort((codes, row_ids))
+    fc, fr = codes[order], row_ids[order]
+    keep = np.r_[True, (fr[1:] != fr[:-1]) | (fc[1:] != fc[:-1])]
+    fc, fr = fc[keep], fr[keep]
+    counts = np.bincount(fr, minlength=n_rows)
+    return fc.astype(np.uint64), np.r_[0, np.cumsum(counts)].astype(np.int64)
+
+
 def _anchor_measures_broadcast(prepped, measures: list[str],
                                keep_features: bool = False):
     """Shuffle-free path for row-wise measures: the per-conversation
@@ -377,27 +435,37 @@ def _anchor_measures_broadcast(prepped, measures: list[str],
     whenever no group-corpus measure (cosine/LSI/LDA) is requested; those
     need the whole conversation in one task and take the groupby path.
 
+    The scoring stage is VECTORIZED: ratio measures are numpy divides,
+    simhash measures are popcount(xor) over the whole batch, and
+    jaccard/sorensen dictionary-encode member+anchor tokens per batch and
+    run ONE tiled sorted-intersection kernel (shared with LSH verify) for
+    every row-vs-anchor pair. Only levenshtein/nlevenshtein/tfintersection
+    (per-row DP / top-k semantics) fall back to a Python row loop.
+
     Scale assumption (documented): one anchor feature set per conversation
     fits the object store (conversations are ~10-50 turns, so anchors are
     2-10% of the corpus ... at extreme conversation counts force the
     groupby path via ``group_path=True``)."""
     import ray
 
+    from raydedup.functions.simhash import hamming_batch
+    from raydedup.stages.lsh import _tiled_intersections
+
     prepped = prepped.materialize()
+    ms = set(measures)
+    have_tokens = bool(ms & TOKEN_MEASURES)
+    have_raw = "raw_simhash" in ms or keep_features
+    have_tf = "tf_simhash" in ms
+    need_sets = bool(ms & {"jaccard", "sorensen"})
+    loop_ms = [m for m in measures if m in _LOOP_MEASURES]
 
     # per-batch partial min-turn + driver merge (a distributed groupby on
     # this skinny side costs more than the whole scoring pass)
     def partial_min(batch: pa.Table) -> pa.Table:
-        agg: dict[str, int] = {}
-        for c, t in zip(batch["conv_id"].to_pylist(),
-                        batch["turn_idx"].to_pylist()):
-            if t < agg.get(c, 1 << 30):
-                agg[c] = t
-        return pa.table(
-            {
-                "conv_id": pa.array(list(agg.keys()), type=pa.string()),
-                "min_turn": pa.array(list(agg.values()), type=pa.int32()),
-            }
+        return pa.TableGroupBy(
+            batch.select(["conv_id", "turn_idx"]), "conv_id"
+        ).aggregate([("turn_idx", "min")]).rename_columns(
+            ["conv_id", "min_turn"]
         )
 
     mt_map: dict[str, int] = {}
@@ -409,73 +477,191 @@ def _anchor_measures_broadcast(prepped, measures: list[str],
         for c, t in zip(b["conv_id"].to_pylist(), b["min_turn"].to_pylist()):
             if t < mt_map.get(c, 1 << 30):
                 mt_map[c] = t
-    mt_ref = ray.put(mt_map)
+    mt_convs = pa.array(list(mt_map.keys()), type=pa.string())
+    mt_vals = np.fromiter(mt_map.values(), dtype=np.int64,
+                          count=len(mt_map))
+    mt_ref = ray.put((mt_convs.to_pylist(), mt_vals))
 
     def pick_anchors(batch: pa.Table) -> pa.Table:
-        mt = ray.get(mt_ref)
-        keep = [
-            mt.get(c) == t
-            for c, t in zip(batch["conv_id"].to_pylist(),
-                            batch["turn_idx"].to_pylist())
-        ]
+        convs, vals = ray.get(mt_ref)
+        pos = pc.index_in(
+            batch["conv_id"], value_set=pa.array(convs, type=pa.string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = vals[pos] == batch["turn_idx"].to_numpy().astype(np.int64)
         return batch.filter(pa.array(keep))
 
-    anchors: dict[str, dict] = {}
-    for b in prepped.map_batches(pick_anchors, batch_format="pyarrow").iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        for i in range(b.num_rows):
-            toks = b["tokens"][i].as_py()
-            anchors[b["conv_id"][i].as_py()] = {
-                "n_chars": b["n_chars"][i].as_py(),
-                "n_tokens": b["n_tokens"][i].as_py(),
-                "tokens": toks,
-                "token_set": set(toks),
-                "raw_sim": b["raw_simhash_val"][i].as_py(),
-                "tf_sim": b["tf_simhash_val"][i].as_py(),
-            }
-    a_ref = ray.put(anchors)
+    # anchor payload: plain python/numpy only (plasma zero-copy friendly)
+    a_convs: list[str] = []
+    a_chars: list[int] = []
+    a_ntok: list[int] = []
+    a_raw: list[int] = []
+    a_tf: list[int] = []
+    a_tok_full: list[list[str]] = []
+    seen: set[str] = set()
+    for b in prepped.map_batches(
+        pick_anchors, batch_format="pyarrow"
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        cs = b["conv_id"].to_pylist()
+        ncs = b["n_chars"].to_pylist()
+        nts = b["n_tokens"].to_pylist() if have_tokens else None
+        tks = b["tokens"].to_pylist() if have_tokens else None
+        rws = b["raw_simhash_val"].to_pylist() if have_raw else None
+        tfs = b["tf_simhash_val"].to_pylist() if have_tf else None
+        for i, c in enumerate(cs):
+            if c in seen:  # first min-turn row wins (groupby-path parity)
+                continue
+            seen.add(c)
+            a_convs.append(c)
+            a_chars.append(ncs[i])
+            a_ntok.append(nts[i] if nts is not None else 0)
+            a_tok_full.append(tks[i] if tks is not None else [])
+            a_raw.append(rws[i] if rws is not None else 0)
+            a_tf.append(tfs[i] if tfs is not None else 0)
+    a_ref = ray.put((
+        a_convs,
+        np.asarray(a_chars, dtype=np.int64),
+        np.asarray(a_ntok, dtype=np.int64),
+        np.asarray(a_raw, dtype=np.uint64),
+        np.asarray(a_tf, dtype=np.uint64),
+        a_tok_full,
+        [sorted(set(t)) for t in a_tok_full] if need_sets else None,
+    ))
+
+    def derived():
+        key = a_ref.binary()
+        got = _ANCHOR_DERIVED_CACHE.get(key)
+        if got is None:
+            convs, chars, ntok, raw, tf, tok_full, tok_dist = ray.get(a_ref)
+            got = (pa.array(convs, type=pa.string()), chars, ntok, raw, tf,
+                   tok_full, tok_dist)
+            _ANCHOR_DERIVED_CACHE[key] = got
+        return got
 
     def score(batch: pa.Table) -> pa.Table:
-        amap = ray.get(a_ref)
+        conv_pa, A_chars, A_ntok, A_raw, A_tf, A_tok, A_dist = derived()
         n = batch.num_rows
-        convs = batch["conv_id"].to_pylist()
-        toks_col = batch["tokens"].to_pylist()
-        n_chars = batch["n_chars"].to_numpy()
-        n_tokens = batch["n_tokens"].to_numpy()
-        raw_sim = batch["raw_simhash_val"].to_numpy(zero_copy_only=False)
-        tf_sim = batch["tf_simhash_val"].to_numpy(zero_copy_only=False)
+        if n == 0:
+            cols = {
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int32()),
+                "row_key": pa.array([], type=pa.string()),
+            }
+            for m in measures:
+                cols[m] = pa.array([], type=pa.float64())
+                cols[m + "_error"] = pa.array([], type=pa.string())
+            if keep_features:
+                cols["content_length"] = pa.array([], type=pa.int64())
+                cols["memento_simhash"] = pa.array([], type=pa.uint64())
+            return pa.table(cols)
+
+        aidx = pc.index_in(
+            batch["conv_id"], value_set=conv_pa
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = batch["n_chars"].to_numpy().astype(np.int64)
+        raw_empty = A_chars[aidx] == 0
+        if have_tokens:
+            n_tokens = batch["n_tokens"].to_numpy().astype(np.int64)
+            tok_empty = A_ntok[aidx] == 0
         out = {
             "conv_id": batch["conv_id"].combine_chunks(),
             "turn_idx": batch["turn_idx"].combine_chunks(),
             "row_key": batch["row_key"].combine_chunks(),
         }
-        cols: dict[str, list] = {m: [] for m in measures}
-        errs: dict[str, list] = {m: [] for m in measures}
-        for i in range(n):
-            anchor = amap[convs[i]]
-            member = {
-                "n_chars": int(n_chars[i]),
-                "n_tokens": int(n_tokens[i]),
-                "tokens": toks_col[i],
-                "raw_sim": int(raw_sim[i]),
-                "tf_sim": int(tf_sim[i]),
-            }
-            for m in measures:
-                raw = m in RAW_MEASURES
-                empty = (anchor["n_chars"] == 0) if raw else (anchor["n_tokens"] == 0)
-                if empty:
-                    cols[m].append(None)
-                    errs[m].append(ANCHOR_EMPTY_ERROR)
-                else:
-                    cols[m].append(_rowwise_score(m, member, anchor))
-                    errs[m].append(None)
+
+        def emit(name: str, vals: np.ndarray, empty: np.ndarray) -> None:
+            out[name] = pa.array(vals, type=pa.float64(),
+                                 mask=empty)
+            out[name + "_error"] = pc.if_else(
+                pa.array(empty), pa.scalar(ANCHOR_EMPTY_ERROR),
+                pa.scalar(None, type=pa.string()))
+
+        jac = sor = None
+        if need_sets:
+            tok_col = batch["tokens"].combine_chunks()
+            lens = pc.list_value_length(tok_col).to_numpy().astype(np.int64)
+            m_offs = np.r_[0, np.cumsum(lens)]
+            m_flat = pc.list_flatten(tok_col)
+            uniq_a, inv = np.unique(aidx, return_inverse=True)
+            a_lists = [A_dist[i] for i in uniq_a]
+            a_lens = np.fromiter((len(t) for t in a_lists), dtype=np.int64,
+                                 count=len(a_lists))
+            a_offs = np.r_[0, np.cumsum(a_lens)]
+            a_flat = pa.array(
+                [t for lst in a_lists for t in lst], type=pa.string())
+            all_vals = pa.concat_arrays(
+                [m_flat.combine_chunks()
+                 if isinstance(m_flat, pa.ChunkedArray) else m_flat, a_flat])
+            codes = pc.dictionary_encode(all_vals).indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m_total = int(m_offs[-1])
+            m_u, m_u_offs = _segment_sorted_unique(codes[:m_total], m_offs)
+            a_u, a_u_offs = _segment_sorted_unique(codes[m_total:], a_offs)
+            flat = np.concatenate([m_u, a_u])
+            offs = np.r_[m_u_offs, m_u_offs[-1] + a_u_offs[1:]]
+            pi = np.arange(n, dtype=np.int64)
+            pj = n + inv
+            la = offs[pi + 1] - offs[pi]
+            lb = offs[pj + 1] - offs[pj]
+
+            def fill(row: np.ndarray, i: int) -> None:
+                k = la[i]
+                row[:k] = flat[offs[pi[i]]: offs[pi[i] + 1]]
+                row[k: k + lb[i]] = flat[offs[pj[i]]: offs[pj[i] + 1]]
+
+            inter = _tiled_intersections(la, lb, fill)
+            union = la + lb - inter
+            jac = np.where(union > 0,
+                           1.0 - inter / np.maximum(union, 1), 0.0)
+            sor = np.where(la + lb > 0,
+                           1.0 - 2.0 * inter / np.maximum(la + lb, 1), 0.0)
+
+        loop_vals: dict[str, np.ndarray] = {}
+        if loop_ms:
+            toks_py = batch["tokens"].to_pylist()
+            for m in loop_ms:
+                loop_vals[m] = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                a_toks = A_tok[aidx[i]]
+                for m in loop_ms:
+                    if m == "levenshtein":
+                        loop_vals[m][i] = float(
+                            levenshtein_tokens(a_toks, toks_py[i]))
+                    elif m == "nlevenshtein":
+                        loop_vals[m][i] = nlevenshtein_tokens(
+                            a_toks, toks_py[i])
+                    else:
+                        loop_vals[m][i] = float(
+                            tfintersection(a_toks, toks_py[i]))
+
         for m in measures:
-            out[m] = pa.array(cols[m], type=pa.float64())
-            out[m + "_error"] = pa.array(errs[m], type=pa.string())
+            if m == "bytecount":
+                denom = np.maximum(A_chars[aidx], 1)
+                emit(m, n_chars / denom - 1.0, raw_empty)
+            elif m == "wordcount":
+                denom = np.maximum(A_ntok[aidx], 1)
+                emit(m, n_tokens / denom - 1.0, tok_empty)
+            elif m == "jaccard":
+                emit(m, jac, tok_empty)
+            elif m == "sorensen":
+                emit(m, sor, tok_empty)
+            elif m == "raw_simhash":
+                raw_np = batch["raw_simhash_val"].to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+                emit(m, hamming_batch(raw_np, A_raw[aidx]).astype(
+                    np.float64), raw_empty)
+            elif m == "tf_simhash":
+                tf_np = batch["tf_simhash_val"].to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+                emit(m, hamming_batch(tf_np, A_tf[aidx]).astype(
+                    np.float64), tok_empty)
+            else:
+                emit(m, loop_vals[m], tok_empty)
+
         if keep_features:
             out["content_length"] = pa.array(n_chars, type=pa.int64())
-            out["memento_simhash"] = pa.array(raw_sim.astype(np.uint64))
+            out["memento_simhash"] = pa.array(
+                batch["raw_simhash_val"].to_numpy(
+                    zero_copy_only=False).astype(np.uint64))
         return pa.table(out)
 
     return prepped.map_batches(score, batch_format="pyarrow")
@@ -497,8 +683,9 @@ def anchor_measures(ds, measures: list[str] | None = None,
     unknown = set(measures) - set(ALL_MEASURES)
     if unknown:
         raise ValueError(f"unknown measures: {sorted(unknown)}")
+    need = features_needed(measures, keep_features)
     prepped = ds.map_batches(
-        lambda b: measure_prep_batch(b, cfg, text_col),
+        lambda b: measure_prep_batch(b, cfg, text_col, need),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
