@@ -326,6 +326,41 @@ def q_slice_events(sf_dir: str):
     return slice_by_time(keyed, ts_col="ts")
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-document repetition signals (dup-line fraction,
+    top-2-gram fraction, duplicated-3-gram fraction) — pure counting over
+    lines / lowercase word runs, recomputed exactly by the DuckDB oracle."""
+    from raydedup.stages.textstats import repetition_stats
+
+    out = repetition_stats(_docs(sf_dir))
+    for c in ("dup_line_frac", "top_2gram_frac", "dup_3gram_frac"):
+        out = _round_col(out, c)
+    return out.select_columns(
+        ["doc_id", "dup_line_frac", "top_2gram_frac", "dup_3gram_frac"]
+    )
+
+
+_SAMPLE_RATE = 0.25
+_SAMPLE_SEED = "s0"
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic md5-keyed down-sampling at rate 0.25 — stable across
+    reruns/retries and consistent across tables sharing the key (the
+    resumable-sampling story for a 100-TB corpus). Oracle recomputes the
+    identical md5-prefix threshold test in SQL."""
+    from raydedup.stages.textstats import sample_by_hash
+
+    docs = _docs(sf_dir).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("doc_id"), "doc_id",
+            pc.cast(b["doc_id"], pa.string())),
+        batch_format="pyarrow")
+    return sample_by_hash(
+        docs, "doc_id", _SAMPLE_RATE, _SAMPLE_SEED
+    ).select_columns(["doc_id"])
+
+
 def q_token_counts(sf_dir: str):
     from raydedup.stages.textstats import token_counts
 
@@ -500,6 +535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_high_quality": q_select_high_quality,
         "select_by_language": q_select_by_language,
         "slice_events": q_slice_events,
+        "repetition_stats": q_repetition_stats,
+        "sample_docs": q_sample_docs,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
@@ -1281,6 +1318,74 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r CROSS JOIN p2 p
             WHERE r.rn <= p.per * CAST(floor(CAST(r.n - 1 AS DOUBLE) / p.per)
                                        AS BIGINT)
+        """,
+        "repetition_stats": f"""
+            WITH lines AS (
+                SELECT doc_id,
+                       count(*) FILTER (ln <> '') AS n_lines,
+                       count(DISTINCT ln) FILTER (ln <> '') AS d_lines
+                FROM (
+                    SELECT doc_id, l.ln
+                    FROM documents,
+                         UNNEST(string_split(text, chr(10))) AS l(ln)
+                )
+                GROUP BY 1
+            ),
+            toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-z_]+') AS arr
+                FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id, g.gm, count(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           UNNEST(list_transform(range(len(arr) - 1),
+                               i -> arr[i + 1] || ' ' || arr[i + 2])) AS gm
+                    FROM toks WHERE len(arr) >= 2
+                ) g
+                GROUP BY 1, 2
+            ),
+            top2 AS (
+                SELECT doc_id, max(c) AS top_c, sum(c) AS tot
+                FROM g2 GROUP BY 1
+            ),
+            g3 AS (
+                SELECT doc_id, g.gm, count(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           UNNEST(list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])) AS gm
+                    FROM toks WHERE len(arr) >= 3
+                ) g
+                GROUP BY 1, 2
+            ),
+            dup3 AS (
+                SELECT doc_id,
+                       sum(c) FILTER (c >= 2) AS dup_occ,
+                       sum(c) AS tot
+                FROM g3 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   round(CASE WHEN coalesce(l.n_lines, 0) = 0 THEN 0.0e0
+                         ELSE 1.0e0 - CAST(l.d_lines AS DOUBLE) / l.n_lines
+                         END, {_ROUND}) AS dup_line_frac,
+                   round(coalesce(CAST(t.top_c AS DOUBLE) / t.tot, 0.0e0),
+                         {_ROUND}) AS top_2gram_frac,
+                   round(coalesce(CAST(d3.dup_occ AS DOUBLE) / d3.tot,
+                                  0.0e0), {_ROUND}) AS dup_3gram_frac
+            FROM documents d
+            LEFT JOIN lines l ON l.doc_id = d.doc_id
+            LEFT JOIN top2 t ON t.doc_id = d.doc_id
+            LEFT JOIN dup3 d3 ON d3.doc_id = d.doc_id
+        """,
+        "sample_docs": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id
+            FROM documents
+            WHERE CAST(('0x' || substr(
+                      md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) < 288230376151711744
         """,
         "token_counts": r"""
             SELECT doc_id,

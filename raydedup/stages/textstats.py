@@ -197,3 +197,88 @@ def fingerprints(ds, text_col: str = "text", k: int = 32, window: int = 64):
         return pa.table(cols)
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# --- repetition stats (Gopher-style quality signals) ----------------------
+
+_REP_WORD_RE = re.compile(r"[0-9a-zA-Z_]+")
+
+
+def repetition_stats(ds, text_col: str = "text"):
+    """Per-document repetition signals from the Gopher data-quality rules
+    (Rae et al. 2021, public): duplicate-line fraction, most-frequent
+    2-gram fraction, and duplicated-3-gram fraction. All three are pure
+    counting over lines / lowercase ``\\w+`` tokens, so the DuckDB oracle
+    recomputes them value-for-value.
+
+    - ``dup_line_frac``  = 1 - distinct(non-empty lines)/count(non-empty
+      lines) (0 when the document has no non-empty line)
+    - ``top_2gram_frac`` = occurrences of the most frequent word 2-gram /
+      total 2-gram occurrences (0 when fewer than 2 tokens)
+    - ``dup_3gram_frac`` = fraction of 3-gram occurrences whose 3-gram
+      occurs at least twice in the document (0 when fewer than 3 tokens)
+    """
+
+    def rep(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        n = len(texts)
+        dl = np.zeros(n, dtype=np.float64)
+        t2 = np.zeros(n, dtype=np.float64)
+        d3 = np.zeros(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            lines = [ln for ln in t.split("\n") if ln]
+            if lines:
+                dl[i] = 1.0 - len(set(lines)) / len(lines)
+            toks = _REP_WORD_RE.findall(t.lower())
+            if len(toks) >= 2:
+                counts: dict[tuple, int] = {}
+                for g in zip(toks, toks[1:]):
+                    counts[g] = counts.get(g, 0) + 1
+                t2[i] = max(counts.values()) / (len(toks) - 1)
+            if len(toks) >= 3:
+                counts3: dict[tuple, int] = {}
+                for g in zip(toks, toks[1:], toks[2:]):
+                    counts3[g] = counts3.get(g, 0) + 1
+                dup_occ = sum(c for c in counts3.values() if c >= 2)
+                d3[i] = dup_occ / (len(toks) - 2)
+        cols = {c: batch[c] for c in batch.column_names if c != text_col}
+        cols["dup_line_frac"] = pa.array(dl)
+        cols["top_2gram_frac"] = pa.array(t2)
+        cols["dup_3gram_frac"] = pa.array(d3)
+        return pa.table(cols)
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+# --- deterministic hash sampling ------------------------------------------
+
+
+def sample_by_hash(ds, key_col: str, rate: float, seed: str = "s0"):
+    """Deterministic, resumable down-sampling: keep a row iff the low 60
+    bits of ``md5(seed || ':' || key)`` fall below ``rate`` as a fraction
+    of 2^60. Unlike ``Dataset.random_sample`` this is (a) stable across
+    reruns/retries — a row's fate depends only on its key, so a resumed
+    100-TB job samples identically — and (b) consistent across tables
+    sharing the key (sample a doc ⇒ sample all its rows everywhere).
+    SQL mirror: ``CAST(('0x' || substr(md5(...), 1, 15)) AS UBIGINT)``.
+    """
+    import hashlib
+
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * (1 << 60))
+    prefix = f"{seed}:".encode()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        mask = pa.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(prefix + str(k).encode()).digest()[:8], "big"
+                ) >> 4 < threshold
+                for k in keys
+            ]
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

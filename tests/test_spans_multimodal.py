@@ -361,3 +361,62 @@ def test_hot_boilerplate_bounded_and_connected():
         uf.union(a, b)
     roots = {uf.find(k) for k in rows["row_key"]}
     assert len(roots) == 1
+
+
+def test_repetition_stats_known_values(ray_session):
+    import ray.data
+
+    from raydedup.stages.textstats import repetition_stats
+
+    tbl = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [
+            # 4 non-empty lines, 2 distinct -> dup_line_frac 0.5;
+            # tokens: a b a b a b a b -> top 2-gram 'a b' 4/7;
+            # 3-grams: aba x3, bab x3 -> all 6 occurrences duplicated
+            "a b\na b\n\nc d\nc d",
+            "x y z",          # no repetition at all
+            "",               # empty: all zeros
+        ],
+    })
+    got = {r["doc_id"]: r for r in
+           repetition_stats(ray.data.from_arrow(tbl)).take_all()}
+    r0 = got[0]
+    assert r0["dup_line_frac"] == pytest.approx(0.5)
+    toks = "a b a b c d c d".split()
+    assert r0["top_2gram_frac"] == pytest.approx(2 / (len(toks) - 1))
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["top_2gram_frac"] == pytest.approx(1 / 2)  # all 2-grams tie at 1
+    assert got[1]["dup_3gram_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_2gram_frac"] == 0.0
+    assert got[2]["dup_3gram_frac"] == 0.0
+    # repeated 3-gram document: every 3-gram occurrence duplicated
+    tbl2 = pa.table({"doc_id": [0], "text": ["p q r p q r p q r"]})
+    (r,) = repetition_stats(ray.data.from_arrow(tbl2)).take_all()
+    assert r["dup_3gram_frac"] == pytest.approx(1.0)
+
+
+def test_sample_by_hash_deterministic_and_consistent(ray_session):
+    import ray.data
+
+    from raydedup.stages.textstats import sample_by_hash
+
+    keys = [f"k{i}" for i in range(2000)]
+    tbl = pa.table({"k": keys, "v": list(range(2000))})
+    ds = ray.data.from_arrow(tbl)
+    a = {r["k"] for r in sample_by_hash(ds, "k", 0.3, "s1").take_all()}
+    b = {r["k"] for r in sample_by_hash(ds, "k", 0.3, "s1").take_all()}
+    assert a == b  # rerun-stable
+    assert 0.2 < len(a) / 2000 < 0.4  # near the rate
+    # monotone in rate: the 0.3 sample is a subset of the 0.5 sample
+    c = {r["k"] for r in sample_by_hash(ds, "k", 0.5, "s1").take_all()}
+    assert a <= c
+    # different seed -> different (but overlapping) sample
+    d = {r["k"] for r in sample_by_hash(ds, "k", 0.3, "s2").take_all()}
+    assert a != d
+    # rate bounds
+    assert sample_by_hash(ds, "k", 0.0, "s1").count() == 0
+    assert sample_by_hash(ds, "k", 1.0, "s1").count() == 2000
+    with pytest.raises(ValueError):
+        sample_by_hash(ds, "k", 1.5)
