@@ -541,10 +541,13 @@ def _anchor_measures_broadcast(prepped, measures: list[str],
         conv_pa, A_chars, A_ntok, A_raw, A_tf, A_tok, A_dist = derived()
         n = batch.num_rows
         if n == 0:
+            def _ty(name, default):
+                return (batch.schema.field(name).type
+                        if name in batch.column_names else default)
             cols = {
-                "conv_id": pa.array([], type=pa.string()),
-                "turn_idx": pa.array([], type=pa.int32()),
-                "row_key": pa.array([], type=pa.string()),
+                "conv_id": pa.array([], type=_ty("conv_id", pa.string())),
+                "turn_idx": pa.array([], type=_ty("turn_idx", pa.int32())),
+                "row_key": pa.array([], type=_ty("row_key", pa.string())),
             }
             for m in measures:
                 cols[m] = pa.array([], type=pa.float64())
