@@ -326,6 +326,35 @@ def q_slice_events(sf_dir: str):
     return slice_by_time(keyed, ts_col="ts")
 
 
+_DECON_RATE = 0.1
+_DECON_N = 8
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: the md5-keyed 10% sample of documents is
+    the held-out 'benchmark'; every remaining document is flagged with the
+    count of DISTINCT word 8-grams it shares with the benchmark. The
+    oracle recomputes the identical split and n-gram semi-join in SQL."""
+    from raydedup.stages.decontam import decontaminate
+    from raydedup.stages.textstats import sample_by_hash
+
+    docs = _docs(sf_dir)
+    bench = sample_by_hash(docs, "doc_id", _DECON_RATE, _SAMPLE_SEED)
+    bench_ids = {r["doc_id"] for r in
+                 bench.select_columns(["doc_id"]).take_all()}
+
+    def corpus_only(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(
+            batch["doc_id"],
+            value_set=pa.array(sorted(bench_ids),
+                               type=batch.schema.field("doc_id").type)))
+        return batch.filter(mask)
+
+    corpus = docs.map_batches(corpus_only, batch_format="pyarrow")
+    out = decontaminate(corpus, bench, n=_DECON_N)
+    return out.select_columns(["doc_id", "contaminated", "n_hit"])
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style per-document repetition signals (dup-line fraction,
     top-2-gram fraction, duplicated-3-gram fraction) — pure counting over
@@ -535,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_high_quality": q_select_high_quality,
         "select_by_language": q_select_by_language,
         "slice_events": q_slice_events,
+        "decontaminate_docs": q_decontaminate_docs,
         "repetition_stats": q_repetition_stats,
         "sample_docs": q_sample_docs,
         "token_counts": q_token_counts,
@@ -1318,6 +1348,45 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r CROSS JOIN p2 p
             WHERE r.rn <= p.per * CAST(floor(CAST(r.n - 1 AS DOUBLE) / p.per)
                                        AS BIGINT)
+        """,
+        "decontaminate_docs": """
+            WITH bench AS (
+                SELECT doc_id, text FROM documents
+                WHERE CAST(('0x' || substr(
+                          md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT) < 115292150460684704
+            ),
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+            ),
+            bgrams AS (
+                SELECT DISTINCT g.gm FROM (
+                    SELECT UNNEST(list_transform(range(len(arr) - 7),
+                        i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3]||' '||arr[i+4]||' '||arr[i+5]||' '||arr[i+6]||' '||arr[i+7]||' '||arr[i+8])) AS gm
+                    FROM (SELECT regexp_extract_all(lower(text),
+                                 '[0-9a-z_]+') AS arr FROM bench)
+                    WHERE len(arr) >= 8
+                ) g
+            ),
+            cg AS (
+                SELECT doc_id, g.gm FROM (
+                    SELECT doc_id,
+                           UNNEST(list_transform(range(len(arr) - 7),
+                        i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3]||' '||arr[i+4]||' '||arr[i+5]||' '||arr[i+6]||' '||arr[i+7]||' '||arr[i+8])) AS gm
+                    FROM (SELECT doc_id, regexp_extract_all(lower(text),
+                                 '[0-9a-z_]+') AS arr FROM corpus)
+                    WHERE len(arr) >= 8
+                ) g GROUP BY 1, 2
+            ),
+            hits AS (
+                SELECT cg.doc_id, count(*) AS n_hit
+                FROM cg JOIN bgrams ON cg.gm = bgrams.gm GROUP BY 1
+            )
+            SELECT c.doc_id,
+                   coalesce(h.n_hit, 0) > 0 AS contaminated,
+                   coalesce(h.n_hit, 0) AS n_hit
+            FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
         """,
         "repetition_stats": f"""
             WITH lines AS (

@@ -1,0 +1,101 @@
+"""Benchmark decontamination — flag or drop training documents that share
+any word n-gram with a held-out evaluation set.
+
+The standard training-data hygiene step (publicly described for GPT-3 and
+The Pile: 13-gram / n-gram overlap against benchmark text; parameters are
+configurable here). Ray-Data shape: the benchmark side is SMALL by
+definition, so its distinct n-grams are collected once, broadcast via
+``ray.put``, and every corpus batch probes them with ``pc.is_in`` — a
+broadcast semi-join, no shuffle, the same pattern as the anchor-measure
+broadcast. At 100 TB the corpus streams; only the benchmark n-gram set
+(bounded by benchmark size, not corpus size) must fit in the object store.
+
+No reference analogue (new-engine training-data operator, task brief).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD_RE = re.compile(r"[0-9a-zA-Z_]+")
+
+# per-worker cache of the rebuilt value_set StringArray, keyed by the
+# broadcast ObjectRef id (the payload itself is a plain python list)
+_BENCH_CACHE: dict[bytes, pa.Array] = {}
+
+
+def _ngrams(text: str, n: int) -> list[str]:
+    toks = _WORD_RE.findall(text.lower())
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)]
+
+
+def benchmark_ngram_ref(bench_ds, n: int = 8, text_col: str = "text"):
+    """Distinct n-grams of the (small) benchmark dataset as a broadcast
+    ref: per-batch distinct extraction in parallel, driver union (the
+    result is benchmark-sized, not corpus-sized)."""
+    import ray
+
+    def extract(batch: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for t in batch[text_col].to_pylist():
+            if t:
+                grams.update(_ngrams(t, n))
+        return pa.table({"gm": pa.array(sorted(grams), type=pa.string())})
+
+    grams: set[str] = set()
+    for b in bench_ds.map_batches(
+        extract, batch_format="pyarrow"
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        grams.update(b["gm"].to_pylist())
+    return ray.put(sorted(grams))
+
+
+def decontaminate(ds, bench_ds, n: int = 8, text_col: str = "text",
+                  drop: bool = False):
+    """corpus × benchmark n-gram overlap: appends ``contaminated`` (bool)
+    and ``n_hit`` (int64, count of DISTINCT shared n-grams) per row;
+    ``drop=True`` filters contaminated rows instead of flagging them."""
+    import ray
+
+    gram_ref = benchmark_ngram_ref(bench_ds, n, text_col)
+
+    def bench_arr() -> pa.Array:
+        key = gram_ref.binary()
+        arr = _BENCH_CACHE.get(key)
+        if arr is None:
+            arr = pa.array(ray.get(gram_ref), type=pa.string())
+            _BENCH_CACHE[key] = arr
+        return arr
+
+    def flag(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        per_row = [sorted(set(_ngrams(t, n))) for t in texts]
+        lens = np.fromiter((len(g) for g in per_row), dtype=np.int64,
+                           count=len(per_row))
+        flat = pa.array([g for gs in per_row for g in gs], type=pa.string())
+        arr = bench_arr()
+        if len(arr) and len(flat):
+            hit = pc.is_in(flat, value_set=arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            row_ids = np.repeat(np.arange(len(per_row)), lens)
+            n_hit = np.bincount(row_ids, weights=hit,
+                                minlength=len(per_row)).astype(np.int64)
+        else:
+            n_hit = np.zeros(len(per_row), dtype=np.int64)
+        out = pa.table(
+            {**{c: batch[c] for c in batch.column_names},
+             "contaminated": pa.array(n_hit > 0),
+             "n_hit": pa.array(n_hit)}
+        )
+        if drop:
+            out = out.filter(pc.equal(out["contaminated"], False))
+            out = out.drop_columns(["contaminated", "n_hit"])
+        return out
+
+    return ds.map_batches(flag, batch_format="pyarrow")

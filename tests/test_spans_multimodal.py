@@ -420,3 +420,38 @@ def test_sample_by_hash_deterministic_and_consistent(ray_session):
     assert sample_by_hash(ds, "k", 1.0, "s1").count() == 2000
     with pytest.raises(ValueError):
         sample_by_hash(ds, "k", 1.5)
+
+
+def test_decontaminate_plants(ray_session):
+    import ray.data
+
+    from raydedup.stages.decontam import decontaminate
+
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": [100],
+        "text": ["alpha beta gamma delta epsilon zeta eta theta iota"],
+    }))
+    corpus = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [
+            # contains the benchmark 8-gram "alpha ... theta"
+            "prefix words alpha beta gamma delta epsilon zeta eta theta "
+            "suffix words",
+            # shares 7-gram but not 8-gram
+            "beta gamma delta epsilon zeta eta theta other tail here",
+            "completely unrelated text with enough words to form eight "
+            "grams easily",
+        ],
+    })
+    got = {r["doc_id"]: r for r in
+           decontaminate(ray.data.from_arrow(corpus), bench,
+                         n=8).take_all()}
+    assert got[0]["contaminated"] and got[0]["n_hit"] >= 1
+    assert not got[1]["contaminated"] and got[1]["n_hit"] == 0
+    assert not got[2]["contaminated"]
+    # drop mode removes the contaminated row and the flag columns
+    kept = decontaminate(ray.data.from_arrow(corpus), bench, n=8,
+                         drop=True)
+    rows = kept.take_all()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert "contaminated" not in rows[0]
