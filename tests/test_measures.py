@@ -203,3 +203,30 @@ def test_lsi_equals_bow_cosine_when_rank_small():
     expected = (Xn @ Xn[0]).tolist()
     assert np.allclose(got, expected, atol=1e-12)
     assert got[1] == pytest.approx(1.0)  # identical doc → cosine 1
+
+
+def test_anchor_measures_invariant_to_batch_size(ray_session):
+    """Prep dedup + anchor broadcast must not depend on batch boundaries:
+    a 7-row batch size (anchors split across many batches, per-batch text
+    dedup nearly useless) must produce bit-identical scores to the
+    default."""
+    import pandas as pd
+    import ray.data
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.sources.transcripts import generate_transcripts
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.measures import anchor_measures
+
+    tbl = generate_transcripts(n_convs=12, seed=7)
+    ds = add_row_key(ray.data.from_arrow(tbl), ["conv_id", "turn_idx"])
+    ms = ["bytecount", "jaccard", "sorensen", "raw_simhash", "tf_simhash",
+          "levenshtein"]
+
+    def run(cfg):
+        df = anchor_measures(ds, ms, cfg).to_pandas()
+        return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    a = run(DEFAULT_CONFIG)
+    b = run(DEFAULT_CONFIG.with_overrides(batch_size=7))
+    pd.testing.assert_frame_equal(a, b)
