@@ -355,6 +355,22 @@ def q_decontaminate_docs(sf_dir: str):
     return out.select_columns(["doc_id", "contaminated", "n_hit"])
 
 
+_PACK_BUDGET = 256
+_PACK_PARTS = 8
+
+
+def q_pack_sequences(sf_dir: str):
+    """Partition-local deterministic sequence packing (token budget 256,
+    8 hash partitions): each partition scans its documents in key order
+    and fills packs greedily. The oracle replays the identical scan with
+    a recursive CTE (one recursion step per row rank, all partitions in
+    lockstep)."""
+    from raydedup.stages.textstats import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), _PACK_BUDGET,
+                          num_partitions=_PACK_PARTS)
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style per-document repetition signals (dup-line fraction,
     top-2-gram fraction, duplicated-3-gram fraction) — pure counting over
@@ -565,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_by_language": q_select_by_language,
         "slice_events": q_slice_events,
         "decontaminate_docs": q_decontaminate_docs,
+        "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
         "sample_docs": q_sample_docs,
         "token_counts": q_token_counts,
@@ -1387,6 +1404,35 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit, 0) > 0 AS contaminated,
                    coalesce(h.n_hit, 0) AS n_hit
             FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+        """,
+        "pack_sequences": """
+            WITH RECURSIVE counts AS (
+                SELECT doc_id, doc_id % 8 AS part,
+                       len(regexp_extract_all(text, '\\S+')) AS ws_tokens
+                FROM documents
+            ),
+            ordered AS (
+                SELECT doc_id, part, ws_tokens,
+                       row_number() OVER (PARTITION BY part
+                                          ORDER BY doc_id) AS rn
+                FROM counts
+            ),
+            scan(part, rn, doc_id, ws_tokens, acc, pack) AS (
+                SELECT part, rn, doc_id, ws_tokens, ws_tokens, 0
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.part, o.rn, o.doc_id, o.ws_tokens,
+                       CASE WHEN s.acc + o.ws_tokens > 256
+                            THEN o.ws_tokens
+                            ELSE s.acc + o.ws_tokens END,
+                       CASE WHEN s.acc + o.ws_tokens > 256
+                            THEN s.pack + 1 ELSE s.pack END
+                FROM scan s
+                JOIN ordered o ON o.part = s.part AND o.rn = s.rn + 1
+            )
+            SELECT doc_id, part, part * 4294967296 + pack AS pack_id,
+                   ws_tokens
+            FROM scan
         """,
         "repetition_stats": f"""
             WITH lines AS (

@@ -282,3 +282,74 @@ def sample_by_hash(ds, key_col: str, rate: float, seed: str = "s0"):
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --- sequence packing ------------------------------------------------------
+
+
+def pack_sequences(ds, token_budget: int, key_col: str = "doc_id",
+                   text_col: str = "text", num_partitions: int = 8):
+    """Deterministic partition-local sequence packing: within each hash
+    partition (``key % num_partitions`` for integer keys, else a stable
+    hash), documents are scanned in ascending key order and appended to
+    the current pack until the next document would exceed
+    ``token_budget``; a document larger than the budget gets its own pack.
+    Emits ``part``, ``pack_id`` (= part * 2^32 + per-partition pack
+    number) and ``ws_tokens`` per row.
+
+    Packing is inherently sequential, so the PARTITION is the unit of
+    sequentiality — the standard practice at corpus scale (each worker
+    packs its own shard; `groupby(part).map_groups` streams partitions
+    independently, no global order dependency). Deterministic by
+    construction: a row's pack depends only on the keys and token counts
+    of its partition, so retries and reruns pack identically.
+    """
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if pa.types.is_integer(keys.type):
+            knp = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+            part = pa.array(knp % num_partitions, type=pa.int64())
+        else:
+            import hashlib
+
+            part = pa.array(
+                [int.from_bytes(
+                    hashlib.md5(str(k).encode()).digest()[:4], "big")
+                 % num_partitions for k in keys.to_pylist()],
+                type=pa.int64())
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        ws = pa.array(
+            [len([w for w in _WS_RE.split(t) if w]) for t in texts],
+            type=pa.int64())
+        cols = {c: batch[c] for c in batch.column_names if c != text_col}
+        cols["part"] = part
+        cols["ws_tokens"] = ws
+        return pa.table(cols)
+
+    def pack(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group[key_col])
+        g = group.take(order)
+        toks = g["ws_tokens"].to_numpy()
+        part = int(g["part"][0].as_py())
+        n = g.num_rows
+        packs = np.empty(n, dtype=np.int64)
+        acc = 0
+        cur = -1
+        for i in range(n):
+            t = int(toks[i])
+            if cur < 0 or acc + t > token_budget:
+                cur += 1
+                acc = t
+            else:
+                acc += t
+            packs[i] = cur
+        return pa.table({
+            key_col: g[key_col].combine_chunks(),
+            "part": g["part"].combine_chunks(),
+            "pack_id": pa.array(part * (1 << 32) + packs),
+            "ws_tokens": g["ws_tokens"].combine_chunks(),
+        })
+
+    withp = ds.map_batches(add_part, batch_format="pyarrow")
+    return withp.groupby("part").map_groups(pack, batch_format="pyarrow")

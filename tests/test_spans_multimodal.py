@@ -455,3 +455,49 @@ def test_decontaminate_plants(ray_session):
     rows = kept.take_all()
     assert {r["doc_id"] for r in rows} == {1, 2}
     assert "contaminated" not in rows[0]
+
+
+def test_pack_sequences_budget_and_determinism(ray_session):
+    import ray.data
+
+    from raydedup.stages.textstats import pack_sequences
+
+    # one partition so the scan order is the full key order
+    tbl = pa.table({
+        "doc_id": list(range(10)),
+        "text": [
+            "a b c",            # 3
+            "a b c d",          # 4
+            "a b",              # 2  -> pack 0 holds 3+4+2=9 <= 10
+            "a b c d e",        # 5  -> 9+5>10: new pack
+            " ".join(["w"] * 15),  # 15 > budget: own pack
+            "a", "a", "a", "a", "a",
+        ],
+    })
+    out = pack_sequences(ray.data.from_arrow(tbl), 10,
+                         num_partitions=1).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["pack_id"] == by_id[1]["pack_id"] == by_id[2]["pack_id"]
+    assert by_id[3]["pack_id"] != by_id[2]["pack_id"]
+    # oversized doc occupies its own pack
+    big_pack = by_id[4]["pack_id"]
+    assert sum(1 for r in out if r["pack_id"] == big_pack) == 1
+    # budget respected for every multi-doc pack
+    sums: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for r in out:
+        sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["ws_tokens"]
+        counts[r["pack_id"]] = counts.get(r["pack_id"], 0) + 1
+    for p, s in sums.items():
+        assert s <= 10 or counts[p] == 1
+    # deterministic across reruns
+    out2 = pack_sequences(ray.data.from_arrow(tbl), 10,
+                          num_partitions=1).take_all()
+    assert sorted((r["doc_id"], r["pack_id"]) for r in out) == \
+           sorted((r["doc_id"], r["pack_id"]) for r in out2)
+    # string keys partition stably too
+    tbl2 = pa.table({"doc_id": [f"k{i}" for i in range(10)],
+                     "text": tbl["text"]})
+    o3 = pack_sequences(ray.data.from_arrow(tbl2), 10,
+                        num_partitions=4).take_all()
+    assert len(o3) == 10
