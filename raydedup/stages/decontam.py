@@ -24,7 +24,9 @@ import pyarrow.compute as pc
 _WORD_RE = re.compile(r"[0-9a-zA-Z_]+")
 
 # per-worker cache of the rebuilt value_set StringArray, keyed by the
-# broadcast ObjectRef id (the payload itself is a plain python list)
+# broadcast ObjectRef id (the payload itself is a plain python list).
+# Size-1: one benchmark is live per run; unbounded ref-keyed growth would
+# pin one benchmark-sized array per call in long-lived workers.
 _BENCH_CACHE: dict[bytes, pa.Array] = {}
 
 
@@ -70,6 +72,7 @@ def decontaminate(ds, bench_ds, n: int = 8, text_col: str = "text",
         arr = _BENCH_CACHE.get(key)
         if arr is None:
             arr = pa.array(ray.get(gram_ref), type=pa.string())
+            _BENCH_CACHE.clear()
             _BENCH_CACHE[key] = arr
         return arr
 

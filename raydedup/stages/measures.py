@@ -159,6 +159,11 @@ def measure_prep_batch(batch: pa.Table, cfg: DedupConfig,
                                 _SIMHASH_CACHE)
         cols["raw_simhash_val"] = pa.array(u_raw[row_to_uniq])
     if "tf" in need:
+        if "tokens" not in need:  # tf implies token lists even if unemitted
+            token_lists = [
+                full_tokenize(t, cfg.stemming, cfg.remove_stopwords)
+                for t in uniq_texts
+            ]
         u_tf = tf_simhash_batch(token_lists, _TOKEN_HASH_CACHE)
         cols["tf_simhash_val"] = pa.array(u_tf[row_to_uniq])
     return pa.table(cols)
@@ -376,37 +381,14 @@ def _score_group(group: pa.Table, measures: list[str],
 GROUP_CORPUS_MEASURES = {"cosine", "gensim_lsi", "gensim_lda"}
 
 
-def _rowwise_score(m: str, member: dict, anchor: dict) -> float:
-    """One member-vs-anchor score; feature dicts carry n_chars, n_tokens,
-    tokens, raw_sim, tf_sim. Shared by the groupby and broadcast paths so
-    both produce identical values."""
-    if m == "bytecount":
-        return _ratio_score(member["n_chars"], anchor["n_chars"])
-    if m == "wordcount":
-        return _ratio_score(member["n_tokens"], anchor["n_tokens"])
-    if m == "jaccard":
-        return jaccard_distance(anchor["token_set"], member["tokens"])
-    if m == "sorensen":
-        return sorensen_distance(anchor["token_set"], member["tokens"])
-    if m == "levenshtein":
-        return float(levenshtein_tokens(anchor["tokens"], member["tokens"]))
-    if m == "nlevenshtein":
-        return nlevenshtein_tokens(anchor["tokens"], member["tokens"])
-    if m == "tfintersection":
-        return float(tfintersection(anchor["tokens"], member["tokens"]))
-    if m == "raw_simhash":
-        return float(hamming_distance(anchor["raw_sim"], member["raw_sim"]))
-    if m == "tf_simhash":
-        return float(hamming_distance(anchor["tf_sim"], member["tf_sim"]))
-    raise ValueError(f"unknown rowwise measure {m!r}")
-
-
 _LOOP_MEASURES = {"levenshtein", "nlevenshtein", "tfintersection"}
 
 # per-worker cache of Arrow/numpy structures derived from a broadcast
 # anchor payload, keyed by ObjectRef id: the payload itself is plain
 # numpy/python (plasma-friendly); the pa.StringArray used by index_in is
-# rebuilt once per worker, not once per batch
+# rebuilt once per worker, not once per batch. Size-1: only one broadcast
+# payload is live per run, and unbounded ref-keyed growth would leak one
+# corpus-anchor-sized tuple per invocation in long-lived workers.
 _ANCHOR_DERIVED_CACHE: dict[bytes, tuple] = {}
 
 
@@ -462,11 +444,13 @@ def _anchor_measures_broadcast(prepped, measures: list[str],
     # per-batch partial min-turn + driver merge (a distributed groupby on
     # this skinny side costs more than the whole scoring pass)
     def partial_min(batch: pa.Table) -> pa.Table:
-        return pa.TableGroupBy(
+        agg = pa.TableGroupBy(
             batch.select(["conv_id", "turn_idx"]), "conv_id"
-        ).aggregate([("turn_idx", "min")]).rename_columns(
-            ["conv_id", "min_turn"]
-        )
+        ).aggregate([("turn_idx", "min")])
+        # select by NAME: pyarrow group_by column order (keys first vs
+        # last) has differed across versions
+        return pa.table({"conv_id": agg["conv_id"],
+                         "min_turn": agg["turn_idx_min"]})
 
     mt_map: dict[str, int] = {}
     for b in (
@@ -477,15 +461,21 @@ def _anchor_measures_broadcast(prepped, measures: list[str],
         for c, t in zip(b["conv_id"].to_pylist(), b["min_turn"].to_pylist()):
             if t < mt_map.get(c, 1 << 30):
                 mt_map[c] = t
-    mt_convs = pa.array(list(mt_map.keys()), type=pa.string())
     mt_vals = np.fromiter(mt_map.values(), dtype=np.int64,
                           count=len(mt_map))
-    mt_ref = ray.put((mt_convs.to_pylist(), mt_vals))
+    mt_ref = ray.put((list(mt_map.keys()), mt_vals))
 
     def pick_anchors(batch: pa.Table) -> pa.Table:
-        convs, vals = ray.get(mt_ref)
+        key = mt_ref.binary()
+        got = _ANCHOR_DERIVED_CACHE.get(key)
+        if got is None:
+            convs, vals = ray.get(mt_ref)
+            got = (pa.array(convs, type=pa.string()), vals)
+            _ANCHOR_DERIVED_CACHE.clear()
+            _ANCHOR_DERIVED_CACHE[key] = got
+        conv_arr, vals = got
         pos = pc.index_in(
-            batch["conv_id"], value_set=pa.array(convs, type=pa.string())
+            batch["conv_id"], value_set=conv_arr
         ).to_numpy(zero_copy_only=False).astype(np.int64)
         keep = vals[pos] == batch["turn_idx"].to_numpy().astype(np.int64)
         return batch.filter(pa.array(keep))
@@ -534,6 +524,7 @@ def _anchor_measures_broadcast(prepped, measures: list[str],
             convs, chars, ntok, raw, tf, tok_full, tok_dist = ray.get(a_ref)
             got = (pa.array(convs, type=pa.string()), chars, ntok, raw, tf,
                    tok_full, tok_dist)
+            _ANCHOR_DERIVED_CACHE.clear()
             _ANCHOR_DERIVED_CACHE[key] = got
         return got
 

@@ -372,8 +372,7 @@ def test_repetition_stats_known_values(ray_session):
         "doc_id": [0, 1, 2],
         "text": [
             # 4 non-empty lines, 2 distinct -> dup_line_frac 0.5;
-            # tokens: a b a b a b a b -> top 2-gram 'a b' 4/7;
-            # 3-grams: aba x3, bab x3 -> all 6 occurrences duplicated
+            # tokens: a b a b c d c d -> top 2-gram 'a b' (= 'c d') 2/7
             "a b\na b\n\nc d\nc d",
             "x y z",          # no repetition at all
             "",               # empty: all zeros
