@@ -371,6 +371,33 @@ def q_pack_sequences(sf_dir: str):
                           num_partitions=_PACK_PARTS)
 
 
+def q_redact_pii(sf_dir: str):
+    """PII detection/redaction over documents deterministically decorated
+    with synthetic contact strings (every doc_id % 10 == 0 gains an email
+    + phone + IP suffix — the raw testdata contains no PII, so the
+    decoration makes the oracle non-trivial). The oracle applies the
+    IDENTICAL decoration and RE2 regexes in SQL; the full redacted string
+    is value-compared, not just the counts."""
+    from raydedup.stages.textstats import redact_pii
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out = [
+            (t + f" contact: user{d}@example.com or +1 555 01{d % 100:02d} "
+                 f"from 10.0.{d % 256}.1")
+            if d % 10 == 0 else t
+            for d, t in zip(ids, texts)
+        ]
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", pa.array(out, type=pa.string()))
+
+    out = redact_pii(_docs(sf_dir).map_batches(decorate,
+                                               batch_format="pyarrow"))
+    return out.select_columns(
+        ["doc_id", "n_email", "n_phone", "n_ip", "redacted"])
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style per-document repetition signals (dup-line fraction,
     top-2-gram fraction, duplicated-3-gram fraction) — pure counting over
@@ -582,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slice_events": q_slice_events,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_sequences": q_pack_sequences,
+        "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
         "sample_docs": q_sample_docs,
         "token_counts": q_token_counts,
@@ -1433,6 +1461,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, part, part * 4294967296 + pack AS pack_id,
                    ws_tokens
             FROM scan
+        """,
+        "redact_pii": """
+            WITH deco AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN
+                           text || ' contact: user' ||
+                           CAST(doc_id AS VARCHAR) ||
+                           '@example.com or +1 555 01' ||
+                           lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+                           ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.1'
+                       ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'
+                       )) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\\+[0-9]{1,3}[ \\-][0-9]{3}[ \\-][0-9]{3}[ \\-]?[0-9]{2,4}'
+                       )) AS n_phone,
+                   len(regexp_extract_all(text,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'
+                       )) AS n_ip,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                               '[EMAIL]', 'g'),
+                           '\\+[0-9]{1,3}[ \\-][0-9]{3}[ \\-][0-9]{3}[ \\-]?[0-9]{2,4}',
+                           '[PHONE]', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '[IP]', 'g') AS redacted
+            FROM deco
         """,
         "repetition_stats": f"""
             WITH lines AS (

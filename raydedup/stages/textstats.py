@@ -353,3 +353,46 @@ def pack_sequences(ds, token_budget: int, key_col: str = "doc_id",
 
     withp = ds.map_batches(add_part, batch_format="pyarrow")
     return withp.groupby("part").map_groups(pack, batch_format="pyarrow")
+
+
+# --- PII detection / redaction --------------------------------------------
+
+# RE2-compatible ASCII patterns (no backrefs/lookaround) so the DuckDB
+# oracle applies the IDENTICAL expressions
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+              "[EMAIL]"),
+    "phone": (r"\+[0-9]{1,3}[ \-][0-9]{3}[ \-][0-9]{3}[ \-]?[0-9]{2,4}",
+              "[PHONE]"),
+    "ip": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+           "[IP]"),
+}
+
+
+def redact_pii(ds, text_col: str = "text"):
+    """Detect and mask common PII shapes (email / international phone /
+    IPv4) — the standard pre-training hygiene pass. Appends per-row match
+    counts ``n_email``/``n_phone``/``n_ip`` and a ``redacted`` text column
+    with every match replaced by its tag. Patterns are RE2-compatible so
+    the DuckDB oracle runs the identical regexes; replacement order is
+    fixed (email, phone, ip) on both sides."""
+    compiled = [(k, re.compile(p), tag) for k, (p, tag) in
+                PII_PATTERNS.items()]
+
+    def rr(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        counts = {k: np.zeros(len(texts), dtype=np.int64)
+                  for k, _, _ in compiled}
+        red = []
+        for i, t in enumerate(texts):
+            for k, rx, tag in compiled:
+                t, n = rx.subn(tag, t)
+                counts[k][i] = n
+            red.append(t)
+        cols = {c: batch[c] for c in batch.column_names}
+        for k, _, _ in compiled:
+            cols[f"n_{k}"] = pa.array(counts[k])
+        cols["redacted"] = pa.array(red, type=pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(rr, batch_format="pyarrow")

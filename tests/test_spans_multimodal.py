@@ -500,3 +500,33 @@ def test_pack_sequences_budget_and_determinism(ray_session):
     o3 = pack_sequences(ray.data.from_arrow(tbl2), 10,
                         num_partitions=4).take_all()
     assert len(o3) == 10
+
+
+def test_redact_pii_counts_and_masking(ray_session):
+    import ray.data
+
+    from raydedup.stages.textstats import redact_pii
+
+    tbl = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "reach me at jo.smith+x@mail.example.org today",
+            "call +44 123 456 7890 or +1 555 010 22",
+            "server 192.168.0.1 and 10.0.255.254 are up",
+            "nothing sensitive here",
+        ],
+    })
+    got = {r["doc_id"]: r for r in
+           redact_pii(ray.data.from_arrow(tbl)).take_all()}
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 0
+    assert got[0]["redacted"] == "reach me at [EMAIL] today"
+    assert got[1]["n_phone"] == 2
+    assert got[1]["redacted"] == "call [PHONE] or [PHONE]"
+    assert got[2]["n_ip"] == 2
+    assert got[2]["redacted"] == "server [IP] and [IP] are up"
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ip"] == 0
+    assert got[3]["redacted"] == "nothing sensitive here"
+    # null text survives as empty
+    tbl2 = pa.table({"doc_id": [9], "text": pa.array([None], pa.string())})
+    (r,) = redact_pii(ray.data.from_arrow(tbl2)).take_all()
+    assert r["redacted"] == "" and r["n_email"] == 0
