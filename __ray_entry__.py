@@ -433,6 +433,21 @@ def q_sample_docs(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_quota_sample_docs(sf_dir: str):
+    """Per-source quota cap (k=10 per source domain, the training-data
+    mixing primitive): keep the 10 rows per source with the smallest
+    (md5('s0:'||doc_id), doc_id). The oracle replays the identical hash
+    order with a row_number window."""
+    import ray.data
+
+    from raydedup.stages.textstats import quota_by_group
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"],
+                                 override_num_blocks=16)
+    return quota_by_group(docs, "source", "doc_id", 10, "s0")
+
+
 def q_token_counts(sf_dir: str):
     from raydedup.stages.textstats import token_counts
 
@@ -612,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
         "sample_docs": q_sample_docs,
+        "quota_sample_docs": q_quota_sample_docs,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
@@ -1563,6 +1579,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(
                       md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))
                   AS UBIGINT) < 288230376151711744
+        """,
+        "quota_sample_docs": """
+            SELECT doc_id, source
+            FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(
+                                         md5('s0:' || CAST(doc_id AS VARCHAR)),
+                                         1, 15)) AS UBIGINT),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            WHERE rn <= 10
         """,
         "token_counts": r"""
             SELECT doc_id,

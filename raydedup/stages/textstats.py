@@ -284,6 +284,118 @@ def sample_by_hash(ds, key_col: str, rate: float, seed: str = "s0"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _hash60(keys: list, prefix: bytes) -> np.ndarray:
+    """low-60-bit md5 of ``prefix + str(key)`` per key (the
+    ``sample_by_hash`` convention; SQL mirror
+    ``CAST('0x' || substr(md5(seed || ':' || key), 1, 15) AS UBIGINT)``)."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(prefix + str(k).encode()).digest()[:8],
+                        "big") >> 4 for k in keys),
+        dtype=np.uint64, count=len(keys))
+
+
+# size-1 per-worker cache of the broadcast {group: threshold} map, keyed
+# by ObjectRef id (one quota pass live per run; see decontam._BENCH_CACHE)
+_QUOTA_CACHE: dict[bytes, dict] = {}
+
+
+def quota_by_group(ds, group_col: str, key_col: str, k: int,
+                   seed: str = "s0"):
+    """Per-group quota sampling — cap every group (source domain, language,
+    shard) at ``k`` rows, keeping the ``k`` rows with the smallest
+    ``(md5(seed:key), key)`` — the standard "per-domain cap" of training-
+    data mixing, deterministic and rerun-stable like ``sample_by_hash``.
+
+    Ray-Data shape (two streaming passes, no full-table shuffle):
+    pass 1 emits at most ``k`` ``(group, hash, key)`` candidates per group
+    PER BATCH (a partial top-k combiner), a tiny ``groupby(group)`` over
+    candidates reduces each group to its k-th-smallest threshold, and the
+    one-row-per-group threshold table is broadcast via ``ray.put``; pass 2
+    stream-filters rows against the thresholds. Only O(k x groups) values
+    ever leave the batches — at 100 TB the corpus streams twice and the
+    shuffle moves candidate hashes, not rows.
+    """
+    import ray
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    prefix = f"{seed}:".encode()
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"g": pa.array([], batch.schema.field(group_col).type),
+                             "h": pa.array([], pa.uint64()),
+                             "ky": pa.array([], batch.schema.field(key_col).type)})
+        keys = batch[key_col].to_pylist()
+        h = _hash60(keys, prefix)
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        karr = np.asarray(keys)
+        order = np.lexsort((karr, h, grp))
+        sg = grp[order]
+        n = len(sg)
+        starts = np.r_[0, np.flatnonzero(sg[1:] != sg[:-1]) + 1]
+        lens = np.diff(np.r_[starts, n])
+        rank = np.arange(n) - np.repeat(starts, lens)
+        keep = order[rank < k]
+        return pa.table({"g": pa.array(grp[keep].tolist(),
+                                       batch.schema.field(group_col).type),
+                         "h": pa.array(h[keep]),
+                         "ky": pa.array(karr[keep].tolist(),
+                                        batch.schema.field(key_col).type)})
+
+    def reduce_threshold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            # zero-row blocks may arrive with a stale pre-map schema
+            # (see tests/conftest gotchas); emit a typed empty result
+            gt = (g.schema.field("g").type
+                  if "g" in g.column_names else pa.string())
+            kt = (g.schema.field("ky").type
+                  if "ky" in g.column_names else pa.string())
+            return pa.table({"g": pa.array([], gt),
+                             "h": pa.array([], pa.uint64()),
+                             "ky": pa.array([], kt),
+                             "full": pa.array([], pa.bool_())})
+        h = g["h"].to_numpy(zero_copy_only=False)
+        ky = np.asarray(g["ky"].to_pylist())
+        full = len(h) >= k
+        i = np.lexsort((ky, h))[min(k, len(h)) - 1]
+        return pa.table({"g": g["g"][:1],
+                         "h": pa.array([h[i]], pa.uint64()),
+                         "ky": g["ky"].take([int(i)]),
+                         "full": pa.array([full])})
+
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow")
+    th_rows = cand.groupby("g").map_groups(
+        reduce_threshold, batch_format="pyarrow").take_all()
+    th = {r["g"]: (r["h"], r["ky"], r["full"]) for r in th_rows}
+    th_ref = ray.put(th)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ck = th_ref.binary()
+        lut = _QUOTA_CACHE.get(ck)
+        if lut is None:
+            lut = ray.get(th_ref)
+            _QUOTA_CACHE.clear()
+            _QUOTA_CACHE[ck] = lut
+        keys = batch[key_col].to_pylist()
+        h = _hash60(keys, prefix)
+        karr = np.asarray(keys)
+        grp = batch[group_col].to_pylist()
+        mask = np.ones(len(keys), dtype=bool)
+        for i, g in enumerate(grp):
+            ent = lut.get(g)
+            if ent is not None and ent[2]:
+                mask[i] = (h[i] < ent[0]) or (h[i] == ent[0]
+                                              and karr[i] <= ent[1])
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # --- sequence packing ------------------------------------------------------
 
 

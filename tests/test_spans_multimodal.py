@@ -530,3 +530,44 @@ def test_redact_pii_counts_and_masking(ray_session):
     tbl2 = pa.table({"doc_id": [9], "text": pa.array([None], pa.string())})
     (r,) = redact_pii(ray.data.from_arrow(tbl2)).take_all()
     assert r["redacted"] == "" and r["n_email"] == 0
+
+
+def test_quota_by_group_exact_vs_bruteforce(ray_session):
+    import collections
+    import hashlib
+
+    import ray.data
+
+    from raydedup.stages.textstats import quota_by_group
+
+    def h60(key, seed="s0"):
+        return int.from_bytes(
+            hashlib.md5(f"{seed}:{key}".encode()).digest()[:8], "big") >> 4
+
+    groups = ["a"] * 50 + ["b"] * 7 + ["c"] * 200
+    keys = list(range(len(groups)))
+    tbl = pa.table({"source": groups, "doc_id": keys, "v": keys})
+    ds = ray.data.from_arrow(tbl).repartition(9)
+    out = quota_by_group(ds, "source", "doc_id", 10).take_all()
+    byg = collections.defaultdict(list)
+    for g, k in zip(groups, keys):
+        byg[g].append(k)
+    expect = {(g, k) for g, ks in byg.items()
+              for k in sorted(ks, key=lambda x: (h60(x), x))[:10]}
+    got = {(r["source"], r["doc_id"]) for r in out}
+    assert got == expect               # exact winners, incl. group b < k
+    assert len(got) == 10 + 7 + 10
+    # payload columns survive the filter
+    assert all("v" in r for r in out)
+    # string keys
+    skeys = [f"k{i}" for i in keys]
+    out2 = quota_by_group(
+        ray.data.from_arrow(pa.table({"source": groups, "doc_id": skeys})),
+        "source", "doc_id", 3).take_all()
+    expect2 = {(g, k) for g, ks in (
+        (g, [f"k{i}" for i, gg in zip(keys, groups) if gg == g])
+        for g in set(groups))
+        for k in sorted(ks, key=lambda x: (h60(x), x))[:3]}
+    assert {(r["source"], r["doc_id"]) for r in out2} == expect2
+    with pytest.raises(ValueError):
+        quota_by_group(ds, "source", "doc_id", 0)
