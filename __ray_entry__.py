@@ -556,6 +556,35 @@ def q_fingerprints(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_asof_clicks_purchases(sf_dir: str):
+    """As-of join: every click event picks up the user's most recent
+    purchase at or before it (sort-merge within per-user groups; ties on
+    ts broken by max event_id). Unmatched clicks surface sentinel -1 so
+    the value hash is null-free; the oracle is DuckDB's native ASOF LEFT
+    JOIN over the identically deduplicated right side."""
+    import ray.data
+
+    from raydedup.stages.asof import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+    left = (ev.filter(expr="event_type == 'click'")
+            .drop_columns(["event_type", "value"]))
+    right = ev.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"])
+    out = asof_join(left, right, by="user_id", on="ts", tie_col="event_id")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        for c, v in (("r_event_id", -1), ("r_value", -1.0)):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, pc.fill_null(batch[c], v))
+        return batch
+
+    return out.map_batches(fill, batch_format="pyarrow").select_columns(
+        ["event_id", "user_id", "ts", "r_event_id", "r_value"])
+
+
 def q_windowed_events(sf_dir: str):
     import ray.data
 
@@ -639,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_docs": q_simhash_near_docs,
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
+        "asof_clicks_purchases": q_asof_clicks_purchases,
         "windowed_events": q_windowed_events,
         "sessionize_events": q_sessionize_events,
     }
@@ -1692,6 +1722,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        "asof_clicks_purchases": """
+            WITH r0 AS (
+                SELECT * FROM events WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT * FROM r0
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            ),
+            l AS (SELECT * FROM events WHERE event_type = 'click')
+            SELECT l.event_id,
+                   l.user_id,
+                   l.ts,
+                   COALESCE(r.event_id, -1) AS r_event_id,
+                   COALESCE(r.value, -1.0) AS r_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "windowed_events": f"""
             SELECT user_id,
