@@ -585,6 +585,35 @@ def q_asof_clicks_purchases(sf_dir: str):
         ["event_id", "user_id", "ts", "r_event_id", "r_value"])
 
 
+def q_range_join_events(sf_dir: str):
+    """Range (interval-containment) join: each click joins every purchase
+    window [purchase_ts, purchase_ts + 1 day] of the same user —
+    many-to-many, inclusive bounds, banded sweep per user group. Oracle
+    is a plain BETWEEN join."""
+    import ray.data
+
+    from raydedup.stages.asof import interval_join
+
+    base = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_id", "ts", "user_id",
+                                          "event_type", "value"])
+    pts = (base.filter(expr="event_type == 'click'")
+           .drop_columns(["event_type", "value"]))
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        end = pc.add(b["ts"], pa.scalar(86400_000_000, pa.duration("us")))
+        return pa.table({"user_id": b["user_id"], "start": b["ts"],
+                         "end": end, "iv_id": b["event_id"],
+                         "iv_value": b["value"]})
+
+    iv = base.filter(expr="event_type == 'purchase'").map_batches(
+        mk_iv, batch_format="pyarrow")
+    out = interval_join(pts, iv, by="user_id", ts_col="ts",
+                        start_col="start", end_col="end")
+    return out.select_columns(
+        ["event_id", "user_id", "ts", "r_iv_id", "r_iv_value"])
+
+
 def q_windowed_events(sf_dir: str):
     import ray.data
 
@@ -669,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         "asof_clicks_purchases": q_asof_clicks_purchases,
+        "range_join_events": q_range_join_events,
         "windowed_events": q_windowed_events,
         "sessionize_events": q_sessionize_events,
     }
@@ -1740,6 +1770,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.value, -1.0) AS r_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_events": """
+            WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+            r AS (SELECT * FROM events WHERE event_type = 'purchase')
+            SELECT l.event_id,
+                   l.user_id,
+                   l.ts,
+                   r.event_id AS r_iv_id,
+                   r.value AS r_iv_value
+            FROM l JOIN r
+              ON l.user_id = r.user_id
+             AND l.ts BETWEEN r.ts AND r.ts + INTERVAL 1 DAY
         """,
         "windowed_events": f"""
             SELECT user_id,

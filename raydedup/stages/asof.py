@@ -108,3 +108,104 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
     unioned = (left.map_batches(norm_left, batch_format="pyarrow")
                .union(right.map_batches(norm_right, batch_format="pyarrow")))
     return unioned.groupby(by).map_groups(merge, batch_format="pyarrow")
+
+
+def interval_join(points, intervals, by: str, ts_col: str,
+                  start_col: str, end_col: str, rsuffix: str = "r_"):
+    """Range (interval-containment) join: every point row joins every
+    interval row of the same ``by`` key with ``start <= ts <= end``
+    (inclusive, many-to-many) — the brief's "range join" composed from
+    union + groupby + a banded vectorized sweep.
+
+    Per group the intervals are sorted by start; each point probes only
+    the band ``start in [ts - L, ts]`` (L = the group's longest interval)
+    via two searchsorteds, then filters ``end >= ts`` — O((n+m) log m +
+    matches), not O(n*m), as long as interval lengths are bounded (true
+    for session/window-derived intervals; an interval tree would be
+    needed for wildly mixed lengths). Same partitioning assumption as
+    :func:`asof_join`: one ``by`` group fits in a worker.
+    """
+    pschema = points.schema()
+    ischema = intervals.schema()
+    pcols = list(pschema.names)
+    icols = [c for c in ischema.names if c != by]
+    itypes = {c: ischema.types[ischema.names.index(c)]
+              for c in ischema.names}
+    ptypes = {c: pschema.types[pschema.names.index(c)] for c in pcols}
+    out_icols = [rsuffix + c for c in icols]
+    if set(out_icols) & set(pcols):
+        raise ValueError(f"suffix {rsuffix!r} collides with point columns")
+
+    def norm_points(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {by: batch[by], "__t": batch[ts_col].combine_chunks(),
+                "__s": pa.nulls(n, itypes[start_col]),
+                "__e": pa.nulls(n, itypes[end_col]),
+                "__side": pa.array(np.ones(n, dtype=np.int8))}
+        for c in pcols:
+            if c not in (by, ts_col):
+                cols[c] = batch[c]
+        for c, oc in zip(icols, out_icols):
+            cols[oc] = pa.nulls(n, itypes[c])
+        return pa.table(cols)
+
+    def norm_intervals(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {by: batch[by], "__t": pa.nulls(n, ptypes[ts_col]),
+                "__s": batch[start_col].combine_chunks(),
+                "__e": batch[end_col].combine_chunks(),
+                "__side": pa.array(np.zeros(n, dtype=np.int8))}
+        for c in pcols:
+            if c not in (by, ts_col):
+                cols[c] = pa.nulls(n, ptypes[c])
+        for c, oc in zip(icols, out_icols):
+            cols[oc] = batch[c]
+        return pa.table(cols)
+
+    out_names = pcols + out_icols
+
+    def merge(g: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            return pa.table({c: pa.array([], ptypes.get(
+                c, itypes.get(c[len(rsuffix):], pa.null())))
+                for c in out_names})
+
+        if g.num_rows == 0 or "__side" not in g.column_names:
+            return empty()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        pidx0 = np.flatnonzero(side == 1)
+        iidx0 = np.flatnonzero(side == 0)
+        if len(pidx0) == 0 or len(iidx0) == 0:
+            return empty()
+        t = g["__t"].to_numpy(zero_copy_only=False)[pidx0]
+        s = g["__s"].to_numpy(zero_copy_only=False)[iidx0]
+        e = g["__e"].to_numpy(zero_copy_only=False)[iidx0]
+        order = np.argsort(s, kind="stable")
+        s, e, iidx0 = s[order], e[order], iidx0[order]
+        span = (e - s).max()
+        lo = np.searchsorted(s, t - span, side="left")
+        hi = np.searchsorted(s, t, side="right")
+        m = np.maximum(hi - lo, 0)
+        total = int(m.sum())
+        if total == 0:
+            return empty()
+        prow = np.repeat(np.arange(len(t)), m)
+        cums = np.concatenate(([0], np.cumsum(m)))
+        within = np.arange(total) - np.repeat(cums[:-1], m)
+        irow = np.repeat(lo, m) + within
+        keep = (e[irow] >= t[prow]) & (s[irow] <= t[prow])
+        prow, irow = prow[keep], irow[keep]
+        li = pa.array(pidx0[prow])
+        ri = pa.array(iidx0[irow])
+        cols = {}
+        for c in pcols:
+            src = g["__t"] if c == ts_col else g[c]
+            cols[c] = src.take(li)
+        for oc in out_icols:
+            cols[oc] = g[oc].take(ri)
+        return pa.table(cols)
+
+    unioned = (points.map_batches(norm_points, batch_format="pyarrow")
+               .union(intervals.map_batches(norm_intervals,
+                                            batch_format="pyarrow")))
+    return unioned.groupby(by).map_groups(merge, batch_format="pyarrow")

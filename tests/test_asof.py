@@ -74,3 +74,42 @@ def test_asof_suffix_collision_raises(ray_session):
     with pytest.raises(ValueError):
         asof_join(left, right, by="k", on="t", rsuffix="z_",
                   tie_col="nope")
+
+
+def test_interval_join_inclusive_bounds_and_m2m(ray_session):
+    from raydedup.stages.asof import interval_join
+
+    pts = _ds({"k": [1, 1, 1, 2], "t": [5, 10, 15, 5],
+               "pid": [0, 1, 2, 3]})
+    iv = _ds({"k": [1, 1, 2, 3], "s": [5, 10, 50, 0],
+              "e": [10, 20, 60, 100], "iid": [100, 101, 102, 103]})
+    got = {(r["pid"], r["r_iid"]) for r in
+           interval_join(pts, iv, by="k", ts_col="t", start_col="s",
+                         end_col="e").take_all()}
+    # t=5 in [5,10] (start-inclusive); t=10 in both [5,10] (end-inclusive)
+    # and [10,20]; t=15 only [10,20]; k=2 point at 5 misses [50,60];
+    # k=3 interval has no points
+    assert got == {(0, 100), (1, 100), (1, 101), (2, 101)}
+
+
+def test_interval_join_mixed_lengths_band_filter(ray_session):
+    import random
+
+    from raydedup.stages.asof import interval_join
+
+    rng = random.Random(11)
+    # wildly mixed interval lengths: the band is set by the LONGEST, so
+    # short intervals far before t enter the band and must be filtered
+    ivs = [(rng.randrange(0, 10_000),
+            rng.choice([1, 2, 5, 5000])) for _ in range(300)]
+    iv = _ds({"k": [1] * 300, "s": [s for s, _ in ivs],
+              "e": [s + l for s, l in ivs], "iid": list(range(300))})
+    ts = [rng.randrange(0, 10_000) for _ in range(200)]
+    pts = _ds({"k": [1] * 200, "t": ts, "pid": list(range(200))})
+    got = {(r["pid"], r["r_iid"]) for r in
+           interval_join(pts.repartition(5), iv.repartition(3), by="k",
+                         ts_col="t", start_col="s",
+                         end_col="e").take_all()}
+    expect = {(p, i) for p, t in enumerate(ts)
+              for i, (s, l) in enumerate(ivs) if s <= t <= s + l}
+    assert got == expect
