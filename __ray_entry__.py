@@ -507,6 +507,19 @@ def q_embedding_near_pairs(sf_dir: str):
     return _round_col(out, "cosine")
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style embedding dedup: cosine >= 0.35 pairs -> connected
+    components -> min-id survivor per component, labels for every vector.
+    Oracle re-derives the pairs with list_cosine_similarity and the
+    components with a recursive CTE."""
+    import ray.data
+
+    from raydedup.stages.embeddings import semantic_dedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, threshold=0.35, method="blockwise")
+
+
 def q_langid(sf_dir: str):
     from raydedup.stages.textstats import detect_language
 
@@ -691,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "semantic_dedup": q_semantic_dedup,
         "langid": q_langid,
         "chain_scan_transcripts": q_chain_scan_transcripts,
         "long_span_pairs": q_long_span_pairs,
@@ -1752,6 +1766,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ),
+            edges AS (
+                SELECT a_id, b_id FROM pairs
+                UNION SELECT b_id, a_id FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT reach.node, edges.b_id
+                FROM reach JOIN edges ON reach.r = edges.a_id
+            )
+            SELECT node AS vec_id, min(r) AS cluster_id,
+                   (node = min(r)) AS keep
+            FROM reach GROUP BY node
         """,
         "asof_clicks_purchases": """
             WITH r0 AS (

@@ -473,3 +473,51 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10,
     )
     return partial.groupby("query_id").map_groups(_rank_topk(k),
                                                   batch_format="pyarrow")
+
+
+# size-1 per-worker cache of the broadcast {dup_id: cluster_min} map
+_SEMDEDUP_CACHE: dict[bytes, dict] = {}
+
+
+def semantic_dedup(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding", method: str = "auto"):
+    """SemDeDup-style semantic deduplication (public recipe: cosine
+    near-pairs over an embedding column -> connected components -> keep
+    one representative per component). Emits ``(id, cluster_id, keep)``
+    for EVERY input row: ``cluster_id`` is the component's min id
+    (singletons label themselves), ``keep`` marks the survivor.
+
+    Scale shape: pairs come from :func:`embedding_near_pairs` (broadcast
+    / exact-blockwise / LSH backends); components stream edge batches
+    through the incremental union-find, and only the DUPLICATED ids (a
+    set bounded by the duplicate count, not the corpus) are broadcast
+    back for the labeling pass — the corpus itself streams.
+    """
+    import ray
+
+    pairs = embedding_near_pairs(ds, threshold, id_col, vec_col, method)
+    from raydedup.state.unionfind import UnionFind
+
+    uf = UnionFind()
+    for b in pairs.select_columns(["a_id", "b_id"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        for a, bb in zip(b["a_id"].to_pylist(), b["b_id"].to_pylist()):
+            uf.union(a, bb)
+    labels_ref = ray.put(uf.components())
+
+    def label(batch: pa.Table) -> pa.Table:
+        ck = labels_ref.binary()
+        lut = _SEMDEDUP_CACHE.get(ck)
+        if lut is None:
+            lut = ray.get(labels_ref)
+            _SEMDEDUP_CACHE.clear()
+            _SEMDEDUP_CACHE[ck] = lut
+        ids = batch[id_col].to_pylist()
+        cl = [lut.get(i, i) for i in ids]
+        keep = [c == i for i, c in zip(ids, cl)]
+        return pa.table({id_col: batch[id_col],
+                         "cluster_id": pa.array(cl, batch.schema.field(
+                             id_col).type),
+                         "keep": pa.array(keep, pa.bool_())})
+
+    return ds.map_batches(label, batch_format="pyarrow")

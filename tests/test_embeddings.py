@@ -190,3 +190,35 @@ def test_ivf_reduced_probe_recall(emb_ds, emb_np):
         rows.sort()
         cosines = [c for _, c in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_semantic_dedup_planted_clusters(ray_session):
+    import pyarrow as pa
+
+    from raydedup.stages.embeddings import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    # two tight clusters (small jitter around a base direction) + isolates
+    base1 = rng.normal(size=8)
+    base2 = rng.normal(size=8)
+    vecs, ids = [], []
+    for i in range(4):                      # cluster A: ids 10..13
+        vecs.append(base1 + rng.normal(scale=0.01, size=8)); ids.append(10 + i)
+    for i in range(3):                      # cluster B: ids 20..22
+        vecs.append(base2 + rng.normal(scale=0.01, size=8)); ids.append(20 + i)
+    for i in range(5):                      # isolates: random directions
+        vecs.append(rng.normal(size=8)); ids.append(30 + i)
+    tbl = pa.table({"vec_id": ids,
+                    "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                          pa.list_(pa.float32()))})
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        ray.data.from_arrow(tbl).repartition(3),
+        threshold=0.95).take_all()}
+    assert len(out) == 12
+    assert all(out[i]["cluster_id"] == 10 for i in (10, 11, 12, 13))
+    assert all(out[i]["cluster_id"] == 20 for i in (20, 21, 22))
+    survivors = {i for i, r in out.items() if r["keep"]}
+    assert {10, 20} <= survivors
+    assert survivors == {10, 20, 30, 31, 32, 33, 34} - {
+        i for i in (30, 31, 32, 33, 34)
+        if out[i]["cluster_id"] != i}  # isolates survive unless joined
