@@ -128,6 +128,32 @@ def run_bench() -> dict:
     knn_brute(emb, query_ids=list(range(10)), k=10).count()
     queries["ann_topk"] = round(time.time() - t0, 3)
 
+    from raydedup.stages.asof import asof_join
+    from raydedup.stages.embeddings import semantic_dedup
+    from raydedup.stages.textstats import quota_by_group
+
+    t0 = time.time()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+    left = (ev.filter(expr="event_type == 'click'")
+            .drop_columns(["event_type", "value"]))
+    right = ev.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"])
+    asof_join(left, right, by="user_id", on="ts",
+              tie_col="event_id").count()
+    queries["asof_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    quota_by_group(docs, "source", "doc_id", 10).count()
+    queries["quota_by_group"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    semantic_dedup(emb, threshold=0.35, method="blockwise").count()
+    queries["semantic_dedup"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "neardup_pipeline_sec",
         "value": headline,
