@@ -1,34 +1,62 @@
-"""As-of join — for every left row, the most recent right row at or
-before it (``right.on <= left.on``), matched within a ``by`` key.
+"""As-of join and range (interval) join — the temporal joins Ray Data
+lacks, composed from union + hash-partitioned groupby + vectorized
+sweeps (the task brief names both as custom operators to build).
 
-Ray Data has no asof/range join; the task brief names it as a custom
-operator to compose from primitives. Shape: both sides are normalised to
-one schema (shared ``by``/``on`` sort columns + side tag + each side's
-payload columns, right's renamed with a suffix), unioned, and
-``groupby(by).map_groups`` merges each key group with one vectorized
-lexsort + maximum-accumulate sweep — a textbook sort-merge asof, no
-driver materialization.
+Shape: both sides are normalised to one schema (shared ``by``/time sort
+columns + side tag + each side's payload columns, right's renamed with a
+suffix), unioned, hash-partitioned by ``hash(by) % num_partitions``, and
+merged one PARTITION at a time — the per-partition sweep handles every
+``by`` group in the partition with one lexsort (group-code-major), so
+the cost per *group* is O(1) numpy work, not a Python ``map_groups``
+call. At 100 TB with millions of keys this is the difference between
+``num_partitions`` vectorized merges and millions of per-group calls.
 
-Partitioning assumption (documented per the brief): one ``by`` group
-(e.g. one user's event history) fits in a worker — the standard shape
-for user-keyed event streams. A pathological single hot key would need a
-secondary time-bucket split with boundary carry-over; not implemented.
+Partitioning assumption (documented per the brief): one hash PARTITION
+(not one group) fits in a worker; raise ``num_partitions`` to shrink
+partitions. A single pathological hot key still lands in one partition —
+a secondary time-bucket split with boundary carry-over would be the next
+step; not implemented.
 
-Tie semantics: at equal ``on`` the right row still matches (inclusive);
-among right rows sharing the same ``on`` value, the one with the
-greatest ``tie_col`` wins (deterministic across partitionings). With
-``tie_col=None`` equal-``on`` right rows are ordered arbitrarily.
-Null ``on`` values are not supported (asserted).
+Tie semantics (asof): at equal ``on`` the right row still matches
+(inclusive); among right rows sharing the same ``on`` value, the one
+with the greatest ``tie_col`` wins (deterministic across
+partitionings). With ``tie_col=None`` equal-``on`` right rows are
+ordered arbitrarily. Null ``on`` values are not supported (raised).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _part_array(col: pa.ChunkedArray, num_partitions: int) -> pa.Array:
+    """Stable partition id per row: int keys use ``% P`` (numpy keeps
+    Python modulo semantics, so negatives land in range); other types
+    hash the utf-8 repr with md5 (process-stable, unlike ``hash()``)."""
+    if pa.types.is_integer(col.type):
+        knp = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array(knp % num_partitions, type=pa.int64())
+    import hashlib
+
+    return pa.array(
+        [int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4], "big")
+         % num_partitions for k in col.to_pylist()],
+        type=pa.int64())
+
+
+def _group_codes(col) -> np.ndarray:
+    """Dense int codes per row for a (chunked) key column — group
+    identity within a partition; any code order works, groups only need
+    to be contiguous after sorting by code."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pc.dictionary_encode(arr).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
 
 
 def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
-              tie_col: str | None = None):
+              tie_col: str | None = None, num_partitions: int = 64):
     """Backward (inclusive) as-of join of two Datasets. Emits every left
     row with its left columns plus the matched right row's non-``by``
     columns renamed ``rsuffix + name`` (nulls when the key has no right
@@ -50,7 +78,8 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
         cols = {by: batch[by], "__on": batch[on].combine_chunks(),
                 "__side": pa.array(np.ones(n, dtype=np.int8)),
                 "__tie": pa.nulls(n, rtypes[tie_col]) if tie_col else
-                pa.array(np.zeros(n, dtype=np.int8))}
+                pa.array(np.zeros(n, dtype=np.int8)),
+                "__part": _part_array(batch[by], num_partitions)}
         for c in lcols:
             if c not in (by, on):
                 cols[c] = batch[c]
@@ -63,7 +92,8 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
         cols = {by: batch[by], "__on": batch[on].combine_chunks(),
                 "__side": pa.array(np.zeros(n, dtype=np.int8)),
                 "__tie": batch[tie_col] if tie_col else
-                pa.array(np.zeros(n, dtype=np.int8))}
+                pa.array(np.zeros(n, dtype=np.int8)),
+                "__part": _part_array(batch[by], num_partitions)}
         for c in lcols:
             if c not in (by, on):
                 cols[c] = pa.nulls(n, ltypes[c])
@@ -80,16 +110,26 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
                 for c in out_names})
         side = g["__side"].to_numpy(zero_copy_only=False)
         ts = g["__on"].to_numpy(zero_copy_only=False)
-        if pa.compute.any(pa.compute.is_null(g["__on"])).as_py():
+        if pc.any(pc.is_null(g["__on"])).as_py():
             raise ValueError("asof_join: null `on` values are unsupported")
         tie = g["__tie"].to_numpy(zero_copy_only=False)
         if tie.dtype == object:
             raise ValueError("asof_join: tie_col must be numeric")
+        codes = _group_codes(g[by])
         n = len(side)
-        order = np.lexsort((tie, side, ts))
+        # group-major, then time, then side (right before left at equal
+        # ts → inclusive), then tie (max tie_col wins among equal-ts)
+        order = np.lexsort((tie, side, ts, codes))
+        codes_s = codes[order]
+        starts = np.r_[0, np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1]
+        lens = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, lens)
         side_s = side[order]
         pos_right = np.where(side_s == 0, np.arange(n), -1)
         last_r = np.maximum.accumulate(pos_right)
+        # a match from a PREVIOUS group sits before this group's segment
+        # start; mask it out instead of resetting the accumulator
+        last_r = np.where(last_r >= seg_start, last_r, -1)
         left_pos = np.flatnonzero(side_s == 1)
         left_orig = order[left_pos]
         match_sorted = last_r[left_pos]
@@ -107,23 +147,25 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
 
     unioned = (left.map_batches(norm_left, batch_format="pyarrow")
                .union(right.map_batches(norm_right, batch_format="pyarrow")))
-    return unioned.groupby(by).map_groups(merge, batch_format="pyarrow")
+    return unioned.groupby("__part").map_groups(merge,
+                                                batch_format="pyarrow")
 
 
 def interval_join(points, intervals, by: str, ts_col: str,
-                  start_col: str, end_col: str, rsuffix: str = "r_"):
+                  start_col: str, end_col: str, rsuffix: str = "r_",
+                  num_partitions: int = 64):
     """Range (interval-containment) join: every point row joins every
     interval row of the same ``by`` key with ``start <= ts <= end``
-    (inclusive, many-to-many) — the brief's "range join" composed from
-    union + groupby + a banded vectorized sweep.
+    (inclusive, many-to-many) — the brief's "range join".
 
     Per group the intervals are sorted by start; each point probes only
     the band ``start in [ts - L, ts]`` (L = the group's longest interval)
     via two searchsorteds, then filters ``end >= ts`` — O((n+m) log m +
-    matches), not O(n*m), as long as interval lengths are bounded (true
-    for session/window-derived intervals; an interval tree would be
-    needed for wildly mixed lengths). Same partitioning assumption as
-    :func:`asof_join`: one ``by`` group fits in a worker.
+    matches) per group, not O(n*m), as long as interval lengths are
+    bounded (true for session/window-derived intervals; an interval tree
+    would be needed for wildly mixed lengths). Groups are processed
+    per hash PARTITION (see module docstring): the per-group work inside
+    a partition is a handful of numpy calls on sorted views.
     """
     pschema = points.schema()
     ischema = intervals.schema()
@@ -141,7 +183,8 @@ def interval_join(points, intervals, by: str, ts_col: str,
         cols = {by: batch[by], "__t": batch[ts_col].combine_chunks(),
                 "__s": pa.nulls(n, itypes[start_col]),
                 "__e": pa.nulls(n, itypes[end_col]),
-                "__side": pa.array(np.ones(n, dtype=np.int8))}
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+                "__part": _part_array(batch[by], num_partitions)}
         for c in pcols:
             if c not in (by, ts_col):
                 cols[c] = batch[c]
@@ -154,7 +197,8 @@ def interval_join(points, intervals, by: str, ts_col: str,
         cols = {by: batch[by], "__t": pa.nulls(n, ptypes[ts_col]),
                 "__s": batch[start_col].combine_chunks(),
                 "__e": batch[end_col].combine_chunks(),
-                "__side": pa.array(np.zeros(n, dtype=np.int8))}
+                "__side": pa.array(np.zeros(n, dtype=np.int8)),
+                "__part": _part_array(batch[by], num_partitions)}
         for c in pcols:
             if c not in (by, ts_col):
                 cols[c] = pa.nulls(n, ptypes[c])
@@ -173,6 +217,7 @@ def interval_join(points, intervals, by: str, ts_col: str,
         if g.num_rows == 0 or "__side" not in g.column_names:
             return empty()
         side = g["__side"].to_numpy(zero_copy_only=False)
+        codes = _group_codes(g[by])
         pidx0 = np.flatnonzero(side == 1)
         iidx0 = np.flatnonzero(side == 0)
         if len(pidx0) == 0 or len(iidx0) == 0:
@@ -180,23 +225,41 @@ def interval_join(points, intervals, by: str, ts_col: str,
         t = g["__t"].to_numpy(zero_copy_only=False)[pidx0]
         s = g["__s"].to_numpy(zero_copy_only=False)[iidx0]
         e = g["__e"].to_numpy(zero_copy_only=False)[iidx0]
-        order = np.argsort(s, kind="stable")
-        s, e, iidx0 = s[order], e[order], iidx0[order]
-        span = (e - s).max()
-        lo = np.searchsorted(s, t - span, side="left")
-        hi = np.searchsorted(s, t, side="right")
-        m = np.maximum(hi - lo, 0)
-        total = int(m.sum())
-        if total == 0:
+        pcode = codes[pidx0]
+        icode = codes[iidx0]
+        po = np.lexsort((t, pcode))
+        io = np.lexsort((s, icode))
+        t, pcode, pidx0 = t[po], pcode[po], pidx0[po]
+        s, e, icode, iidx0 = s[io], e[io], icode[io], iidx0[io]
+        istarts = np.r_[0, np.flatnonzero(icode[1:] != icode[:-1]) + 1]
+        iends = np.r_[istarts[1:], len(icode)]
+        out_p, out_i = [], []
+        for ist, ien in zip(istarts, iends):
+            code = icode[ist]
+            plo = np.searchsorted(pcode, code, side="left")
+            phi = np.searchsorted(pcode, code, side="right")
+            if plo == phi:
+                continue
+            gs, ge = s[ist:ien], e[ist:ien]
+            gt = t[plo:phi]
+            span = (ge - gs).max()
+            lo = np.searchsorted(gs, gt - span, side="left")
+            hi = np.searchsorted(gs, gt, side="right")
+            m = np.maximum(hi - lo, 0)
+            total = int(m.sum())
+            if total == 0:
+                continue
+            prow = np.repeat(np.arange(len(gt)), m)
+            cums = np.concatenate(([0], np.cumsum(m)))
+            within = np.arange(total) - np.repeat(cums[:-1], m)
+            irow = np.repeat(lo, m) + within
+            keep = (ge[irow] >= gt[prow]) & (gs[irow] <= gt[prow])
+            out_p.append(pidx0[plo:phi][prow[keep]])
+            out_i.append(iidx0[ist:ien][irow[keep]])
+        if not out_p:
             return empty()
-        prow = np.repeat(np.arange(len(t)), m)
-        cums = np.concatenate(([0], np.cumsum(m)))
-        within = np.arange(total) - np.repeat(cums[:-1], m)
-        irow = np.repeat(lo, m) + within
-        keep = (e[irow] >= t[prow]) & (s[irow] <= t[prow])
-        prow, irow = prow[keep], irow[keep]
-        li = pa.array(pidx0[prow])
-        ri = pa.array(iidx0[irow])
+        li = pa.array(np.concatenate(out_p))
+        ri = pa.array(np.concatenate(out_i))
         cols = {}
         for c in pcols:
             src = g["__t"] if c == ts_col else g[c]
@@ -208,4 +271,5 @@ def interval_join(points, intervals, by: str, ts_col: str,
     unioned = (points.map_batches(norm_points, batch_format="pyarrow")
                .union(intervals.map_batches(norm_intervals,
                                             batch_format="pyarrow")))
-    return unioned.groupby(by).map_groups(merge, batch_format="pyarrow")
+    return unioned.groupby("__part").map_groups(merge,
+                                                batch_format="pyarrow")

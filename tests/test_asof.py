@@ -113,3 +113,52 @@ def test_interval_join_mixed_lengths_band_filter(ray_session):
     expect = {(p, i) for p, t in enumerate(ts)
               for i, (s, l) in enumerate(ivs) if s <= t <= s + l}
     assert got == expect
+
+
+def test_asof_many_groups_share_partitions(ray_session):
+    import random
+
+    rng = random.Random(3)
+    nl, nr = 400, 150
+    lk = [rng.randrange(40) for _ in range(nl)]
+    lt = [rng.randrange(100) for _ in range(nl)]
+    rk = [rng.randrange(40) for _ in range(nr)]
+    rt = [rng.randrange(100) for _ in range(nr)]
+    left = _ds({"k": lk, "t": lt, "lid": list(range(nl))}).repartition(6)
+    right = _ds({"k": rk, "t": rt,
+                 "rid": list(range(nr))}).repartition(4)
+    # num_partitions=4 << 40 keys: ~10 groups per partition — the sweep
+    # must not leak a right row across the group boundary
+    got = {r["lid"]: r["r_rid"] for r in
+           asof_join(left, right, by="k", on="t", tie_col="rid",
+                     num_partitions=4).take_all()}
+    by_key = {}
+    for k, t, rid in zip(rk, rt, range(nr)):
+        by_key.setdefault(k, []).append((t, rid))
+    for lid, (k, t) in enumerate(zip(lk, lt)):
+        cands = [(rt_, rid) for rt_, rid in by_key.get(k, []) if rt_ <= t]
+        assert got[lid] == (max(cands)[1] if cands else None), lid
+    assert len(got) == nl
+
+
+def test_interval_join_many_groups_share_partitions(ray_session):
+    import random
+
+    from raydedup.stages.asof import interval_join
+
+    rng = random.Random(4)
+    ivs = [(rng.randrange(30), rng.randrange(100),
+            rng.randrange(1, 20)) for _ in range(120)]
+    pts_ = [(rng.randrange(30), rng.randrange(100)) for _ in range(250)]
+    iv = _ds({"k": [k for k, _, _ in ivs], "s": [s for _, s, _ in ivs],
+              "e": [s + l for _, s, l in ivs],
+              "iid": list(range(120))}).repartition(5)
+    pts = _ds({"k": [k for k, _ in pts_], "t": [t for _, t in pts_],
+               "pid": list(range(250))}).repartition(7)
+    got = {(r["pid"], r["r_iid"]) for r in
+           interval_join(pts, iv, by="k", ts_col="t", start_col="s",
+                         end_col="e", num_partitions=3).take_all()}
+    expect = {(p, i) for p, (pk, t) in enumerate(pts_)
+              for i, (ik, s, l) in enumerate(ivs)
+              if pk == ik and s <= t <= s + l}
+    assert got == expect
