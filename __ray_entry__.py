@@ -448,6 +448,20 @@ def q_quota_sample_docs(sf_dir: str):
     return quota_by_group(docs, "source", "doc_id", 10, "s0")
 
 
+def q_topk_per_source(sf_dir: str):
+    """Best-k-per-group curation: the 3 longest documents per source
+    (n_chars desc, doc_id asc tie-break) via the partial-top-k combiner +
+    broadcast-threshold filter. Oracle is a row_number window."""
+    import ray.data
+
+    from raydedup.stages.textstats import topk_by_group
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "n_chars"],
+                                 override_num_blocks=16)
+    return topk_by_group(docs, "source", "doc_id", "n_chars", 3)
+
+
 def q_token_counts(sf_dir: str):
     from raydedup.stages.textstats import token_counts
 
@@ -699,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "sample_docs": q_sample_docs,
         "quota_sample_docs": q_quota_sample_docs,
+        "topk_per_source": q_topk_per_source,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
@@ -1668,6 +1683,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 10
+        """,
+        "topk_per_source": """
+            SELECT doc_id, source, n_chars
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            WHERE rn <= 3
         """,
         "token_counts": r"""
             SELECT doc_id,

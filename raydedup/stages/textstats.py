@@ -396,6 +396,95 @@ def quota_by_group(ds, group_col: str, key_col: str, k: int,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def topk_by_group(ds, group_col: str, key_col: str, value_col: str,
+                  k: int, largest: bool = True):
+    """Keep the ``k`` best rows per group by ``value_col`` (ties broken
+    by ascending ``key_col`` — deterministic under any partitioning) —
+    "best k documents per source" selection for training-data curation.
+
+    Same two-streaming-pass shape as :func:`quota_by_group`: per-batch
+    partial top-k combiner (at most k (value, key) candidates per group
+    per batch), tiny groupby to each group's k-th threshold, broadcast,
+    stream-filter. Only O(k x groups) values shuffle.
+    """
+    import ray
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def rank_keys(vals: np.ndarray, keys: np.ndarray):
+        v = -vals if largest else vals
+        return v, keys
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"g": pa.array([], batch.schema.field(group_col).type),
+                 "v": pa.array([], batch.schema.field(value_col).type),
+                 "ky": pa.array([], batch.schema.field(key_col).type)})
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        keys = np.asarray(batch[key_col].to_pylist())
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        rv, rk = rank_keys(vals, keys)
+        order = np.lexsort((rk, rv, grp))
+        sg = grp[order]
+        n = len(sg)
+        starts = np.r_[0, np.flatnonzero(sg[1:] != sg[:-1]) + 1]
+        lens = np.diff(np.r_[starts, n])
+        rank = np.arange(n) - np.repeat(starts, lens)
+        keep = order[rank < k]
+        return pa.table(
+            {"g": pa.array(grp[keep].tolist(),
+                           batch.schema.field(group_col).type),
+             "v": batch[value_col].take(pa.array(keep)),
+             "ky": pa.array(keys[keep].tolist(),
+                            batch.schema.field(key_col).type)})
+
+    def reduce_threshold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "v" not in g.column_names:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "v": pa.array([], pa.float64()),
+                             "ky": pa.array([], pa.string()),
+                             "full": pa.array([], pa.bool_())})
+        vals = g["v"].to_numpy(zero_copy_only=False)
+        keys = np.asarray(g["ky"].to_pylist())
+        rv, rk = rank_keys(vals, keys)
+        i = np.lexsort((rk, rv))[min(k, len(vals)) - 1]
+        return pa.table({"g": g["g"][:1],
+                         "v": g["v"].take([int(i)]),
+                         "ky": g["ky"].take([int(i)]),
+                         "full": pa.array([len(vals) >= k])})
+
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow")
+    th_rows = cand.groupby("g").map_groups(
+        reduce_threshold, batch_format="pyarrow").take_all()
+    th = {r["g"]: (r["v"], r["ky"], r["full"]) for r in th_rows}
+    th_ref = ray.put(th)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ck = th_ref.binary()
+        lut = _QUOTA_CACHE.get(ck)
+        if lut is None:
+            lut = ray.get(th_ref)
+            _QUOTA_CACHE.clear()
+            _QUOTA_CACHE[ck] = lut
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        keys = batch[key_col].to_pylist()
+        grp = batch[group_col].to_pylist()
+        mask = np.ones(len(keys), dtype=bool)
+        for i, g in enumerate(grp):
+            ent = lut.get(g)
+            if ent is not None and ent[2]:
+                tv, tk = ent[0], ent[1]
+                better = vals[i] > tv if largest else vals[i] < tv
+                mask[i] = better or (vals[i] == tv and keys[i] <= tk)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # --- sequence packing ------------------------------------------------------
 
 

@@ -571,3 +571,39 @@ def test_quota_by_group_exact_vs_bruteforce(ray_session):
     assert {(r["source"], r["doc_id"]) for r in out2} == expect2
     with pytest.raises(ValueError):
         quota_by_group(ds, "source", "doc_id", 0)
+
+
+def test_topk_by_group_vs_bruteforce(ray_session):
+    import random
+
+    import ray.data
+
+    from raydedup.stages.textstats import topk_by_group
+
+    rng = random.Random(9)
+    n = 500
+    grp = [f"g{rng.randrange(8)}" for _ in range(n)]
+    # coarse values force ties so the doc-id tie-break is exercised
+    val = [float(rng.randrange(5)) for _ in range(n)]
+    tbl = pa.table({"src": grp, "score": val, "id": list(range(n))})
+    ds = ray.data.from_arrow(tbl).repartition(11)
+
+    def brute(largest):
+        out = set()
+        for g in set(grp):
+            rows = [(v, i) for gg, v, i in zip(grp, val, range(n))
+                    if gg == g]
+            rows.sort(key=lambda r: (-r[0], r[1]) if largest
+                      else (r[0], r[1]))
+            out.update((g, i) for _, i in rows[:7])
+        return out
+
+    got = {(r["src"], r["id"]) for r in
+           topk_by_group(ds, "src", "id", "score", 7).take_all()}
+    assert got == brute(True)
+    got_min = {(r["src"], r["id"]) for r in
+               topk_by_group(ds, "src", "id", "score", 7,
+                             largest=False).take_all()}
+    assert got_min == brute(False)
+    # k larger than every group keeps everything
+    assert topk_by_group(ds, "src", "id", "score", 1000).count() == n
