@@ -462,6 +462,15 @@ def q_topk_per_source(sf_dir: str):
     return topk_by_group(docs, "source", "doc_id", "n_chars", 3)
 
 
+def q_characteristic_terms(sf_dir: str):
+    """Per-doc TF-IDF-style salient term with a float-free (tf desc,
+    df asc, token asc) ranking; global df table built as vocab-sized
+    partial counts, broadcast for the streaming argmax pass."""
+    from raydedup.stages.textstats import characteristic_terms
+
+    return characteristic_terms(_docs(sf_dir))
+
+
 def q_token_counts(sf_dir: str):
     from raydedup.stages.textstats import token_counts
 
@@ -714,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": q_sample_docs,
         "quota_sample_docs": q_quota_sample_docs,
         "topk_per_source": q_topk_per_source,
+        "characteristic_terms": q_characteristic_terms,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
@@ -1695,6 +1705,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 3
+        """,
+        "characteristic_terms": """
+            WITH tokens AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     UNNEST(regexp_extract_all(lower(text),
+                                               '[0-9a-zA-Z_]+')) AS t(tok)
+            ),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM tokens GROUP BY 1, 2
+            ),
+            df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df
+                FROM tokens GROUP BY 1
+            )
+            SELECT tf.doc_id, tf.tok AS top_term, tf.tf, df.df
+            FROM tf JOIN df ON tf.tok = df.tok
+            QUALIFY row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY tf.tf DESC, df.df, tf.tok) = 1
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -485,6 +485,82 @@ def topk_by_group(ds, group_col: str, key_col: str, value_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+# size-1 per-worker cache of the broadcast {token: df} map
+_DF_CACHE: dict[bytes, dict] = {}
+
+
+def characteristic_terms(ds, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Per-document most-characteristic term — the TF-IDF argmax with a
+    float-free ranking: highest within-doc term frequency, document
+    frequency ascending on ties (rarer corpus-wide wins), then token
+    ascending. Integer-only comparisons keep the engine and the SQL
+    oracle bit-identical (a float tf*ln(N/df) argmax can flip on the
+    last ulp between numpy and the oracle's ln).
+
+    Scale shape: pass 1 builds the global document-frequency table as
+    partial per-batch counts over per-doc DISTINCT tokens (each doc is
+    one row, so batch-local distinct is exact) merged by a
+    vocabulary-sized groupby — the corpus never shuffles; the df map
+    (vocabulary-bounded) broadcasts via ``ray.put``; pass 2 streams docs
+    and picks each argmax locally. Docs with no tokens are omitted
+    (matching the SQL, where they produce no token rows)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from raydedup.textnorm import simple_tokenize
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch[text_col].to_pylist():
+            if t:
+                toks.extend(set(simple_tokenize(t)))
+        if not toks:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64())})
+        vc = pc.value_counts(pa.array(toks, type=pa.string()))
+        return pa.table({"term": vc.field("values"),
+                         "d": pc.cast(vc.field("counts"), pa.int64())})
+
+    df_tbl = (ds.select_columns([text_col])
+              .map_batches(partial_df, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("d", alias_name="d")))
+    df = {r["term"]: r["d"] for r in df_tbl.iter_rows()}
+    df_ref = ray.put(df)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ck = df_ref.binary()
+        lut = _DF_CACHE.get(ck)
+        if lut is None:
+            lut = ray.get(df_ref)
+            _DF_CACHE.clear()
+            _DF_CACHE[ck] = lut
+        ids, terms, tfs, dfs = [], [], [], []
+        texts = batch[text_col].to_pylist()
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            counts: dict[str, int] = {}
+            for tok in simple_tokenize(t):
+                counts[tok] = counts.get(tok, 0) + 1
+            if not counts:
+                continue
+            tok, tf = min(counts.items(),
+                          key=lambda kv: (-kv[1], lut[kv[0]], kv[0]))
+            ids.append(i)
+            terms.append(tok)
+            tfs.append(tf)
+            dfs.append(lut[tok])
+        return pa.table({id_col: batch[id_col].take(pa.array(ids,
+                                                             pa.int64())),
+                         "top_term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "df": pa.array(dfs, pa.int64())})
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # --- sequence packing ------------------------------------------------------
 
 

@@ -607,3 +607,29 @@ def test_topk_by_group_vs_bruteforce(ray_session):
     assert got_min == brute(False)
     # k larger than every group keeps everything
     assert topk_by_group(ds, "src", "id", "score", 1000).count() == n
+
+
+def test_characteristic_terms_ranking(ray_session):
+    import ray.data
+
+    from raydedup.stages.textstats import characteristic_terms
+
+    tbl = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "apple apple banana",     # tf: apple 2 -> top
+            "banana cherry",          # tf tie 1-1: banana df=2, cherry
+                                      # df=1 -> rarer cherry wins
+            "apple banana",           # tf tie: apple df=2 = banana df=2
+                                      # -> lexicographic apple
+            "",                       # no tokens: omitted
+        ],
+    })
+    got = {r["doc_id"]: r for r in characteristic_terms(
+        ray.data.from_arrow(tbl).repartition(3)).take_all()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["top_term"] == "apple" and got[0]["tf"] == 2
+    assert got[1]["top_term"] == "cherry" and got[1]["df"] == 1
+    assert got[2]["top_term"] == "apple"
+    # df is corpus-global: apple appears in docs 0 and 2
+    assert got[0]["df"] == 2 and got[2]["df"] == 2
