@@ -471,6 +471,20 @@ def q_characteristic_terms(sf_dir: str):
     return characteristic_terms(_docs(sf_dir))
 
 
+def q_length_percentiles(sf_dir: str):
+    """Exact per-source p50/p90/p99 of document length via the
+    counting-merge trick (shuffle = distinct (source, n_chars) pairs).
+    Index semantics mirror DuckDB quantile_disc."""
+    import ray.data
+
+    from raydedup.stages.stats import grouped_quantiles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"],
+                                 override_num_blocks=16)
+    return grouped_quantiles(docs, "source", "n_chars", [0.5, 0.9, 0.99])
+
+
 def q_token_counts(sf_dir: str):
     from raydedup.stages.textstats import token_counts
 
@@ -724,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample_docs": q_quota_sample_docs,
         "topk_per_source": q_topk_per_source,
         "characteristic_terms": q_characteristic_terms,
+        "length_percentiles": q_length_percentiles,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
@@ -1705,6 +1720,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 3
+        """,
+        "length_percentiles": """
+            SELECT source,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.9) AS p90,
+                   quantile_disc(n_chars, 0.99) AS p99
+            FROM documents GROUP BY source
         """,
         "characteristic_terms": """
             WITH tokens AS (

@@ -633,3 +633,29 @@ def test_characteristic_terms_ranking(ray_session):
     assert got[2]["top_term"] == "apple"
     # df is corpus-global: apple appears in docs 0 and 2
     assert got[0]["df"] == 2 and got[2]["df"] == 2
+
+
+def test_grouped_quantiles_vs_bruteforce(ray_session):
+    import math
+    import random
+
+    import ray.data
+
+    from raydedup.stages.stats import grouped_quantiles
+
+    rng = random.Random(13)
+    grp = [f"s{rng.randrange(5)}" for _ in range(800)]
+    # heavy duplication so cross-batch count merging is exercised
+    val = [rng.randrange(20) for _ in range(800)]
+    ds = ray.data.from_arrow(pa.table({"src": grp, "x": val,
+                                       "junk": grp})).repartition(9)
+    qs = [0.0, 0.5, 0.9, 0.99, 1.0]
+    got = {r["src"]: r for r in grouped_quantiles(
+        ds, "src", "x", qs).take_all()}
+    for g in set(grp):
+        vs = sorted(v for gg, v in zip(grp, val) if gg == g)
+        for q, nm in zip(qs, ["p0", "p50", "p90", "p99", "p100"]):
+            idx = max(0, math.ceil(q * len(vs)) - 1)
+            assert got[g][nm] == vs[idx], (g, q)
+    with pytest.raises(ValueError):
+        grouped_quantiles(ds, "src", "x", [1.5])
