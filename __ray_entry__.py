@@ -679,6 +679,24 @@ def q_windowed_events(sf_dir: str):
     )
 
 
+def q_sliding_window_events(sf_dir: str):
+    """Hopping windows (1h window, 15min hop — each event in up to 4
+    windows): vectorized bounded fan-out + the same grouped aggregate as
+    tumbling. Oracle expands via generate_series."""
+    import ray.data
+
+    from raydedup.stages.windows import sliding_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    out = sliding_window_agg(ev, window_sec=3600, hop_sec=900)
+    out = _round_col(out, "sum_value")
+    out = _round_col(out, "mean_value")
+    return out.select_columns(
+        ["user_id", "window_start", "n_events", "sum_value", "mean_value"]
+    )
+
+
 def q_sessionize_events(sf_dir: str):
     import ray.data
 
@@ -754,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "range_join_events": q_range_join_events,
         "windowed_events": q_windowed_events,
+        "sliding_window_events": q_sliding_window_events,
         "sessionize_events": q_sessionize_events,
     }
 
@@ -1898,6 +1917,22 @@ def oracle_sql() -> dict[str, str]:
             FROM l JOIN r
               ON l.user_id = r.user_id
              AND l.ts BETWEEN r.ts AND r.ts + INTERVAL 1 DAY
+        """,
+        "sliding_window_events": f"""
+            WITH ev AS (
+                SELECT user_id, value, epoch_us(ts) AS tus FROM events
+            ),
+            ex AS (
+                SELECT user_id, value,
+                       ((tus // 900000000) - t.j) * 900 AS window_start
+                FROM ev, UNNEST(generate_series(0, 3)) AS t(j)
+                WHERE ((tus // 900000000) - t.j) * 900000000
+                      + 3600000000 > tus
+            )
+            SELECT user_id, window_start, count(*) AS n_events,
+                   round(sum(value), {_ROUND}) AS sum_value,
+                   round(avg(value), {_ROUND}) AS mean_value
+            FROM ex GROUP BY 1, 2
         """,
         "windowed_events": f"""
             SELECT user_id,

@@ -76,3 +76,49 @@ def sessionize(ds, gap_sec: int = 1800, key_col: str = "user_id",
         )
 
     return ds.groupby(key_col).map_groups(scan, batch_format="pyarrow")
+
+
+def sliding_window_agg(ds, window_sec: int = 3600, hop_sec: int = 900,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       value_col: str = "value"):
+    """→ Dataset(key, window_start (epoch sec), n_events, sum_value,
+    mean_value) for HOPPING windows: starts at every multiple of
+    ``hop_sec``, each ``window_sec`` long, so an event lands in up to
+    ``ceil(window_sec / hop_sec)`` windows. The fan-out is a vectorized
+    per-batch repeat (bounded ×m row expansion, no Python loop); the
+    only shuffle is the same grouped aggregate tumbling uses. With
+    ``hop_sec == window_sec`` this degenerates to tumbling."""
+    if window_sec <= 0 or hop_sec <= 0:
+        raise ValueError("window_sec and hop_sec must be positive")
+    m = -(-window_sec // hop_sec)  # ceil
+    hop_us = hop_sec * 1_000_000
+    win_us = window_sec * 1_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({key_col: batch[key_col],
+                             "window_start": pa.array([], pa.int64()),
+                             value_col: batch[value_col]})
+        tus = batch[ts_col].cast(pa.int64()).to_numpy()
+        idx = tus // hop_us
+        j = np.tile(np.arange(m, dtype=np.int64), n)
+        rep = np.repeat(np.arange(n), m)
+        starts = (idx[rep] - j)
+        valid = starts * hop_us + win_us > tus[rep]
+        rep, starts = rep[valid], starts[valid]
+        ri = pa.array(rep)
+        return pa.table(
+            {key_col: batch[key_col].take(ri),
+             "window_start": pa.array(starts * hop_sec),
+             value_col: batch[value_col].take(ri)})
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="sum_value"),
+            Mean(value_col, alias_name="mean_value"),
+        )
+    )

@@ -62,3 +62,39 @@ def test_slice_zero_has_one_row():
 def test_slice_params():
     assert slice_params(10) == (10, 1)
     assert slice_params(1000) == (31, 32)
+
+
+def test_sliding_window_agg(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from raydedup.stages.windows import sliding_window_agg, tumbling_window_agg
+
+    # events at epoch seconds 0, 1000, 3599, 3600 for one user
+    tss = [0, 1000, 3599, 3600]
+    tbl = pa.table({
+        "user_id": [1] * 4,
+        "ts": pa.array([t * 1_000_000 for t in tss],
+                       pa.timestamp("us")),
+        "value": [1.0, 2.0, 4.0, 8.0],
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = {(r["user_id"], r["window_start"]): r for r in
+           sliding_window_agg(ds, window_sec=3600,
+                              hop_sec=900).take_all()}
+    # event@0 -> only window 0 (windows -900.. etc. start<=0<start+3600:
+    # starts 0, -900, -1800, -2700 all contain it)
+    assert out[(1, 0)]["n_events"] == 3        # ts 0, 1000, 3599
+    assert out[(1, -900)]["n_events"] == 2     # ts 0 and 1000 < -900+3600
+    assert out[(1, 900)]["n_events"] == 3      # 1000, 3599, 3600 < 4500
+    assert out[(1, 3600)]["n_events"] == 1 and \
+        out[(1, 3600)]["sum_value"] == 8.0
+    assert out[(1, 0)]["sum_value"] == 7.0
+    # hop == window degenerates to tumbling
+    slid = sorted((r["user_id"], r["window_start"], r["n_events"])
+                  for r in sliding_window_agg(
+                      ds, 3600, 3600).take_all())
+    tumb = sorted((r["user_id"], r["window_start"], r["n_events"])
+                  for r in tumbling_window_agg(ds, 3600).take_all())
+    assert slid == tumb
