@@ -485,6 +485,14 @@ def q_length_percentiles(sf_dir: str):
     return grouped_quantiles(docs, "source", "n_chars", [0.5, 0.9, 0.99])
 
 
+def q_inverted_index(sf_dir: str):
+    """Posting lists: term -> comma-joined ascending distinct doc ids +
+    document frequency; string postings so string_agg compares exactly."""
+    from raydedup.stages.collection import inverted_index
+
+    return inverted_index(_docs(sf_dir))
+
+
 def q_token_counts(sf_dir: str):
     from raydedup.stages.textstats import token_counts
 
@@ -757,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_source": q_topk_per_source,
         "characteristic_terms": q_characteristic_terms,
         "length_percentiles": q_length_percentiles,
+        "inverted_index": q_inverted_index,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
@@ -1739,6 +1748,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 3
+        """,
+        "inverted_index": """
+            WITH tokens AS (
+                SELECT DISTINCT doc_id, t.tok
+                FROM documents,
+                     UNNEST(regexp_extract_all(lower(text),
+                                               '[0-9a-zA-Z_]+')) AS t(tok)
+            )
+            SELECT tok AS term,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings,
+                   count(*) AS df
+            FROM tokens GROUP BY tok
         """,
         "length_percentiles": """
             SELECT source,

@@ -112,3 +112,50 @@ def global_top_terms(ds, k: int = 20, text_col: str = "text",
     )
     totals = counts.groupby("term").aggregate(Sum("n", alias_name="n"))
     return totals.sort(["n", "term"], descending=[True, True]).limit(k)
+
+
+def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """→ Dataset(term, postings, df): the inverted index — for every
+    token, the comma-joined ascending list of distinct doc ids containing
+    it plus its document frequency. Postings are strings so the oracle
+    (``string_agg(... ORDER BY doc_id)``) compares byte-for-byte.
+
+    Scale shape: per-batch DISTINCT (term, doc) pairs (exact — one doc
+    per row), one vocabulary-keyed groupby; the shuffle carries (term,
+    id) pairs, i.e. the index itself, which is the irreducible exchange
+    for this output. Degenerate stopword terms produce long posting rows
+    — cap or drop high-df terms upstream if the downstream can't take
+    them (documented, not silently truncated here)."""
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "doc": pa.array([], pa.int64())})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        docs: list[int] = []
+        ids = batch[id_col].to_pylist()
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            if not t:
+                continue
+            for tok in set(simple_tokenize(t)):
+                terms.append(tok)
+                docs.append(i)
+        if not terms:
+            return empty
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc": pa.array(docs, pa.int64())})
+
+    def join_postings(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc" not in g.column_names:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "postings": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        ids = sorted(g["doc"].to_pylist())
+        return pa.table({"term": g["term"][:1],
+                         "postings": pa.array(
+                             [",".join(map(str, ids))], pa.string()),
+                         "df": pa.array([len(ids)], pa.int64())})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("term").map_groups(join_postings,
+                                        batch_format="pyarrow"))

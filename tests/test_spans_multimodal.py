@@ -659,3 +659,20 @@ def test_grouped_quantiles_vs_bruteforce(ray_session):
             assert got[g][nm] == vs[idx], (g, q)
     with pytest.raises(ValueError):
         grouped_quantiles(ds, "src", "x", [1.5])
+
+
+def test_inverted_index_postings(ray_session):
+    import ray.data
+
+    from raydedup.stages.collection import inverted_index
+
+    tbl = pa.table({
+        "doc_id": [5, 2, 9],
+        "text": ["apple banana apple", "banana", ""],
+    })
+    got = {r["term"]: r for r in inverted_index(
+        ray.data.from_arrow(tbl).repartition(2)).take_all()}
+    assert set(got) == {"apple", "banana"}
+    assert got["apple"]["postings"] == "5" and got["apple"]["df"] == 1
+    # distinct per doc, ascending ids across partitions
+    assert got["banana"]["postings"] == "2,5" and got["banana"]["df"] == 2
