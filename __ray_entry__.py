@@ -384,8 +384,8 @@ def q_redact_pii(sf_dir: str):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
         out = [
-            (t + f" contact: user{d}@example.com or +1 555 01{d % 100:02d} "
-                 f"from 10.0.{d % 256}.1")
+            (t + f" contact: user{d}@example.com or +1 555 010 "
+                 f"{d % 100:02d} from 10.0.{d % 256}.1")
             if d % 10 == 0 else t
             for d, t in zip(ids, texts)
         ]
@@ -1626,7 +1626,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN doc_id % 10 = 0 THEN
                            text || ' contact: user' ||
                            CAST(doc_id AS VARCHAR) ||
-                           '@example.com or +1 555 01' ||
+                           '@example.com or +1 555 010 ' ||
                            lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
                            ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                            || '.1'

@@ -34,25 +34,40 @@ import pyarrow.compute as pc
 def _part_array(col: pa.ChunkedArray, num_partitions: int) -> pa.Array:
     """Stable partition id per row: int keys use ``% P`` (numpy keeps
     Python modulo semantics, so negatives land in range); other types
-    hash the utf-8 repr with md5 (process-stable, unlike ``hash()``)."""
+    hash the utf-8 repr with md5 (process-stable, unlike ``hash()``).
+    Null keys land in partition 0 — they never match (SQL semantics,
+    enforced in the merge), any placement works."""
     if pa.types.is_integer(col.type):
-        knp = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        knp = pc.fill_null(col, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         return pa.array(knp % num_partitions, type=pa.int64())
     import hashlib
 
     return pa.array(
-        [int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4], "big")
+        [0 if k is None else
+         int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4], "big")
          % num_partitions for k in col.to_pylist()],
         type=pa.int64())
 
 
-def _group_codes(col) -> np.ndarray:
-    """Dense int codes per row for a (chunked) key column — group
+def _group_codes(col) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, is_null) per row for a (chunked) key column — group
     identity within a partition; any code order works, groups only need
-    to be contiguous after sorting by code."""
+    to be contiguous after sorting by code. Null keys share code -1 but
+    are flagged so the merges can exclude them from matching (SQL join
+    semantics: NULL keys never match, not even each other)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    return pc.dictionary_encode(arr).indices.to_numpy(
-        zero_copy_only=False).astype(np.int64)
+    isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    idx = pc.fill_null(pc.dictionary_encode(arr).indices, -1)
+    return idx.to_numpy(zero_copy_only=False).astype(np.int64), isnull
+
+
+def _pad0(n: int, t: pa.DataType) -> pa.Array:
+    """All-zeros column of a numeric/temporal type — padding for sort-key
+    slots of the opposite side. Nulls would decay int64 to float64 in
+    ``to_numpy`` (silently corrupting values above 2^53); the padded
+    values are never read, only carried through the lexsort."""
+    return pc.cast(pa.array(np.zeros(n, dtype=np.int64)), t)
 
 
 def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
@@ -77,7 +92,7 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
         n = batch.num_rows
         cols = {by: batch[by], "__on": batch[on].combine_chunks(),
                 "__side": pa.array(np.ones(n, dtype=np.int8)),
-                "__tie": pa.nulls(n, rtypes[tie_col]) if tie_col else
+                "__tie": _pad0(n, rtypes[tie_col]) if tie_col else
                 pa.array(np.zeros(n, dtype=np.int8)),
                 "__part": _part_array(batch[by], num_partitions)}
         for c in lcols:
@@ -115,7 +130,7 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
         tie = g["__tie"].to_numpy(zero_copy_only=False)
         if tie.dtype == object:
             raise ValueError("asof_join: tie_col must be numeric")
-        codes = _group_codes(g[by])
+        codes, keynull = _group_codes(g[by])
         n = len(side)
         # group-major, then time, then side (right before left at equal
         # ts → inclusive), then tie (max tie_col wins among equal-ts)
@@ -125,18 +140,19 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
         lens = np.diff(np.r_[starts, n])
         seg_start = np.repeat(starts, lens)
         side_s = side[order]
-        pos_right = np.where(side_s == 0, np.arange(n), -1)
+        keynull_s = keynull[order]
+        # SQL join semantics: NULL keys never match, not even each other
+        pos_right = np.where((side_s == 0) & ~keynull_s, np.arange(n), -1)
         last_r = np.maximum.accumulate(pos_right)
         # a match from a PREVIOUS group sits before this group's segment
         # start; mask it out instead of resetting the accumulator
-        last_r = np.where(last_r >= seg_start, last_r, -1)
+        last_r = np.where((last_r >= seg_start) & ~keynull_s, last_r, -1)
         left_pos = np.flatnonzero(side_s == 1)
         left_orig = order[left_pos]
         match_sorted = last_r[left_pos]
-        match_list = [int(order[m]) if m >= 0 else None
-                      for m in match_sorted]
         li = pa.array(left_orig)
-        ri = pa.array(match_list, type=pa.int64())
+        ri = pa.array(order[np.clip(match_sorted, 0, None)],
+                      mask=match_sorted < 0)
         cols = {}
         for c in lcols:
             src = g["__on"] if c == on else g[c]
@@ -181,8 +197,8 @@ def interval_join(points, intervals, by: str, ts_col: str,
     def norm_points(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {by: batch[by], "__t": batch[ts_col].combine_chunks(),
-                "__s": pa.nulls(n, itypes[start_col]),
-                "__e": pa.nulls(n, itypes[end_col]),
+                "__s": _pad0(n, itypes[start_col]),
+                "__e": _pad0(n, itypes[end_col]),
                 "__side": pa.array(np.ones(n, dtype=np.int8)),
                 "__part": _part_array(batch[by], num_partitions)}
         for c in pcols:
@@ -194,7 +210,7 @@ def interval_join(points, intervals, by: str, ts_col: str,
 
     def norm_intervals(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        cols = {by: batch[by], "__t": pa.nulls(n, ptypes[ts_col]),
+        cols = {by: batch[by], "__t": _pad0(n, ptypes[ts_col]),
                 "__s": batch[start_col].combine_chunks(),
                 "__e": batch[end_col].combine_chunks(),
                 "__side": pa.array(np.zeros(n, dtype=np.int8)),
@@ -217,9 +233,10 @@ def interval_join(points, intervals, by: str, ts_col: str,
         if g.num_rows == 0 or "__side" not in g.column_names:
             return empty()
         side = g["__side"].to_numpy(zero_copy_only=False)
-        codes = _group_codes(g[by])
-        pidx0 = np.flatnonzero(side == 1)
-        iidx0 = np.flatnonzero(side == 0)
+        codes, keynull = _group_codes(g[by])
+        # SQL join semantics: NULL keys never match, not even each other
+        pidx0 = np.flatnonzero((side == 1) & ~keynull)
+        iidx0 = np.flatnonzero((side == 0) & ~keynull)
         if len(pidx0) == 0 or len(iidx0) == 0:
             return empty()
         t = g["__t"].to_numpy(zero_copy_only=False)[pidx0]

@@ -496,14 +496,10 @@ def semantic_dedup(ds, threshold: float = 0.95, id_col: str = "vec_id",
     import ray
 
     pairs = embedding_near_pairs(ds, threshold, id_col, vec_col, method)
-    from raydedup.state.unionfind import UnionFind
+    from raydedup.state.unionfind import connected_components_driver
 
-    uf = UnionFind()
-    for b in pairs.select_columns(["a_id", "b_id"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        for a, bb in zip(b["a_id"].to_pylist(), b["b_id"].to_pylist()):
-            uf.union(a, bb)
-    labels_ref = ray.put(uf.components())
+    labels_ref = ray.put(connected_components_driver(
+        pairs, a_col="a_id", b_col="b_id"))
 
     def label(batch: pa.Table) -> pa.Table:
         ck = labels_ref.binary()

@@ -30,6 +30,11 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     percent with dots stripped (0.5 → p50, 0.99 → p99)."""
     if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
         raise ValueError(f"qs must be within [0, 1], got {qs}")
+    vtype = ds.schema().types[ds.schema().names.index(value_col)]
+    if not pa.types.is_integer(vtype):
+        raise ValueError(
+            f"grouped_quantiles is exact for integer columns only; "
+            f"{value_col} is {vtype} — scale to ints or use a sketch")
     names = [f"{prefix}{str(round(q * 100, 4)).rstrip('0').rstrip('.').replace('.', '_')}"
              for q in qs]
 

@@ -369,8 +369,10 @@ def quota_by_group(ds, group_col: str, key_col: str, k: int,
     cand = ds.map_batches(partial_topk, batch_format="pyarrow")
     th_rows = cand.groupby("g").map_groups(
         reduce_threshold, batch_format="pyarrow").take_all()
-    th = {r["g"]: (r["h"], r["ky"], r["full"]) for r in th_rows}
-    th_ref = ray.put(th)
+    th_ref = ray.put(([r["g"] for r in th_rows],
+                      np.array([r["h"] for r in th_rows], np.uint64),
+                      [r["ky"] for r in th_rows],
+                      np.array([r["full"] for r in th_rows], bool)))
 
     def keep(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -378,22 +380,44 @@ def quota_by_group(ds, group_col: str, key_col: str, k: int,
         ck = th_ref.binary()
         lut = _QUOTA_CACHE.get(ck)
         if lut is None:
-            lut = ray.get(th_ref)
+            gl, hh, kk, ff = ray.get(th_ref)
+            lut = (pa.array(gl), hh, np.asarray(kk, dtype=object), ff)
             _QUOTA_CACHE.clear()
             _QUOTA_CACHE[ck] = lut
+        garr, hh, kk, ff = lut
         keys = batch[key_col].to_pylist()
         h = _hash60(keys, prefix)
-        karr = np.asarray(keys)
-        grp = batch[group_col].to_pylist()
-        mask = np.ones(len(keys), dtype=bool)
-        for i, g in enumerate(grp):
-            ent = lut.get(g)
-            if ent is not None and ent[2]:
-                mask[i] = (h[i] < ent[0]) or (h[i] == ent[0]
-                                              and karr[i] <= ent[1])
+        mask = _threshold_mask(batch[group_col], garr, ff, hh, kk,
+                               h, keys, largest=False)
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _threshold_mask(grp_col, garr: pa.Array, full: np.ndarray,
+                    tv: np.ndarray, tk: np.ndarray, vals: np.ndarray,
+                    keys: list, largest: bool) -> np.ndarray:
+    """Vectorized pass-2 filter shared by quota_by_group/topk_by_group:
+    keep a row iff its group is missing/under-full, or its (value, key)
+    ranks at or before the group's broadcast k-th threshold. One
+    ``pc.index_in`` + numpy gathers — no per-row Python loop in the
+    full-corpus streaming pass."""
+    if len(full) == 0:
+        return np.ones(len(keys), dtype=bool)
+    idx = pc.index_in(grp_col.combine_chunks()
+                      if isinstance(grp_col, pa.ChunkedArray) else grp_col,
+                      value_set=garr).to_numpy(zero_copy_only=False)
+    miss = np.array([i is None for i in idx]) if idx.dtype == object \
+        else np.isnan(idx)
+    ii = np.where(miss, 0, idx).astype(np.int64)
+    gate = full[ii] & ~miss
+    gv = tv[ii]
+    gk = tk[ii]
+    karr = np.asarray(keys, dtype=object)
+    better = vals > gv if largest else vals < gv
+    tie_ok = np.asarray(karr <= gk, dtype=bool)
+    ok = better | ((vals == gv) & tie_ok)
+    return np.where(gate, ok, True)
 
 
 def topk_by_group(ds, group_col: str, key_col: str, value_col: str,
@@ -442,9 +466,17 @@ def topk_by_group(ds, group_col: str, key_col: str, value_col: str,
 
     def reduce_threshold(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "v" not in g.column_names:
-            return pa.table({"g": pa.array([], pa.string()),
-                             "v": pa.array([], pa.float64()),
-                             "ky": pa.array([], pa.string()),
+            # zero-row blocks may arrive with a stale pre-map schema;
+            # emit a typed empty result (see quota_by_group's twin)
+            gt = (g.schema.field("g").type
+                  if "g" in g.column_names else pa.string())
+            vt = (g.schema.field("v").type
+                  if "v" in g.column_names else pa.float64())
+            kt = (g.schema.field("ky").type
+                  if "ky" in g.column_names else pa.string())
+            return pa.table({"g": pa.array([], gt),
+                             "v": pa.array([], vt),
+                             "ky": pa.array([], kt),
                              "full": pa.array([], pa.bool_())})
         vals = g["v"].to_numpy(zero_copy_only=False)
         keys = np.asarray(g["ky"].to_pylist())
@@ -458,8 +490,10 @@ def topk_by_group(ds, group_col: str, key_col: str, value_col: str,
     cand = ds.map_batches(partial_topk, batch_format="pyarrow")
     th_rows = cand.groupby("g").map_groups(
         reduce_threshold, batch_format="pyarrow").take_all()
-    th = {r["g"]: (r["v"], r["ky"], r["full"]) for r in th_rows}
-    th_ref = ray.put(th)
+    th_ref = ray.put(([r["g"] for r in th_rows],
+                      np.array([r["v"] for r in th_rows]),
+                      [r["ky"] for r in th_rows],
+                      np.array([r["full"] for r in th_rows], bool)))
 
     def keep(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -467,19 +501,15 @@ def topk_by_group(ds, group_col: str, key_col: str, value_col: str,
         ck = th_ref.binary()
         lut = _QUOTA_CACHE.get(ck)
         if lut is None:
-            lut = ray.get(th_ref)
+            gl, vv, kk, ff = ray.get(th_ref)
+            lut = (pa.array(gl), vv, np.asarray(kk, dtype=object), ff)
             _QUOTA_CACHE.clear()
             _QUOTA_CACHE[ck] = lut
+        garr, vv, kk, ff = lut
         vals = batch[value_col].to_numpy(zero_copy_only=False)
         keys = batch[key_col].to_pylist()
-        grp = batch[group_col].to_pylist()
-        mask = np.ones(len(keys), dtype=bool)
-        for i, g in enumerate(grp):
-            ent = lut.get(g)
-            if ent is not None and ent[2]:
-                tv, tk = ent[0], ent[1]
-                better = vals[i] > tv if largest else vals[i] < tv
-                mask[i] = better or (vals[i] == tv and keys[i] <= tk)
+        mask = _threshold_mask(batch[group_col], garr, ff, vv, kk,
+                               vals, keys, largest=largest)
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -662,9 +692,14 @@ def redact_pii(ds, text_col: str = "text"):
                   for k, _, _ in compiled}
         red = []
         for i, t in enumerate(texts):
-            for k, rx, tag in compiled:
-                t, n = rx.subn(tag, t)
-                counts[k][i] = n
+            # counts over the ORIGINAL text (the oracle's
+            # regexp_extract_all also sees the original); redaction is
+            # sequential on both sides, so a phone-shaped substring
+            # inside an email is counted once but masked by [EMAIL]
+            for k, rx, _ in compiled:
+                counts[k][i] = len(rx.findall(t))
+            for _, rx, tag in compiled:
+                t = rx.sub(tag, t)
             red.append(t)
         cols = {c: batch[c] for c in batch.column_names}
         for k, _, _ in compiled:

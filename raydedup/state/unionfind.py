@@ -53,16 +53,17 @@ class UnionFind:
         return {x: self.find(x) for x in list(self.parent)}
 
 
-def connected_components_driver(pairs_ds) -> dict[str, str]:
-    """Verified-pairs Dataset (a_key, b_key, ...) → {row_key: component_min}.
+def connected_components_driver(pairs_ds, a_col: str = "a_key",
+                                b_col: str = "b_key") -> dict[str, str]:
+    """Verified-pairs Dataset (a_col, b_col, ...) → {row_key: component_min}.
 
     Streams edge batches to the driver (iter_batches — never a full
     materialize) and unions incrementally."""
     uf = UnionFind()
-    for batch in pairs_ds.select_columns(["a_key", "b_key"]).iter_batches(
+    for batch in pairs_ds.select_columns([a_col, b_col]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        for a, b in zip(batch["a_key"].to_pylist(), batch["b_key"].to_pylist()):
+        for a, b in zip(batch[a_col].to_pylist(), batch[b_col].to_pylist()):
             uf.union(a, b)
     return uf.components()
 

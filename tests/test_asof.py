@@ -162,3 +162,33 @@ def test_interval_join_many_groups_share_partitions(ray_session):
               for i, (ik, s, l) in enumerate(ivs)
               if pk == ik and s <= t <= s + l}
     assert got == expect
+
+
+def test_asof_null_keys_and_big_int64_ties(ray_session):
+    # null by-keys never match (SQL semantics); int64 tie ids above 2^53
+    # must not decay to float64 (adjacent ids would compare equal)
+    big = 1 << 62
+    left = _ds({"k": pa.array([1, None, 1], pa.int64()),
+                "t": [10, 10, 10], "lid": [0, 1, 2]})
+    right = _ds({"k": pa.array([1, None, 1], pa.int64()),
+                 "t": [10, 10, 10],
+                 "rid": pa.array([big + 1, big + 9, big + 2], pa.int64())})
+    out = {r["lid"]: r["r_rid"] for r in
+           asof_join(left, right, by="k", on="t",
+                     tie_col="rid").take_all()}
+    assert out[1] is None                 # null-key left: no match
+    assert out[0] == big + 2 and out[2] == big + 2  # exact max tie, not
+    # the float64-rounded arbitrary pick (big+1 == big+2 in float64)
+
+
+def test_interval_join_null_keys(ray_session):
+    from raydedup.stages.asof import interval_join
+
+    pts = _ds({"k": pa.array([1, None], pa.int64()), "t": [5, 5],
+               "pid": [0, 1]})
+    iv = _ds({"k": pa.array([1, None], pa.int64()), "s": [0, 0],
+              "e": [10, 10], "iid": [100, 101]})
+    got = {(r["pid"], r["r_iid"]) for r in
+           interval_join(pts, iv, by="k", ts_col="t", start_col="s",
+                         end_col="e").take_all()}
+    assert got == {(0, 100)}              # null keys joined nothing

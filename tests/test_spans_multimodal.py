@@ -530,6 +530,12 @@ def test_redact_pii_counts_and_masking(ray_session):
     tbl2 = pa.table({"doc_id": [9], "text": pa.array([None], pa.string())})
     (r,) = redact_pii(ray.data.from_arrow(tbl2)).take_all()
     assert r["redacted"] == "" and r["n_email"] == 0
+    # overlap: counts run on the ORIGINAL text (oracle parity), so the
+    # IP-shape inside the email is counted even though [EMAIL] masks it
+    tbl3 = pa.table({"doc_id": [1], "text": ["mail user@1.2.3.4.com now"]})
+    (r3,) = redact_pii(ray.data.from_arrow(tbl3)).take_all()
+    assert r3["n_email"] == 1 and r3["n_ip"] == 1
+    assert r3["redacted"] == "mail [EMAIL] now"
 
 
 def test_quota_by_group_exact_vs_bruteforce(ray_session):
