@@ -485,6 +485,19 @@ def q_length_percentiles(sf_dir: str):
     return grouped_quantiles(docs, "source", "n_chars", [0.5, 0.9, 0.99])
 
 
+def q_cross_corpus_matches(sf_dir: str):
+    """Exact cross-corpus contamination: transcript turns whose text is
+    byte-identical to a document (broadcast sha map, streaming corpus,
+    no shuffle); many-to-many over duplicated doc texts."""
+    from raydedup.stages.decontam import cross_corpus_exact_matches
+
+    ts = transcripts_from_documents(sf_dir)
+    out = cross_corpus_exact_matches(
+        ts.select_columns(["conv_id", "turn_idx", "text"]),
+        _docs(sf_dir), ref_key_col="doc_id")
+    return out.select_columns(["conv_id", "turn_idx", "ref_doc_id"])
+
+
 def q_inverted_index(sf_dir: str):
     """Posting lists: term -> comma-joined ascending distinct doc ids +
     document frequency; string postings so string_agg compares exactly."""
@@ -766,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "characteristic_terms": q_characteristic_terms,
         "length_percentiles": q_length_percentiles,
         "inverted_index": q_inverted_index,
+        "cross_corpus_matches": q_cross_corpus_matches,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
@@ -1748,6 +1762,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 3
+        """,
+        "cross_corpus_matches": TRANSCRIPTS_SQL + """
+            SELECT t.conv_id, t.turn_idx, d.doc_id AS ref_doc_id
+            FROM transcripts t JOIN documents d ON t.text = d.text
+            WHERE length(t.text) > 0
         """,
         "inverted_index": """
             WITH tokens AS (

@@ -102,3 +102,67 @@ def decontaminate(ds, bench_ds, n: int = 8, text_col: str = "text",
         return out
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# per-worker cache of the broadcast {sha: [ref keys]} map
+_XC_CACHE: dict[bytes, dict] = {}
+
+
+def cross_corpus_exact_matches(ds, ref_ds, ref_key_col: str,
+                               text_col: str = "text",
+                               ref_text_col: str = "text",
+                               out_col: str | None = None):
+    """For every row of the (large, streaming) ``ds``, emit one output
+    row per ref row with BYTE-IDENTICAL text — cross-corpus exact
+    contamination (train rows duplicating a held-out/benchmark set), the
+    exact-match complement of n-gram ``decontaminate``.
+
+    The ref side is small by definition: its {sha256(text): [keys]} map
+    is collected once (iter_batches, never a full materialize of ds) and
+    broadcast via ``ray.put``; the corpus streams through one
+    ``map_batches``, no shuffle. Many-to-many: duplicated ref texts
+    yield one output row per matching ref key."""
+    import hashlib
+
+    import ray
+
+    out_col = out_col or f"ref_{ref_key_col}"
+    if out_col in ds.schema().names:
+        raise ValueError(f"output column {out_col!r} collides with input")
+
+    ref_map: dict[str, list] = {}
+    for b in ref_ds.select_columns([ref_key_col, ref_text_col]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        for k, t in zip(b[ref_key_col].to_pylist(),
+                        b[ref_text_col].to_pylist()):
+            if t:
+                sha = hashlib.sha256(t.encode("utf-8")).hexdigest()
+                ref_map.setdefault(sha, []).append(k)
+    ref_ref = ray.put(ref_map)
+    key_type = ref_ds.schema().types[
+        ref_ds.schema().names.index(ref_key_col)]
+
+    def match(batch: pa.Table) -> pa.Table:
+        ck = ref_ref.binary()
+        lut = _XC_CACHE.get(ck)
+        if lut is None:
+            lut = ray.get(ref_ref)
+            _XC_CACHE.clear()
+            _XC_CACHE[ck] = lut
+        rows: list[int] = []
+        keys: list = []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            if not t:
+                continue
+            hits = lut.get(hashlib.sha256(t.encode("utf-8")).hexdigest())
+            if hits:
+                for k in hits:
+                    rows.append(i)
+                    keys.append(k)
+        idx = pa.array(rows, pa.int64())
+        cols = {c: batch[c].take(idx) for c in batch.column_names
+                if c != text_col}
+        cols[out_col] = pa.array(keys, key_type)
+        return pa.table(cols)
+
+    return ds.map_batches(match, batch_format="pyarrow")

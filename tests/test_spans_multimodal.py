@@ -682,3 +682,28 @@ def test_inverted_index_postings(ray_session):
     assert got["apple"]["postings"] == "5" and got["apple"]["df"] == 1
     # distinct per doc, ascending ids across partitions
     assert got["banana"]["postings"] == "2,5" and got["banana"]["df"] == 2
+
+
+def test_cross_corpus_exact_matches(ray_session):
+    import ray.data
+
+    from raydedup.stages.decontam import cross_corpus_exact_matches
+
+    corpus = ray.data.from_arrow(pa.table({
+        "rid": [0, 1, 2, 3],
+        "text": ["shared text", "unique corpus text", "shared text", ""],
+    })).repartition(2)
+    ref = ray.data.from_arrow(pa.table({
+        "doc_id": [10, 11, 12],
+        "text": ["shared text", "shared text", "only in ref"],
+    }))
+    got = {(r["rid"], r["ref_doc_id"]) for r in
+           cross_corpus_exact_matches(corpus, ref,
+                                      ref_key_col="doc_id").take_all()}
+    # many-to-many: each matching corpus row x each identical ref row;
+    # empty corpus text matches nothing
+    assert got == {(0, 10), (0, 11), (2, 10), (2, 11)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cross_corpus_exact_matches(corpus, ref, ref_key_col="doc_id",
+                                   out_col="rid")
