@@ -498,6 +498,15 @@ def q_cross_corpus_matches(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "ref_doc_id"])
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-doc inter-document redundancy: distinct 3-gram count and how
+    many of those grams appear in another doc (df >= 2 grams broadcast
+    dup-only, corpus streams)."""
+    from raydedup.stages.decontam import ngram_novelty
+
+    return ngram_novelty(_docs(sf_dir))
+
+
 def q_inverted_index(sf_dir: str):
     """Posting lists: term -> comma-joined ascending distinct doc ids +
     document frequency; string postings so string_agg compares exactly."""
@@ -780,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentiles": q_length_percentiles,
         "inverted_index": q_inverted_index,
         "cross_corpus_matches": q_cross_corpus_matches,
+        "ngram_novelty": q_ngram_novelty,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
@@ -1767,6 +1777,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.conv_id, t.turn_idx, d.doc_id AS ref_doc_id
             FROM transcripts t JOIN documents d ON t.text = d.text
             WHERE length(t.text) > 0
+        """,
+        "ngram_novelty": """
+            WITH arrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM documents
+            ),
+            gl AS (
+                SELECT doc_id,
+                       list_transform(range(len(arr) - 2),
+                           i -> arr[i + 1] || ' ' || arr[i + 2] || ' '
+                                || arr[i + 3]) AS l
+                FROM arrs WHERE len(arr) >= 3
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, g.g FROM gl, UNNEST(l) AS g(g)
+            ),
+            df AS (SELECT g, count(*) AS d FROM grams GROUP BY g)
+            SELECT grams.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared
+            FROM grams JOIN df ON grams.g = df.g
+            GROUP BY grams.doc_id
         """,
         "inverted_index": """
             WITH tokens AS (

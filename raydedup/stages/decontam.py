@@ -166,3 +166,80 @@ def cross_corpus_exact_matches(ds, ref_ds, ref_key_col: str,
         return pa.table(cols)
 
     return ds.map_batches(match, batch_format="pyarrow")
+
+
+# per-worker cache of the broadcast duplicated-gram array
+_DUP_CACHE: dict[bytes, pa.Array] = {}
+
+
+def ngram_novelty(ds, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Inter-document redundancy score: per doc, the count of its
+    DISTINCT word n-grams (``n_grams``) and how many of those appear in
+    at least one OTHER doc (``n_shared``) — the corpus-level complement
+    of the intra-doc repetition_stats. Integer outputs keep the oracle
+    float-free; novelty = 1 - n_shared/n_grams is one division away.
+
+    Scale shape: gram document-frequencies reduce from per-batch
+    distinct-gram partials through a gram-keyed groupby (the irreducible
+    exchange); only grams with df >= 2 — bounded by cross-doc
+    duplication, not corpus size — broadcast back for the streaming
+    pc.is_in scoring pass (same dup-only-broadcast idea as exact dedup's
+    duplicate map). Docs with fewer than ``n`` tokens emit nothing
+    (they have no n-grams, matching the SQL)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for t in batch[text_col].to_pylist():
+            if t:
+                grams.extend(set(_ngrams(t, n)))
+        if not grams:
+            return pa.table({"gm": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64())})
+        vc = pc.value_counts(pa.array(grams, type=pa.string()))
+        return pa.table({"gm": vc.field("values"),
+                         "d": pc.cast(vc.field("counts"), pa.int64())})
+
+    df = (ds.select_columns([text_col])
+          .map_batches(partial_df, batch_format="pyarrow")
+          .groupby("gm").aggregate(Sum("d", alias_name="d")))
+    dup: list[str] = []
+    for b in df.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        dup.extend(pa.table(b).filter(
+            pc.greater_equal(b["d"], 2))["gm"].to_pylist())
+    dup_ref = ray.put(sorted(dup))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ck = dup_ref.binary()
+        arr = _DUP_CACHE.get(ck)
+        if arr is None:
+            arr = pa.array(ray.get(dup_ref), type=pa.string())
+            _DUP_CACHE.clear()
+            _DUP_CACHE[ck] = arr
+        flat: list[str] = []
+        lens: list[int] = []
+        rows: list[int] = []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            g = set(_ngrams(t, n)) if t else ()
+            if g:
+                flat.extend(g)
+                lens.append(len(g))
+                rows.append(i)
+        if not rows:
+            return pa.table({id_col: batch[id_col].take(
+                pa.array([], pa.int64())),
+                "n_grams": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64())})
+        hits = pc.is_in(pa.array(flat, pa.string()),
+                        value_set=arr).to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        shared = np.add.reduceat(hits.astype(np.int64), bounds)
+        return pa.table({id_col: batch[id_col].take(pa.array(rows,
+                                                             pa.int64())),
+                         "n_grams": pa.array(np.asarray(lens, np.int64)),
+                         "n_shared": pa.array(shared)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -707,3 +707,25 @@ def test_cross_corpus_exact_matches(ray_session):
     with _pt.raises(ValueError):
         cross_corpus_exact_matches(corpus, ref, ref_key_col="doc_id",
                                    out_col="rid")
+
+
+def test_ngram_novelty_counts(ray_session):
+    import ray.data
+
+    from raydedup.stages.decontam import ngram_novelty
+
+    tbl = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b c d",          # grams: 'a b c','b c d'
+            "x y a b c",        # grams: 'x y a','y a b','a b c'
+            "only two",         # < 3 tokens: omitted
+            "z z z z z",        # 'z z z' x3 -> ONE distinct gram, unshared
+        ],
+    })
+    got = {r["doc_id"]: r for r in ngram_novelty(
+        ray.data.from_arrow(tbl).repartition(3)).take_all()}
+    assert set(got) == {0, 1, 3}
+    assert got[0]["n_grams"] == 2 and got[0]["n_shared"] == 1  # 'a b c'
+    assert got[1]["n_grams"] == 3 and got[1]["n_shared"] == 1
+    assert got[3]["n_grams"] == 1 and got[3]["n_shared"] == 0
