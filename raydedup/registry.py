@@ -86,8 +86,15 @@ def _input_goldfile(path: str):
     return read_goldstandard(path)
 
 
+def _input_jsonl(path: str):
+    from raydedup.sources.transcripts import read_transcripts_jsonl
+
+    return read_transcripts_jsonl(path)
+
+
 supported_input_types = {
     "parquet": _input_parquet,     # ≡ warc/timemap ingest (engine-native)
+    "jsonl": _input_jsonl,          # engine addition: jsonl shards
     "documents": _input_documents,  # ≡ archiveit collection id
     "goldtest": _input_goldfile,    # ≡ gold-standard TSV datafile
     # ≡ "dir" resume input: CheckpointedRun re-opens a run directory

@@ -52,6 +52,38 @@ def read_transcripts(path: str):
     return ray.data.read_parquet(path)
 
 
+def read_transcripts_jsonl(path: str):
+    """JSON-lines transcript source (engine addition — web-scale corpora
+    frequently arrive as jsonl shards before any Parquet conversion).
+    Normalizes the loosely-typed JSON columns to the transcript schema:
+    turn_idx → int32, ts accepted as epoch-microseconds int or ISO
+    string → timestamp[us]; missing optional columns (role/tool) become
+    empty strings. Distributed read via ``ray.data.read_json``."""
+    ds = ray.data.read_json(path)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {"conv_id": pc.cast(batch["conv_id"], pa.string()),
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int32())}
+        for opt in ("role", "tool"):
+            cols[opt] = (pc.cast(batch[opt], pa.string())
+                         if opt in batch.column_names else
+                         pa.array([""] * batch.num_rows, pa.string()))
+        cols["text"] = pc.cast(batch["text"], pa.string())
+        if "ts" in batch.column_names:
+            # read_json may infer timestamps natively; otherwise accept
+            # epoch-microsecond ints or ISO strings (Arrow's string →
+            # timestamp cast parses ISO with either separator)
+            cols["ts"] = pc.cast(batch["ts"], pa.timestamp("us"))
+        else:
+            cols["ts"] = pa.array([0] * batch.num_rows,
+                                  pa.timestamp("us"))
+        return pa.table(cols)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def transcripts_from_documents(sf_dir: str):
     """documents.parquet → transcript Dataset (see TRANSCRIPTS_SQL)."""
     docs = ray.data.read_parquet(

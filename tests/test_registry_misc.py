@@ -160,3 +160,36 @@ def test_sql_stem_lookup_matches_porter_and_covers_testdata_vocab():
             for tok in word_re.findall(text)
         }
         assert vocab <= set(_PORTER_SQL_STEMS), vocab - set(_PORTER_SQL_STEMS)
+
+
+def test_jsonl_input_roundtrip(ray_session, tmp_path):
+    import json
+
+    import pyarrow as pa
+
+    from raydedup.registry import supported_input_types
+    from raydedup.sources.transcripts import generate_transcripts
+
+    tbl = generate_transcripts(n_convs=5, seed=3)
+    p = tmp_path / "t.jsonl"
+    with open(p, "w") as f:
+        for r in tbl.to_pylist():
+            r["ts"] = r["ts"].isoformat()  # ISO string path
+            f.write(json.dumps(r) + "\n")
+    ds = supported_input_types["jsonl"](str(p))
+    got = pa.Table.from_pylist(
+        sorted(ds.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"])))
+    want = pa.Table.from_pylist(
+        sorted(tbl.to_pylist(), key=lambda r: (r["conv_id"], r["turn_idx"])))
+    assert got["conv_id"] == want["conv_id"]
+    assert got["turn_idx"].to_pylist() == want["turn_idx"].to_pylist()
+    assert got["text"] == want["text"]
+    assert got["ts"].to_pylist() == want["ts"].to_pylist()
+    # missing optional columns default to empty strings
+    p2 = tmp_path / "t2.jsonl"
+    with open(p2, "w") as f:
+        f.write(json.dumps({"conv_id": "c", "turn_idx": 0,
+                            "text": "hi", "ts": 1_000_000}) + "\n")
+    (r,) = supported_input_types["jsonl"](str(p2)).take_all()
+    assert r["role"] == "" and r["tool"] == ""
+    assert r["ts"].timestamp() == 1.0
