@@ -498,6 +498,16 @@ def q_cross_corpus_matches(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "ref_doc_id"])
 
 
+def q_normalize_text(sf_dir: str):
+    """All-Arrow-kernel text canonicalization (lower / strip punct /
+    collapse whitespace / trim); oracle runs the identical RE2
+    expressions."""
+    from raydedup.stages.textstats import normalize_text
+
+    return normalize_text(_docs(sf_dir)).select_columns(
+        ["doc_id", "norm_text"])
+
+
 def q_ngram_novelty(sf_dir: str):
     """Per-doc inter-document redundancy: distinct 3-gram count and how
     many of those grams appear in another doc (df >= 2 grams broadcast
@@ -790,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "cross_corpus_matches": q_cross_corpus_matches,
         "ngram_novelty": q_ngram_novelty,
+        "normalize_text": q_normalize_text,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
@@ -1777,6 +1788,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.conv_id, t.turn_idx, d.doc_id AS ref_doc_id
             FROM transcripts t JOIN documents d ON t.text = d.text
             WHERE length(t.text) > 0
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[^0-9a-z\\s]', ' ',
+                                      'g'),
+                       '\\s+', ' ', 'g')) AS norm_text
+            FROM documents
         """,
         "ngram_novelty": """
             WITH arrs AS (

@@ -591,6 +591,28 @@ def characteristic_terms(ds, id_col: str = "doc_id",
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def normalize_text(ds, text_col: str = "text",
+                   out_col: str = "norm_text"):
+    """Canonical pre-dedup text normalization: lowercase, replace every
+    non-alphanumeric rune with a space, collapse whitespace runs, trim.
+    Implemented entirely in pyarrow.compute kernels (utf8_lower +
+    replace_substring_regex + utf8_trim_whitespace) — zero Python in the
+    batch path, zero copies out of the object store. Patterns are
+    RE2-compatible so the DuckDB oracle applies the identical
+    expressions; nulls pass through as nulls."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(batch[text_col].combine_chunks())
+        x = pc.replace_substring_regex(x, pattern=r"[^0-9a-z\s]",
+                                       replacement=" ")
+        x = pc.replace_substring_regex(x, pattern=r"\s+",
+                                       replacement=" ")
+        x = pc.utf8_trim_whitespace(x)
+        return batch.append_column(out_col, x)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 # --- sequence packing ------------------------------------------------------
 
 

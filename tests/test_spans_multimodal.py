@@ -729,3 +729,20 @@ def test_ngram_novelty_counts(ray_session):
     assert got[0]["n_grams"] == 2 and got[0]["n_shared"] == 1  # 'a b c'
     assert got[1]["n_grams"] == 3 and got[1]["n_shared"] == 1
     assert got[3]["n_grams"] == 1 and got[3]["n_shared"] == 0
+
+
+def test_normalize_text_kernels(ray_session):
+    import ray.data
+
+    from raydedup.stages.textstats import normalize_text
+
+    tbl = pa.table({"doc_id": [0, 1, 2, 3],
+                    "text": pa.array(["  Hello,   WORLD!! (x1)\t",
+                                      "already clean", "...", None],
+                                     pa.string())})
+    got = {r["doc_id"]: r["norm_text"] for r in
+           normalize_text(ray.data.from_arrow(tbl)).take_all()}
+    assert got[0] == "hello world x1"
+    assert got[1] == "already clean"
+    assert got[2] == ""            # punctuation-only collapses to empty
+    assert got[3] is None          # nulls pass through
