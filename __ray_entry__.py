@@ -747,6 +747,57 @@ def q_sessionize_events(sf_dir: str):
     return sessionize(ev, gap_sec=1800)
 
 
+def q_running_qty_per_part(sf_dir: str):
+    """Per-key running totals (SUM/COUNT OVER PARTITION BY .. ORDER BY
+    .. ROWS UNBOUNDED PRECEDING): cumulative shipped quantity per part
+    in shipdate order. l_quantity is integral, so the cast to int64
+    makes the running sum exact integer arithmetic on both sides —
+    bit-exact parity with the window-function oracle."""
+    import ray.data
+
+    from raydedup.stages.ordered import running_totals
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_linenumber",
+                 "l_shipdate", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("l_quantity")
+        return b.set_column(i, "qty", pc.cast(b["l_quantity"], pa.int64()))
+
+    out = running_totals(
+        li.map_batches(to_int, batch_format="pyarrow"),
+        by="l_partkey",
+        order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+        value_col="qty")
+    return out.select_columns(
+        ["l_partkey", "l_orderkey", "l_linenumber",
+         "running_n", "running_sum"])
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user gap to the previous event (ts - lag(ts), microseconds)
+    with deterministic (ts, event_id) ordering; first event per user
+    surfaces sentinel -1 so the value hash is null-free."""
+    import ray.data
+
+    from raydedup.stages.ordered import lag_delta
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    out = lag_delta(ev, by="user_id", ts_col="ts",
+                    tie_cols=["event_id"], out="gap_us")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("gap_us")
+        return batch.set_column(
+            i, "gap_us", pc.fill_null(batch["gap_us"], -1))
+
+    return out.map_batches(fill, batch_format="pyarrow").select_columns(
+        ["event_id", "user_id", "ts", "gap_us"])
+
+
 def q_multimodal_decode(sf_dir: str):
     """REAL image decode: genuine PPM payloads (closed-form content per
     doc_id) parsed by the numpy codec; the oracle recomputes width /
@@ -818,6 +869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": q_windowed_events,
         "sliding_window_events": q_sliding_window_events,
         "sessionize_events": q_sessionize_events,
+        "running_qty_per_part": q_running_qty_per_part,
+        "event_gaps": q_event_gaps,
     }
 
 
@@ -2054,6 +2107,25 @@ def oracle_sql() -> dict[str, str]:
                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
                        AS session_id
             FROM ordered
+        """,
+        "running_qty_per_part": """
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   count(*) OVER w AS running_n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+                       AS running_sum
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "event_gaps": """
+            SELECT event_id, user_id, ts,
+                   COALESCE(date_diff(
+                       'microsecond',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts), -1) AS gap_us
+            FROM events
         """,
         "langid": _langid_sql(),
         "fingerprints": _fingerprints_sql(),

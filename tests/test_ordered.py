@@ -1,0 +1,109 @@
+"""Per-key ordered scans (running_totals / lag_delta) vs brute-force
+oracles, including multi-block partitioning, string keys, null keys
+(own group — window semantics), and exact integer sums."""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from raydedup.stages.ordered import lag_delta, running_totals
+
+
+def _ds(rows: dict) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def test_running_totals_basic(ray_session):
+    ds = _ds({"k": [1, 1, 1, 2, 2], "t": [3, 1, 2, 5, 4],
+              "rid": [0, 1, 2, 3, 4], "v": [10, 20, 30, 40, 50]})
+    out = {r["rid"]: r for r in running_totals(
+        ds, by="k", order_cols=["t", "rid"], value_col="v").take_all()}
+    # key 1 ordered by t: rid 1 (v=20), rid 2 (v=30), rid 0 (v=10)
+    assert (out[1]["running_n"], out[1]["running_sum"]) == (1, 20)
+    assert (out[2]["running_n"], out[2]["running_sum"]) == (2, 50)
+    assert (out[0]["running_n"], out[0]["running_sum"]) == (3, 60)
+    # key 2 ordered by t: rid 4 then rid 3
+    assert (out[4]["running_n"], out[4]["running_sum"]) == (1, 50)
+    assert (out[3]["running_n"], out[3]["running_sum"]) == (2, 90)
+
+
+def test_running_totals_random_vs_oracle(ray_session):
+    rng = random.Random(11)
+    n = 500
+    k = [f"u{rng.randrange(9)}" for _ in range(n)]
+    t = [rng.randrange(40) for _ in range(n)]  # many ties → tie col used
+    v = [rng.randrange(-50, 100) for _ in range(n)]
+    ds = _ds({"k": k, "t": t, "rid": list(range(n)),
+              "v": v}).repartition(7)
+    got = {r["rid"]: (r["running_n"], r["running_sum"]) for r in
+           running_totals(ds, by="k", order_cols=["t", "rid"],
+                          value_col="v", num_partitions=5).take_all()}
+    assert len(got) == n
+    rows = sorted(zip(k, t, range(n), v))
+    seen = {}
+    for kk, _tt, rid, vv in rows:
+        cnt, s = seen.get(kk, (0, 0))
+        seen[kk] = (cnt + 1, s + vv)
+        assert got[rid] == seen[kk], rid
+
+
+def test_running_totals_null_key_groups_together(ray_session):
+    ds = _ds({"k": pa.array([None, 1, None], type=pa.int64()),
+              "t": [1, 1, 2], "rid": [0, 1, 2], "v": [5, 7, 9]})
+    out = {r["rid"]: r for r in running_totals(
+        ds, by="k", order_cols=["t", "rid"], value_col="v").take_all()}
+    # SQL PARTITION BY: nulls form one group (unlike join keys)
+    assert (out[0]["running_n"], out[0]["running_sum"]) == (1, 5)
+    assert (out[2]["running_n"], out[2]["running_sum"]) == (2, 14)
+    assert (out[1]["running_n"], out[1]["running_sum"]) == (1, 7)
+
+
+def test_running_totals_rejects_null_order_and_collision(ray_session):
+    ds = _ds({"k": [1], "t": pa.array([None], type=pa.int64()),
+              "v": [1], "running_n": [0]})
+    with pytest.raises(ValueError, match="collides"):
+        running_totals(ds, by="k", order_cols=["t"], value_col="v")
+    ds2 = _ds({"k": [1, 1], "t": pa.array([1, None], type=pa.int64()),
+               "v": [1, 2]})
+    with pytest.raises(Exception, match="null values in order col"):
+        running_totals(ds2, by="k", order_cols=["t"],
+                       value_col="v").take_all()
+
+
+def test_lag_delta_timestamps_and_ints(ray_session):
+    ts = pa.array(np.array([100, 250, 250, 900], dtype="datetime64[us]"))
+    ds = _ds({"k": [1, 1, 1, 2], "ts": ts, "rid": [0, 1, 2, 3]})
+    out = {r["rid"]: r["gap"] for r in lag_delta(
+        ds, by="k", ts_col="ts", tie_cols=["rid"]).take_all()}
+    assert out[0] is None          # first row of key 1
+    assert out[1] == 150           # 250 - 100 us
+    assert out[2] == 0             # equal ts, ordered by rid
+    assert out[3] is None          # only row of key 2
+    # plain int64 column works too
+    ds2 = _ds({"k": [7, 7], "t": [5, 12], "rid": [0, 1]})
+    out2 = {r["rid"]: r["gap"] for r in lag_delta(
+        ds2, by="k", ts_col="t", tie_cols=["rid"]).take_all()}
+    assert out2 == {0: None, 1: 7}
+
+
+def test_lag_delta_random_vs_oracle(ray_session):
+    rng = random.Random(23)
+    n = 400
+    k = [rng.randrange(6) for _ in range(n)]
+    t = [rng.randrange(30) for _ in range(n)]
+    ds = _ds({"k": k, "t": t, "rid": list(range(n))}).repartition(5)
+    got = {r["rid"]: r["gap"] for r in lag_delta(
+        ds, by="k", ts_col="t", tie_cols=["rid"],
+        num_partitions=3).take_all()}
+    assert len(got) == n
+    prev = {}
+    for kk, tt, rid in sorted(zip(k, t, range(n))):
+        if kk in prev:
+            assert got[rid] == tt - prev[kk], rid
+        else:
+            assert got[rid] is None, rid
+        prev[kk] = tt
