@@ -798,6 +798,48 @@ def q_event_gaps(sf_dir: str):
         ["event_id", "user_id", "ts", "gap_us"])
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped scan→partial-aggregate→merge over lineitem with
+    exact integer-cents money math (bit-exact vs the SQL oracle; see
+    stages/relational.py). Shuffle carries O(groups) rows only."""
+    import ray.data
+
+    from raydedup.stages.relational import pricing_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    return pricing_summary(li, cutoff_days=90)
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped pipeline: distributed lineitem⋈orders hash join
+    (pre-join projection + date predicate), customer⋈nation⋈region dim
+    chain collapsed to one broadcast custkey→nation lookup, exact
+    integer revenue sums."""
+    import datetime
+
+    import ray.data
+
+    from raydedup.stages.relational import revenue_by_nation
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet")
+    return revenue_by_nation(
+        li, orders, cust, nat, reg, region_name="ASIA",
+        date_lo=datetime.datetime(1996, 1, 1),
+        date_hi=datetime.datetime(1998, 1, 1))
+
+
 def q_multimodal_decode(sf_dir: str):
     """REAL image decode: genuine PPM payloads (closed-form content per
     doc_id) parsed by the numpy codec; the oracle recomputes width /
@@ -871,6 +913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "running_qty_per_part": q_running_qty_per_part,
         "event_gaps": q_event_gaps,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
     }
 
 
@@ -2126,6 +2170,47 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS gap_us
             FROM events
+        """,
+        "pricing_summary": """
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           AS ep,
+                       CAST(round(l_discount * 100, 0) AS BIGINT) AS disc,
+                       CAST(round(l_tax * 100, 0) AS BIGINT) AS tax
+                FROM lineitem
+                WHERE l_shipdate <= (SELECT max(l_shipdate) FROM lineitem)
+                                    - INTERVAL 90 DAY
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty,
+                   CAST(sum(ep) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(ep * (100 - disc)) AS BIGINT) AS sum_disc_e4,
+                   CAST(sum(ep * (100 - disc) * (100 + tax)) AS BIGINT)
+                       AS sum_charge_e6,
+                   count(*) AS count_order,
+                   CAST(CAST(sum(qty) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avg_qty,
+                   CAST(CAST(sum(ep) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avg_price_cents
+            FROM c GROUP BY 1, 2
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, count(*) AS n_rows,
+                   CAST(sum(
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                   ) AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1998-01-01'
+            GROUP BY 1
         """,
         "langid": _langid_sql(),
         "fingerprints": _fingerprints_sql(),

@@ -1,0 +1,253 @@
+"""General relational pipelines over the TPC-H-shaped tables — the
+engine's demonstration that classic scan→join→aggregate queries are
+first-class alongside the dedup operators (the reference's measure
+tables are tiny; a 100-TB curation run also needs fact-table joins for
+metadata enrichment and per-source accounting).
+
+Execution shape:
+
+* ``pricing_summary`` (TPC-H Q1 shape): pruned read → per-batch Arrow
+  ``Table.group_by`` partial aggregation (a handful of groups, so each
+  batch collapses to a few rows BEFORE the shuffle) → tiny global
+  ``groupby().aggregate`` → derived averages. The shuffle moves
+  O(groups × blocks) rows, never the fact table.
+* ``revenue_by_nation`` (TPC-H Q5 shape): big-big hash join
+  (lineitem ⋈ orders via ``Dataset.join``) with pre-join projection +
+  row-group predicate pushdown, then a broadcast dim chain
+  (customer ⋈ nation ⋈ region collapsed to one custkey→nation lookup
+  shipped once via ``ray.put``) and the same partial-then-merge
+  aggregate. Dims are genuinely small sides (25 nations, 5 regions,
+  customers ≪ facts); above ``broadcast_limit`` customers the code
+  switches the customer side to a second ``Dataset.join`` instead of a
+  driver lookup.
+
+Exactness: money columns are fixed-point decimals (2 dp), so all sums
+run in integer cents — ``sum_base_cents`` (¢), ``sum_disc_e4``
+(¢ × discount%, 1e-4 units), ``sum_charge_e6`` (1e-6 units) — exact
+int64 arithmetic that bit-matches a SQL oracle regardless of
+accumulation order. int64 holds the e6-scaled charge up to ~8e7 rows
+per group; beyond that emit the e4/e2 columns or widen to float with a
+documented tolerance. Averages are exact-int ÷ exact-int in float64 —
+the same two operands on both sides, hence bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(col: pa.ChunkedArray) -> np.ndarray:
+    """Exact 2-dp decimal column → integer cents (int64). The doubles
+    are the nearest-representable of 2-dp decimals, so *100 lands
+    within 1 ulp of the integer and rint recovers it exactly."""
+    v = col.combine_chunks().to_numpy(zero_copy_only=False)
+    return np.rint(v * 100.0).astype(np.int64)
+
+
+def pricing_summary(lineitem, cutoff_days: int | None = None):
+    """TPC-H Q1-shaped pricing summary report.
+
+    → Dataset(l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+    sum_disc_e4, sum_charge_e6, avg_qty, avg_price_cents, count_order)
+    where disc_price = price·(1−discount) and charge =
+    disc_price·(1+tax), carried in scaled integers (see module
+    docstring). ``cutoff_days`` optionally keeps only rows with
+    ``l_shipdate <= max_date − cutoff_days`` (Q1's DELTA predicate) —
+    applied per batch; at 100 TB pass a literal date filter to the read
+    instead so row groups prune.
+    """
+    from ray.data.aggregate import Sum
+
+    keys = ["l_returnflag", "l_linestatus"]
+
+    cutoff = None
+    if cutoff_days is not None:
+        import datetime
+
+        hi = lineitem.max("l_shipdate")
+        cutoff = hi - datetime.timedelta(days=cutoff_days)
+
+    sums = ["sum_qty", "sum_base_cents", "sum_disc_e4", "sum_charge_e6",
+            "count_order"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if cutoff is not None:
+            b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(cutoff)))
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        ep = _cents(b["l_extendedprice"])
+        disc = _cents(b["l_discount"])
+        tax = _cents(b["l_tax"])
+        disc_e4 = ep * (100 - disc)
+        charge_e6 = disc_e4 * (100 + tax)
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": qty,
+            "sum_base_cents": pa.array(ep),
+            "sum_disc_e4": pa.array(disc_e4),
+            "sum_charge_e6": pa.array(charge_e6),
+            "count_order": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+        agg = t.group_by(keys).aggregate([(c, "sum") for c in sums])
+        # select by NAME (pyarrow emits "<col>_sum" + keys; relying on
+        # positional order would break across pyarrow versions)
+        return pa.table({**{c: agg[f"{c}_sum"] for c in sums},
+                         **{k: agg[k] for k in keys}})
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    merged = partials.groupby(keys).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+        Sum("sum_charge_e6", alias_name="sum_charge_e6"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "count_order" not in b.column_names:
+            # zero-row blocks can carry the pre-map schema
+            return pa.table(
+                {**{k: pa.array([], pa.string()) for k in keys},
+                 **{c: pa.array([], pa.int64()) for c in sums},
+                 "avg_qty": pa.array([], pa.float64()),
+                 "avg_price_cents": pa.array([], pa.float64())})
+        n = b["count_order"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        q = b["sum_qty"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        p = b["sum_base_cents"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return b.append_column("avg_qty", pa.array(q / n)).append_column(
+            "avg_price_cents", pa.array(p / n))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_by_nation(lineitem, orders, customer, nation, region,
+                      region_name: str | None = None,
+                      date_lo=None, date_hi=None,
+                      num_partitions: int | None = None,
+                      broadcast_limit: int = 5_000_000):
+    """TPC-H Q5-shaped revenue rollup: lineitem ⋈ orders ⋈ customer ⋈
+    nation (⋈ region filter) → Dataset(n_name, n_rows, revenue_e4).
+
+    ``revenue_e4`` = Σ price·(1−discount) in exact 1e-4 units (integer
+    cents × integer discount%). The customer→nation chain collapses to
+    one broadcast int64→string lookup when the customer table is under
+    ``broadcast_limit`` rows; the lineitem⋈orders fact join is always a
+    distributed hash join.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        # Ray 2.49's hash join DEADLOCKS when num_partitions far exceeds
+        # the cluster's CPUs (measured: 4× CPUs fine, 8× hangs — the
+        # aggregator pool starves the upstream map tasks). Auto-size to
+        # 2× CPUs; on a multi-node cluster pass an explicit value sized
+        # to total cores ÷ per-partition memory.
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(32, 2 * ncpu))
+
+    # --- dim chain: nation (⋈ region) → custkey → n_name lookup -------
+    nat = nation.to_arrow_refs()
+    nat_t = pa.concat_tables([ray.get(r) for r in nat])
+    if region_name is not None:
+        reg_t = pa.concat_tables([ray.get(r) for r in region.to_arrow_refs()])
+        keep = reg_t.filter(
+            pc.equal(reg_t["r_name"], region_name))["r_regionkey"]
+        nat_t = nat_t.filter(pc.is_in(nat_t["n_regionkey"],
+                                      value_set=keep.combine_chunks()))
+    nkey_to_name = dict(zip(nat_t["n_nationkey"].to_pylist(),
+                            nat_t["n_name"].to_pylist()))
+
+    if customer.count() > broadcast_limit:
+        raise NotImplementedError(
+            "customer side above broadcast_limit: route through a second "
+            "Dataset.join on o_custkey (same shape as the fact join)")
+    cust_t = pa.concat_tables(
+        [ray.get(r) for r in customer.select_columns(
+            ["c_custkey", "c_nationkey"]).to_arrow_refs()])
+    nat_keys = np.asarray(sorted(nkey_to_name), dtype=np.int64)
+    nat_names = np.asarray([nkey_to_name[k] for k in nat_keys],
+                           dtype=object)
+    cnk = cust_t["c_nationkey"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if len(nat_keys):
+        pos_c = np.clip(np.searchsorted(nat_keys, cnk),
+                        0, len(nat_keys) - 1)
+        hit = nat_keys[pos_c] == cnk
+    else:
+        pos_c = np.zeros(len(cnk), dtype=np.int64)
+        hit = np.zeros(len(cnk), dtype=bool)
+    ck_all = cust_t["c_custkey"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)[hit]
+    nn_all = nat_names[pos_c[hit]]
+    # sorted ONCE on the driver; tasks binary-search the shared arrays
+    order = np.argsort(ck_all, kind="stable")
+    lookup_keys = ray.put(ck_all[order])
+    lookup_names = ray.put(nn_all[order])
+
+    # --- fact side: prune + pre-aggregate projection ------------------
+    def ord_proj(b: pa.Table) -> pa.Table:
+        m = None
+        if date_lo is not None:
+            m = pc.greater_equal(b["o_orderdate"], pa.scalar(date_lo))
+        if date_hi is not None:
+            hi = pc.less(b["o_orderdate"], pa.scalar(date_hi))
+            m = hi if m is None else pc.and_(m, hi)
+        if m is not None:
+            b = b.filter(m)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]})
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        ep = _cents(b["l_extendedprice"])
+        disc = _cents(b["l_discount"])
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_e4": pa.array(ep * (100 - disc))})
+
+    ord_small = orders.map_batches(ord_proj, batch_format="pyarrow")
+    li_small = lineitem.map_batches(li_proj, batch_format="pyarrow")
+    joined = li_small.join(ord_small, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "revenue_e4": pa.array([], pa.int64())})
+        keys = ray.get(lookup_keys)
+        names = ray.get(lookup_names)
+        if len(keys) == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "revenue_e4": pa.array([], pa.int64())})
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        hit = keys[pos_c] == ck
+        if not hit.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "revenue_e4": pa.array([], pa.int64())})
+        rev = b["rev_e4"].to_numpy(zero_copy_only=False)[hit]
+        nn = names[pos_c[hit]]
+        t = pa.table({"n_name": pa.array(nn, pa.string()),
+                      "n_rows": pa.array(
+                          np.ones(int(hit.sum()), dtype=np.int64)),
+                      "revenue_e4": pa.array(rev)})
+        agg = t.group_by(["n_name"]).aggregate(
+            [("n_rows", "sum"), ("revenue_e4", "sum")])
+        return pa.table({"n_name": agg["n_name"],
+                         "n_rows": agg["n_rows_sum"],
+                         "revenue_e4": agg["revenue_e4_sum"]})
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("n_name").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("revenue_e4", alias_name="revenue_e4"),
+    )

@@ -1,0 +1,102 @@
+"""Relational pipelines (pricing_summary / revenue_by_nation) on small
+synthetic tables: exact integer money math, cutoff filtering, dim-chain
+filtering, unmatched keys, and the broadcast-limit guard."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from raydedup.stages.relational import pricing_summary, revenue_by_nation
+
+
+def _ds(rows: dict) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def _li(n, seed=3):
+    rng = np.random.default_rng(seed)
+    d0 = datetime.datetime(1996, 1, 1)
+    return {
+        "l_orderkey": rng.integers(1, 20, n),
+        "l_returnflag": [["A", "N", "R"][i % 3] for i in range(n)],
+        "l_linestatus": [["F", "O"][i % 2] for i in range(n)],
+        "l_quantity": rng.integers(1, 50, n).astype(float),
+        "l_extendedprice": np.round(rng.uniform(1, 1000, n), 2),
+        "l_discount": np.round(rng.integers(0, 11, n) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n) / 100.0, 2),
+        "l_shipdate": [d0 + datetime.timedelta(days=int(x))
+                       for x in rng.integers(0, 400, n)],
+    }
+
+
+def test_pricing_summary_exact_vs_brute(ray_session):
+    rows = _li(300)
+    out = {(r["l_returnflag"], r["l_linestatus"]): r
+           for r in pricing_summary(
+               _ds(rows).repartition(5), cutoff_days=100).take_all()}
+    hi = max(rows["l_shipdate"]) - datetime.timedelta(days=100)
+    brute = {}
+    for i in range(300):
+        if rows["l_shipdate"][i] > hi:
+            continue
+        k = (rows["l_returnflag"][i], rows["l_linestatus"][i])
+        ep = round(rows["l_extendedprice"][i] * 100)
+        disc = round(rows["l_discount"][i] * 100)
+        tax = round(rows["l_tax"][i] * 100)
+        agg = brute.setdefault(k, [0, 0, 0, 0, 0])
+        agg[0] += int(rows["l_quantity"][i])
+        agg[1] += ep
+        agg[2] += ep * (100 - disc)
+        agg[3] += ep * (100 - disc) * (100 + tax)
+        agg[4] += 1
+    assert set(out) == set(brute)
+    for k, (sq, sb, sd, sc, n) in brute.items():
+        r = out[k]
+        assert (r["sum_qty"], r["sum_base_cents"], r["sum_disc_e4"],
+                r["sum_charge_e6"], r["count_order"]) == (sq, sb, sd, sc, n)
+        assert r["avg_qty"] == sq / n
+        assert r["avg_price_cents"] == sb / n
+
+
+def test_revenue_by_nation_dim_chain_and_filters(ray_session):
+    li = _ds({"l_orderkey": [1, 1, 2, 3, 4],
+              "l_extendedprice": [10.00, 20.00, 30.00, 40.00, 50.00],
+              "l_discount": [0.10, 0.00, 0.05, 0.00, 0.00]})
+    orders = _ds({"o_orderkey": [1, 2, 3, 4],
+                  "o_custkey": [100, 200, 300, 999],
+                  "o_orderdate": [datetime.datetime(1996, 6, 1),
+                                  datetime.datetime(1996, 6, 1),
+                                  datetime.datetime(1990, 1, 1),
+                                  datetime.datetime(1996, 6, 1)]})
+    # cust 100 → nation 1 (region 1), 200 → nation 2 (region 2),
+    # 300 → nation 1; order 4's custkey 999 has no customer row
+    cust = _ds({"c_custkey": [100, 200, 300],
+                "c_nationkey": [1, 2, 1]})
+    nat = _ds({"n_nationkey": [1, 2], "n_name": ["ALPHA", "BETA"],
+               "n_regionkey": [1, 2]})
+    reg = _ds({"r_regionkey": [1, 2], "r_name": ["EAST", "WEST"]})
+    got = {r["n_name"]: r for r in revenue_by_nation(
+        li, orders, cust, nat, reg, region_name="EAST",
+        date_lo=datetime.datetime(1996, 1, 1),
+        date_hi=datetime.datetime(1997, 1, 1)).take_all()}
+    # order 3 fails the date filter, nation BETA fails the region
+    # filter, order 4 has no customer → only order 1's two lines remain
+    assert set(got) == {"ALPHA"}
+    assert got["ALPHA"]["n_rows"] == 2
+    assert got["ALPHA"]["revenue_e4"] == 1000 * 90 + 2000 * 100
+
+
+def test_revenue_by_nation_broadcast_limit_guard(ray_session):
+    li = _ds({"l_orderkey": [1], "l_extendedprice": [1.0],
+              "l_discount": [0.0]})
+    orders = _ds({"o_orderkey": [1], "o_custkey": [1],
+                  "o_orderdate": [datetime.datetime(1996, 1, 1)]})
+    cust = _ds({"c_custkey": [1, 2], "c_nationkey": [1, 1]})
+    nat = _ds({"n_nationkey": [1], "n_name": ["X"], "n_regionkey": [1]})
+    reg = _ds({"r_regionkey": [1], "r_name": ["R"]})
+    with pytest.raises(NotImplementedError, match="broadcast_limit"):
+        revenue_by_nation(li, orders, cust, nat, reg, broadcast_limit=1)
