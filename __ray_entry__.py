@@ -675,6 +675,36 @@ def q_asof_clicks_purchases(sf_dir: str):
         ["event_id", "user_id", "ts", "r_event_id", "r_value"])
 
 
+def q_asof_clicks_purchases_bucketed(sf_dir: str):
+    """The asof hot-key SCALE path: same join as asof_clicks_purchases
+    but partitioned by (key-hash, time-bucket) with the prefix-carry
+    pass (time_buckets=8) — the oracle is identical, proving the
+    bucketed path bit-matches the default."""
+    import ray.data
+
+    from raydedup.stages.asof import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+    left = (ev.filter(expr="event_type == 'click'")
+            .drop_columns(["event_type", "value"]))
+    right = ev.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"])
+    out = asof_join(left, right, by="user_id", on="ts",
+                    tie_col="event_id", time_buckets=8,
+                    num_partitions=16)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        for c, v in (("r_event_id", -1), ("r_value", -1.0)):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, pc.fill_null(batch[c], v))
+        return batch
+
+    return out.map_batches(fill, batch_format="pyarrow").select_columns(
+        ["event_id", "user_id", "ts", "r_event_id", "r_value"])
+
+
 def q_range_join_events(sf_dir: str):
     """Range (interval-containment) join: each click joins every purchase
     window [purchase_ts, purchase_ts + 1 day] of the same user —
@@ -907,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         "asof_clicks_purchases": q_asof_clicks_purchases,
+        "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
         "range_join_events": q_range_join_events,
         "windowed_events": q_windowed_events,
         "sliding_window_events": q_sliding_window_events,
@@ -1252,7 +1283,7 @@ def _long_span_sql(span: int) -> str:
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "exact_dedup_survivors": """
             SELECT min(CAST(doc_id AS VARCHAR)) AS row_key
@@ -2281,3 +2312,12 @@ def oracle_sql() -> dict[str, str]:
         # value-level parity is covered by tests/test_pipeline.py against
         # the single-process oracle → rows-only here.
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    oracles = _oracle_sql_base()
+    # the bucketed asof scale path answers the same question — one SQL
+    # truth, two execution paths
+    oracles["asof_clicks_purchases_bucketed"] = (
+        oracles["asof_clicks_purchases"])
+    return oracles

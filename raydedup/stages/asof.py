@@ -13,9 +13,13 @@ call. At 100 TB with millions of keys this is the difference between
 
 Partitioning assumption (documented per the brief): one hash PARTITION
 (not one group) fits in a worker; raise ``num_partitions`` to shrink
-partitions. A single pathological hot key still lands in one partition —
-a secondary time-bucket split with boundary carry-over would be the next
-step; not implemented.
+partitions. For ``asof_join`` a single pathological hot key is handled
+by ``time_buckets=B`` — a secondary equal-width time-bucket split with
+a prefix-carry pass (see the function docstring) that spreads the key
+over B partitions while keeping output identical. ``interval_join``
+still co-locates each key in one partition; the analogous split would
+replicate intervals into every bucket they overlap (bounded by
+span/bucket_width + 1) — not implemented.
 
 Tie semantics (asof): at equal ``on`` the right row still matches
 (inclusive); among right rows sharing the same ``on`` value, the one
@@ -70,12 +74,44 @@ def _pad0(n: int, t: pa.DataType) -> pa.Array:
     return pc.cast(pa.array(np.zeros(n, dtype=np.int64)), t)
 
 
+def _scalar_i64(v) -> int | None:
+    """Aggregate min/max scalar (int or datetime-like) → int64 (us)."""
+    if v is None:
+        return None
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return int(np.datetime64(v, "us").astype(np.int64))
+
+
+def _on_i64(arr: np.ndarray) -> np.ndarray:
+    """On-column numpy values → int64 (us for datetimes)."""
+    if arr.dtype.kind == "M":
+        return arr.astype("datetime64[us]").astype(np.int64)
+    return arr.astype(np.int64)
+
+
 def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
-              tie_col: str | None = None, num_partitions: int = 64):
+              tie_col: str | None = None, num_partitions: int = 64,
+              time_buckets: int | None = None):
     """Backward (inclusive) as-of join of two Datasets. Emits every left
     row with its left columns plus the matched right row's non-``by``
     columns renamed ``rsuffix + name`` (nulls when the key has no right
-    row at or before the left row's ``on``)."""
+    row at or before the left row's ``on``).
+
+    ``time_buckets=B`` (B > 1) enables the hot-key scale path: rows are
+    partitioned by (key-hash, time-bucket) — B equal-width slices of the
+    global ``on`` range — so a single pathological key spreads over B
+    partitions instead of melting one worker. Correctness across bucket
+    boundaries comes from a prefix-carry pass: per (key, bucket) the
+    best right row (max ``on``, then ``tie_col``) is extracted (a
+    dataset of at most keys × B rows), and each such row is replicated
+    into the buckets after it up to the key's next right-occupied bucket
+    (bounded fan-out ≤ B per key) — exactly the row a left row at the
+    start of a later bucket would otherwise miss. Total partitions
+    become ``num_partitions × B``; output is identical to the default
+    path (asserted by tests). Costs two extra passes over the small
+    best-rows dataset plus a min/max aggregate of ``on`` per side.
+    """
     lschema = left.schema()
     rschema = right.schema()
     lcols = list(lschema.names)
@@ -88,13 +124,41 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
     if tie_col is not None and tie_col not in rcols:
         raise ValueError(f"tie_col {tie_col!r} not a right column")
 
+    B = time_buckets if time_buckets and time_buckets > 1 else 1
+    lo = width = None
+    if B > 1:
+        from ray.data.aggregate import Max, Min
+
+        los, his = [], []
+        for side in (left, right):
+            mm = side.aggregate(Min(on, alias_name="lo"),
+                                Max(on, alias_name="hi"))
+            los.append(_scalar_i64(mm["lo"]))
+            his.append(_scalar_i64(mm["hi"]))
+        los = [v for v in los if v is not None]
+        his = [v for v in his if v is not None]
+        if not los or not his:
+            B = 1  # an empty side: nothing to bucket
+        else:
+            lo = min(los)
+            width = max(max(his) - lo, 0) + 1
+
+    def _pid(keycol, on_pa) -> pa.Array:
+        base = _part_array(keycol, num_partitions)
+        if B == 1:
+            return base
+        t = _on_i64(on_pa.to_numpy(zero_copy_only=False))
+        bkt = np.clip((t - lo) * B // width, 0, B - 1)
+        return pa.array(base.to_numpy(zero_copy_only=False) * B + bkt)
+
     def norm_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        cols = {by: batch[by], "__on": batch[on].combine_chunks(),
+        onc = batch[on].combine_chunks()
+        cols = {by: batch[by], "__on": onc,
                 "__side": pa.array(np.ones(n, dtype=np.int8)),
                 "__tie": _pad0(n, rtypes[tie_col]) if tie_col else
                 pa.array(np.zeros(n, dtype=np.int8)),
-                "__part": _part_array(batch[by], num_partitions)}
+                "__part": _pid(batch[by], onc)}
         for c in lcols:
             if c not in (by, on):
                 cols[c] = batch[c]
@@ -104,11 +168,12 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
 
     def norm_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        cols = {by: batch[by], "__on": batch[on].combine_chunks(),
+        onc = batch[on].combine_chunks()
+        cols = {by: batch[by], "__on": onc,
                 "__side": pa.array(np.zeros(n, dtype=np.int8)),
                 "__tie": batch[tie_col] if tie_col else
                 pa.array(np.zeros(n, dtype=np.int8)),
-                "__part": _part_array(batch[by], num_partitions)}
+                "__part": _pid(batch[by], onc)}
         for c in lcols:
             if c not in (by, on):
                 cols[c] = pa.nulls(n, ltypes[c])
@@ -161,8 +226,91 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
             cols[oc] = g[oc].take(ri)
         return pa.table(cols)
 
-    unioned = (left.map_batches(norm_left, batch_format="pyarrow")
-               .union(right.map_batches(norm_right, batch_format="pyarrow")))
+    left_norm = left.map_batches(norm_left, batch_format="pyarrow")
+    right_norm = right.map_batches(norm_right, batch_format="pyarrow")
+    unioned = left_norm.union(right_norm)
+
+    if B > 1:
+        norm_types = {by: ltypes[by], "__on": ltypes[on],
+                      "__side": pa.int8(),
+                      "__tie": rtypes[tie_col] if tie_col else pa.int8(),
+                      "__part": pa.int64()}
+        for c in lcols:
+            if c not in (by, on):
+                norm_types[c] = ltypes[c]
+        for c, oc in zip(rcols, out_rcols):
+            norm_types[oc] = rtypes[c]
+
+        def empty_norm() -> pa.Table:
+            return pa.table({c: pa.array([], t)
+                             for c, t in norm_types.items()})
+
+        def best_rows(g: pa.Table) -> pa.Table:
+            """Per (key, bucket) partition: the right row a LATER bucket
+            would carry — max (__on, __tie) per key (one __part = one
+            bucket, so a key has one best row here)."""
+            if g.num_rows == 0 or "__side" not in g.column_names:
+                return empty_norm()
+            codes, keynull = _group_codes(g[by])
+            ts = g["__on"].to_numpy(zero_copy_only=False)
+            tie = g["__tie"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tie, ts, codes))
+            codes_s = codes[order]
+            is_end = np.r_[codes_s[1:] != codes_s[:-1], True]
+            sel = order[is_end]
+            sel = sel[~keynull[sel]]
+            return g.take(pa.array(sel)) if len(sel) else empty_norm()
+
+        def fanout(g: pa.Table) -> pa.Table:
+            """Per key-hash partition of best rows: replicate each
+            bucket's best into the buckets after it, up to the key's
+            next right-occupied bucket (bounded ≤ B per key). Bucket
+            on-ranges are disjoint and increasing, so the carry into
+            any bucket is exactly the best of the nearest earlier
+            occupied bucket."""
+            if g.num_rows == 0 or "__part" not in g.column_names:
+                return empty_norm()
+            codes, _ = _group_codes(g[by])
+            part = g["__part"].to_numpy(zero_copy_only=False)
+            bkt = part % B
+            kp = part // B
+            order = np.lexsort((bkt, codes))
+            codes_s = codes[order]
+            b_s = bkt[order]
+            is_end = np.r_[codes_s[1:] != codes_s[:-1], True]
+            nxt = np.r_[b_s[1:], np.int64(B - 1)]
+            nxt[is_end] = B - 1
+            counts = nxt - b_s
+            total = int(counts.sum())
+            if total == 0:
+                return empty_norm()
+            src = np.repeat(np.arange(len(order)), counts)
+            cum = np.concatenate(([0], np.cumsum(counts)))
+            within = np.arange(total) - np.repeat(cum[:-1], counts)
+            targets = b_s[src] + 1 + within
+            rows = order[src]
+            newpid = kp[order][src] * B + targets
+            t = g.take(pa.array(rows)).drop_columns(["__kp"])
+            i = t.schema.get_field_index("__part")
+            return t.set_column(i, "__part", pa.array(newpid))
+
+        best = right_norm.groupby("__part").map_groups(
+            best_rows, batch_format="pyarrow")
+
+        def add_kp(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "__part" not in b.column_names:
+                # zero-row blocks can carry the pre-map schema
+                return empty_norm().append_column(
+                    "__kp", pa.array([], pa.int64()))
+            kp = b["__part"].combine_chunks().to_numpy(
+                zero_copy_only=False) // B
+            return b.append_column("__kp", pa.array(kp, type=pa.int64()))
+
+        carries = (best.map_batches(add_kp, batch_format="pyarrow")
+                   .groupby("__kp").map_groups(fanout,
+                                               batch_format="pyarrow"))
+        unioned = unioned.union(carries)
+
     return unioned.groupby("__part").map_groups(merge,
                                                 batch_format="pyarrow")
 

@@ -192,3 +192,71 @@ def test_interval_join_null_keys(ray_session):
            interval_join(pts, iv, by="k", ts_col="t", start_col="s",
                          end_col="e").take_all()}
     assert got == {(0, 100)}              # null keys joined nothing
+
+
+def test_asof_time_buckets_equals_default_random(ray_session):
+    import random
+
+    rng = random.Random(31)
+    n_l, n_r = 400, 150
+    lk = [f"u{rng.randrange(6)}" for _ in range(n_l)]
+    lt = [rng.randrange(1000) for _ in range(n_l)]
+    rk = [f"u{rng.randrange(6)}" for _ in range(n_r)]
+    rt = [rng.randrange(1000) for _ in range(n_r)]
+    left = _ds({"k": lk, "t": lt, "lid": list(range(n_l))}).repartition(6)
+    right = _ds({"k": rk, "t": rt, "rid": list(range(n_r)),
+                 "v": [float(i) for i in range(n_r)]}).repartition(4)
+
+    def run(**kw):
+        return sorted(
+            (r["lid"], r["r_rid"], r["r_t"], r["r_v"])
+            for r in asof_join(left, right, by="k", on="t",
+                               tie_col="rid", **kw).take_all())
+
+    base = run()
+    assert run(time_buckets=5, num_partitions=8) == base
+    # B larger than the distinct-time count still works
+    assert run(time_buckets=64, num_partitions=3) == base
+
+
+def test_asof_time_buckets_hot_key(ray_session):
+    import random
+
+    rng = random.Random(47)
+    # one pathological key holds ~all rows; ties included
+    n = 3000
+    lt = [rng.randrange(500) for _ in range(n)]
+    rt = [rng.randrange(500) for _ in range(n // 3)]
+    left = _ds({"k": ["hot"] * n, "t": lt,
+                "lid": list(range(n))}).repartition(8)
+    right = _ds({"k": ["hot"] * (n // 3), "t": rt,
+                 "rid": list(range(n // 3))}).repartition(8)
+    got = {r["lid"]: r["r_rid"] for r in
+           asof_join(left, right, by="k", on="t", tie_col="rid",
+                     time_buckets=16, num_partitions=4).take_all()}
+    assert len(got) == n
+    # brute-force oracle
+    cands = sorted(zip(rt, range(len(rt))))
+    import bisect
+
+    for lid, t in enumerate(lt):
+        i = bisect.bisect_right(cands, (t, float("inf")))
+        expect = cands[i - 1][1] if i else None
+        assert got[lid] == expect, (lid, t)
+
+
+def test_asof_time_buckets_degenerate_cases(ray_session):
+    # all timestamps equal (zero width); empty right side
+    left = _ds({"k": [1, 2], "t": [7, 7], "lid": [0, 1]})
+    right = _ds({"k": [1], "t": [7], "rid": [9]})
+    out = {r["lid"]: r["r_rid"] for r in
+           asof_join(left, right, by="k", on="t", tie_col="rid",
+                     time_buckets=8).take_all()}
+    assert out == {0: 9, 1: None}
+    empty = _ds({"k": [1], "t": [1], "rid": [1]}).filter(
+        expr="k == 99")
+    out2 = [r for r in asof_join(left, empty, by="k", on="t",
+                                 tie_col="rid",
+                                 time_buckets=8).take_all()]
+    assert sorted(r["lid"] for r in out2) == [0, 1]
+    assert all(r["r_rid"] is None for r in out2)
