@@ -734,6 +734,36 @@ def q_range_join_events(sf_dir: str):
         ["event_id", "user_id", "ts", "r_iv_id", "r_iv_value"])
 
 
+def q_range_join_events_bucketed(sf_dir: str):
+    """The interval-join hot-key SCALE path: same join as
+    range_join_events but with (key-hash, time-bucket) partitioning and
+    bounded interval replication (time_buckets=8) — identical BETWEEN
+    oracle proves the bucketed path bit-matches the default."""
+    import ray.data
+
+    from raydedup.stages.asof import interval_join
+
+    base = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_id", "ts", "user_id",
+                                          "event_type", "value"])
+    pts = (base.filter(expr="event_type == 'click'")
+           .drop_columns(["event_type", "value"]))
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        end = pc.add(b["ts"], pa.scalar(86400_000_000, pa.duration("us")))
+        return pa.table({"user_id": b["user_id"], "start": b["ts"],
+                         "end": end, "iv_id": b["event_id"],
+                         "iv_value": b["value"]})
+
+    iv = base.filter(expr="event_type == 'purchase'").map_batches(
+        mk_iv, batch_format="pyarrow")
+    out = interval_join(pts, iv, by="user_id", ts_col="ts",
+                        start_col="start", end_col="end",
+                        time_buckets=8, num_partitions=16)
+    return out.select_columns(
+        ["event_id", "user_id", "ts", "r_iv_id", "r_iv_value"])
+
+
 def q_windowed_events(sf_dir: str):
     import ray.data
 
@@ -939,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
         "range_join_events": q_range_join_events,
+        "range_join_events_bucketed": q_range_join_events_bucketed,
         "windowed_events": q_windowed_events,
         "sliding_window_events": q_sliding_window_events,
         "sessionize_events": q_sessionize_events,
@@ -2320,4 +2351,5 @@ def oracle_sql() -> dict[str, str]:
     # truth, two execution paths
     oracles["asof_clicks_purchases_bucketed"] = (
         oracles["asof_clicks_purchases"])
+    oracles["range_join_events_bucketed"] = oracles["range_join_events"]
     return oracles

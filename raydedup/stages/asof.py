@@ -17,9 +17,9 @@ partitions. For ``asof_join`` a single pathological hot key is handled
 by ``time_buckets=B`` — a secondary equal-width time-bucket split with
 a prefix-carry pass (see the function docstring) that spreads the key
 over B partitions while keeping output identical. ``interval_join``
-still co-locates each key in one partition; the analogous split would
-replicate intervals into every bucket they overlap (bounded by
-span/bucket_width + 1) — not implemented.
+takes the same parameter: points bucket by ts and intervals replicate
+into every bucket they overlap (fan-out bounded by
+span/bucket_width + 1), meeting each matching point exactly once.
 
 Tie semantics (asof): at equal ``on`` the right row still matches
 (inclusive); among right rows sharing the same ``on`` value, the one
@@ -317,7 +317,8 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
 
 def interval_join(points, intervals, by: str, ts_col: str,
                   start_col: str, end_col: str, rsuffix: str = "r_",
-                  num_partitions: int = 64):
+                  num_partitions: int = 64,
+                  time_buckets: int | None = None):
     """Range (interval-containment) join: every point row joins every
     interval row of the same ``by`` key with ``start <= ts <= end``
     (inclusive, many-to-many) — the brief's "range join".
@@ -330,6 +331,15 @@ def interval_join(points, intervals, by: str, ts_col: str,
     would be needed for wildly mixed lengths). Groups are processed
     per hash PARTITION (see module docstring): the per-group work inside
     a partition is a handful of numpy calls on sorted views.
+
+    ``time_buckets=B`` (B > 1) enables the hot-key scale path: points
+    partition by (key-hash, time-bucket of ts); each interval is
+    REPLICATED into every bucket its [start, end] overlaps (fan-out
+    bounded by span/bucket_width + 1; intervals outside the points'
+    global ts range are dropped, null-bounded intervals never match).
+    A matching (point, interval) pair meets in exactly one partition —
+    the point's bucket — so no dedup pass is needed and the output is
+    identical to the default path (asserted by tests).
     """
     pschema = points.schema()
     ischema = intervals.schema()
@@ -342,13 +352,37 @@ def interval_join(points, intervals, by: str, ts_col: str,
     if set(out_icols) & set(pcols):
         raise ValueError(f"suffix {rsuffix!r} collides with point columns")
 
+    B = time_buckets if time_buckets and time_buckets > 1 else 1
+    lo = width = None
+    if B > 1:
+        from ray.data.aggregate import Max, Min
+
+        mm = points.aggregate(Min(ts_col, alias_name="lo"),
+                              Max(ts_col, alias_name="hi"))
+        plo = _scalar_i64(mm["lo"])
+        phi = _scalar_i64(mm["hi"])
+        if plo is None or phi is None:
+            B = 1  # no points: nothing can match
+        else:
+            lo = plo
+            width = max(phi - plo, 0) + 1
+
+    def _bucket(x: np.ndarray) -> np.ndarray:
+        return np.clip((x - lo) * B // width, 0, B - 1)
+
     def norm_points(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        cols = {by: batch[by], "__t": batch[ts_col].combine_chunks(),
+        tc = batch[ts_col].combine_chunks()
+        pid = _part_array(batch[by], num_partitions)
+        if B > 1:
+            pid = pa.array(
+                pid.to_numpy(zero_copy_only=False) * B
+                + _bucket(_on_i64(tc.to_numpy(zero_copy_only=False))))
+        cols = {by: batch[by], "__t": tc,
                 "__s": _pad0(n, itypes[start_col]),
                 "__e": _pad0(n, itypes[end_col]),
                 "__side": pa.array(np.ones(n, dtype=np.int8)),
-                "__part": _part_array(batch[by], num_partitions)}
+                "__part": pid}
         for c in pcols:
             if c not in (by, ts_col):
                 cols[c] = batch[c]
@@ -357,12 +391,35 @@ def interval_join(points, intervals, by: str, ts_col: str,
         return pa.table(cols)
 
     def norm_intervals(batch: pa.Table) -> pa.Table:
+        pid = _part_array(batch[by], num_partitions)
+        if B > 1:
+            sc = batch[start_col].combine_chunks()
+            ec = batch[end_col].combine_chunks()
+            isnull = pc.or_(pc.is_null(sc), pc.is_null(ec)).to_numpy(
+                zero_copy_only=False)
+            idx0 = np.flatnonzero(~isnull)
+            i0 = pa.array(idx0)
+            s64 = _on_i64(sc.take(i0).to_numpy(zero_copy_only=False))
+            e64 = _on_i64(ec.take(i0).to_numpy(zero_copy_only=False))
+            keep = (e64 >= lo) & (s64 <= lo + width - 1)
+            idx = idx0[keep]
+            b0 = _bucket(s64[keep])
+            b1 = _bucket(e64[keep])
+            counts = b1 - b0 + 1
+            total = int(counts.sum())
+            src = np.repeat(idx, counts)
+            cum = np.concatenate(([0], np.cumsum(counts)))
+            within = np.arange(total) - np.repeat(cum[:-1], counts)
+            bkt = np.repeat(b0, counts) + within
+            base = pid.to_numpy(zero_copy_only=False)[src]
+            batch = batch.take(pa.array(src))
+            pid = pa.array(base * B + bkt)
         n = batch.num_rows
         cols = {by: batch[by], "__t": _pad0(n, ptypes[ts_col]),
                 "__s": batch[start_col].combine_chunks(),
                 "__e": batch[end_col].combine_chunks(),
                 "__side": pa.array(np.zeros(n, dtype=np.int8)),
-                "__part": _part_array(batch[by], num_partitions)}
+                "__part": pid}
         for c in pcols:
             if c not in (by, ts_col):
                 cols[c] = pa.nulls(n, ptypes[c])

@@ -260,3 +260,57 @@ def test_asof_time_buckets_degenerate_cases(ray_session):
                                  time_buckets=8).take_all()]
     assert sorted(r["lid"] for r in out2) == [0, 1]
     assert all(r["r_rid"] is None for r in out2)
+
+
+def test_interval_time_buckets_equals_default(ray_session):
+    import random
+
+    from raydedup.stages.asof import interval_join
+
+    rng = random.Random(59)
+    n_p, n_i = 300, 120
+    pk = [f"u{rng.randrange(5)}" for _ in range(n_p)]
+    pt = [rng.randrange(2000) for _ in range(n_p)]
+    ik = [f"u{rng.randrange(5)}" for _ in range(n_i)]
+    ivs = [(rng.randrange(-100, 2100),
+            rng.choice([1, 5, 40, 900])) for _ in range(n_i)]
+    pts = _ds({"k": pk, "t": pt, "pid": list(range(n_p))}).repartition(5)
+    iv = _ds({"k": ik, "s": [s for s, _ in ivs],
+              "e": [s + w for s, w in ivs],
+              "iid": list(range(n_i))}).repartition(3)
+
+    def run(**kw):
+        return sorted(
+            (r["pid"], r["r_iid"])
+            for r in interval_join(pts, iv, by="k", ts_col="t",
+                                   start_col="s", end_col="e",
+                                   **kw).take_all())
+
+    base = run()
+    assert base  # non-trivial fixture
+    assert run(time_buckets=6, num_partitions=4) == base
+    assert run(time_buckets=64, num_partitions=2) == base
+
+
+def test_interval_time_buckets_hot_key(ray_session):
+    import random
+
+    from raydedup.stages.asof import interval_join
+
+    rng = random.Random(61)
+    n = 2000
+    pts = _ds({"k": ["hot"] * n, "t": [rng.randrange(1000)
+                                       for _ in range(n)],
+               "pid": list(range(n))}).repartition(8)
+    ivs = [(rng.randrange(1000), rng.randrange(1, 60))
+           for _ in range(n // 4)]
+    iv = _ds({"k": ["hot"] * (n // 4), "s": [s for s, _ in ivs],
+              "e": [s + w for s, w in ivs],
+              "iid": list(range(n // 4))}).repartition(4)
+    got = sorted((r["pid"], r["r_iid"]) for r in interval_join(
+        pts, iv, by="k", ts_col="t", start_col="s", end_col="e",
+        time_buckets=16, num_partitions=4).take_all())
+    base = sorted((r["pid"], r["r_iid"]) for r in interval_join(
+        pts, iv, by="k", ts_col="t", start_col="s",
+        end_col="e").take_all())
+    assert got == base
