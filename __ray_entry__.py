@@ -836,6 +836,34 @@ def q_running_qty_per_part(sf_dir: str):
          "running_n", "running_sum"])
 
 
+def q_rolling_order_spend(sf_dir: str):
+    """Bounded ROWS-frame window: per-customer trailing-3-order spend in
+    orderdate order, money carried in exact integer cents (differences
+    of exact prefix sums — bit-exact vs the window oracle)."""
+    import ray.data
+
+    from raydedup.stages.ordered import rolling_totals
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pa.array(np.rint(
+            b["o_totalprice"].combine_chunks().to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64))
+        i = b.schema.get_field_index("o_totalprice")
+        return b.set_column(i, "spend_cents", cents)
+
+    out = rolling_totals(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        by="o_custkey", order_cols=["o_orderdate", "o_orderkey"],
+        value_col="spend_cents", window_rows=3)
+    return out.select_columns(
+        ["o_orderkey", "o_custkey", "rolling_n", "rolling_sum"])
+
+
 def q_event_gaps(sf_dir: str):
     """Per-user gap to the previous event (ts - lag(ts), microseconds)
     with deterministic (ts, event_id) ordering; first event per user
@@ -974,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events": q_sliding_window_events,
         "sessionize_events": q_sessionize_events,
         "running_qty_per_part": q_running_qty_per_part,
+        "rolling_order_spend": q_rolling_order_spend,
         "event_gaps": q_event_gaps,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2223,6 +2252,16 @@ def _oracle_sql_base() -> dict[str, str]:
             WINDOW w AS (PARTITION BY l_partkey
                          ORDER BY l_shipdate, l_orderkey, l_linenumber
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_order_spend": """
+            SELECT o_orderkey, o_custkey,
+                   count(*) OVER w AS rolling_n,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        OVER w AS BIGINT) AS rolling_sum
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "event_gaps": """
             SELECT event_id, user_id, ts,

@@ -154,6 +154,15 @@ def run_bench() -> dict:
     semantic_dedup(emb, threshold=0.35, method="blockwise").count()
     queries["semantic_dedup"] = round(time.time() - t0, 3)
 
+    import __ray_entry__ as entrymod
+
+    for qname in ("pricing_summary", "revenue_by_nation",
+                  "asof_clicks_purchases_bucketed",
+                  "running_qty_per_part"):
+        t0 = time.time()
+        entrymod.queries()[qname](sf_dir).count()
+        queries[qname] = round(time.time() - t0, 3)
+
     result = {
         "metric": "neardup_pipeline_sec",
         "value": headline,

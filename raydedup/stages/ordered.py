@@ -100,6 +100,58 @@ def running_totals(ds, by: str, order_cols: list[str], value_col: str,
             .groupby("__part").map_groups(merge, batch_format="pyarrow"))
 
 
+def rolling_totals(ds, by: str, order_cols: list[str], value_col: str,
+                   window_rows: int, out_n: str = "rolling_n",
+                   out_sum: str = "rolling_sum", num_partitions: int = 64):
+    """Trailing-window count + sum of ``value_col`` per ``by`` key over
+    the last ``window_rows`` rows in ``order_cols`` order (ROWS BETWEEN
+    window_rows-1 PRECEDING AND CURRENT ROW). Same partition-sweep shape
+    as ``running_totals``; integer columns stay exact (differences of
+    exact integer prefix sums)."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    schema = ds.schema()
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+    for c in (out_n, out_sum):
+        if c in names:
+            raise ValueError(f"output column {c!r} collides with input")
+    out_names = names + [out_n, out_sum]
+    sum_t = types[value_col]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _part_array(batch[by], num_partitions))
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__part" not in g.column_names:
+            return pa.table({c: pa.array(
+                [], pa.int64() if c == out_n else
+                sum_t if c == out_sum else types[c]) for c in out_names})
+        order, starts, lens = _order_and_segments(g, by, order_cols)
+        n = len(order)
+        seg_start = np.repeat(starts, lens)
+        rank = np.arange(n, dtype=np.int64) - seg_start + 1
+        v = g[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False)[order]
+        cum = np.cumsum(v)
+        offset = np.repeat(cum[starts] - v[starts], lens)
+        back = np.arange(n) - window_rows
+        # prefix sum just BEFORE the window: cum[i-k] when the window
+        # fits inside the segment, else everything before the segment
+        prev = np.where(back >= seg_start, cum[np.maximum(back, 0)],
+                        offset)
+        roll = cum - prev
+        oi = pa.array(order)
+        cols = {c: g[c].take(oi) for c in names}
+        cols[out_n] = pa.array(np.minimum(rank, window_rows))
+        cols[out_sum] = pc.cast(pa.array(roll), sum_t)
+        return pa.table(cols)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part").map_groups(merge, batch_format="pyarrow"))
+
+
 def lag_delta(ds, by: str, ts_col: str, tie_cols: list[str],
               out: str = "gap", num_partitions: int = 64):
     """Per-key delta to the previous row: ``ts - lag(ts)`` over

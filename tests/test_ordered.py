@@ -107,3 +107,54 @@ def test_lag_delta_random_vs_oracle(ray_session):
         else:
             assert got[rid] is None, rid
         prev[kk] = tt
+
+
+def test_rolling_totals_basic_and_oracle(ray_session):
+    # key 1 ordered: v = 10, 20, 30, 40 → k=2 sums 10, 30, 50, 70
+    ds = _ds({"k": [1, 1, 1, 1, 2], "t": [1, 2, 3, 4, 1],
+              "rid": [0, 1, 2, 3, 4], "v": [10, 20, 30, 40, 7]})
+    from raydedup.stages.ordered import rolling_totals
+
+    out = {r["rid"]: (r["rolling_n"], r["rolling_sum"])
+           for r in rolling_totals(ds, by="k", order_cols=["t", "rid"],
+                                   value_col="v",
+                                   window_rows=2).take_all()}
+    assert out == {0: (1, 10), 1: (2, 30), 2: (2, 50), 3: (2, 70),
+                   4: (1, 7)}
+
+
+def test_rolling_totals_random_vs_oracle(ray_session):
+    from raydedup.stages.ordered import rolling_totals
+
+    rng = random.Random(13)
+    n, k = 400, 5
+    key = [f"u{rng.randrange(7)}" for _ in range(n)]
+    t = [rng.randrange(50) for _ in range(n)]
+    v = [rng.randrange(-20, 50) for _ in range(n)]
+    ds = _ds({"k": key, "t": t, "rid": list(range(n)),
+              "v": v}).repartition(6)
+    got = {r["rid"]: (r["rolling_n"], r["rolling_sum"]) for r in
+           rolling_totals(ds, by="k", order_cols=["t", "rid"],
+                          value_col="v", window_rows=k,
+                          num_partitions=4).take_all()}
+    assert len(got) == n
+    seqs = {}
+    for kk, _tt, rid, vv in sorted(zip(key, t, range(n), v)):
+        seq = seqs.setdefault(kk, [])
+        seq.append(vv)
+        w = seq[-k:]
+        assert got[rid] == (len(w), sum(w)), rid
+
+
+def test_rolling_totals_window_one_and_validation(ray_session):
+    from raydedup.stages.ordered import rolling_totals
+
+    ds = _ds({"k": [1, 1], "t": [1, 2], "rid": [0, 1], "v": [3, 4]})
+    out = {r["rid"]: (r["rolling_n"], r["rolling_sum"])
+           for r in rolling_totals(ds, by="k", order_cols=["t"],
+                                   value_col="v",
+                                   window_rows=1).take_all()}
+    assert out == {0: (1, 3), 1: (1, 4)}
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_totals(ds, by="k", order_cols=["t"], value_col="v",
+                       window_rows=0)
