@@ -886,6 +886,19 @@ def q_event_gaps(sf_dir: str):
         ["event_id", "user_id", "ts", "gap_us"])
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: per-batch distinct
+    pairs → keyed dedup groupby → partial-count merge (the shuffle
+    carries distinct pairs, never raw rows)."""
+    import ray.data
+
+    from raydedup.stages.stats import distinct_count_by_group
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return distinct_count_by_group(ev, "event_type", "user_id")
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped scan→partial-aggregate→merge over lineitem with
     exact integer-cents money math (bit-exact vs the SQL oracle; see
@@ -1004,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_qty_per_part": q_running_qty_per_part,
         "rolling_order_spend": q_rolling_order_spend,
         "event_gaps": q_event_gaps,
+        "distinct_users_per_type": q_distinct_users_per_type,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -2271,6 +2285,10 @@ def _oracle_sql_base() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS gap_us
             FROM events
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1
         """,
         "pricing_summary": """
             WITH c AS (

@@ -86,3 +86,40 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     return (ds.select_columns([group_col, value_col])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("g").map_groups(reduce_q, batch_format="pyarrow"))
+
+
+def distinct_count_by_group(ds, group_col: str, value_col: str,
+                            out: str = "n_distinct"):
+    """→ Dataset(group, n_distinct): exact COUNT(DISTINCT value) per
+    group. Each batch first collapses to its distinct (group, value)
+    pairs (Arrow group_by — the shuffle then carries distinct pairs,
+    bounded by value cardinality per block, not row count); one keyed
+    groupby dedups pairs globally; per-batch partial counts of the
+    now-unique pairs merge through a tiny second groupby. For
+    cardinalities where even distinct pairs are too wide, swap in a
+    mergeable sketch (HLL) — not implemented (exactness is the
+    contract here, matching the SQL oracle)."""
+    from ray.data.aggregate import Sum
+
+    schema = ds.schema()
+    gtype = schema.types[schema.names.index(group_col)]
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b[group_col], value_col: b[value_col]})
+        return t.group_by([group_col, value_col]).aggregate([])
+
+    uniq = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby([group_col, value_col]).count())
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or group_col not in b.column_names:
+            return pa.table({group_col: pa.array([], gtype),
+                             out: pa.array([], pa.int64())})
+        t = pa.table({group_col: b[group_col],
+                      out: pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        agg = t.group_by([group_col]).aggregate([(out, "sum")])
+        return pa.table({group_col: agg[group_col],
+                         out: agg[f"{out}_sum"]})
+
+    return (uniq.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby(group_col).aggregate(Sum(out, alias_name=out)))

@@ -158,3 +158,23 @@ def test_rolling_totals_window_one_and_validation(ray_session):
     with pytest.raises(ValueError, match="window_rows"):
         rolling_totals(ds, by="k", order_cols=["t"], value_col="v",
                        window_rows=0)
+
+
+def test_distinct_count_by_group(ray_session):
+    from raydedup.stages.stats import distinct_count_by_group
+
+    rng = random.Random(5)
+    g = [f"g{rng.randrange(4)}" for _ in range(300)]
+    v = [rng.randrange(40) for _ in range(300)]
+    ds = _ds({"g": g, "v": v}).repartition(6)
+    got = {r["g"]: r["n_distinct"] for r in
+           distinct_count_by_group(ds, "g", "v").take_all()}
+    brute = {}
+    for gg, vv in zip(g, v):
+        brute.setdefault(gg, set()).add(vv)
+    assert got == {k: len(s) for k, s in brute.items()}
+    # int group keys exercise the zero-row schema fallback type
+    ds2 = _ds({"g": [1, 1, 2], "v": ["a", "a", "b"]})
+    got2 = {r["g"]: r["n_distinct"] for r in
+            distinct_count_by_group(ds2, "g", "v").take_all()}
+    assert got2 == {1: 1, 2: 1}
