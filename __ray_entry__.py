@@ -886,6 +886,47 @@ def q_event_gaps(sf_dir: str):
         ["event_id", "user_id", "ts", "gap_us"])
 
 
+# mixing weights for stratified_sample_docs — thresholds are computed
+# ONCE here so the engine and the SQL oracle share the exact integers
+_STRAT_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "zh": 0.1, "fr": 0.05}
+_STRAT_DEFAULT = 0.0
+
+
+def q_stratified_sample_docs(sf_dir: str):
+    """Per-language deterministic mixing-weight sampler (keep 100% of
+    scarce German, 10% of Chinese, ...): the md5 keep-rule of
+    sample_docs with a per-group threshold looked up from a broadcast
+    rate map. The oracle recomputes the identical rule with a CASE."""
+    from raydedup.stages.textstats import stratified_sample
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    docs = docs.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("doc_id"), "doc_id",
+            pc.cast(b["doc_id"], pa.string())),
+        batch_format="pyarrow")
+    return stratified_sample(docs, "lang", "doc_id", _STRAT_RATES,
+                             default_rate=_STRAT_DEFAULT)
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(r * (1 << 60))}"
+        for g, r in _STRAT_RATES.items())
+    return f"""
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang
+        FROM documents
+        WHERE CAST(('0x' || substr(
+                  md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS UBIGINT)
+              < CASE lang {cases}
+                ELSE {int(_STRAT_DEFAULT * (1 << 60))} END
+    """
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event_type: per-batch distinct
     pairs → keyed dedup groupby → partial-count merge (the shuffle
@@ -1017,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_qty_per_part": q_running_qty_per_part,
         "rolling_order_spend": q_rolling_order_spend,
         "event_gaps": q_event_gaps,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2286,6 +2328,7 @@ def _oracle_sql_base() -> dict[str, str]:
                        ts), -1) AS gap_us
             FROM events
         """,
+        "stratified_sample_docs": _stratified_sql(),
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1

@@ -730,3 +730,38 @@ def redact_pii(ds, text_col: str = "text"):
         return pa.table(cols)
 
     return ds.map_batches(rr, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, key_col: str,
+                      rates: dict, default_rate: float = 0.0,
+                      seed: str = "s0"):
+    """Per-group deterministic down-sampling — training-data mixing
+    weights (e.g. keep 100% of a scarce language, 10% of a dominant
+    one). Same md5 keep-rule as ``sample_by_hash`` with the threshold
+    looked up per row from the broadcast ``rates`` map (groups absent
+    from the map use ``default_rate``); a row's fate depends only on
+    (seed, key), so reruns and sibling tables stay consistent."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for group {g!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    if not rates:
+        return sample_by_hash(ds, key_col, default_rate, seed)
+    groups = pa.array([str(g) for g in rates])
+    thresholds = np.fromiter(
+        (int(r * (1 << 60)) for r in rates.values()),
+        dtype=np.uint64, count=len(rates))
+    default_thr = np.uint64(int(default_rate * (1 << 60)))
+    prefix = f"{seed}:".encode()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        gidx = pc.index_in(
+            pc.cast(batch[group_col], pa.string()), value_set=groups)
+        gnp = pc.fill_null(gidx, -1).to_numpy(zero_copy_only=False)
+        thr = np.where(gnp >= 0,
+                       thresholds[np.clip(gnp, 0, None)], default_thr)
+        h = _hash60(batch[key_col].to_pylist(), prefix)
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

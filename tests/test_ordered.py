@@ -178,3 +178,32 @@ def test_distinct_count_by_group(ray_session):
     got2 = {r["g"]: r["n_distinct"] for r in
             distinct_count_by_group(ds2, "g", "v").take_all()}
     assert got2 == {1: 1, 2: 1}
+
+
+def test_stratified_sample_matches_per_group_rule(ray_session):
+    from raydedup.stages.textstats import (
+        _hash60,
+        sample_by_hash,
+        stratified_sample,
+    )
+
+    n = 400
+    g = [["a", "b", "c", "d"][i % 4] for i in range(n)]
+    ds = _ds({"g": g, "key": [str(i) for i in range(n)]})
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    kept = {r["key"]: r["g"] for r in stratified_sample(
+        ds, "g", "key", rates, default_rate=0.25).take_all()}
+    h = _hash60([str(i) for i in range(n)], b"s0:")
+    for i in range(n):
+        rate = rates.get(g[i], 0.25)
+        expect = bool(h[i] < np.uint64(int(rate * (1 << 60))))
+        assert (str(i) in kept) == expect, i
+    assert set(kept.values()) <= {"a", "b", "d"}  # c rate 0 → dropped
+    # empty rates map degenerates to flat sampling
+    flat = {r["key"] for r in stratified_sample(
+        ds, "g", "key", {}, default_rate=0.25).take_all()}
+    base = {r["key"] for r in sample_by_hash(
+        ds, "key", 0.25).take_all()}
+    assert flat == base
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(ds, "g", "key", {"a": 1.5})
