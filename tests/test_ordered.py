@@ -207,3 +207,33 @@ def test_stratified_sample_matches_per_group_rule(ray_session):
     assert flat == base
     with pytest.raises(ValueError, match="rate"):
         stratified_sample(ds, "g", "key", {"a": 1.5})
+
+
+def test_approx_distinct_by_group(ray_session):
+    from raydedup.stages.stats import approx_distinct_by_group
+
+    # int values (splitmix64 path) with very different cardinalities
+    g, v = [], []
+    for i in range(20000):
+        g.append("big")
+        v.append(i % 17000)
+    for i in range(3000):
+        g.append("mid")
+        v.append(i % 800)
+    g += ["tiny"] * 50
+    v += list(range(10)) * 5
+    ds = _ds({"g": g, "v": v}).repartition(9)
+    got = {r["g"]: r["approx_distinct"] for r in
+           approx_distinct_by_group(ds, "g", "v").take_all()}
+    for name, true in (("big", 17000), ("mid", 800), ("tiny", 10)):
+        assert abs(got[name] - true) / true < 0.05, (name, got[name])
+    # string values (md5 path) + determinism across partitionings
+    ds2 = _ds({"g": ["s"] * 5000,
+               "v": [f"val{i % 1200}" for i in range(5000)]})
+    e1 = approx_distinct_by_group(ds2, "g", "v").take_all()[0]
+    e2 = approx_distinct_by_group(
+        ds2.repartition(7), "g", "v").take_all()[0]
+    assert e1["approx_distinct"] == e2["approx_distinct"]
+    assert abs(e1["approx_distinct"] - 1200) / 1200 < 0.05
+    with pytest.raises(ValueError, match="precision"):
+        approx_distinct_by_group(ds2, "g", "v", precision=2)
