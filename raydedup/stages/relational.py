@@ -163,13 +163,13 @@ def revenue_by_nation(lineitem, orders, customer, nation, region,
     nkey_to_name = dict(zip(nat_t["n_nationkey"].to_pylist(),
                             nat_t["n_name"].to_pylist()))
 
-    if customer.count() > broadcast_limit:
+    cust_tbls = [ray.get(r) for r in customer.select_columns(
+        ["c_custkey", "c_nationkey"]).to_arrow_refs()]
+    if sum(t.num_rows for t in cust_tbls) > broadcast_limit:
         raise NotImplementedError(
             "customer side above broadcast_limit: route through a second "
             "Dataset.join on o_custkey (same shape as the fact join)")
-    cust_t = pa.concat_tables(
-        [ray.get(r) for r in customer.select_columns(
-            ["c_custkey", "c_nationkey"]).to_arrow_refs()])
+    cust_t = pa.concat_tables(cust_tbls)
     nat_keys = np.asarray(sorted(nkey_to_name), dtype=np.int64)
     nat_names = np.asarray([nkey_to_name[k] for k in nat_keys],
                            dtype=object)
