@@ -982,6 +982,33 @@ def q_revenue_by_nation(sf_dir: str):
         date_hi=datetime.datetime(1998, 1, 1))
 
 
+def q_customers_without_recent_orders(sf_dir: str):
+    """Distributed anti-join (NOT EXISTS): customers with no order in
+    1996 — right side reduces to distinct keys per batch, both sides
+    hash-partition, one vectorized membership test per partition."""
+    import ray.data
+
+    from raydedup.stages.relational import semi_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderdate"])
+
+    def rekey(b: pa.Table) -> pa.Table:
+        import datetime
+
+        m = pc.and_(
+            pc.greater_equal(b["o_orderdate"],
+                             pa.scalar(datetime.datetime(1996, 1, 1))),
+            pc.less(b["o_orderdate"],
+                    pa.scalar(datetime.datetime(1997, 1, 1))))
+        return pa.table({"c_custkey": b.filter(m)["o_custkey"]})
+
+    right = orders.map_batches(rekey, batch_format="pyarrow")
+    return semi_join(cust, right, on="c_custkey", anti=True)
+
+
 def q_multimodal_decode(sf_dir: str):
     """REAL image decode: genuine PPM payloads (closed-form content per
     doc_id) parsed by the numpy codec; the oracle recomputes width /
@@ -1047,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "long_span_pairs": q_long_span_pairs,
         "simhash_near_docs": q_simhash_near_docs,
         "fingerprints": q_fingerprints,
+        "customers_without_recent_orders": q_customers_without_recent_orders,
         "multimodal_decode": q_multimodal_decode,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
@@ -2327,6 +2355,14 @@ def _oracle_sql_base() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS gap_us
             FROM events
+        """,
+        "customers_without_recent_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '1996-01-01'
+                  AND o.o_orderdate < DATE '1997-01-01')
         """,
         "stratified_sample_docs": _stratified_sql(),
         "distinct_users_per_type": """

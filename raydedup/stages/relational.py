@@ -251,3 +251,56 @@ def revenue_by_nation(lineitem, orders, customer, nation, region,
         Sum("n_rows", alias_name="n_rows"),
         Sum("revenue_e4", alias_name="revenue_e4"),
     )
+
+
+def semi_join(left, right, on: str, anti: bool = False,
+              num_partitions: int = 64):
+    """Distributed semi-join (``anti=True`` → anti-join): every left row
+    whose ``on`` key has at least one (resp. no) right row — the
+    relational primitive behind decontamination-style filters when the
+    filter side is too big to broadcast. Right reduces to per-batch
+    DISTINCT keys before the shuffle; both sides hash-partition by key
+    and one vectorized membership test per partition emits the
+    survivors. NOT EXISTS null semantics: a NULL left key matches
+    nothing (dropped by semi, kept by anti).
+    """
+    from raydedup.stages.asof import _group_codes, _part_array
+
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    if on not in lcols or on not in right.schema().names:
+        raise ValueError(f"join key {on!r} missing from a side")
+
+    def norm_left(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in lcols}
+        cols["__side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        cols["__part"] = _part_array(b[on], num_partitions)
+        return pa.table(cols)
+
+    def norm_right(b: pa.Table) -> pa.Table:
+        keys = pa.table({on: b[on]}).group_by([on]).aggregate([])
+        n = keys.num_rows
+        cols = {c: keys[on] if c == on else pa.nulls(n, ltypes[c])
+                for c in lcols}
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["__part"] = _part_array(keys[on], num_partitions)
+        return pa.table(cols)
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__side" not in g.column_names:
+            return pa.table({c: pa.array([], ltypes[c]) for c in lcols})
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        codes, keynull = _group_codes(g[on])
+        rcodes = np.unique(codes[(side == 0) & ~keynull])
+        is_left = side == 1
+        hit = np.isin(codes, rcodes) & ~keynull
+        keep = is_left & (~hit if anti else hit)
+        sel = pa.array(np.flatnonzero(keep))
+        return pa.table({c: g[c].take(sel) for c in lcols})
+
+    unioned = (left.map_batches(norm_left, batch_format="pyarrow")
+               .union(right.map_batches(norm_right,
+                                        batch_format="pyarrow")))
+    return unioned.groupby("__part").map_groups(merge,
+                                                batch_format="pyarrow")

@@ -100,3 +100,42 @@ def test_revenue_by_nation_broadcast_limit_guard(ray_session):
     reg = _ds({"r_regionkey": [1], "r_name": ["R"]})
     with pytest.raises(NotImplementedError, match="broadcast_limit"):
         revenue_by_nation(li, orders, cust, nat, reg, broadcast_limit=1)
+
+
+def test_semi_and_anti_join(ray_session):
+    from raydedup.stages.relational import semi_join
+
+    left = _ds({"k": pa.array([1, 2, 3, 4, None], type=pa.int64()),
+                "v": ["a", "b", "c", "d", "e"]}).repartition(3)
+    right = _ds({"k": pa.array([2, 2, 4, 9, None],
+                               type=pa.int64())}).repartition(2)
+    semi = sorted(r["v"] for r in semi_join(
+        left, right, on="k").take_all())
+    anti = sorted(r["v"] for r in semi_join(
+        left, right, on="k", anti=True).take_all())
+    # NOT EXISTS null semantics: the null-keyed left row matches
+    # nothing — dropped by semi, KEPT by anti; the null right key
+    # matches nothing either
+    assert semi == ["b", "d"]
+    assert anti == ["a", "c", "e"]
+    with pytest.raises(ValueError, match="join key"):
+        semi_join(left, right, on="nope")
+
+
+def test_semi_join_random_vs_python_sets(ray_session):
+    import random
+
+    from raydedup.stages.relational import semi_join
+
+    rng = random.Random(71)
+    lk = [rng.randrange(100) for _ in range(500)]
+    rk = [rng.randrange(100) for _ in range(80)]
+    left = _ds({"k": lk, "rid": list(range(500))}).repartition(7)
+    right = _ds({"k": rk}).repartition(3)
+    semi = {r["rid"] for r in semi_join(left, right, on="k",
+                                        num_partitions=5).take_all()}
+    anti = {r["rid"] for r in semi_join(left, right, on="k", anti=True,
+                                        num_partitions=5).take_all()}
+    rset = set(rk)
+    assert semi == {i for i, k in enumerate(lk) if k in rset}
+    assert anti == {i for i, k in enumerate(lk) if k not in rset}
