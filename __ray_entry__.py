@@ -982,6 +982,33 @@ def q_revenue_by_nation(sf_dir: str):
         date_hi=datetime.datetime(1998, 1, 1))
 
 
+_PIVOT_CATS = ["click", "purchase", "view", "signup"]
+
+
+def q_pivot_event_counts(sf_dir: str):
+    """Warehouse PIVOT: per-user COUNT columns per event type ('error'
+    deliberately unlisted → lands in n_other). Batches collapse to one
+    row per present user before the shuffle; counts are exact ints."""
+    import ray.data
+
+    from raydedup.stages.relational import pivot_counts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type", _PIVOT_CATS)
+
+
+def q_assemble_conversations(sf_dir: str):
+    """Ordered per-group string assembly (string_agg ... ORDER BY):
+    reconstruct each conversation from its turn rows — one vectorized
+    binary_join over segment-offset lists per partition."""
+    from raydedup.stages.ordered import assemble_by_key
+
+    ts = transcripts_from_documents(sf_dir)
+    return assemble_by_key(ts, by="conv_id", order_cols=["turn_idx"],
+                           text_col="text", sep=" ", out="convo")
+
+
 def q_customers_without_recent_orders(sf_dir: str):
     """Distributed anti-join (NOT EXISTS): customers with no order in
     1996 — right side reduces to distinct keys per batch, both sides
@@ -1075,6 +1102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_docs": q_simhash_near_docs,
         "fingerprints": q_fingerprints,
         "customers_without_recent_orders": q_customers_without_recent_orders,
+        "pivot_event_counts": q_pivot_event_counts,
+        "assemble_conversations": q_assemble_conversations,
         "multimodal_decode": q_multimodal_decode,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
@@ -2355,6 +2384,22 @@ def _oracle_sql_base() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS gap_us
             FROM events
+        """,
+        "pivot_event_counts": f"""
+            SELECT user_id,
+                   {", ".join(
+                       f"count(*) FILTER (WHERE event_type = '{c}')"
+                       f" AS n_{c}" for c in _PIVOT_CATS)},
+                   count(*) FILTER (WHERE event_type IS NULL
+                       OR event_type NOT IN (
+                           {", ".join(f"'{c}'" for c in _PIVOT_CATS)}))
+                       AS n_other
+            FROM events GROUP BY 1
+        """,
+        "assemble_conversations": TRANSCRIPTS_SQL + """
+            SELECT conv_id,
+                   string_agg(text, ' ' ORDER BY turn_idx) AS convo
+            FROM transcripts GROUP BY 1
         """,
         "customers_without_recent_orders": """
             SELECT c_custkey, c_mktsegment FROM customer c

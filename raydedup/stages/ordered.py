@@ -192,3 +192,48 @@ def lag_delta(ds, by: str, ts_col: str, tie_cols: list[str],
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__part").map_groups(merge, batch_format="pyarrow"))
+
+
+def assemble_by_key(ds, by: str, order_cols: list[str], text_col: str,
+                    sep: str = " ", out: str = "assembled",
+                    num_partitions: int = 64):
+    """Ordered per-group string assembly — ``string_agg(text, sep ORDER
+    BY ...)``: one output row per ``by`` key with its ``text_col``
+    values concatenated in ``order_cols`` order (conversation
+    reconstruction from turn rows). Same partition sweep as the other
+    ordered scans; the join itself is one vectorized
+    ``pc.binary_join`` over a ListArray built from segment offsets —
+    no per-group Python string work. Null texts are skipped (SQL
+    ``string_agg`` semantics), with one documented deviation: a key
+    whose texts are ALL null is omitted entirely, where SQL would emit
+    the key with a NULL aggregate. Partitioning note: a key's full
+    text lands in one output row, so per-key payload must fit a worker
+    (same contract as any string_agg)."""
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    btype = types[by]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = [by, text_col, *order_cols]
+        t = pa.table({c: batch[c] for c in keep})
+        t = t.filter(pc.is_valid(t[text_col]))
+        return t.append_column(
+            "__part", _part_array(t[by], num_partitions))
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__part" not in g.column_names:
+            return pa.table({by: pa.array([], btype),
+                             out: pa.array([], pa.string())})
+        order, starts, _lens = _order_and_segments(g, by, order_cols)
+        n = len(order)
+        oi = pa.array(order)
+        texts = pc.cast(g[text_col].take(oi), pa.string())
+        offsets = pa.array(np.r_[starts, n].astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets,
+                                         texts.combine_chunks())
+        joined = pc.binary_join(lists, sep)
+        keys = g[by].take(pa.array(order[starts]))
+        return pa.table({by: keys, out: joined})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part").map_groups(merge, batch_format="pyarrow"))

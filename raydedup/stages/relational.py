@@ -304,3 +304,40 @@ def semi_join(left, right, on: str, anti: bool = False,
                                         batch_format="pyarrow")))
     return unioned.groupby("__part").map_groups(merge,
                                                 batch_format="pyarrow")
+
+
+def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
+                 prefix: str = "n_", other: str = "n_other"):
+    """Pivot a category column into per-category COUNT columns per key
+    (warehouse PIVOT / COUNT(*) FILTER): → Dataset(key, n_<cat>...,
+    n_other). Each batch collapses to one row per key present (Arrow
+    group_by over masked 0/1 columns) BEFORE the shuffle, so the
+    exchange carries O(keys × blocks) rows of int64 — exact counts,
+    bit-matching the FILTER oracle. Categories must be an explicit
+    (small) list — pivots with unbounded category sets should stay long
+    (key, cat, n) via a plain groupby instead."""
+    from ray.data.aggregate import Sum
+
+    if not categories:
+        raise ValueError("categories must be a non-empty list")
+    names = [f"{prefix}{c}" for c in categories] + [other]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cat = b[cat_col]
+        cols = {key_col: b[key_col]}
+        seen = None
+        for c, nm in zip(categories, names):
+            m = pc.equal(cat, c)
+            cols[nm] = pc.cast(pc.fill_null(m, False), pa.int64())
+            seen = cols[nm] if seen is None else pc.add(seen, cols[nm])
+        cols[other] = pc.subtract(
+            pa.array(np.ones(b.num_rows, dtype=np.int64)), seen)
+        t = pa.table(cols)
+        agg = t.group_by([key_col]).aggregate(
+            [(nm, "sum") for nm in names])
+        return pa.table({key_col: agg[key_col],
+                         **{nm: agg[f"{nm}_sum"] for nm in names}})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_col).aggregate(
+        *[Sum(nm, alias_name=nm) for nm in names])

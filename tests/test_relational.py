@@ -139,3 +139,38 @@ def test_semi_join_random_vs_python_sets(ray_session):
     rset = set(rk)
     assert semi == {i for i, k in enumerate(lk) if k in rset}
     assert anti == {i for i, k in enumerate(lk) if k not in rset}
+
+
+def test_pivot_counts(ray_session):
+    from raydedup.stages.relational import pivot_counts
+
+    ds = _ds({"u": [1, 1, 1, 2, 2, 3],
+              "c": pa.array(["a", "a", "b", "zz", None, "b"])}
+             ).repartition(3)
+    got = {r["u"]: (r["n_a"], r["n_b"], r["n_other"]) for r in
+           pivot_counts(ds, "u", "c", ["a", "b"]).take_all()}
+    # null and unlisted categories both land in n_other
+    assert got == {1: (2, 1, 0), 2: (0, 0, 2), 3: (0, 1, 0)}
+    with pytest.raises(ValueError, match="categories"):
+        pivot_counts(ds, "u", "c", [])
+
+
+def test_assemble_by_key(ray_session):
+    from raydedup.stages.ordered import assemble_by_key
+
+    ds = _ds({"conv": ["x", "y", "x", "x", "y"],
+              "idx": [2, 1, 0, 1, 0],
+              "text": pa.array(["c", "B", "a", None, "A"])}
+             ).repartition(3)
+    got = {r["conv"]: r["convo"] for r in assemble_by_key(
+        ds, by="conv", order_cols=["idx"], text_col="text",
+        out="convo", num_partitions=3).take_all()}
+    # SQL string_agg semantics: null texts are skipped (no separator)
+    assert got == {"x": "a c", "y": "A B"}
+    # all-null key omitted (documented deviation: SQL emits NULL row)
+    ds2 = _ds({"conv": ["z", "w"], "idx": [0, 0],
+               "text": pa.array([None, "t"])})
+    got2 = {r["conv"]: r["convo"] for r in assemble_by_key(
+        ds2, by="conv", order_cols=["idx"], text_col="text",
+        out="convo").take_all()}
+    assert got2 == {"w": "t"}
