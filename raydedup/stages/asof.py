@@ -90,6 +90,17 @@ def _on_i64(arr: np.ndarray) -> np.ndarray:
     return arr.astype(np.int64)
 
 
+def _bucket_of(t: np.ndarray, lo: int, width: int, B: int) -> np.ndarray:
+    """Monotone time → bucket-id map, overflow-safe: (t-lo)*B can wrap
+    int64 for wide ranges (centuries of microseconds × large B), so the
+    scale factor is applied in float64 — float division by a positive
+    constant is monotone non-decreasing, which is all the bucketed
+    paths' disjoint-and-increasing invariant needs (bucket BOUNDARIES
+    need not be exact, only consistent between the two call sites)."""
+    f = np.floor((t - lo).astype(np.float64) * (float(B) / float(width)))
+    return np.clip(f, 0, B - 1).astype(np.int64)
+
+
 def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
               tie_col: str | None = None, num_partitions: int = 64,
               time_buckets: int | None = None):
@@ -148,7 +159,7 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
         if B == 1:
             return base
         t = _on_i64(on_pa.to_numpy(zero_copy_only=False))
-        bkt = np.clip((t - lo) * B // width, 0, B - 1)
+        bkt = _bucket_of(t, lo, width, B)
         return pa.array(base.to_numpy(zero_copy_only=False) * B + bkt)
 
     def norm_left(batch: pa.Table) -> pa.Table:
@@ -368,7 +379,7 @@ def interval_join(points, intervals, by: str, ts_col: str,
             width = max(phi - plo, 0) + 1
 
     def _bucket(x: np.ndarray) -> np.ndarray:
-        return np.clip((x - lo) * B // width, 0, B - 1)
+        return _bucket_of(x, lo, width, B)
 
     def norm_points(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -401,7 +412,10 @@ def interval_join(points, intervals, by: str, ts_col: str,
             i0 = pa.array(idx0)
             s64 = _on_i64(sc.take(i0).to_numpy(zero_copy_only=False))
             e64 = _on_i64(ec.take(i0).to_numpy(zero_copy_only=False))
-            keep = (e64 >= lo) & (s64 <= lo + width - 1)
+            # inverted intervals (end < start) match nothing in the
+            # default path; drop them here too instead of fanning out a
+            # negative replication count
+            keep = (e64 >= lo) & (s64 <= lo + width - 1) & (s64 <= e64)
             idx = idx0[keep]
             b0 = _bucket(s64[keep])
             b1 = _bucket(e64[keep])

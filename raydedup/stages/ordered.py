@@ -56,13 +56,14 @@ def _order_and_segments(g: pa.Table, by: str, order_cols: list[str]):
     return order, starts, lens
 
 
-def running_totals(ds, by: str, order_cols: list[str], value_col: str,
-                   out_n: str = "running_n", out_sum: str = "running_sum",
-                   num_partitions: int = 64):
-    """Cumulative count + cumulative sum of ``value_col`` per ``by``
-    key in ``order_cols`` order (ROWS UNBOUNDED PRECEDING .. CURRENT
-    ROW). Emits every input row plus ``out_n`` (int64 rank within key)
-    and ``out_sum`` (value_col's type)."""
+def _windowed_totals(ds, by: str, order_cols: list[str], value_col: str,
+                     window_rows: int | None, out_n: str, out_sum: str,
+                     num_partitions: int):
+    """Shared sweep for running (window_rows=None → unbounded) and
+    trailing-window totals. Raises on null ``value_col`` values — a
+    NaN from a null decay would silently poison the partition-wide
+    prefix sum for every later key (SQL's skip-null SUM is not offered;
+    fill or filter nulls upstream)."""
     schema = ds.schema()
     names = list(schema.names)
     types = dict(zip(schema.names, schema.types))
@@ -81,6 +82,9 @@ def running_totals(ds, by: str, order_cols: list[str], value_col: str,
             return pa.table({c: pa.array(
                 [], pa.int64() if c == out_n else
                 sum_t if c == out_sum else types[c]) for c in out_names})
+        if pc.any(pc.is_null(g[value_col])).as_py():
+            raise ValueError(
+                f"ordered scan: null values in value col {value_col!r}")
         order, starts, lens = _order_and_segments(g, by, order_cols)
         n = len(order)
         seg_start = np.repeat(starts, lens)
@@ -88,16 +92,39 @@ def running_totals(ds, by: str, order_cols: list[str], value_col: str,
         v = g[value_col].combine_chunks().to_numpy(
             zero_copy_only=False)[order]
         cum = np.cumsum(v)
-        # per-segment reset: subtract everything before the segment
-        cum = cum - np.repeat(cum[starts] - v[starts], lens)
+        # prefix sum of everything before each row's segment
+        offset = np.repeat(cum[starts] - v[starts], lens)
+        if window_rows is None:
+            total = cum - offset
+            count = rank
+        else:
+            back = np.arange(n) - window_rows
+            # prefix sum just BEFORE the window: cum[i-k] when the
+            # window fits inside the segment, else the segment offset
+            prev = np.where(back >= seg_start, cum[np.maximum(back, 0)],
+                            offset)
+            total = cum - prev
+            count = np.minimum(rank, window_rows)
         oi = pa.array(order)
         cols = {c: g[c].take(oi) for c in names}
-        cols[out_n] = pa.array(rank)
-        cols[out_sum] = pc.cast(pa.array(cum), sum_t)
+        cols[out_n] = pa.array(count)
+        cols[out_sum] = pc.cast(pa.array(total), sum_t)
         return pa.table(cols)
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__part").map_groups(merge, batch_format="pyarrow"))
+
+
+def running_totals(ds, by: str, order_cols: list[str], value_col: str,
+                   out_n: str = "running_n", out_sum: str = "running_sum",
+                   num_partitions: int = 64):
+    """Cumulative count + cumulative sum of ``value_col`` per ``by``
+    key in ``order_cols`` order (ROWS UNBOUNDED PRECEDING .. CURRENT
+    ROW). Emits every input row plus ``out_n`` (int64 rank within key)
+    and ``out_sum`` (value_col's type). Null values raise (see
+    ``_windowed_totals``)."""
+    return _windowed_totals(ds, by, order_cols, value_col, None,
+                            out_n, out_sum, num_partitions)
 
 
 def rolling_totals(ds, by: str, order_cols: list[str], value_col: str,
@@ -105,51 +132,13 @@ def rolling_totals(ds, by: str, order_cols: list[str], value_col: str,
                    out_sum: str = "rolling_sum", num_partitions: int = 64):
     """Trailing-window count + sum of ``value_col`` per ``by`` key over
     the last ``window_rows`` rows in ``order_cols`` order (ROWS BETWEEN
-    window_rows-1 PRECEDING AND CURRENT ROW). Same partition-sweep shape
-    as ``running_totals``; integer columns stay exact (differences of
-    exact integer prefix sums)."""
+    window_rows-1 PRECEDING AND CURRENT ROW). Integer columns stay
+    exact (differences of exact integer prefix sums); null values
+    raise (see ``_windowed_totals``)."""
     if window_rows < 1:
         raise ValueError("window_rows must be >= 1")
-    schema = ds.schema()
-    names = list(schema.names)
-    types = dict(zip(schema.names, schema.types))
-    for c in (out_n, out_sum):
-        if c in names:
-            raise ValueError(f"output column {c!r} collides with input")
-    out_names = names + [out_n, out_sum]
-    sum_t = types[value_col]
-
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__part", _part_array(batch[by], num_partitions))
-
-    def merge(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0 or "__part" not in g.column_names:
-            return pa.table({c: pa.array(
-                [], pa.int64() if c == out_n else
-                sum_t if c == out_sum else types[c]) for c in out_names})
-        order, starts, lens = _order_and_segments(g, by, order_cols)
-        n = len(order)
-        seg_start = np.repeat(starts, lens)
-        rank = np.arange(n, dtype=np.int64) - seg_start + 1
-        v = g[value_col].combine_chunks().to_numpy(
-            zero_copy_only=False)[order]
-        cum = np.cumsum(v)
-        offset = np.repeat(cum[starts] - v[starts], lens)
-        back = np.arange(n) - window_rows
-        # prefix sum just BEFORE the window: cum[i-k] when the window
-        # fits inside the segment, else everything before the segment
-        prev = np.where(back >= seg_start, cum[np.maximum(back, 0)],
-                        offset)
-        roll = cum - prev
-        oi = pa.array(order)
-        cols = {c: g[c].take(oi) for c in names}
-        cols[out_n] = pa.array(np.minimum(rank, window_rows))
-        cols[out_sum] = pc.cast(pa.array(roll), sum_t)
-        return pa.table(cols)
-
-    return (ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("__part").map_groups(merge, batch_format="pyarrow"))
+    return _windowed_totals(ds, by, order_cols, value_col, window_rows,
+                            out_n, out_sum, num_partitions)
 
 
 def lag_delta(ds, by: str, ts_col: str, tie_cols: list[str],
@@ -227,11 +216,15 @@ def assemble_by_key(ds, by: str, order_cols: list[str], text_col: str,
         order, starts, _lens = _order_and_segments(g, by, order_cols)
         n = len(order)
         oi = pa.array(order)
-        texts = pc.cast(g[text_col].take(oi), pa.string())
-        offsets = pa.array(np.r_[starts, n].astype(np.int32))
-        lists = pa.ListArray.from_arrays(offsets,
-                                         texts.combine_chunks())
-        joined = pc.binary_join(lists, sep)
+        # large_string + int64 offsets: a partition's assembled text may
+        # exceed the 2 GiB cliff of 32-bit string offsets
+        texts = pc.cast(g[text_col].take(oi), pa.large_string())
+        offsets = pa.array(np.r_[starts, n].astype(np.int64))
+        lists = pa.LargeListArray.from_arrays(offsets,
+                                              texts.combine_chunks())
+        joined = pc.cast(
+            pc.binary_join(lists, pa.scalar(sep, pa.large_string())),
+            pa.string())
         keys = g[by].take(pa.array(order[starts]))
         return pa.table({by: keys, out: joined})
 

@@ -17,9 +17,10 @@ Execution shape:
   (customer ⋈ nation ⋈ region collapsed to one custkey→nation lookup
   shipped once via ``ray.put``) and the same partial-then-merge
   aggregate. Dims are genuinely small sides (25 nations, 5 regions,
-  customers ≪ facts); above ``broadcast_limit`` customers the code
-  switches the customer side to a second ``Dataset.join`` instead of a
-  driver lookup.
+  customers ≪ facts); above ``broadcast_limit`` customers the call
+  raises — the scale route is a second ``Dataset.join`` on o_custkey
+  (same shape as the fact join), deliberately not implemented until a
+  workload needs it.
 
 Exactness: money columns are fixed-point decimals (2 dp), so all sums
 run in integer cents — ``sum_base_cents`` (¢), ``sum_disc_e4``

@@ -107,6 +107,8 @@ def distinct_count_by_group(ds, group_col: str, value_col: str,
 
     def distinct_pairs(b: pa.Table) -> pa.Table:
         t = pa.table({group_col: b[group_col], value_col: b[value_col]})
+        # SQL COUNT(DISTINCT x) excludes nulls
+        t = t.filter(pc.is_valid(t[value_col]))
         return t.group_by([group_col, value_col]).aggregate([])
 
     uniq = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
@@ -151,9 +153,9 @@ def approx_distinct_by_group(ds, group_col: str, value_col: str,
     gtype = schema.types[schema.names.index(group_col)]
 
     def _hash64(col: pa.ChunkedArray) -> np.ndarray:
-        arr = col.combine_chunks()
+        arr = col.combine_chunks()  # caller has already dropped nulls
         if pa.types.is_integer(arr.type):
-            x = pc.fill_null(arr, 0).to_numpy(
+            x = arr.to_numpy(
                 zero_copy_only=False).astype(np.uint64)
             # splitmix64 finalizer (public domain constant mix)
             x = x + np.uint64(0x9E3779B97F4A7C15)
@@ -168,11 +170,14 @@ def approx_distinct_by_group(ds, group_col: str, value_col: str,
             (int.from_bytes(
                 hashlib.md5(str(u).encode()).digest()[:8], "big")
              for u in uniq), dtype=np.uint64, count=len(uniq))
-        idx = pc.fill_null(dic.indices, 0).to_numpy(
-            zero_copy_only=False)
+        idx = dic.indices.to_numpy(zero_copy_only=False)
         return hu[idx]
 
     def partial(b: pa.Table) -> pa.Table:
+        # COUNT(DISTINCT x) excludes nulls — drop them before hashing
+        # (also: an all-null string batch would dictionary-encode to an
+        # empty dictionary and crash the scatter)
+        b = b.filter(pc.is_valid(b[value_col]))
         if b.num_rows == 0:
             return pa.table({group_col: pa.array([], gtype),
                              "__regs": pa.array([], pa.binary())})

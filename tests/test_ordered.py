@@ -237,3 +237,66 @@ def test_approx_distinct_by_group(ray_session):
     assert abs(e1["approx_distinct"] - 1200) / 1200 < 0.05
     with pytest.raises(ValueError, match="precision"):
         approx_distinct_by_group(ds2, "g", "v", precision=2)
+
+
+def test_review_fixes_null_and_edge_semantics(ray_session):
+    from raydedup.stages.ordered import assemble_by_key, rolling_totals
+    from raydedup.stages.stats import (
+        approx_distinct_by_group,
+        distinct_count_by_group,
+    )
+
+    # null value_col raises instead of silently poisoning prefix sums
+    ds = _ds({"k": [1, 1], "t": [1, 2],
+              "v": pa.array([1.0, None])})
+    with pytest.raises(Exception, match="null values in value col"):
+        running_totals(ds, by="k", order_cols=["t"],
+                       value_col="v").take_all()
+    with pytest.raises(Exception, match="null values in value col"):
+        rolling_totals(ds, by="k", order_cols=["t"], value_col="v",
+                       window_rows=2).take_all()
+    # COUNT(DISTINCT) excludes nulls (SQL semantics) — both exact + HLL
+    ds2 = _ds({"g": ["a", "a", "a"],
+               "v": pa.array([1, None, 1], type=pa.int64())})
+    (row,) = distinct_count_by_group(ds2, "g", "v").take_all()
+    assert (row["g"], row["n_distinct"]) == ("a", 1)
+    ds3 = _ds({"g": ["a", "a", "b"],
+               "v": pa.array([None, "x", None])})
+    got = {r["g"]: r["approx_distinct"] for r in
+           approx_distinct_by_group(ds3, "g", "v").take_all()}
+    # all-null group 'b' contributes an empty register set → estimate 0
+    assert got["a"] == 1 and got.get("b", 0) == 0
+
+
+def test_review_fix_interval_inverted_and_asof_wide_range(ray_session):
+    import datetime
+
+    from raydedup.stages.asof import asof_join, interval_join
+
+    # inverted interval (end < start): no match on BOTH paths, no crash
+    pts = _ds({"k": [1], "t": [500], "pid": [0]})
+    iv = _ds({"k": [1, 1], "s": [900, 400], "e": [100, 600],
+              "iid": [7, 8]})
+    for tb in (None, 8):
+        got = [(r["pid"], r["r_iid"]) for r in interval_join(
+            pts, iv, by="k", ts_col="t", start_col="s", end_col="e",
+            time_buckets=tb).take_all()]
+        assert got == [(0, 8)], tb
+    # centuries-wide timestamp range: (t-lo)*B would wrap int64; the
+    # float bucketing keeps the bucketed path equal to the default
+    wide = [datetime.datetime(1970, 1, 1),
+            datetime.datetime(2200, 1, 1),
+            datetime.datetime(2260, 1, 1)]
+    left = _ds({"k": [1, 1, 1],
+                "t": pa.array(np.array(wide, dtype="datetime64[us]")),
+                "lid": [0, 1, 2]})
+    right = _ds({"k": [1, 1],
+                 "t": pa.array(np.array(wide[:2],
+                                        dtype="datetime64[us]")),
+                 "rid": [10, 11]})
+    base = sorted((r["lid"], r["r_rid"]) for r in asof_join(
+        left, right, by="k", on="t", tie_col="rid").take_all())
+    buck = sorted((r["lid"], r["r_rid"]) for r in asof_join(
+        left, right, by="k", on="t", tie_col="rid",
+        time_buckets=4096).take_all())
+    assert buck == base == [(0, 10), (1, 11), (2, 11)]
