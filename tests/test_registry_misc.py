@@ -193,3 +193,18 @@ def test_jsonl_input_roundtrip(ray_session, tmp_path):
     (r,) = supported_input_types["jsonl"](str(p2)).take_all()
     assert r["role"] == "" and r["tool"] == ""
     assert r["ts"].timestamp() == 1.0
+
+
+def test_entry_module_query_oracle_consistency():
+    """Driver-contract invariants: every queries() entry except the
+    documented rows-only set carries an oracle; no orphan oracles; the
+    rows-only set stays an explicit, minimal list."""
+    import __ray_entry__ as em
+
+    qs = set(em.queries())
+    oracles = set(em.oracle_sql())
+    rows_only = qs - oracles
+    # otmt_lda is a deterministic pLSA EM stand-in — iterative EM is
+    # not SQL-expressible (the reference's own test only bounds it)
+    assert rows_only == {"otmt_lda"}, rows_only
+    assert oracles <= qs, oracles - qs
