@@ -16,11 +16,11 @@ Execution shape:
   row-group predicate pushdown, then a broadcast dim chain
   (customer ⋈ nation ⋈ region collapsed to one custkey→nation lookup
   shipped once via ``ray.put``) and the same partial-then-merge
-  aggregate. Dims are genuinely small sides (25 nations, 5 regions,
-  customers ≪ facts); above ``broadcast_limit`` customers the call
-  raises — the scale route is a second ``Dataset.join`` on o_custkey
-  (same shape as the fact join), deliberately not implemented until a
-  workload needs it.
+  aggregate. Dims are genuinely small sides (25 nations, 5 regions);
+  the customer side broadcasts when under ``broadcast_limit`` rows and
+  otherwise routes through a second distributed hash join on
+  o_custkey, shipping only surviving-nation customers with an int
+  nation key (both routes produce identical output — tested).
 
 Exactness: money columns are fixed-point decimals (2 dp), so all sums
 run in integer cents — ``sum_base_cents`` (¢), ``sum_disc_e4``
@@ -137,8 +137,9 @@ def revenue_by_nation(lineitem, orders, customer, nation, region,
     ``revenue_e4`` = Σ price·(1−discount) in exact 1e-4 units (integer
     cents × integer discount%). The customer→nation chain collapses to
     one broadcast int64→string lookup when the customer table is under
-    ``broadcast_limit`` rows; the lineitem⋈orders fact join is always a
-    distributed hash join.
+    ``broadcast_limit`` rows; above it, a second distributed hash join
+    on o_custkey takes over (see module docstring). The
+    lineitem⋈orders fact join is always a distributed hash join.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -164,32 +165,34 @@ def revenue_by_nation(lineitem, orders, customer, nation, region,
     nkey_to_name = dict(zip(nat_t["n_nationkey"].to_pylist(),
                             nat_t["n_name"].to_pylist()))
 
-    cust_tbls = [ray.get(r) for r in customer.select_columns(
-        ["c_custkey", "c_nationkey"]).to_arrow_refs()]
-    if sum(t.num_rows for t in cust_tbls) > broadcast_limit:
-        raise NotImplementedError(
-            "customer side above broadcast_limit: route through a second "
-            "Dataset.join on o_custkey (same shape as the fact join)")
-    cust_t = pa.concat_tables(cust_tbls)
+    # nation lookup: always tiny (25 rows), closure-captured
     nat_keys = np.asarray(sorted(nkey_to_name), dtype=np.int64)
     nat_names = np.asarray([nkey_to_name[k] for k in nat_keys],
                            dtype=object)
-    cnk = cust_t["c_nationkey"].combine_chunks().to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    if len(nat_keys):
-        pos_c = np.clip(np.searchsorted(nat_keys, cnk),
-                        0, len(nat_keys) - 1)
-        hit = nat_keys[pos_c] == cnk
-    else:
-        pos_c = np.zeros(len(cnk), dtype=np.int64)
-        hit = np.zeros(len(cnk), dtype=bool)
-    ck_all = cust_t["c_custkey"].combine_chunks().to_numpy(
-        zero_copy_only=False).astype(np.int64)[hit]
-    nn_all = nat_names[pos_c[hit]]
-    # sorted ONCE on the driver; tasks binary-search the shared arrays
-    order = np.argsort(ck_all, kind="stable")
-    lookup_keys = ray.put(ck_all[order])
-    lookup_names = ray.put(nn_all[order])
+
+    cust_count = customer.count()
+    broadcast_cust = cust_count <= broadcast_limit
+    lookup_keys = lookup_names = None
+    if broadcast_cust:
+        cust_t = pa.concat_tables(
+            [ray.get(r) for r in customer.select_columns(
+                ["c_custkey", "c_nationkey"]).to_arrow_refs()])
+        cnk = cust_t["c_nationkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(nat_keys):
+            pos_c = np.clip(np.searchsorted(nat_keys, cnk),
+                            0, len(nat_keys) - 1)
+            hit = nat_keys[pos_c] == cnk
+        else:
+            pos_c = np.zeros(len(cnk), dtype=np.int64)
+            hit = np.zeros(len(cnk), dtype=bool)
+        ck_all = cust_t["c_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[hit]
+        nn_all = nat_names[pos_c[hit]]
+        # sorted ONCE on the driver; tasks binary-search shared arrays
+        order = np.argsort(ck_all, kind="stable")
+        lookup_keys = ray.put(ck_all[order])
+        lookup_names = ray.put(nn_all[order])
 
     # --- fact side: prune + pre-aggregate projection ------------------
     def ord_proj(b: pa.Table) -> pa.Table:
@@ -216,30 +219,15 @@ def revenue_by_nation(lineitem, orders, customer, nation, region,
                            num_partitions=num_partitions,
                            on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def partial(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "o_custkey" not in b.column_names:
-            return pa.table({"n_name": pa.array([], pa.string()),
-                             "n_rows": pa.array([], pa.int64()),
-                             "revenue_e4": pa.array([], pa.int64())})
-        keys = ray.get(lookup_keys)
-        names = ray.get(lookup_names)
-        if len(keys) == 0:
-            return pa.table({"n_name": pa.array([], pa.string()),
-                             "n_rows": pa.array([], pa.int64()),
-                             "revenue_e4": pa.array([], pa.int64())})
-        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ck)
-        pos_c = np.clip(pos, 0, len(keys) - 1)
-        hit = keys[pos_c] == ck
-        if not hit.any():
-            return pa.table({"n_name": pa.array([], pa.string()),
-                             "n_rows": pa.array([], pa.int64()),
-                             "revenue_e4": pa.array([], pa.int64())})
-        rev = b["rev_e4"].to_numpy(zero_copy_only=False)[hit]
-        nn = names[pos_c[hit]]
+    def _empty_out() -> pa.Table:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "revenue_e4": pa.array([], pa.int64())})
+
+    def _agg_partial(nn: np.ndarray, rev: np.ndarray) -> pa.Table:
         t = pa.table({"n_name": pa.array(nn, pa.string()),
                       "n_rows": pa.array(
-                          np.ones(int(hit.sum()), dtype=np.int64)),
+                          np.ones(len(rev), dtype=np.int64)),
                       "revenue_e4": pa.array(rev)})
         agg = t.group_by(["n_name"]).aggregate(
             [("n_rows", "sum"), ("revenue_e4", "sum")])
@@ -247,7 +235,71 @@ def revenue_by_nation(lineitem, orders, customer, nation, region,
                          "n_rows": agg["n_rows_sum"],
                          "revenue_e4": agg["revenue_e4_sum"]})
 
-    partials = joined.map_batches(partial, batch_format="pyarrow")
+    def partial_broadcast(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return _empty_out()
+        keys = ray.get(lookup_keys)
+        names = ray.get(lookup_names)
+        if len(keys) == 0:
+            return _empty_out()
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos_c = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        hit = keys[pos_c] == ck
+        if not hit.any():
+            return _empty_out()
+        rev = b["rev_e4"].to_numpy(zero_copy_only=False)[hit]
+        return _agg_partial(names[pos_c[hit]], rev)
+
+    if broadcast_cust:
+        partials = joined.map_batches(partial_broadcast,
+                                      batch_format="pyarrow")
+    else:
+        # customer outgrows a broadcast: second distributed hash join
+        # (same shape as the fact join); only the surviving-nation
+        # customers ship, carrying a small int nation key
+        def cust_proj(b: pa.Table) -> pa.Table:
+            keep = pc.is_in(
+                pc.cast(b["c_nationkey"], pa.int64()),
+                value_set=pa.array(nat_keys, pa.int64()))
+            b = b.filter(pc.fill_null(keep, False))
+            return pa.table({"c_custkey": b["c_custkey"],
+                             "c_nationkey": pc.cast(b["c_nationkey"],
+                                                    pa.int64())})
+
+        cust_small = customer.map_batches(cust_proj,
+                                          batch_format="pyarrow")
+
+        # Ray 2.49's join emits zero-row blocks with an EMPTY schema
+        # from empty hash partitions; a second join downstream then
+        # fails to resolve its key ("No match ... for key field").
+        # Re-project to a fixed two-column schema (also slims the
+        # shuffle to the only columns the second join needs).
+        def proj_fix(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "o_custkey" not in b.column_names:
+                return pa.table({"o_custkey": pa.array([], pa.int64()),
+                                 "rev_e4": pa.array([], pa.int64())})
+            return pa.table(
+                {"o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                 "rev_e4": b["rev_e4"]})
+
+        joined2 = joined.map_batches(
+            proj_fix, batch_format="pyarrow").join(
+            cust_small, join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",), right_on=("c_custkey",))
+
+        def partial_joined(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "c_nationkey" not in b.column_names:
+                return _empty_out()
+            cnk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(nat_keys, cnk),
+                          0, max(len(nat_keys) - 1, 0))
+            rev = b["rev_e4"].to_numpy(zero_copy_only=False)
+            return _agg_partial(nat_names[pos], rev)
+
+        partials = joined2.map_batches(partial_joined,
+                                       batch_format="pyarrow")
+
     return partials.groupby("n_name").aggregate(
         Sum("n_rows", alias_name="n_rows"),
         Sum("revenue_e4", alias_name="revenue_e4"),

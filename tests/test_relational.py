@@ -90,16 +90,29 @@ def test_revenue_by_nation_dim_chain_and_filters(ray_session):
     assert got["ALPHA"]["revenue_e4"] == 1000 * 90 + 2000 * 100
 
 
-def test_revenue_by_nation_broadcast_limit_guard(ray_session):
-    li = _ds({"l_orderkey": [1], "l_extendedprice": [1.0],
-              "l_discount": [0.0]})
-    orders = _ds({"o_orderkey": [1], "o_custkey": [1],
-                  "o_orderdate": [datetime.datetime(1996, 1, 1)]})
-    cust = _ds({"c_custkey": [1, 2], "c_nationkey": [1, 1]})
-    nat = _ds({"n_nationkey": [1], "n_name": ["X"], "n_regionkey": [1]})
-    reg = _ds({"r_regionkey": [1], "r_name": ["R"]})
-    with pytest.raises(NotImplementedError, match="broadcast_limit"):
-        revenue_by_nation(li, orders, cust, nat, reg, broadcast_limit=1)
+def test_revenue_by_nation_join_route_equals_broadcast(ray_session):
+    # broadcast_limit=1 forces the second distributed hash join on
+    # o_custkey; output must equal the broadcast route exactly
+    li = _ds({"l_orderkey": [1, 1, 2, 3],
+              "l_extendedprice": [10.00, 20.00, 30.00, 40.00],
+              "l_discount": [0.10, 0.00, 0.05, 0.00]})
+    orders = _ds({"o_orderkey": [1, 2, 3],
+                  "o_custkey": [100, 200, 999],
+                  "o_orderdate": [datetime.datetime(1996, 6, 1)] * 3})
+    cust = _ds({"c_custkey": [100, 200], "c_nationkey": [1, 2]})
+    nat = _ds({"n_nationkey": [1, 2], "n_name": ["ALPHA", "BETA"],
+               "n_regionkey": [1, 2]})
+    reg = _ds({"r_regionkey": [1, 2], "r_name": ["EAST", "WEST"]})
+
+    def run(limit):
+        return sorted(
+            (r["n_name"], r["n_rows"], r["n_rows"], r["revenue_e4"])
+            for r in revenue_by_nation(
+                li, orders, cust, nat, reg,
+                broadcast_limit=limit).take_all())
+
+    assert run(1) == run(10**6)
+    assert [x[0] for x in run(1)] == ["ALPHA", "BETA"]
 
 
 def test_semi_and_anti_join(ray_session):
