@@ -485,6 +485,40 @@ def q_length_percentiles(sf_dir: str):
     return grouped_quantiles(docs, "source", "n_chars", [0.5, 0.9, 0.99])
 
 
+def q_value_percentiles_by_type(sf_dir: str):
+    """Float-column percentiles via the documented scale-to-ints
+    recipe: event values quantize to milli-units (round(v*1000) int64),
+    run through the exact counting-merge quantile operator, and divide
+    back — both sides quantize identically, so the final doubles are
+    bit-identical (same int operand, same literal divisor)."""
+    import ray.data
+
+    from raydedup.stages.stats import grouped_quantiles
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def to_milli(b: pa.Table) -> pa.Table:
+        milli = pa.array(np.rint(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            * 1000.0).astype(np.int64))
+        i = b.schema.get_field_index("value")
+        return b.set_column(i, "v_milli", milli)
+
+    out = grouped_quantiles(ev.map_batches(to_milli,
+                                           batch_format="pyarrow"),
+                            "event_type", "v_milli", [0.5, 0.9, 0.99])
+
+    def back(b: pa.Table) -> pa.Table:
+        cols = {"event_type": b["event_type"]}
+        for nm in ("p50", "p90", "p99"):
+            v = b[nm].combine_chunks().to_numpy(zero_copy_only=False)
+            cols[nm] = pa.array(v.astype(np.float64) / 1000.0)
+        return pa.table(cols)
+
+    return out.map_batches(back, batch_format="pyarrow")
+
+
 def q_cross_corpus_matches(sf_dir: str):
     """Exact cross-corpus contamination: transcript turns whose text is
     byte-identical to a document (broadcast sha map, streaming corpus,
@@ -1086,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_source": q_topk_per_source,
         "characteristic_terms": q_characteristic_terms,
         "length_percentiles": q_length_percentiles,
+        "value_percentiles_by_type": q_value_percentiles_by_type,
         "inverted_index": q_inverted_index,
         "cross_corpus_matches": q_cross_corpus_matches,
         "ngram_novelty": q_ngram_novelty,
@@ -2142,6 +2177,21 @@ def _oracle_sql_base() -> dict[str, str]:
                    quantile_disc(n_chars, 0.9) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents GROUP BY source
+        """,
+        "value_percentiles_by_type": """
+            WITH q AS (
+                SELECT event_type,
+                       CAST(round(value * 1000, 0) AS BIGINT) AS vm
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(quantile_disc(vm, 0.5) AS DOUBLE) / 1000.0
+                       AS p50,
+                   CAST(quantile_disc(vm, 0.9) AS DOUBLE) / 1000.0
+                       AS p90,
+                   CAST(quantile_disc(vm, 0.99) AS DOUBLE) / 1000.0
+                       AS p99
+            FROM q GROUP BY event_type
         """,
         "characteristic_terms": """
             WITH tokens AS (
