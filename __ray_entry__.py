@@ -485,6 +485,28 @@ def q_length_percentiles(sf_dir: str):
     return grouped_quantiles(docs, "source", "n_chars", [0.5, 0.9, 0.99])
 
 
+def q_fuzzy_decontam_transcripts(sf_dir: str):
+    """Cross-corpus FUZZY decontamination: transcript turns whose
+    shingle-set Jaccard vs any of the first-50 benchmark documents is
+    ≥ 0.8 — benchmark band index + shingle sets broadcast once, one
+    streaming LSH probe + exact verify pass over the corpus, no
+    shuffle. Oracle is the brute-force cross jaccard join."""
+    import ray.data
+
+    from raydedup.stages.decontam import cross_corpus_near_dups
+    from raydedup.stages.exact import add_row_key
+
+    ts = add_row_key(transcripts_from_documents(sf_dir),
+                     ["conv_id", "turn_idx"])
+    bench = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).filter(expr="doc_id < 50")
+    out = cross_corpus_near_dups(ts, bench, SIMPLE_CFG,
+                                 corpus_key="row_key",
+                                 bench_key="doc_id")
+    return _round_col(out, "jaccard")
+
+
 def q_value_percentiles_by_type(sf_dir: str):
     """Float-column percentiles via the documented scale-to-ints
     recipe: event values quantize to milli-units (round(v*1000) int64),
@@ -1121,6 +1143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "characteristic_terms": q_characteristic_terms,
         "length_percentiles": q_length_percentiles,
         "value_percentiles_by_type": q_value_percentiles_by_type,
+        "fuzzy_decontam_transcripts": q_fuzzy_decontam_transcripts,
         "inverted_index": q_inverted_index,
         "cross_corpus_matches": q_cross_corpus_matches,
         "ngram_novelty": q_ngram_novelty,
@@ -2177,6 +2200,64 @@ def _oracle_sql_base() -> dict[str, str]:
                    quantile_disc(n_chars, 0.9) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents GROUP BY source
+        """,
+        "fuzzy_decontam_transcripts": TRANSCRIPTS_SQL + f"""
+            , corpus_arrs AS (
+                SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS ck,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM transcripts
+            ),
+            corpus_shl AS (
+                SELECT ck,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM corpus_arrs WHERE len(arr) > 0
+            ),
+            corpus_sh AS (
+                SELECT DISTINCT ck, s.sh
+                FROM corpus_shl, UNNEST(shl) AS s(sh)
+            ),
+            corpus_n AS (
+                SELECT ck, count(*) AS n FROM corpus_sh GROUP BY 1
+            ),
+            bench_arrs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS qk,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM documents WHERE doc_id < 50
+            ),
+            bench_shl AS (
+                SELECT qk,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM bench_arrs WHERE len(arr) > 0
+            ),
+            bench_sh AS (
+                SELECT DISTINCT qk, s.sh
+                FROM bench_shl, UNNEST(shl) AS s(sh)
+            ),
+            bench_n AS (
+                SELECT qk, count(*) AS n FROM bench_sh GROUP BY 1
+            ),
+            common AS (
+                SELECT c.ck, q.qk, count(*) AS c
+                FROM corpus_sh c JOIN bench_sh q ON c.sh = q.sh
+                GROUP BY 1, 2
+            )
+            SELECT p.ck AS corpus_key, p.qk AS bench_key,
+                   round(CAST(p.c AS DOUBLE)
+                         / (cn.n + bn.n - p.c), {_ROUND}) AS jaccard
+            FROM common p
+            JOIN corpus_n cn ON cn.ck = p.ck
+            JOIN bench_n bn ON bn.qk = p.qk
+            WHERE CAST(p.c AS DOUBLE) / (cn.n + bn.n - p.c) >= 0.8
         """,
         "value_percentiles_by_type": """
             WITH q AS (

@@ -243,3 +243,103 @@ def ngram_novelty(ds, n: int = 3, id_col: str = "doc_id",
                          "n_shared": pa.array(shared)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def cross_corpus_near_dups(corpus, bench, cfg, corpus_key: str,
+                           bench_key: str, text_col: str = "text",
+                           min_jaccard: float | None = None):
+    """Fuzzy decontamination: every (corpus row, benchmark row) pair
+    with shingle-set Jaccard ≥ threshold — the GPT-3-style FUZZY
+    complement to ``decontaminate``'s exact n-gram collision.
+
+    Ray-Data shape: the benchmark side is SMALL by definition, so its
+    MinHash band buckets and sorted-unique shingle sets are built once
+    on the driver and broadcast via ``ray.put``; every corpus batch
+    computes its own signatures (the same per-worker-cached kernel as
+    the dedup DAG), probes the broadcast band index with one
+    searchsorted per (row, band), and exact-verifies the (rare)
+    candidates with sorted-set intersections — one streaming pass over
+    the corpus, no shuffle. Many-to-many: all qualifying pairs emit
+    (no exact-dup rep collapsing — contamination reports want every
+    contaminated row). Zero-shingle rows on either side never pair.
+    Candidate recall is the LSH band guarantee, identical to the
+    within-corpus ``lsh_verified_pairs`` configuration.
+    """
+    import ray
+
+    from raydedup.stages.lsh import _bands_matrix, _fused_buckets
+    from raydedup.stages.signatures import signature_batch
+
+    thr = cfg.jaccard_dup_threshold if min_jaccard is None else min_jaccard
+    b = cfg.lsh_bands
+
+    bench_t = pa.concat_tables(
+        [ray.get(r) for r in bench.to_arrow_refs()])
+    bsig = signature_batch(bench_t, cfg, text_col=text_col)
+    q_nsh = bsig["n_shingles"].to_numpy(zero_copy_only=False)
+    nonempty = np.flatnonzero(q_nsh > 0)
+    bsig = bsig.take(pa.array(nonempty))
+    m = bsig.num_rows
+    fused = _fused_buckets(_bands_matrix(bsig, b), b) if m else \
+        np.empty((0, b), dtype=np.int64)
+    flat_keys = fused.reshape(-1)
+    flat_q = np.repeat(np.arange(m, dtype=np.int64), b)
+    order = np.argsort(flat_keys, kind="stable")
+    bkeys_s, bq_s = flat_keys[order], flat_q[order]
+    uniq_keys, ustarts = np.unique(bkeys_s, return_index=True)
+    ucounts = np.diff(np.r_[ustarts, len(bkeys_s)])
+    sh_list = bsig["shingle_hashes"].combine_chunks()
+    q_flat = sh_list.flatten().to_numpy(zero_copy_only=False)
+    q_offs = sh_list.offsets.to_numpy(zero_copy_only=False)
+    q_keys = [str(k) for k in bsig[bench_key].to_pylist()]
+    idx_ref = ray.put((uniq_keys, ustarts.astype(np.int64),
+                       ucounts.astype(np.int64), bq_s,
+                       q_flat, q_offs.astype(np.int64)))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            return pa.table({"corpus_key": pa.array([], pa.string()),
+                             "bench_key": pa.array([], pa.string()),
+                             "jaccard": pa.array([], pa.float64())})
+
+        if batch.num_rows == 0 or m == 0:
+            return empty()
+        (ukeys, ustart, ucnt, bq, qf, qo) = ray.get(idx_ref)
+        sig = signature_batch(batch, cfg, text_col=text_col)
+        n = sig.num_rows
+        cf = _fused_buckets(_bands_matrix(sig, b), b).reshape(-1)
+        rows = np.repeat(np.arange(n, dtype=np.int64), b)
+        pos = np.clip(np.searchsorted(ukeys, cf), 0, len(ukeys) - 1)
+        hit = ukeys[pos] == cf
+        if not hit.any():
+            return empty()
+        hrow, hpos = rows[hit], pos[hit]
+        counts = ucnt[hpos]
+        total = int(counts.sum())
+        crow = np.repeat(hrow, counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))
+        within = np.arange(total) - np.repeat(cum[:-1], counts)
+        qidx = bq[np.repeat(ustart[hpos], counts) + within]
+        cand = np.unique(crow * np.int64(m) + qidx)
+        crow, qidx = cand // m, cand % m
+        c_list = sig["shingle_hashes"].combine_chunks()
+        c_flat = c_list.flatten().to_numpy(zero_copy_only=False)
+        c_offs = c_list.offsets.to_numpy(zero_copy_only=False)
+        ckeys = sig[corpus_key].to_pylist()
+        out_c, out_q, out_j = [], [], []
+        for r, q in zip(crow, qidx):
+            a = c_flat[c_offs[r]: c_offs[r + 1]]
+            if len(a) == 0:
+                continue
+            qq = qf[qo[q]: qo[q + 1]]
+            inter = np.intersect1d(a, qq, assume_unique=True)
+            j = len(inter) / (len(a) + len(qq) - len(inter))
+            if j >= thr:
+                out_c.append(str(ckeys[r]))
+                out_q.append(q_keys[q])
+                out_j.append(j)
+        return pa.table({"corpus_key": pa.array(out_c, pa.string()),
+                         "bench_key": pa.array(out_q, pa.string()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return corpus.map_batches(probe, batch_format="pyarrow")

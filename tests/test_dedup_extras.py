@@ -226,3 +226,39 @@ def test_global_top_terms_vs_scalar_twin():
     want = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]),
                   reverse=True)[:15]
     assert [(r["term"], r["n"]) for r in got] == want
+
+
+def test_cross_corpus_near_dups(ray_session):
+    import numpy as np  # noqa: F401
+    import pyarrow as pa
+
+    import ray.data
+
+    from raydedup.stages.decontam import cross_corpus_near_dups
+    from __ray_entry__ import SIMPLE_CFG
+
+    # 32 tokens → 30 shingles; a one-token edit swaps 3 shingles →
+    # jaccard = 27/33 ≈ 0.818 ≥ 0.8
+    base = " ".join(f"tok{i}" for i in range(32))
+    near = base.replace("tok15", "edited")
+    far = "completely different words with no overlap at all here now"
+    corpus = ray.data.from_arrow(pa.table({
+        "ck": ["c0", "c1", "c2", "c3"],
+        "text": [base, near, far, ""]})).repartition(2)
+    bench = ray.data.from_arrow(pa.table({
+        "qk": ["q0", "q1"], "text": [base, ""]}))
+    got = {(r["corpus_key"], r["bench_key"]): r["jaccard"]
+           for r in cross_corpus_near_dups(
+               corpus, bench, SIMPLE_CFG, corpus_key="ck",
+               bench_key="qk").take_all()}
+    assert ("c0", "q0") in got and got[("c0", "q0")] == 1.0
+    assert ("c1", "q0") in got and 0.8 <= got[("c1", "q0")] < 1.0
+    # far text, empty corpus text, empty bench text never pair
+    assert all(k[0] not in ("c2", "c3") and k[1] != "q1" for k in got)
+    # empty benchmark set → empty result, not a crash
+    empty_bench = ray.data.from_arrow(pa.table(
+        {"qk": pa.array([], pa.string()),
+         "text": pa.array([], pa.string())}))
+    assert cross_corpus_near_dups(
+        corpus, empty_bench, SIMPLE_CFG, corpus_key="ck",
+        bench_key="qk").count() == 0
