@@ -485,6 +485,40 @@ def q_length_percentiles(sf_dir: str):
     return grouped_quantiles(docs, "source", "n_chars", [0.5, 0.9, 0.99])
 
 
+def q_dedup_survivors_docs(sf_dir: str):
+    """Composition pipeline: near-dup clusters → join per-doc length →
+    best-1-per-cluster survivor selection (largest n_chars, ties to the
+    smallest key) — the full curation chain a training-data run would
+    ship: dedup, enrich, select. Distributed hash join + the
+    partial-top-k combiner; oracled end-to-end by the recursive-CTE
+    clusters + a row_number window."""
+    import ray
+
+    import ray.data
+
+    from raydedup.pipelines.neardup import near_dup_pipeline
+
+    clusters, _ = near_dup_pipeline(_docs(sf_dir), SIMPLE_CFG,
+                                    key_cols=["doc_id"])
+
+    def keyed_meta(b: pa.Table) -> pa.Table:
+        return pa.table({"row_key": pc.cast(b["doc_id"], pa.string()),
+                         "n_chars": b["n_chars"]})
+
+    meta = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(keyed_meta, batch_format="pyarrow")
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = clusters.select_columns(["row_key", "cluster_id"]).join(
+        meta, join_type="inner",
+        num_partitions=max(2, min(32, 2 * ncpu)), on=("row_key",))
+
+    from raydedup.stages.textstats import topk_by_group
+
+    out = topk_by_group(joined, "cluster_id", "row_key", "n_chars", k=1)
+    return out.select_columns(["row_key", "cluster_id", "n_chars"])
+
+
 def q_fuzzy_decontam_transcripts(sf_dir: str):
     """Cross-corpus FUZZY decontamination: transcript turns whose
     shingle-set Jaccard vs any of the first-50 benchmark documents is
@@ -1144,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentiles": q_length_percentiles,
         "value_percentiles_by_type": q_value_percentiles_by_type,
         "fuzzy_decontam_transcripts": q_fuzzy_decontam_transcripts,
+        "dedup_survivors_docs": q_dedup_survivors_docs,
         "inverted_index": q_inverted_index,
         "cross_corpus_matches": q_cross_corpus_matches,
         "ngram_novelty": q_ngram_novelty,
@@ -2200,6 +2235,49 @@ def _oracle_sql_base() -> dict[str, str]:
                    quantile_disc(n_chars, 0.9) AS p90,
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents GROUP BY source
+        """,
+        "dedup_survivors_docs": f"""
+            WITH RECURSIVE {_DOC_SHINGLES_CTE},
+            exact_edges AS (
+                SELECT CAST(a.doc_id AS VARCHAR) AS a_key,
+                       CAST(b.doc_id AS VARCHAR) AS b_key
+                FROM documents a JOIN documents b
+                  ON a.text = b.text AND a.doc_id <> b.doc_id
+            ),
+            near_edges AS (
+                SELECT CAST(a_id AS VARCHAR) AS a_key,
+                       CAST(b_id AS VARCHAR) AS b_key
+                FROM near_pairs
+            ),
+            edges AS (
+                SELECT a_key, b_key FROM exact_edges
+                UNION SELECT b_key, a_key FROM exact_edges
+                UNION SELECT a_key, b_key FROM near_edges
+                UNION SELECT b_key, a_key FROM near_edges
+            ),
+            reach(node, r) AS (
+                SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR)
+                FROM documents
+                UNION
+                SELECT reach.node, edges.b_key
+                FROM reach JOIN edges ON reach.r = edges.a_key
+            ),
+            clusters AS (
+                SELECT node AS row_key, min(r) AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            ranked AS (
+                SELECT c.row_key, c.cluster_id, d.n_chars,
+                       row_number() OVER (
+                           PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, c.row_key ASC
+                       ) AS rn
+                FROM clusters c
+                JOIN documents d
+                  ON CAST(d.doc_id AS VARCHAR) = c.row_key
+            )
+            SELECT row_key, cluster_id, n_chars
+            FROM ranked WHERE rn = 1
         """,
         "fuzzy_decontam_transcripts": TRANSCRIPTS_SQL + f"""
             , corpus_arrs AS (
