@@ -1030,6 +1030,20 @@ def q_distinct_users_per_type(sf_dir: str):
     return distinct_count_by_group(ev, "event_type", "user_id")
 
 
+def q_mode_event_type_per_user(sf_dir: str):
+    """Per-group mode: each user's most frequent event type (ties to
+    the smallest value — SQL mode() leaves ties unspecified, so the
+    oracle uses a row_number window with the same rule). Shuffle
+    carries distinct (user, type, count) partials only."""
+    import ray.data
+
+    from raydedup.stages.stats import mode_by_group
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return mode_by_group(ev, "user_id", "event_type")
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped scan→partial-aggregate→merge over lineitem with
     exact integer-cents money math (bit-exact vs the SQL oracle; see
@@ -1210,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
+        "mode_event_type_per_user": q_mode_event_type_per_user,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -2622,6 +2637,22 @@ def _oracle_sql_base() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "mode_event_type_per_user": """
+            WITH counts AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT user_id, event_type, n,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n DESC, event_type ASC) AS rn
+                FROM counts
+            )
+            SELECT user_id, event_type AS mode_value,
+                   n AS mode_count
+            FROM ranked WHERE rn = 1
         """,
         "pricing_summary": """
             WITH c AS (

@@ -223,3 +223,54 @@ def approx_distinct_by_group(ds, group_col: str, value_col: str,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col).map_groups(merge, batch_format="pyarrow"))
+
+
+def mode_by_group(ds, group_col: str, value_col: str,
+                  out: str = "mode_value"):
+    """→ Dataset(group, mode_value, mode_count): the most frequent
+    value per group, ties broken by the SMALLEST value (deterministic
+    under any partitioning — SQL's ``mode()`` leaves ties unspecified,
+    so oracles should use a row_number window with the same tie rule).
+    Same shuffle discipline as ``grouped_quantiles``: batches emit
+    (group, value, count) partials, one keyed groupby merges counts,
+    and a per-group argmax reads the winner — the exchange carries
+    distinct pairs, not rows. Nulls are excluded (SQL aggregate
+    semantics)."""
+    from ray.data.aggregate import Sum
+
+    schema = ds.schema()
+    gtype = schema.types[schema.names.index(group_col)]
+    vtype = schema.types[schema.names.index(value_col)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b[group_col], value_col: b[value_col]})
+        t = t.filter(pc.is_valid(t[value_col]))
+        agg = t.group_by([group_col, value_col]).aggregate(
+            [([], "count_all")])
+        return pa.table({group_col: agg[group_col],
+                         value_col: agg[value_col],
+                         "__n": agg["count_all"]})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, value_col])
+              .aggregate(Sum("__n", alias_name="__n")))
+
+    def argmax(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__n" not in g.column_names:
+            return pa.table({group_col: pa.array([], gtype),
+                             out: pa.array([], vtype),
+                             "mode_count": pa.array([], pa.int64())})
+        n = g["__n"].to_numpy(zero_copy_only=False)
+        v = g[value_col].combine_chunks()
+        # max count, then smallest value: sort by (-count, value) and
+        # take the first row — group_by partitions are per-group here
+        order = pc.sort_indices(
+            pa.table({"a": pa.array(-n), "b": v}),
+            sort_keys=[("a", "ascending"), ("b", "ascending")])
+        best = order[0].as_py()
+        return pa.table({group_col: g[group_col].take(pa.array([best])),
+                         out: v.take(pa.array([best])),
+                         "mode_count": pa.array([int(n[best])])})
+
+    return counts.groupby(group_col).map_groups(argmax,
+                                                batch_format="pyarrow")

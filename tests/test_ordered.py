@@ -300,3 +300,19 @@ def test_review_fix_interval_inverted_and_asof_wide_range(ray_session):
         left, right, by="k", on="t", tie_col="rid",
         time_buckets=4096).take_all())
     assert buck == base == [(0, 10), (1, 11), (2, 11)]
+
+
+def test_mode_by_group(ray_session):
+    from raydedup.stages.stats import mode_by_group
+
+    ds = _ds({"g": ["a"] * 5 + ["b"] * 4 + ["c"],
+              "v": pa.array(["x", "x", "y", "y", "z",
+                             "q", None, "q", "r", "s"])}).repartition(4)
+    got = {r["g"]: (r["mode_value"], r["mode_count"]) for r in
+           mode_by_group(ds, "g", "v").take_all()}
+    # a: x and y tie at 2 → smallest value wins; b: null excluded
+    assert got == {"a": ("x", 2), "b": ("q", 2), "c": ("s", 1)}
+    # int values + single group
+    ds2 = _ds({"g": [1, 1, 1], "v": [7, 9, 9]})
+    (r,) = mode_by_group(ds2, "g", "v").take_all()
+    assert (r["g"], r["mode_value"], r["mode_count"]) == (1, 9, 2)
