@@ -1030,6 +1030,27 @@ def q_distinct_users_per_type(sf_dir: str):
     return distinct_count_by_group(ev, "event_type", "user_id")
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """Keep-newest-per-key (snapshot dedup — the keep-latest-memento /
+    keep-newest-page-version curation rule): per user, the most recent
+    event, ties to the smallest event_id. Reuses the partial-top-k
+    combiner over epoch-microseconds."""
+    import ray.data
+
+    from raydedup.stages.textstats import topk_by_group
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ts_us", pc.cast(b["ts"], pa.int64()))
+
+    out = topk_by_group(ev.map_batches(to_us, batch_format="pyarrow"),
+                        "user_id", "event_id", "ts_us", k=1)
+    return out.select_columns(["user_id", "event_id", "ts_us"])
+
+
 def q_mode_event_type_per_user(sf_dir: str):
     """Per-group mode: each user's most frequent event type (ties to
     the smallest value — SQL mode() leaves ties unspecified, so the
@@ -1225,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
+        "latest_event_per_user": q_latest_event_per_user,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -2637,6 +2659,13 @@ def _oracle_sql_base() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id ASC) = 1
         """,
         "mode_event_type_per_user": """
             WITH counts AS (

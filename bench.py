@@ -158,7 +158,9 @@ def run_bench() -> dict:
 
     for qname in ("pricing_summary", "revenue_by_nation",
                   "asof_clicks_purchases_bucketed",
-                  "running_qty_per_part"):
+                  "running_qty_per_part",
+                  "fuzzy_decontam_transcripts",
+                  "dedup_survivors_docs"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()
         queries[qname] = round(time.time() - t0, 3)
