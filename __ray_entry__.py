@@ -513,9 +513,23 @@ def q_dedup_survivors_docs(sf_dir: str):
         meta, join_type="inner",
         num_partitions=max(2, min(32, 2 * ncpu)), on=("row_key",))
 
+    # Ray 2.49's join emits zero-row blocks with an EMPTY schema from
+    # empty hash partitions; rebuild a fixed schema before downstream
+    # stages touch column types (same guard as relational.proj_fix)
+    def fix_schema(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "cluster_id" not in b.column_names:
+            return pa.table({"row_key": pa.array([], pa.string()),
+                             "cluster_id": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64())})
+        return pa.table({"row_key": b["row_key"],
+                         "cluster_id": b["cluster_id"],
+                         "n_chars": b["n_chars"]})
+
     from raydedup.stages.textstats import topk_by_group
 
-    out = topk_by_group(joined, "cluster_id", "row_key", "n_chars", k=1)
+    out = topk_by_group(
+        joined.map_batches(fix_schema, batch_format="pyarrow"),
+        "cluster_id", "row_key", "n_chars", k=1)
     return out.select_columns(["row_key", "cluster_id", "n_chars"])
 
 
@@ -555,9 +569,14 @@ def q_value_percentiles_by_type(sf_dir: str):
                                columns=["event_type", "value"])
 
     def to_milli(b: pa.Table) -> pa.Table:
-        milli = pa.array(np.rint(
-            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
-            * 1000.0).astype(np.int64))
+        # drop nulls (quantile_disc skips them) and quantize half-AWAY
+        # from zero to match DuckDB round() — np.rint's half-to-even
+        # would flip exact .5 boundaries the other way
+        b = b.filter(pc.is_valid(b["value"]))
+        v = b["value"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 1000.0
+        milli = pa.array((np.floor(np.abs(v) + 0.5)
+                          * np.sign(v)).astype(np.int64))
         i = b.schema.get_field_index("value")
         return b.set_column(i, "v_milli", milli)
 
@@ -2669,8 +2688,10 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "mode_event_type_per_user": """
             WITH counts AS (
+                -- engine mode excludes NULL values (SQL aggregate
+                -- semantics); mirror that here
                 SELECT user_id, event_type, count(*) AS n
-                FROM events GROUP BY 1, 2
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
             ),
             ranked AS (
                 SELECT user_id, event_type, n,

@@ -267,7 +267,11 @@ def cross_corpus_near_dups(corpus, bench, cfg, corpus_key: str,
     """
     import ray
 
-    from raydedup.stages.lsh import _bands_matrix, _fused_buckets
+    from raydedup.stages.lsh import (
+        _bands_matrix,
+        _fused_buckets,
+        _tiled_intersections,
+    )
     from raydedup.stages.signatures import signature_batch
 
     thr = cfg.jaccard_dup_threshold if min_jaccard is None else min_jaccard
@@ -324,22 +328,32 @@ def cross_corpus_near_dups(corpus, bench, cfg, corpus_key: str,
         crow, qidx = cand // m, cand % m
         c_list = sig["shingle_hashes"].combine_chunks()
         c_flat = c_list.flatten().to_numpy(zero_copy_only=False)
-        c_offs = c_list.offsets.to_numpy(zero_copy_only=False)
+        c_offs = c_list.offsets.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # exact verify through the shared tiled kernel (lsh.py) — a
+        # per-pair np.intersect1d loop was the repo's measured
+        # anti-scaling pattern on candidate-heavy batches
+        la = (c_offs[crow + 1] - c_offs[crow]).astype(np.int64)
+        lb = (qo[qidx + 1] - qo[qidx]).astype(np.int64)
+        nz = la > 0
+        crow, qidx, la, lb = crow[nz], qidx[nz], la[nz], lb[nz]
+        if len(crow) == 0:
+            return empty()
+
+        def fill(row: np.ndarray, i: int) -> None:
+            r, q = crow[i], qidx[i]
+            row[: la[i]] = c_flat[c_offs[r]: c_offs[r + 1]]
+            row[la[i]: la[i] + lb[i]] = qf[qo[q]: qo[q + 1]]
+
+        inter = _tiled_intersections(la, lb, fill)
+        jac = inter / (la + lb - inter)
+        keep = jac >= thr
         ckeys = sig[corpus_key].to_pylist()
-        out_c, out_q, out_j = [], [], []
-        for r, q in zip(crow, qidx):
-            a = c_flat[c_offs[r]: c_offs[r + 1]]
-            if len(a) == 0:
-                continue
-            qq = qf[qo[q]: qo[q + 1]]
-            inter = np.intersect1d(a, qq, assume_unique=True)
-            j = len(inter) / (len(a) + len(qq) - len(inter))
-            if j >= thr:
-                out_c.append(str(ckeys[r]))
-                out_q.append(q_keys[q])
-                out_j.append(j)
-        return pa.table({"corpus_key": pa.array(out_c, pa.string()),
-                         "bench_key": pa.array(out_q, pa.string()),
-                         "jaccard": pa.array(out_j, pa.float64())})
+        return pa.table({
+            "corpus_key": pa.array(
+                [str(ckeys[r]) for r in crow[keep]], pa.string()),
+            "bench_key": pa.array(
+                [q_keys[q] for q in qidx[keep]], pa.string()),
+            "jaccard": pa.array(jac[keep], pa.float64())})
 
     return corpus.map_batches(probe, batch_format="pyarrow")

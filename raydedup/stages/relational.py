@@ -170,6 +170,9 @@ def revenue_by_nation(lineitem, orders, customer, nation, region,
     nat_names = np.asarray([nkey_to_name[k] for k in nat_keys],
                            dtype=object)
 
+    # materialize once: count() would otherwise execute the lineage and
+    # discard it, then to_arrow_refs()/the join would re-execute it
+    customer = customer.materialize()
     cust_count = customer.count()
     broadcast_cust = cust_count <= broadcast_limit
     lookup_keys = lookup_names = None
@@ -262,7 +265,10 @@ def revenue_by_nation(lineitem, orders, customer, nation, region,
                 pc.cast(b["c_nationkey"], pa.int64()),
                 value_set=pa.array(nat_keys, pa.int64()))
             b = b.filter(pc.fill_null(keep, False))
-            return pa.table({"c_custkey": b["c_custkey"],
+            # int64 on BOTH join keys (proj_fix emits o_custkey int64;
+            # mixed-width keys break the hash join)
+            return pa.table({"c_custkey": pc.cast(b["c_custkey"],
+                                                  pa.int64()),
                              "c_nationkey": pc.cast(b["c_nationkey"],
                                                     pa.int64())})
 

@@ -106,7 +106,7 @@ def test_revenue_by_nation_join_route_equals_broadcast(ray_session):
 
     def run(limit):
         return sorted(
-            (r["n_name"], r["n_rows"], r["n_rows"], r["revenue_e4"])
+            (r["n_name"], r["n_rows"], r["revenue_e4"])
             for r in revenue_by_nation(
                 li, orders, cust, nat, reg,
                 broadcast_limit=limit).take_all())
