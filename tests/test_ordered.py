@@ -316,3 +316,45 @@ def test_mode_by_group(ray_session):
     ds2 = _ds({"g": [1, 1, 1], "v": [7, 9, 9]})
     (r,) = mode_by_group(ds2, "g", "v").take_all()
     assert (r["g"], r["mode_value"], r["mode_count"]) == (1, 9, 2)
+
+
+def test_windowed_totals_hypothesis(ray_session):
+    """Property: running/rolling totals match a brute-force per-key
+    scan for arbitrary key/order/value combinations (negative values,
+    heavy ties, singleton and giant keys)."""
+    from hypothesis import given, settings, strategies as st
+
+    from raydedup.stages.ordered import rolling_totals
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 4),      # key
+                      st.integers(0, 6),      # order value (ties!)
+                      st.integers(-50, 50)),  # value
+            min_size=1, max_size=60),
+        k=st.integers(1, 5),
+    )
+    def check(rows, k):
+        key = [r[0] for r in rows]
+        t = [r[1] for r in rows]
+        v = [r[2] for r in rows]
+        ds = _ds({"k": key, "t": t, "rid": list(range(len(rows))),
+                  "v": v})
+        run = {r["rid"]: (r["running_n"], r["running_sum"]) for r in
+               running_totals(ds, by="k", order_cols=["t", "rid"],
+                              value_col="v",
+                              num_partitions=3).take_all()}
+        roll = {r["rid"]: (r["rolling_n"], r["rolling_sum"]) for r in
+                rolling_totals(ds, by="k", order_cols=["t", "rid"],
+                               value_col="v", window_rows=k,
+                               num_partitions=3).take_all()}
+        seqs = {}
+        for kk, _tt, rid, vv in sorted(zip(key, t, range(len(rows)), v)):
+            seq = seqs.setdefault(kk, [])
+            seq.append(vv)
+            assert run[rid] == (len(seq), sum(seq)), rid
+            w = seq[-k:]
+            assert roll[rid] == (len(w), sum(w)), rid
+
+    check()
