@@ -1070,6 +1070,48 @@ def q_latest_event_per_user(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "ts_us"])
 
 
+def q_corr_qty_price_by_flag(sf_dir: str):
+    """Exact grouped Pearson correlation: quantity vs whole-dollar
+    price per returnflag. All six moments accumulate as exact int64, so
+    the final float formula runs on identical operands both sides."""
+    import ray.data
+
+    from raydedup.stages.stats import grouped_corr
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def quantize(b: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        p = b["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # whole dollars, half away from zero (DuckDB round parity);
+        # cents squared would overflow int64 moments
+        dollars = pa.array((np.floor(np.abs(p) + 0.5)
+                            * np.sign(p)).astype(np.int64))
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "qty": qty, "dollars": dollars})
+
+    out = grouped_corr(li.map_batches(quantize, batch_format="pyarrow"),
+                       "l_returnflag", "qty", "dollars")
+    return _round_col(out, "corr")
+
+
+def q_length_histogram_by_source(sf_dir: str):
+    """Fixed-bin length histogram per source (distribution profiling):
+    20 bins over [0, 600), out-of-range clamped to edge bins; exact
+    counts vs a floor-arithmetic oracle."""
+    import ray.data
+
+    from raydedup.stages.stats import histogram_by_group
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"])
+    return histogram_by_group(docs, "source", "n_chars",
+                              lo=0, hi=600, nbins=20)
+
+
 def q_mode_event_type_per_user(sf_dir: str):
     """Per-group mode: each user's most frequent event type (ties to
     the smallest value — SQL mode() leaves ties unspecified, so the
@@ -1266,6 +1308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
         "latest_event_per_user": q_latest_event_per_user,
+        "corr_qty_price_by_flag": q_corr_qty_price_by_flag,
+        "length_histogram_by_source": q_length_histogram_by_source,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -2678,6 +2722,46 @@ def _oracle_sql_base() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "corr_qty_price_by_flag": f"""
+            WITH q AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+                FROM lineitem
+            ),
+            mo AS (
+                SELECT l_returnflag,
+                       count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM q GROUP BY 1
+            )
+            SELECT l_returnflag, n,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))),
+                         {_ROUND}) AS corr
+            FROM mo
+        """,
+        "length_histogram_by_source": """
+            WITH binned AS (
+                SELECT source,
+                       LEAST(GREATEST((n_chars - 0) * 20 // 600,
+                                      0), 19) AS bin
+                FROM documents WHERE n_chars IS NOT NULL
+            )
+            SELECT source, bin,
+                   CAST(bin AS DOUBLE) * 30.0 AS bin_lo,
+                   count(*) AS n
+            FROM binned GROUP BY 1, 2
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, epoch_us(ts) AS ts_us

@@ -274,3 +274,133 @@ def mode_by_group(ds, group_col: str, value_col: str,
 
     return counts.groupby(group_col).map_groups(argmax,
                                                 batch_format="pyarrow")
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
+                 out: str = "corr"):
+    """→ Dataset(group, n, corr): exact Pearson correlation per group
+    over INTEGER-VALUED columns (quantize floats upstream, same recipe
+    as the percentile queries). All six moments (n, Σx, Σy, Σx², Σy²,
+    Σxy) accumulate as exact int64 — per-batch Arrow group_by partials,
+    one keyed merge — so the final float math runs on identical
+    operands on both engine and oracle sides and the result is
+    bit-identical. The naive formula is exact-rational here, not the
+    numerically-unstable float version (moments are integers).
+    Overflow bound: |Σxy| ≤ n·max|x|·max|y| must stay under 2^63 —
+    fine for quantized features at ≤1e6 scale and ≤1e6 rows per
+    group; rescale otherwise. Rows with a null in either column are
+    excluded (SQL corr() semantics). Groups with < 2 rows or zero
+    variance emit NULL corr."""
+    from ray.data.aggregate import Sum
+
+    schema = ds.schema()
+    gtype = schema.types[schema.names.index(group_col)]
+    for c in (x_col, y_col):
+        if not pa.types.is_integer(
+                schema.types[schema.names.index(c)]):
+            raise ValueError(
+                f"grouped_corr is exact for integer columns only; "
+                f"{c} is not — quantize upstream")
+
+    moments = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b[group_col], "x": b[x_col],
+                      "y": b[y_col]})
+        t = t.filter(pc.and_(pc.is_valid(t["x"]), pc.is_valid(t["y"])))
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             **{m: pa.array([], pa.int64())
+                                for m in moments}})
+        x = t["x"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["y"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t2 = pa.table({group_col: t[group_col],
+                       "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                       "sx": pa.array(x), "sy": pa.array(y),
+                       "sxx": pa.array(x * x), "syy": pa.array(y * y),
+                       "sxy": pa.array(x * y)})
+        agg = t2.group_by([group_col]).aggregate(
+            [(m, "sum") for m in moments])
+        return pa.table({group_col: agg[group_col],
+                         **{m: agg[f"{m}_sum"] for m in moments}})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col).aggregate(
+                  *[Sum(m, alias_name=m) for m in moments]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sxy" not in b.column_names:
+            return pa.table({group_col: pa.array([], gtype),
+                             "n": pa.array([], pa.int64()),
+                             out: pa.array([], pa.float64())})
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = b["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        num = n * sxy - sx * sy
+        den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        valid = (b["n"].to_numpy(zero_copy_only=False) >= 2) & (den > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(valid, num / np.where(den > 0, den, 1.0),
+                            np.nan)
+        return pa.table({group_col: b[group_col],
+                         "n": b["n"],
+                         out: pa.array(corr, mask=~valid)})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def histogram_by_group(ds, group_col: str, value_col: str,
+                       lo: int, hi: int, nbins: int):
+    """→ Dataset(group, bin, bin_lo, n): fixed-width histogram of an
+    integer column per group — distribution profiling for curation
+    reports. Bin = clip((v - lo) * nbins // (hi - lo), 0, nbins-1)
+    (values outside [lo, hi) clamp into the edge bins, so counts total
+    the row count). Per-batch partial counts collapse each batch to at
+    most groups × nbins rows before the shuffle; exact int64 counts
+    bit-match a floor-arithmetic SQL oracle. Null values excluded."""
+    from ray.data.aggregate import Sum
+
+    if nbins < 1 or hi <= lo:
+        raise ValueError("need nbins >= 1 and hi > lo")
+    schema = ds.schema()
+    gtype = schema.types[schema.names.index(group_col)]
+    width = hi - lo
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b[group_col], "v": b[value_col]})
+        t = t.filter(pc.is_valid(t["v"]))
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = t["v"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bins = np.clip((v - lo) * nbins // width, 0, nbins - 1)
+        t2 = pa.table({group_col: t[group_col], "bin": pa.array(bins),
+                       "n": pa.array(np.ones(len(v), dtype=np.int64))})
+        agg = t2.group_by([group_col, "bin"]).aggregate([("n", "sum")])
+        return pa.table({group_col: agg[group_col],
+                         "bin": agg["bin"], "n": agg["n_sum"]})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, "bin"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def add_lo(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "bin" not in b.column_names:
+            return pa.table({group_col: pa.array([], gtype),
+                             "bin": pa.array([], pa.int64()),
+                             "bin_lo": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        bins = b["bin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({group_col: b[group_col], "bin": b["bin"],
+                         "bin_lo": pa.array(
+                             lo + bins * (float(width) / nbins)),
+                         "n": b["n"]})
+
+    return merged.map_batches(add_lo, batch_format="pyarrow")

@@ -358,3 +358,45 @@ def test_windowed_totals_hypothesis(ray_session):
             assert roll[rid] == (len(w), sum(w)), rid
 
     check()
+
+
+def test_grouped_corr(ray_session):
+    from raydedup.stages.stats import grouped_corr
+
+    # perfect positive, perfect negative, zero-variance, singleton,
+    # and a null-holed group
+    ds = _ds({"g": ["p", "p", "p", "q", "q", "z", "z", "s", "h", "h",
+                    "h"],
+              "x": pa.array([1, 2, 3, 1, 2, 5, 5, 1, 1, 2, None],
+                            type=pa.int64()),
+              "y": pa.array([10, 20, 30, 9, 3, 1, 2, 4, 1, 3, 7],
+                            type=pa.int64())}).repartition(3)
+    got = {r["g"]: (r["n"], r["corr"]) for r in
+           grouped_corr(ds, "g", "x", "y").take_all()}
+    assert got["p"][0] == 3 and abs(got["p"][1] - 1.0) < 1e-12
+    assert got["q"][0] == 2 and abs(got["q"][1] + 1.0) < 1e-12
+    assert got["z"] == (2, None)      # zero x-variance
+    assert got["s"] == (1, None)      # n < 2
+    assert got["h"][0] == 2           # null row excluded
+    with pytest.raises(ValueError, match="integer columns"):
+        grouped_corr(_ds({"g": [1], "x": [1.0], "y": [1]}),
+                     "g", "x", "y")
+
+
+def test_histogram_by_group(ray_session):
+    from raydedup.stages.stats import histogram_by_group
+
+    ds = _ds({"g": ["a"] * 6 + ["b"],
+              "v": pa.array([-5, 0, 9, 10, 99, 250, 15],
+                            type=pa.int64())}).repartition(3)
+    got = {(r["g"], r["bin"]): (r["bin_lo"], r["n"]) for r in
+           histogram_by_group(ds, "g", "v", lo=0, hi=100,
+                              nbins=10).take_all()}
+    # -5 clamps to bin 0; 250 clamps to bin 9; 0 and 9 share bin 0
+    assert got[("a", 0)] == (0.0, 3)
+    assert got[("a", 1)] == (10.0, 1)
+    assert got[("a", 9)] == (90.0, 2)
+    assert got[("b", 1)] == (10.0, 1)
+    assert sum(n for _, n in got.values()) == 7
+    with pytest.raises(ValueError, match="nbins"):
+        histogram_by_group(ds, "g", "v", lo=5, hi=5, nbins=3)
