@@ -1222,6 +1222,49 @@ def q_customers_without_recent_orders(sf_dir: str):
     return semi_join(cust, right, on="c_custkey", anti=True)
 
 
+def q_session_stats(sf_dir: str):
+    """Per-session aggregates (count + duration) computed in the same
+    single per-key scan sessionize uses — no join back to raw events;
+    exact integer seconds."""
+    import ray.data
+
+    from raydedup.stages.windows import session_stats
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return session_stats(ev, gap_sec=1800)
+
+
+def q_trim_length_outliers(sf_dir: str):
+    """Percentile-based outlier trimming (curation): keep documents
+    whose length sits within the per-source [p5, p95] band. The exact
+    per-group percentiles are a tiny result — broadcast once, then a
+    streaming filter; at 100 TB this is one counting-merge aggregate
+    plus one stateless pass."""
+    import ray
+
+    import ray.data
+
+    from raydedup.stages.stats import grouped_quantiles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "n_chars"])
+    bounds = grouped_quantiles(docs, "source", "n_chars", [0.05, 0.95])
+    bmap = {r["source"]: (r["p5"], r["p95"])
+            for r in bounds.take_all()}
+    ref = ray.put(bmap)
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        src = b["source"].to_pylist()
+        n = b["n_chars"].to_numpy(zero_copy_only=False)
+        lo = np.array([m[s][0] if s in m else 1 for s in src])
+        hi = np.array([m[s][1] if s in m else 0 for s in src])
+        return b.filter(pa.array((n >= lo) & (n <= hi)))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 def q_multimodal_decode(sf_dir: str):
     """REAL image decode: genuine PPM payloads (closed-form content per
     doc_id) parsed by the numpy codec; the oracle recomputes width /
@@ -1301,6 +1344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": q_windowed_events,
         "sliding_window_events": q_sliding_window_events,
         "sessionize_events": q_sessionize_events,
+        "session_stats": q_session_stats,
+        "trim_length_outliers": q_trim_length_outliers,
         "running_qty_per_part": q_running_qty_per_part,
         "rolling_order_spend": q_rolling_order_spend,
         "event_gaps": q_event_gaps,
@@ -2828,6 +2873,42 @@ def _oracle_sql_base() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate < DATE '1998-01-01'
             GROUP BY 1
+        """,
+        "session_stats": """
+            WITH ordered AS (
+                SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS tss,
+                       lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            tagged AS (
+                SELECT user_id, tss,
+                       CAST(sum(CASE WHEN prev IS NULL
+                                          OR tss - prev > 1800
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id
+                                  ORDER BY tss, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM ordered
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   max(tss) - min(tss) AS duration_sec
+            FROM tagged GROUP BY 1, 2
+        """,
+        "trim_length_outliers": """
+            WITH qs AS (
+                SELECT source,
+                       quantile_disc(n_chars, 0.05) AS lo,
+                       quantile_disc(n_chars, 0.95) AS hi
+                FROM documents GROUP BY 1
+            )
+            SELECT doc_id, d.source, n_chars
+            FROM documents d JOIN qs ON d.source = qs.source
+            WHERE n_chars BETWEEN lo AND hi
         """,
         "langid": _langid_sql(),
         "fingerprints": _fingerprints_sql(),

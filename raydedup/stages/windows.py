@@ -122,3 +122,31 @@ def sliding_window_agg(ds, window_sec: int = 3600, hop_sec: int = 900,
             Mean(value_col, alias_name="mean_value"),
         )
     )
+
+
+def session_stats(ds, gap_sec: int = 1800, key_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id"):
+    """→ Dataset(key, session_id, n_events, duration_sec): per-session
+    aggregates in the same single per-key scan ``sessionize`` uses —
+    no join back to the raw events. session_id is 1-based within the
+    key; duration is last-event − first-event in whole seconds
+    (exact int arithmetic on epoch seconds)."""
+
+    def scan(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // 1_000_000
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ts = ts[order]
+        new_session = np.r_[True, np.diff(ts) > gap_sec]
+        starts = np.flatnonzero(new_session)
+        ends = np.r_[starts[1:], len(ts)]
+        return pa.table({
+            key_col: g[key_col].take(pa.array(starts)),
+            "session_id": pa.array(
+                np.arange(1, len(starts) + 1, dtype=np.int64)),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "duration_sec": pa.array(ts[ends - 1] - ts[starts]),
+        })
+
+    return ds.groupby(key_col).map_groups(scan, batch_format="pyarrow")
