@@ -1222,6 +1222,15 @@ def q_customers_without_recent_orders(sf_dir: str):
     return semi_join(cust, right, on="c_custkey", anti=True)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: 200-char windows every 150 chars
+    (overlapping), one row per chunk — the pre-tokenization step for
+    long documents. Oracle recomputes with substr arithmetic."""
+    from raydedup.stages.textstats import chunk_text
+
+    return chunk_text(_docs(sf_dir), size=200, stride=150)
+
+
 def q_session_stats(sf_dir: str):
     """Per-session aggregates (count + duration) computed in the same
     single per-key scan sessionize uses — no join back to raw events;
@@ -1346,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "session_stats": q_session_stats,
         "trim_length_outliers": q_trim_length_outliers,
+        "chunk_documents": q_chunk_documents,
         "running_qty_per_part": q_running_qty_per_part,
         "rolling_order_spend": q_rolling_order_spend,
         "event_gaps": q_event_gaps,
@@ -2898,6 +2908,21 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(*) AS n_events,
                    max(tss) - min(tss) AS duration_sec
             FROM tagged GROUP BY 1, 2
+        """,
+        "chunk_documents": """
+            WITH seq AS (
+                SELECT doc_id, text, len(text) AS L
+                FROM documents WHERE len(text) > 0
+            ),
+            ex AS (
+                SELECT doc_id, text, t.i AS chunk_idx
+                FROM seq, UNNEST(range(CAST(ceil(
+                    CAST(L AS DOUBLE) / 150) AS BIGINT))) AS t(i)
+            )
+            SELECT doc_id, chunk_idx,
+                   substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT),
+                          200) AS chunk
+            FROM ex
         """,
         "trim_length_outliers": """
             WITH qs AS (

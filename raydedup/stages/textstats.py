@@ -765,3 +765,36 @@ def stratified_sample(ds, group_col: str, key_col: str,
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def chunk_text(ds, size: int, stride: int, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Context-window chunking: split each document into overlapping
+    character windows (``size`` chars every ``stride``; the final
+    window may be short) → one row per (id, chunk_idx, chunk). The
+    standard pre-tokenization step for long-document training corpora;
+    empty texts yield no chunks. Character (codepoint) slicing so
+    multi-byte text chunks exactly like SQL ``substr``. Output rows
+    fan out ~len/stride per doc — a flat_map, no shuffle; chunk rows
+    stream straight to the next stage or sink."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        out_id, out_idx, out_chunk = [], [], []
+        for i, t in zip(ids, texts):
+            if not t:
+                continue
+            for j, start in enumerate(range(0, len(t), stride)):
+                out_id.append(i)
+                out_idx.append(j)
+                out_chunk.append(t[start: start + size])
+        return pa.table({
+            id_col: pa.array(out_id,
+                             b.schema.field(id_col).type),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "chunk": pa.array(out_chunk, pa.string())})
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

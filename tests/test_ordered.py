@@ -400,3 +400,21 @@ def test_histogram_by_group(ray_session):
     assert sum(n for _, n in got.values()) == 7
     with pytest.raises(ValueError, match="nbins"):
         histogram_by_group(ds, "g", "v", lo=5, hi=5, nbins=3)
+
+
+def test_chunk_text(ray_session):
+    from raydedup.stages.textstats import chunk_text
+
+    ds = _ds({"doc_id": [1, 2, 3],
+              "text": ["abcdefghij", "xy", ""]})
+    got = sorted((r["doc_id"], r["chunk_idx"], r["chunk"]) for r in
+                 chunk_text(ds, size=4, stride=3).take_all())
+    assert got == [(1, 0, "abcd"), (1, 1, "defg"), (1, 2, "ghij"),
+                   (1, 3, "j"), (2, 0, "xy")]
+    # multibyte text slices by codepoints, not bytes
+    ds2 = _ds({"doc_id": [7], "text": ["αβγδε"]})
+    got2 = sorted((r["chunk_idx"], r["chunk"]) for r in
+                  chunk_text(ds2, size=2, stride=2).take_all())
+    assert got2 == [(0, "αβ"), (1, "γδ"), (2, "ε")]
+    with pytest.raises(ValueError, match="size and stride"):
+        chunk_text(ds, size=0, stride=1)
