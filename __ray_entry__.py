@@ -1222,6 +1222,35 @@ def q_customers_without_recent_orders(sf_dir: str):
     return semi_join(cust, right, on="c_custkey", anti=True)
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label centroid sums (64 dims): components quantize to exact
+    micro-unit int64 sums — bit-exact under any accumulation order, so
+    the sums (not the derived float means, which sit on decimal
+    rounding boundaries for small n) are the value-compared contract."""
+    import ray.data
+
+    from raydedup.stages.embeddings import label_centroids
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["label", "embedding"])
+    out = label_centroids(emb, dims=64)
+    return out.select_columns(
+        ["label", "n"] + [f"s{i}" for i in range(64)])
+
+
+def _label_centroids_sql() -> str:
+    comps = ",\n                   ".join(
+        f"CAST(sum(CAST(round("
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * 1000000, 0)"
+        f" AS BIGINT)) AS BIGINT) AS s{i}"
+        for i in range(64))
+    return f"""
+        SELECT label, count(*) AS n,
+               {comps}
+        FROM embeddings GROUP BY label
+    """
+
+
 def q_chunk_documents(sf_dir: str):
     """Context-window chunking: 200-char windows every 150 chars
     (overlapping), one row per chunk — the pre-tokenization step for
@@ -1356,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": q_session_stats,
         "trim_length_outliers": q_trim_length_outliers,
         "chunk_documents": q_chunk_documents,
+        "label_centroids": q_label_centroids,
         "running_qty_per_part": q_running_qty_per_part,
         "rolling_order_spend": q_rolling_order_spend,
         "event_gaps": q_event_gaps,
@@ -2909,6 +2939,7 @@ def _oracle_sql_base() -> dict[str, str]:
                    max(tss) - min(tss) AS duration_sec
             FROM tagged GROUP BY 1, 2
         """,
+        "label_centroids": _label_centroids_sql(),
         "chunk_documents": """
             WITH seq AS (
                 SELECT doc_id, text, len(text) AS L

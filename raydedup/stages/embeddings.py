@@ -517,3 +517,84 @@ def semantic_dedup(ds, threshold: float = 0.95, id_col: str = "vec_id",
                          "keep": pa.array(keep, pa.bool_())})
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def label_centroids(ds, dims: int, label_col: str = "label",
+                    vec_col: str = "embedding", scale: float = 1e6):
+    """→ Dataset(label, n, c0..c{dims-1}): per-label centroid (mean
+    vector) — the building block for k-means-style clustering and
+    class-prototype analysis. Components quantize to
+    round(v·scale) int64 (half away from zero, DuckDB round parity)
+    and sum EXACTLY per label inside each batch (one lexsort +
+    reduceat per batch, so the shuffle carries ≤ labels rows per
+    block). Output carries BOTH the exact integer sums (s0..s{d-1} —
+    the oracle-able contract: bit-exact under any accumulation order)
+    and the derived float centroids (c0..c{d-1} = s/n/scale; mean
+    floats near a decimal rounding boundary can differ in the last
+    printed digit from a SQL engine's round(), so value-level gates
+    should compare the sums). Overflow bound: n·max|v|·scale per
+    component must stay under 2^63.
+    """
+    from ray.data.aggregate import Sum
+
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+    sums = [f"s{i}" for i in range(dims)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab_t = b[label_col].combine_chunks()
+        gtype = lab_t.type
+        if b.num_rows == 0:
+            return pa.table({label_col: pa.array([], gtype),
+                             "n": pa.array([], pa.int64()),
+                             **{s: pa.array([], pa.int64())
+                                for s in sums}})
+        M = _to_matrix(b, vec_col)
+        if M.shape[1] != dims:
+            raise ValueError(
+                f"expected {dims}-dim vectors, got {M.shape[1]}")
+        # exact round-half-away (C std::round / DuckDB round parity):
+        # floor(|x|+0.5) double-rounds when |x|·scale sits one ulp
+        # below a .5 boundary — use rint and patch the exact halves
+        x = M * scale
+        q = np.rint(x)
+        fl = np.floor(x)
+        half = (x - fl) == 0.5
+        q = np.where(half, np.where(x > 0, fl + 1.0, fl), q)
+        q = q.astype(np.int64)
+        lab = lab_t.to_numpy(zero_copy_only=False)
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        seg_sums = np.add.reduceat(q[order], starts, axis=0)
+        counts = np.diff(np.r_[starts, len(lab_s)])
+        cols = {label_col: pa.array(lab_s[starts], gtype),
+                "n": pa.array(counts.astype(np.int64))}
+        for i, s in enumerate(sums):
+            cols[s] = pa.array(seg_sums[:, i])
+        return pa.table(cols)
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(label_col).aggregate(
+                  Sum("n", alias_name="n"),
+                  *[Sum(s, alias_name=s) for s in sums]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n" not in b.column_names:
+            return pa.table({label_col: pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64()),
+                             **{f"s{i}": pa.array([], pa.int64())
+                                for i in range(dims)},
+                             **{f"c{i}": pa.array([], pa.float64())
+                                for i in range(dims)}})
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {label_col: b[label_col], "n": b["n"]}
+        for i in range(dims):
+            cols[f"s{i}"] = b[f"s{i}"]
+        for i in range(dims):
+            s = b[f"s{i}"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            cols[f"c{i}"] = pa.array(s / n / scale)
+        return pa.table(cols)
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -222,3 +222,36 @@ def test_semantic_dedup_planted_clusters(ray_session):
     assert survivors == {10, 20, 30, 31, 32, 33, 34} - {
         i for i in (30, 31, 32, 33, 34)
         if out[i]["cluster_id"] != i}  # isolates survive unless joined
+
+
+def test_label_centroids(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from raydedup.stages.embeddings import label_centroids
+
+    rng = np.random.default_rng(3)
+    n, d = 60, 5
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    M = rng.uniform(-0.5, 0.5, (n, d)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "label": pa.array(labels),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32()))})).repartition(4)
+    got = {r["label"]: r for r in label_centroids(ds, dims=d).take_all()}
+    for lab in (0, 1, 2):
+        rows = M[labels == lab].astype(np.float64)
+        q = np.rint(rows * 1e6)
+        fl = np.floor(rows * 1e6)
+        half = (rows * 1e6 - fl) == 0.5
+        q = np.where(half, np.where(rows * 1e6 > 0, fl + 1, fl), q)
+        s = q.astype(np.int64).sum(axis=0)
+        r = got[lab]
+        assert r["n"] == len(rows)
+        for i in range(d):
+            assert r[f"s{i}"] == s[i]
+            assert abs(r[f"c{i}"] - s[i] / len(rows) / 1e6) < 1e-15
+    with pytest.raises(ValueError, match="dims"):
+        label_centroids(ds, dims=0)
