@@ -569,14 +569,14 @@ def q_value_percentiles_by_type(sf_dir: str):
                                columns=["event_type", "value"])
 
     def to_milli(b: pa.Table) -> pa.Table:
-        # drop nulls (quantile_disc skips them) and quantize half-AWAY
-        # from zero to match DuckDB round() — np.rint's half-to-even
-        # would flip exact .5 boundaries the other way
+        from raydedup.util import round_half_away
+
+        # drop nulls (quantile_disc skips them) and quantize with the
+        # exact half-away rule (DuckDB round parity)
         b = b.filter(pc.is_valid(b["value"]))
         v = b["value"].combine_chunks().to_numpy(
             zero_copy_only=False) * 1000.0
-        milli = pa.array((np.floor(np.abs(v) + 0.5)
-                          * np.sign(v)).astype(np.int64))
+        milli = pa.array(round_half_away(v).astype(np.int64))
         i = b.schema.get_field_index("value")
         return b.set_column(i, "v_milli", milli)
 
@@ -1083,13 +1083,17 @@ def q_corr_qty_price_by_flag(sf_dir: str):
         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
 
     def quantize(b: pa.Table) -> pa.Table:
-        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        from raydedup.util import round_half_away
+
+        q = b["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)
         p = b["l_extendedprice"].combine_chunks().to_numpy(
             zero_copy_only=False)
-        # whole dollars, half away from zero (DuckDB round parity);
-        # cents squared would overflow int64 moments
-        dollars = pa.array((np.floor(np.abs(p) + 0.5)
-                            * np.sign(p)).astype(np.int64))
+        # whole dollars, exact half-away (DuckDB round parity; see
+        # util.round_half_away for why floor(|x|+0.5) is wrong);
+        # cents squared would overflow the int64 moments
+        qty = pa.array(round_half_away(q).astype(np.int64))
+        dollars = pa.array(round_half_away(p).astype(np.int64))
         return pa.table({"l_returnflag": b["l_returnflag"],
                          "qty": qty, "dollars": dollars})
 
@@ -2735,11 +2739,17 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "sessionize_events": """
             WITH ordered AS (
+                -- order by FLOORED-second then id on both the marker
+                -- and the cumsum (the engine sorts by (tss, id); a
+                -- microsecond-ordered lag could attach the boundary
+                -- to a different row within a shared second)
                 SELECT event_id, user_id,
                        CAST(floor(epoch(ts)) AS BIGINT) AS tss,
                        lag(CAST(floor(epoch(ts)) AS BIGINT))
                            OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev
+                                 ORDER BY CAST(floor(epoch(ts))
+                                               AS BIGINT), event_id)
+                           AS prev
                 FROM events
             )
             SELECT event_id, user_id,
@@ -2916,11 +2926,15 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "session_stats": """
             WITH ordered AS (
+                -- same (floored-second, id) ordering as the engine's
+                -- _session_segments on both marker and cumsum
                 SELECT user_id, event_id,
                        CAST(floor(epoch(ts)) AS BIGINT) AS tss,
                        lag(CAST(floor(epoch(ts)) AS BIGINT))
                            OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev
+                                 ORDER BY CAST(floor(epoch(ts))
+                                               AS BIGINT), event_id)
+                           AS prev
                 FROM events
             ),
             tagged AS (

@@ -553,15 +553,9 @@ def label_centroids(ds, dims: int, label_col: str = "label",
         if M.shape[1] != dims:
             raise ValueError(
                 f"expected {dims}-dim vectors, got {M.shape[1]}")
-        # exact round-half-away (C std::round / DuckDB round parity):
-        # floor(|x|+0.5) double-rounds when |x|·scale sits one ulp
-        # below a .5 boundary — use rint and patch the exact halves
-        x = M * scale
-        q = np.rint(x)
-        fl = np.floor(x)
-        half = (x - fl) == 0.5
-        q = np.where(half, np.where(x > 0, fl + 1.0, fl), q)
-        q = q.astype(np.int64)
+        from raydedup.util import round_half_away
+
+        q = round_half_away(M * scale).astype(np.int64)
         lab = lab_t.to_numpy(zero_copy_only=False)
         order = np.argsort(lab, kind="stable")
         lab_s = lab[order]
@@ -579,9 +573,11 @@ def label_centroids(ds, dims: int, label_col: str = "label",
                   Sum("n", alias_name="n"),
                   *[Sum(s, alias_name=s) for s in sums]))
 
+    lab_type = ds.schema().types[ds.schema().names.index(label_col)]
+
     def finish(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "n" not in b.column_names:
-            return pa.table({label_col: pa.array([], pa.int32()),
+            return pa.table({label_col: pa.array([], lab_type),
                              "n": pa.array([], pa.int64()),
                              **{f"s{i}": pa.array([], pa.int64())
                                 for i in range(dims)},

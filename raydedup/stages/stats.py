@@ -40,6 +40,9 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
              for q in qs]
 
     def partial(batch: pa.Table) -> pa.Table:
+        # SQL quantile_disc ignores NULLs — drop them (a null int64
+        # would otherwise decay to NaN and astype to INT64_MIN garbage)
+        batch = batch.filter(pc.is_valid(batch[value_col]))
         if batch.num_rows == 0:
             return pa.table(
                 {"g": pa.array([], batch.schema.field(group_col).type),

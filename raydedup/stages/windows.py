@@ -53,6 +53,22 @@ def tumbling_window_agg(ds, window_sec: int = 3600,
     )
 
 
+def _session_segments(g: pa.Table, ts_col: str, id_col: str,
+                      gap_sec: int):
+    """Shared ordering + boundary rule for the session operators: sort
+    by (floored-second ts, id), mark a new session when the gap to the
+    previous event exceeds ``gap_sec``. One definition so sessionize
+    and session_stats can never disagree. Returns (order, ts_seconds
+    sorted, new_session bool mask)."""
+    ts = g[ts_col].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").astype(np.int64) // 1_000_000
+    ids = g[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ts))
+    ts = ts[order]
+    new_session = np.r_[True, np.diff(ts) > gap_sec]
+    return order, ts, new_session
+
+
 def sessionize(ds, gap_sec: int = 1800, key_col: str = "user_id",
                ts_col: str = "ts", id_col: str = "event_id"):
     """→ Dataset(event_id, user_id, session_id) where session_id increments
@@ -60,12 +76,8 @@ def sessionize(ds, gap_sec: int = 1800, key_col: str = "user_id",
     ``gap_sec`` (1-based; events sorted by (ts, event_id) within user)."""
 
     def scan(g: pa.Table) -> pa.Table:
-        ts = g[ts_col].to_numpy(zero_copy_only=False).astype(
-            "datetime64[us]").astype(np.int64) // 1_000_000
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, ts))
-        ts = ts[order]
-        new_session = np.r_[True, np.diff(ts) > gap_sec]
+        order, _ts, new_session = _session_segments(
+            g, ts_col, id_col, gap_sec)
         sel = pa.array(order)
         return pa.table(
             {
@@ -133,12 +145,8 @@ def session_stats(ds, gap_sec: int = 1800, key_col: str = "user_id",
     (exact int arithmetic on epoch seconds)."""
 
     def scan(g: pa.Table) -> pa.Table:
-        ts = g[ts_col].to_numpy(zero_copy_only=False).astype(
-            "datetime64[us]").astype(np.int64) // 1_000_000
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, ts))
-        ts = ts[order]
-        new_session = np.r_[True, np.diff(ts) > gap_sec]
+        _order, ts, new_session = _session_segments(
+            g, ts_col, id_col, gap_sec)
         starts = np.flatnonzero(new_session)
         ends = np.r_[starts[1:], len(ts)]
         return pa.table({

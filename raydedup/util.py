@@ -46,3 +46,18 @@ def repeated_keys(ds, key_col: str):
         return batch.filter(mask).select([key_col])
 
     return counts.map_batches(strip, batch_format="pyarrow")
+
+
+def round_half_away(x):
+    """Exact round-half-to-away-from-zero on a float64 array — C
+    ``std::round`` / DuckDB ``round()`` parity. ``floor(|x| + 0.5)``
+    is NOT equivalent: when |x| sits one ulp below an exact .5
+    boundary the addition rounds up and floor lands one integer too
+    high. ``np.rint`` (half-to-even) is exact for non-halves; exact
+    halves are patched to away-from-zero."""
+    import numpy as np
+
+    r = np.rint(x)
+    fl = np.floor(x)
+    half = (x - fl) == 0.5
+    return np.where(half, np.where(x > 0, fl + 1.0, fl), r)
