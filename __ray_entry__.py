@@ -1070,6 +1070,19 @@ def q_latest_event_per_user(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "ts_us"])
 
 
+def q_rollup_chars_by_source(sf_dir: str):
+    """GROUPING SETS shape: per-source row counts + char sums AND the
+    grand total in one pass (each batch emits its partials under both
+    the real key and the '__all__' sentinel; one keyed merge)."""
+    import ray.data
+
+    from raydedup.stages.stats import rollup_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"])
+    return rollup_counts(docs, "source", "n_chars")
+
+
 def q_corr_qty_price_by_flag(sf_dir: str):
     """Exact grouped Pearson correlation: quantity vs whole-dollar
     price per returnflag. All six moments accumulate as exact int64, so
@@ -1398,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type_per_user": q_mode_event_type_per_user,
         "latest_event_per_user": q_latest_event_per_user,
         "corr_qty_price_by_flag": q_corr_qty_price_by_flag,
+        "rollup_chars_by_source": q_rollup_chars_by_source,
         "length_histogram_by_source": q_length_histogram_by_source,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2817,6 +2831,17 @@ def _oracle_sql_base() -> dict[str, str]:
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "rollup_chars_by_source": """
+            SELECT source, count(*) AS n_rows,
+                   CAST(sum(COALESCE(n_chars, 0)) AS BIGINT)
+                       AS sum_value
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT '__all__' AS source, count(*) AS n_rows,
+                   CAST(sum(COALESCE(n_chars, 0)) AS BIGINT)
+                       AS sum_value
+            FROM documents
         """,
         "corr_qty_price_by_flag": f"""
             WITH q AS (

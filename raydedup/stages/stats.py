@@ -407,3 +407,38 @@ def histogram_by_group(ds, group_col: str, value_col: str,
                          "n": b["n"]})
 
     return merged.map_batches(add_lo, batch_format="pyarrow")
+
+
+def rollup_counts(ds, group_col: str, value_col: str,
+                  total_key: str = "__all__"):
+    """→ Dataset(group, n_rows, sum_value): per-group AND grand-total
+    aggregates in ONE pass (GROUPING SETS ((group), ()) shape) — each
+    batch emits its partials twice, once under the real key and once
+    under ``total_key``, so a single keyed merge produces both levels
+    without a second scan. Exact int64 sums; null values count toward
+    n_rows but add 0 to the sum (SQL SUM skips nulls, COUNT(*) does
+    not). The group column is cast to string so the sentinel total key
+    can share it."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pc.cast(b[group_col], pa.string())
+        v = pc.fill_null(pc.cast(b[value_col], pa.int64()), 0)
+        ones = pa.array(np.ones(b.num_rows, dtype=np.int64))
+        t = pa.table({group_col: g, "n_rows": ones, "sum_value": v})
+        agg = t.group_by([group_col]).aggregate(
+            [("n_rows", "sum"), ("sum_value", "sum")])
+        per_group = pa.table({group_col: agg[group_col],
+                              "n_rows": agg["n_rows_sum"],
+                              "sum_value": agg["sum_value_sum"]})
+        total = pa.table({
+            group_col: pa.array([total_key], pa.string()),
+            "n_rows": pa.array([b.num_rows], pa.int64()),
+            "sum_value": pa.array(
+                [pc.sum(v).as_py() or 0], pa.int64())})
+        return pa.concat_tables([per_group, total])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).aggregate(
+                Sum("n_rows", alias_name="n_rows"),
+                Sum("sum_value", alias_name="sum_value")))

@@ -418,3 +418,15 @@ def test_chunk_text(ray_session):
     assert got2 == [(0, "αβ"), (1, "γδ"), (2, "ε")]
     with pytest.raises(ValueError, match="size and stride"):
         chunk_text(ds, size=0, stride=1)
+
+
+def test_rollup_counts(ray_session):
+    from raydedup.stages.stats import rollup_counts
+
+    ds = _ds({"g": ["a", "a", "b"],
+              "v": pa.array([5, None, 7], type=pa.int64())}
+             ).repartition(2)
+    got = {r["g"]: (r["n_rows"], r["sum_value"]) for r in
+           rollup_counts(ds, "g", "v").take_all()}
+    # null counts toward n_rows but adds 0 to the sum
+    assert got == {"a": (2, 5), "b": (1, 7), "__all__": (3, 12)}
