@@ -945,6 +945,34 @@ def q_running_qty_per_part(sf_dir: str):
          "running_n", "running_sum"])
 
 
+def q_running_qty_per_part_bucketed(sf_dir: str):
+    """The running-totals hot-key SCALE path: same cumulative quantity
+    scan as running_qty_per_part but partitioned by (key-hash,
+    shipdate-bucket) with exact prefix-carry offsets (order_buckets=8)
+    — identical window oracle proves the two paths bit-match."""
+    import ray.data
+
+    from raydedup.stages.ordered import running_totals_bucketed
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_linenumber",
+                 "l_shipdate", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("l_quantity")
+        return b.set_column(i, "qty", pc.cast(b["l_quantity"], pa.int64()))
+
+    out = running_totals_bucketed(
+        li.map_batches(to_int, batch_format="pyarrow"),
+        by="l_partkey",
+        order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+        value_col="qty", order_buckets=8, num_partitions=16)
+    return out.select_columns(
+        ["l_partkey", "l_orderkey", "l_linenumber",
+         "running_n", "running_sum"])
+
+
 def q_rolling_order_spend(sf_dir: str):
     """Bounded ROWS-frame window: per-customer trailing-3-order spend in
     orderdate order, money carried in exact integer cents (differences
@@ -1404,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "label_centroids": q_label_centroids,
         "running_qty_per_part": q_running_qty_per_part,
+        "running_qty_per_part_bucketed": q_running_qty_per_part_bucketed,
         "rolling_order_spend": q_rolling_order_spend,
         "event_gaps": q_event_gaps,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -3083,4 +3112,6 @@ def oracle_sql() -> dict[str, str]:
     oracles["asof_clicks_purchases_bucketed"] = (
         oracles["asof_clicks_purchases"])
     oracles["range_join_events_bucketed"] = oracles["range_join_events"]
+    oracles["running_qty_per_part_bucketed"] = (
+        oracles["running_qty_per_part"])
     return oracles

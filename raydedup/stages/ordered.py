@@ -10,9 +10,13 @@ hash-partition rows by ``hash(by) % num_partitions``, then one
 ``groupby("__part").map_groups`` merge per PARTITION that handles every
 ``by`` group with a single lexsort + segment arithmetic — O(n log n)
 numpy work per partition, not a Python call per key. The shuffle carries
-only the projected columns; at 100 TB the partition count is the only
-knob (one partition must fit a worker; a single pathological hot key is
-the documented limitation shared with asof_join).
+only the projected columns; at 100 TB the partition count is the first
+knob (one partition must fit a worker). A single pathological hot key
+has a scale path for the flagship scan: ``running_totals_bucketed``
+splits keys over (key-hash, order-bucket) partitions with an exact
+prefix-carry pass (asof_join's pattern applied to cumulative sums);
+rolling/lag would carry the trailing k rows / last row the same way —
+not implemented until a workload needs them.
 
 Determinism: callers pass ``order_cols`` that totally order rows within
 a key (e.g. ts + a unique id); the scan raises on null order values.
@@ -230,3 +234,212 @@ def assemble_by_key(ds, by: str, order_cols: list[str], text_col: str,
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__part").map_groups(merge, batch_format="pyarrow"))
+
+
+def running_totals_bucketed(ds, by: str, order_cols: list[str],
+                            value_col: str, order_buckets: int,
+                            out_n: str = "running_n",
+                            out_sum: str = "running_sum",
+                            num_partitions: int = 64):
+    """Hot-key SCALE path for ``running_totals``: rows partition by
+    (key-hash, order-bucket) — equal-width slices of the global range
+    of ``order_cols[0]`` — so one pathological key spreads over
+    ``order_buckets`` partitions. Cross-bucket correctness comes from a
+    prefix-carry pass, the same shape as ``asof_join``'s: per-batch
+    Arrow partials reduce each (key, bucket) to one (count, sum) row,
+    a per-key-hash pass turns them into EXCLUSIVE prefix offsets, and
+    the offset rows ride the same partitioning into the final merge,
+    where each key's local scan adds its offsets. Output is identical
+    to the default path (asserted by tests); offsets are exact int64
+    sums, so the int-column exactness contract carries over. Costs one
+    min/max aggregate of the bucket column plus two passes over the
+    tiny per-(key, bucket) partials."""
+    from ray.data.aggregate import Max, Min
+
+    from raydedup.stages.asof import _bucket_of, _on_i64, _scalar_i64
+
+    B = order_buckets
+    if B < 2:
+        return running_totals(ds, by, order_cols, value_col,
+                              out_n=out_n, out_sum=out_sum,
+                              num_partitions=num_partitions)
+    schema = ds.schema()
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+    for c in (out_n, out_sum):
+        if c in names:
+            raise ValueError(f"output column {c!r} collides with input")
+    out_names = names + [out_n, out_sum]
+    sum_t = types[value_col]
+    oc0 = order_cols[0]
+
+    mm = ds.aggregate(Min(oc0, alias_name="lo"),
+                      Max(oc0, alias_name="hi"))
+    lo = _scalar_i64(mm["lo"])
+    hi = _scalar_i64(mm["hi"])
+    if lo is None or hi is None:
+        return running_totals(ds, by, order_cols, value_col,
+                              out_n=out_n, out_sum=out_sum,
+                              num_partitions=num_partitions)
+    width = max(hi - lo, 0) + 1
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kp = _part_array(batch[by], num_partitions).to_numpy(
+            zero_copy_only=False)
+        t64 = _on_i64(batch[oc0].combine_chunks().to_numpy(
+            zero_copy_only=False))
+        bkt = _bucket_of(t64, lo, width, B)
+        cols = {c: batch[c] for c in names}
+        cols["__part"] = pa.array(kp * B + bkt)
+        cols["__carry"] = pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8))
+        cols["__n_off"] = pa.array(
+            np.zeros(batch.num_rows, dtype=np.int64))
+        cols["__s_off"] = pc.cast(pa.array(
+            np.zeros(batch.num_rows, dtype=np.int64)), sum_t)
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    # phase 1: per-batch (key, bucket) partial count/sum — tiny rows
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch[value_col])) \
+            if pc.any(pc.is_null(batch[value_col])).as_py() else batch
+        if b.num_rows == 0:
+            return pa.table({by: pa.array([], types[by]),
+                             "__part": pa.array([], pa.int64()),
+                             "__cnt": pa.array([], pa.int64()),
+                             "__sum": pa.array([], sum_t)})
+        t = pa.table({by: b[by], "__part": b["__part"],
+                      "__cnt": pa.array(
+                          np.ones(b.num_rows, dtype=np.int64)),
+                      "__sum": b[value_col]})
+        agg = t.group_by([by, "__part"]).aggregate(
+            [("__cnt", "sum"), ("__sum", "sum")])
+        return pa.table({by: agg[by], "__part": agg["__part"],
+                         "__cnt": agg["__cnt_sum"],
+                         "__sum": pc.cast(agg["__sum_sum"], sum_t)})
+
+    partials = tagged.map_batches(bucket_partials,
+                                  batch_format="pyarrow")
+
+    def add_kp(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "__part" not in b.column_names:
+            return pa.table({by: pa.array([], types[by]),
+                             "__part": pa.array([], pa.int64()),
+                             "__cnt": pa.array([], pa.int64()),
+                             "__sum": pa.array([], sum_t),
+                             "__kp": pa.array([], pa.int64())})
+        kp = b["__part"].combine_chunks().to_numpy(
+            zero_copy_only=False) // B
+        return b.append_column("__kp", pa.array(kp, type=pa.int64()))
+
+    # phase 2: per key-hash, exclusive prefix over buckets → carry rows
+    def prefix(g: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            cols = {c: pa.array([], types[c]) for c in names}
+            cols["__part"] = pa.array([], pa.int64())
+            cols["__carry"] = pa.array([], pa.int8())
+            cols["__n_off"] = pa.array([], pa.int64())
+            cols["__s_off"] = pa.array([], sum_t)
+            return pa.table(cols)
+
+        if g.num_rows == 0 or "__part" not in g.column_names:
+            return empty()
+        from raydedup.stages.asof import _group_codes
+
+        codes, _ = _group_codes(g[by])
+        part = g["__part"].to_numpy(zero_copy_only=False)
+        cnt = g["__cnt"].to_numpy(zero_copy_only=False)
+        s = g["__sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((part, codes))
+        codes_o, part_o = codes[order], part[order]
+        # combine the per-batch partials: one row per (key, bucket)
+        new = np.r_[True, (codes_o[1:] != codes_o[:-1])
+                    | (part_o[1:] != part_o[:-1])]
+        rstarts = np.flatnonzero(new)
+        cnt_s = np.add.reduceat(cnt[order], rstarts)
+        s_s = np.add.reduceat(s[order], rstarts)
+        codes_s, part_s = codes_o[rstarts], part_o[rstarts]
+        rep = order[rstarts]  # a source row per reduced run (for `by`)
+        starts = np.flatnonzero(
+            np.r_[True, codes_s[1:] != codes_s[:-1]])
+        lens = np.diff(np.r_[starts, len(codes_s)])
+        ccum = np.cumsum(cnt_s)
+        scum = np.cumsum(s_s)
+        coff = np.repeat(ccum[starts] - cnt_s[starts], lens)
+        soff = np.repeat(scum[starts] - s_s[starts], lens)
+        # EXCLUSIVE prefix: totals of this key's EARLIER buckets
+        n_off = ccum - cnt_s - coff
+        s_off = scum - s_s - soff
+        keep = n_off > 0  # first occupied bucket needs no carry
+        if not keep.any():
+            return empty()
+        sel = pa.array(rep[keep])
+        cols = {c: (g[c].take(sel) if c == by
+                    else pa.nulls(int(keep.sum()), types[c]))
+                for c in names}
+        cols["__part"] = pa.array(part_s[keep])
+        cols["__carry"] = pa.array(
+            np.ones(int(keep.sum()), dtype=np.int8))
+        cols["__n_off"] = pa.array(n_off[keep])
+        cols["__s_off"] = pc.cast(pa.array(s_off[keep]), sum_t)
+        return pa.table(cols)
+
+    carries = (partials.map_batches(add_kp, batch_format="pyarrow")
+               .groupby("__kp").map_groups(prefix,
+                                           batch_format="pyarrow"))
+
+    # phase 3: local scan + per-key carry offsets
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__carry" not in g.column_names:
+            return pa.table({c: pa.array(
+                [], pa.int64() if c == out_n else
+                sum_t if c == out_sum else types[c]) for c in out_names})
+        from raydedup.stages.asof import _group_codes
+
+        carry = g["__carry"].to_numpy(zero_copy_only=False) == 1
+        codes, _ = _group_codes(g[by])
+        didx = np.flatnonzero(~carry)
+        if len(didx) == 0:
+            return pa.table({c: pa.array(
+                [], pa.int64() if c == out_n else
+                sum_t if c == out_sum else types[c]) for c in out_names})
+        sub = g.take(pa.array(didx))
+        if pc.any(pc.is_null(sub[value_col])).as_py():
+            raise ValueError(
+                f"ordered scan: null values in value col {value_col!r}")
+        order, starts, lens = _order_and_segments(sub, by, order_cols)
+        n = len(order)
+        seg_start = np.repeat(starts, lens)
+        rank = np.arange(n, dtype=np.int64) - seg_start + 1
+        v = sub[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False)[order]
+        cum = np.cumsum(v)
+        cum = cum - np.repeat(cum[starts] - v[starts], lens)
+        # per-key carry offsets (≤ 1 carry row per key per partition)
+        dcodes = codes[didx][order]
+        n_off = np.zeros(n, dtype=np.int64)
+        s_off = np.zeros(n, dtype=v.dtype)
+        cidx = np.flatnonzero(carry)
+        if len(cidx):
+            ccodes = codes[cidx]
+            cn = g["__n_off"].to_numpy(zero_copy_only=False)[cidx]
+            cs = g["__s_off"].combine_chunks().to_numpy(
+                zero_copy_only=False)[cidx]
+            co = np.argsort(ccodes, kind="stable")
+            ck, cn, cs = ccodes[co], cn[co], cs[co]
+            pos = np.clip(np.searchsorted(ck, dcodes),
+                          0, len(ck) - 1)
+            hit = ck[pos] == dcodes
+            n_off[hit] = cn[pos[hit]]
+            s_off[hit] = cs[pos[hit]]
+        oi = pa.array(didx[order])
+        cols = {c: g[c].take(oi) for c in names}
+        cols[out_n] = pa.array(rank + n_off)
+        cols[out_sum] = pc.cast(pa.array(cum + s_off), sum_t)
+        return pa.table(cols)
+
+    unioned = tagged.union(carries)
+    return unioned.groupby("__part").map_groups(merge,
+                                                batch_format="pyarrow")

@@ -430,3 +430,56 @@ def test_rollup_counts(ray_session):
            rollup_counts(ds, "g", "v").take_all()}
     # null counts toward n_rows but adds 0 to the sum
     assert got == {"a": (2, 5), "b": (1, 7), "__all__": (3, 12)}
+
+
+def test_running_totals_bucketed_equals_default(ray_session):
+    from raydedup.stages.ordered import running_totals_bucketed
+
+    rng = random.Random(97)
+    n = 600
+    k = [f"u{rng.randrange(5)}" for _ in range(n)]
+    t = [rng.randrange(300) for _ in range(n)]
+    v = [rng.randrange(-30, 60) for _ in range(n)]
+    ds = _ds({"k": k, "t": t, "rid": list(range(n)),
+              "v": v}).repartition(7)
+
+    def run(fn, **kw):
+        return sorted(
+            (r["rid"], r["running_n"], r["running_sum"])
+            for r in fn(ds, by="k", order_cols=["t", "rid"],
+                        value_col="v", **kw).take_all())
+
+    base = run(running_totals)
+    assert run(running_totals_bucketed, order_buckets=6,
+               num_partitions=4) == base
+    # B larger than the distinct-order-value count still works
+    assert run(running_totals_bucketed, order_buckets=512,
+               num_partitions=2) == base
+
+
+def test_running_totals_bucketed_hot_key(ray_session):
+    from raydedup.stages.ordered import running_totals_bucketed
+
+    rng = random.Random(101)
+    n = 4000
+    t = [rng.randrange(1000) for _ in range(n)]
+    v = [rng.randrange(100) for _ in range(n)]
+    ds = _ds({"k": ["hot"] * n, "t": t, "rid": list(range(n)),
+              "v": v}).repartition(8)
+    got = {r["rid"]: (r["running_n"], r["running_sum"]) for r in
+           running_totals_bucketed(
+               ds, by="k", order_cols=["t", "rid"], value_col="v",
+               order_buckets=16, num_partitions=4).take_all()}
+    assert len(got) == n
+    seen_n, seen_s = 0, 0
+    for _tt, rid, vv in sorted(zip(t, range(n), v)):
+        seen_n += 1
+        seen_s += vv
+        assert got[rid] == (seen_n, seen_s), rid
+    # degenerate: all order values equal (zero width) → single bucket
+    ds2 = _ds({"k": [1, 1], "t": [7, 7], "rid": [0, 1], "v": [3, 4]})
+    got2 = {r["rid"]: (r["running_n"], r["running_sum"]) for r in
+            running_totals_bucketed(
+                ds2, by="k", order_cols=["t", "rid"], value_col="v",
+                order_buckets=8).take_all()}
+    assert got2 == {0: (1, 3), 1: (2, 7)}
