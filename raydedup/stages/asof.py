@@ -97,7 +97,11 @@ def _bucket_of(t: np.ndarray, lo: int, width: int, B: int) -> np.ndarray:
     constant is monotone non-decreasing, which is all the bucketed
     paths' disjoint-and-increasing invariant needs (bucket BOUNDARIES
     need not be exact, only consistent between the two call sites)."""
-    f = np.floor((t - lo).astype(np.float64) * (float(B) / float(width)))
+    # subtract in float64: an int64 (t - lo) wraps when the global range
+    # exceeds the int64 span (e.g. INT64_MIN-adjacent sentinels mixed
+    # with large timestamps), silently breaking monotonicity
+    f = np.floor((t.astype(np.float64) - float(lo))
+                 * (float(B) / float(width)))
     return np.clip(f, 0, B - 1).astype(np.int64)
 
 
@@ -239,6 +243,11 @@ def asof_join(left, right, by: str, on: str, rsuffix: str = "r_",
 
     left_norm = left.map_batches(norm_left, batch_format="pyarrow")
     right_norm = right.map_batches(norm_right, batch_format="pyarrow")
+    if B > 1:
+        # the bucketed path consumes right_norm TWICE (final union +
+        # best-row carry extraction); materialize once so Ray doesn't
+        # re-execute the right side's read + normalization per consumer
+        right_norm = right_norm.materialize()
     unioned = left_norm.union(right_norm)
 
     if B > 1:

@@ -251,9 +251,13 @@ def running_totals_bucketed(ds, by: str, order_cols: list[str],
     the offset rows ride the same partitioning into the final merge,
     where each key's local scan adds its offsets. Output is identical
     to the default path (asserted by tests); offsets are exact int64
-    sums, so the int-column exactness contract carries over. Costs one
-    min/max aggregate of the bucket column plus two passes over the
-    tiny per-(key, bucket) partials."""
+    sums, so the int-column exactness contract carries over. Costs vs
+    the default path: one min/max aggregate over the input, one
+    materialization of the tagged dataset (object-store resident,
+    spillable — it feeds both the partials branch and the final
+    union), two passes over the tiny per-(key, bucket) partials, and
+    ~17 bytes/row of carry-slot padding through the main shuffle.
+    ``order_cols[0]`` must be integer or timestamp (bucketable)."""
     from ray.data.aggregate import Max, Min
 
     from raydedup.stages.asof import _bucket_of, _on_i64, _scalar_i64
@@ -272,6 +276,12 @@ def running_totals_bucketed(ds, by: str, order_cols: list[str],
     out_names = names + [out_n, out_sum]
     sum_t = types[value_col]
     oc0 = order_cols[0]
+    if not (pa.types.is_integer(types[oc0])
+            or pa.types.is_timestamp(types[oc0])):
+        raise ValueError(
+            f"running_totals_bucketed: order_cols[0] ({oc0!r}) must be "
+            f"integer or timestamp to bucket; got {types[oc0]} — use "
+            f"the default running_totals or quantize the column")
 
     mm = ds.aggregate(Min(oc0, alias_name="lo"),
                       Max(oc0, alias_name="hi"))
@@ -299,12 +309,20 @@ def running_totals_bucketed(ds, by: str, order_cols: list[str],
             np.zeros(batch.num_rows, dtype=np.int64)), sum_t)
         return pa.table(cols)
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    # materialize ONCE: the tagged lineage feeds BOTH the partials
+    # branch and the final union — without this, Ray re-executes the
+    # read + hashing for each consumer (no common-subexpression cache);
+    # the blocks live in the (spillable) object store instead
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
 
     # phase 1: per-batch (key, bucket) partial count/sum — tiny rows
     def bucket_partials(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.is_valid(batch[value_col])) \
-            if pc.any(pc.is_null(batch[value_col])).as_py() else batch
+        b = batch
+        # fail fast BEFORE the shuffle: phase 3 raises on null values
+        # anyway (the module's no-skip-null contract)
+        if b.num_rows and pc.any(pc.is_null(b[value_col])).as_py():
+            raise ValueError(
+                f"ordered scan: null values in value col {value_col!r}")
         if b.num_rows == 0:
             return pa.table({by: pa.array([], types[by]),
                              "__part": pa.array([], pa.int64()),

@@ -423,6 +423,18 @@ def rollup_counts(ds, group_col: str, value_col: str,
 
     def partial(b: pa.Table) -> pa.Table:
         g = pc.cast(b[group_col], pa.string())
+        # loud beats wrong: a real group equal to the sentinel would
+        # silently merge into the grand total, and a NULL group key
+        # crashes Ray's sort-based groupby downstream (SQL would emit
+        # a NULL-group row; pre-fill nulls upstream if wanted)
+        if b.num_rows and pc.any(pc.equal(g, total_key)).as_py():
+            raise ValueError(
+                f"rollup_counts: group value collides with "
+                f"total_key {total_key!r}")
+        if b.num_rows and pc.any(pc.is_null(g)).as_py():
+            raise ValueError(
+                "rollup_counts: null group keys are unsupported "
+                "(fill upstream)")
         v = pc.fill_null(pc.cast(b[value_col], pa.int64()), 0)
         ones = pa.array(np.ones(b.num_rows, dtype=np.int64))
         t = pa.table({group_col: g, "n_rows": ones, "sum_value": v})

@@ -483,3 +483,33 @@ def test_running_totals_bucketed_hot_key(ray_session):
                 ds2, by="k", order_cols=["t", "rid"], value_col="v",
                 order_buckets=8).take_all()}
     assert got2 == {0: (1, 3), 1: (2, 7)}
+
+
+def test_review4_guards(ray_session):
+    from raydedup.stages.asof import _bucket_of
+    from raydedup.stages.ordered import running_totals_bucketed
+    from raydedup.stages.stats import rollup_counts
+
+    # int64-span-wide order range: buckets stay monotone (no wrap)
+    t = np.array([-2**62, -2**61, 2**61, 2**62], dtype=np.int64)
+    b = _bucket_of(t, int(t.min()), int(t.max()) - int(t.min()) + 1, 4)
+    assert (np.diff(b) >= 0).all() and b[0] == 0 and b[-1] == 3
+    ds = _ds({"k": [1] * 4, "t": t.tolist(), "rid": [0, 1, 2, 3],
+              "v": [1, 2, 3, 4]})
+    got = {r["rid"]: (r["running_n"], r["running_sum"]) for r in
+           running_totals_bucketed(ds, by="k", order_cols=["t", "rid"],
+                                   value_col="v",
+                                   order_buckets=4).take_all()}
+    assert got == {0: (1, 1), 1: (2, 3), 2: (3, 6), 3: (4, 10)}
+    # float order column → clear error, not a datetime cast crash
+    ds2 = _ds({"k": [1], "t": [1.5], "v": [1]})
+    with pytest.raises(ValueError, match="integer or timestamp"):
+        running_totals_bucketed(ds2, by="k", order_cols=["t"],
+                                value_col="v", order_buckets=4)
+    # rollup sentinel collision and null keys are loud
+    ds3 = _ds({"g": ["__all__", "b"], "v": [1, 2]})
+    with pytest.raises(Exception, match="total_key"):
+        rollup_counts(ds3, "g", "v").take_all()
+    ds4 = _ds({"g": pa.array(["a", None]), "v": [1, 2]})
+    with pytest.raises(Exception, match="null group keys"):
+        rollup_counts(ds4, "g", "v").take_all()
