@@ -1360,6 +1360,22 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_multimodal_frames(sf_dir: str):
+    """REAL video frame sampling: genuine uncompressed-AVI payloads
+    (closed-form frames per doc_id) parsed by the pure-numpy RIFF
+    walker; every 2nd frame is emitted with its pixel checksum, and
+    the oracle recomputes (frame_idx, w, h, frame_sum) from doc_id
+    alone."""
+    from raydedup.stages.multimodal import (
+        attach_synthetic_videos,
+        sample_video_frames,
+    )
+
+    return sample_video_frames(
+        attach_synthetic_videos(_docs(sf_dir)), every_n=2, id_col="doc_id"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (driver smoke check)."""
     return q_near_dup_clusters_transcripts("/root/testdata/sf0.001")
@@ -1420,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_event_counts": q_pivot_event_counts,
         "assemble_conversations": q_assemble_conversations,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
         "range_join_events": q_range_join_events,
@@ -3097,6 +3114,36 @@ def _oracle_sql_base() -> dict[str, str]:
                                      * (rem - (256 - a) - 1)) // 2
                         END AS BIGINT) AS pix_sum
             FROM sums
+        """,
+        "multimodal_frames": """
+            WITH f AS (
+                SELECT doc_id,
+                       8 + doc_id % 9 AS w,
+                       8 + doc_id % 7 AS h,
+                       g.f AS frame_idx,
+                       (11 * doc_id + 5 * g.f) % 256 AS a
+                FROM documents, generate_series(0, 6) AS g(f)
+                WHERE g.f <= 1 + doc_id % 5 AND g.f % 2 = 0
+            ),
+            s AS (
+                SELECT doc_id, frame_idx, w, h, a,
+                       (3 * w * h) // 256 AS cycles,
+                       (3 * w * h) % 256 AS rem
+                FROM f
+            )
+            SELECT doc_id,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(w AS INTEGER) AS meta_w,
+                   CAST(h AS INTEGER) AS meta_h,
+                   CAST(cycles * 32640 +
+                        CASE WHEN a + rem <= 256
+                             THEN rem * a + (rem * (rem - 1)) // 2
+                             ELSE (256 - a) * a
+                                  + ((256 - a) * (256 - a - 1)) // 2
+                                  + ((rem - (256 - a))
+                                     * (rem - (256 - a) - 1)) // 2
+                        END AS BIGINT) AS frame_sum
+            FROM s
         """,
         # near_dup_clusters_transcripts: the flagship runs the stemmed
         # reference config (Porter stemmer — not SQL-expressible); its

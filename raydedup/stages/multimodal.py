@@ -1,13 +1,14 @@
 """Multimodal columns: opaque ``binary`` payloads with typed metadata.
 
 The decode kernels are REAL: pure-numpy decoders for PPM (P6), BMP
-(24-bit uncompressed) and WAV (PCM16) — formats simple enough to parse
-without codec libraries — plus a nearest-neighbor resize. If PIL is
-importable it is tried first for unknown formats; otherwise unknown
-magic bytes raise ``ValueError``. Video frame sampling remains a
-documented stub (real sampling needs av/ffmpeg, not in this
-environment); its Ray-side plumbing (binary column, small-batch actor
-pool, exploded output schema) is real and tested.
+(24-bit uncompressed), WAV (PCM16) and AVI (RIFF, uncompressed 24-bit
+DIB frames) — formats simple enough to parse without codec libraries —
+plus a nearest-neighbor resize. If PIL is importable it is tried first
+for unknown image formats; otherwise unknown magic bytes raise
+``ValueError``. Compressed video (H.264 etc.) would need av/ffmpeg (not
+in this environment) and raises; the uncompressed-AVI path exercises
+the full frame-sampling plumbing (binary column, small-batch actor
+pool, exploded output schema) on real container bytes.
 
 Payload convention: ``payload: binary`` + ``media_type: string`` +
 ``meta_w/meta_h`` (+ ``pix_sum`` checksum) for images, or
@@ -120,6 +121,105 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     return sr, len(samples) // max(n_channels, 1), samples
 
 
+def _dib_rows(w: int, h: int, pixels: np.ndarray) -> bytes:
+    """Flat top-down RGB raster (3*w*h uint8) → bottom-up BGR rows padded
+    to 4-byte stride — the DIB layout BMP bodies and uncompressed-AVI
+    frames share."""
+    stride = (3 * w + 3) & ~3
+    img = pixels.astype(np.uint8).reshape(h, w, 3)[:, :, ::-1]  # RGB→BGR
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = img[::-1].reshape(h, 3 * w)  # top-down → bottom-up
+    return rows.tobytes()
+
+
+def _dib_to_rgb(body: bytes, w: int, h: int) -> np.ndarray:
+    """Inverse of ``_dib_rows``: padded bottom-up BGR bytes →
+    (h, w, 3) top-down RGB array."""
+    stride = (3 * w + 3) & ~3
+    rows = np.frombuffer(body, dtype=np.uint8, count=stride * h).reshape(
+        h, stride)
+    return rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1][::-1].copy()
+
+
+def encode_avi(w: int, h: int, frames: list[np.ndarray],
+               fps: int = 25) -> bytes:
+    """Minimal spec-correct RIFF AVI: one 'vids' stream of uncompressed
+    24-bit DIB frames ('00db' chunks). Each frame is a flat top-down RGB
+    raster of 3*w*h uint8 values (same convention as ``encode_ppm``)."""
+    stride = (3 * w + 3) & ~3
+    frame_bytes = stride * h
+
+    def u32(v: int) -> bytes:
+        return int(v).to_bytes(4, "little")
+
+    def u16(v: int) -> bytes:
+        return int(v).to_bytes(2, "little")
+
+    movi_body = b"movi"
+    for pix in frames:
+        d = _dib_rows(w, h, np.asarray(pix))
+        movi_body += b"00db" + u32(len(d)) + d
+        if len(d) & 1:
+            movi_body += b"\x00"
+    avih = (b"avih" + u32(56)
+            + u32(1_000_000 // fps) + u32(frame_bytes * fps) + u32(0)
+            + u32(0) + u32(len(frames)) + u32(0) + u32(1)
+            + u32(frame_bytes) + u32(w) + u32(h) + u32(0) * 4)
+    strh = (b"strh" + u32(56)
+            + b"vids" + b"DIB " + u32(0) + u16(0) + u16(0) + u32(0)
+            + u32(1) + u32(fps) + u32(0) + u32(len(frames))
+            + u32(frame_bytes) + u32(0) + u32(0)
+            + u16(0) + u16(0) + u16(w) + u16(h))
+    strf = (b"strf" + u32(40)
+            + u32(40) + u32(w) + u32(h) + u16(1) + u16(24) + u32(0)
+            + u32(frame_bytes) + u32(0) + u32(0) + u32(0) + u32(0))
+    strl = b"LIST" + u32(4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + u32(4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi = b"LIST" + u32(len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + u32(len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """RIFF AVI with uncompressed 24-bit DIB frames → (w, h, [frame])
+    where each frame is a (h, w, 3) top-down RGB uint8 array. Compressed
+    streams (biCompression != 0 or non-24 bpp) raise ``ValueError`` —
+    real codecs need av/ffmpeg, which this environment lacks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI")
+    dims: dict[str, int] = {}
+    frame_chunks: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = payload[pos: pos + 4]
+            size = int.from_bytes(payload[pos + 4: pos + 8], "little")
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)
+            elif cid == b"strf" and "w" not in dims:
+                dims["w"] = int.from_bytes(payload[body + 4: body + 8],
+                                           "little", signed=True)
+                dims["h"] = int.from_bytes(payload[body + 8: body + 12],
+                                           "little", signed=True)
+                dims["bpp"] = int.from_bytes(payload[body + 14: body + 16],
+                                             "little")
+                dims["comp"] = int.from_bytes(payload[body + 16: body + 20],
+                                              "little")
+            elif cid in (b"00db", b"00dc"):
+                frame_chunks.append(payload[body: body + size])
+            pos = body + size + (size & 1)
+
+    walk(12, 8 + int.from_bytes(payload[4:8], "little"))
+    if "w" not in dims:
+        raise ValueError("AVI missing strf header")
+    if dims["bpp"] != 24 or dims["comp"] != 0:
+        raise ValueError("only uncompressed 24-bit DIB AVI supported "
+                         "(real codecs need av/ffmpeg)")
+    w, h = dims["w"], abs(dims["h"])
+    return w, h, [_dib_to_rgb(c, w, h) for c in frame_chunks]
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """(h, w, 3) → (out_h, out_w, 3) nearest-neighbor resize."""
     h, w = img.shape[:2]
@@ -171,6 +271,35 @@ def attach_synthetic_images(ds, id_col: str = "doc_id"):
         ).append_column(
             "media_type",
             pa.array(["image/ppm"] * len(ids), type=pa.string()),
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def attach_synthetic_videos(ds, id_col: str = "doc_id"):
+    """REAL AVI payloads with closed-form content: for row id d,
+    n_frames = 2 + d % 5, w = 8 + d % 9, h = 8 + d % 7, and frame f's
+    top-down RGB raster is pixel[i] = (11*d + 5*f + i) % 256. The SQL
+    oracle recomputes (n_frames, w, h, per-frame pixel sum) from d
+    alone, so the real container parser is value-checked end-to-end."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        payloads = []
+        for d in ids:
+            d = int(d)
+            w, h, n_frames = 8 + d % 9, 8 + d % 7, 2 + d % 5
+            frames = [
+                (np.int64(11 * d + 5 * f)
+                 + np.arange(3 * w * h, dtype=np.int64)) % 256
+                for f in range(n_frames)
+            ]
+            payloads.append(encode_avi(w, h, frames))
+        return batch.append_column(
+            "payload", pa.array(payloads, type=pa.binary())
+        ).append_column(
+            "media_type",
+            pa.array(["video/avi"] * len(ids), type=pa.string()),
         )
 
     return ds.map_batches(attach, batch_format="pyarrow")
@@ -275,18 +404,41 @@ def decode_audio(ds, batch_size: int = 64, concurrency=(1, 8)):
 
 
 class FrameSample:
-    """Video/audio frame sampler stub: emits every n-th 'frame index' with
-    a deterministic feature hash per frame. Real video sampling requires
-    av/ffmpeg (not in this environment) — the exploded output schema and
-    actor plumbing are what this stage locks in."""
+    """Video frame sampler. Real mode (``fake=False``) parses
+    uncompressed-AVI payloads with :func:`decode_avi` and emits every
+    n-th frame's (id, frame_idx, meta_w, meta_h, frame_sum); compressed
+    codecs raise (they need av/ffmpeg). Fake mode keeps the original
+    plumbing-test behavior: every n-th 64-byte slice of the payload as a
+    'frame' with a deterministic feature hash."""
 
-    def __init__(self, every_n: int = 10, fake: bool = True):
+    def __init__(self, every_n: int = 10, fake: bool = True,
+                 id_col: str = "row_key"):
         self.every_n = every_n
         self.fake = fake
+        self.id_col = id_col
+
+    def _real(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, ws, hs, sums = [], [], [], [], []
+        id_vals = batch[self.id_col].to_pylist()
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            w, h, frames = decode_avi(p or b"")
+            for f in range(0, len(frames), self.every_n):
+                ids.append(id_vals[i])
+                fidx.append(f)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(frames[f].astype(np.int64).sum()))
+        return pa.table(
+            {self.id_col: pa.array(ids, batch.schema.field(self.id_col).type),
+             "frame_idx": pa.array(fidx, type=pa.int32()),
+             "meta_w": pa.array(ws, type=pa.int32()),
+             "meta_h": pa.array(hs, type=pa.int32()),
+             "frame_sum": pa.array(sums, type=pa.int64())}
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError("real frame sampling needs av/ffmpeg")
+            return self._real(batch)
         rows = []
         for i in range(batch.num_rows):
             payload = batch["payload"][i].as_py() or b""
@@ -317,12 +469,20 @@ class FrameSample:
         )
 
 
-def sample_frames(ds, every_n: int = 10, fake: bool = True):
+def sample_frames(ds, every_n: int = 10, fake: bool = True,
+                  id_col: str = "row_key"):
     return ds.map_batches(
         FrameSample,
-        fn_constructor_kwargs={"every_n": every_n, "fake": fake},
+        fn_constructor_kwargs={"every_n": every_n, "fake": fake,
+                               "id_col": id_col},
         batch_format="pyarrow",
         batch_size=32,
         concurrency=(1, 8),
         num_cpus=1,
     )
+
+
+def sample_video_frames(ds, every_n: int = 2, id_col: str = "doc_id"):
+    """REAL frame sampling over uncompressed-AVI payloads → Dataset(id,
+    frame_idx, meta_w, meta_h, frame_sum), one row per sampled frame."""
+    return sample_frames(ds, every_n=every_n, fake=False, id_col=id_col)

@@ -113,6 +113,49 @@ def test_real_decode_unknown_format_raises():
         dec._decode(b"\x89PNG")
 
 
+def test_avi_roundtrip_and_real_frame_sampling():
+    import numpy as np
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_videos,
+        decode_avi,
+        encode_avi,
+        sample_video_frames,
+    )
+
+    # codec round trip, including odd widths (stride padding)
+    for w, h, nf in [(8, 8, 1), (9, 7, 3), (16, 14, 6)]:
+        frames = [np.arange(3 * w * h, dtype=np.int64) % 256 + f
+                  for f in range(nf)]
+        frames = [f % 256 for f in frames]
+        w2, h2, out = decode_avi(encode_avi(w, h, frames))
+        assert (w2, h2, len(out)) == (w, h, nf)
+        for f in range(nf):
+            assert np.array_equal(
+                out[f], frames[f].astype(np.uint8).reshape(h, w, 3))
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+    # real sampling end-to-end: every 2nd frame, sums match the
+    # closed-form pixel function
+    ds = attach_synthetic_videos(
+        ray.data.from_arrow(pa.table({"doc_id": list(range(12))})))
+    rows = sample_video_frames(ds, every_n=2, id_col="doc_id").take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in range(12):
+        w, h, nf = 8 + d % 9, 8 + d % 7, 2 + d % 5
+        got = sorted(by_doc[d], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == list(range(0, nf, 2))
+        for r in got:
+            assert (r["meta_w"], r["meta_h"]) == (w, h)
+            exp = int((((np.int64(11 * d + 5 * r["frame_idx"]))
+                        + np.arange(3 * w * h, dtype=np.int64)) % 256).sum())
+            assert r["frame_sum"] == exp
+
+
 def test_resize_and_frames():
     ds = attach_fake_payloads(_docs_ds())
     resized = decode_images(ds, fake=True, resize_to=(64, 64)).take_all()
