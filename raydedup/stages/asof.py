@@ -40,18 +40,32 @@ def _part_array(col: pa.ChunkedArray, num_partitions: int) -> pa.Array:
     Python modulo semantics, so negatives land in range); other types
     hash the utf-8 repr with md5 (process-stable, unlike ``hash()``).
     Null keys land in partition 0 — they never match (SQL semantics,
-    enforced in the merge), any placement works."""
+    enforced in the merge), any placement works.
+
+    md5 runs once per DISTINCT value per batch (``pc.dictionary_encode``
+    + numpy gather — the signatures.py idiom); string by-keys repeat
+    heavily (user/conv/doc ids), so the Python hashing loop is bounded
+    by batch cardinality, not row count. Partition ids are byte-identical
+    to the historical per-row formula."""
     if pa.types.is_integer(col.type):
         knp = pc.fill_null(col, 0).to_numpy(
             zero_copy_only=False).astype(np.int64)
         return pa.array(knp % num_partitions, type=pa.int64())
     import hashlib
 
-    return pa.array(
-        [0 if k is None else
-         int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4], "big")
-         % num_partitions for k in col.to_pylist()],
-        type=pa.int64())
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = pc.dictionary_encode(arr)
+    dvals = enc.dictionary.to_pylist()
+    dpart = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(k).encode()).digest()[:4], "big")
+         % num_partitions for k in dvals),
+        dtype=np.int64, count=len(dvals))
+    idx = pc.fill_null(enc.indices, -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    out = np.zeros(len(idx), dtype=np.int64)  # nulls → partition 0
+    valid = idx >= 0
+    out[valid] = dpart[idx[valid]]
+    return pa.array(out, type=pa.int64())
 
 
 def _group_codes(col) -> tuple[np.ndarray, np.ndarray]:

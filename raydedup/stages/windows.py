@@ -9,9 +9,13 @@ contract, SURVEY §2.9):
 - ``tumbling_window_agg``: fixed-size event-time windows per key, one
   shuffle (groupby on (key, window)) done as a vectorized map (window id
   computed per batch) + native aggregate.
-- ``sessionize``: gap-based session ids per key — the order-sensitive
-  scan runs inside ``groupby(key).map_groups`` over the ts-sorted group
-  (same execution pattern as the chain scan), with the session-id rule
+- ``sessionize`` / ``session_stats``: gap-based session ids per key —
+  the order-sensitive scan runs as a hash-PARTITION sweep (the
+  ``stages/ordered.py`` execution shape): rows are tagged
+  ``hash(key) % num_partitions`` and one ``map_groups`` call per
+  PARTITION handles every key in it with a single lexsort + boundary
+  masks — O(n log n) numpy work per partition, not a Python call per
+  key (millions of keys at 100 TB). The session-id rule stays
   expressible in SQL via lag + cumulative sum for the oracle.
 """
 
@@ -53,41 +57,77 @@ def tumbling_window_agg(ds, window_sec: int = 3600,
     )
 
 
-def _session_segments(g: pa.Table, ts_col: str, id_col: str,
-                      gap_sec: int):
-    """Shared ordering + boundary rule for the session operators: sort
-    by (floored-second ts, id), mark a new session when the gap to the
-    previous event exceeds ``gap_sec``. One definition so sessionize
-    and session_stats can never disagree. Returns (order, ts_seconds
-    sorted, new_session bool mask)."""
-    ts = g[ts_col].to_numpy(zero_copy_only=False).astype(
-        "datetime64[us]").astype(np.int64) // 1_000_000
-    ids = g[id_col].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, ts))
-    ts = ts[order]
-    new_session = np.r_[True, np.diff(ts) > gap_sec]
-    return order, ts, new_session
+def _session_sweep(ds, gap_sec: int, key_col: str, ts_col: str,
+                   id_col: str, num_partitions: int, stats: bool):
+    """Shared partition sweep for the session operators: one lexsort
+    (key-code major, then floored-second ts, then id) per hash
+    PARTITION marks every key's session boundaries at once — a new
+    session starts at each key change or when the gap to the previous
+    event exceeds ``gap_sec``. One definition so sessionize and
+    session_stats can never disagree; a hot key costs one partition's
+    sort, never a per-key Python call."""
+    from raydedup.stages.asof import _group_codes, _part_array
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = pa.table({c: batch[c] for c in (id_col, key_col, ts_col)})
+        return t.append_column(
+            "__part", _part_array(t[key_col], num_partitions))
+
+    def empty() -> pa.Table:
+        if stats:
+            return pa.table({key_col: pa.array([], types[key_col]),
+                             "session_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "duration_sec": pa.array([], pa.int64())})
+        return pa.table({id_col: pa.array([], types[id_col]),
+                         key_col: pa.array([], types[key_col]),
+                         "session_id": pa.array([], pa.int64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__part" not in g.column_names:
+            return empty()
+        codes, _ = _group_codes(g[key_col])
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // 1_000_000
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, codes))
+        codes_s, ts_s = codes[order], ts[order]
+        key_change = np.r_[True, codes_s[1:] != codes_s[:-1]]
+        new_session = key_change | np.r_[True, np.diff(ts_s) > gap_sec]
+        sess = np.cumsum(new_session)  # global 1-based
+        key_starts = np.flatnonzero(key_change)
+        key_lens = np.diff(np.r_[key_starts, len(ts_s)])
+        # session_id restarts at 1 within each key
+        session_id = sess - np.repeat(sess[key_starts], key_lens) + 1
+        if not stats:
+            sel = pa.array(order)
+            return pa.table({id_col: g[id_col].take(sel),
+                             key_col: g[key_col].take(sel),
+                             "session_id": pa.array(session_id)})
+        starts = np.flatnonzero(new_session)
+        ends = np.r_[starts[1:], len(ts_s)]
+        return pa.table({
+            key_col: g[key_col].take(pa.array(order[starts])),
+            "session_id": pa.array(session_id[starts]),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "duration_sec": pa.array(ts_s[ends - 1] - ts_s[starts]),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part").map_groups(merge, batch_format="pyarrow"))
 
 
 def sessionize(ds, gap_sec: int = 1800, key_col: str = "user_id",
-               ts_col: str = "ts", id_col: str = "event_id"):
+               ts_col: str = "ts", id_col: str = "event_id",
+               num_partitions: int = 64):
     """→ Dataset(event_id, user_id, session_id) where session_id increments
     within a user whenever the gap to the previous event exceeds
     ``gap_sec`` (1-based; events sorted by (ts, event_id) within user)."""
-
-    def scan(g: pa.Table) -> pa.Table:
-        order, _ts, new_session = _session_segments(
-            g, ts_col, id_col, gap_sec)
-        sel = pa.array(order)
-        return pa.table(
-            {
-                id_col: g[id_col].take(sel),
-                key_col: g[key_col].take(sel),
-                "session_id": pa.array(np.cumsum(new_session)),
-            }
-        )
-
-    return ds.groupby(key_col).map_groups(scan, batch_format="pyarrow")
+    return _session_sweep(ds, gap_sec, key_col, ts_col, id_col,
+                          num_partitions, stats=False)
 
 
 def sliding_window_agg(ds, window_sec: int = 3600, hop_sec: int = 900,
@@ -137,24 +177,12 @@ def sliding_window_agg(ds, window_sec: int = 3600, hop_sec: int = 900,
 
 
 def session_stats(ds, gap_sec: int = 1800, key_col: str = "user_id",
-                  ts_col: str = "ts", id_col: str = "event_id"):
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  num_partitions: int = 64):
     """→ Dataset(key, session_id, n_events, duration_sec): per-session
-    aggregates in the same single per-key scan ``sessionize`` uses —
+    aggregates in the same single partition sweep ``sessionize`` uses —
     no join back to the raw events. session_id is 1-based within the
     key; duration is last-event − first-event in whole seconds
     (exact int arithmetic on epoch seconds)."""
-
-    def scan(g: pa.Table) -> pa.Table:
-        _order, ts, new_session = _session_segments(
-            g, ts_col, id_col, gap_sec)
-        starts = np.flatnonzero(new_session)
-        ends = np.r_[starts[1:], len(ts)]
-        return pa.table({
-            key_col: g[key_col].take(pa.array(starts)),
-            "session_id": pa.array(
-                np.arange(1, len(starts) + 1, dtype=np.int64)),
-            "n_events": pa.array((ends - starts).astype(np.int64)),
-            "duration_sec": pa.array(ts[ends - 1] - ts[starts]),
-        })
-
-    return ds.groupby(key_col).map_groups(scan, batch_format="pyarrow")
+    return _session_sweep(ds, gap_sec, key_col, ts_col, id_col,
+                          num_partitions, stats=True)
