@@ -475,12 +475,45 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10,
                                                   batch_format="pyarrow")
 
 
-# size-1 per-worker cache of the broadcast {dup_id: cluster_min} map
-_SEMDEDUP_CACHE: dict[bytes, dict] = {}
+# size-1 per-worker cache of the broadcast (dup_ids, cluster_ids) arrays
+_SEMDEDUP_CACHE: dict[bytes, tuple] = {}
+
+
+def _semdedup_components_driver(pairs) -> tuple[np.ndarray, np.ndarray]:
+    """Edges Dataset(a_id, b_id) → (sorted dup node ids, component min
+    id per node), both int64 numpy — the fully vectorized driver path
+    (dictionary rank space + pointer-jumping min-label propagation, the
+    ``pipelines/neardup.py`` idiom specialized to integer ids where
+    numeric order IS the canonical order)."""
+    batches = list(pairs.select_columns(["a_id", "b_id"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"))
+    a = np.concatenate(
+        [b["a_id"].to_numpy(zero_copy_only=False) for b in batches]
+    ).astype(np.int64)
+    b_ = np.concatenate(
+        [b["b_id"].to_numpy(zero_copy_only=False) for b in batches]
+    ).astype(np.int64)
+    nodes, inv = np.unique(np.r_[a, b_], return_inverse=True)
+    m = len(a)
+    a_r, b_r = inv[:m], inv[m:]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        lo = np.minimum(label[a_r], label[b_r])
+        np.minimum.at(label, a_r, lo)
+        np.minimum.at(label, b_r, lo)
+        nxt = label[label]
+        while not np.array_equal(nxt, label):
+            label, nxt = nxt, nxt[nxt]
+        if np.array_equal(label[a_r], label[b_r]):
+            break
+    return nodes, nodes[label]
 
 
 def semantic_dedup(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                   vec_col: str = "embedding", method: str = "auto"):
+                   vec_col: str = "embedding", method: str = "auto",
+                   components: str = "auto",
+                   driver_max_edges: int = 2_000_000,
+                   num_partitions: int | None = None):
     """SemDeDup-style semantic deduplication (public recipe: cosine
     near-pairs over an embedding column -> connected components -> keep
     one representative per component). Emits ``(id, cluster_id, keep)``
@@ -488,35 +521,96 @@ def semantic_dedup(ds, threshold: float = 0.95, id_col: str = "vec_id",
     (singletons label themselves), ``keep`` marks the survivor.
 
     Scale shape: pairs come from :func:`embedding_near_pairs` (broadcast
-    / exact-blockwise / LSH backends); components stream edge batches
-    through the incremental union-find, and only the DUPLICATED ids (a
-    set bounded by the duplicate count, not the corpus) are broadcast
-    back for the labeling pass — the corpus itself streams.
+    / exact-blockwise / LSH backends). ``components`` picks the
+    clustering backend: ``driver`` runs the vectorized numpy
+    pointer-jumping union-find and broadcasts two int64 arrays painted
+    with ``pc.index_in`` (NO Python dict, no per-row loop);
+    ``distributed`` routes the edges through
+    ``state.unionfind.connected_components_distributed`` (min-label
+    propagation, everything stays a Dataset) and paints labels with a
+    distributed left join — the path for a realistic 20-50% semantic-dup
+    rate at 100 TB where even the dup-id set is corpus-scale. ``auto``
+    switches on the edge count at ``driver_max_edges`` (the
+    ``exact.py``/``lsh.py`` auto-switch idiom).
     """
     import ray
+    import ray.data
 
-    pairs = embedding_near_pairs(ds, threshold, id_col, vec_col, method)
-    from raydedup.state.unionfind import connected_components_driver
+    pairs = embedding_near_pairs(
+        ds, threshold, id_col, vec_col, method).materialize()
+    n_edges = pairs.count()
+    if components == "auto":
+        components = ("driver" if n_edges <= driver_max_edges
+                      else "distributed")
 
-    labels_ref = ray.put(connected_components_driver(
-        pairs, a_col="a_id", b_col="b_id"))
+    id_type = ds.schema().types[ds.schema().names.index(id_col)]
 
-    def label(batch: pa.Table) -> pa.Table:
-        ck = labels_ref.binary()
-        lut = _SEMDEDUP_CACHE.get(ck)
-        if lut is None:
-            lut = ray.get(labels_ref)
-            _SEMDEDUP_CACHE.clear()
-            _SEMDEDUP_CACHE[ck] = lut
-        ids = batch[id_col].to_pylist()
-        cl = [lut.get(i, i) for i in ids]
-        keep = [c == i for i, c in zip(ids, cl)]
+    if n_edges == 0 or components == "driver":
+        if n_edges == 0:
+            nodes = np.array([], dtype=np.int64)
+            clusters = np.array([], dtype=np.int64)
+        else:
+            nodes, clusters = _semdedup_components_driver(pairs)
+        labels_ref = ray.put((nodes, clusters))
+
+        def label(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ck = labels_ref.binary()
+            cached = _SEMDEDUP_CACHE.get(ck)
+            if cached is None:
+                cached = ray.get(labels_ref)
+                _SEMDEDUP_CACHE.clear()
+                _SEMDEDUP_CACHE[ck] = cached
+            node_arr = pa.array(cached[0], type=id_type)
+            clus_arr = pa.array(cached[1], type=id_type)
+            at = pc.index_in(batch[id_col], value_set=node_arr)
+            cluster = pc.coalesce(pc.take(clus_arr, at),
+                                  batch[id_col].combine_chunks())
+            keep = pc.equal(batch[id_col], cluster)
+            return pa.table({id_col: batch[id_col],
+                             "cluster_id": cluster,
+                             "keep": keep})
+
+        return ds.select_columns([id_col]).map_batches(
+            label, batch_format="pyarrow")
+
+    # distributed: edges -> min-label propagation -> left-join paint
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"a_key": batch["a_id"], "b_key": batch["b_id"]})
+
+    from raydedup.state.unionfind import connected_components_distributed
+
+    labels = connected_components_distributed(
+        pairs.map_batches(as_edges, batch_format="pyarrow"),
+        num_partitions=num_partitions)
+
+    def as_lookup(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["node"].cast(id_type),
+                         "__cluster": batch["label"].cast(id_type)})
+
+    lookup = labels.map_batches(as_lookup, batch_format="pyarrow")
+    if num_partitions is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(32, 2 * ncpu))
+    joined = ds.select_columns([id_col]).join(
+        lookup, join_type="left_outer", num_partitions=num_partitions,
+        on=(id_col,))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "cluster_id": pa.array([], id_type),
+                             "keep": pa.array([], pa.bool_())})
+        cluster = pc.coalesce(batch["__cluster"],
+                              batch[id_col].combine_chunks())
         return pa.table({id_col: batch[id_col],
-                         "cluster_id": pa.array(cl, batch.schema.field(
-                             id_col).type),
-                         "keep": pa.array(keep, pa.bool_())})
+                         "cluster_id": cluster,
+                         "keep": pc.equal(batch[id_col], cluster)})
 
-    return ds.map_batches(label, batch_format="pyarrow")
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def label_centroids(ds, dims: int, label_col: str = "label",
