@@ -404,8 +404,10 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10,
     trades recall for speed, the standard IVF knob (Johnson et al.,
     "Billion-scale similarity search", public algorithm).
 
-    Scale shape: centroids come from a bounded prefix sample
-    (``limit(sample_size)``); the scoring pass is a single streaming
+    Scale shape: centroids come from a bounded deterministic UNIFORM
+    sample (``util.hash_sample_fixed`` — global bottom-``sample_size``
+    by key hash; a ``limit()`` prefix would see one stratum of a
+    source/time-sorted corpus); the scoring pass is a single streaming
     ``map_batches`` that assigns cells AND emits per-batch partial
     top-ks in one matmul — no vector shuffle, no full materialization;
     the input is scanned twice (query pick + scoring), which beats
@@ -414,7 +416,11 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10,
     ``knn_brute``."""
     q_ids, Q = _collect_queries(ds, query_ids, id_col, vec_col)
 
-    sample_tbl = ds.limit(sample_size).take_all()
+    from raydedup.util import hash_sample_fixed
+
+    sample_tbl = hash_sample_fixed(
+        ds.select_columns([id_col, vec_col]), id_col, sample_size
+    ).take_all()
     S = _l2norm(np.array([r[vec_col] for r in sample_tbl], dtype=np.float64))
     cent = _kmeans_centroids(S, n_centroids, seed)
     probe = min(nprobe, cent.shape[0])

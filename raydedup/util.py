@@ -48,6 +48,54 @@ def repeated_keys(ds, key_col: str):
     return counts.map_batches(strip, batch_format="pyarrow")
 
 
+def hash_sample_fixed(ds, key_col: str, k: int, seed: int = 0x5EED):
+    """Deterministic uniform sample of ~``k`` rows WITHOUT knowing the
+    row count: global bottom-k by an avalanche hash of the key.
+
+    Unlike ``limit(k)`` (a PREFIX — biased when the table is sorted by
+    source/time) the hash order is independent of physical order, and
+    unlike ``random_sample`` the outcome depends only on (key, seed), so
+    retries/resumes pick identical rows. One streaming pass: each batch
+    keeps only its LOCAL bottom-k, so the final sort+limit shuffles at
+    most k rows per input block. Integer keys hash vectorized (fmix64);
+    other types hash once per distinct value (dictionary-encode + md5,
+    the ``asof._part_array`` idiom)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.functions.minhash import _fmix64_batch
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[key_col].combine_chunks()
+        if pa.types.is_integer(col.type):
+            x = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _fmix64_batch(x.view(np.uint64) ^ np.uint64(seed))
+        else:
+            enc = col.dictionary_encode()
+            dh = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(f"{seed}:{v}".encode()).digest()[:8],
+                    "big") for v in enc.dictionary.to_pylist()),
+                dtype=np.uint64, count=len(enc.dictionary))
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            h = dh[idx]
+        sel = np.argsort(h, kind="stable")[:k]
+        out = batch.take(pa.array(sel))
+        # uint64 Arrow column: int64 .view would invert the order of
+        # hashes >= 2^63 under the global sort
+        return out.append_column("__h", pa.array(h[sel],
+                                                 type=pa.uint64()))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .sort("__h").limit(k).drop_columns(["__h"]))
+
+
 def round_half_away(x):
     """Exact round-half-to-away-from-zero on a float64 array — C
     ``std::round`` / DuckDB ``round()`` parity. ``floor(|x| + 0.5)``

@@ -192,6 +192,64 @@ def test_ivf_reduced_probe_recall(emb_ds, emb_np):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_ivf_recall_on_source_sorted_strata(ray_session):
+    """Stratified-ADVERSARIAL fixture (VERDICT r2 item 7): the table is
+    physically sorted by stratum, so a prefix `limit()` sample would
+    train centroids on one stratum only and reduced-probe recall for the
+    other strata would collapse. With the hash-bottom-k sample every
+    stratum is represented and recall stays high."""
+    import pyarrow as pa
+
+    from raydedup.stages.embeddings import knn_ivf
+
+    rng = np.random.default_rng(23)
+    dim, per = 16, 300
+    bases = [rng.standard_normal(dim) * 4 for _ in range(3)]
+    vecs, ids = [], []
+    vid = 0
+    for base in bases:                       # sorted stratum-by-stratum
+        for _ in range(per):
+            vecs.append((base + rng.standard_normal(dim) * 0.3).tolist())
+            ids.append(vid)
+            vid += 1
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(vecs, pa.list_(pa.float64()))})).repartition(6)
+    queries = [0, 1, 300, 301, 600, 601]     # two per stratum
+    k = 10
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in knn_brute(ds, queries, k=k).take_all()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in knn_ivf(ds, queries, k=k, n_centroids=6, nprobe=2,
+                            sample_size=128).take_all()}
+    assert len(got & truth) / len(truth) >= 0.95
+
+
+def test_hash_sample_fixed_unbiased_and_deterministic(ray_session):
+    import pyarrow as pa
+
+    from raydedup.util import hash_sample_fixed
+
+    n = 4000
+    tbl = pa.table({"id": pa.array(range(n), pa.int64()),
+                    "sid": pa.array([f"d{i:05d}" for i in range(n)])})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    s1 = sorted(r["id"] for r in hash_sample_fixed(ds, "id", 200).take_all())
+    s2 = sorted(r["id"] for r in hash_sample_fixed(ds, "id", 200).take_all())
+    assert s1 == s2 and len(s1) == 200
+    # spread across the (sorted) key space, not a prefix
+    quartiles = [sum(1 for i in s1 if q * n // 4 <= i < (q + 1) * n // 4)
+                 for q in range(4)]
+    assert all(q >= 20 for q in quartiles)
+    # string-key path
+    s3 = sorted(r["sid"] for r in hash_sample_fixed(ds, "sid", 50).take_all())
+    assert len(s3) == 50 == len(set(s3))
+    # different seed -> different sample
+    s4 = sorted(r["id"] for r in
+                hash_sample_fixed(ds, "id", 200, seed=77).take_all())
+    assert s4 != s1
+
+
 def test_semantic_dedup_planted_clusters(ray_session):
     import pyarrow as pa
 
