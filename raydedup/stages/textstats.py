@@ -515,8 +515,33 @@ def topk_by_group(ds, group_col: str, key_col: str, value_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-# size-1 per-worker cache of the broadcast {token: df} map
-_DF_CACHE: dict[bytes, dict] = {}
+# size-1 per-worker cache of the broadcast (terms, df) arrays
+_DF_CACHE: dict[bytes, tuple] = {}
+
+
+def _doc_term_codes(batch: pa.Table, text_col: str):
+    """Vectorized batch tokenization shared by both characteristic_terms
+    passes: Arrow RE2 split on ``[^0-9a-z_]+`` of the lowercased text
+    (drop empties) — the exact complement of the oracle's
+    ``regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')``, i.e. the ASCII
+    token contract BOTH sides implement in RE2 — then one
+    ``dictionary_encode`` over the flat token stream. Returns
+    (doc_row_idx, token_code, batch_dictionary) — everything downstream
+    is integer numpy; zero per-row Python."""
+    low = pc.utf8_lower(batch[text_col].combine_chunks())
+    toks = pc.split_pattern_regex(low, pattern=r"[^0-9a-z_]+")
+    lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    docidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    nonempty = pc.not_equal(flat, pa.scalar("")).to_numpy(
+        zero_copy_only=False)
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        docidx = docidx[nonempty]
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return docidx, codes, enc.dictionary
 
 
 def characteristic_terms(ds, id_col: str = "doc_id",
@@ -529,64 +554,106 @@ def characteristic_terms(ds, id_col: str = "doc_id",
     last ulp between numpy and the oracle's ln).
 
     Scale shape: pass 1 builds the global document-frequency table as
-    partial per-batch counts over per-doc DISTINCT tokens (each doc is
-    one row, so batch-local distinct is exact) merged by a
-    vocabulary-sized groupby — the corpus never shuffles; the df map
-    (vocabulary-bounded) broadcasts via ``ray.put``; pass 2 streams docs
-    and picks each argmax locally. Docs with no tokens are omitted
-    (matching the SQL, where they produce no token rows)."""
+    partial per-batch counts over per-doc DISTINCT token codes (one
+    batch-wide regex split + dictionary-encode + lexsort — no Python
+    loop) merged by a vocabulary-sized groupby; the corpus never
+    shuffles and df stays a DATASET. Only the ``df >= 2`` slice is
+    broadcast — a term absent from the broadcast has df exactly 1 (the
+    hapax tail is the Heaps-law bulk of the vocabulary, and 1 is the
+    minimum of the ascending tie-break, so the argmax needs nothing
+    else). Pass 2 streams docs, paints df onto each batch's (small)
+    token dictionary with ``pc.index_in`` and picks every doc's argmax
+    in one lexsort. Docs with no tokens are omitted (matching the SQL,
+    where they produce no token rows)."""
     import ray
 
     from ray.data.aggregate import Sum
 
-    from raydedup.textnorm import simple_tokenize
-
     def partial_df(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch[text_col].to_pylist():
-            if t:
-                toks.extend(set(simple_tokenize(t)))
-        if not toks:
+        if batch.num_rows == 0:
             return pa.table({"term": pa.array([], pa.string()),
                              "d": pa.array([], pa.int64())})
-        vc = pc.value_counts(pa.array(toks, type=pa.string()))
-        return pa.table({"term": vc.field("values"),
-                         "d": pc.cast(vc.field("counts"), pa.int64())})
+        docidx, codes, dictionary = _doc_term_codes(batch, text_col)
+        if len(codes) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64())})
+        order = np.lexsort((codes, docidx))
+        dc, cc = docidx[order], codes[order]
+        first = np.r_[True, (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])]
+        d = np.bincount(cc[first], minlength=len(dictionary))
+        present = np.flatnonzero(d)
+        return pa.table({"term": dictionary.take(pa.array(present)),
+                         "d": pa.array(d[present], pa.int64())})
 
-    df_tbl = (ds.select_columns([text_col])
-              .map_batches(partial_df, batch_format="pyarrow")
-              .groupby("term").aggregate(Sum("d", alias_name="d")))
-    df = {r["term"]: r["d"] for r in df_tbl.iter_rows()}
-    df_ref = ray.put(df)
+    df_ds = (ds.select_columns([text_col])
+             .map_batches(partial_df, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("d", alias_name="d")))
+
+    def non_hapax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "d" not in batch.column_names:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64())})
+        return batch.filter(pc.greater_equal(batch["d"], pa.scalar(2)))
+
+    nh_batches = list(
+        df_ds.map_batches(non_hapax, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 18, batch_format="pyarrow"))
+    shared = (pa.concat_tables(nh_batches) if nh_batches else
+              pa.table({"term": pa.array([], pa.string()),
+                        "d": pa.array([], pa.int64())}))
+    df_ref = ray.put((shared["term"].combine_chunks(),
+                      shared["d"].to_numpy(zero_copy_only=False).astype(
+                          np.int64)))
 
     def pick(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], batch.schema.field(
+                              id_col).type),
+                          "top_term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
         ck = df_ref.binary()
-        lut = _DF_CACHE.get(ck)
-        if lut is None:
-            lut = ray.get(df_ref)
+        cached = _DF_CACHE.get(ck)
+        if cached is None:
+            cached = ray.get(df_ref)
             _DF_CACHE.clear()
-            _DF_CACHE[ck] = lut
-        ids, terms, tfs, dfs = [], [], [], []
-        texts = batch[text_col].to_pylist()
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            counts: dict[str, int] = {}
-            for tok in simple_tokenize(t):
-                counts[tok] = counts.get(tok, 0) + 1
-            if not counts:
-                continue
-            tok, tf = min(counts.items(),
-                          key=lambda kv: (-kv[1], lut[kv[0]], kv[0]))
-            ids.append(i)
-            terms.append(tok)
-            tfs.append(tf)
-            dfs.append(lut[tok])
-        return pa.table({id_col: batch[id_col].take(pa.array(ids,
-                                                             pa.int64())),
-                         "top_term": pa.array(terms, pa.string()),
-                         "tf": pa.array(tfs, pa.int64()),
-                         "df": pa.array(dfs, pa.int64())})
+            _DF_CACHE[ck] = cached
+        bterms, bdf = cached
+        docidx, codes, dictionary = _doc_term_codes(batch, text_col)
+        if len(codes) == 0:
+            return empty
+        # df per batch-dictionary code: broadcast lookup, hapax -> 1
+        at = pc.index_in(dictionary, value_set=bterms)
+        df_code = pc.coalesce(
+            pc.take(pa.array(bdf), at), pa.scalar(1, pa.int64())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        # lexicographic rank of each dictionary entry for the final
+        # token-ascending tie-break (integer compare, no string sorts
+        # in the argmax)
+        sort_idx = pc.sort_indices(dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rank = np.empty(len(dictionary), dtype=np.int64)
+        rank[sort_idx] = np.arange(len(dictionary), dtype=np.int64)
+        # per-(doc, code) tf via one lexsort + run lengths
+        order = np.lexsort((codes, docidx))
+        dc, cc = docidx[order], codes[order]
+        starts = np.flatnonzero(
+            np.r_[True, (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])])
+        tf = np.diff(np.r_[starts, len(dc)])
+        seg_doc, seg_code = dc[starts], cc[starts]
+        # argmax per doc by (-tf, df, token-rank): sort segments and
+        # keep the first of each doc
+        sorder = np.lexsort((rank[seg_code], df_code[seg_code], -tf,
+                             seg_doc))
+        sd = seg_doc[sorder]
+        keep = np.r_[True, sd[1:] != sd[:-1]]
+        win = sorder[keep]
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(seg_doc[win])),
+            "top_term": dictionary.take(pa.array(seg_code[win])),
+            "tf": pa.array(tf[win], pa.int64()),
+            "df": pa.array(df_code[seg_code[win]], pa.int64())})
 
     return ds.map_batches(pick, batch_format="pyarrow")
 

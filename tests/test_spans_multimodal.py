@@ -684,6 +684,51 @@ def test_characteristic_terms_ranking(ray_session):
     assert got[0]["df"] == 2 and got[2]["df"] == 2
 
 
+def test_characteristic_terms_vs_bruteforce(ray_session):
+    """Random corpus (with nulls and token-free docs) vs a per-doc
+    Python brute force of the same (-tf, df, token) argmin — guards the
+    vectorized two-pass path (batch regex split + dictionary codes +
+    df>=2 broadcast, hapax df defaulting to 1)."""
+    import random
+    import re
+
+    import ray.data
+
+    from raydedup.stages.textstats import characteristic_terms
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(200):
+        if i % 17 == 0:
+            texts.append(None)
+        elif i % 23 == 0:
+            texts.append("!!! ...")
+        else:
+            texts.append(" ".join(rng.choice(vocab)
+                                  for _ in range(rng.randrange(1, 12))))
+    tbl = pa.table({"doc_id": list(range(200)), "text": texts})
+
+    tok = re.compile(r"[0-9a-z_]+")
+    df: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        for w in set(tok.findall((t or "").lower())):
+            df.setdefault(w, set()).add(i)
+    want = {}
+    for i, t in enumerate(texts):
+        counts: dict[str, int] = {}
+        for w in tok.findall((t or "").lower()):
+            counts[w] = counts.get(w, 0) + 1
+        if counts:
+            w, tf = min(counts.items(),
+                        key=lambda kv: (-kv[1], len(df[kv[0]]), kv[0]))
+            want[i] = (w, tf, len(df[w]))
+    got = {r["doc_id"]: (r["top_term"], r["tf"], r["df"]) for r in
+           characteristic_terms(
+               ray.data.from_arrow(tbl).repartition(7)).take_all()}
+    assert got == want
+
+
 def test_grouped_quantiles_vs_bruteforce(ray_session):
     import math
     import random
