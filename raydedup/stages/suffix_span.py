@@ -109,6 +109,9 @@ def longest_common_substring(a: str, b: str) -> int:
 
 
 def _winnow_hashes(text: str, k: int, window: int) -> np.ndarray:
+    """Scalar REFERENCE winnowing (kept as the parity oracle for
+    ``_winnow_hashes_batch``): k-gram polynomial hashes, sliding-window
+    minima, per-row distinct."""
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if data.size < k:
         return np.empty(0, dtype=np.uint64)
@@ -122,6 +125,124 @@ def _winnow_hashes(text: str, k: int, window: int) -> np.ndarray:
         return np.unique(h.min(keepdims=True))
     w = np.lib.stride_tricks.sliding_window_view(h, window)
     return np.unique(w.min(axis=1))
+
+
+def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """Sliding-window minimum (length ``len(h) - w + 1``) via sparse-table
+    doubling — O(n log w), not the O(n·w) ``sliding_window_view`` reduce
+    (w is ~150 at the default span)."""
+    n = h.size
+    if w <= 1:
+        return h
+    p = 1
+    st = h
+    while p * 2 <= w:
+        st = np.minimum(st[: st.size - p], st[p:])
+        p *= 2
+    # st[i] = min h[i : i+p] with w/2 < p <= w: window [i, i+w) =
+    # [i, i+p) ∪ [i+w-p, i+w)
+    m = n - w + 1
+    return np.minimum(st[:m], st[w - p : w - p + m])
+
+
+_WINNOW_B = 1000003
+_WINNOW_BINV = pow(_WINNOW_B, -1, 1 << 64)  # B is odd ⇒ invertible mod 2^64
+
+
+def _rolling_kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """All k-gram polynomial hashes of a byte buffer in O(1) passes per
+    byte (vs k passes for the naive powers loop — the measured
+    bandwidth bound): with P[i] = Σ_{t<i} data[t]·B^{-t} (mod 2^64),
+    h[i] = (P[i+k] − P[i])·B^{i+k-1}. All uint64 arithmetic wraps mod
+    2^64 and B^{-1} is the exact modular inverse, so the values are
+    bit-identical to Σ data[i+j]·B^{k-1-j}."""
+    n = data.size
+    n_pos = n - k + 1
+    binv = np.uint64(_WINNOW_BINV)
+    binv_pow = np.empty(n, dtype=np.uint64)
+    binv_pow[0] = 1
+    np.cumprod(np.full(n - 1, binv, dtype=np.uint64), out=binv_pow[1:])
+    w = data.astype(np.uint64)
+    w *= binv_pow
+    P = np.empty(n + 1, dtype=np.uint64)
+    P[0] = 0
+    np.cumsum(w, out=P[1:])
+    h = P[k:] - P[:-k]  # uint64 wraparound subtraction is exact mod 2^64
+    bpow = np.full(n_pos, _WINNOW_B, dtype=np.uint64)
+    bpow[0] = np.uint64(pow(_WINNOW_B, k - 1, 1 << 64))
+    np.cumprod(bpow, out=bpow)
+    h *= bpow
+    return h
+
+
+def _winnow_hashes_batch(col, k: int, window: int):
+    """→ (row_idx int64, fps uint64): per-row DISTINCT winnowing
+    fingerprints for a whole string column at once.
+
+    One O(1)-per-byte rolling-hash pass over the column's CONCATENATED
+    utf-8 data buffer (zero-copy — Arrow already stores the batch that
+    way), one O(n log w) sparse-table sliding min, then a run-compressed
+    keeper mask (adjacent sliding-min values repeat for up to ``window``
+    positions, so consecutive-dup removal drops ~98% of positions before
+    the exact per-row distinct); cross-row k-grams are never selected
+    because each row's valid positions are bounded by its own offsets.
+    Bit-identical to ``_winnow_hashes`` per row (property-tested)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n_rows = len(col)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    if n_rows == 0:
+        return empty
+    if pa.types.is_large_string(col.type):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset : col.offset + n_rows + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    starts, lens = off[:-1], np.diff(off)
+    n_pos = int(off[-1]) - k + 1
+    n_hashes = lens - k + 1  # per row; <= 0 ⇒ no fingerprints
+    if n_pos <= 0 or not (n_hashes > 0).any():
+        return empty
+    h = _rolling_kgram_hashes(data[: int(off[-1])], k)
+
+    rids, vals = [], []
+    short = (n_hashes > 0) & (n_hashes <= window)
+    if short.any():
+        s = starts[short]
+        e = s + n_hashes[short]
+        hp = np.r_[h, np.uint64(0)]  # reduceat end index may equal len(h)
+        mins = np.minimum.reduceat(hp, np.c_[s, e].ravel())[::2]
+        rids.append(np.flatnonzero(short))
+        vals.append(mins)
+    long_rows = np.flatnonzero(n_hashes > window)
+    if long_rows.size:
+        sm = _sliding_min(h, window)
+        m = sm.size
+        s_l = starts[long_rows]
+        c_l = n_hashes[long_rows] - window + 1
+        dv = np.zeros(m + 1, dtype=np.int64)
+        dv[s_l] += 1          # row ranges are disjoint ⇒ plain fancy
+        dv[s_l + c_l] -= 1    # assignment, no add.at needed
+        valid = np.cumsum(dv[:m]) > 0
+        chg = np.empty(m, dtype=bool)
+        chg[0] = True
+        np.not_equal(sm[1:], sm[:-1], out=chg[1:])
+        chg[s_l] = True       # a row's first position is always a keeper
+        posk = np.flatnonzero(valid & chg)
+        vals.append(sm[posk])
+        rids.append(long_rows[np.searchsorted(s_l, posk, side="right") - 1])
+    rid = np.concatenate(rids)
+    val = np.concatenate(vals)
+    # exact per-row distinct over the run-compressed remainder
+    order = np.lexsort((val, rid))
+    rid, val = rid[order], val[order]
+    keep = np.r_[True, (rid[1:] != rid[:-1]) | (val[1:] != val[:-1])]
+    return rid[keep], val[keep]
 
 
 _EMPTY_SPAN_TABLE = pa.table(
@@ -158,17 +279,12 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
     cap = fp_member_cap or getattr(cfg, "suffix_fp_member_cap", 64)
 
     def fp(batch: pa.Table) -> pa.Table:
-        keys, hashes = [], []
-        for i in range(batch.num_rows):
-            t = batch[text_col][i].as_py() or ""
-            hs = _winnow_hashes(t, k, window)
-            keys.extend([batch[key_col][i].as_py()] * hs.size)
-            hashes.extend(hs.tolist())
+        rid, val = _winnow_hashes_batch(batch[text_col], k, window)
         return pa.table(
             {
-                "fp": pa.array(np.array(hashes, dtype=np.uint64).view(np.int64))
-                if hashes else pa.array([], type=pa.int64()),
-                key_col: pa.array(keys, type=pa.string()),
+                "fp": pa.array(val.view(np.int64)),
+                key_col: batch[key_col].combine_chunks().take(
+                    pa.array(rid)),
             }
         )
 

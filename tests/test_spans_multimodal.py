@@ -28,6 +28,44 @@ from raydedup.stages.textstats import (
 )
 
 
+def test_winnow_batch_matches_scalar_reference():
+    """_winnow_hashes_batch (one poly pass over the Arrow utf-8 buffer +
+    sparse-table sliding min) must be bit-identical per row to the
+    scalar _winnow_hashes it replaced — including multi-byte utf-8,
+    nulls, empties, sub-k rows, exactly-window rows and long rows."""
+    import random
+
+    import numpy as np
+
+    from raydedup.stages.suffix_span import _winnow_hashes, _winnow_hashes_batch
+
+    rng = random.Random(99)
+    k, window = 8, 12
+    alphabet = "abcdeé日 "
+    texts: list = [None, "", "short", "x" * (k - 1), "y" * k,
+                   "z" * (k + window - 1), "w" * (k + window)]
+    for _ in range(60):
+        texts.append("".join(rng.choice(alphabet)
+                             for _ in range(rng.randrange(0, 200))))
+    # shared long span between two rows must fingerprint identically
+    span = "the quick brown fox jumps over the lazy dog " * 3
+    texts += ["AAA " + span + " BBB", "CCCCC " + span + " DD"]
+
+    col = pa.chunked_array([pa.array(texts[:30], pa.string()),
+                            pa.array(texts[30:], pa.string())])
+    rid, val = _winnow_hashes_batch(col, k, window)
+    got: dict[int, set] = {}
+    for r, v in zip(rid.tolist(), val.tolist()):
+        got.setdefault(r, set()).add(v)
+    for i, t in enumerate(texts):
+        want = set(np.asarray(_winnow_hashes(t or "", k, window)).tolist())
+        assert got.get(i, set()) == want, f"row {i}: {t!r}"
+    # large_string path
+    rid2, val2 = _winnow_hashes_batch(
+        pa.array(texts, pa.large_string()), k, window)
+    assert rid2.tolist() == rid.tolist() and val2.tolist() == val.tolist()
+
+
 def test_suffix_array_correct():
     s = b"banana"
     sa = suffix_array(s).tolist()
