@@ -205,6 +205,39 @@ def test_lsi_equals_bow_cosine_when_rank_small():
     assert got[1] == pytest.approx(1.0)  # identical doc → cosine 1
 
 
+def test_lsi_tolerance_beyond_isometry_domain():
+    """>10-doc full-rank conversation (rank > num_topics, OUTSIDE the
+    provable-parity domain): the truncated-SVD topic cosine is a
+    documented deviation from gensim there, so this pins the bounded
+    behavior instead — deterministic across calls, self-score exactly 1,
+    scores in [-1, 1], near-identical docs still score ~1, and the
+    rank-10 projection stays within a loose tolerance of the plain BoW
+    cosine (the quantity both gensim and this SVD approximate)."""
+    import numpy as np
+
+    from raydedup.stages.measures import _lsi_scores
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{i}" for i in range(40)]
+    docs = [[vocab[j] for j in rng.integers(0, 40, 25)] for _ in range(14)]
+    docs.append(list(docs[0]))  # near-identical pair
+    got = _lsi_scores(docs, num_topics=10)
+    again = _lsi_scores(docs, num_topics=10)
+    assert got == again  # deterministic (exact SVD, no sampling)
+    assert got[0] == pytest.approx(1.0)
+    assert got[-1] == pytest.approx(1.0, abs=1e-9)  # duplicate of doc 0
+    assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in got)
+    X = np.zeros((len(docs), 40))
+    idx = {t: i for i, t in enumerate(vocab)}
+    for i, d in enumerate(docs):
+        for t in d:
+            X[i, idx[t]] += 1
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    bow = Xn @ Xn[0]
+    # rank-10 truncation of a rank-14 matrix: same ballpark as BoW
+    assert np.allclose(got, bow, atol=0.2)
+
+
 def test_anchor_measures_invariant_to_batch_size(ray_session):
     """Prep dedup + anchor broadcast must not depend on batch boundaries:
     a 7-row batch size (anchors split across many batches, per-batch text
