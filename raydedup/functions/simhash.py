@@ -111,15 +111,21 @@ def simhash64_batch(
 
     # No per-doc dedup: voting every window with weight 1 is identical to
     # weighting per-doc-unique shingles by their counts. Batch-distinct
-    # windows are found HASH-first: a mixed 64-bit key per window (built
-    # column-wise straight off the code-point array — the window matrix
-    # is never materialized), one single-key np.unique, then an exact
-    # column-wise verification of every window against its group
-    # representative. On the ~1-in-10^8-per-batch chance of a mix
-    # collision the lexsort-exact fallback runs instead. The Python
-    # md5/cache loop touches only batch-distinct shingles (~100x fewer).
+    # windows are found EXACTLY by one hash-table pass: the boundary-valid
+    # window matrix is viewed as fixed_size_binary[4·width] and
+    # ``pc.dictionary_encode`` (C++ hash grouping on the raw 16-byte
+    # content) returns group codes + first-occurrence dictionary in O(n).
+    # This replaced a mix-hash + full 2M-element np.unique SORT + gather
+    # verification — the sort was the batch's single largest
+    # memory-bandwidth consumer (measured 309 ms → ~50 ms per 2M windows)
+    # and collisions are impossible by construction, so the lexsort
+    # fallback is gone. The Python md5/cache loop touches only
+    # batch-distinct shingles (~100x fewer).
     hashes = np.empty(n_win, dtype=np.uint64)
     if n_pos > 0 and not is_short.all():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         # a start p is invalid iff its window crosses a doc boundary b:
         # p in [b-width+1, b-1]; overlapping ranges stack in the diff
         bad = np.zeros(n_pos + 1, dtype=np.int64)
@@ -127,37 +133,21 @@ def simhash64_batch(
         np.add.at(bad, np.clip(inner - width + 1, 0, n_pos), 1)
         np.add.at(bad, np.clip(inner, 0, n_pos), -1)
         valid = np.cumsum(bad[:-1]) == 0
-        pos = np.flatnonzero(valid)
-        mixc = np.uint64(0x9E3779B97F4A7C15)
-        acc = np.zeros(pos.size, dtype=np.uint64)
-        for j in range(width):
-            acc = acc * mixc + cps[pos + j]
-        acc ^= acc >> np.uint64(33)
-        acc *= np.uint64(0xFF51AFD7ED558CCD)
-        acc ^= acc >> np.uint64(33)
-        _, rep_i, inv = np.unique(acc, return_index=True,
-                                  return_inverse=True)
-        rep_pos = pos[rep_i]
-        exact = True
-        for j in range(width):
-            if not np.array_equal(cps[pos + j], cps[rep_pos[inv] + j]):
-                exact = False
-                break
-        if not exact:  # mix collision: exact lexsort grouping instead
-            aw = np.ascontiguousarray(
-                np.lib.stride_tricks.sliding_window_view(cps, width)[valid]
-            )
-            order = np.lexsort(tuple(aw[:, c].astype(np.uint64)
-                                     for c in range(width - 1, -1, -1)))
-            saw = aw[order]
-            new_grp = np.r_[True, (saw[1:] != saw[:-1]).any(axis=1)]
-            grp = np.cumsum(new_grp) - 1
-            inv = np.empty(len(aw), dtype=np.int64)
-            inv[order] = grp
-            rep_pos = pos[order[new_grp]]
-        bh = np.empty(len(rep_pos), dtype=np.uint64)
-        for i, rp in enumerate(rep_pos):
-            kb = cps[rp: rp + width].tobytes()
+        aw = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(cps, width)[valid]
+        )
+        w4 = 4 * width
+        fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(w4), len(aw), [None, pa.py_buffer(aw)]
+        )
+        enc = pc.dictionary_encode(fsb)
+        inv = enc.indices.to_numpy(zero_copy_only=False)
+        d = enc.dictionary
+        dbytes = np.frombuffer(d.buffers()[1], dtype=np.uint8)[
+            d.offset * w4 : (d.offset + len(d)) * w4].reshape(len(d), w4)
+        bh = np.empty(len(d), dtype=np.uint64)
+        for i in range(len(d)):
+            kb = dbytes[i].tobytes()
             h = cache_get(kb)
             if h is None:
                 h = _md5_low64(kb.decode("utf-32-le"))
@@ -194,18 +184,33 @@ def bit_vote_batch(hashes: np.ndarray, weights: np.ndarray,
     bandwidth-bound, which destroyed multi-task scaling), each of the 8
     bytes of the hash is bincounted per doc (9 B/feature/plane) and the
     256-entry ±1 sign table turns byte counts into the 8 bit sums. Exact:
-    integer counts stay below 2^53 in the float64 bincount."""
+    integer counts stay below 2^53 in the float64 bincount. The per-plane
+    key reuses ONE int64 array whose (zeroed) low byte is overwritten with
+    the plane bytes in place — 1 B/feature of key-build traffic per plane
+    instead of a fresh 8 B |-temporary (little-endian fast path; the |
+    fallback keeps other byte orders correct)."""
+    import sys
+
     n_docs = len(offsets) - 1
     if n_docs == 0:
         return np.empty(0, dtype=np.uint64)
     seg_len = np.diff(offsets)
     doc_key = np.repeat(np.arange(n_docs, dtype=np.int64), seg_len) << 8
-    planes = hashes.view(np.uint8).reshape(-1, 8)  # little-endian planes
+    planes = hashes.view(np.uint8).reshape(-1, 8)
+    if sys.byteorder == "little":
+        key = doc_key  # low 8 bits are zero; write the plane byte in place
+        kb = key.view(np.uint8).reshape(-1, 8)
+    else:
+        planes = planes[:, ::-1]  # byte 0 must be the LOW hash byte
+        kb = None
     all_ones = bool(weights.size == 0 or (weights == 1).all())
     wf = None if all_ones else weights.astype(np.float64)
     sums = np.empty((n_docs, 64), dtype=np.int64)
     for p in range(8):
-        key = doc_key | planes[:, p]
+        if kb is not None:
+            kb[:, 0] = planes[:, p]
+        else:
+            key = doc_key | planes[:, p]
         if all_ones:
             counts = np.bincount(key, minlength=n_docs * 256)
             counts = counts.reshape(n_docs, 256)

@@ -44,16 +44,17 @@ from raydedup.functions.simhash import simhash64_batch
 from raydedup.textnorm import full_tokenize
 
 # per-worker-process state registry: config fingerprint → (MinHasher,
-# simhash cache). Deterministic (seeded) state, so process reuse across
-# tasks cannot change results — only skip rebuilds.
-_STATE: dict[tuple, tuple[MinHasher, dict]] = {}
+# simhash cache, stem cache). Deterministic (pure-function values, seeded
+# permutations), so process reuse across tasks cannot change results —
+# only skip rebuilds and re-hashing of repeated shingles/tokens.
+_STATE: dict[tuple, tuple[MinHasher, dict, dict]] = {}
 
 
-def _state_for(cfg: DedupConfig) -> tuple[MinHasher, dict]:
+def _state_for(cfg: DedupConfig) -> tuple[MinHasher, dict, dict]:
     key = (cfg.minhash_num_perms, cfg.minhash_seed)
     st = _STATE.get(key)
     if st is None:
-        st = (MinHasher(cfg.minhash_num_perms, cfg.minhash_seed), {})
+        st = (MinHasher(cfg.minhash_num_perms, cfg.minhash_seed), {}, {})
         _STATE[key] = st
     return st
 
@@ -73,7 +74,7 @@ def band_hashes_from_minhash(minhash: np.ndarray, bands: int,
 def signature_batch(batch: pa.Table, cfg: DedupConfig,
                     text_col: str = "text",
                     keep_minhash: bool = False) -> pa.Table:
-    minhasher, simhash_cache = _state_for(cfg)
+    minhasher, simhash_cache, stem_cache = _state_for(cfg)
     texts = batch[text_col].to_pylist()
     texts = ["" if t is None else t for t in texts]
 
@@ -99,7 +100,8 @@ def signature_batch(batch: pa.Table, cfg: DedupConfig,
 
     token_lists = [
         full_tokenize(t, stemming=cfg.stemming,
-                      remove_stopwords=cfg.remove_stopwords)
+                      remove_stopwords=cfg.remove_stopwords,
+                      stem_cache=stem_cache)
         for t in uniq_texts
     ]
     flat_sh, sh_doc_offs = minhasher.shingle_hash_arrays(

@@ -206,13 +206,31 @@ def word_tokenize(text: str) -> list[str]:
 
 
 def full_tokenize(text: str, stemming: bool = True,
-                  remove_stopwords: bool = True) -> list[str]:
+                  remove_stopwords: bool = True,
+                  stem_cache: dict | None = None) -> list[str]:
     """Engine re-spec of otmt full_tokenize (timemap_measures.py:45-62):
     tokenize → stem each token → drop stopwords/punctuation (filter applied
-    after stemming, like the reference)."""
+    after stemming, like the reference).
+
+    ``stem_cache`` (token → stem) amortizes the pure-Python Porter pass:
+    corpus token instances repeat massively (Zipf), so a persistent
+    per-worker dict turns ~3 µs of stemming into one dict probe for all
+    but first-seen tokens. Stemming is a pure function of the token, so
+    the cache cannot change results."""
     tokens = word_tokenize(text)
     if stemming:
-        tokens = [porter_stem(t) for t in tokens]
+        if stem_cache is None:
+            tokens = [porter_stem(t) for t in tokens]
+        else:
+            get = stem_cache.get
+            out = []
+            for t in tokens:
+                s = get(t)
+                if s is None:
+                    s = porter_stem(t)
+                    stem_cache[t] = s
+                out.append(s)
+            tokens = out
     else:
         tokens = [t.lower() for t in tokens]
     if remove_stopwords:
