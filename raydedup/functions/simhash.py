@@ -184,41 +184,55 @@ def bit_vote_batch(hashes: np.ndarray, weights: np.ndarray,
     bandwidth-bound, which destroyed multi-task scaling), each of the 8
     bytes of the hash is bincounted per doc (9 B/feature/plane) and the
     256-entry ±1 sign table turns byte counts into the 8 bit sums. Exact:
-    integer counts stay below 2^53 in the float64 bincount. The per-plane
-    key reuses ONE int64 array whose (zeroed) low byte is overwritten with
-    the plane bytes in place — 1 B/feature of key-build traffic per plane
-    instead of a fresh 8 B |-temporary (little-endian fast path; the |
-    fallback keeps other byte orders correct)."""
+    integer counts stay below 2^53 in the float64 bincount.
+
+    Docs are processed in CHUNKS of ``chunk_docs`` so the per-chunk key
+    buffer (~windows-of-512-docs × 8 B) and the bincount bins
+    (512 × 256 × 8 B = 1 MB) both stay L2-resident across the 8 plane
+    passes — the whole-batch formulation wrote a 16 MB bins array with
+    scattered DRAM stores per plane, which was the vote's main
+    memory-bandwidth draw (measured ~30% slower single-thread and the
+    dominant multi-worker bus contender). The plane byte is written into
+    the (zeroed) low byte of the reused key in place (little-endian fast
+    path; the | fallback keeps other byte orders correct)."""
     import sys
 
     n_docs = len(offsets) - 1
     if n_docs == 0:
         return np.empty(0, dtype=np.uint64)
+    chunk_docs = 512
     seg_len = np.diff(offsets)
-    doc_key = np.repeat(np.arange(n_docs, dtype=np.int64), seg_len) << 8
     planes = hashes.view(np.uint8).reshape(-1, 8)
-    if sys.byteorder == "little":
-        key = doc_key  # low 8 bits are zero; write the plane byte in place
-        kb = key.view(np.uint8).reshape(-1, 8)
-    else:
+    little = sys.byteorder == "little"
+    if not little:
         planes = planes[:, ::-1]  # byte 0 must be the LOW hash byte
-        kb = None
     all_ones = bool(weights.size == 0 or (weights == 1).all())
     wf = None if all_ones else weights.astype(np.float64)
     sums = np.empty((n_docs, 64), dtype=np.int64)
-    for p in range(8):
-        if kb is not None:
-            kb[:, 0] = planes[:, p]
-        else:
-            key = doc_key | planes[:, p]
-        if all_ones:
-            counts = np.bincount(key, minlength=n_docs * 256)
-            counts = counts.reshape(n_docs, 256)
-            sums[:, 8 * p : 8 * p + 8] = counts @ _SIGN_TABLE
-        else:
-            counts = np.bincount(key, weights=wf, minlength=n_docs * 256)
-            counts = counts.reshape(n_docs, 256)
-            sums[:, 8 * p : 8 * p + 8] = (counts @ _SIGN_TABLE_F).astype(np.int64)
+    for c0 in range(0, n_docs, chunk_docs):
+        c1 = min(c0 + chunk_docs, n_docs)
+        w0, w1 = int(offsets[c0]), int(offsets[c1])
+        nd = c1 - c0
+        doc_key = np.repeat(np.arange(nd, dtype=np.int64),
+                            seg_len[c0:c1]) << 8
+        kb = doc_key.view(np.uint8).reshape(-1, 8) if little else None
+        pl = planes[w0:w1]
+        wc = None if all_ones else wf[w0:w1]
+        for p in range(8):
+            if kb is not None:
+                kb[:, 0] = pl[:, p]
+                key = doc_key
+            else:
+                key = doc_key | pl[:, p]
+            if all_ones:
+                counts = np.bincount(key, minlength=nd * 256)
+                counts = counts.reshape(nd, 256)
+                sums[c0:c1, 8 * p : 8 * p + 8] = counts @ _SIGN_TABLE
+            else:
+                counts = np.bincount(key, weights=wc, minlength=nd * 256)
+                counts = counts.reshape(nd, 256)
+                sums[c0:c1, 8 * p : 8 * p + 8] = (
+                    counts @ _SIGN_TABLE_F).astype(np.int64)
     return ((sums > 0).astype(np.uint64) * _POW2[None, :]).sum(axis=1, dtype=np.uint64)
 
 
