@@ -682,6 +682,33 @@ def q_ann_topk_ivf(sf_dir: str):
     )
 
 
+def q_knn_self_join(sf_dir: str):
+    """Exact top-3 cosine neighbors for EVERY vector (the all-pairs
+    similarity join): blockwise chunk-pair partial top-ks merged by a
+    hash-partition sweep — never an n^2 shuffle, never a Python call
+    per query id."""
+    import ray.data
+
+    from raydedup.stages.embeddings import knn_self_join
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_self_join(emb, k=3, rows_per_chunk=128)
+    return _round_col(out, "cosine").select_columns(
+        ["query_id", "neighbor_id", "cosine", "rank"]
+    )
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-10 docs for a fixed bag-of-terms query; two streaming
+    passes (corpus stats, then vectorized scoring with per-batch
+    partial top-k)."""
+    from raydedup.stages.textstats import bm25_topk
+
+    out = bm25_topk(_docs(sf_dir), terms=["data", "merge", "window"],
+                    k=10)
+    return _round_col(out, "bm25", nudge=1e-9)
+
+
 def q_embedding_near_pairs(sf_dir: str):
     import ray.data
 
@@ -1425,6 +1452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "knn_self_join": q_knn_self_join,
+        "bm25_topk": q_bm25_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "semantic_dedup": q_semantic_dedup,
         "langid": q_langid,
@@ -2685,6 +2714,69 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT query_id, neighbor_id,
                    round(cosine, {_ROUND}) AS cosine, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "knn_self_join": f"""
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) AS cosine
+                FROM embeddings e CROSS JOIN embeddings q
+                WHERE e.vec_id <> q.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id,
+                   round(cosine, {_ROUND}) AS cosine, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "bm25_topk": f"""
+            WITH tokens AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     UNNEST(regexp_extract_all(lower(text),
+                                               '[0-9a-zA-Z_]+')) AS t(tok)
+            ),
+            corpus AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT count(*) FROM tokens) AS total_tokens
+            ),
+            dl AS (
+                SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1
+            ),
+            q(tok) AS (VALUES ('data'), ('merge'), ('window')),
+            df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df
+                FROM tokens WHERE tok IN (SELECT tok FROM q) GROUP BY 1
+            ),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM tokens WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(ln(1.0 + (corpus.n - df.df + 0.5)
+                                    / (df.df + 0.5))
+                           * (tf.tf * (1.2 + 1.0))
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * dl.dl
+                                / (corpus.total_tokens * 1.0 / corpus.n)))
+                          ) AS bm25
+                FROM tf
+                JOIN df USING (tok)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN corpus
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(bm25 + 1e-9, {_ROUND}) AS bm25
+            FROM scored
+            ORDER BY scored.bm25 DESC, doc_id
+            LIMIT 10
         """,
         "ann_topk_ivf": f"""
             WITH q AS (

@@ -16,7 +16,6 @@ Faithful semantics per stage:
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 from raydedup.config import DedupConfig, DEFAULT_CONFIG

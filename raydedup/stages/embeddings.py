@@ -481,6 +481,120 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10,
                                                   batch_format="pyarrow")
 
 
+def _partial_topk_rows(qids: np.ndarray, nids: np.ndarray,
+                       sims: np.ndarray, k: int) -> pa.Table:
+    """(na, nb) similarity block → the ≤(k + ties) best (query, neighbor,
+    cosine) rows PER QUERY ROW under (cosine desc, id asc), fully
+    vectorized: a row-wise kth-value threshold keeps every boundary tie
+    (so the exact global top-k is always a subset of the union of these
+    partials), then one lexsort ranks the kept triples."""
+    na, nb = sims.shape
+    kk = min(k, nb)
+    if na == 0 or nb == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    thr = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+    rows, cols = np.nonzero(sims >= thr[:, None])
+    cos = sims[rows, cols]
+    finite = np.isfinite(cos)  # -inf self-mask never survives
+    rows, cols, cos = rows[finite], cols[finite], cos[finite]
+    nid = nids[cols]
+    order = np.lexsort((nid, -cos, rows))
+    r = rows[order]
+    starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+    rank = np.arange(len(r)) - np.repeat(starts, np.diff(
+        np.r_[starts, len(r)]))
+    keep = order[rank < kk]
+    return pa.table({"query_id": pa.array(qids[rows[keep]]),
+                     "neighbor_id": pa.array(nids[cols[keep]]),
+                     "cosine": pa.array(cos[keep])})
+
+
+@ray.remote
+def _cross_chunk_topk(chunk_a, chunk_b, k: int, same: bool) -> pa.Table:
+    """Both directions of one chunk pair: A's rows' local top-k against
+    B's columns, and (for distinct chunks) B's against A's."""
+    ia, Ma = chunk_a
+    ib, Mb = chunk_b
+    sims = Ma @ Mb.T
+    if same:
+        sims[ia[:, None] == ib[None, :]] = -np.inf
+        return _partial_topk_rows(ia, ib, sims, k)
+    t1 = _partial_topk_rows(ia, ib, sims, k)
+    t2 = _partial_topk_rows(ib, ia, np.ascontiguousarray(sims.T), k)
+    return pa.concat_tables([t1, t2])
+
+
+def knn_self_join(ds, k: int = 10, id_col: str = "vec_id",
+                  vec_col: str = "embedding", rows_per_chunk: int = 8192,
+                  max_chunks: int = 256, num_partitions: int = 64):
+    """→ Dataset(query_id, neighbor_id, cosine, rank): EVERY row's exact
+    top-k cosine neighbors (the all-pairs similarity join that feeds
+    hard-negative mining / dedup triage), ties broken by neighbor_id
+    ascending, rank 1-based.
+
+    Scale shape: the ``embedding_near_pairs_blockwise`` exchange — chunks
+    normalized once into the object store, one task per chunk pair, each
+    emitting only its LOCAL per-row top-k (+boundary ties), so the merge
+    shuffle carries ≤ (k+ties)·n·K rows, never n². The final per-query
+    merge is a hash-PARTITION sweep (one lexsort per partition covers
+    every query in it) — NOT a map_groups Python call per query id,
+    which at corpus scale would be millions of calls."""
+    import math
+
+    import ray.data
+
+    slim = ds.select_columns([id_col, vec_col]).materialize()
+    n = slim.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}))
+    n_chunks = max(1, min(max_chunks, math.ceil(n / rows_per_chunk)))
+    parts = slim.repartition(n_chunks).to_arrow_refs()
+    chunks = [_prep_chunk.remote(p, id_col, vec_col) for p in parts]
+    out_refs = []
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            out_refs.append(
+                _cross_chunk_topk.remote(chunks[i], chunks[j], k, i == j))
+    partial = ray.data.from_arrow_refs(out_refs)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__part", pa.array(q % num_partitions))
+
+    def merge(g: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64()),
+                          "rank": pa.array([], pa.int64())})
+        if g.num_rows == 0 or "query_id" not in g.column_names:
+            return empty
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -cos, q))
+        qs = q[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        rank = (np.arange(len(qs))
+                - np.repeat(starts, np.diff(np.r_[starts, len(qs)])))
+        # cross-chunk duplicates cannot exist (each (i,j) pair runs once)
+        keep = rank < k
+        sel = order[keep]
+        return pa.table({"query_id": pa.array(q[sel]),
+                         "neighbor_id": pa.array(nid[sel]),
+                         "cosine": pa.array(cos[sel]),
+                         "rank": pa.array(rank[keep] + 1)})
+
+    return (partial.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part").map_groups(merge, batch_format="pyarrow"))
+
+
 # size-1 per-worker cache of the broadcast (dup_ids, cluster_ids) arrays
 _SEMDEDUP_CACHE: dict[bytes, tuple] = {}
 

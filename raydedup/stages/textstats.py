@@ -658,8 +658,108 @@ def characteristic_terms(ds, id_col: str = "doc_id",
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
-def normalize_text(ds, text_col: str = "text",
-                   out_col: str = "norm_text"):
+def bm25_topk(ds, terms: list[str], k: int = 10, k1: float = 1.2,
+              b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """→ Dataset(doc_id, bm25): the ``k`` most relevant docs for a
+    bag-of-terms query under BM25 (Robertson/Spärck Jones, public
+    formula), ordered selection by (score desc, id asc):
+
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score(d)= Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    with N = total docs, dl = doc token count, avgdl = total tokens / N.
+    Tokenization is the ASCII RE2 contract shared with the SQL oracle
+    (``_doc_term_codes``). Only docs containing ≥ 1 query term score
+    (SQL join semantics), so fewer than k rows may return.
+
+    Scale shape: pass 1 streams one (N, Σdl, df per query term) partial
+    row per batch — the query is a tiny constant side, nothing
+    broadcasts but the term list; pass 2 streams docs, scores each
+    batch vectorized (token-code ``pc.index_in`` against the term
+    list + one bincount per batch) and keeps a per-batch top-k, so the
+    final exact top-k sorts ≤ k rows per batch. The engine mirrors the
+    oracle's float expression shape exactly; sums over ≤ a handful of
+    terms keep reassociation noise inside the rounding the query layer
+    applies."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be a non-empty list of distinct "
+                         "tokens")
+    terms_arr = pa.array(terms, pa.string())
+    nt = len(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        cols = {"n": pa.array([batch.num_rows], pa.int64())}
+        docidx, codes, dictionary = _doc_term_codes(batch, text_col)
+        cols["dl"] = pa.array([len(codes)], pa.int64())
+        slot_of_code = pc.index_in(dictionary, value_set=terms_arr)
+        sc = pc.fill_null(slot_of_code, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tok_slot = sc[codes] if len(codes) else np.empty(0, np.int64)
+        hit = tok_slot >= 0
+        # distinct (doc, term) pairs -> df partials
+        key = docidx[hit] * nt + tok_slot[hit]
+        df = np.zeros(nt, dtype=np.int64)
+        if key.size:
+            uk = np.unique(key)
+            df = np.bincount(uk % nt, minlength=nt)
+        for t in range(nt):
+            cols[f"df{t}"] = pa.array([int(df[t])], pa.int64())
+        return pa.table(cols)
+
+    agg = (ds.select_columns([text_col])
+           .map_batches(stats_partial, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("dl", alias_name="dl"),
+                      *[Sum(f"df{t}", alias_name=f"df{t}")
+                        for t in range(nt)]))
+    n_docs = agg["n"] or 0
+    if n_docs == 0:
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "bm25": pa.array([], pa.float64())}))
+    avgdl = (agg["dl"] or 0) / n_docs
+    df = np.array([agg[f"df{t}"] or 0 for t in range(nt)], np.float64)
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], batch.schema.field(
+                              id_col).type),
+                          "bm25": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        docidx, codes, dictionary = _doc_term_codes(batch, text_col)
+        if len(codes) == 0:
+            return empty
+        dl = np.bincount(docidx, minlength=batch.num_rows).astype(
+            np.float64)
+        slot_of_code = pc.index_in(dictionary, value_set=terms_arr)
+        sc = pc.fill_null(slot_of_code, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tok_slot = sc[codes]
+        hit = tok_slot >= 0
+        if not hit.any():
+            return empty
+        tf = np.bincount(docidx[hit] * nt + tok_slot[hit],
+                         minlength=batch.num_rows * nt
+                         ).reshape(batch.num_rows, nt).astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl[:, None] / avgdl)
+        contrib = np.where(tf > 0.0, idf[None, :] * (tf * (k1 + 1.0))
+                           / denom, 0.0)
+        s = contrib.sum(axis=1)
+        live = np.flatnonzero(tf.sum(axis=1) > 0)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        kk = live[np.lexsort((ids[live], -s[live]))[:min(k, live.size)]]
+        return pa.table({id_col: batch[id_col].take(pa.array(kk)),
+                         "bm25": pa.array(s[kk])})
+
+    partial = ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+    return (partial.sort(["bm25", id_col], descending=[True, False])
+            .limit(k))
     """Canonical pre-dedup text normalization: lowercase, replace every
     non-alphanumeric rune with a space, collapse whitespace runs, trim.
     Implemented entirely in pyarrow.compute kernels (utf8_lower +

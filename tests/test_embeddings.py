@@ -250,6 +250,94 @@ def test_hash_sample_fixed_unbiased_and_deterministic(ray_session):
     assert s4 != s1
 
 
+def test_knn_self_join_matches_brute(ray_session):
+    """Every row's top-k from the chunk-pair exchange must equal the
+    single-matrix brute force under the same (cosine desc, id asc)
+    tie-break — including across chunk boundaries (rows_per_chunk forces
+    5+ chunks) and with duplicate vectors (exact cosine-1 ties)."""
+    import pyarrow as pa
+
+    from raydedup.stages.embeddings import knn_self_join
+
+    rng = np.random.default_rng(3)
+    n, d, k = 300, 12, 4
+    M = rng.standard_normal((n, d))
+    M[37] = M[11]  # exact duplicate -> cosine 1.0 ties
+    M[205] = M[11]
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"vec_id": ids,
+                    "embedding": pa.array(M.tolist(),
+                                          pa.list_(pa.float64()))})
+    got = {}
+    out = knn_self_join(ray.data.from_arrow(tbl).repartition(3), k=k,
+                        rows_per_chunk=64, num_partitions=7).take_all()
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine"]))
+    Mn = _norm(M.astype(np.float64))
+    sims = Mn @ Mn.T
+    assert set(got) == set(range(n))
+    for q in range(n):
+        col = sims[q].copy()
+        mask = ids != q
+        cand_ids, cand = ids[mask], col[mask]
+        sel = np.lexsort((cand_ids, -cand))[:k]
+        want = [(i + 1, int(cand_ids[s])) for i, s in enumerate(sel)]
+        rows = sorted(got[q])
+        assert [(r, nid) for r, nid, _ in rows] == want, q
+        for (rk, nid, cos), s in zip(rows, sel):
+            assert cos == pytest.approx(cand[s], abs=1e-12)
+
+
+def test_bm25_topk_matches_brute(ray_session):
+    import math
+
+    import pyarrow as pa
+
+    from raydedup.stages.textstats import bm25_topk
+
+    rng = np.random.default_rng(8)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = []
+    for i in range(120):
+        if i % 29 == 0:
+            texts.append(None)
+        else:
+            texts.append(" ".join(
+                vocab[j] for j in rng.integers(0, 5, rng.integers(1, 30))))
+    tbl = pa.table({"doc_id": list(range(120)), "text": texts})
+    terms = ["alpha", "gamma"]
+    k1, b = 1.2, 0.75
+
+    # brute reference (same formula, same token contract)
+    toks = [(t or "").lower().split() for t in texts]
+    N = len(texts)
+    total = sum(len(t) for t in toks)
+    avgdl = total / N
+    df = {t: sum(1 for d in toks if t in d) for t in terms}
+    idf = {t: math.log(1.0 + (N - df[t] + 0.5) / (df[t] + 0.5))
+           for t in terms}
+    scores = {}
+    for i, d in enumerate(toks):
+        s = 0.0
+        dl = len(d)
+        for t in terms:
+            tf = d.count(t)
+            if tf:
+                s += (idf[t] * (tf * (k1 + 1.0))
+                      / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        if s > 0:
+            scores[i] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    out = bm25_topk(ray.data.from_arrow(tbl).repartition(4),
+                    terms=terms, k=10).take_all()
+    got = [(r["doc_id"], r["bm25"]) for r in out]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gid, gs), (wid, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
 def test_semantic_dedup_planted_clusters(ray_session):
     import pyarrow as pa
 
