@@ -1387,6 +1387,21 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_multimodal_resize(sf_dir: str):
+    """REAL decode → nearest RESIZE → integer channel feature extract:
+    genuine PPM payloads (closed-form pixels per doc_id), resized to
+    16×16 with the same floor-division index rule the oracle replays in
+    SQL (generate_series over the output raster), per-channel sums
+    bit-exact."""
+    from raydedup.stages.multimodal import attach_synthetic_images, image_features
+
+    out = image_features(attach_synthetic_images(_docs(sf_dir)),
+                         resize_to=(16, 16))
+    return out.select_columns(
+        ["doc_id", "out_w", "out_h", "pix_sum", "r_sum", "g_sum", "b_sum"]
+    )
+
+
 def q_multimodal_frames(sf_dir: str):
     """REAL video frame sampling: genuine uncompressed-AVI payloads
     (closed-form frames per doc_id) parsed by the pure-numpy RIFF
@@ -1465,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_event_counts": q_pivot_event_counts,
         "assemble_conversations": q_assemble_conversations,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
@@ -3177,6 +3193,32 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT k AS row_key FROM scan
             WHERE CAST(bit_count(xor(simhash, prev)) AS DOUBLE) / 64
                   > {DEFAULT_CONFIG.chain_scan_threshold}
+        """,
+        "multimodal_resize": """
+            WITH px AS (
+                SELECT d.doc_id,
+                       (7 * d.doc_id
+                        + (((oy.g * (16 + d.doc_id % 13)) // 16)
+                             * (16 + d.doc_id % 17)
+                           + (ox.g * (16 + d.doc_id % 17)) // 16) * 3
+                        + c.g) % 256 AS v,
+                       c.g AS ch
+                FROM documents d,
+                     generate_series(0, 15) oy(g),
+                     generate_series(0, 15) ox(g),
+                     generate_series(0, 2) c(g)
+            )
+            SELECT doc_id,
+                   CAST(16 AS INTEGER) AS out_w,
+                   CAST(16 AS INTEGER) AS out_h,
+                   CAST(sum(v) AS BIGINT) AS pix_sum,
+                   CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT)
+                       AS r_sum,
+                   CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT)
+                       AS g_sum,
+                   CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT)
+                       AS b_sum
+            FROM px GROUP BY 1
         """,
         "multimodal_decode": """
             WITH dims AS (

@@ -381,6 +381,54 @@ def decode_images(ds, fake: bool = False,
     )
 
 
+class ImageFeatures:
+    """Actor-pool feature extractor: decode → nearest resize → EXACT
+    integer channel features (total + per-channel pixel sums). Integer
+    features keep the SQL oracle bit-exact: with the synthetic
+    closed-form corpus the oracle recomputes every resized pixel from
+    doc_id alone (same floor-division index rule as
+    ``resize_nearest``)."""
+
+    def __init__(self, resize_to: tuple[int, int] = (16, 16)):
+        self.resize_to = resize_to
+        self.dec = DecodeImage(fake=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_w, out_h = self.resize_to
+        pix, r, g, b = [], [], [], []
+        for p in batch["payload"].to_pylist():
+            _, _, img = self.dec._decode(p or b"")
+            img = resize_nearest(img, out_w, out_h)
+            ch = img.sum(axis=(0, 1), dtype=np.int64)
+            pix.append(int(ch.sum()))
+            r.append(int(ch[0]))
+            g.append(int(ch[1]))
+            b.append(int(ch[2]))
+        n = batch.num_rows
+        return (
+            batch.append_column("out_w", pa.array([out_w] * n, pa.int32()))
+            .append_column("out_h", pa.array([out_h] * n, pa.int32()))
+            .append_column("pix_sum", pa.array(pix, pa.int64()))
+            .append_column("r_sum", pa.array(r, pa.int64()))
+            .append_column("g_sum", pa.array(g, pa.int64()))
+            .append_column("b_sum", pa.array(b, pa.int64()))
+        )
+
+
+def image_features(ds, resize_to: tuple[int, int] = (16, 16),
+                   batch_size: int = 64, concurrency=(1, 8)):
+    """decode → resize → integer channel features as an actor-pool stage
+    (small batches: payload bytes dominate block size)."""
+    return ds.map_batches(
+        ImageFeatures,
+        fn_constructor_kwargs={"resize_to": resize_to},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 class DecodeAudio:
     """Actor-pool WAV decoder (PCM16) → sample rate + sample count."""
 

@@ -323,6 +323,35 @@ def test_wav_roundtrip():
     assert np.array_equal(got, samples)
 
 
+def test_image_features_vs_brute(ray_session):
+    """decode → resize → channel sums must equal the per-image numpy
+    brute force (decode_ppm + resize_nearest + sum per channel)."""
+    import numpy as np
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_images,
+        decode_ppm,
+        image_features,
+        resize_nearest,
+    )
+
+    tbl = pa.table({"doc_id": list(range(40)),
+                    "text": ["x"] * 40})
+    src = attach_synthetic_images(ray.data.from_arrow(tbl))
+    got = {r["doc_id"]: r for r in
+           image_features(src, resize_to=(5, 7)).take_all()}
+    payloads = {r["doc_id"]: r["payload"] for r in src.take_all()}
+    assert len(got) == 40
+    for d, p in payloads.items():
+        _, _, img = decode_ppm(p)
+        rz = resize_nearest(img, 5, 7)
+        ch = rz.sum(axis=(0, 1), dtype=np.int64)
+        r = got[d]
+        assert (r["out_w"], r["out_h"]) == (5, 7)
+        assert (r["r_sum"], r["g_sum"], r["b_sum"]) == tuple(ch.tolist())
+        assert r["pix_sum"] == int(ch.sum())
+
+
 def test_resize_nearest():
     import numpy as np
 
