@@ -73,9 +73,11 @@ def simhash64_batch(
     """Vectorized simhash over a sequence of strings → uint64 ndarray.
 
     Per-row shingle counting runs as numpy sliding windows over the
-    UTF-32 code-point array + a void-dtype ``np.unique`` (C-speed sort)
-    instead of a Python char-slicing loop — the measured hot spot.
-    ``cache`` maps the 16-byte window representation → low-64 md5; pass a
+    code-point array — ONE byte per char when the whole batch is ASCII
+    (the overwhelming case for \\w-preprocessed text; 4× narrower
+    window temporaries and dictionary keys), UTF-32 otherwise.
+    ``cache`` maps the shingle STRING → low-64 md5 (the same key the
+    scalar ``simhash64`` uses, so both paths share entries); pass a
     persistent per-worker dict so repeated shingles (overwhelming at
     corpus scale) md5-hash once per worker.
     """
@@ -84,26 +86,29 @@ def simhash64_batch(
     if not texts:
         return np.empty(0, dtype=np.uint64)
     cache_get = cache.get
-    pad = b"\x00\x00\x00\x00"
 
-    # ONE UTF-32 encode of the whole batch + ONE sliding window over the
+    # ONE encode of the whole batch + ONE sliding window over the
     # concatenated code points; windows that straddle a doc boundary are
     # masked out by a vectorized range-diff (the per-doc encode/window
     # loop was ~25 us/doc of pure Python overhead). Docs with
-    # len <= width take the slide rule's single NUL-padded shingle
-    # (preprocessed text has no NULs, so padded keys cannot collide with
-    # real windows).
+    # len < width take a single whole-content shingle (exactly what the
+    # scalar slide rule yields; a < width-char key can never collide
+    # with a width-char window key).
     contents = [simhash_preprocess(t if t is not None else "") for t in texts]
     lens = np.array([len(c) for c in contents], dtype=np.int64)
-    # len == width docs are "long": their one boundary-valid window is
-    # byte-identical to the zero-padded short key
     counts = np.where(lens >= width, lens - width + 1, 1)
     offsets = np.empty(len(texts) + 1, dtype=np.int64)
     offsets[0] = 0
     np.cumsum(counts, out=offsets[1:])
     n_win = int(offsets[-1])
     is_short = lens < width
-    cps = np.frombuffer("".join(contents).encode("utf-32-le"), dtype=np.uint32)
+    joined = "".join(contents)
+    if joined.isascii():
+        cps = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        char_bytes, codec = 1, "ascii"
+    else:
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        char_bytes, codec = 4, "utf-32-le"
     doc_off = np.empty(len(texts) + 1, dtype=np.int64)
     doc_off[0] = 0
     np.cumsum(lens, out=doc_off[1:])
@@ -136,33 +141,32 @@ def simhash64_batch(
         aw = np.ascontiguousarray(
             np.lib.stride_tricks.sliding_window_view(cps, width)[valid]
         )
-        w4 = 4 * width
+        wb = char_bytes * width
         fsb = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(w4), len(aw), [None, pa.py_buffer(aw)]
+            pa.binary(wb), len(aw), [None, pa.py_buffer(aw)]
         )
         enc = pc.dictionary_encode(fsb)
         inv = enc.indices.to_numpy(zero_copy_only=False)
         d = enc.dictionary
         dbytes = np.frombuffer(d.buffers()[1], dtype=np.uint8)[
-            d.offset * w4 : (d.offset + len(d)) * w4].reshape(len(d), w4)
+            d.offset * wb : (d.offset + len(d)) * wb].reshape(len(d), wb)
         bh = np.empty(len(d), dtype=np.uint64)
         for i in range(len(d)):
-            kb = dbytes[i].tobytes()
-            h = cache_get(kb)
+            sh = dbytes[i].tobytes().decode(codec)
+            h = cache_get(sh)
             if h is None:
-                h = _md5_low64(kb.decode("utf-32-le"))
-                cache[kb] = h
+                h = _md5_low64(sh)
+                cache[sh] = h
             bh[i] = h
         long_sel = np.ones(n_win, dtype=bool)
         long_sel[offsets[:-1][is_short]] = False
         hashes[long_sel] = bh[inv]
     for i in np.flatnonzero(is_short):
-        kb = contents[i].encode("utf-32-le")
-        kb += pad * (width - int(lens[i]))
-        h = cache_get(kb)
+        sh = contents[i]
+        h = cache_get(sh)
         if h is None:
-            h = _md5_low64(kb.decode("utf-32-le").rstrip("\x00"))
-            cache[kb] = h
+            h = _md5_low64(sh)
+            cache[sh] = h
         hashes[offsets[i]] = h
     weights = np.ones(n_win, dtype=np.int32)
     return bit_vote_batch(hashes, weights, offsets)
