@@ -94,7 +94,22 @@ def simhash64_batch(
     # len < width take a single whole-content shingle (exactly what the
     # scalar slide rule yields; a < width-char key can never collide
     # with a width-char window key).
-    contents = [simhash_preprocess(t if t is not None else "") for t in texts]
+    #
+    # Preprocessing (lowercase + keep word chars) runs as Arrow RE2
+    # kernels for ASCII texts — identical output to simhash_preprocess
+    # there, since Python \\w restricted to ASCII is [0-9a-z_] after
+    # lower() — with the Python regex as the non-ASCII fallback.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array([t if t is not None else "" for t in texts],
+                   type=pa.string())
+    kept = pc.replace_substring_regex(
+        pc.utf8_lower(arr), pattern=r"[^0-9a-z_]+", replacement="")
+    contents = kept.to_pylist()
+    for i, t in enumerate(texts):
+        if t is not None and not t.isascii():
+            contents[i] = simhash_preprocess(t)
     lens = np.array([len(c) for c in contents], dtype=np.int64)
     counts = np.where(lens >= width, lens - width + 1, 1)
     offsets = np.empty(len(texts) + 1, dtype=np.int64)
