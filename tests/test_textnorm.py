@@ -80,3 +80,25 @@ def test_char_shingles_slide_rule():
 
 def test_simhash_preprocess():
     assert simhash_preprocess("Hello, World! 42") == "helloworld42"
+
+
+def test_full_tokenize_stem_cache_parity():
+    """The persistent stem cache must be invisible: identical output to
+    the uncached path over a token-repeating corpus, and the cache must
+    actually fill (one entry per distinct token)."""
+    import random
+
+    from raydedup.textnorm import full_tokenize
+
+    rng = random.Random(2)
+    words = ["running", "jumped", "cats", "happily", "the", "very",
+             "nationalization", "agreed", "ponies", "caresses"]
+    texts = [" ".join(rng.choice(words) for _ in range(30))
+             for _ in range(50)]
+    cache: dict = {}
+    for t in texts:
+        assert (full_tokenize(t, stem_cache=cache)
+                == full_tokenize(t))
+        assert (full_tokenize(t, stemming=False, stem_cache=cache)
+                == full_tokenize(t, stemming=False))
+    assert set(cache) == set(words)
