@@ -1387,6 +1387,19 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_cumulative_distinct_users(sf_dir: str):
+    """Distinct-users-to-date growth curve via the shuffleable
+    first-seen decomposition (min day per user -> count per day ->
+    prefix sum over calendar-bounded day rows)."""
+    import ray.data
+
+    from raydedup.stages.stats import cumulative_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return cumulative_distinct(ev, key_col="user_id", ts_col="ts")
+
+
 def q_multimodal_resize(sf_dir: str):
     """REAL decode → nearest RESIZE → integer channel feature extract:
     genuine PPM payloads (closed-form pixels per doc_id), resized to
@@ -1479,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_recent_orders": q_customers_without_recent_orders,
         "pivot_event_counts": q_pivot_event_counts,
         "assemble_conversations": q_assemble_conversations,
+        "cumulative_distinct_users": q_cumulative_distinct_users,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -3193,6 +3207,21 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT k AS row_key FROM scan
             WHERE CAST(bit_count(xor(simhash, prev)) AS DOUBLE) / 64
                   > {DEFAULT_CONFIG.chain_scan_threshold}
+        """,
+        "cumulative_distinct_users": """
+            WITH first_seen AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS day
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1
+            ),
+            daily AS (
+                SELECT day, count(*) AS new_keys FROM first_seen GROUP BY 1
+            )
+            SELECT day, CAST(new_keys AS BIGINT) AS new_keys,
+                   CAST(sum(new_keys) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_keys
+            FROM daily
         """,
         "multimodal_resize": """
             WITH px AS (

@@ -160,7 +160,9 @@ def run_bench() -> dict:
                   "asof_clicks_purchases_bucketed",
                   "running_qty_per_part",
                   "fuzzy_decontam_transcripts",
-                  "dedup_survivors_docs"):
+                  "dedup_survivors_docs",
+                  "knn_self_join",
+                  "bm25_topk"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()
         queries[qname] = round(time.time() - t0, 3)

@@ -454,3 +454,50 @@ def rollup_counts(ds, group_col: str, value_col: str,
             .groupby(group_col).aggregate(
                 Sum("n_rows", alias_name="n_rows"),
                 Sum("sum_value", alias_name="sum_value")))
+
+
+def cumulative_distinct(ds, key_col: str = "user_id",
+                        ts_col: str = "ts"):
+    """→ Dataset(day, new_keys, cum_keys): per-day count of FIRST-SEEN
+    keys and the running cumulative distinct-key total — the standard
+    growth-curve query (DAU/WAU-style "distinct users to date").
+
+    A windowed COUNT(DISTINCT) is not directly shuffleable; the
+    first-seen decomposition is: min(day) per key (one key-partitioned
+    groupby — the only corpus-scale shuffle), count per first-seen day
+    (day-keyed groupby, ≤ one row per day), then one prefix sum over
+    the day rows, which are bounded by the calendar, not the corpus
+    (collected to the driver — thousands of rows at most, documented).
+    Output day is date32; counts are int64. Null keys or timestamps
+    are excluded (SQL COUNT(DISTINCT)/GROUP BY semantics: the oracle's
+    min() ignores null ts and a null key forms no user row)."""
+    from ray.data.aggregate import Min
+
+    import ray.data
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch[key_col],
+                      "day": pc.cast(batch[ts_col], pa.date32())})
+        mask = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t["day"]))
+        t = t.filter(mask)
+        return pa.table({key_col: t[key_col],
+                         "day": pc.cast(t["day"], pa.int32())})
+
+    first_seen = (ds.select_columns([key_col, ts_col])
+                  .map_batches(to_day, batch_format="pyarrow")
+                  .groupby(key_col)
+                  .aggregate(Min("day", alias_name="day")))
+    daily = first_seen.groupby("day").count()
+
+    rows = sorted((r["day"], r["count()"]) for r in daily.take_all())
+    # midnight timestamps rather than date32: pandas renders date32 as
+    # Python-object dates, which value-compare unequal to a SQL DATE
+    # column's datetime64 — same instant, different dtype
+    days = pa.array(np.array([d for d, _ in rows], dtype=np.int32),
+                    pa.date32()).cast(pa.timestamp("us"))
+    new = np.array([c for _, c in rows], dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "day": days,
+        "new_keys": pa.array(new),
+        "cum_keys": pa.array(np.cumsum(new)),
+    }))

@@ -513,3 +513,44 @@ def test_review4_guards(ray_session):
     ds4 = _ds({"g": pa.array(["a", None]), "v": [1, 2]})
     with pytest.raises(Exception, match="null group keys"):
         rollup_counts(ds4, "g", "v").take_all()
+
+
+def test_cumulative_distinct_multiday(ray_session):
+    """Growth curve over a planted multi-day corpus with revisits and
+    nulls: per-day first-seen counts and the running cumulative distinct
+    must match a brute set-scan."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from raydedup.stages.stats import cumulative_distinct
+
+    rng = np.random.default_rng(6)
+    days = rng.integers(0, 12, 600)
+    users = rng.integers(0, 80, 600).astype(object)
+    users[::37] = None  # null users drop out
+    ts = (days * 86_400_000_000 + rng.integers(0, 86_400_000_000, 600))
+    tbl = pa.table({
+        "user_id": pa.array([None if u is None else int(u)
+                             for u in users], pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    })
+    out = [(r["day"], r["new_keys"], r["cum_keys"]) for r in
+           cumulative_distinct(ray.data.from_arrow(tbl).repartition(5),
+                               "user_id", "ts").take_all()]
+    # brute
+    seen: set = set()
+    want = []
+    for d in sorted(set(days.tolist())):
+        new = {int(u) for u, dd in zip(users, days)
+               if u is not None and dd == d and int(u) not in seen}
+        if new or any(dd == d and u is not None
+                      for u, dd in zip(users, days)):
+            pass
+        if new:
+            seen |= new
+            want.append((d, len(new), len(seen)))
+    got = [((np.datetime64(ts_, "D") - np.datetime64(0, "D")).astype(int),
+            n, c) for ts_, n, c in out]
+    assert got == want
