@@ -760,6 +760,10 @@ def bm25_topk(ds, terms: list[str], k: int = 10, k1: float = 1.2,
         score, batch_format="pyarrow")
     return (partial.sort(["bm25", id_col], descending=[True, False])
             .limit(k))
+
+
+def normalize_text(ds, text_col: str = "text",
+                   out_col: str = "norm_text"):
     """Canonical pre-dedup text normalization: lowercase, replace every
     non-alphanumeric rune with a space, collapse whitespace runs, trim.
     Implemented entirely in pyarrow.compute kernels (utf8_lower +
