@@ -36,6 +36,31 @@ def test_simhash_batch_matches_scalar():
         assert simhash64(t) == int(v)
 
 
+def test_simhash_batch_fuzz_mixed_unicode():
+    """Regression guard for the ASCII fast path: random mixed
+    ascii/unicode/whitespace/null inputs (forcing both the 1 B/char and
+    the UTF-32 batch encodings, short and long docs, shared windows)
+    must match the scalar oracle exactly, with and without a shared
+    cache."""
+    import random
+
+    rng = random.Random(5)
+    pool = "abc XYZ 0_9 !@# \t\n éü日本 ~%"
+    texts = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 300)))
+             for _ in range(200)]
+    texts += [None, "", "A!B", "____", "¡Hola señor!", "ascii only text"]
+    cache: dict = {}
+    batch = simhash64_batch(texts, cache=cache)
+    again = simhash64_batch(texts, cache=cache)  # warm-cache identical
+    assert batch.tolist() == again.tolist()
+    for t, v in zip(texts, batch):
+        assert simhash64(t if t is not None else "") == int(v), repr(t)
+    # all-ascii batch exercises the narrow path end to end
+    ascii_texts = [t for t in texts if t is not None and t.isascii()]
+    for t, v in zip(ascii_texts, simhash64_batch(ascii_texts)):
+        assert simhash64(t) == int(v)
+
+
 def test_simhash_identity_and_near():
     a = simhash64("The quick brown fox jumps over the lazy dog")
     b = simhash64("The quick brown fox jumps over the lazy dog")
