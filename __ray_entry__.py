@@ -709,6 +709,18 @@ def q_bm25_topk(sf_dir: str):
     return _round_col(out, "bm25", nudge=1e-9)
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Absmax int8 quantization summary per vector (scale + exact
+    integer sum/min/max of the quantized components — list-free value
+    contract; round is half-away on both sides)."""
+    import ray.data
+
+    from raydedup.stages.embeddings import quantize_embeddings_stats
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _round_col(quantize_embeddings_stats(emb), "scale", nudge=1e-9)
+
+
 def q_embedding_near_pairs(sf_dir: str):
     import ray.data
 
@@ -1482,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "knn_self_join": q_knn_self_join,
         "bm25_topk": q_bm25_topk,
+        "quantize_embeddings": q_quantize_embeddings,
         "embedding_near_pairs": q_embedding_near_pairs,
         "semantic_dedup": q_semantic_dedup,
         "langid": q_langid,
@@ -2744,6 +2757,29 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT query_id, neighbor_id,
                    round(cosine, {_ROUND}) AS cosine, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "quantize_embeddings": f"""
+            WITH s AS (
+                SELECT vec_id,
+                       list_max(list_transform(
+                           CAST(embedding AS DOUBLE[]),
+                           x -> abs(x))) AS scale
+                FROM embeddings
+            ),
+            q AS (
+                SELECT e.vec_id, s.scale,
+                       CASE WHEN s.scale = 0 THEN 0.0
+                            ELSE round(t.x / s.scale * 127) END AS qv
+                FROM embeddings e
+                JOIN s USING (vec_id),
+                     UNNEST(CAST(e.embedding AS DOUBLE[])) AS t(x)
+            )
+            SELECT vec_id,
+                   round(any_value(scale) + 1e-9, {_ROUND}) AS scale,
+                   CAST(sum(qv) AS BIGINT) AS q_sum,
+                   CAST(min(qv) AS BIGINT) AS q_min,
+                   CAST(max(qv) AS BIGINT) AS q_max
+            FROM q GROUP BY vec_id
         """,
         "knn_self_join": f"""
             WITH sims AS (

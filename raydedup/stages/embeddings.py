@@ -733,6 +733,44 @@ def semantic_dedup(ds, threshold: float = 0.95, id_col: str = "vec_id",
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def quantize_embeddings_stats(ds, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              levels: int = 127):
+    """→ Dataset(vec_id, scale, q_sum, q_min, q_max): symmetric int8-style
+    quantization summary per vector — q_i = round(x_i / scale · levels)
+    with scale = max|x_i| (the standard absmax scheme embedding stores
+    ship), zero vectors quantize to all-zeros. Emitting the integer
+    SUMMARY (sum/min/max of the quantized components) rather than the
+    list keeps the value oracle exact and list-free; ``round`` is
+    half-away-from-zero on both sides (numpy ``round_half_away`` ≡
+    DuckDB/std::round for doubles). One streaming ``map_batches``, one
+    matrix pass per batch, no shuffle."""
+    from raydedup.util import round_half_away
+
+    def q(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "scale": pa.array([], pa.float64()),
+                             "q_sum": pa.array([], pa.int64()),
+                             "q_min": pa.array([], pa.int64()),
+                             "q_max": pa.array([], pa.int64())})
+        M = _to_matrix(batch, vec_col)
+        scale = np.abs(M).max(axis=1)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        Q = round_half_away(M / safe[:, None] * float(levels))
+        Q[scale == 0.0] = 0.0
+        return pa.table({
+            id_col: batch[id_col],
+            "scale": pa.array(scale),
+            "q_sum": pa.array(Q.sum(axis=1).astype(np.int64)),
+            "q_min": pa.array(Q.min(axis=1).astype(np.int64)),
+            "q_max": pa.array(Q.max(axis=1).astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        q, batch_format="pyarrow")
+
+
 def label_centroids(ds, dims: int, label_col: str = "label",
                     vec_col: str = "embedding", scale: float = 1e6):
     """→ Dataset(label, n, c0..c{dims-1}): per-label centroid (mean

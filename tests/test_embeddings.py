@@ -338,6 +338,35 @@ def test_bm25_topk_matches_brute(ray_session):
         assert gs == pytest.approx(ws, rel=1e-12)
 
 
+def test_quantize_embeddings_stats(ray_session):
+    import pyarrow as pa
+
+    from raydedup.stages.embeddings import quantize_embeddings_stats
+    from raydedup.util import round_half_away
+
+    rng = np.random.default_rng(4)
+    M = rng.standard_normal((50, 6))
+    M[7] = 0.0  # zero vector -> scale 0, all-zero quantization
+    tbl = pa.table({"vec_id": list(range(50)),
+                    "embedding": pa.array(M.tolist(),
+                                          pa.list_(pa.float32()))})
+    got = {r["vec_id"]: r for r in quantize_embeddings_stats(
+        ray.data.from_arrow(tbl).repartition(3)).take_all()}
+    Mf = M.astype(np.float32).astype(np.float64)
+    for i in range(50):
+        scale = np.abs(Mf[i]).max()
+        if scale == 0:
+            q = np.zeros(6)
+        else:
+            q = round_half_away(Mf[i] / scale * 127.0)
+        r = got[i]
+        assert r["scale"] == pytest.approx(scale, abs=0)
+        assert (r["q_sum"], r["q_min"], r["q_max"]) == (
+            int(q.sum()), int(q.min()), int(q.max()))
+        if scale > 0:
+            assert r["q_max"] == 127 or r["q_min"] == -127
+
+
 def test_semantic_dedup_planted_clusters(ray_session):
     import pyarrow as pa
 
