@@ -75,23 +75,19 @@ def signature_batch(batch: pa.Table, cfg: DedupConfig,
                     text_col: str = "text",
                     keep_minhash: bool = False) -> pa.Table:
     minhasher, simhash_cache, stem_cache = _state_for(cfg)
-    texts = batch[text_col].to_pylist()
-    texts = ["" if t is None else t for t in texts]
 
     # compute once per DISTINCT text in the batch, scatter to rows:
     # identical text ⇒ identical signature by construction, and dedup
     # corpora repeat texts heavily — this cuts the bandwidth-bound hashing
-    # work by the batch's duplication factor.
-    uniq_index: dict[str, int] = {}
-    row_to_uniq = np.empty(len(texts), dtype=np.int64)
-    uniq_texts: list[str] = []
-    for i, t in enumerate(texts):
-        j = uniq_index.get(t)
-        if j is None:
-            j = len(uniq_texts)
-            uniq_index[t] = j
-            uniq_texts.append(t)
-        row_to_uniq[i] = j
+    # work by the batch's duplication factor. The row→distinct map is one
+    # C-hash ``dictionary_encode`` (the Python dict probe over every row
+    # was ~1 µs/row of pure interpreter time); only the DISTINCT texts
+    # are unboxed to Python strings.
+    enc = pc.dictionary_encode(
+        pc.fill_null(batch[text_col].combine_chunks(), ""))
+    row_to_uniq = enc.indices.to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    uniq_texts: list[str] = enc.dictionary.to_pylist()
 
     u_sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in uniq_texts]
     u_simhash = simhash64_batch(
