@@ -806,18 +806,13 @@ def pack_sequences(ds, token_budget: int, key_col: str = "doc_id",
     """
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col]
-        if pa.types.is_integer(keys.type):
-            knp = keys.to_numpy(zero_copy_only=False).astype(np.int64)
-            part = pa.array(knp % num_partitions, type=pa.int64())
-        else:
-            import hashlib
+        # shared partitioner: vectorized int modulo / dictionary-encoded
+        # md5 (byte-identical to the historical per-row formula — see
+        # tests/test_windows.py::test_part_array_string_keys...)
+        from raydedup.stages.asof import _part_array
 
-            part = pa.array(
-                [int.from_bytes(
-                    hashlib.md5(str(k).encode()).digest()[:4], "big")
-                 % num_partitions for k in keys.to_pylist()],
-                type=pa.int64())
+        part = _part_array(batch[key_col].combine_chunks(),
+                           num_partitions)
         texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
         ws = pa.array(
             [len([w for w in _WS_RE.split(t) if w]) for t in texts],
