@@ -452,18 +452,17 @@ def _anchor_measures_broadcast(prepped, measures: list[str],
         return pa.table({"conv_id": agg["conv_id"],
                          "min_turn": agg["turn_idx_min"]})
 
-    mt_map: dict[str, int] = {}
-    for b in (
+    parts = list(
         prepped.select_columns(["conv_id", "turn_idx"])
         .map_batches(partial_min, batch_format="pyarrow")
         .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ):
-        for c, t in zip(b["conv_id"].to_pylist(), b["min_turn"].to_pylist()):
-            if t < mt_map.get(c, 1 << 30):
-                mt_map[c] = t
-    mt_vals = np.fromiter(mt_map.values(), dtype=np.int64,
-                          count=len(mt_map))
-    mt_ref = ray.put((list(mt_map.keys()), mt_vals))
+    )
+    merged = pa.TableGroupBy(
+        pa.concat_tables(parts), "conv_id"
+    ).aggregate([("min_turn", "min")])  # one C groupby, no row loop
+    mt_vals = merged["min_turn_min"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    mt_ref = ray.put((merged["conv_id"].to_pylist(), mt_vals))
 
     def pick_anchors(batch: pa.Table) -> pa.Table:
         key = mt_ref.binary()
