@@ -1399,6 +1399,19 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_funnel_click_purchase(sf_dir: str):
+    """Per-user first click -> first purchase within 24 h (funnel
+    conversion): two keyed groupby-mins around one hash join on the
+    pre-filtered purchase rows."""
+    import ray.data
+
+    from raydedup.stages.windows import first_conversion
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return first_conversion(ev, "click", "purchase", within_sec=86400)
+
+
 def q_cumulative_distinct_users(sf_dir: str):
     """Distinct-users-to-date growth curve via the shuffleable
     first-seen decomposition (min day per user -> count per day ->
@@ -1505,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_recent_orders": q_customers_without_recent_orders,
         "pivot_event_counts": q_pivot_event_counts,
         "assemble_conversations": q_assemble_conversations,
+        "funnel_click_purchase": q_funnel_click_purchase,
         "cumulative_distinct_users": q_cumulative_distinct_users,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -3243,6 +3257,25 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT k AS row_key FROM scan
             WHERE CAST(bit_count(xor(simhash, prev)) AS DOUBLE) / 64
                   > {DEFAULT_CONFIG.chain_scan_threshold}
+        """,
+        "funnel_click_purchase": """
+            WITH f AS (
+                SELECT user_id,
+                       min(epoch_us(ts) // 1000000) AS from_sec
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            ),
+            conv AS (
+                SELECT e.user_id, f.from_sec,
+                       min(epoch_us(e.ts) // 1000000) AS to_sec
+                FROM events e JOIN f USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts) // 1000000 >= f.from_sec
+                  AND epoch_us(e.ts) // 1000000 <= f.from_sec + 86400
+                GROUP BY 1, 2
+            )
+            SELECT user_id, from_sec, to_sec,
+                   to_sec - from_sec AS latency_sec
+            FROM conv
         """,
         "cumulative_distinct_users": """
             WITH first_seen AS (

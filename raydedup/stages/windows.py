@@ -186,3 +186,88 @@ def session_stats(ds, gap_sec: int = 1800, key_col: str = "user_id",
     (exact int arithmetic on epoch seconds)."""
     return _session_sweep(ds, gap_sec, key_col, ts_col, id_col,
                           num_partitions, stats=True)
+
+
+def first_conversion(ds, from_type: str, to_type: str,
+                     within_sec: int, key_col: str = "user_id",
+                     ts_col: str = "ts", type_col: str = "event_type"):
+    """→ Dataset(key, from_ts, to_ts, latency_sec): per key, the FIRST
+    ``from_type`` event and the first ``to_type`` event at-or-after it
+    within ``within_sec`` (whole-second event times, the session-family
+    contract); keys that never convert are omitted — the classic funnel
+    conversion measure.
+
+    Scale shape: two native keyed groupbys (min from-ts per key; min
+    to-ts per (key) over candidates) around one distributed hash join —
+    the to-side is pre-filtered to ``to_type`` rows only, so the join
+    moves conversion-relevant rows, never the corpus."""
+    import ray
+    from ray.data.aggregate import Min
+
+    import ray.data
+
+    def to_secs(batch: pa.Table, want: str) -> pa.Table:
+        t = batch.filter(pc.equal(batch[type_col], pa.scalar(want)))
+        # integer microseconds // 1e6 (positive epoch ⇒ truncation
+        # IS floor, matching the oracle's epoch_us(ts) // 1000000)
+        secs = pc.divide(pc.cast(t[ts_col], pa.int64()),
+                         pa.scalar(1_000_000, pa.int64()))
+        return pa.table({key_col: t[key_col], "sec": secs})
+
+    base = ds.select_columns([key_col, ts_col, type_col])
+    firsts = (base.map_batches(lambda b: to_secs(b, from_type),
+                               batch_format="pyarrow")
+              .groupby(key_col).aggregate(Min("sec", alias_name="from_sec"))
+              .materialize())
+    n_firsts = firsts.count()
+    if n_firsts == 0:
+        return ray.data.from_arrow(pa.table(
+            {key_col: pa.array([], pa.int64()),
+             "from_sec": pa.array([], pa.int64()),
+             "to_sec": pa.array([], pa.int64()),
+             "latency_sec": pa.array([], pa.int64())}))
+    tos = base.map_batches(lambda b: to_secs(b, to_type),
+                           batch_format="pyarrow")
+
+    # partitions sized so every hash partition is statistically
+    # non-empty (Ray 2.49 mishandles all-empty join partitions) and
+    # capped at 2x CPUs (its aggregator pool deadlocks far above that)
+    from raydedup.util import join_partitions
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = min(join_partitions(n_firsts), max(2, 2 * ncpu))
+    joined = tos.join(firsts, join_type="inner",
+                      num_partitions=n_parts, on=(key_col,))
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "from_sec": pa.array([], pa.int64()),
+                             "sec": pa.array([], pa.int64())})
+        ok = pc.and_(
+            pc.greater_equal(batch["sec"], batch["from_sec"]),
+            pc.less_equal(batch["sec"],
+                          pc.add(batch["from_sec"],
+                                 pa.scalar(within_sec, pa.int64()))))
+        return batch.filter(ok).select([key_col, "from_sec", "sec"])
+
+    conv = (joined.map_batches(in_window, batch_format="pyarrow")
+            .groupby(key_col).aggregate(Min("sec", alias_name="to_sec"),
+                                        Min("from_sec",
+                                            alias_name="from_sec")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "to_sec" not in batch.column_names:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "from_sec": pa.array([], pa.int64()),
+                             "to_sec": pa.array([], pa.int64()),
+                             "latency_sec": pa.array([], pa.int64())})
+        return pa.table({
+            key_col: batch[key_col],
+            "from_sec": batch["from_sec"],
+            "to_sec": batch["to_sec"],
+            "latency_sec": pc.subtract(batch["to_sec"],
+                                       batch["from_sec"]),
+        })
+
+    return conv.map_batches(finish, batch_format="pyarrow")

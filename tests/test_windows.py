@@ -91,6 +91,46 @@ def test_sessionize_partition_count_invariant(ray_session):
     assert outs[0] == outs[1] == outs[2]
 
 
+def test_first_conversion_vs_brute(ray_session):
+    """Funnel conversion (first A -> first B within W) against a brute
+    per-user scan, including users with B before A (no conversion),
+    boundary-exact windows, and users with only one side."""
+    from raydedup.stages.windows import first_conversion
+
+    rng = np.random.default_rng(9)
+    n = 1200
+    users = rng.integers(0, 60, n)
+    types = rng.choice(["click", "purchase", "view"], n,
+                       p=[0.4, 0.2, 0.4])
+    secs = rng.integers(0, 200_000, n)
+    tbl = pa.table({
+        "user_id": pa.array(users),
+        "event_type": pa.array(types.tolist()),
+        "ts": pa.array((secs * 1_000_000
+                        + rng.integers(0, 1_000_000, n)
+                        ).astype("datetime64[us]")),
+    })
+    W = 50_000
+    got = {r["user_id"]: (r["from_sec"], r["to_sec"], r["latency_sec"])
+           for r in first_conversion(
+               ray.data.from_arrow(tbl).repartition(4), "click",
+               "purchase", within_sec=W).take_all()}
+    want = {}
+    for u in set(users.tolist()):
+        clicks = sorted(int(s) for s, uu, t in zip(secs, users, types)
+                        if uu == u and t == "click")
+        if not clicks:
+            continue
+        f = clicks[0]
+        purch = sorted(int(s) for s, uu, t in zip(secs, users, types)
+                       if uu == u and t == "purchase"
+                       and f <= int(s) <= f + W)
+        if purch:
+            want[u] = (f, purch[0], purch[0] - f)
+    assert got == want
+    assert want  # fixture actually converts someone
+
+
 def test_part_array_string_keys_match_historical_formula(ray_session):
     """_part_array's dictionary-encoded md5 path (VERDICT r2 item 5)
     must stay byte-identical to the per-row formula it replaced —
