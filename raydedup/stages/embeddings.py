@@ -709,10 +709,17 @@ def semantic_dedup(ds, threshold: float = 0.95, id_col: str = "vec_id",
         return pa.table({id_col: batch["node"].cast(id_type),
                          "__cluster": batch["label"].cast(id_type)})
 
-    lookup = labels.map_batches(as_lookup, batch_format="pyarrow")
+    lookup = labels.map_batches(as_lookup,
+                                batch_format="pyarrow").materialize()
     if num_partitions is None:
+        # sized so every hash partition is statistically non-empty
+        # (Ray 2.49 mishandles all-empty join partitions) and capped at
+        # 2x CPUs (aggregator-pool deadlock far above that)
+        from raydedup.util import join_partitions
+
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, min(32, 2 * ncpu))
+        num_partitions = min(join_partitions(lookup.count()),
+                             max(2, 2 * ncpu))
     joined = ds.select_columns([id_col]).join(
         lookup, join_type="left_outer", num_partitions=num_partitions,
         on=(id_col,))
