@@ -709,6 +709,22 @@ def q_bm25_topk(sf_dir: str):
     return _round_col(out, "bm25", nudge=1e-9)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed deterministic Lloyd k-means labels over the embedding
+    table (cosine metric, exact order-independent integer partials, 8
+    iterations). PERMANENTLY rows-only: an iterative fixed-point loop is
+    not SQL-expressible (same class as otmt_lda); determinism,
+    partitioning-invariance and planted-cluster recovery are pinned by
+    pytest (tests/test_embeddings.py::test_kmeans_*) instead."""
+    import ray.data
+
+    from raydedup.stages.embeddings import kmeans_fit
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    _, labels_fn = kmeans_fit(emb, n_clusters=4, iters=6)
+    return labels_fn(emb)
+
+
 def q_quantize_embeddings(sf_dir: str):
     """Absmax int8 quantization summary per vector (scale + exact
     integer sum/min/max of the quantized components — list-free value
@@ -1508,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self_join": q_knn_self_join,
         "bm25_topk": q_bm25_topk,
         "quantize_embeddings": q_quantize_embeddings,
+        "kmeans_clusters": q_kmeans_clusters,
         "embedding_near_pairs": q_embedding_near_pairs,
         "semantic_dedup": q_semantic_dedup,
         "langid": q_langid,

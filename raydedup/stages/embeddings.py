@@ -369,13 +369,24 @@ def rp_bucket(ds, n_planes: int = 12, seed: int = 99,
 def _kmeans_centroids(sample: np.ndarray, n_centroids: int, seed: int,
                       iters: int = 8) -> np.ndarray:
     """Deterministic Lloyd k-means over an L2-normalized SAMPLE (numpy,
-    driver-side — the sample is a small side by construction). Empty
-    cells re-seed to the farthest point, so exactly n_centroids cells
-    survive."""
-    rng = np.random.default_rng(seed)
+    driver-side — the sample is a small side by construction). Seeding
+    is greedy FARTHEST-POINT (k-means++ without the randomness): start
+    at the first sample row, repeatedly add the point with the smallest
+    max-cosine to the chosen set — separated clusters each get a seed,
+    where a uniform random draw can put two seeds in one cluster and
+    split it. Empty cells re-seed to the farthest point, so exactly
+    n_centroids cells survive."""
+    del seed  # kept in the signature for call-site stability; the
+    #           farthest-point seeding is fully deterministic without it
     n = sample.shape[0]
     k = min(n_centroids, n)
-    cent = sample[rng.choice(n, size=k, replace=False)]
+    chosen = [0]
+    best = sample @ sample[0]
+    for _ in range(k - 1):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, sample @ sample[nxt])
+    cent = sample[chosen].copy()
     for _ in range(iters):
         sims = sample @ cent.T
         assign = np.argmax(sims, axis=1)
@@ -738,6 +749,104 @@ def semantic_dedup(ds, threshold: float = 0.95, id_col: str = "vec_id",
                          "keep": pc.equal(batch[id_col], cluster)})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans_fit(ds, n_clusters: int = 8, iters: int = 8, seed: int = 7,
+               sample_size: int = 2048, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """Distributed deterministic Lloyd k-means over an embedding column
+    (cosine assignment on L2-normalized vectors, the same metric the IVF
+    coarse quantizer uses). Returns ``(centroids ndarray (k, d),
+    labels_fn)`` where ``labels_fn(ds)`` maps any dataset with the same
+    columns to ``(id, cluster)``.
+
+    Scale shape per iteration: centroids broadcast via ``ray.put``; one
+    streaming ``map_batches`` assigns cells and emits EXACT per-cell
+    partials — counts + micro-quantized int64 component sums (the
+    ``label_centroids`` trick), so the reduce is order-independent and
+    the whole fit is bit-deterministic under any partitioning; the
+    shuffle carries ≤ k rows per block. Init is the deterministic
+    ``hash_sample_fixed`` bottom-k sample (physical-order independent).
+    Iterative ⇒ no SQL oracle (same class as otmt_lda — the driver
+    records a rows-only check); determinism and recovery are pinned by
+    pytest instead (planted clusters, partitioning invariance)."""
+    import ray
+
+    from raydedup.util import hash_sample_fixed, round_half_away
+
+    scale = 1e6
+    sample = hash_sample_fixed(
+        ds.select_columns([id_col, vec_col]), id_col, sample_size,
+        seed=seed).take_all()
+    S = _l2norm(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    cent = _kmeans_centroids(S, n_clusters, seed)
+    k, d = cent.shape
+
+    def partial_factory(cent_ref):
+        def partial(batch: pa.Table) -> pa.Table:
+            cols = {"cell": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    **{f"s{i}": pa.array([], pa.int64())
+                       for i in range(d)}}
+            if batch.num_rows == 0:
+                return pa.table(cols)
+            C = ray.get(cent_ref)
+            X = _l2norm(_to_matrix(batch, vec_col))
+            cell = np.argmax(X @ C.T, axis=1)
+            q = round_half_away(X * scale).astype(np.int64)
+            order = np.argsort(cell, kind="stable")
+            cs = cell[order]
+            starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+            sums = np.add.reduceat(q[order], starts, axis=0)
+            counts = np.diff(np.r_[starts, len(cs)])
+            out = {"cell": pa.array(cs[starts]),
+                   "n": pa.array(counts.astype(np.int64))}
+            for i in range(d):
+                out[f"s{i}"] = pa.array(sums[:, i])
+            return pa.table(out)
+        return partial
+
+    from ray.data.aggregate import Sum
+
+    slim = ds.select_columns([id_col, vec_col]).materialize()
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        agg = (slim.map_batches(partial_factory(cent_ref),
+                                batch_format="pyarrow")
+               .groupby("cell").aggregate(
+                   Sum("n", alias_name="n"),
+                   *[Sum(f"s{i}", alias_name=f"s{i}")
+                     for i in range(d)]))
+        rows = agg.take_all()  # ≤ k rows
+        new = cent.copy()
+        for r in rows:
+            if r["n"]:
+                v = np.array([r[f"s{i}"] for i in range(d)],
+                             dtype=np.float64) / (r["n"] * scale)
+                nv = np.linalg.norm(v)
+                if nv:
+                    new[int(r["cell"])] = v / nv
+        if np.array_equal(new, cent):
+            break
+        cent = new
+
+    final_ref = ray.put(cent)
+
+    def labels_fn(dsx):
+        def assign(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "cluster": pa.array([], pa.int64())})
+            C = ray.get(final_ref)
+            X = _l2norm(_to_matrix(batch, vec_col))
+            return pa.table({id_col: batch[id_col],
+                             "cluster": pa.array(
+                                 np.argmax(X @ C.T, axis=1))})
+
+        return dsx.select_columns([id_col, vec_col]).map_batches(
+            assign, batch_format="pyarrow")
+
+    return cent, labels_fn
 
 
 def quantize_embeddings_stats(ds, id_col: str = "vec_id",

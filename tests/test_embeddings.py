@@ -338,6 +338,45 @@ def test_bm25_topk_matches_brute(ray_session):
         assert gs == pytest.approx(ws, rel=1e-12)
 
 
+def test_kmeans_recovers_planted_clusters_and_is_partition_invariant(
+        ray_session):
+    """Three well-separated planted gaussians: every cluster must map to
+    one k-means cell (perfect recovery up to label permutation), and the
+    fit must be bit-deterministic under different partitionings (the
+    exact integer-partial reduce is order-independent)."""
+    import pyarrow as pa
+
+    from raydedup.stages.embeddings import kmeans_fit
+
+    rng = np.random.default_rng(12)
+    bases = [rng.standard_normal(10) * 5 for _ in range(3)]
+    vecs, truth = [], []
+    for gi, b in enumerate(bases):
+        for _ in range(120):
+            vecs.append((b + rng.standard_normal(10) * 0.2).tolist())
+            truth.append(gi)
+    tbl = pa.table({"vec_id": list(range(len(vecs))),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64()))})
+
+    def fit_labels(n_parts):
+        ds = ray.data.from_arrow(tbl).repartition(n_parts)
+        cent, labels_fn = kmeans_fit(ds, n_clusters=3, iters=10)
+        return cent, {r["vec_id"]: r["cluster"]
+                      for r in labels_fn(ds).take_all()}
+
+    cent_a, lab_a = fit_labels(3)
+    cent_b, lab_b = fit_labels(8)
+    assert np.array_equal(cent_a, cent_b)  # bit-deterministic
+    assert lab_a == lab_b
+    # perfect recovery up to permutation
+    mapping = {}
+    for i, g in enumerate(truth):
+        mapping.setdefault(g, set()).add(lab_a[i])
+    cells = [next(iter(s)) for s in mapping.values()]
+    assert all(len(s) == 1 for s in mapping.values())
+    assert len(set(cells)) == 3
+
+
 def test_quantize_embeddings_stats(ray_session):
     import pyarrow as pa
 
