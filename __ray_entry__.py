@@ -709,6 +709,22 @@ def q_bm25_topk(sf_dir: str):
     return _round_col(out, "bm25", nudge=1e-9)
 
 
+def q_hard_negatives(sf_dir: str):
+    """Top-3 most-similar vectors from a DIFFERENT label per vector —
+    the contrastive-training hard-negative mining primitive (knn_self_join
+    exchange with same-group pairs masked inside each chunk-pair task)."""
+    import ray.data
+
+    from raydedup.stages.embeddings import knn_hard_negatives
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_hard_negatives(emb, k=3, group_col="label",
+                             rows_per_chunk=128)
+    return _round_col(out, "cosine").select_columns(
+        ["query_id", "neighbor_id", "cosine", "rank"]
+    )
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed deterministic Lloyd k-means labels over the embedding
     table (cosine metric, exact order-independent integer partials, 8
@@ -1525,6 +1541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "quantize_embeddings": q_quantize_embeddings,
         "kmeans_clusters": q_kmeans_clusters,
+        "hard_negatives": q_hard_negatives,
         "embedding_near_pairs": q_embedding_near_pairs,
         "semantic_dedup": q_semantic_dedup,
         "langid": q_langid,
@@ -2788,6 +2805,26 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT query_id, neighbor_id,
                    round(cosine, {_ROUND}) AS cosine, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "hard_negatives": f"""
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) AS cosine
+                FROM embeddings e CROSS JOIN embeddings q
+                WHERE e.vec_id <> q.vec_id AND e.label <> q.label
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id,
+                   round(cosine, {_ROUND}) AS cosine, rank
+            FROM ranked WHERE rank <= 3
         """,
         "quantize_embeddings": f"""
             WITH s AS (

@@ -523,6 +523,78 @@ def _partial_topk_rows(qids: np.ndarray, nids: np.ndarray,
 
 
 @ray.remote
+def _prep_chunk_grouped(tbl: pa.Table, id_col: str, vec_col: str,
+                        group_col: str):
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    ids = tbl[id_col].to_numpy().astype(np.int64)
+    # group values → process-stable uint64 codes (blake2b of the repr,
+    # once per DISTINCT value) so the cross-chunk same-group mask is one
+    # C-speed integer broadcast compare regardless of the group type
+    enc = pc.dictionary_encode(tbl[group_col].combine_chunks())
+    dh = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(str(v).encode(),
+                                        digest_size=8).digest(), "big")
+         for v in enc.dictionary.to_pylist()),
+        dtype=np.uint64, count=len(enc.dictionary))
+    g = dh[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    return ids, _l2norm(_to_matrix(tbl, vec_col)), g
+
+
+@ray.remote
+def _cross_chunk_hardneg(chunk_a, chunk_b, k: int, same: bool) -> pa.Table:
+    """Chunk-pair partial top-k restricted to CROSS-group neighbors
+    (hard-negative mining): same-group similarities are masked out."""
+    ia, Ma, ga = chunk_a
+    ib, Mb, gb = chunk_b
+    sims = Ma @ Mb.T
+    sims[ga[:, None] == gb[None, :]] = -np.inf
+    t1 = _partial_topk_rows(ia, ib, sims, k)
+    if same:
+        return t1
+    t2 = _partial_topk_rows(ib, ia, np.ascontiguousarray(sims.T), k)
+    return pa.concat_tables([t1, t2])
+
+
+def knn_hard_negatives(ds, k: int = 3, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       group_col: str = "source",
+                       rows_per_chunk: int = 8192,
+                       max_chunks: int = 256, num_partitions: int = 64):
+    """→ Dataset(query_id, neighbor_id, cosine, rank): every row's top-k
+    most similar vectors from a DIFFERENT ``group_col`` value — the
+    hard-negative mining primitive for contrastive training (nearest
+    confusable examples that are not same-source). Same exchange as
+    :func:`knn_self_join` (chunk-pair partial top-ks + hash-partition
+    sweep merge), with same-group pairs masked inside each task."""
+    import math
+
+    import ray.data
+
+    slim = ds.select_columns([id_col, vec_col, group_col]).materialize()
+    n = slim.count()
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int64())})
+    if n == 0:
+        return ray.data.from_arrow(empty)
+    n_chunks = max(1, min(max_chunks, math.ceil(n / rows_per_chunk)))
+    parts = slim.repartition(n_chunks).to_arrow_refs()
+    chunks = [_prep_chunk_grouped.remote(p, id_col, vec_col, group_col)
+              for p in parts]
+    out_refs = []
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            out_refs.append(_cross_chunk_hardneg.remote(
+                chunks[i], chunks[j], k, i == j))
+    partial = ray.data.from_arrow_refs(out_refs)
+    return _merge_partial_topk(partial, k, num_partitions)
+
+
+@ray.remote
 def _cross_chunk_topk(chunk_a, chunk_b, k: int, same: bool) -> pa.Table:
     """Both directions of one chunk pair: A's rows' local top-k against
     B's columns, and (for distinct chunks) B's against A's."""
@@ -573,6 +645,13 @@ def knn_self_join(ds, k: int = 10, id_col: str = "vec_id",
             out_refs.append(
                 _cross_chunk_topk.remote(chunks[i], chunks[j], k, i == j))
     partial = ray.data.from_arrow_refs(out_refs)
+    return _merge_partial_topk(partial, k, num_partitions)
+
+
+def _merge_partial_topk(partial, k: int, num_partitions: int):
+    """Shared final merge for the chunk-pair top-k family: hash-PARTITION
+    sweep — one lexsort per partition ranks every query in it; never a
+    Python call per query id."""
 
     def tag(batch: pa.Table) -> pa.Table:
         q = batch["query_id"].to_numpy(zero_copy_only=False)

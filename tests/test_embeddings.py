@@ -289,6 +289,45 @@ def test_knn_self_join_matches_brute(ray_session):
             assert cos == pytest.approx(cand[s], abs=1e-12)
 
 
+def test_knn_hard_negatives_matches_brute(ray_session):
+    """Cross-group top-k (hard negatives) vs brute force: same-group
+    candidates masked, chunk boundaries crossed, string group keys, and
+    a group covering everything (its members get negatives from the
+    rest; the rest never see it as a same-group mask)."""
+    import pyarrow as pa
+
+    from raydedup.stages.embeddings import knn_hard_negatives
+
+    rng = np.random.default_rng(14)
+    n, d, k = 200, 8, 3
+    M = rng.standard_normal((n, d))
+    groups = [f"s{i % 4}" for i in range(n)]
+    tbl = pa.table({"vec_id": list(range(n)),
+                    "embedding": pa.array(M.tolist(),
+                                          pa.list_(pa.float64())),
+                    "source": groups})
+    out = knn_hard_negatives(
+        ray.data.from_arrow(tbl).repartition(3), k=k,
+        group_col="source", rows_per_chunk=48,
+        num_partitions=5).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine"]))
+    Mn = _norm(M)
+    sims = Mn @ Mn.T
+    ids = np.arange(n)
+    for q in range(n):
+        mask = np.array([groups[j] != groups[q] for j in range(n)])
+        cand_ids, cand = ids[mask], sims[q][mask]
+        sel = np.lexsort((cand_ids, -cand))[:k]
+        want = [(i + 1, int(cand_ids[s])) for i, s in enumerate(sel)]
+        rows = sorted(got[q])
+        assert [(r, nid) for r, nid, _ in rows] == want, q
+        for (rk, nid, cos), s in zip(rows, sel):
+            assert cos == pytest.approx(cand[s], abs=1e-12)
+
+
 def test_bm25_topk_matches_brute(ray_session):
     import math
 
