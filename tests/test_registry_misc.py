@@ -204,7 +204,9 @@ def test_entry_module_query_oracle_consistency():
     qs = set(em.queries())
     oracles = set(em.oracle_sql())
     rows_only = qs - oracles
-    # otmt_lda is a deterministic pLSA EM stand-in — iterative EM is
-    # not SQL-expressible (the reference's own test only bounds it)
-    assert rows_only == {"otmt_lda"}, rows_only
+    # otmt_lda is a deterministic pLSA EM stand-in and kmeans_clusters a
+    # Lloyd fixed-point loop — iterative algorithms are not
+    # SQL-expressible (both documented in their query docstrings; both
+    # pinned by pytest instead)
+    assert rows_only == {"otmt_lda", "kmeans_clusters"}, rows_only
     assert oracles <= qs, oracles - qs
