@@ -901,3 +901,47 @@ def test_normalize_text_kernels(ray_session):
     assert got[1] == "already clean"
     assert got[2] == ""            # punctuation-only collapses to empty
     assert got[3] is None          # nulls pass through
+
+
+def test_rolling_kgram_hashes_property():
+    """The O(1)-per-byte modular-inverse rolling hash must equal the
+    direct powers formula for random bytes and k values (hypothesis-style
+    sweep; uint64 wraparound everywhere)."""
+    import numpy as np
+
+    from raydedup.stages.suffix_span import _rolling_kgram_hashes
+
+    rng = np.random.default_rng(21)
+    B = np.uint64(1000003)
+    for trial in range(20):
+        k = int(rng.integers(2, 64))
+        n = int(rng.integers(k, 500))
+        data = rng.integers(0, 256, n).astype(np.uint8)
+        got = _rolling_kgram_hashes(data, k)
+        powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        n_pos = n - k + 1
+        want = np.zeros(n_pos, dtype=np.uint64)
+        for j in range(k):
+            want += data[j:j + n_pos].astype(np.uint64) * powers[j]
+        assert np.array_equal(got, want), (trial, k, n)
+
+
+def test_hash_sample_fixed_is_exact_bottom_k(ray_session):
+    """hash_sample_fixed must return EXACTLY the k keys with the
+    smallest hashes (not merely k deterministic rows) — the property
+    the IVF/k-means seeding relies on."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from raydedup.functions.minhash import _fmix64_batch
+    from raydedup.util import hash_sample_fixed
+
+    n, k, seed = 3000, 64, 0x5EED
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"id": pa.array(ids)})).repartition(7)
+    got = sorted(r["id"] for r in hash_sample_fixed(ds, "id", k).take_all())
+    h = _fmix64_batch(ids.view(np.uint64) ^ np.uint64(seed))
+    want = sorted(ids[np.argsort(h)[:k]].tolist())
+    assert got == want
