@@ -207,7 +207,11 @@ def first_conversion(ds, from_type: str, to_type: str,
     import ray.data
 
     def to_secs(batch: pa.Table, want: str) -> pa.Table:
-        t = batch.filter(pc.equal(batch[type_col], pa.scalar(want)))
+        # null keys can never equi-join ⇒ never convert (exact SQL
+        # semantics); they would also crash Ray's sort-based groupby
+        t = batch.filter(pc.and_(
+            pc.equal(pc.fill_null(batch[type_col], ""), pa.scalar(want)),
+            pc.is_valid(batch[key_col])))
         # integer microseconds // 1e6 (positive epoch ⇒ truncation
         # IS floor, matching the oracle's epoch_us(ts) // 1000000)
         secs = pc.divide(pc.cast(t[ts_col], pa.int64()),
