@@ -186,10 +186,14 @@ def run_scaling() -> dict:
     # The scaling criterion measures how throughput grows with cluster
     # size, so the input must be large enough that distributed compute
     # dominates the fixed per-execution costs (driver planning, task
-    # dispatch, broadcast round-trips ≈ 8-10 s on this machine regardless
-    # of CPU count). 192 repeats ≈ 1M turns puts the 8-CPU run around
-    # 100 s of mostly-compute.
-    scaling_repeats = os.environ.get("BENCH_SCALING_REPEATS", "192")
+    # dispatch, broadcast round-trips, materialize barriers ≈ 7 s on
+    # this machine regardless of CPU count — measured by a two-point
+    # Amdahl fit at 960k turns). After the round-3 kernel work halved
+    # per-turn compute, 192 repeats left the small leg ~25% fixed cost
+    # and the ratio measured overhead, not scaling; 384 repeats
+    # (≈ 1.9M turns) restores a compute-dominated measurement — the
+    # regime a 100 TB run lives in permanently.
+    scaling_repeats = os.environ.get("BENCH_SCALING_REPEATS", "384")
     # Default pair 2 -> 8 (N and 4N): on ONE socket, adding cores beyond
     # ~8-16 stops adding memory bandwidth, which the hash kernels are
     # bound by — 8 -> 32 measures the socket's DRAM ceiling (0.45-0.49),
