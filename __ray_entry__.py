@@ -1094,6 +1094,24 @@ def q_event_gaps(sf_dir: str):
         ["event_id", "user_id", "ts", "gap_us"])
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix of event types: per-user ordered scan
+    (one lexsort per hash partition, no Python call per key) emits
+    partial (prev_type, next_type) counts — at most |types|² rows per
+    partition — then one tiny grouped sum. The oracle replays it with
+    a window lag."""
+    import ray.data
+
+    from raydedup.stages.ordered import transition_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ev, by="user_id",
+                             order_cols=["ts", "event_id"],
+                             type_col="event_type")
+
+
 # mixing weights for stratified_sample_docs — thresholds are computed
 # ONCE here so the engine and the SQL oracle share the exact integers
 _STRAT_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "zh": 0.1, "fr": 0.05}
@@ -1572,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_qty_per_part_bucketed": q_running_qty_per_part_bucketed,
         "rolling_order_spend": q_rolling_order_spend,
         "event_gaps": q_event_gaps,
+        "event_transitions": q_event_transitions,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
@@ -3074,6 +3093,19 @@ def _oracle_sql_base() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS gap_us
             FROM events
+        """,
+        "event_transitions": """
+            WITH w AS (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM w
+            WHERE prev_type IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "pivot_event_counts": f"""
             SELECT user_id,

@@ -461,3 +461,63 @@ def running_totals_bucketed(ds, by: str, order_cols: list[str],
     unioned = tagged.union(carries)
     return unioned.groupby("__part").map_groups(merge,
                                                 batch_format="pyarrow")
+
+
+def transition_counts(ds, by: str, order_cols: list[str], type_col: str,
+                      num_partitions: int = 64):
+    """Adjacent-pair category transition counts — the (prev → next)
+    bigram matrix of ``type_col`` per ``by`` key in ``order_cols``
+    order (the Markov transition table a behavioral / agent-trace
+    pipeline feeds downstream; the reference's chain scan walks
+    mementos pairwise the same way, ``otmt/timemap_measures.py``'s
+    in-order loops). Pairs with a null ``type_col`` on either side are
+    dropped (SQL ``WHERE lag(t) IS NOT NULL AND t IS NOT NULL``);
+    null ``by`` keys form one group (window semantics).
+
+    Scale shape: one partition sweep (lexsort + shifted-compare — no
+    Python call per key) emits PARTIAL counts of at most
+    |types|² rows per partition; the final grouped sum therefore
+    shuffles ≤ num_partitions × |types|² tiny rows regardless of
+    corpus size."""
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = [by, type_col, *order_cols]
+        t = pa.table({c: batch[c] for c in keep})
+        return t.append_column(
+            "__part", _part_array(t[by], num_partitions))
+
+    empty = pa.table({"prev_type": pa.array([], pa.string()),
+                      "next_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2 or "__part" not in g.column_names:
+            return empty
+        order, starts, _lens = _order_and_segments(g, by, order_cols)
+        enc = pc.dictionary_encode(
+            pc.cast(g[type_col].combine_chunks(), pa.string()))
+        tcodes = pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        n = len(tcodes)
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        prev, cur = tcodes[:-1], tcodes[1:]
+        ok = (~first[1:]) & (prev >= 0) & (cur >= 0)
+        if not ok.any():
+            return empty
+        k = len(enc.dictionary)
+        key = prev[ok] * k + cur[ok]
+        uk, counts = np.unique(key, return_counts=True)
+        d = enc.dictionary
+        return pa.table({
+            "prev_type": d.take(pa.array(uk // k)),
+            "next_type": d.take(pa.array(uk % k)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    partials = (ds.map_batches(tag, batch_format="pyarrow")
+                .groupby("__part").map_groups(merge,
+                                              batch_format="pyarrow"))
+    return partials.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n"))

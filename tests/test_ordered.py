@@ -554,3 +554,38 @@ def test_cumulative_distinct_multiday(ray_session):
     got = [((np.datetime64(ts_, "D") - np.datetime64(0, "D")).astype(int),
             n, c) for ts_, n, c in out]
     assert got == want
+
+
+def test_transition_counts_vs_brute(ray_session):
+    from raydedup.stages.ordered import transition_counts
+
+    rng = random.Random(7)
+    n = 400
+    k = [rng.randrange(8) for _ in range(n)]
+    t = [rng.randrange(30) for _ in range(n)]  # ties → rid breaks them
+    types = [None, "a", "b", "c"]
+    ty = [types[rng.randrange(4)] for _ in range(n)]
+    ds = _ds({"k": k, "t": t, "rid": list(range(n)),
+              "ty": ty}).repartition(5)
+    got = {(r["prev_type"], r["next_type"]): r["n"] for r in
+           transition_counts(ds, by="k", order_cols=["t", "rid"],
+                             type_col="ty",
+                             num_partitions=3).take_all()}
+    brute: dict = {}
+    rows = sorted(zip(k, t, range(n), ty))
+    last: dict = {}
+    for kk, _tt, _rid, tt in rows:
+        pv = last.get(kk)
+        if pv is not None and tt is not None:
+            brute[(pv, tt)] = brute.get((pv, tt), 0) + 1
+        last[kk] = tt
+    assert got == brute
+
+
+def test_transition_counts_single_rows_empty(ray_session):
+    from raydedup.stages.ordered import transition_counts
+
+    ds = _ds({"k": [1, 2, 3], "t": [1, 1, 1], "rid": [0, 1, 2],
+              "ty": ["a", "b", "c"]})
+    assert transition_counts(
+        ds, by="k", order_cols=["t", "rid"], type_col="ty").count() == 0
