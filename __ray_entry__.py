@@ -1112,6 +1112,21 @@ def q_event_transitions(sf_dir: str):
                              type_col="event_type")
 
 
+def q_prefix_dup_groups(sf_dir: str):
+    """Boilerplate-head dedup: documents sharing the identical first-10
+    normalized tokens group under the min doc_id (crawl mirrors /
+    template farms — the near-exact pass between sha dedup and
+    MinHash). Bounded prefix key → bounded shuffle rows; groups resolve
+    per hash partition with one C++ group_by."""
+    from raydedup.stages.prefix import prefix_dup_groups
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return prefix_dup_groups(docs, w=10)
+
+
 # mixing weights for stratified_sample_docs — thresholds are computed
 # ONCE here so the engine and the SQL oracle share the exact integers
 _STRAT_RATES = {"en": 0.5, "de": 1.0, "es": 0.25, "zh": 0.1, "fr": 0.05}
@@ -1591,6 +1606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_order_spend": q_rolling_order_spend,
         "event_gaps": q_event_gaps,
         "event_transitions": q_event_transitions,
+        "prefix_dup_groups": q_prefix_dup_groups,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
@@ -3093,6 +3109,20 @@ def _oracle_sql_base() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS gap_us
             FROM events
+        """,
+        "prefix_dup_groups": """
+            WITH pref AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(
+                           regexp_extract_all(lower(coalesce(text, '')),
+                                              '[0-9a-z_]+'),
+                           1, 10), ' ') AS p
+                FROM documents
+            )
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY p) AS cluster_id
+            FROM pref
+            QUALIFY count(*) OVER (PARTITION BY p) >= 2
         """,
         "event_transitions": """
             WITH w AS (
