@@ -1112,6 +1112,18 @@ def q_event_transitions(sf_dir: str):
                              type_col="event_type")
 
 
+def q_transcript_integrity(sf_dir: str):
+    """Per-conversation validation gate (turn count, duplicated turn
+    indices, empty texts, timestamp monotonicity under the
+    deterministic (turn_idx, ts) order) — one lexsort per hash
+    partition, stats from segment bincounts."""
+    from raydedup.stages.ordered import integrity_stats
+
+    ts = transcripts_from_documents(sf_dir)
+    return integrity_stats(ts, by="conv_id", idx_col="turn_idx",
+                           ts_col="ts", text_col="text")
+
+
 def q_prefix_dup_groups(sf_dir: str):
     """Boilerplate-head dedup: documents sharing the identical first-10
     normalized tokens group under the min doc_id (crawl mirrors /
@@ -1607,6 +1619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "event_transitions": q_event_transitions,
         "prefix_dup_groups": q_prefix_dup_groups,
+        "transcript_integrity": q_transcript_integrity,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
@@ -3109,6 +3122,24 @@ def _oracle_sql_base() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS gap_us
             FROM events
+        """,
+        "transcript_integrity": TRANSCRIPTS_SQL + """,
+            ord AS (
+                SELECT conv_id, turn_idx, ts, text,
+                       lag(ts) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx, ts) AS pts
+                FROM transcripts
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   count(*) - count(DISTINCT turn_idx) AS dup_turns,
+                   count(*) FILTER (WHERE text IS NULL OR text = '')
+                       AS n_empty,
+                   coalesce(bool_and(ts >= pts)
+                            FILTER (WHERE pts IS NOT NULL), TRUE)
+                       AS ts_monotone
+            FROM ord
+            GROUP BY conv_id
         """,
         "prefix_dup_groups": """
             WITH pref AS (

@@ -521,3 +521,72 @@ def transition_counts(ds, by: str, order_cols: list[str], type_col: str,
                                               batch_format="pyarrow"))
     return partials.groupby(["prev_type", "next_type"]).aggregate(
         Sum("n", alias_name="n"))
+
+
+def integrity_stats(ds, by: str, idx_col: str, ts_col: str,
+                    text_col: str, num_partitions: int = 64):
+    """Per-key schema/ordering validation — the data-quality gate a
+    transcript corpus runs before any dedup pass (the reference trusts
+    its TimeMap ordering implicitly; at corpus scale that trust is a
+    checked invariant). One row per ``by`` key with:
+
+    - ``n_turns``   — row count;
+    - ``dup_turns`` — ``count(*) - count(DISTINCT idx_col)`` (repeated
+      turn indices);
+    - ``n_empty``   — null or empty ``text_col`` rows;
+    - ``ts_monotone`` — ``ts_col`` nondecreasing under the
+      deterministic (idx_col, ts_col) ordering.
+
+    Same partition-sweep shape as the other ordered scans: one lexsort
+    per hash partition handles every key; all four stats fall out of
+    segment arithmetic (``bincount`` over segment ids). Null
+    ``idx_col``/``ts_col`` raise (order columns must totally order);
+    null ``by`` keys form one group (window semantics)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = [by, idx_col, ts_col, text_col]
+        t = pa.table({c: batch[c] for c in keep})
+        return t.append_column(
+            "__part", _part_array(t[by], num_partitions))
+
+    schema = ds.schema()
+    btype = dict(zip(schema.names, schema.types))[by]
+    empty = pa.table({by: pa.array([], btype),
+                      "n_turns": pa.array([], pa.int64()),
+                      "dup_turns": pa.array([], pa.int64()),
+                      "n_empty": pa.array([], pa.int64()),
+                      "ts_monotone": pa.array([], pa.bool_())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__part" not in g.column_names:
+            return empty
+        order, starts, lens = _order_and_segments(
+            g, by, [idx_col, ts_col])
+        nseg = len(starts)
+        seg = np.repeat(np.arange(nseg, dtype=np.int64), lens)
+        first = np.zeros(len(order), dtype=bool)
+        first[starts] = True
+        ti = g[idx_col].combine_chunks().to_numpy(
+            zero_copy_only=False)[order]
+        ts = g[ts_col].combine_chunks().to_numpy(
+            zero_copy_only=False)[order]
+        txt = g[text_col].combine_chunks()
+        emp = pc.or_kleene(
+            pc.is_null(txt),
+            pc.equal(pc.fill_null(txt, ""), pa.scalar(""))
+        ).to_numpy(zero_copy_only=False)[order]
+        dup_pair = (ti[1:] == ti[:-1]) & ~first[1:]
+        dup_turns = np.bincount(seg[1:][dup_pair], minlength=nseg)
+        n_empty = np.bincount(seg[emp], minlength=nseg)
+        viol = (ts[1:] < ts[:-1]) & ~first[1:]
+        n_viol = np.bincount(seg[1:][viol], minlength=nseg)
+        return pa.table({
+            by: g[by].take(pa.array(order[starts])),
+            "n_turns": pa.array(lens.astype(np.int64)),
+            "dup_turns": pa.array(dup_turns.astype(np.int64)),
+            "n_empty": pa.array(n_empty.astype(np.int64)),
+            "ts_monotone": pa.array(n_viol == 0),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part").map_groups(merge,
+                                          batch_format="pyarrow"))

@@ -589,3 +589,34 @@ def test_transition_counts_single_rows_empty(ray_session):
               "ty": ["a", "b", "c"]})
     assert transition_counts(
         ds, by="k", order_cols=["t", "rid"], type_col="ty").count() == 0
+
+
+def test_integrity_stats_planted_dirty(ray_session):
+    from datetime import datetime
+
+    from raydedup.stages.ordered import integrity_stats
+
+    us = lambda s: datetime(2025, 1, 1, 0, 0, s)
+    rows = {
+        # conv a: clean, 3 turns
+        # conv b: dup turn_idx (1 twice), ts regression at turn 2
+        # conv c: empty + null text, single null-key conv d row
+        "conv": ["a", "a", "a", "b", "b", "b", "b", "c", "c", "d"],
+        "turn": [0, 1, 2, 0, 1, 1, 2, 0, 1, 0],
+        "ts": [us(0), us(1), us(2),
+               us(5), us(6), us(7), us(3),
+               us(0), us(1), us(9)],
+        "text": ["x", "y", "z", "p", "q", "r", "s", "", None, "ok"],
+    }
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(4)
+    got = {r["conv"]: r for r in integrity_stats(
+        ds, by="conv", idx_col="turn", ts_col="ts", text_col="text",
+        num_partitions=3).take_all()}
+    a, b, c, d = got["a"], got["b"], got["c"], got["d"]
+    assert (a["n_turns"], a["dup_turns"], a["n_empty"],
+            a["ts_monotone"]) == (3, 0, 0, True)
+    assert (b["n_turns"], b["dup_turns"], b["n_empty"],
+            b["ts_monotone"]) == (4, 1, 0, False)
+    assert (c["n_turns"], c["dup_turns"], c["n_empty"],
+            c["ts_monotone"]) == (2, 0, 2, True)
+    assert (d["n_turns"], d["ts_monotone"]) == (1, True)
