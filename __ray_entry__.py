@@ -1112,6 +1112,22 @@ def q_event_transitions(sf_dir: str):
                              type_col="event_type")
 
 
+def q_token_budget_mix(sf_dir: str):
+    """Per-source token-budget data mixing: keep documents, in the
+    deterministic md5 sample order, while each source's running ASCII
+    token total stays ≤ 700 — the running_totals sweep plus a
+    stateless threshold filter; the oracle replays it with a window
+    sum over the same UBIGINT hash order."""
+    from raydedup.stages.textstats import token_budget_mix
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"])
+    return token_budget_mix(docs, budget=700)
+
+
 def q_transcript_integrity(sf_dir: str):
     """Per-conversation validation gate (turn count, duplicated turn
     indices, empty texts, timestamp monotonicity under the
@@ -1620,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "prefix_dup_groups": q_prefix_dup_groups,
         "transcript_integrity": q_transcript_integrity,
+        "token_budget_mix": q_token_budget_mix,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
@@ -3122,6 +3139,24 @@ def _oracle_sql_base() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS gap_us
             FROM events
+        """,
+        "token_budget_mix": """
+            WITH tok AS (
+                SELECT doc_id, source,
+                       len(regexp_extract_all(lower(coalesce(text, '')),
+                                              '[0-9a-z_]+')) AS n_tokens,
+                       CAST(('0x' || substr(
+                           md5('mix:' || CAST(doc_id AS VARCHAR)),
+                           1, 15)) AS UBIGINT) AS hkey
+                FROM documents
+            ), run AS (
+                SELECT doc_id, source, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY hkey, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM tok
+            )
+            SELECT doc_id, source, n_tokens FROM run WHERE cum <= 700
         """,
         "transcript_integrity": TRANSCRIPTS_SQL + """,
             ord AS (

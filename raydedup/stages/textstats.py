@@ -964,3 +964,56 @@ def chunk_text(ds, size: int, stride: int, id_col: str = "doc_id",
             "chunk": pa.array(out_chunk, pa.string())})
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def token_budget_mix(ds, budget: int, group_col: str = "source",
+                     key_col: str = "doc_id", text_col: str = "text",
+                     seed: str = "mix"):
+    """Deterministic per-group token-budget mixing — the data-mixing
+    step of a training run ("take ~N tokens per source"): rows are
+    ordered inside each group by the ``sample_by_hash`` md5 key (a
+    uniform, resumable, rerun-stable order), then kept while the
+    group's running token total stays within ``budget``. Token rule is
+    the repo-wide ASCII RE2 contract (split lowercased text on
+    ``[^0-9a-z_]+``, count non-empty pieces — SQL mirror
+    ``len(regexp_extract_all(lower(text), '[0-9a-z_]+'))``).
+
+    Scale shape: one vectorized counting pass, then the
+    ``running_totals`` partition sweep (one lexsort per hash partition,
+    exact int64 cumulative sums) and a stateless threshold filter —
+    the shuffle carries only (key, group, count, hash) rows, never the
+    text."""
+    from raydedup.stages.ordered import running_totals
+
+    prefix = f"{seed}:".encode()
+
+    def tok(batch: pa.Table) -> pa.Table:
+        def _arr(a):
+            return (a.combine_chunks()
+                    if isinstance(a, pa.ChunkedArray) else a)
+
+        low = pc.utf8_lower(_arr(pc.fill_null(batch[text_col], "")))
+        toks = pc.split_pattern_regex(low, pattern=r"[^0-9a-z_]+")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = _arr(pc.list_flatten(toks))
+        rowidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, pa.scalar("")).to_numpy(
+            zero_copy_only=False)
+        n = np.bincount(rowidx[nonempty],
+                        minlength=batch.num_rows).astype(np.int64)
+        return pa.table({
+            key_col: batch[key_col],
+            group_col: batch[group_col],
+            "n_tokens": pa.array(n),
+            "__hkey": pa.array(_hash60(batch[key_col].to_pylist(),
+                                       prefix)),
+        })
+
+    counted = ds.map_batches(tok, batch_format="pyarrow")
+    run = running_totals(counted, by=group_col,
+                         order_cols=["__hkey", key_col],
+                         value_col="n_tokens",
+                         out_n="__rn", out_sum="__cum")
+    return (run.filter(expr=f"__cum <= {int(budget)}")
+            .select_columns([key_col, group_col, "n_tokens"]))

@@ -620,3 +620,42 @@ def test_integrity_stats_planted_dirty(ray_session):
     assert (c["n_turns"], c["dup_turns"], c["n_empty"],
             c["ts_monotone"]) == (2, 0, 2, True)
     assert (d["n_turns"], d["ts_monotone"]) == (1, True)
+
+
+def test_token_budget_mix_vs_brute(ray_session):
+    import hashlib
+    import re as _re
+
+    from raydedup.stages.textstats import token_budget_mix
+
+    rng = random.Random(13)
+    n = 200
+    ids = list(range(n))
+    srcs = [f"s{rng.randrange(4)}" for _ in range(n)]
+    texts = [None if rng.random() < 0.05 else
+             " ".join(f"w{rng.randrange(9)}"
+                      for _ in range(rng.randrange(0, 12)))
+             for _ in range(n)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "source": srcs, "text": texts})).repartition(6)
+    budget = 60
+    got = {r["doc_id"]: (r["source"], r["n_tokens"]) for r in
+           token_budget_mix(ds, budget=budget).take_all()}
+
+    def h60(k):
+        return int.from_bytes(
+            hashlib.md5(f"mix:{k}".encode()).digest()[:8], "big") >> 4
+
+    brute = {}
+    per_src: dict = {}
+    rows = sorted(zip(ids, srcs, texts), key=lambda r: (r[1], h60(r[0]),
+                                                        r[0]))
+    for i, s, t in rows:
+        nt = len([x for x in _re.split(r"[^0-9a-z_]+",
+                                       (t or "").lower()) if x])
+        cum = per_src.get(s, 0) + nt
+        per_src[s] = cum
+        if cum <= budget:
+            brute[i] = (s, nt)
+    assert got == brute
