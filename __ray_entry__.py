@@ -1112,6 +1112,15 @@ def q_event_transitions(sf_dir: str):
                              type_col="event_type")
 
 
+def q_conversation_stats(sf_dir: str):
+    """Per-conversation rollup (turns, per-role turns, total ASCII
+    tokens): batch-local C++ group_by partials, then one grouped sum —
+    the shuffle carries partial rows, never turn text."""
+    from raydedup.stages.stats import conversation_stats
+
+    return conversation_stats(transcripts_from_documents(sf_dir))
+
+
 def q_token_budget_mix(sf_dir: str):
     """Per-source token-budget data mixing: keep documents, in the
     deterministic md5 sample order, while each source's running ASCII
@@ -1637,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dup_groups": q_prefix_dup_groups,
         "transcript_integrity": q_transcript_integrity,
         "token_budget_mix": q_token_budget_mix,
+        "conversation_stats": q_conversation_stats,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
@@ -3139,6 +3149,19 @@ def _oracle_sql_base() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS gap_us
             FROM events
+        """,
+        "conversation_stats": TRANSCRIPTS_SQL + """
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   count(*) FILTER (WHERE role = 'user') AS n_user,
+                   count(*) FILTER (WHERE role = 'assistant')
+                       AS n_assistant,
+                   count(*) FILTER (WHERE role = 'tool') AS n_tool,
+                   sum(len(regexp_extract_all(lower(coalesce(text, '')),
+                                              '[0-9a-z_]+')))
+                       AS n_tokens
+            FROM transcripts
+            GROUP BY conv_id
         """,
         "token_budget_mix": """
             WITH tok AS (

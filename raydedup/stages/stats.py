@@ -501,3 +501,49 @@ def cumulative_distinct(ds, key_col: str = "user_id",
         "new_keys": pa.array(new),
         "cum_keys": pa.array(np.cumsum(new)),
     }))
+
+
+def conversation_stats(ds, conv_col: str = "conv_id",
+                       role_col: str = "role",
+                       text_col: str = "text"):
+    """Per-conversation rollup — turn count, per-role turn counts and
+    total ASCII-contract tokens — the corpus profile an agent-trace
+    curation run reads before choosing mixing weights. Classic
+    pre-aggregated shape: each batch collapses to at most one row per
+    (batch, conversation) with a C++ ``Table.group_by``, so the global
+    groupby-sum shuffles partial rows, never turns."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raydedup.stages.textstats import ascii_token_counts
+
+    out_cols = ["n_turns", "n_user", "n_assistant", "n_tool",
+                "n_tokens"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({conv_col: pa.array([], pa.string()),
+                             **{c: pa.array([], pa.int64())
+                                for c in out_cols}})
+        roles = batch[role_col]
+        ones = np.ones(batch.num_rows, dtype=np.int64)
+
+        def role_flag(name: str):
+            return pc.cast(pc.fill_null(pc.equal(roles, name), False),
+                           pa.int64())
+
+        t = pa.table({
+            conv_col: batch[conv_col],
+            "n_turns": pa.array(ones),
+            "n_user": role_flag("user"),
+            "n_assistant": role_flag("assistant"),
+            "n_tool": role_flag("tool"),
+            "n_tokens": pa.array(ascii_token_counts(batch[text_col])),
+        })
+        agg = t.group_by(conv_col).aggregate(
+            [(c, "sum") for c in out_cols])
+        return agg.rename_columns([conv_col] + out_cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(conv_col).aggregate(
+        *[Sum(c, alias_name=c) for c in out_cols])

@@ -966,6 +966,26 @@ def chunk_text(ds, size: int, stride: int, id_col: str = "doc_id",
     return ds.map_batches(chunks, batch_format="pyarrow")
 
 
+def ascii_token_counts(col) -> np.ndarray:
+    """Per-row count of ASCII-contract tokens (split lowercased text on
+    ``[^0-9a-z_]+``, count non-empty pieces; nulls count 0) — the SQL
+    mirror is ``len(regexp_extract_all(lower(coalesce(text, '')),
+    '[0-9a-z_]+'))``. One RE2 split + one bincount per batch."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    low = pc.utf8_lower(pc.fill_null(arr, ""))
+    toks = pc.split_pattern_regex(low, pattern=r"[^0-9a-z_]+")
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    rowidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    nonempty = pc.not_equal(flat, pa.scalar("")).to_numpy(
+        zero_copy_only=False)
+    return np.bincount(rowidx[nonempty],
+                       minlength=len(lens)).astype(np.int64)
+
+
 def token_budget_mix(ds, budget: int, group_col: str = "source",
                      key_col: str = "doc_id", text_col: str = "text",
                      seed: str = "mix"):
@@ -988,20 +1008,7 @@ def token_budget_mix(ds, budget: int, group_col: str = "source",
     prefix = f"{seed}:".encode()
 
     def tok(batch: pa.Table) -> pa.Table:
-        def _arr(a):
-            return (a.combine_chunks()
-                    if isinstance(a, pa.ChunkedArray) else a)
-
-        low = pc.utf8_lower(_arr(pc.fill_null(batch[text_col], "")))
-        toks = pc.split_pattern_regex(low, pattern=r"[^0-9a-z_]+")
-        lens = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = _arr(pc.list_flatten(toks))
-        rowidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        nonempty = pc.not_equal(flat, pa.scalar("")).to_numpy(
-            zero_copy_only=False)
-        n = np.bincount(rowidx[nonempty],
-                        minlength=batch.num_rows).astype(np.int64)
+        n = ascii_token_counts(batch[text_col])
         return pa.table({
             key_col: batch[key_col],
             group_col: batch[group_col],

@@ -659,3 +659,36 @@ def test_token_budget_mix_vs_brute(ray_session):
         if cum <= budget:
             brute[i] = (s, nt)
     assert got == brute
+
+
+def test_conversation_stats_vs_brute(ray_session):
+    import re as _re
+
+    from raydedup.stages.stats import conversation_stats
+
+    rng = random.Random(5)
+    convs, roles, texts = [], [], []
+    for i in range(150):
+        convs.append(f"c{rng.randrange(12)}")
+        roles.append([None, "user", "assistant", "tool",
+                      "system"][rng.randrange(5)])
+        texts.append(None if rng.random() < 0.1 else
+                     " ".join(f"t{rng.randrange(20)}"
+                              for _ in range(rng.randrange(6))))
+    ds = ray.data.from_arrow(pa.table({
+        "conv_id": convs, "role": roles, "text": texts})).repartition(4)
+    got = {r["conv_id"]: r for r in conversation_stats(ds).take_all()}
+    brute: dict = {}
+    for c, r, t in zip(convs, roles, texts):
+        b = brute.setdefault(c, dict(n_turns=0, n_user=0,
+                                     n_assistant=0, n_tool=0,
+                                     n_tokens=0))
+        b["n_turns"] += 1
+        for name in ("user", "assistant", "tool"):
+            b[f"n_{name}"] += int(r == name)
+        b["n_tokens"] += len([x for x in _re.split(
+            r"[^0-9a-z_]+", (t or "").lower()) if x])
+    assert set(got) == set(brute)
+    for c, b in brute.items():
+        for k, v in b.items():
+            assert got[c][k] == v, (c, k)
