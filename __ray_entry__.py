@@ -1112,6 +1112,19 @@ def q_event_transitions(sf_dir: str):
                              type_col="event_type")
 
 
+def q_top_bigrams(sf_dir: str):
+    """Global top-50 adjacent-token bigrams (collocation / boilerplate
+    phrase profile): vectorized per-batch pair counts, one grouped sum
+    over (bigram, n), sort+limit on the aggregated table."""
+    from raydedup.stages.collection import top_bigrams
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return top_bigrams(docs, k=50)
+
+
 def q_conversation_stats(sf_dir: str):
     """Per-conversation rollup (turns, per-role turns, total ASCII
     tokens): batch-local C++ group_by partials, then one grouped sum —
@@ -1647,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_integrity": q_transcript_integrity,
         "token_budget_mix": q_token_budget_mix,
         "conversation_stats": q_conversation_stats,
+        "top_bigrams": q_top_bigrams,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
@@ -3149,6 +3163,21 @@ def _oracle_sql_base() -> dict[str, str]:
                                      ORDER BY ts, event_id),
                        ts), -1) AS gap_us
             FROM events
+        """,
+        "top_bigrams": """
+            WITH arrs AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[0-9a-z_]+') AS arr
+                FROM documents
+            ), pairs AS (
+                SELECT arr[t.i + 1] || ' ' || arr[t.i + 2] AS bigram
+                FROM arrs,
+                     UNNEST(range(greatest(len(arr) - 1, 0))) AS t(i)
+            )
+            SELECT bigram, count(*) AS n
+            FROM pairs GROUP BY 1
+            ORDER BY n DESC, bigram DESC
+            LIMIT 50
         """,
         "conversation_stats": TRANSCRIPTS_SQL + """
             SELECT conv_id,

@@ -18,6 +18,7 @@ simple lowercase tokenizer (SQL-mirrorable for the DuckDB oracle).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -159,3 +160,53 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text"):
             .map_batches(pairs, batch_format="pyarrow")
             .groupby("term").map_groups(join_postings,
                                         batch_format="pyarrow"))
+
+
+def top_bigrams(ds, k: int = 50, text_col: str = "text"):
+    """Global top-k adjacent-token bigrams under the ASCII token
+    contract — the collocation profile (and boilerplate-phrase
+    detector) of a corpus. Same shape as ``global_top_terms`` with a
+    fully vectorized partial: one RE2 split per batch, one shifted
+    element-wise join for the pairs, one ``value_counts``; the shuffle
+    then carries only (bigram, partial count) rows and the final
+    sort+limit runs on the aggregated table. Tie rule shared with the
+    oracle: count desc, bigram desc."""
+    empty = pa.table({"bigram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        low = pc.utf8_lower(pc.fill_null(arr, ""))
+        toks = pc.split_pattern_regex(low, pattern=r"[^0-9a-z_]+")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        rowidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keepmask = pc.not_equal(flat, pa.scalar("")).to_numpy(
+            zero_copy_only=False)
+        if len(keepmask) and not keepmask.all():
+            flat = flat.filter(pa.array(keepmask))
+            rowidx = rowidx[keepmask]
+        if len(rowidx) < 2:
+            return empty
+        same = rowidx[1:] == rowidx[:-1]
+        if not same.any():
+            return empty
+        sel = pa.array(same)
+        a = flat.slice(0, len(flat) - 1).filter(sel)
+        b = flat.slice(1).filter(sel)
+        big = pc.binary_join_element_wise(a, b, " ")
+        vc = pc.value_counts(big)
+        return pa.table({"bigram": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    counts = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow")
+    totals = counts.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return totals.sort(["n", "bigram"], descending=[True, True]).limit(k)
