@@ -1367,6 +1367,52 @@ def q_revenue_by_nation(sf_dir: str):
         date_hi=datetime.datetime(1998, 1, 1))
 
 
+def q_filtered_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue scan: one pruned pass, no join;
+    per-batch one-row partials merged by a constant-key groupby.
+    Discount band tested in exact integer cents."""
+    import datetime
+
+    import ray.data
+
+    from raydedup.stages.relational import filtered_revenue
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+    return filtered_revenue(li,
+                            date_lo=datetime.datetime(1997, 1, 1),
+                            date_hi=datetime.datetime(1998, 1, 1),
+                            disc_lo_cents=2, disc_hi_cents=6,
+                            qty_below=25.0)
+
+
+def q_top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3-shaped shipping-priority report: segment-customer
+    filter (broadcast custkeys / distributed semi-join auto-switch),
+    pruned lineitem⋈orders hash join, per-batch partial aggregation,
+    top-10 by exact integer revenue."""
+    import datetime
+
+    import ray.data
+
+    from raydedup.stages.relational import top_unshipped_orders
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    return top_unshipped_orders(li, orders, cust, segment="BUILDING",
+                                cutoff=datetime.datetime(1998, 6, 1),
+                                k=10)
+
+
 _PIVOT_CATS = ["click", "purchase", "view", "signup"]
 
 
@@ -1670,6 +1716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram_by_source": q_length_histogram_by_source,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "filtered_revenue": q_filtered_revenue,
+        "top_unshipped_orders": q_top_unshipped_orders,
     }
 
 
@@ -3384,6 +3432,34 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(CAST(sum(ep) AS BIGINT) AS DOUBLE)
                        / CAST(count(*) AS DOUBLE) AS avg_price_cents
             FROM c GROUP BY 1, 2
+        """,
+        "filtered_revenue": """
+            SELECT count(*) AS n_rows,
+                   coalesce(CAST(sum(
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * CAST(round(l_discount * 100, 0) AS BIGINT)
+                   ) AS BIGINT), 0) AS revenue_e4
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 2 AND 6
+              AND l_quantity < 25
+        """,
+        "top_unshipped_orders": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(sum(
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                   ) AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1998-06-01'
+              AND l_shipdate > DATE '1998-06-01'
+            GROUP BY 1, 2
+            ORDER BY revenue_e4 DESC, l_orderkey
+            LIMIT 10
         """,
         "revenue_by_nation": """
             SELECT n_name, count(*) AS n_rows,

@@ -312,6 +312,148 @@ def revenue_by_nation(lineitem, orders, customer, nation, region,
     )
 
 
+def filtered_revenue(lineitem, date_lo, date_hi,
+                     disc_lo_cents: int, disc_hi_cents: int,
+                     qty_below: float):
+    """TPC-H Q6-shaped forecast-revenue scan: one pruned pass over
+    lineitem, no joins, no shuffle beyond a constant-key merge of
+    one-row partials. → Dataset(n_rows, revenue_e4) (exactly one row)
+    where revenue = Σ price·discount over rows with ``date_lo <=
+    l_shipdate < date_hi``, ``disc_lo <= l_discount <= disc_hi`` (in
+    integer cents — exact, no float epsilon games) and ``l_quantity <
+    qty_below``. At 100 TB the date predicate belongs in the
+    ``read_parquet`` filter so row groups prune before the scan; here
+    it is also applied per batch so the stage is correct standalone.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(date_lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(date_hi)))
+        m = pc.and_(m, pc.less(b["l_quantity"], pa.scalar(qty_below)))
+        b = b.filter(pc.fill_null(m, False))
+        ep = _cents(b["l_extendedprice"])
+        disc = _cents(b["l_discount"])
+        keep = (disc >= disc_lo_cents) & (disc <= disc_hi_cents)
+        return pa.table({
+            "__all": pa.array([0], pa.int64()),
+            "n_rows": pa.array([int(keep.sum())], pa.int64()),
+            "revenue_e4": pa.array([int((ep[keep] * disc[keep]).sum())],
+                                   pa.int64())})
+
+    merged = (lineitem.map_batches(partial, batch_format="pyarrow")
+              .groupby("__all")
+              .aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Sum("revenue_e4", alias_name="revenue_e4")))
+    return merged.select_columns(["n_rows", "revenue_e4"])
+
+
+def top_unshipped_orders(lineitem, orders, customer, segment: str,
+                         cutoff, k: int = 10,
+                         num_partitions: int | None = None,
+                         broadcast_limit: int = 5_000_000):
+    """TPC-H Q3-shaped shipping-priority report: the ``k``
+    highest-revenue orders from ``segment`` customers that were placed
+    before ``cutoff`` but still have line items shipping after it.
+    → Dataset(l_orderkey, o_orderdate, revenue_e4), revenue in exact
+    1e-4 integer units, ties broken by orderkey asc (shared with the
+    oracle).
+
+    Shape: both fact sides prune + project per batch before the
+    distributed lineitem ⋈ orders hash join; the segment-customer
+    filter broadcasts a sorted custkey array when the customer table is
+    under ``broadcast_limit`` rows and otherwise routes through the
+    distributed ``semi_join`` (same auto-switch idiom as
+    ``revenue_by_nation``). Per-batch Arrow group_by partials collapse
+    the join output to (orderkey, date, Σrev) rows before the final
+    small groupby, and the top-k runs as sort+limit on the aggregated
+    table (O(orders-in-window) rows, not lineitem).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(32, 2 * ncpu))
+
+    def cust_proj(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["c_mktsegment"], segment)
+        b = b.filter(pc.fill_null(keep, False))
+        return pa.table({"o_custkey": pc.cast(b["c_custkey"], pa.int64())})
+
+    cust_keys = customer.map_batches(cust_proj, batch_format="pyarrow")
+    cust_keys = cust_keys.materialize()  # count() + reuse below
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        m = pc.less(b["o_orderdate"], pa.scalar(cutoff))
+        b = b.filter(pc.fill_null(m, False))
+        return pa.table({"o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                         "o_orderdate": b["o_orderdate"]})
+
+    ord_small = orders.map_batches(ord_proj, batch_format="pyarrow")
+
+    if cust_keys.count() <= broadcast_limit:
+        keys = np.sort(np.concatenate(
+            [t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+             for t in (ray.get(r) for r in cust_keys.to_arrow_refs())
+             if t.num_rows] or [np.array([], dtype=np.int64)]))
+        keys_ref = ray.put(keys)
+
+        def ord_in_segment(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "o_custkey" not in b.column_names:
+                return pa.table(
+                    {"o_orderkey": pa.array([], pa.int64()),
+                     "o_custkey": pa.array([], pa.int64()),
+                     "o_orderdate": pa.array([], pa.timestamp("us"))})
+            ks = ray.get(keys_ref)
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            if len(ks) == 0:
+                return b.slice(0, 0)
+            pos = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
+            return b.filter(pa.array(ks[pos] == ck))
+
+        ord_seg = ord_small.map_batches(ord_in_segment,
+                                        batch_format="pyarrow")
+    else:
+        ord_seg = semi_join(ord_small, cust_keys, on="o_custkey",
+                            num_partitions=num_partitions)
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        m = pc.greater(b["l_shipdate"], pa.scalar(cutoff))
+        b = b.filter(pc.fill_null(m, False))
+        ep = _cents(b["l_extendedprice"])
+        disc = _cents(b["l_discount"])
+        return pa.table({"l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                         "rev_e4": pa.array(ep * (100 - disc))})
+
+    li_small = lineitem.map_batches(li_proj, batch_format="pyarrow")
+    joined = li_small.join(ord_seg, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "rev_e4" not in b.column_names:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.timestamp("us")),
+                 "revenue_e4": pa.array([], pa.int64())})
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "o_orderdate": b["o_orderdate"],
+                      "revenue_e4": b["rev_e4"]})
+        agg = t.group_by(["l_orderkey", "o_orderdate"]).aggregate(
+            [("revenue_e4", "sum")])
+        return pa.table({"l_orderkey": agg["l_orderkey"],
+                         "o_orderdate": agg["o_orderdate"],
+                         "revenue_e4": agg["revenue_e4_sum"]})
+
+    merged = (joined.map_batches(agg_partial, batch_format="pyarrow")
+              .groupby(["l_orderkey", "o_orderdate"])
+              .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+    return merged.sort(["revenue_e4", "l_orderkey"],
+                       descending=[True, False]).limit(k)
+
+
 def semi_join(left, right, on: str, anti: bool = False,
               num_partitions: int = 64):
     """Distributed semi-join (``anti=True`` → anti-join): every left row

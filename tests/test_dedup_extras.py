@@ -228,6 +228,38 @@ def test_global_top_terms_vs_scalar_twin():
     assert [(r["term"], r["n"]) for r in got] == want
 
 
+def test_top_bigrams_vs_brute(ray_session):
+    # vectorized shifted-join bigram partial == brute per-row regex walk;
+    # pairs never cross row boundaries, nulls/punctuation-only rows drop,
+    # tie rule shared with the oracle (count desc, bigram desc)
+    import re
+    from collections import Counter
+
+    from raydedup.stages.collection import top_bigrams
+
+    texts = [
+        "the quick brown fox the quick brown",
+        "THE  Quick?? brown--fox",          # case/punct fold to same pairs
+        None,
+        "",
+        "...!!!",                            # tokenless
+        "solo",                              # one token → no pair
+        "a b a b a b",
+        "x9_y z x9_y z",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})).repartition(3)
+    got = [(r["bigram"], r["n"]) for r in top_bigrams(ds, k=6).take_all()]
+
+    counts = Counter()
+    for t in texts:
+        toks = re.findall(r"[0-9a-z_]+", (t or "").lower())
+        counts.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]),
+                  reverse=True)[:6]
+    assert got == want
+
+
 def test_cross_corpus_near_dups(ray_session):
     import numpy as np  # noqa: F401
     import pyarrow as pa

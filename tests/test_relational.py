@@ -115,6 +115,64 @@ def test_revenue_by_nation_join_route_equals_broadcast(ray_session):
     assert [x[0] for x in run(1)] == ["ALPHA", "BETA"]
 
 
+def test_filtered_revenue_vs_brute(ray_session):
+    from raydedup.stages.relational import filtered_revenue
+
+    rows = _li(400, seed=9)
+    lo, hi = datetime.datetime(1996, 3, 1), datetime.datetime(1996, 9, 1)
+    out = filtered_revenue(_ds(rows).repartition(6), date_lo=lo,
+                           date_hi=hi, disc_lo_cents=2, disc_hi_cents=6,
+                           qty_below=25.0).take_all()
+    assert len(out) == 1
+    n = rev = 0
+    for i in range(400):
+        d = int(round(rows["l_discount"][i] * 100))
+        if (lo <= rows["l_shipdate"][i] < hi and 2 <= d <= 6
+                and rows["l_quantity"][i] < 25.0):
+            n += 1
+            rev += int(round(rows["l_extendedprice"][i] * 100)) * d
+    assert (out[0]["n_rows"], out[0]["revenue_e4"]) == (n, rev)
+    # empty selection still yields one exact zero row (matches the
+    # oracle's count(*)=0 / coalesce(sum,0))
+    none = filtered_revenue(_ds(rows), date_lo=lo, date_hi=lo,
+                            disc_lo_cents=2, disc_hi_cents=6,
+                            qty_below=25.0).take_all()
+    assert [(r["n_rows"], r["revenue_e4"]) for r in none] == [(0, 0)]
+
+
+def test_top_unshipped_orders_routes_agree(ray_session):
+    # broadcast_limit=0 forces the distributed semi-join route; output
+    # must equal the broadcast-custkey route exactly (incl. tie order)
+    from raydedup.stages.relational import top_unshipped_orders
+
+    cutoff = datetime.datetime(1996, 6, 1)
+    li = _ds({"l_orderkey": [1, 1, 2, 3, 4],
+              "l_extendedprice": [10.00, 20.00, 30.00, 40.00, 5.00],
+              "l_discount": [0.10, 0.00, 0.05, 0.00, 0.02],
+              "l_shipdate": [cutoff + datetime.timedelta(days=d)
+                             for d in (1, 2, 3, 4, -1)]})
+    orders = _ds({"o_orderkey": [1, 2, 3, 4],
+                  "o_custkey": [100, 200, 999, 100],
+                  "o_orderdate": [cutoff - datetime.timedelta(days=d)
+                                  for d in (10, 5, 3, -1)]})
+    cust = _ds({"c_custkey": [100, 200, 300],
+                "c_mktsegment": ["BUILDING", "BUILDING", "AUTO"]})
+
+    def run(limit):
+        return [(r["l_orderkey"], r["o_orderdate"], r["revenue_e4"])
+                for r in top_unshipped_orders(
+                    li, orders, cust, segment="BUILDING", cutoff=cutoff,
+                    k=10, broadcast_limit=limit).take_all()]
+
+    got = run(10**6)
+    # order 3: non-segment customer; order 4: placed after cutoff and
+    # its only line shipped before it — both excluded
+    assert got == [(1, datetime.datetime(1996, 5, 22),
+                    10_00 * 90 + 20_00 * 100),
+                   (2, datetime.datetime(1996, 5, 27), 30_00 * 95)]
+    assert run(0) == got
+
+
 def test_semi_and_anti_join(ray_session):
     from raydedup.stages.relational import semi_join
 
