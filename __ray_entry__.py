@@ -1413,6 +1413,28 @@ def q_top_unshipped_orders(sf_dir: str):
                                 k=10)
 
 
+def q_cluster_size_histogram(sf_dir: str):
+    """Exact-dup cluster-size distribution over documents: distinct-text
+    counts shuffle sha keys only; the histogram moves one row per
+    duplicated text then one per size."""
+    from raydedup.stages.exact import cluster_size_histogram
+
+    return cluster_size_histogram(_docs(sf_dir))
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate scorecard (rows, uniques, dup rows,
+    dup fraction) — dup_frac divides the same exact int64s as the SQL
+    oracle."""
+    import ray.data
+
+    from raydedup.stages.exact import dup_rate_by_group
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+    return dup_rate_by_group(docs, group_col="source")
+
+
 _PIVOT_CATS = ["click", "purchase", "view", "signup"]
 
 
@@ -1718,6 +1740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "filtered_revenue": q_filtered_revenue,
         "top_unshipped_orders": q_top_unshipped_orders,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "dup_rate_by_source": q_dup_rate_by_source,
     }
 
 
@@ -3432,6 +3456,27 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(CAST(sum(ep) AS BIGINT) AS DOUBLE)
                        / CAST(count(*) AS DOUBLE) AS avg_price_cents
             FROM c GROUP BY 1, 2
+        """,
+        "cluster_size_histogram": """
+            WITH g AS (
+                SELECT count(*) AS n
+                FROM documents GROUP BY coalesce(text, '')
+            )
+            SELECT n AS cluster_size, count(*) AS n_clusters
+            FROM g GROUP BY 1
+        """,
+        "dup_rate_by_source": """
+            WITH g AS (
+                SELECT source, count(*) AS n
+                FROM documents GROUP BY source, coalesce(text, '')
+            )
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   count(*) AS n_uniq,
+                   CAST(sum(n) AS BIGINT) - count(*) AS dup_rows,
+                   CAST(CAST(sum(n) AS BIGINT) - count(*) AS DOUBLE)
+                       / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS dup_frac
+            FROM g GROUP BY 1
         """,
         "filtered_revenue": """
             SELECT count(*) AS n_rows,

@@ -231,3 +231,116 @@ def exact_clusters(assigned_ds, min_size: int = 2):
         )
 
     return assigned_ds.map_batches(_label, batch_format="pyarrow")
+
+
+def _text_group_counts(ds, text_col: str, group_col: str | None = None):
+    """→ Dataset(group?, h, n): row count per distinct text (per group
+    when ``group_col`` is given). Texts leave the batch as a sha256 per
+    DISTINCT value (one hash per dictionary entry, same idiom as
+    signatures.py), so the dedup shuffle carries 64-char keys + counts,
+    never the documents. NULL text folds to '' — mirror with
+    coalesce(text, '') in SQL oracles."""
+    import hashlib
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    keys = ([group_col] if group_col else []) + ["h"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            pc.fill_null(b[text_col].combine_chunks(), ""))
+        u_sha = [hashlib.sha256(t.encode("utf-8")).hexdigest()
+                 for t in enc.dictionary.to_pylist()]
+        cols = {"h": pc.take(pa.array(u_sha, pa.string()), enc.indices),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+        if group_col:
+            cols[group_col] = b[group_col]
+        agg = pa.table(cols).group_by(keys).aggregate([("n", "sum")])
+        return pa.table({**{k: agg[k] for k in keys}, "n": agg["n_sum"]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(keys).aggregate(Sum("n", alias_name="n")))
+
+
+def cluster_size_histogram(ds, text_col: str = "text"):
+    """→ Dataset(cluster_size, n_clusters): the exact-text group size
+    distribution — the first dashboard a dedup run reports (singletons
+    included, so the result is non-empty on clean corpora and the
+    singleton row doubles as the unique count). Built on the
+    distinct-text counts above; the histogram groupby moves one row per
+    distinct text, then one per size."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    counts = _text_group_counts(ds, text_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n" not in b.column_names:
+            return pa.table({"cluster_size": pa.array([], pa.int64()),
+                             "n_clusters": pa.array([], pa.int64())})
+        t = pa.table({"cluster_size": b["n"],
+                      "n_clusters": pa.array(
+                          np.ones(b.num_rows, dtype=np.int64))})
+        agg = t.group_by(["cluster_size"]).aggregate([("n_clusters",
+                                                       "sum")])
+        return pa.table({"cluster_size": agg["cluster_size"],
+                         "n_clusters": agg["n_clusters_sum"]})
+
+    return (counts.map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster_size")
+            .aggregate(Sum("n_clusters", alias_name="n_clusters")))
+
+
+def dup_rate_by_group(ds, group_col: str = "source",
+                      text_col: str = "text"):
+    """→ Dataset(group, n_rows, n_uniq, dup_rows, dup_frac): per-group
+    exact-duplicate accounting (the per-source dedup scorecard).
+    ``dup_frac`` divides the same two exact int64s the SQL oracle
+    divides, hence bit-identical. Duplicate scope is per (group, text):
+    the same text in two sources counts against each source separately
+    — cross-source accounting is ``cluster_size_histogram``'s job."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    schema = ds.schema()
+    gtype = schema.types[schema.names.index(group_col)]
+    counts = _text_group_counts(ds, text_col, group_col=group_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n" not in b.column_names:
+            return pa.table({group_col: pa.array([], gtype),
+                             "n_rows": pa.array([], pa.int64()),
+                             "n_uniq": pa.array([], pa.int64())})
+        t = pa.table({group_col: b[group_col], "n_rows": b["n"],
+                      "n_uniq": pa.array(
+                          np.ones(b.num_rows, dtype=np.int64))})
+        agg = t.group_by([group_col]).aggregate(
+            [("n_rows", "sum"), ("n_uniq", "sum")])
+        return pa.table({group_col: agg[group_col],
+                         "n_rows": agg["n_rows_sum"],
+                         "n_uniq": agg["n_uniq_sum"]})
+
+    merged = (counts.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Sum("n_uniq", alias_name="n_uniq")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_rows" not in b.column_names:
+            return pa.table({group_col: pa.array([], gtype),
+                             "n_rows": pa.array([], pa.int64()),
+                             "n_uniq": pa.array([], pa.int64()),
+                             "dup_rows": pa.array([], pa.int64()),
+                             "dup_frac": pa.array([], pa.float64())})
+        nr = b["n_rows"].combine_chunks().to_numpy(zero_copy_only=False)
+        nu = b["n_uniq"].combine_chunks().to_numpy(zero_copy_only=False)
+        dup = nr - nu
+        return (b.append_column("dup_rows", pa.array(dup))
+                .append_column("dup_frac", pa.array(
+                    dup.astype(np.float64) / nr.astype(np.float64))))
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -228,6 +228,32 @@ def test_global_top_terms_vs_scalar_twin():
     assert [(r["term"], r["n"]) for r in got] == want
 
 
+def test_dup_report_operators(ray_session):
+    # planted exact dups: "x"×4 (two sources), "y"×2, null+""
+    # fold together (×2), "z" singleton
+    from raydedup.stages.exact import (cluster_size_histogram,
+                                       dup_rate_by_group)
+
+    tbl = pa.table({
+        "source": ["a", "a", "a", "b", "b", "b", "a", "b", "a"],
+        "text": pa.array(["x", "x", "x", "x", "y", "y", None, "", "z"]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    hist = {r["cluster_size"]: r["n_clusters"]
+            for r in cluster_size_histogram(ds).take_all()}
+    assert hist == {4: 1, 2: 2, 1: 1}  # x:4, y:2, null/"":2, z:1
+
+    rep = {r["source"]: r for r in dup_rate_by_group(ds).take_all()}
+    # source a: texts x,x,x,null,z → 5 rows, 3 uniq (x, '', z)
+    assert (rep["a"]["n_rows"], rep["a"]["n_uniq"],
+            rep["a"]["dup_rows"]) == (5, 3, 2)
+    assert rep["a"]["dup_frac"] == 2.0 / 5.0
+    # source b: x,y,y,'' → 4 rows, 3 uniq
+    assert (rep["b"]["n_rows"], rep["b"]["n_uniq"],
+            rep["b"]["dup_rows"]) == (4, 3, 1)
+
+
 def test_top_bigrams_vs_brute(ray_session):
     # vectorized shifted-join bigram partial == brute per-row regex walk;
     # pairs never cross row boundaries, nulls/punctuation-only rows drop,
