@@ -1125,6 +1125,20 @@ def q_top_bigrams(sf_dir: str):
     return top_bigrams(docs, k=50)
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """Top-30 collocations by PMI (n_ab >= 5): unigram/bigram count
+    Datasets joined distributed (no vocabulary broadcast), scalar
+    totals only on the driver, shared nudge+round float contract with
+    the oracle."""
+    from raydedup.stages.collection import pmi_bigrams
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return pmi_bigrams(docs, k=30, min_n=5)
+
+
 def q_conversation_stats(sf_dir: str):
     """Per-conversation rollup (turns, per-role turns, total ASCII
     tokens): batch-local C++ group_by partials, then one grouped sum —
@@ -1729,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_mix": q_token_budget_mix,
         "conversation_stats": q_conversation_stats,
         "top_bigrams": q_top_bigrams,
+        "pmi_bigrams": q_pmi_bigrams,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
@@ -3250,6 +3265,39 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM pairs GROUP BY 1
             ORDER BY n DESC, bigram DESC
             LIMIT 50
+        """,
+        "pmi_bigrams": """
+            WITH arrs AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[0-9a-z_]+') AS arr
+                FROM documents
+            ), toks AS (
+                SELECT t.tok FROM arrs, UNNEST(arr) AS t(tok)
+            ), uni AS (
+                SELECT tok AS term, count(*) AS n_term
+                FROM toks GROUP BY 1
+            ), pairs AS (
+                SELECT arr[t.i + 1] AS w1, arr[t.i + 2] AS w2
+                FROM arrs,
+                     UNNEST(range(greatest(len(arr) - 1, 0))) AS t(i)
+            ), big AS (
+                SELECT w1, w2, count(*) AS n_ab
+                FROM pairs GROUP BY 1, 2
+            ), tot AS (
+                SELECT (SELECT count(*) FROM toks) AS n_tok,
+                       (SELECT count(*) FROM pairs) AS n_big
+            )
+            SELECT w1 || ' ' || w2 AS bigram, n_ab,
+                   round(ln((CAST(n_ab AS DOUBLE) * n_tok * n_tok)
+                            / (CAST(n_big AS DOUBLE) * u1.n_term
+                               * u2.n_term))
+                         + 1e-9, 6) AS pmi
+            FROM big
+            JOIN uni u1 ON big.w1 = u1.term
+            JOIN uni u2 ON big.w2 = u2.term, tot
+            WHERE n_ab >= 5
+            ORDER BY pmi DESC, bigram
+            LIMIT 30
         """,
         "conversation_stats": TRANSCRIPTS_SQL + """
             SELECT conv_id,

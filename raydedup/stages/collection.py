@@ -162,35 +162,57 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text"):
                                         batch_format="pyarrow"))
 
 
-def top_bigrams(ds, k: int = 50, text_col: str = "text"):
-    """Global top-k adjacent-token bigrams under the ASCII token
-    contract — the collocation profile (and boilerplate-phrase
-    detector) of a corpus. Same shape as ``global_top_terms`` with a
-    fully vectorized partial: one RE2 split per batch, one shifted
-    element-wise join for the pairs, one ``value_counts``; the shuffle
-    then carries only (bigram, partial count) rows and the final
-    sort+limit runs on the aggregated table. Tie rule shared with the
-    oracle: count desc, bigram desc."""
-    empty = pa.table({"bigram": pa.array([], pa.string()),
-                      "n": pa.array([], pa.int64())})
+def _flat_tokens(col) -> tuple[pa.Array, np.ndarray]:
+    """Text column → (flat lowercase ASCII tokens, owning-row index):
+    one RE2 split per batch, empties filtered vectorized — the shared
+    tokenizer for the n-gram collocation stages (same token contract as
+    the ``regexp_extract_all('[0-9a-z_]+')`` SQL oracles)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    low = pc.utf8_lower(pc.fill_null(arr, ""))
+    toks = pc.split_pattern_regex(low, pattern=r"[^0-9a-z_]+")
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    rowidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keepmask = pc.not_equal(flat, pa.scalar("")).to_numpy(
+        zero_copy_only=False)
+    if len(keepmask) and not keepmask.all():
+        flat = flat.filter(pa.array(keepmask))
+        rowidx = rowidx[keepmask]
+    return flat, rowidx
+
+
+def _unigram_counts(ds, text_col: str = "text", out: str = "n_term"):
+    """→ Dataset(term, n_term): global token counts, vectorized partial
+    (one value_counts per batch) then one grouped sum over (term, n)."""
+    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        col = batch[text_col]
-        arr = (col.combine_chunks()
-               if isinstance(col, pa.ChunkedArray) else col)
-        low = pc.utf8_lower(pc.fill_null(arr, ""))
-        toks = pc.split_pattern_regex(low, pattern=r"[^0-9a-z_]+")
-        lens = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(toks)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        rowidx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        keepmask = pc.not_equal(flat, pa.scalar("")).to_numpy(
-            zero_copy_only=False)
-        if len(keepmask) and not keepmask.all():
-            flat = flat.filter(pa.array(keepmask))
-            rowidx = rowidx[keepmask]
+        flat, _ = _flat_tokens(batch[text_col])
+        vc = pc.value_counts(flat)
+        return pa.table({"term": vc.field("values"),
+                         out: pc.cast(vc.field("counts"), pa.int64())})
+
+    return (ds.select_columns([text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum(out, alias_name=out)))
+
+
+def _bigram_counts(ds, text_col: str = "text", out: str = "n_ab"):
+    """→ Dataset(w1, w2, n_ab): global adjacent-token pair counts.
+    Pairs come from one shifted same-row mask over the flat token
+    array; each batch collapses to its distinct pairs via value_counts
+    before the shuffle."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      out: pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, rowidx = _flat_tokens(batch[text_col])
         if len(rowidx) < 2:
             return empty
         same = rowidx[1:] == rowidx[:-1]
@@ -199,14 +221,121 @@ def top_bigrams(ds, k: int = 50, text_col: str = "text"):
         sel = pa.array(same)
         a = flat.slice(0, len(flat) - 1).filter(sel)
         b = flat.slice(1).filter(sel)
-        big = pc.binary_join_element_wise(a, b, " ")
-        vc = pc.value_counts(big)
-        return pa.table({"bigram": vc.field("values"),
-                         "n": pc.cast(vc.field("counts"), pa.int64())})
+        # count distinct (w1, w2) pairs via value_counts on a joined
+        # key (one hash pass), then split back — '\x1f' cannot appear
+        # in [0-9a-z_]+ tokens
+        vc = pc.value_counts(pc.binary_join_element_wise(a, b, "\x1f"))
+        parts = pc.split_pattern(vc.field("values"), pattern="\x1f")
+        w1 = pc.list_element(parts, 0)
+        w2 = pc.list_element(parts, 1)
+        return pa.table({"w1": w1, "w2": w2,
+                         out: pc.cast(vc.field("counts"), pa.int64())})
 
-    from ray.data.aggregate import Sum
+    return (ds.select_columns([text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["w1", "w2"]).aggregate(Sum(out, alias_name=out)))
 
-    counts = ds.select_columns([text_col]).map_batches(
-        partial, batch_format="pyarrow")
-    totals = counts.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+
+def top_bigrams(ds, k: int = 50, text_col: str = "text"):
+    """Global top-k adjacent-token bigrams under the ASCII token
+    contract — the collocation profile (and boilerplate-phrase
+    detector) of a corpus. Built on ``_bigram_counts``; the shuffle
+    carries only (pair, partial count) rows and the final sort+limit
+    runs on the aggregated table. Tie rule shared with the oracle:
+    count desc, bigram desc."""
+
+    def join(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "w1" not in b.column_names:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"bigram": pc.binary_join_element_wise(
+            b["w1"], b["w2"], " "), "n": b["n_ab"]})
+
+    counts = _bigram_counts(ds, text_col)
+    totals = counts.map_batches(join, batch_format="pyarrow")
     return totals.sort(["n", "bigram"], descending=[True, True]).limit(k)
+
+
+def pmi_bigrams(ds, k: int = 30, min_n: int = 5, text_col: str = "text",
+                nudge: float = 1e-9, round_dp: int = 6):
+    """Top-k collocations by pointwise mutual information: PMI(a,b) =
+    ln(p(ab) / (p(a)·p(b))) over adjacent-token bigrams with
+    ``n_ab >= min_n`` — the classic phrase detector (boilerplate
+    templates and named entities float to the top).
+    → Dataset(bigram, n_ab, pmi), pmi rounded half-away at
+    ``round_dp`` with a shared ``nudge`` so the engine's float path
+    bit-matches the SQL oracle's (same trick as bm25); ties then break
+    by bigram asc.
+
+    Shape: unigram and bigram count tables stay Datasets; the two
+    frequency lookups are distributed hash joins (never a vocabulary
+    broadcast — Heaps' law makes the unigram table corpus-scale at
+    100 TB); only the two scalar totals (token count, bigram count)
+    reduce to the driver. Sort+limit runs on the min_n-filtered
+    aggregated table."""
+    import ray
+
+    from raydedup.util import join_partitions, round_half_away
+
+    uni = _unigram_counts(ds, text_col).materialize()   # summed + joined
+    big = _bigram_counts(ds, text_col).materialize()    # summed + filtered
+    n_tok = float(uni.sum("n_term") or 0)
+    n_big = float(big.sum("n_ab") or 0)
+    if n_big == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"bigram": pa.array([], pa.string()),
+             "n_ab": pa.array([], pa.int64()),
+             "pmi": pa.array([], pa.float64())}))
+
+    nparts = join_partitions(big.count())
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_ab" not in b.column_names:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64())})
+        return b.filter(pc.greater_equal(b["n_ab"], min_n))
+
+    cand = big.map_batches(keep, batch_format="pyarrow")
+    j1 = cand.join(uni, join_type="inner", num_partitions=nparts,
+                   on=("w1",), right_on=("term",))
+
+    # fixed-schema projection between chained joins (Ray 2.49 emits
+    # empty-schema blocks from empty hash partitions)
+    def fix1(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_term" not in b.column_names:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64()),
+                             "n1": pa.array([], pa.int64())})
+        return pa.table({"w1": b["w1"], "w2": b["w2"],
+                         "n_ab": b["n_ab"], "n1": b["n_term"]})
+
+    j2 = j1.map_batches(fix1, batch_format="pyarrow").join(
+        uni, join_type="inner", num_partitions=nparts,
+        on=("w2",), right_on=("term",))
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_term" not in b.column_names:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        nab = b["n_ab"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n1 = b["n1"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n2 = b["n_term"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # operand ORDER mirrors the SQL expression exactly
+        pmi = np.log((nab * n_tok * n_tok) / (n_big * n1 * n2))
+        scale = 10.0 ** round_dp
+        pmi = round_half_away((pmi + nudge) * scale) / scale
+        return pa.table({"bigram": pc.binary_join_element_wise(
+            b["w1"], b["w2"], " "),
+            "n_ab": b["n_ab"], "pmi": pa.array(pmi)})
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["pmi", "bigram"],
+                       descending=[True, False]).limit(k)

@@ -286,6 +286,44 @@ def test_top_bigrams_vs_brute(ray_session):
     assert got == want
 
 
+def test_pmi_bigrams_vs_brute(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    from raydedup.stages.collection import pmi_bigrams
+    from raydedup.util import round_half_away
+
+    # "alpha beta" always adjacent (high PMI); "the" everywhere (low)
+    texts = (["alpha beta the x%d" % i for i in range(6)]
+             + ["the x1 the x2 alpha beta", None, "gamma. GAMMA gamma"])
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})).repartition(3)
+    got = [(r["bigram"], r["n_ab"], r["pmi"])
+           for r in pmi_bigrams(ds, k=5, min_n=3).take_all()]
+
+    uni, big = Counter(), Counter()
+    n_tok = n_big = 0
+    for t in texts:
+        toks = re.findall(r"[0-9a-z_]+", (t or "").lower())
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+        n_tok += len(toks)
+        n_big += max(len(toks) - 1, 0)
+    want = []
+    for (a, b), nab in big.items():
+        if nab < 3:
+            continue
+        pmi = math.log((float(nab) * n_tok * n_tok)
+                       / (float(n_big) * uni[a] * uni[b]))
+        pmi = float(round_half_away(
+            np.float64((pmi + 1e-9) * 1e6))) / 1e6
+        want.append((f"{a} {b}", nab, pmi))
+    want.sort(key=lambda x: (-x[2], x[0]))
+    assert got == want[:5]
+    assert got[0][0] == "alpha beta"  # the planted collocation wins
+
+
 def test_cross_corpus_near_dups(ray_session):
     import numpy as np  # noqa: F401
     import pyarrow as pa
