@@ -1139,6 +1139,33 @@ def q_pmi_bigrams(sf_dir: str):
     return pmi_bigrams(docs, k=30, min_n=5)
 
 
+def q_train_val_test_split(sf_dir: str):
+    """Deterministic hash split (80/10/10): one stateless vectorized
+    pass, stable across reruns and group-consistent by key — the split
+    every training run needs before packing."""
+    from raydedup.stages.textstats import split_assign
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return split_assign(docs, key_col="doc_id").select_columns(
+        ["doc_id", "split"])
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary-coverage curve: minimal most-frequent-first term
+    counts covering 50/90/99% of tokens. Corpus reduces to one row per
+    distinct frequency value before the driver walk."""
+    from raydedup.stages.collection import vocab_coverage
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return vocab_coverage(docs)
+
+
 def q_conversation_stats(sf_dir: str):
     """Per-conversation rollup (turns, per-role turns, total ASCII
     tokens): batch-local C++ group_by partials, then one grouped sum —
@@ -1744,6 +1771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_stats": q_conversation_stats,
         "top_bigrams": q_top_bigrams,
         "pmi_bigrams": q_pmi_bigrams,
+        "train_val_test_split": q_train_val_test_split,
+        "vocab_coverage": q_vocab_coverage,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
@@ -2092,6 +2121,28 @@ def _long_span_sql(span: int) -> str:
         SELECT a_key, b_key, CAST({span - 1} + maxrun AS BIGINT) AS span_len
         FROM spans
     """
+
+
+def _split_sql() -> str:
+    """Mirror of split_assign's thresholds (same ints both sides)."""
+    from raydedup.stages.textstats import split_thresholds
+
+    names, cuts = split_thresholds()
+    case = f"WHEN h < {cuts[0]} THEN '{names[0]}' " \
+           f"WHEN h < {cuts[1]} THEN '{names[1]}' ELSE '{names[2]}' END"
+    return f"""
+        SELECT doc_id, CASE {case} AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substr(
+                       md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS UBIGINT) AS h
+            FROM documents
+        )
+    """
+
+
+_SPLIT_SQL = _split_sql()
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -3265,6 +3316,44 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM pairs GROUP BY 1
             ORDER BY n DESC, bigram DESC
             LIMIT 50
+        """,
+        "train_val_test_split": _SPLIT_SQL,
+        "vocab_coverage": """
+            WITH arrs AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[0-9a-z_]+') AS arr
+                FROM documents
+            ), toks AS (
+                SELECT t.tok FROM arrs, UNNEST(arr) AS t(tok)
+            ), uni AS (
+                SELECT tok, count(*) AS n FROM toks GROUP BY 1
+            ), byn AS (
+                SELECT n, count(*) AS n_terms,
+                       CAST(n * count(*) AS BIGINT) AS tokens
+                FROM uni GROUP BY 1
+            ), cum AS (
+                SELECT n, n_terms, tokens,
+                       CAST(sum(tokens) OVER (ORDER BY n DESC)
+                            AS BIGINT) AS cumtok,
+                       CAST(sum(n_terms) OVER (ORDER BY n DESC)
+                            AS BIGINT) AS cumterms
+                FROM byn
+            ), tot AS (
+                SELECT CAST(sum(tokens) AS BIGINT) AS T FROM byn
+            ), covs AS (
+                SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS v(c)
+            )
+            SELECT c AS coverage,
+                   q.cumterms - q.n_terms
+                     + CAST(ceil((c * T - (q.cumtok - q.tokens)) / q.n)
+                            AS BIGINT) AS n_terms,
+                   (q.cumtok - q.tokens)
+                     + CAST(ceil((c * T - (q.cumtok - q.tokens)) / q.n)
+                            AS BIGINT) * q.n AS covered_tokens
+            FROM covs, tot,
+            LATERAL (SELECT * FROM cum
+                     WHERE CAST(cumtok AS DOUBLE) >= c * T
+                     ORDER BY cumtok LIMIT 1) q
         """,
         "pmi_bigrams": """
             WITH arrs AS (

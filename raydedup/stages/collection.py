@@ -339,3 +339,83 @@ def pmi_bigrams(ds, k: int = 30, min_n: int = 5, text_col: str = "text",
     scored = j2.map_batches(score, batch_format="pyarrow")
     return scored.sort(["pmi", "bigram"],
                        descending=[True, False]).limit(k)
+
+
+def vocab_coverage(ds, coverages: list[float] | None = None,
+                   text_col: str = "text"):
+    """→ Dataset(coverage, n_terms, covered_tokens): for each coverage
+    level c, the minimal number of vocabulary terms (taken most-frequent
+    first) whose occurrences cover >= c of all tokens — the curve that
+    sizes a tokenizer vocabulary against a corpus.
+
+    Scale shape: the corpus reduces to the unigram count Dataset, which
+    reduces again to one row per DISTINCT FREQUENCY VALUE (n, n_terms,
+    tokens) — O(sqrt(total_tokens)) rows by Zipf — and only that tiny
+    table reaches the driver for the cumulative walk. Terms sharing a
+    frequency are interchangeable, so the answer needs no term
+    identities and no tie-break: within the boundary frequency group the
+    minimal extra terms is ceil((c·T − cum_prev) / n), mirrored
+    operation-for-operation in the SQL oracle (double compare + ceil on
+    the same exact ints)."""
+    import math
+
+    import ray.data
+
+    coverages = coverages or [0.5, 0.9, 0.99]
+
+    from ray.data.aggregate import Sum
+
+    uni = _unigram_counts(ds, text_col)
+
+    def by_count(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_term" not in b.column_names:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "n_terms": pa.array([], pa.int64()),
+                             "tokens": pa.array([], pa.int64())})
+        t = pa.table({"n": b["n_term"],
+                      "n_terms": pa.array(
+                          np.ones(b.num_rows, dtype=np.int64))})
+        agg = t.group_by(["n"]).aggregate([("n_terms", "sum")])
+        nn = agg["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        nt = agg["n_terms_sum"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"n": agg["n"], "n_terms": agg["n_terms_sum"],
+                         "tokens": pa.array(nn * nt)})
+
+    byn = (uni.map_batches(by_count, batch_format="pyarrow")
+           .groupby("n").aggregate(Sum("n_terms", alias_name="n_terms"),
+                                   Sum("tokens", alias_name="tokens")))
+
+    rows = byn.take_all()  # one row per distinct frequency — tiny
+    rows.sort(key=lambda r: -r["n"])
+    n_arr = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    terms = np.asarray([r["n_terms"] for r in rows], dtype=np.int64)
+    toks = np.asarray([r["tokens"] for r in rows], dtype=np.int64)
+    cumtok = np.cumsum(toks)
+    cumterms = np.cumsum(terms)
+    total = float(cumtok[-1]) if len(cumtok) else 0.0
+
+    out_c, out_terms, out_cov = [], [], []
+    for c in coverages:
+        target = c * total
+        if total == 0.0:
+            continue
+        idx = int(np.searchsorted(cumtok.astype(np.float64), target,
+                                  side="left"))
+        # first group with cumtok >= target (float compare both sides)
+        while idx < len(cumtok) and float(cumtok[idx]) < target:
+            idx += 1
+        if idx >= len(cumtok):
+            idx = len(cumtok) - 1
+        prev_tok = float(cumtok[idx] - toks[idx])
+        prev_terms = int(cumterms[idx] - terms[idx])
+        extra = int(math.ceil((target - prev_tok) / float(n_arr[idx])))
+        extra = max(extra, 0)
+        out_c.append(c)
+        out_terms.append(prev_terms + extra)
+        out_cov.append(int(prev_tok) + extra * int(n_arr[idx]))
+
+    return ray.data.from_arrow(pa.table({
+        "coverage": pa.array(out_c, pa.float64()),
+        "n_terms": pa.array(out_terms, pa.int64()),
+        "covered_tokens": pa.array(out_cov, pa.int64())}))

@@ -1024,3 +1024,48 @@ def token_budget_mix(ds, budget: int, group_col: str = "source",
                          out_n="__rn", out_sum="__cum")
     return (run.filter(expr=f"__cum <= {int(budget)}")
             .select_columns([key_col, group_col, "n_tokens"]))
+
+
+def split_assign(ds, key_col: str,
+                 splits: list[tuple[str, float]] | None = None,
+                 seed: str = "s0", out: str = "split"):
+    """Deterministic train/val/test assignment: bucket =
+    ``_hash60(seed || ':' || key)`` against cumulative-fraction
+    thresholds in 2^60 units — stable across reruns and machines, and
+    GROUP-CONSISTENT when ``key_col`` is a group key (hash a conv_id
+    and every row of that conversation lands in the same split: no
+    leakage across splits). One stateless vectorized pass, no shuffle.
+    SQL mirror: CASE over the same integer thresholds on
+    ``CAST('0x' || substr(md5(...), 1, 15) AS UBIGINT)``."""
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    if abs(sum(f for _, f in splits) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    names = [n for n, _ in splits]
+    cuts = []
+    acc = 0.0
+    for _, f in splits[:-1]:
+        acc += f
+        cuts.append(int(acc * (1 << 60)))
+    prefix = f"{seed}:".encode()
+    cuts_u = np.asarray(cuts, dtype=np.uint64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = _hash60(batch[key_col].to_pylist(), prefix)
+        idx = np.searchsorted(cuts_u, h, side="right")
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array(idx, pa.int32()), pa.array(names, pa.string()))
+        return batch.append_column(out, pc.cast(lab, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def split_thresholds(splits: list[tuple[str, float]] | None = None):
+    """The (name, lower-exclusive-upper) integer thresholds
+    ``split_assign`` uses, for building the mirrored SQL CASE."""
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    cuts = []
+    acc = 0.0
+    for _, f in splits[:-1]:
+        acc += f
+        cuts.append(int(acc * (1 << 60)))
+    return [n for n, _ in splits], cuts

@@ -286,7 +286,63 @@ def test_top_bigrams_vs_brute(ray_session):
     assert got == want
 
 
-def test_pmi_bigrams_vs_brute(ray_session):
+def test_split_assign_deterministic_and_group_consistent(ray_session):
+    import hashlib
+
+    from raydedup.stages.textstats import split_assign, split_thresholds
+
+    keys = [f"conv{i % 50}" for i in range(300)]  # 6 rows per conv
+    ds = ray.data.from_arrow(pa.table(
+        {"k": keys, "i": list(range(300))})).repartition(5)
+    rows = split_assign(ds, key_col="k").take_all()
+
+    names, cuts = split_thresholds()
+    by_conv: dict[str, set] = {}
+    for r in rows:
+        by_conv.setdefault(r["k"], set()).add(r["split"])
+        h = int.from_bytes(
+            hashlib.md5(f"s0:{r['k']}".encode()).digest()[:8], "big") >> 4
+        want = (names[0] if h < cuts[0]
+                else names[1] if h < cuts[1] else names[2])
+        assert r["split"] == want
+    # every row of a conversation lands in the same split (no leakage)
+    assert all(len(s) == 1 for s in by_conv.values())
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(ds, key_col="k", splits=[("a", 0.5), ("b", 0.2)])
+
+
+def test_vocab_coverage_vs_brute(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    from raydedup.stages.collection import vocab_coverage
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, p=None, size=rng.integers(3, 30))
+                      .tolist()) for _ in range(60)]
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(texts)})).repartition(4)
+    got = {r["coverage"]: (r["n_terms"], r["covered_tokens"])
+           for r in vocab_coverage(ds, coverages=[0.5, 0.9]).take_all()}
+
+    counts = Counter()
+    for t in texts:
+        counts.update(re.findall(r"[0-9a-z_]+", t.lower()))
+    freqs = sorted(counts.values(), reverse=True)
+    total = sum(freqs)
+    for c in (0.5, 0.9):
+        target = c * float(total)
+        cum = terms = 0
+        while cum < target:
+            cum += freqs[terms]
+            terms += 1
+        # greedy most-frequent-first is exactly the stage's contract
+        assert got[c] == (terms, cum)
+        assert got[c][1] >= math.floor(target)
     import math
     import re
     from collections import Counter
