@@ -1139,6 +1139,28 @@ def q_pmi_bigrams(sf_dir: str):
     return pmi_bigrams(docs, k=30, min_n=5)
 
 
+def q_trim_context_window(sf_dir: str):
+    """Per-conversation context trimming: keep the latest turns within
+    a 60-token budget — reverse running totals via the hash-partitioned
+    ordered sweep, then a stateless filter."""
+    from raydedup.stages.textstats import trim_context_window
+
+    ts = transcripts_from_documents(sf_dir)
+    return trim_context_window(ts, budget=60).select_columns(
+        ["conv_id", "turn_idx", "n_tok", "cum_tokens"])
+
+
+def q_drop_boilerplate_turns(sf_dir: str):
+    """Boilerplate-turn removal: drop turns whose exact text occurs in
+    >= 2 distinct conversations; the hot-text set stays a Dataset and
+    filters through the distributed anti-join."""
+    from raydedup.stages.exact import drop_boilerplate_turns
+
+    ts = transcripts_from_documents(sf_dir)
+    return drop_boilerplate_turns(ts, min_convs=2).select_columns(
+        ["conv_id", "turn_idx", "role"])
+
+
 def q_train_val_test_split(sf_dir: str):
     """Deterministic hash split (80/10/10): one stateless vectorized
     pass, stable across reruns and group-consistent by key — the split
@@ -1773,6 +1795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q_pmi_bigrams,
         "train_val_test_split": q_train_val_test_split,
         "vocab_coverage": q_vocab_coverage,
+        "trim_context_window": q_trim_context_window,
+        "drop_boilerplate_turns": q_drop_boilerplate_turns,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
@@ -3318,6 +3342,33 @@ def _oracle_sql_base() -> dict[str, str]:
             LIMIT 50
         """,
         "train_val_test_split": _SPLIT_SQL,
+        "trim_context_window": TRANSCRIPTS_SQL + """
+            SELECT conv_id, turn_idx, n_tok, cum_tokens FROM (
+                SELECT conv_id, turn_idx, n_tok,
+                       CAST(sum(n_tok) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_tokens
+                FROM (
+                    SELECT conv_id, turn_idx,
+                           CAST(len(regexp_extract_all(
+                               lower(coalesce(text, '')),
+                               '[0-9a-z_]+')) AS BIGINT) AS n_tok
+                    FROM transcripts
+                )
+            ) WHERE cum_tokens <= 60
+        """,
+        "drop_boilerplate_turns": TRANSCRIPTS_SQL + """
+            SELECT conv_id, turn_idx, role
+            FROM transcripts
+            WHERE coalesce(text, '') NOT IN (
+                SELECT txt FROM (
+                    SELECT coalesce(text, '') AS txt,
+                           count(DISTINCT conv_id) AS c
+                    FROM transcripts GROUP BY 1
+                ) WHERE c >= 2
+            )
+        """,
         "vocab_coverage": """
             WITH arrs AS (
                 SELECT regexp_extract_all(lower(coalesce(text, '')),

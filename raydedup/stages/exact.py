@@ -344,3 +344,69 @@ def dup_rate_by_group(ds, group_col: str = "source",
                     dup.astype(np.float64) / nr.astype(np.float64))))
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def drop_boilerplate_turns(ds, min_convs: int = 2,
+                           conv_col: str = "conv_id",
+                           text_col: str = "text"):
+    """Remove boilerplate turns: rows whose exact text occurs in >=
+    ``min_convs`` DISTINCT conversations (tool preambles, canned
+    greetings — the cross-conversation analogue of exact dedup, which
+    keeps one copy; boilerplate is noise in every copy, so all go).
+
+    Shape: texts reduce to a sha256 per dictionary entry; distinct
+    (hash, conv) pairs shuffle to a hash-keyed count; the boilerplate
+    hash set stays a DATASET and filters the corpus through the
+    distributed anti ``semi_join`` — never a driver-side set, because a
+    boilerplate dictionary at 100 TB is itself corpus-scale. NULL text
+    folds to '' (mirror with coalesce in SQL)."""
+    import hashlib
+
+    import numpy as np
+
+    from raydedup.stages.relational import semi_join
+
+    def add_h(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            pc.fill_null(b[text_col].combine_chunks(), ""))
+        u_sha = [hashlib.sha256(t.encode("utf-8")).hexdigest()
+                 for t in enc.dictionary.to_pylist()]
+        return b.append_column(
+            "__h", pc.take(pa.array(u_sha, pa.string()), enc.indices))
+
+    hashed = ds.map_batches(add_h, batch_format="pyarrow")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"__h": b["__h"], "c": b[conv_col]})
+        return t.group_by(["__h", "c"]).aggregate([])
+
+    from ray.data.aggregate import Sum
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "__h" not in b.column_names:
+            return pa.table({"__h": pa.array([], pa.string()),
+                             "nc": pa.array([], pa.int64())})
+        t = pa.table({"__h": b["__h"], "nc": pa.array(
+            np.ones(b.num_rows, dtype=np.int64))})
+        agg = t.group_by(["__h"]).aggregate([("nc", "sum")])
+        return pa.table({"__h": agg["__h"], "nc": agg["nc_sum"]})
+
+    hot = (hashed.map_batches(pair_partial, batch_format="pyarrow")
+           .groupby(["__h", "c"]).count()   # global distinct pairs
+           .map_batches(count_partial, batch_format="pyarrow")
+           .groupby("__h").aggregate(Sum("nc", alias_name="nc")))
+
+    def hot_keys(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "nc" not in b.column_names:
+            return pa.table({"__h": pa.array([], pa.string())})
+        return pa.table(
+            {"__h": b.filter(pc.greater_equal(b["nc"],
+                                              min_convs))["__h"]})
+
+    hot = hot.map_batches(hot_keys, batch_format="pyarrow")
+    kept = semi_join(hashed, hot, on="__h", anti=True)
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["__h"])
+
+    return kept.map_batches(strip, batch_format="pyarrow")

@@ -1069,3 +1069,38 @@ def split_thresholds(splits: list[tuple[str, float]] | None = None):
         acc += f
         cuts.append(int(acc * (1 << 60)))
     return [n for n, _ in splits], cuts
+
+
+def trim_context_window(ds, budget: int, conv_col: str = "conv_id",
+                        idx_col: str = "turn_idx",
+                        text_col: str = "text"):
+    """Context-window trimming: per conversation keep the LATEST turns
+    whose cumulative ASCII-token count stays <= ``budget`` — the
+    truncate-from-the-front step that fits transcripts into a model's
+    context before packing. A newest turn larger than the whole budget
+    drops its conversation entirely (cum > budget at the first row) —
+    the same contract as the SQL window mirror.
+
+    Shape: one vectorized token-count pass appends ``n_tok``, then the
+    ``ordered.running_totals`` hash-partitioned sweep (one lexsort per
+    partition, all conversations at once — not a Python call per key)
+    accumulates in descending ``idx_col`` order via a negated sort key;
+    a stateless filter keeps rows with ``cum_tokens <= budget``."""
+    from raydedup.stages.ordered import running_totals
+
+    def prep(b: pa.Table) -> pa.Table:
+        n = ascii_token_counts(b[text_col])
+        return (b.append_column("n_tok", pa.array(n))
+                .append_column("__negidx", pc.multiply(
+                    pc.cast(b[idx_col], pa.int64()), pa.scalar(-1))))
+
+    swept = running_totals(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        by=conv_col, order_cols=["__negidx"], value_col="n_tok",
+        out_n="__rank", out_sum="cum_tokens")
+
+    def keep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["cum_tokens"], budget))
+        return b.drop_columns(["__negidx", "__rank"])
+
+    return swept.map_batches(keep, batch_format="pyarrow")

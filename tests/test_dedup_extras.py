@@ -286,6 +286,39 @@ def test_top_bigrams_vs_brute(ray_session):
     assert got == want
 
 
+def test_trim_context_window_vs_brute(ray_session):
+    from raydedup.stages.textstats import trim_context_window
+
+    # conv a: newest-first token counts 3,2,4 → budget 5 keeps idx 3,2
+    # conv b: newest turn alone exceeds budget → conversation dropped
+    tbl = pa.table({
+        "conv_id": ["a", "a", "a", "b", "c"],
+        "turn_idx": [1, 2, 3, 1, 1],
+        "text": ["w x y z", "p q", "r s_t u9", "a b c d e f", "hi"],
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = {(r["conv_id"], r["turn_idx"]): (r["n_tok"], r["cum_tokens"])
+           for r in trim_context_window(ds, budget=5).take_all()}
+    assert got == {("a", 3): (3, 3), ("a", 2): (2, 5), ("c", 1): (1, 1)}
+
+
+def test_drop_boilerplate_turns(ray_session):
+    from raydedup.stages.exact import drop_boilerplate_turns
+
+    # "ok" appears in convs a+b (boilerplate, every copy goes);
+    # "dup" twice within ONE conv (kept — not cross-conversation);
+    # null text in two convs folds to '' → boilerplate
+    tbl = pa.table({
+        "conv_id": ["a", "a", "b", "b", "a", "c", "c"],
+        "turn_idx": [0, 1, 0, 1, 2, 0, 1],
+        "text": pa.array(["ok", "dup", "ok", None, "dup", "", "solo"]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = sorted((r["conv_id"], r["turn_idx"])
+                 for r in drop_boilerplate_turns(ds).take_all())
+    assert got == [("a", 1), ("a", 2), ("c", 1)]
+
+
 def test_split_assign_deterministic_and_group_consistent(ray_session):
     import hashlib
 
