@@ -1161,6 +1161,34 @@ def q_drop_boilerplate_turns(sf_dir: str):
         ["conv_id", "turn_idx", "role"])
 
 
+def q_training_shards(sf_dir: str):
+    """The ship-a-training-set composition: reassemble conversations
+    (ordered string_agg sweep) → deterministic hash split, keep train →
+    partition-local sequence packing under a 512-token budget. Each
+    stage is the already-oracled operator; the composition is what a
+    curation run actually executes end-to-end."""
+    from raydedup.stages.ordered import assemble_by_key
+    from raydedup.stages.textstats import pack_sequences, split_assign
+
+    ts = transcripts_from_documents(sf_dir)
+    conv = assemble_by_key(ts, by="conv_id", order_cols=["turn_idx"],
+                           text_col="text", sep=" ", out="convo")
+    tr = split_assign(conv, key_col="conv_id")
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "split" not in b.column_names:
+            return pa.table({"conv_num": pa.array([], pa.int64()),
+                             "convo": pa.array([], pa.string())})
+        b = b.filter(pc.equal(b["split"], "train"))
+        num = pc.cast(pc.utf8_slice_codeunits(b["conv_id"], 5, 1 << 30),
+                      pa.int64())
+        return pa.table({"conv_num": num, "convo": b["convo"]})
+
+    return pack_sequences(tr.map_batches(keep, batch_format="pyarrow"),
+                          token_budget=512, key_col="conv_num",
+                          text_col="convo", num_partitions=4)
+
+
 def q_train_val_test_split(sf_dir: str):
     """Deterministic hash split (80/10/10): one stateless vectorized
     pass, stable across reruns and group-consistent by key — the split
@@ -1797,6 +1825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q_vocab_coverage,
         "trim_context_window": q_trim_context_window,
         "drop_boilerplate_turns": q_drop_boilerplate_turns,
+        "training_shards": q_training_shards,
         "stratified_sample_docs": q_stratified_sample_docs,
         "distinct_users_per_type": q_distinct_users_per_type,
         "mode_event_type_per_user": q_mode_event_type_per_user,
@@ -2167,6 +2196,56 @@ def _split_sql() -> str:
 
 
 _SPLIT_SQL = _split_sql()
+
+
+def _training_shards_sql() -> str:
+    """Composition oracle: assemble → train split → recursive-CTE pack
+    (same scan rule as the pack_sequences oracle, budget 512, 4 parts;
+    conv key = numeric suffix of 'conv-<n>')."""
+    from raydedup.stages.textstats import split_thresholds
+
+    _, cuts = split_thresholds()
+    head = TRANSCRIPTS_SQL.replace("WITH transcripts",
+                                   "WITH RECURSIVE transcripts", 1)
+    return head + f"""
+        , conv AS (
+            SELECT conv_id,
+                   string_agg(text, ' ' ORDER BY turn_idx) AS convo
+            FROM transcripts GROUP BY 1
+        ), tr AS (
+            SELECT CAST(substr(conv_id, 6) AS BIGINT) AS conv_num, convo
+            FROM (
+                SELECT conv_id, convo,
+                       CAST(('0x' || substr(md5('s0:' || conv_id), 1, 15))
+                            AS UBIGINT) AS h
+                FROM conv
+            ) WHERE h < {cuts[0]}
+        ), counts AS (
+            SELECT conv_num, conv_num % 4 AS part,
+                   len(regexp_extract_all(convo, '\\S+')) AS ws_tokens
+            FROM tr
+        ), ordered AS (
+            SELECT conv_num, part, ws_tokens,
+                   row_number() OVER (PARTITION BY part
+                                      ORDER BY conv_num) AS rn
+            FROM counts
+        ), scan(part, rn, conv_num, ws_tokens, acc, pack) AS (
+            SELECT part, rn, conv_num, ws_tokens, ws_tokens, 0
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.part, o.rn, o.conv_num, o.ws_tokens,
+                   CASE WHEN s.acc + o.ws_tokens > 512
+                        THEN o.ws_tokens
+                        ELSE s.acc + o.ws_tokens END,
+                   CASE WHEN s.acc + o.ws_tokens > 512
+                        THEN s.pack + 1 ELSE s.pack END
+            FROM scan s
+            JOIN ordered o ON o.part = s.part AND o.rn = s.rn + 1
+        )
+        SELECT conv_num, part, part * 4294967296 + pack AS pack_id,
+               ws_tokens
+        FROM scan
+    """
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -3342,6 +3421,7 @@ def _oracle_sql_base() -> dict[str, str]:
             LIMIT 50
         """,
         "train_val_test_split": _SPLIT_SQL,
+        "training_shards": _training_shards_sql(),
         "trim_context_window": TRANSCRIPTS_SQL + """
             SELECT conv_id, turn_idx, n_tok, cum_tokens FROM (
                 SELECT conv_id, turn_idx, n_tok,

@@ -162,7 +162,11 @@ def run_bench() -> dict:
                   "fuzzy_decontam_transcripts",
                   "dedup_survivors_docs",
                   "knn_self_join",
-                  "bm25_topk"):
+                  "bm25_topk",
+                  "top_unshipped_orders",
+                  "pmi_bigrams",
+                  "trim_context_window",
+                  "drop_boilerplate_turns"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()
         queries[qname] = round(time.time() - t0, 3)
