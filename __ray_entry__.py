@@ -1609,6 +1609,67 @@ def _label_centroids_sql() -> str:
     """
 
 
+def q_prototype_prune(sf_dir: str):
+    """D4-style prototypicality pruning: within each label drop the
+    floor(0.25·n) vectors most similar to the label centroid; survivors
+    carry their centroid cosine. Every score operand is an exact
+    integer (micro-quantized components, exact int sums), so the
+    float64 scores — and therefore the per-label ranks — are
+    bit-identical to the SQL oracle's."""
+    import ray.data
+
+    from raydedup.stages.embeddings import prototype_prune
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label", "embedding"])
+    return prototype_prune(emb, dims=64, prune_frac=0.25)
+
+
+def _prototype_prune_sql() -> str:
+    qcols = ",\n             ".join(
+        f"CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000, 0)"
+        f" AS BIGINT) AS q{i}" for i in range(64))
+    scols = ",\n             ".join(
+        f"CAST(sum(q{i}) AS BIGINT) AS s{i}" for i in range(64))
+    dot = " + ".join(f"q{i} * s{i}" for i in range(64))
+    xn = " + ".join(f"q{i} * q{i}" for i in range(64))
+    sn = " + ".join(f"CAST(s{i} AS HUGEINT) * s{i}" for i in range(64))
+    return f"""
+        WITH q AS (
+          SELECT vec_id, label,
+             {qcols}
+          FROM embeddings
+        ),
+        sums AS (
+          SELECT label, count(*) AS n,
+             {scols}
+          FROM q GROUP BY label
+        ),
+        scored AS (
+          SELECT q.vec_id, q.label, s.n AS nl,
+                 ({dot}) AS dot,
+                 ({xn}) AS xnormsq,
+                 ({sn}) AS snormsq
+          FROM q JOIN sums s USING (label)
+        ),
+        sc2 AS (
+          SELECT vec_id, label, nl,
+                 CASE WHEN xnormsq = 0 OR snormsq = 0 THEN 0.0
+                      ELSE CAST(dot AS DOUBLE)
+                           / sqrt(CAST(xnormsq AS DOUBLE))
+                           / sqrt(CAST(snormsq AS DOUBLE)) END
+                     AS proto_score
+          FROM scored
+        )
+        SELECT vec_id, label, proto_score
+        FROM (SELECT *, row_number() OVER (
+                 PARTITION BY label
+                 ORDER BY proto_score DESC, vec_id) AS rk
+              FROM sc2)
+        WHERE rk > CAST(floor(nl * 0.25) AS BIGINT)
+    """
+
+
 def q_chunk_documents(sf_dir: str):
     """Context-window chunking: 200-char windows every 150 chars
     (overlapping), one row per chunk — the pre-tokenization step for
@@ -1839,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": q_top_unshipped_orders,
         "cluster_size_histogram": q_cluster_size_histogram,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "prototype_prune": q_prototype_prune,
     }
 
 
@@ -3820,6 +3882,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM tagged GROUP BY 1, 2
         """,
         "label_centroids": _label_centroids_sql(),
+        "prototype_prune": _prototype_prune_sql(),
         "chunk_documents": """
             WITH seq AS (
                 SELECT doc_id, text, len(text) AS L

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -1041,3 +1042,154 @@ def label_centroids(ds, dims: int, label_col: str = "label",
         return pa.table(cols)
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# per-worker cache of the broadcast prototype tables (size-1, keyed by ref)
+_PROTO_CACHE: dict[bytes, tuple] = {}
+
+
+def prototype_prune(ds, dims: int, prune_frac: float = 0.25,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    label_col: str = "label", scale: float = 1e6,
+                    num_partitions: int = 64):
+    """→ Dataset(id, label, proto_score): D4-style prototypicality
+    pruning (Tirumala et al. 2023, public): within each label (cluster)
+    drop the ``floor(prune_frac · n_label)`` rows MOST similar to the
+    label centroid — the near-prototype region of a cluster is the most
+    redundant for training — and keep the diverse remainder, each with
+    its centroid cosine. Replaces OTMT's keep/drop-by-similarity
+    selection (otmt/timemap_measures.py scoring + threshold filter)
+    with a cluster-relative selection rule.
+
+    Exactness contract (shared with the SQL oracle): vectors quantize
+    to round-half-away(v·scale) int64; the per-label centroid direction
+    is the EXACT integer component sum s (cos(x, s) == cos(x, mean)
+    since positive scaling preserves cosine); per-row score =
+    float64(dot)/sqrt(float64(‖q‖²))/sqrt(float64(‖s‖²)) — every
+    operand an exact integer and /,sqrt correctly rounded in IEEE, so
+    both sides produce bit-identical doubles and identical ranks
+    (ties broken by ascending id). Zero vectors (or a zero sum vector)
+    score 0.0.
+
+    Scale shape: one partial-sum groupby over labels (≤ labels rows
+    shuffle — label_centroids' kernel), the (label, s, n) table
+    broadcast once via ``ray.put`` (bounded by cluster count; D4
+    clusters number ~sqrt(corpus) — beyond ~10^7 labels switch the
+    paint to a hash join), one stateless scoring pass, then the
+    ordered.py partition sweep (hash-partition by label, ONE lexsort
+    per partition ranks every label in it — no Python call per label,
+    no driver materialization of rows). int64 overflow is guarded per
+    batch: max|q|·Σ|s| must stay under 2^63 (raises otherwise);
+    ‖s‖² is computed in arbitrary-precision Python int.
+    """
+    import math
+
+    from raydedup.stages.asof import _part_array
+    from raydedup.util import round_half_away
+
+    if not 0.0 <= prune_frac < 1.0:
+        raise ValueError(f"prune_frac must be in [0, 1), got {prune_frac}")
+
+    slim = ds.select_columns([id_col, label_col, vec_col]).materialize()
+    schema = slim.schema()
+    if schema is None:  # fully empty input: no blocks survive
+        from ray.data import from_arrow
+        return from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            label_col: pa.array([], pa.int64()),
+            "proto_score": pa.array([], pa.float64())}))
+    lab_type = schema.types[schema.names.index(label_col)]
+    id_type = schema.types[schema.names.index(id_col)]
+    empty = pa.table({id_col: pa.array([], id_type),
+                      label_col: pa.array([], lab_type),
+                      "proto_score": pa.array([], pa.float64())})
+    sums = label_centroids(
+        slim.select_columns([label_col, vec_col]), dims=dims,
+        label_col=label_col, vec_col=vec_col, scale=scale)
+    rows = sums.select_columns(
+        [label_col, "n"] + [f"s{i}" for i in range(dims)]).take_all()
+    if not rows:
+        from ray.data import from_arrow
+        return from_arrow(empty)
+
+    labels = pa.array([r[label_col] for r in rows], lab_type)
+    S = np.array([[r[f"s{i}"] for i in range(dims)] for r in rows],
+                 dtype=np.int64)
+    n_lab = np.array([r["n"] for r in rows], dtype=np.int64)
+    # ‖s‖² in python ints (exact at any magnitude), k_drop per label
+    snorm = np.array([math.sqrt(float(sum(int(v) * int(v) for v in row)))
+                      for row in S], dtype=np.float64)
+    abs_s = np.array([float(sum(abs(int(v)) for v in row)) for row in S],
+                     dtype=np.float64)
+    k_drop = np.floor(n_lab * prune_frac).astype(np.int64)
+    proto_ref = ray.put((labels, S, snorm, abs_s, k_drop))
+
+    def _lut():
+        ck = proto_ref.binary()
+        lut = _PROTO_CACHE.get(ck)
+        if lut is None:
+            lut = ray.get(proto_ref)
+            _PROTO_CACHE.clear()
+            _PROTO_CACHE[ck] = lut
+        return lut
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        garr, Sm, sn, asum, _ = _lut()
+        idx = pc.index_in(batch[label_col].combine_chunks(),
+                          garr).to_numpy(zero_copy_only=False)
+        idx = idx.astype(np.int64)
+        M = _to_matrix(batch, vec_col)
+        if M.shape[1] != dims:
+            raise ValueError(f"expected {dims}-dim vectors, got {M.shape[1]}")
+        q = round_half_away(M * scale).astype(np.int64)
+        qmax = float(np.abs(q).max()) if q.size else 0.0
+        if qmax and (qmax * asum[idx].max()) >= float(2 ** 63):
+            raise ValueError("prototype_prune: |q|·Σ|s| would overflow "
+                             "int64 — lower scale or split labels")
+        Srows = Sm[idx]
+        dot = (q * Srows).sum(axis=1)
+        xnormsq = (q * q).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sc = (dot.astype(np.float64)
+                  / np.sqrt(xnormsq.astype(np.float64)) / sn[idx])
+        sc = np.where((xnormsq == 0) | (sn[idx] == 0.0), 0.0, sc)
+        return pa.table({id_col: batch[id_col],
+                         label_col: batch[label_col],
+                         "proto_score": pa.array(sc)})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.append_column(
+            "__part", _part_array(batch[label_col], num_partitions))
+
+    def prune(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__part" not in g.column_names:
+            return empty
+        garr, _, _, _, kd = _lut()
+        from raydedup.stages.asof import _group_codes
+
+        codes, _ = _group_codes(g[label_col])
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sc = g["proto_score"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids, -sc, codes))
+        codes_s = codes[order]
+        n = len(order)
+        starts = np.r_[0, np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1]
+        lens = np.diff(np.r_[starts, n])
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        kidx = pc.index_in(g[label_col].combine_chunks(),
+                           garr).to_numpy(zero_copy_only=False)
+        kidx = kidx.astype(np.int64)
+        keep = order[rank >= kd[kidx[order]]]
+        oi = pa.array(np.sort(keep))
+        return pa.table({id_col: g[id_col].take(oi),
+                         label_col: g[label_col].take(oi),
+                         "proto_score": g["proto_score"].take(oi)})
+
+    scored = slim.map_batches(score, batch_format="pyarrow")
+    return (scored.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part").map_groups(prune, batch_format="pyarrow"))

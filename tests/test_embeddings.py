@@ -555,3 +555,68 @@ def test_label_centroids(ray_session):
             assert abs(r[f"c{i}"] - s[i] / len(rows) / 1e6) < 1e-15
     with pytest.raises(ValueError, match="dims"):
         label_centroids(ds, dims=0)
+
+
+def test_prototype_prune(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from raydedup.stages.embeddings import prototype_prune
+
+    rng = np.random.default_rng(11)
+    n, d = 80, 6
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    M = rng.uniform(-0.5, 0.5, (n, d)).astype(np.float32)
+    M[7] = 0.0                      # zero vector scores 0.0
+    M[13] = M[12]                   # exact duplicate -> score tie
+    labels[13] = labels[12]
+    labels[40:43] = 9               # a 3-row label: floor(0.25*3)=0 drops
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "label": pa.array(labels),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32()))})).repartition(5)
+    got = sorted((r["vec_id"], r["label"], r["proto_score"]) for r in
+                 prototype_prune(ds, dims=d, prune_frac=0.25,
+                                 num_partitions=3).take_all())
+
+    # brute-force oracle: exact int quantization, rank per label
+    def quant(rows):
+        x = rows.astype(np.float64) * 1e6
+        fl = np.floor(x)
+        half = (x - fl) == 0.5
+        q = np.where(half, np.where(x > 0, fl + 1, fl), np.rint(x))
+        return q.astype(np.int64)
+
+    want = []
+    for lab in np.unique(labels):
+        sel = labels == lab
+        q = quant(M[sel])
+        lid = ids[sel]
+        s = q.sum(axis=0)
+        snorm = float(sum(int(v) * int(v) for v in s)) ** 0.5
+        dot = (q * s[None, :]).sum(axis=1)
+        xn = (q * q).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sc = dot.astype(np.float64) / np.sqrt(
+                xn.astype(np.float64)) / snorm
+        sc = np.where((xn == 0) | (snorm == 0.0), 0.0, sc)
+        order = np.lexsort((lid, -sc))
+        k = int(np.floor(len(lid) * 0.25))
+        for i in order[k:]:
+            want.append((int(lid[i]), int(lab), float(sc[i])))
+    assert got == sorted(want)
+    # the 3-row label keeps all three
+    assert sum(1 for _, lab, _ in got if lab == 9) == 3
+    # scores are bit-exact, including the duplicate-vector tie
+    s12 = [s for v, _, s in got if v in (12, 13)]
+    assert len(set(s12)) <= 1
+
+    empty = ds.filter(lambda r: False)
+    assert prototype_prune(empty, dims=d).take_all() == []
+
+    with pytest.raises(ValueError, match="prune_frac"):
+        prototype_prune(ds, dims=d, prune_frac=1.0)
