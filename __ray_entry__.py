@@ -1609,6 +1609,51 @@ def _label_centroids_sql() -> str:
     """
 
 
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 3.0, "src2": 0.25, "src3": 0.0}
+
+
+def q_upsample_mix(sf_dir: str):
+    """Fractional source-weight mixing (the LLM data-recipe step):
+    src0 ×2.5, src1 ×3, src2 ×0.25, src3 dropped, everything else ×1.
+    floor(w) deterministic copies per row plus one md5-hash-gated extra
+    for the fractional part — reruns and resumes mix identically."""
+    import ray.data
+
+    from raydedup.stages.textstats import upsample_by_weight
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    return upsample_by_weight(docs, "source", _MIX_WEIGHTS,
+                              key_col="doc_id", default=1.0, seed="mix0")
+
+
+def _upsample_mix_sql() -> str:
+    import math
+
+    base = " ".join(
+        f"WHEN '{g}' THEN {int(math.floor(w))}"
+        for g, w in _MIX_WEIGHTS.items())
+    thr = " ".join(
+        f"WHEN '{g}' THEN {int((w - math.floor(w)) * (1 << 60))}"
+        for g, w in _MIX_WEIGHTS.items())
+    maxn = max(int(math.floor(w)) + (1 if w != math.floor(w) else 0)
+               for w in list(_MIX_WEIGHTS.values()) + [1.0])
+    return f"""
+        SELECT doc_id, source, gs.rep
+        FROM (
+          SELECT doc_id, source,
+                 (CASE source {base} ELSE 1 END
+                  + CASE WHEN CAST(('0x' || substr(
+                        md5('mix0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT)
+                      < (CASE source {thr} ELSE 0 END)
+                    THEN 1 ELSE 0 END) AS ncopies
+          FROM documents) t
+        JOIN generate_series(0, {maxn - 1}) AS gs(rep)
+          ON gs.rep < t.ncopies
+    """
+
+
 def q_prototype_prune(sf_dir: str):
     """D4-style prototypicality pruning: within each label drop the
     floor(0.25·n) vectors most similar to the label centroid; survivors
@@ -1901,6 +1946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_histogram": q_cluster_size_histogram,
         "dup_rate_by_source": q_dup_rate_by_source,
         "prototype_prune": q_prototype_prune,
+        "upsample_mix": q_upsample_mix,
     }
 
 
@@ -3883,6 +3929,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "label_centroids": _label_centroids_sql(),
         "prototype_prune": _prototype_prune_sql(),
+        "upsample_mix": _upsample_mix_sql(),
         "chunk_documents": """
             WITH seq AS (
                 SELECT doc_id, text, len(text) AS L

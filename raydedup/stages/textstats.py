@@ -1104,3 +1104,67 @@ def trim_context_window(ds, budget: int, conv_col: str = "conv_id",
         return b.drop_columns(["__negidx", "__rank"])
 
     return swept.map_batches(keep, batch_format="pyarrow")
+
+
+def upsample_by_weight(ds, group_col: str, weights: dict, key_col: str,
+                       default: float = 1.0, seed: str = "mix0",
+                       rep_col: str = "rep"):
+    """Deterministic fractional source-weight mixing — the data-recipe
+    primitive behind every LLM training mix ("web ×2.5, forums ×0.25"):
+    each row whose ``group_col`` has weight ``w`` is emitted
+    ``floor(w)`` times (``rep_col`` = 0..floor(w)-1) plus one more copy
+    iff the low 60 bits of ``md5(seed || ':' || key)`` fall below
+    ``frac(w)·2^60`` — the :func:`sample_by_hash` convention, so a
+    row's fate depends only on its key: reruns, retries and resumed
+    jobs up-sample identically, and ``w < 1`` degrades to plain
+    hash down-sampling. The fractional threshold is computed ONCE as
+    an exact integer on the driver (no float math per row on either
+    side — the SQL oracle inlines the same integer literal).
+
+    Scale shape: stateless vectorized map_batches (weight lookup via
+    ``pc.index_in`` against the tiny closure-captured weight table,
+    one ``np.repeat`` fan-out per batch); no shuffle, no driver
+    materialization. Output size ≈ Σ w(row) rows — size ``batch_size``
+    so ``max(w)`` × batch fits in worker heap.
+    """
+    for g, w in weights.items():
+        if w < 0 or w > 1000:
+            raise ValueError(f"weight out of range for {g!r}: {w}")
+    if default < 0 or default > 1000:
+        raise ValueError(f"default weight out of range: {default}")
+    import math
+
+    groups = list(weights)
+    base_l = [int(math.floor(weights[g])) for g in groups]
+    thr_l = [int((weights[g] - math.floor(weights[g])) * (1 << 60))
+             for g in groups]
+    d_base = int(math.floor(default))
+    d_thr = int((default - math.floor(default)) * (1 << 60))
+    prefix = f"{seed}:".encode()
+
+    def fan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            sch = batch.schema.append(pa.field(rep_col, pa.int64()))
+            return sch.empty_table()
+        garr = pa.array(groups, batch.schema.field(group_col).type)
+        idx_arr = pc.index_in(batch[group_col].combine_chunks(), garr)
+        known = pc.is_valid(idx_arr).to_numpy(zero_copy_only=False)
+        ii = pc.fill_null(idx_arr, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        base = np.where(known, np.asarray(base_l, np.int64)[ii], d_base)
+        thr = np.where(known,
+                       np.asarray(thr_l, np.uint64)[ii],
+                       np.uint64(d_thr))
+        h = _hash60(batch[key_col].to_pylist(), prefix)
+        reps = base + (h < thr)
+        src = np.repeat(np.arange(n, dtype=np.int64), reps)
+        starts = np.r_[0, np.cumsum(reps)[:-1]]
+        repidx = (np.arange(len(src), dtype=np.int64)
+                  - np.repeat(starts, reps))
+        oi = pa.array(src)
+        cols = {c: batch[c].take(oi) for c in batch.column_names}
+        cols[rep_col] = pa.array(repidx)
+        return pa.table(cols)
+
+    return ds.map_batches(fan, batch_format="pyarrow")

@@ -447,3 +447,45 @@ def test_cross_corpus_near_dups(ray_session):
     assert cross_corpus_near_dups(
         corpus, empty_bench, SIMPLE_CFG, corpus_key="ck",
         bench_key="qk").count() == 0
+
+
+def test_upsample_by_weight(ray_session):
+    import hashlib
+
+    import pytest
+
+    from raydedup.stages.textstats import upsample_by_weight
+
+    ids = list(range(40))
+    srcs = ["a", "b", "c", "d", "e"] * 8
+    tbl = pa.table({"k": pa.array(ids, pa.int64()),
+                    "src": pa.array(srcs)})
+    w = {"a": 2.5, "b": 0.25, "c": 0.0, "d": 3.0}
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = upsample_by_weight(ds, "src", w, key_col="k", default=1.0,
+                             seed="t0")
+    got = sorted((r["k"], r["src"], r["rep"]) for r in out.take_all())
+
+    def h60(k):
+        return int.from_bytes(
+            hashlib.md5(f"t0:{k}".encode()).digest()[:8], "big") >> 4
+
+    want = []
+    for k, s in zip(ids, srcs):
+        ww = w.get(s, 1.0)
+        n = int(ww) + (1 if h60(k) < int((ww - int(ww)) * (1 << 60))
+                       else 0)
+        want.extend((k, s, r) for r in range(n))
+    assert got == sorted(want)
+    # weight 0 drops, integer weight copies exactly, default passes through
+    assert not any(s == "c" for _, s, _ in got)
+    assert sum(1 for _, s, _ in got if s == "d") == 8 * 3
+    assert sum(1 for _, s, _ in got if s == "e") == 8
+    # deterministic across reruns
+    got2 = sorted((r["k"], r["src"], r["rep"]) for r in upsample_by_weight(
+        ray.data.from_arrow(tbl), "src", w, key_col="k",
+        seed="t0").take_all())
+    assert got2 == got
+
+    with pytest.raises(ValueError, match="weight"):
+        upsample_by_weight(ds, "src", {"a": -1.0}, key_col="k")
