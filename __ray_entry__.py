@@ -1609,6 +1609,24 @@ def _label_centroids_sql() -> str:
     """
 
 
+def q_remove_dup_spans(sf_dir: str):
+    """Long-span duplicate REMOVAL (Lee et al. 2022): every verbatim
+    span >= min_span_chars shared by two turns survives only in the
+    smallest row_key; all occurrences of the pair's canonical span are
+    cut from the other row. ROWS-ONLY by necessity: the span content
+    comes out of a suffix-array longest-common-substring pass, which is
+    not SQL-expressible; value-level correctness is covered by the
+    brute-force pytest oracle (test_spans_multimodal.py — planted
+    spans, exact length reconciliation, LCS-vs-DP parity fuzz)."""
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.suffix_span import remove_dup_spans
+
+    ts = add_row_key(transcripts_from_documents(sf_dir),
+                     ["conv_id", "turn_idx"])
+    return remove_dup_spans(ts.select_columns(["row_key", "text"]),
+                            DEFAULT_CONFIG, key_col="row_key")
+
+
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 3.0, "src2": 0.25, "src3": 0.0}
 
 
@@ -1947,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "prototype_prune": q_prototype_prune,
         "upsample_mix": q_upsample_mix,
+        "remove_dup_spans": q_remove_dup_spans,
     }
 
 

@@ -251,12 +251,54 @@ _EMPTY_SPAN_TABLE = pa.table(
      "span_len": pa.array([], type=pa.int64())}
 )
 
+_EMPTY_SPAN_TABLE_S = pa.table(
+    {"a_key": pa.array([], type=pa.string()),
+     "b_key": pa.array([], type=pa.string()),
+     "span_len": pa.array([], type=pa.int64()),
+     "span": pa.array([], type=pa.string())}
+)
+
+
+def lcs_string(a: str, b: str) -> str:
+    """The longest common substring ITSELF (not just its length):
+    suffix array + LCP over the sentinel-joined UTF-8 concatenation,
+    deterministic tie-break = lexicographically smallest among the
+    maximal-length candidates (adjacent different-side SA entries scan
+    in lexicographic suffix order; strict ``>`` keeps the first).
+    The byte span is snapped inward to UTF-8 character boundaries
+    before decoding (byte-level matching can clip a multibyte char at
+    either edge; ASCII spans are unaffected)."""
+    ab = a.encode("utf-8")
+    bb = b.encode("utf-8")
+    if not ab or not bb:
+        return ""
+    joined = ab + b"\x00" + bb
+    sa = suffix_array(joined)
+    lcp = lcp_array(joined, sa)
+    split = len(ab)
+    best = 0
+    pos = -1
+    sides = sa < split
+    for i in range(1, len(sa)):
+        if sides[i] != sides[i - 1]:
+            v = int(lcp[i])
+            if v > best:
+                best = v
+                pos = int(sa[i])
+    if best <= 0:
+        return ""
+    raw = joined[pos:pos + best]
+    # a byte-exact slice of valid UTF-8 can only be malformed at its
+    # edges; errors="ignore" drops exactly those partial sequences
+    return raw.decode("utf-8", errors="ignore")
+
 
 def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
                     text_col: str = "text", key_col: str = "row_key",
                     fp_member_cap: int | None = None,
                     num_partitions: int | None = None,
-                    checkpoint_dir: str | None = None):
+                    checkpoint_dir: str | None = None,
+                    emit_span: bool = False):
     """→ Dataset(a_key, b_key, span_len) for pairs sharing a verbatim span
     of >= cfg.min_span_chars characters. Winnowing guarantee: detection is
     exact for spans >= window + k - 1 == min_span_chars.
@@ -274,6 +316,7 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
     hit the cap ⇒ exact (the SQL-oracled driver query stays hash-green).
     """
     span = cfg.min_span_chars
+    empty_tbl = _EMPTY_SPAN_TABLE_S if emit_span else _EMPTY_SPAN_TABLE
     window = span - k + 1
     assert window >= 1, "min_span_chars must exceed k-gram size"
     cap = fp_member_cap or getattr(cfg, "suffix_fp_member_cap", 64)
@@ -293,14 +336,14 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
     exploded = ds.map_batches(fp, batch_format="pyarrow").materialize()
     n_exploded = exploded.count()
     if n_exploded == 0:
-        return ray.data.from_arrow(_EMPTY_SPAN_TABLE)
+        return ray.data.from_arrow(empty_tbl)
     n_parts = num_partitions or join_partitions(n_exploded)
 
     from raydedup.util import repeated_keys
 
     hot = repeated_keys(exploded, "fp").materialize()
     if hot.count() == 0:
-        return ray.data.from_arrow(_EMPTY_SPAN_TABLE)
+        return ray.data.from_arrow(empty_tbl)
     cands = exploded.join(hot, join_type="inner", num_partitions=n_parts,
                           on=("fp",))
 
@@ -343,7 +386,7 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
     ).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
-        return ray.data.from_arrow(_EMPTY_SPAN_TABLE)
+        return ray.data.from_arrow(empty_tbl)
 
     # per-stage pair checkpoint (north_rule resumability; also restores a
     # schema-bearing lineage — Ray 2.49's hash join mishandles empty
@@ -409,10 +452,21 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
             else:
                 b, tb = kk, tt
         if a is None or b is None:
-            return _EMPTY_SPAN_TABLE
+            return empty_tbl
+        if emit_span:
+            s = lcs_string(ta or "", tb or "")
+            lcs = len((s or "").encode("utf-8"))
+            if lcs < span:
+                return empty_tbl
+            return pa.table(
+                {"a_key": pa.array([a], type=pa.string()),
+                 "b_key": pa.array([b], type=pa.string()),
+                 "span_len": pa.array([lcs], type=pa.int64()),
+                 "span": pa.array([s], type=pa.string())}
+            )
         lcs = longest_common_substring(ta or "", tb or "")
         if lcs < span:
-            return _EMPTY_SPAN_TABLE
+            return empty_tbl
         return pa.table(
             {"a_key": pa.array([a], type=pa.string()),
              "b_key": pa.array([b], type=pa.string()),
@@ -420,3 +474,105 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
         )
 
     return joined.groupby("pid").map_groups(reassemble, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds, cfg: DedupConfig, k: int = 48,
+                     text_col: str = "text", key_col: str = "row_key",
+                     num_partitions: int | None = None):
+    """→ Dataset(key, text, n_removed): exact long-span duplicate
+    REMOVAL (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — the deduplicate-text-datasets pass,
+    public): for every pair of rows sharing a verbatim span >=
+    ``cfg.min_span_chars`` characters, the span survives only in the
+    smallest-keyed row; every occurrence of the pair's canonical span
+    (the longest common substring, lexicographically smallest on
+    length ties — see :func:`lcs_string`) is cut from the other row.
+    A row named as the victim by several pairs has each span removed,
+    longest first (then lexicographic), so nested spans cannot
+    resurrect; ``n_removed`` = characters deleted.
+
+    Scale shape: detection is :func:`long_span_pairs` (winnowing →
+    fingerprint-groupby shuffle → per-pair suffix-array verify, hashes
+    not text on the wire) with ``emit_span=True``; the victim → span
+    list table is sparse (pairs are survivors of the span threshold),
+    joins back via one distributed hash join sized by the SMALL side,
+    and untouched rows stream through the mask path with zero Python
+    per row. The doubly-consumed input lineage is materialized once.
+    """
+    from ray.data import from_arrow
+
+    from raydedup.util import join_partitions
+
+    slim = ds.select_columns([key_col, text_col]).materialize()
+    schema = slim.schema()
+    if schema is None:
+        return from_arrow(pa.table({
+            key_col: pa.array([], pa.string()),
+            text_col: pa.array([], pa.string()),
+            "n_removed": pa.array([], pa.int64())}))
+    key_type = schema.types[schema.names.index(key_col)]
+
+    def untouched(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: batch[key_col],
+                         text_col: batch[text_col],
+                         "n_removed": pa.array(
+                             np.zeros(batch.num_rows, np.int64))})
+
+    pairs = long_span_pairs(slim, cfg, k=k, text_col=text_col,
+                            key_col=key_col, emit_span=True,
+                            num_partitions=num_partitions)
+
+    def victim_rows(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "span" not in g.column_names:
+            return pa.table({key_col: pa.array([], key_type),
+                             "__spans": pa.array([], pa.string())})
+        # length-prefixed concatenation ("<len>:<span>...") — join
+        # payloads must be flat strings (Acero rejects list columns)
+        # and no separator byte is safe inside arbitrary span text
+        spans = sorted(set(g["span"].to_pylist()))
+        enc = "".join(f"{len(s)}:{s}" for s in spans)
+        return pa.table({key_col: g["b_key"][:1].cast(key_type),
+                         "__spans": pa.array([enc], pa.string())})
+
+    vic = pairs.groupby("b_key").map_groups(
+        victim_rows, batch_format="pyarrow").materialize()
+    n_vic = vic.count()
+    if n_vic == 0:
+        return slim.map_batches(untouched, batch_format="pyarrow")
+
+    joined = slim.join(vic, join_type="left_outer",
+                       num_partitions=join_partitions(n_vic),
+                       on=(key_col,))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_type),
+                             text_col: pa.array([], pa.string()),
+                             "n_removed": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        has = pc.is_valid(batch["__spans"]).to_numpy(
+            zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        spans = batch["__spans"].to_pylist()
+        out = list(texts)
+        removed = np.zeros(batch.num_rows, np.int64)
+        for i in np.flatnonzero(has):
+            t = texts[i] or ""
+            enc, pos, sp = spans[i], 0, []
+            while pos < len(enc):
+                c = enc.index(":", pos)
+                ln = int(enc[pos:c])
+                sp.append(enc[c + 1:c + 1 + ln])
+                pos = c + 1 + ln
+            new = t
+            for s in sorted(sp, key=lambda x: (-len(x), x)):
+                if s:
+                    new = new.replace(s, "")
+            out[i] = new
+            removed[i] = len(t) - len(new)
+        return pa.table({key_col: batch[key_col],
+                         text_col: pa.array(out, pa.string()),
+                         "n_removed": pa.array(removed)})
+
+    return joined.map_batches(apply, batch_format="pyarrow")

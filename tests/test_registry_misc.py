@@ -208,5 +208,6 @@ def test_entry_module_query_oracle_consistency():
     # Lloyd fixed-point loop — iterative algorithms are not
     # SQL-expressible (both documented in their query docstrings; both
     # pinned by pytest instead)
-    assert rows_only == {"otmt_lda", "kmeans_clusters"}, rows_only
+    assert rows_only == {"otmt_lda", "kmeans_clusters",
+                         "remove_dup_spans"}, rows_only
     assert oracles <= qs, oracles - qs

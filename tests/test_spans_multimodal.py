@@ -945,3 +945,79 @@ def test_hash_sample_fixed_is_exact_bottom_k(ray_session):
     h = _fmix64_batch(ids.view(np.uint64) ^ np.uint64(seed))
     want = sorted(ids[np.argsort(h)[:k]].tolist())
     assert got == want
+
+
+def test_lcs_string_matches_brute_force():
+    import itertools
+
+    from raydedup.stages.suffix_span import lcs_string
+
+    def brute(a, b):
+        subs = {a[i:j] for i in range(len(a))
+                for j in range(i + 1, len(a) + 1)}
+        common = [s for s in subs if s in b]
+        if not common:
+            return ""
+        m = max(len(s) for s in common)
+        return min(s for s in common if len(s) == m)
+
+    cases = [
+        ("banana", "ananas"),
+        ("abcXdef", "defYabc"),          # two maximal candidates, tie
+        ("aaaa", "aa"),
+        ("xyz", "pqr"),
+        ("", "abc"),
+        ("same", "same"),
+    ]
+    import random
+    rng = random.Random(7)
+    for _ in range(40):
+        a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 14)))
+        b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 14)))
+        cases.append((a, b))
+    for a, b in cases:
+        assert lcs_string(a, b) == brute(a, b), (a, b)
+    # multibyte text: spans stay valid strings
+    s = lcs_string("héllo wörld shared", "other héllo wörld tail")
+    assert "héllo wörld" in s or s in "héllo wörld shared"
+
+
+def test_remove_dup_spans_planted():
+    from raydedup.stages.suffix_span import remove_dup_spans
+
+    span = "S " * 150                     # 300 shared chars
+    span2 = "Q " * 160
+    rows = {
+        "row_key": ["a:0", "b:0", "c:0", "d:0"],
+        "text": [
+            "unique prefix one " + span + "unique suffix one",
+            "other beginning " + span + "different ending " + span2,
+            "no duplicated content in this row at all, just filler",
+            "yet another head " + span2 + "yet another tail",
+        ],
+    }
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(3)
+    got = {r["row_key"]: r for r in
+           remove_dup_spans(ds, DEFAULT_CONFIG).take_all()}
+    assert set(got) == {"a:0", "b:0", "c:0", "d:0"}
+    # smallest key keeps its text verbatim
+    assert got["a:0"]["text"] == rows["text"][0]
+    assert got["a:0"]["n_removed"] == 0
+    assert got["c:0"]["text"] == rows["text"][2]
+    # b lost the span shared with a; d lost the span shared with b
+    assert span not in got["b:0"]["text"]
+    assert got["b:0"]["n_removed"] > 0
+    assert span2 not in got["d:0"]["text"]
+    # removal cut only span content: lengths reconcile exactly
+    for k in rows["row_key"]:
+        orig = rows["text"][list(rows["row_key"]).index(k)]
+        r = got[k]
+        assert len(orig) - len(r["text"]) == r["n_removed"]
+
+    # no pairs -> pure passthrough
+    clean = ray.data.from_arrow(pa.table(
+        {"row_key": ["x", "y"], "text": ["short one", "short two"]}))
+    out = {r["row_key"]: r for r in
+           remove_dup_spans(clean, DEFAULT_CONFIG).take_all()}
+    assert out["x"]["text"] == "short one"
+    assert out["x"]["n_removed"] == 0
