@@ -1609,6 +1609,20 @@ def _label_centroids_sql() -> str:
     """
 
 
+def q_cross_corpus_matches_bloom(sf_dir: str):
+    """Exact cross-corpus contamination via the BLOOM scale path (ref
+    side never collected: distributed tree-OR bloom build, bounded bits
+    broadcast, streaming probe, sparse sha join kills false positives)
+    — bit-identical output to cross_corpus_matches, shared oracle."""
+    from raydedup.stages.decontam import cross_corpus_matches_bloom
+
+    ts = transcripts_from_documents(sf_dir)
+    out = cross_corpus_matches_bloom(
+        ts.select_columns(["conv_id", "turn_idx", "text"]),
+        _docs(sf_dir), ref_key_col="doc_id", m_bits=1 << 16)
+    return out.select_columns(["conv_id", "turn_idx", "ref_doc_id"])
+
+
 def q_remove_dup_spans(sf_dir: str):
     """Long-span duplicate REMOVAL (Lee et al. 2022): every verbatim
     span >= min_span_chars shared by two turns survives only in the
@@ -1966,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prototype_prune": q_prototype_prune,
         "upsample_mix": q_upsample_mix,
         "remove_dup_spans": q_remove_dup_spans,
+        "cross_corpus_matches_bloom": q_cross_corpus_matches_bloom,
     }
 
 
@@ -3005,6 +3020,11 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE rn <= 3
         """,
         "cross_corpus_matches": TRANSCRIPTS_SQL + """
+            SELECT t.conv_id, t.turn_idx, d.doc_id AS ref_doc_id
+            FROM transcripts t JOIN documents d ON t.text = d.text
+            WHERE length(t.text) > 0
+        """,
+        "cross_corpus_matches_bloom": TRANSCRIPTS_SQL + """
             SELECT t.conv_id, t.turn_idx, d.doc_id AS ref_doc_id
             FROM transcripts t JOIN documents d ON t.text = d.text
             WHERE length(t.text) > 0

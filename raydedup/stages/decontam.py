@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 _WORD_RE = re.compile(r"[0-9a-zA-Z_]+")
 
 # per-worker cache of the rebuilt value_set StringArray, keyed by the
@@ -357,3 +359,164 @@ def cross_corpus_near_dups(corpus, bench, cfg, corpus_key: str,
             "jaccard": pa.array(jac[keep], pa.float64())})
 
     return corpus.map_batches(probe, batch_format="pyarrow")
+
+
+# --- Bloom-filter decontamination scale path -------------------------------
+#
+# cross_corpus_exact_matches broadcasts the ref side's {sha: keys} dict —
+# right when the benchmark is genuinely small, corpus-scale-wrong when
+# "the ref side" is itself a reference CORPUS (dedup new crawl against
+# last year's 100 TB). The bloom path bounds the broadcast at m_bits/8
+# bytes regardless of ref cardinality: build packed bloom bits over the
+# ref shas DISTRIBUTED (one task per block, tree-OR reduce), broadcast
+# the bits once, stream the corpus through a vectorized probe (no false
+# negatives ⇒ every true match survives), then resolve the SPARSE
+# candidate set against the ref keys with one distributed hash join —
+# false positives die in the join, so the output is EXACT and shares
+# cross_corpus_matches' SQL oracle. Bloom math: k = n_hashes double
+# hashes (Kirsch–Mitzenmacher 2006, public) over the sha256 digest's
+# first 16 bytes; fpr ≈ (1 - e^{-kn/m})^k.
+
+
+def _sha_u64_pair(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 pairs = first 16 bytes of sha256(text) per row
+    (empty/null rows get h1 = h2 = 0 and are masked out by callers)."""
+    import hashlib
+
+    n = len(texts)
+    buf = np.zeros((n, 2), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if t:
+            d = hashlib.sha256(t.encode("utf-8")).digest()
+            buf[i, 0] = int.from_bytes(d[:8], "big")
+            buf[i, 1] = int.from_bytes(d[8:16], "big")
+    return buf[:, 0], buf[:, 1]
+
+
+def _bloom_set(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+               m_bits: int, n_hashes: int) -> None:
+    mask = np.uint64(m_bits - 1)
+    for i in range(n_hashes):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+
+def _bloom_get(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+               m_bits: int, n_hashes: int) -> np.ndarray:
+    mask = np.uint64(m_bits - 1)
+    hit = np.ones(len(h1), dtype=bool)
+    for i in range(n_hashes):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit &= ((word >> (idx & np.uint64(63))) & np.uint64(1)) != 0
+    return hit
+
+
+@ray.remote
+def _bloom_block(tbl: pa.Table, text_col: str, m_bits: int,
+                 n_hashes: int) -> np.ndarray:
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    if tbl.num_rows:
+        texts = tbl[text_col].to_pylist()
+        h1, h2 = _sha_u64_pair(texts)
+        ok = np.array([bool(t) for t in texts])
+        _bloom_set(bits, h1[ok], h2[ok], m_bits, n_hashes)
+    return bits
+
+
+@ray.remote
+def _bloom_or(*arrs: np.ndarray) -> np.ndarray:
+    out = arrs[0].copy()
+    for a in arrs[1:]:
+        out |= a
+    return out
+
+
+def bloom_bits_of(ds, text_col: str = "text", m_bits: int = 1 << 20,
+                  n_hashes: int = 7, fan_in: int = 8) -> np.ndarray:
+    """Packed bloom bits (np.uint64[m_bits/64]) over sha256(text) of
+    every non-empty row — built fully distributed: one task per block,
+    log-depth tree-OR reduce; the driver holds only m_bits/8 bytes."""
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError("m_bits must be a power of two >= 64")
+    refs = [_bloom_block.remote(b, text_col, m_bits, n_hashes)
+            for b in ds.select_columns([text_col]).to_arrow_refs()]
+    if not refs:
+        return np.zeros(m_bits // 64, dtype=np.uint64)
+    while len(refs) > 1:
+        refs = [_bloom_or.remote(*refs[i:i + fan_in])
+                for i in range(0, len(refs), fan_in)]
+    return ray.get(refs[0])
+
+
+def cross_corpus_matches_bloom(ds, ref_ds, ref_key_col: str,
+                               text_col: str = "text",
+                               ref_text_col: str = "text",
+                               out_col: str | None = None,
+                               m_bits: int = 1 << 20, n_hashes: int = 7,
+                               num_partitions: int | None = None):
+    """EXACT cross-corpus contamination, corpus-scale ref side: same
+    output contract as :func:`cross_corpus_exact_matches` (one row per
+    (corpus row, byte-identical ref row)), but the ref side is never
+    collected — a bounded bloom broadcast prunes the corpus to the
+    sparse candidate superset (no false negatives), and one distributed
+    sha hash join against the ref keys removes bloom false positives
+    and fans out many-to-many matches. Size ``m_bits`` ≈ 10–15 bits per
+    ref row for ~1% candidate overhead."""
+    from ray.data import from_arrow
+
+    from raydedup.util import join_partitions
+
+    out_col = out_col or f"ref_{ref_key_col}"
+    if out_col in ds.schema().names:
+        raise ValueError(f"output column {out_col!r} collides with input")
+    key_type = ref_ds.schema().types[
+        ref_ds.schema().names.index(ref_key_col)]
+    keep_cols = [c for c in ds.schema().names if c != text_col]
+    empty = pa.table({**{c: pa.array([], ds.schema().types[
+        ds.schema().names.index(c)]) for c in keep_cols},
+        out_col: pa.array([], key_type)})
+
+    ref_slim = ref_ds.select_columns(
+        [ref_key_col, ref_text_col]).materialize()
+    bits = bloom_bits_of(ref_slim, ref_text_col, m_bits, n_hashes)
+    bits_ref = ray.put(bits)
+
+    import hashlib
+
+    def probe(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in keep_cols}
+        texts = batch[text_col].to_pylist()
+        h1, h2 = _sha_u64_pair(texts)
+        b = ray.get(bits_ref)
+        hit = _bloom_get(b, h1, h2, m_bits, n_hashes)
+        hit &= np.array([bool(t) for t in texts])
+        idx = pa.array(np.flatnonzero(hit))
+        out = {c: cols[c].take(idx) for c in keep_cols}
+        out["__sha"] = pa.array(
+            [hashlib.sha256(texts[i].encode("utf-8")).hexdigest()
+             for i in np.flatnonzero(hit)], pa.string())
+        return pa.table(out)
+
+    cand = ds.map_batches(probe, batch_format="pyarrow").materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return from_arrow(empty)
+
+    def ref_keyed(batch: pa.Table) -> pa.Table:
+        texts = batch[ref_text_col].to_pylist()
+        ok = [i for i, t in enumerate(texts) if t]
+        idx = pa.array(ok, pa.int64())
+        return pa.table({
+            "__sha": pa.array([hashlib.sha256(
+                texts[i].encode("utf-8")).hexdigest() for i in ok],
+                pa.string()),
+            out_col: batch[ref_key_col].take(idx)})
+
+    refk = ref_slim.map_batches(ref_keyed, batch_format="pyarrow")
+    joined = cand.join(refk, join_type="inner",
+                       num_partitions=(num_partitions
+                                       or join_partitions(n_cand)),
+                       on=("__sha",))
+    return joined.drop_columns(["__sha"])

@@ -489,3 +489,65 @@ def test_upsample_by_weight(ray_session):
 
     with pytest.raises(ValueError, match="weight"):
         upsample_by_weight(ds, "src", {"a": -1.0}, key_col="k")
+
+
+def test_bloom_bits_properties(ray_session):
+    import hashlib
+
+    from raydedup.stages.decontam import (_bloom_get, _sha_u64_pair,
+                                          bloom_bits_of)
+
+    members = [f"member text {i}" for i in range(500)]
+    others = [f"absent text {i}" for i in range(2000)]
+    ds = ray.data.from_arrow(pa.table({"text": members})).repartition(7)
+    m_bits, k = 1 << 14, 7
+    bits = bloom_bits_of(ds, m_bits=m_bits, n_hashes=k)
+
+    # zero false negatives — the load-bearing bloom property
+    h1, h2 = _sha_u64_pair(members)
+    assert _bloom_get(bits, h1, h2, m_bits, k).all()
+    # false-positive rate near (1 - e^{-kn/m})^k ~= 2.2% at this sizing
+    o1, o2 = _sha_u64_pair(others)
+    fpr = _bloom_get(bits, o1, o2, m_bits, k).mean()
+    assert fpr < 0.10
+    # deterministic and partitioning-invariant
+    bits2 = bloom_bits_of(ds.repartition(3), m_bits=m_bits, n_hashes=k)
+    assert np.array_equal(bits, bits2)
+    # empty input -> all-zero bits
+    empty = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    assert bloom_bits_of(empty, m_bits=m_bits, n_hashes=k).sum() == 0
+
+    import pytest
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_bits_of(ds, m_bits=1000)
+
+
+def test_cross_corpus_matches_bloom_exact(ray_session):
+    from raydedup.stages.decontam import (cross_corpus_exact_matches,
+                                          cross_corpus_matches_bloom)
+
+    corpus = ray.data.from_arrow(pa.table({
+        "cid": pa.array(list(range(30)), pa.int64()),
+        "text": [f"row {i}" if i % 3 else "shared contamination text"
+                 for i in range(30)]}))
+    # ref has a duplicated text -> many-to-many fan-out
+    ref = ray.data.from_arrow(pa.table({
+        "rid": pa.array([100, 101, 102], pa.int64()),
+        "text": ["shared contamination text",
+                 "shared contamination text", "row 7"]}))
+    # tiny filter: false positives likely, join must kill them all
+    got = sorted((r["cid"], r["ref_rid"]) for r in
+                 cross_corpus_matches_bloom(
+                     corpus, ref, ref_key_col="rid",
+                     m_bits=64, n_hashes=2).take_all())
+    want = sorted((r["cid"], r["ref_rid"]) for r in
+                  cross_corpus_exact_matches(
+                      corpus, ref, ref_key_col="rid").take_all())
+    assert got == want
+    assert (7, 102) in got
+    assert sum(1 for c, _ in got if c % 3 == 0) == 20  # 10 rows x 2 refs
+
+    nomatch = ray.data.from_arrow(pa.table({
+        "rid": pa.array([1], pa.int64()), "text": ["nothing matches"]}))
+    assert cross_corpus_matches_bloom(
+        corpus, nomatch, ref_key_col="rid").count() == 0
