@@ -125,3 +125,76 @@ def test_uri_scores_injectable_damage():
     # default path stays the documented 0.0 stub
     stub = uri_scores(ray.data.from_arrow(tbl)).take_all()
     assert all(r["damage_score"] == 0.0 for r in stub)
+
+
+def test_damage_client_actor_pool(ray_session):
+    """DamageClient: reference endpoint shape + failure semantics
+    (bin/select_high_quality:92-120), plus the engine's rate limit,
+    retries, and per-actor cache — driven through a real actor-pool
+    map_batches and composed with uri_scores(damage_col=...)."""
+    import pytest
+
+    from raydedup.stages.quality import DamageClient, uri_scores
+
+    seen = []
+
+    def fake_transport(url):
+        seen.append(url)
+        if "boom" in url:
+            raise IOError("transient")
+        if "malformed" in url:
+            return {"unexpected": 1}
+        tail = url.rsplit("/", 1)[-1]
+        return {"total_damage": 0.01 * len(tail)}
+
+    # unit: endpoint format, cache, failure-to-zero, malformed-to-zero
+    c = DamageClient(damage_uri="http://svc/", transport=fake_transport,
+                     max_qps=0, retries=1, sleep=lambda s: None)
+    v = c.score("http://a/x")
+    assert seen[-1] == "http://svc/api/damage/http://a/x"
+    assert v == pytest.approx(0.01)  # rsplit tail is "x"
+    n_calls = c.calls
+    assert c.score("http://a/x") == v and c.calls == n_calls  # cached
+    assert c.score("http://boom/") == 0.0          # retries exhausted
+    assert c.calls == n_calls + 2                  # 1 + 1 retry
+    assert c.score("http://malformed/") == 0.0
+    assert c.score("") == 0.0
+    assert DamageClient().score("http://a/") == 0.0  # no endpoint -> 0
+
+    # rate limiter: calls spaced >= 1/max_qps on the injected clock
+    t = {"now": 0.0}
+    waits = []
+    rl = DamageClient(damage_uri="http://svc", transport=fake_transport,
+                      max_qps=4.0, clock=lambda: t["now"],
+                      sleep=lambda s: (waits.append(s),
+                                       t.__setitem__("now",
+                                                     t["now"] + s)))
+    rl.score("u1")
+    rl.score("u2")
+    assert waits and waits[-1] == pytest.approx(0.25)
+
+    with pytest.raises(ValueError, match="transport"):
+        DamageClient(damage_uri="http://svc")
+
+    # actor pool + uri_scores(damage_col=...) composition
+    tbl = pa.table({"uri": [
+        "http://news.example/a/b", "http://twitter.com/x", ""]})
+    scored = ray.data.from_arrow(tbl).map_batches(
+        DamageClient,
+        fn_constructor_kwargs=dict(damage_uri="http://svc",
+                                   transport=fake_transport,
+                                   max_qps=0),
+        concurrency=2, batch_format="pyarrow")
+    out = {r["uri"]: r for r in
+           uri_scores(scored, damage_col="damage_score").take_all()}
+    assert set(out) == {"http://news.example/a/b",
+                        "http://twitter.com/x", ""}
+    r = out["http://news.example/a/b"]
+    assert r["damage_score"] == pytest.approx(0.01)  # tail is "b"
+    assert r["quality_score"] == pytest.approx(
+        -0.40 * r["damage_score"] + 0.15 * r["category_score"]
+        + 0.45 * r["depth_score"])
+
+    with pytest.raises(ValueError, match="not both"):
+        uri_scores(scored, damage_fn=lambda u: [0.0] * len(u),
+                   damage_col="damage_score")
