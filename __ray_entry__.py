@@ -263,6 +263,18 @@ def q_top_terms_global(sf_dir: str):
     return global_top_terms(_docs(sf_dir), k=20, simple_tokens=True)
 
 
+def q_top_terms_global_sketch(sf_dir: str):
+    """Same top-20 via the Misra-Gries heavy-hitters scale path: the
+    shuffle carries <= sketch_size terms per block (not each block's
+    vocabulary), candidates re-counted exactly, certificate checked
+    (exact k-th count > summed deductions) with an exact fallback —
+    output bit-identical to top_terms_global, oracle shared."""
+    from raydedup.stages.collection import global_top_terms_sketch
+
+    return global_top_terms_sketch(_docs(sf_dir), k=20,
+                                   simple_tokens=True, sketch_size=64)
+
+
 # Closed-form synthetic URI corpus for the select_high_quality oracle:
 # host class and path depth derive from doc_id alone, so DuckDB recomputes
 # the quality score arithmetic while the ENGINE side still runs the real
@@ -1981,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsample_mix": q_upsample_mix,
         "remove_dup_spans": q_remove_dup_spans,
         "cross_corpus_matches_bloom": q_cross_corpus_matches_bloom,
+        "top_terms_global_sketch": q_top_terms_global_sketch,
     }
 
 
@@ -2753,6 +2766,18 @@ def _oracle_sql_base() -> dict[str, str]:
             CROSS JOIN g
         """,
         "top_terms_global": """
+            WITH tok AS (
+                SELECT t.tok
+                FROM documents,
+                     UNNEST(regexp_extract_all(lower(text), '[0-9a-zA-Z_]+'))
+                         AS t(tok)
+            )
+            SELECT tok AS term, count(*) AS n
+            FROM tok GROUP BY 1
+            ORDER BY n DESC, term DESC
+            LIMIT 20
+        """,
+        "top_terms_global_sketch": """
             WITH tok AS (
                 SELECT t.tok
                 FROM documents,

@@ -419,3 +419,124 @@ def vocab_coverage(ds, coverages: list[float] | None = None,
         "coverage": pa.array(out_c, pa.float64()),
         "n_terms": pa.array(out_terms, pa.int64()),
         "covered_tokens": pa.array(out_cov, pa.int64())}))
+
+
+# per-worker cache of the broadcast candidate-term array
+_HH_CACHE: dict[bytes, pa.Array] = {}
+
+
+def global_top_terms_sketch(ds, k: int = 20, text_col: str = "text",
+                            simple_tokens: bool = True,
+                            sketch_size: int | None = None):
+    """EXACT global term-frequency top-k via a Misra–Gries heavy-hitters
+    sketch (Misra & Gries 1982; mergeable-summaries form of Agarwal et
+    al., PODS 2012 — public): bit-identical output (and shared SQL
+    oracle) with :func:`global_top_terms`, but the shuffle carries at
+    most ``sketch_size`` terms PER BLOCK instead of each block's full
+    vocabulary — the scale path when the corpus vocabulary (Heaps' law,
+    multilingual) dwarfs the heavy-hitter set you actually want.
+
+    Exactness, not approximation: each per-batch summary is compressed
+    to ``sketch_size`` entries by the standard decrement (subtract the
+    (m+1)-th count, drop non-positives) and emits the amount it
+    deducted; summing compressed summaries keeps, for every term,
+    ``c̃(t) >= true(t) − E`` with ``E = Σ deductions``, and any term
+    ABSENT from the merged summary has ``true(t) <= E``. The top
+    ``4k`` surviving candidates are re-counted EXACTLY in one more
+    streaming pass (broadcast candidate set, candidate-bounded
+    shuffle); if the exact k-th count exceeds ``E`` no non-candidate
+    can displace it, so the result is provably the true top-k. When the
+    certificate fails (flat, non-skewed distributions) the operator
+    falls back to the exact full-vocabulary :func:`global_top_terms` —
+    output is identical either way, the sketch only changes the cost.
+    """
+    import ray
+
+    m = sketch_size or max(64, 8 * k)
+    tokenize = simple_tokenize if simple_tokens else full_tokenize
+    # "" is unreachable as a token (both tokenizers drop empties) —
+    # reserved key carrying each batch's deduction through the groupby
+    empty = pa.table({"term": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial_mg(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch[text_col].to_pylist():
+            if t:
+                toks.extend(tokenize(t))
+        if not toks:
+            return empty
+        vc = pc.value_counts(pa.array(toks, type=pa.string()))
+        terms = vc.field("values")
+        counts = pc.cast(vc.field("counts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(counts) > m:
+            order = np.argsort(-counts, kind="stable")
+            sub = counts[order[m]]
+            keep_idx = order[:m]
+            kept = counts[keep_idx] - sub
+            pos = kept > 0
+            deducted = int(counts.sum() - kept[pos].sum())
+            return pa.table({
+                "term": pa.concat_arrays(
+                    [terms.take(pa.array(keep_idx[pos])).combine_chunks()
+                     if isinstance(terms, pa.ChunkedArray)
+                     else terms.take(pa.array(keep_idx[pos])),
+                     pa.array([""], pa.string())]),
+                "n": pa.array(np.r_[kept[pos], deducted])})
+        return pa.table({"term": terms, "n": pa.array(counts)})
+
+    from ray.data.aggregate import Sum
+
+    merged = (ds.select_columns([text_col])
+              .map_batches(partial_mg, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    rows = merged.sort(["n", "term"], descending=[True, True]).limit(
+        4 * k + 1).take_all()
+    err_row = merged.filter(expr='term == ""').take_all()
+    err = int(err_row[0]["n"]) if err_row else 0
+    cand = [r["term"] for r in rows if r["term"] != ""][:4 * k]
+    if not cand:
+        if not rows:  # genuinely empty corpus
+            return ray.data.from_arrow(empty)
+        # every term was compressed away (flat distribution): the
+        # certificate can never pass — go exact
+        return global_top_terms(ds, k=k, text_col=text_col,
+                                simple_tokens=simple_tokens)
+
+    cand_ref = ray.put(cand)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        ck = cand_ref.binary()
+        carr = _HH_CACHE.get(ck)
+        if carr is None:
+            carr = pa.array(ray.get(cand_ref), pa.string())
+            _HH_CACHE.clear()
+            _HH_CACHE[ck] = carr
+        toks: list[str] = []
+        for t in batch[text_col].to_pylist():
+            if t:
+                toks.extend(tokenize(t))
+        if not toks:
+            return empty
+        arr = pa.array(toks, type=pa.string())
+        arr = arr.filter(pc.is_in(arr, value_set=carr))
+        if len(arr) == 0:
+            return empty
+        vc = pc.value_counts(arr)
+        return pa.table({"term": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    exact = (ds.select_columns([text_col])
+             .map_batches(exact_counts, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("n", alias_name="n"))
+             .sort(["n", "term"], descending=[True, True])
+             .limit(k).materialize())
+    got = exact.take_all()
+    # certificate: the exact k-th candidate count must beat the error
+    # bound E, else an unseen term could belong in the top-k
+    if len(got) < k or int(got[-1]["n"]) <= err:
+        return global_top_terms(ds, k=k, text_col=text_col,
+                                simple_tokens=simple_tokens)
+    return exact

@@ -551,3 +551,43 @@ def test_cross_corpus_matches_bloom_exact(ray_session):
         "rid": pa.array([1], pa.int64()), "text": ["nothing matches"]}))
     assert cross_corpus_matches_bloom(
         corpus, nomatch, ref_key_col="rid").count() == 0
+
+
+def test_global_top_terms_sketch_exact(ray_session):
+    import random
+
+    from raydedup.stages.collection import (global_top_terms,
+                                            global_top_terms_sketch)
+
+    # Zipf-ish corpus: vocabulary far above sketch_size so per-batch
+    # compression genuinely fires, with real heavy hitters on top
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    for _ in range(120):
+        words = [f"hot{rng.randint(0, 4)}" for _ in range(20)]
+        words += [rng.choice(vocab) for _ in range(30)]
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+    ds = ray.data.from_arrow(pa.table({"text": docs})).repartition(6)
+
+    want = [(r["term"], r["n"]) for r in
+            global_top_terms(ds, k=10).take_all()]
+    got = [(r["term"], r["n"]) for r in
+           global_top_terms_sketch(ds, k=10, sketch_size=32).take_all()]
+    assert got == want
+    assert {t for t, _ in got[:5]} == {f"hot{i}" for i in range(5)}
+
+    # flat distribution: certificate fails, exact fallback keeps the
+    # output identical anyway
+    flat = ray.data.from_arrow(pa.table(
+        {"text": [f"u{i} u{i + 1} u{i + 2}" for i in range(300)]}
+    )).repartition(5)
+    wf = [(r["term"], r["n"]) for r in
+          global_top_terms(flat, k=10).take_all()]
+    gf = [(r["term"], r["n"]) for r in
+          global_top_terms_sketch(flat, k=10, sketch_size=16).take_all()]
+    assert gf == wf
+
+    empty = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    assert global_top_terms_sketch(empty, k=5).take_all() == []
