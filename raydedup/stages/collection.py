@@ -79,6 +79,23 @@ def collection_measures(ds, key_cols: list[str], simple_tokens: bool = False):
     return prepped.map_batches(score, batch_format="pyarrow")
 
 
+def _batch_term_counts(batch: pa.Table, text_col: str, tokenize):
+    """(terms Array, counts int64 ndarray) of one batch's token bag —
+    the single tokenize+count kernel shared by the exact top-k path,
+    the Misra-Gries partials and the candidate re-count (one place to
+    keep the bit-identical-output contract)."""
+    toks: list[str] = []
+    for t in batch[text_col].to_pylist():
+        if t:
+            toks.extend(tokenize(t))
+    if not toks:
+        return None, None
+    vc = pc.value_counts(pa.array(toks, type=pa.string()))
+    counts = pc.cast(vc.field("counts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    return vc.field("values"), counts
+
+
 def global_top_terms(ds, k: int = 20, text_col: str = "text",
                      simple_tokens: bool = True):
     """→ Dataset(term, n): global term-frequency top-k with the reference
@@ -96,15 +113,10 @@ def global_top_terms(ds, k: int = 20, text_col: str = "text",
                       "n": pa.array([], type=pa.int64())})
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch[text_col].to_pylist():
-            if t:
-                toks.extend(tokenize(t))
-        if not toks:
+        terms, counts = _batch_term_counts(batch, text_col, tokenize)
+        if terms is None:
             return empty
-        vc = pc.value_counts(pa.array(toks, type=pa.string()))
-        return pa.table({"term": vc.field("values"),
-                         "n": pc.cast(vc.field("counts"), pa.int64())})
+        return pa.table({"term": terms, "n": pa.array(counts)})
 
     from ray.data.aggregate import Sum
 
@@ -436,16 +448,27 @@ def global_top_terms_sketch(ds, k: int = 20, text_col: str = "text",
     vocabulary — the scale path when the corpus vocabulary (Heaps' law,
     multilingual) dwarfs the heavy-hitter set you actually want.
 
-    Exactness, not approximation: each per-batch summary is compressed
+    Exactness, not approximation. Each per-batch summary is compressed
     to ``sketch_size`` entries by the standard decrement (subtract the
-    (m+1)-th count, drop non-positives) and emits the amount it
-    deducted; summing compressed summaries keeps, for every term,
-    ``c̃(t) >= true(t) − E`` with ``E = Σ deductions``, and any term
-    ABSENT from the merged summary has ``true(t) <= E``. The top
-    ``4k`` surviving candidates are re-counted EXACTLY in one more
-    streaming pass (broadcast candidate set, candidate-bounded
-    shuffle); if the exact k-th count exceeds ``E`` no non-candidate
-    can displace it, so the result is provably the true top-k. When the
+    (m+1)-th count ``sub``, drop non-positives) and emits ``sub`` under
+    the reserved key ``""`` (unreachable as a token: both tokenizers
+    drop empties). No single term can lose more than ``sub`` per batch,
+    so after the merging groupby every term satisfies
+    ``c̃(t) >= true(t) − E`` with ``E = Σ sub`` — the sound per-term
+    Misra-Gries bound, not the (m+1)×-looser total deducted mass.
+    The certificate then covers BOTH ways a term could hide from the
+    candidate set (the top ``4k`` merged rows):
+
+    - absent from the merged summary entirely: ``true <= E``;
+    - present but below the 4k cut: ``true <= excl_max + E`` where
+      ``excl_max`` is the largest merged count among excluded rows.
+
+    The candidates are re-counted EXACTLY in one more streaming pass
+    (broadcast candidate set, candidate-bounded shuffle); if the exact
+    k-th candidate count strictly exceeds ``max(E, excl_max + E)`` no
+    hidden term can reach rank k, so the output is provably the true
+    top-k. If no batch ever compressed (``E == 0``) the merged counts
+    are already exact and the second pass is skipped. When the
     certificate fails (flat, non-skewed distributions) the operator
     falls back to the exact full-vocabulary :func:`global_top_terms` —
     output is identical either way, the sketch only changes the cost.
@@ -454,36 +477,24 @@ def global_top_terms_sketch(ds, k: int = 20, text_col: str = "text",
 
     m = sketch_size or max(64, 8 * k)
     tokenize = simple_tokenize if simple_tokens else full_tokenize
-    # "" is unreachable as a token (both tokenizers drop empties) —
-    # reserved key carrying each batch's deduction through the groupby
     empty = pa.table({"term": pa.array([], type=pa.string()),
                       "n": pa.array([], type=pa.int64())})
 
     def partial_mg(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch[text_col].to_pylist():
-            if t:
-                toks.extend(tokenize(t))
-        if not toks:
+        terms, counts = _batch_term_counts(batch, text_col, tokenize)
+        if terms is None:
             return empty
-        vc = pc.value_counts(pa.array(toks, type=pa.string()))
-        terms = vc.field("values")
-        counts = pc.cast(vc.field("counts"), pa.int64()).to_numpy(
-            zero_copy_only=False)
         if len(counts) > m:
             order = np.argsort(-counts, kind="stable")
-            sub = counts[order[m]]
+            sub = int(counts[order[m]])
             keep_idx = order[:m]
             kept = counts[keep_idx] - sub
             pos = kept > 0
-            deducted = int(counts.sum() - kept[pos].sum())
             return pa.table({
                 "term": pa.concat_arrays(
-                    [terms.take(pa.array(keep_idx[pos])).combine_chunks()
-                     if isinstance(terms, pa.ChunkedArray)
-                     else terms.take(pa.array(keep_idx[pos])),
+                    [terms.take(pa.array(keep_idx[pos])),
                      pa.array([""], pa.string())]),
-                "n": pa.array(np.r_[kept[pos], deducted])})
+                "n": pa.array(np.r_[kept[pos], sub])})
         return pa.table({"term": terms, "n": pa.array(counts)})
 
     from ray.data.aggregate import Sum
@@ -492,13 +503,21 @@ def global_top_terms_sketch(ds, k: int = 20, text_col: str = "text",
               .map_batches(partial_mg, batch_format="pyarrow")
               .groupby("term").aggregate(Sum("n", alias_name="n"))
               .materialize())
-    rows = merged.sort(["n", "term"], descending=[True, True]).limit(
-        4 * k + 1).take_all()
     err_row = merged.filter(expr='term == ""').take_all()
     err = int(err_row[0]["n"]) if err_row else 0
-    cand = [r["term"] for r in rows if r["term"] != ""][:4 * k]
+    if err == 0:
+        # nothing was ever decremented: merged IS the exact count table
+        return (merged.filter(expr='term != ""')
+                .sort(["n", "term"], descending=[True, True]).limit(k))
+    rows = [r for r in merged.sort(
+        ["n", "term"], descending=[True, True]).limit(4 * k + 2).take_all()
+        if r["term"] != ""]
+    cand = [r["term"] for r in rows[:4 * k]]
+    # the (4k+1)-th merged row bounds every EXCLUDED-but-present term
+    excl_max = int(rows[4 * k]["n"]) if len(rows) > 4 * k else 0
+    hidden_bound = max(err, excl_max + err)
     if not cand:
-        if not rows:  # genuinely empty corpus
+        if merged.count() == 0:  # genuinely empty corpus
             return ray.data.from_arrow(empty)
         # every term was compressed away (flat distribution): the
         # certificate can never pass — go exact
@@ -514,19 +533,11 @@ def global_top_terms_sketch(ds, k: int = 20, text_col: str = "text",
             carr = pa.array(ray.get(cand_ref), pa.string())
             _HH_CACHE.clear()
             _HH_CACHE[ck] = carr
-        toks: list[str] = []
-        for t in batch[text_col].to_pylist():
-            if t:
-                toks.extend(tokenize(t))
-        if not toks:
+        terms, counts = _batch_term_counts(batch, text_col, tokenize)
+        if terms is None:
             return empty
-        arr = pa.array(toks, type=pa.string())
-        arr = arr.filter(pc.is_in(arr, value_set=carr))
-        if len(arr) == 0:
-            return empty
-        vc = pc.value_counts(arr)
-        return pa.table({"term": vc.field("values"),
-                         "n": pc.cast(vc.field("counts"), pa.int64())})
+        keep = pc.is_in(terms, value_set=carr)
+        return pa.table({"term": terms, "n": pa.array(counts)}).filter(keep)
 
     exact = (ds.select_columns([text_col])
              .map_batches(exact_counts, batch_format="pyarrow")
@@ -534,9 +545,9 @@ def global_top_terms_sketch(ds, k: int = 20, text_col: str = "text",
              .sort(["n", "term"], descending=[True, True])
              .limit(k).materialize())
     got = exact.take_all()
-    # certificate: the exact k-th candidate count must beat the error
-    # bound E, else an unseen term could belong in the top-k
-    if len(got) < k or int(got[-1]["n"]) <= err:
+    # certificate: the exact k-th candidate count must strictly beat
+    # every hidden term's maximum possible true count
+    if len(got) < k or int(got[-1]["n"]) <= hidden_bound:
         return global_top_terms(ds, k=k, text_col=text_col,
                                 simple_tokens=simple_tokens)
     return exact

@@ -553,41 +553,76 @@ def test_cross_corpus_matches_bloom_exact(ray_session):
         corpus, nomatch, ref_key_col="rid").count() == 0
 
 
-def test_global_top_terms_sketch_exact(ray_session):
+def test_global_top_terms_sketch_exact(ray_session, monkeypatch):
     import random
 
+    import raydedup.stages.collection as colmod
     from raydedup.stages.collection import (global_top_terms,
                                             global_top_terms_sketch)
 
-    # Zipf-ish corpus: vocabulary far above sketch_size so per-batch
-    # compression genuinely fires, with real heavy hitters on top
+    calls = {"fallback": 0}
+    real_exact = colmod.global_top_terms
+
+    def spy(*a, **kw):
+        calls["fallback"] += 1
+        return real_exact(*a, **kw)
+
+    # dominant heavy hitters + a 400-term tail: per-batch compression
+    # fires AND the certificate passes -> the sketch path must answer
+    # WITHOUT falling back
     rng = random.Random(5)
     vocab = [f"w{i}" for i in range(400)]
     docs = []
     for _ in range(120):
-        words = [f"hot{rng.randint(0, 4)}" for _ in range(20)]
-        words += [rng.choice(vocab) for _ in range(30)]
+        words = [f"hot{rng.randint(0, 7)}" for _ in range(25)]
+        words += [rng.choice(vocab) for _ in range(15)]
         rng.shuffle(words)
         docs.append(" ".join(words))
     ds = ray.data.from_arrow(pa.table({"text": docs})).repartition(6)
 
     want = [(r["term"], r["n"]) for r in
-            global_top_terms(ds, k=10).take_all()]
+            global_top_terms(ds, k=5).take_all()]
+    monkeypatch.setattr(colmod, "global_top_terms", spy)
     got = [(r["term"], r["n"]) for r in
-           global_top_terms_sketch(ds, k=10, sketch_size=32).take_all()]
+           global_top_terms_sketch(ds, k=5, sketch_size=32).take_all()]
     assert got == want
-    assert {t for t, _ in got[:5]} == {f"hot{i}" for i in range(5)}
+    assert calls["fallback"] == 0, "certified sketch path must not fall back"
+    assert {t for t, _ in got} <= {f"hot{i}" for i in range(8)}
 
     # flat distribution: certificate fails, exact fallback keeps the
     # output identical anyway
     flat = ray.data.from_arrow(pa.table(
         {"text": [f"u{i} u{i + 1} u{i + 2}" for i in range(300)]}
     )).repartition(5)
-    wf = [(r["term"], r["n"]) for r in
-          global_top_terms(flat, k=10).take_all()]
+    wf = [(r["term"], r["n"]) for r in real_exact(flat, k=10).take_all()]
     gf = [(r["term"], r["n"]) for r in
           global_top_terms_sketch(flat, k=10, sketch_size=16).take_all()]
     assert gf == wf
+    assert calls["fallback"] >= 1
+
+    # regression (code-review repro): a term decremented in one batch
+    # and cut from the candidate set must not be displaced — the
+    # certificate sees it via the excluded-row bound and falls back
+    docs2 = ["a " * 7 + "p " * 9 + "q " * 8,
+             "b " * 100 + "c " * 100,
+             "d " * 100 + "e " * 100,
+             "a " * 94]
+    tricky = ray.data.from_arrow(pa.table({"text": docs2})).repartition(4)
+    wt = [(r["term"], r["n"]) for r in real_exact(tricky, k=1).take_all()]
+    gt = [(r["term"], r["n"]) for r in
+          global_top_terms_sketch(tricky, k=1, sketch_size=2).take_all()]
+    assert gt == wt == [("a", 101)]
+
+    # no compression anywhere (vocab <= sketch_size): merged counts are
+    # exact, answered in one pass with no fallback and no recount
+    calls["fallback"] = 0
+    small = ray.data.from_arrow(pa.table(
+        {"text": ["x y z x", "y x w", "x"]})).repartition(2)
+    gs = [(r["term"], r["n"]) for r in
+          global_top_terms_sketch(small, k=2, sketch_size=64).take_all()]
+    assert gs == [(r["term"], r["n"]) for r in
+                  real_exact(small, k=2).take_all()]
+    assert calls["fallback"] == 0
 
     empty = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
     assert global_top_terms_sketch(empty, k=5).take_all() == []
