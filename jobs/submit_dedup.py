@@ -95,8 +95,12 @@ def main(argv=None) -> int:
             "clusters", lambda: cluster_assignments(sigs, pairs, cfg))
     else:
         clusters, pairs = near_dup_pipeline(ts, cfg)
-    clusters.write_parquet(os.path.join(args.output, "clusters"))
-    pairs.write_parquet(os.path.join(args.output, "pairs"))
+    # overwrite, not the default append: re-submitting with the same
+    # --output must not accumulate a second copy of every shard
+    clusters.write_parquet(os.path.join(args.output, "clusters"),
+                           mode="overwrite")
+    pairs.write_parquet(os.path.join(args.output, "pairs"),
+                        mode="overwrite")
     wall = time.time() - t0
 
     out_c = ray.data.read_parquet(os.path.join(args.output, "clusters"))

@@ -479,6 +479,10 @@ def global_top_terms_sketch(ds, k: int = 20, text_col: str = "text",
     tokenize = simple_tokenize if simple_tokens else full_tokenize
     empty = pa.table({"term": pa.array([], type=pa.string()),
                       "n": pa.array([], type=pa.int64())})
+    # the input is consumed up to three times (MG pass, exact recount,
+    # fallback): materialize the one-column projection once so upstream
+    # lineage never re-executes
+    ds = ds.select_columns([text_col]).materialize()
 
     def partial_mg(batch: pa.Table) -> pa.Table:
         terms, counts = _batch_term_counts(batch, text_col, tokenize)
@@ -499,8 +503,7 @@ def global_top_terms_sketch(ds, k: int = 20, text_col: str = "text",
 
     from ray.data.aggregate import Sum
 
-    merged = (ds.select_columns([text_col])
-              .map_batches(partial_mg, batch_format="pyarrow")
+    merged = (ds.map_batches(partial_mg, batch_format="pyarrow")
               .groupby("term").aggregate(Sum("n", alias_name="n"))
               .materialize())
     err_row = merged.filter(expr='term == ""').take_all()
@@ -539,8 +542,7 @@ def global_top_terms_sketch(ds, k: int = 20, text_col: str = "text",
         keep = pc.is_in(terms, value_set=carr)
         return pa.table({"term": terms, "n": pa.array(counts)}).filter(keep)
 
-    exact = (ds.select_columns([text_col])
-             .map_batches(exact_counts, batch_format="pyarrow")
+    exact = (ds.map_batches(exact_counts, batch_format="pyarrow")
              .groupby("term").aggregate(Sum("n", alias_name="n"))
              .sort(["n", "term"], descending=[True, True])
              .limit(k).materialize())

@@ -486,6 +486,9 @@ def cross_corpus_matches_bloom(ds, ref_ds, ref_key_col: str,
     import hashlib
 
     def probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({**{c: batch[c] for c in keep_cols},
+                             "__sha": pa.array([], pa.string())})
         cols = {c: batch[c] for c in keep_cols}
         texts = batch[text_col].to_pylist()
         h1, h2 = _sha_u64_pair(texts)

@@ -1149,13 +1149,13 @@ def upsample_by_weight(ds, group_col: str, weights: dict, key_col: str,
             return sch.empty_table()
         garr = pa.array(groups, batch.schema.field(group_col).type)
         idx_arr = pc.index_in(batch[group_col].combine_chunks(), garr)
-        known = pc.is_valid(idx_arr).to_numpy(zero_copy_only=False)
-        ii = pc.fill_null(idx_arr, 0).to_numpy(
+        # sentinel slot: unknown groups (index_in null) take the default
+        # weight — also keeps an EMPTY weights dict working (both
+        # np.where branches would otherwise index a zero-length array)
+        ii = pc.fill_null(idx_arr, len(groups)).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        base = np.where(known, np.asarray(base_l, np.int64)[ii], d_base)
-        thr = np.where(known,
-                       np.asarray(thr_l, np.uint64)[ii],
-                       np.uint64(d_thr))
+        base = np.asarray(base_l + [d_base], np.int64)[ii]
+        thr = np.asarray(thr_l + [d_thr], np.uint64)[ii]
         h = _hash60(batch[key_col].to_pylist(), prefix)
         reps = base + (h < thr)
         src = np.repeat(np.arange(n, dtype=np.int64), reps)

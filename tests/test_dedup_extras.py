@@ -490,6 +490,13 @@ def test_upsample_by_weight(ray_session):
     with pytest.raises(ValueError, match="weight"):
         upsample_by_weight(ds, "src", {"a": -1.0}, key_col="k")
 
+    # empty weights dict: every row takes the default (review finding:
+    # the old np.where lookup indexed a zero-length array)
+    dbl = sorted((r["k"], r["rep"]) for r in upsample_by_weight(
+        ray.data.from_arrow(tbl), "src", {}, key_col="k",
+        default=2.0).take_all())
+    assert dbl == sorted((k, r) for k in ids for r in range(2))
+
 
 def test_bloom_bits_properties(ray_session):
     import hashlib
@@ -551,6 +558,16 @@ def test_cross_corpus_matches_bloom_exact(ray_session):
         "rid": pa.array([1], pa.int64()), "text": ["nothing matches"]}))
     assert cross_corpus_matches_bloom(
         corpus, nomatch, ref_key_col="rid").count() == 0
+
+    # zero-row blocks through the probe (review finding: bool &= empty
+    # float64 array raised): over-partitioned tiny corpus
+    tiny = ray.data.from_arrow(pa.table({
+        "cid": pa.array([0, 1], pa.int64()),
+        "text": ["row 7", "no match here"]})).repartition(6)
+    got_t = sorted((r["cid"], r["ref_rid"]) for r in
+                   cross_corpus_matches_bloom(
+                       tiny, ref, ref_key_col="rid").take_all())
+    assert got_t == [(0, 102)]
 
 
 def test_global_top_terms_sketch_exact(ray_session, monkeypatch):

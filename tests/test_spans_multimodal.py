@@ -968,6 +968,10 @@ def test_lcs_string_matches_brute_force():
         ("xyz", "pqr"),
         ("", "abc"),
         ("same", "same"),
+        # NUL-bearing text: the match must not cross the sentinel
+        ("ab", "ab\x00ab"),
+        ("x\x00y", "x\x00y"),
+        ("p\x00", "q\x00r"),
     ]
     import random
     rng = random.Random(7)
@@ -1021,3 +1025,46 @@ def test_remove_dup_spans_planted():
            remove_dup_spans(clean, DEFAULT_CONFIG).take_all()}
     assert out["x"]["text"] == "short one"
     assert out["x"]["n_removed"] == 0
+
+
+def test_remove_dup_spans_no_resurrection():
+    """A cut boundary that re-forms the span must be re-cut (the
+    single-pass str.replace bug found in review)."""
+    from raydedup.stages.suffix_span import remove_dup_spans
+
+    keeper = "a" * 150 + "b" * 150
+    victim = "a" * 300 + "b" * 300
+    ds = ray.data.from_arrow(pa.table(
+        {"row_key": ["k0", "k1"], "text": [keeper, victim]}))
+    got = {r["row_key"]: r for r in
+           remove_dup_spans(ds, DEFAULT_CONFIG).take_all()}
+    assert got["k0"]["text"] == keeper
+    assert keeper not in got["k1"]["text"]
+    assert got["k1"]["n_removed"] == len(victim) - len(got["k1"]["text"])
+
+
+def test_remove_dup_spans_multi_round():
+    """One round removes one (longest) span per pair; rounds=2 catches a
+    second disjoint shared span and reaches the fixpoint."""
+    import pytest
+
+    from raydedup.stages.suffix_span import remove_dup_spans
+
+    s1 = "X" * 400
+    s2 = "Y" * 250
+    a = "head " + s1 + " mid " + s2 + " tail"
+    b = "other " + s1 + " filler " + s2 + " end"
+    ds = ray.data.from_arrow(pa.table(
+        {"row_key": ["a", "b"], "text": [a, b]}))
+    one = {r["row_key"]: r for r in
+           remove_dup_spans(ds, DEFAULT_CONFIG, rounds=1).take_all()}
+    assert s1 not in one["b"]["text"]
+    assert s2 in one["b"]["text"]          # disjoint span survives r1
+    two = {r["row_key"]: r for r in
+           remove_dup_spans(ds, DEFAULT_CONFIG, rounds=3).take_all()}
+    assert two["a"]["text"] == a
+    assert s1 not in two["b"]["text"] and s2 not in two["b"]["text"]
+    assert two["b"]["n_removed"] == len(b) - len(two["b"]["text"])
+
+    with pytest.raises(ValueError, match="rounds"):
+        remove_dup_spans(ds, DEFAULT_CONFIG, rounds=0)
