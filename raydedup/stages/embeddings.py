@@ -1137,8 +1137,12 @@ def prototype_prune(ds, dims: int, prune_frac: float = 0.25,
         if batch.num_rows == 0:
             return empty
         garr, Sm, sn, asum, _ = _lut()
-        idx = pc.index_in(batch[label_col].combine_chunks(),
-                          garr).to_numpy(zero_copy_only=False)
+        lab = batch[label_col].combine_chunks()
+        if pc.any(pc.is_null(lab)).as_py():
+            raise ValueError("prototype_prune: null labels — a NaN "
+                             "index would silently misroute rows; "
+                             "filter or fill nulls upstream")
+        idx = pc.index_in(lab, garr).to_numpy(zero_copy_only=False)
         idx = idx.astype(np.int64)
         M = _to_matrix(batch, vec_col)
         if M.shape[1] != dims:

@@ -620,3 +620,13 @@ def test_prototype_prune(ray_session):
 
     with pytest.raises(ValueError, match="prune_frac"):
         prototype_prune(ds, dims=d, prune_frac=1.0)
+
+    withnull = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "label": pa.array([0, None], pa.int32()),
+        "embedding": pa.array([[0.1, 0.2], [0.3, 0.4]],
+                              pa.list_(pa.float32()))}))
+    # null labels fail loudly (ArrowInvalid in the centroid partial or
+    # the scoring guard), never silently misroute
+    with pytest.raises(Exception):
+        prototype_prune(withnull, dims=2).take_all()
