@@ -166,7 +166,12 @@ def run_bench() -> dict:
                   "top_unshipped_orders",
                   "pmi_bigrams",
                   "trim_context_window",
-                  "drop_boilerplate_turns"):
+                  "drop_boilerplate_turns",
+                  "prototype_prune",
+                  "remove_dup_spans",
+                  "cross_corpus_matches_bloom",
+                  "upsample_mix",
+                  "top_terms_global_sketch"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()
         queries[qname] = round(time.time() - t0, 3)
