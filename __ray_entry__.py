@@ -1880,6 +1880,40 @@ def q_multimodal_frames(sf_dir: str):
     )
 
 
+def q_set_sim_pairs_docs(sf_dir: str):
+    """EXACT all-pairs shingle-set Jaccard >= 0.5 via prefix filtering
+    (AllPairs/PPJoin — Bayardo et al. 2007, Xiao et al. 2008): the
+    deterministic counterpart of the MinHash-LSH candidate path, recall
+    exactly 1.0 at the threshold by construction. The oracle recomputes
+    brute-force shingle-set Jaccard in SQL, so any missed or spurious
+    pair fails the value gate."""
+    from raydedup.stages.setjoin import set_similarity_self_join
+
+    return _round_col(
+        set_similarity_self_join(_docs(sf_dir), 0.5, SIMPLE_CFG),
+        "jaccard")
+
+
+def q_conv_near_dup_pairs(sf_dir: str):
+    """CONVERSATION-granularity near-dup pairs: reassemble each
+    conversation under stable (conv_id, turn_idx) ordering, then run
+    the exact prefix-filter set-similarity join over whole-conversation
+    shingle sets. Conversation granularity dilutes per-turn duplication
+    (five turns share one near-dup turn → conv Jaccard ~0.1-0.2), hence
+    the low threshold — exactly where LSH banding would need recall
+    tuning and the exact join needs none."""
+    from raydedup.stages.ordered import assemble_by_key
+    from raydedup.stages.setjoin import set_similarity_self_join
+
+    ts = transcripts_from_documents(sf_dir)
+    convs = assemble_by_key(ts, by="conv_id", order_cols=["turn_idx"],
+                            text_col="text", sep="\n", out="conv_text")
+    return _round_col(
+        set_similarity_self_join(convs, 0.1, SIMPLE_CFG,
+                                 id_col="conv_id", text_col="conv_text"),
+        "jaccard")
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (driver smoke check)."""
     return q_near_dup_clusters_transcripts("/root/testdata/sf0.001")
@@ -1994,6 +2028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans": q_remove_dup_spans,
         "cross_corpus_matches_bloom": q_cross_corpus_matches_bloom,
         "top_terms_global_sketch": q_top_terms_global_sketch,
+        "set_sim_pairs_docs": q_set_sim_pairs_docs,
+        "conv_near_dup_pairs": q_conv_near_dup_pairs,
     }
 
 
@@ -4178,6 +4214,82 @@ def _oracle_sql_base() -> dict[str, str]:
         # reference config (Porter stemmer — not SQL-expressible); its
         # value-level parity is covered by tests/test_pipeline.py against
         # the single-process oracle → rows-only here.
+        # set_sim_pairs_docs: prefix-filter join is EXACT, so the oracle
+        # is brute-force shingle-set Jaccard over ALL docs (no rep
+        # collapse — this operator scores identical-text pairs too)
+        "set_sim_pairs_docs": f"""
+            WITH arrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
+                           AS arr
+                FROM documents
+            ),
+            sl AS (
+                SELECT doc_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM arrs WHERE len(arr) > 0
+            ),
+            sh AS (SELECT DISTINCT doc_id, s.sh
+                   FROM sl, UNNEST(shl) AS s(sh)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.a_id, i.b_id, i.c AS common, x.n AS na, y.n AS nb,
+                   round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c),
+                         {_ROUND}) AS jaccard
+            FROM inter i
+            JOIN sz x ON x.doc_id = i.a_id
+            JOIN sz y ON y.doc_id = i.b_id
+            WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        "conv_near_dup_pairs": TRANSCRIPTS_SQL + f""",
+            conv AS (
+                SELECT conv_id,
+                       string_agg(text, chr(10) ORDER BY turn_idx)
+                           AS conv_text
+                FROM transcripts GROUP BY conv_id
+            ),
+            arrs AS (
+                SELECT conv_id,
+                       regexp_extract_all(lower(conv_text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM conv
+            ),
+            sl AS (
+                SELECT conv_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM arrs WHERE len(arr) > 0
+            ),
+            sh AS (SELECT DISTINCT conv_id, s.sh
+                   FROM sl, UNNEST(shl) AS s(sh)),
+            sz AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.conv_id AS a_id, b.conv_id AS b_id,
+                       count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.sh = b.sh AND a.conv_id < b.conv_id
+                GROUP BY 1, 2
+            )
+            SELECT i.a_id, i.b_id, i.c AS common, x.n AS na, y.n AS nb,
+                   round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c),
+                         {_ROUND}) AS jaccard
+            FROM inter i
+            JOIN sz x ON x.conv_id = i.a_id
+            JOIN sz y ON y.conv_id = i.b_id
+            WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.1
+        """,
     }
 
 

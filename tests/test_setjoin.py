@@ -1,0 +1,117 @@
+"""Exact prefix-filter set-similarity join (stages/setjoin.py) vs
+brute force: the AllPairs/PPJoin guarantee is recall == 1.0 at the
+threshold, so the test recomputes every pairwise Jaccard from the
+stage's own shingle sets and demands set equality, not containment."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.stages.setjoin import (
+    hot_shingle_hashes,
+    set_similarity_self_join,
+    shingle_sets,
+)
+
+VOCAB = [f"tok{i}" for i in range(60)]
+
+
+def _random_docs(rng, n, boiler=""):
+    rows = []
+    for i in range(n):
+        k = int(rng.integers(4, 40))
+        words = [VOCAB[int(rng.integers(0, len(VOCAB)))] for _ in range(k)]
+        if boiler and rng.random() < 0.9:
+            words = boiler.split() + words
+        rows.append({"doc_id": f"d{i:04d}", "text": " ".join(words)})
+    # planted near-dup families: copy with light edits
+    for i in range(0, n, 7):
+        words = rows[i]["text"].split()
+        j = int(rng.integers(0, max(1, len(words))))
+        words.insert(j, "extra")
+        rows.append({"doc_id": f"d{i:04d}x", "text": " ".join(words)})
+    return rows
+
+
+def _brute_pairs(rows, threshold):
+    ds = ray.data.from_items(rows)
+    sets = {
+        r["doc_id"]: frozenset(r["sh"])
+        for r in shingle_sets(ds, DEFAULT_CONFIG).take_all()
+    }
+    ids = sorted(sets)
+    expected = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            c = len(a & b)
+            u = len(a | b)
+            if u and c / u >= threshold:
+                expected[(ids[x], ids[y])] = (c, len(a), len(b))
+    return expected
+
+
+def _run(rows, threshold, **kw):
+    ds = ray.data.from_items(rows)
+    got = {}
+    for r in set_similarity_self_join(ds, threshold, DEFAULT_CONFIG,
+                                      **kw).take_all():
+        got[(r["a_id"], r["b_id"])] = (r["common"], r["na"], r["nb"])
+        u = r["na"] + r["nb"] - r["common"]
+        assert r["jaccard"] == r["common"] / u
+    return got
+
+
+def test_setjoin_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(7)
+    rows = _random_docs(rng, 60)
+    for threshold in (0.3, 0.5, 0.9):
+        assert _run(rows, threshold) == _brute_pairs(rows, threshold)
+
+
+def test_setjoin_hot_shingle_skew(ray_session):
+    # 90% of docs share one boilerplate prefix: the hot-last order must
+    # keep those shingles out of prefixes, and the result stays exact.
+    rng = np.random.default_rng(13)
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = _random_docs(rng, 50, boiler=boiler)
+    expected = _brute_pairs(rows, 0.4)
+    assert _run(rows, 0.4) == expected
+    # hot_k=0 disables frequency ordering entirely: still exact (any
+    # total order satisfies the prefix theorem), just slower
+    assert _run(rows, 0.4, hot_k=0) == expected
+
+
+def test_hot_shingle_hashes_topk(ray_session):
+    rows = [{"doc_id": f"p{i}", "text": "alpha beta gamma delta "
+             + f"uniq{i} uniq{i}b uniq{i}c"} for i in range(20)]
+    sets = shingle_sets(ray.data.from_items(rows), DEFAULT_CONFIG)
+    sets = sets.materialize()
+    hot = hot_shingle_hashes(sets, 3)
+    assert hot.size == 3 and hot.dtype == np.uint64
+    assert np.array_equal(hot, np.sort(hot))
+    # brute: count document frequency of every shingle hash
+    from collections import Counter
+
+    cnt = Counter()
+    for r in sets.take_all():
+        cnt.update(set(r["sh"]))
+    top = sorted(cnt.values(), reverse=True)[:3]
+    assert sorted((cnt[int(h)] for h in hot), reverse=True) == top
+
+
+def test_setjoin_empty_and_no_match(ray_session):
+    empty = ray.data.from_items([{"doc_id": "a", "text": ""}]).filter(
+        lambda r: False)
+    out = set_similarity_self_join(empty, 0.5, DEFAULT_CONFIG)
+    assert out.count() == 0
+    disjoint = ray.data.from_items([
+        {"doc_id": "a", "text": "one two three four five"},
+        {"doc_id": "b", "text": "six seven eight nine ten"},
+    ])
+    out = set_similarity_self_join(disjoint, 0.5, DEFAULT_CONFIG)
+    assert out.count() == 0
+    assert set(out.schema().names) == {
+        "a_id", "b_id", "common", "na", "nb", "jaccard"}
