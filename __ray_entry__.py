@@ -1914,6 +1914,21 @@ def q_conv_near_dup_pairs(sf_dir: str):
         "jaccard")
 
 
+def q_tiered_dedup_docs(sf_dir: str):
+    """TIERED dedup cascade (the composition a web-scale curation run
+    ships): tier 1 collapses sha256-identical texts to the min-id rep;
+    tier 2 runs the EXACT prefix-filter set-similarity join (AllPairs/
+    PPJoin) at Jaccard >= 0.5 over tier-1 survivors only; every input
+    doc gets (exact_rep, n_exact, cluster_id, tier in {exact,near,keep}).
+    The oracle recomputes both tiers in SQL — window-partition exact
+    groups, brute-force shingle Jaccard over reps, recursive-CTE
+    min-label components — so survivors, cluster labels AND tier
+    attribution are all value-checked."""
+    from raydedup.pipelines.tiered import tiered_dedup
+
+    return tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (driver smoke check)."""
     return q_near_dup_clusters_transcripts("/root/testdata/sf0.001")
@@ -2030,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_global_sketch": q_top_terms_global_sketch,
         "set_sim_pairs_docs": q_set_sim_pairs_docs,
         "conv_near_dup_pairs": q_conv_near_dup_pairs,
+        "tiered_dedup_docs": q_tiered_dedup_docs,
     }
 
 
@@ -4289,6 +4305,69 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.conv_id = i.a_id
             JOIN sz y ON y.conv_id = i.b_id
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.1
+        """,
+        # tiered_dedup_docs: tier 1 = identical-text groups (window
+        # min/count); tier 2 = brute-force shingle Jaccard >= 0.5 over
+        # reps + recursive-CTE min-label components (the semantic_dedup
+        # oracle's component idiom). Engine shas/hashes vs SQL
+        # text/strings partition identically (collision-free at any
+        # testable scale; documented in stages/setjoin.py).
+        "tiered_dedup_docs": """
+            WITH RECURSIVE g AS (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY text) AS exact_rep,
+                       count(*) OVER (PARTITION BY text) AS n_exact
+                FROM documents
+            ),
+            reps AS (SELECT doc_id, text FROM g WHERE doc_id = exact_rep),
+            arrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
+                           AS arr
+                FROM reps
+            ),
+            sl AS (
+                SELECT doc_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM arrs WHERE len(arr) > 0
+            ),
+            sh AS (SELECT DISTINCT doc_id, s.sh
+                   FROM sl, UNNEST(shl) AS s(sh)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT i.a_id, i.b_id
+                FROM inter i
+                JOIN sz x ON x.doc_id = i.a_id
+                JOIN sz y ON y.doc_id = i.b_id
+                WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+            ),
+            edges AS (
+                SELECT a_id, b_id FROM pairs
+                UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT doc_id, doc_id FROM reps
+                UNION
+                SELECT reach.node, edges.b_id
+                FROM reach JOIN edges ON reach.r = edges.a_id
+            ),
+            comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node)
+            SELECT g.doc_id, g.exact_rep, g.n_exact,
+                   c.root AS cluster_id,
+                   CASE WHEN g.doc_id != g.exact_rep THEN 'exact'
+                        WHEN c.root != g.doc_id THEN 'near'
+                        ELSE 'keep' END AS tier
+            FROM g JOIN comp c ON c.node = g.exact_rep
         """,
     }
 
