@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raydedup.config import DEFAULT_CONFIG
+from raydedup.sources.lined import LINED_SQL as _LINED_SQL
 from raydedup.sources.transcripts import (
     TRANSCRIPTS_SQL,
     transcripts_from_documents,
@@ -1929,6 +1930,23 @@ def q_tiered_dedup_docs(sf_dir: str):
     return tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
 
 
+def q_line_dedup_docs(sf_dir: str):
+    """LINE-level corpus dedup (the C4 / MassiveText / FineWeb recipe —
+    Raffel et al. 2020 §2.2): over the lined-documents view (word-trigram
+    lines, sources/lined.py — derivation mirrored by the LINED_SQL CTE),
+    any line occurring in >= 2 distinct documents is removed everywhere;
+    survivors rejoin in original order. ~34% of line instances are
+    cross-doc duplicates at sf0.01, so the oracle checks real removal,
+    reassembly order, and the per-doc (n_lines, n_removed) accounting.
+    Engine compares lines by blake2b-64 hash, oracle by exact string —
+    collision-free at any testable scale (documented contract,
+    stages/linededup.py)."""
+    from raydedup.sources.lined import lined_documents
+    from raydedup.stages.linededup import line_dedup
+
+    return line_dedup(lined_documents(sf_dir), min_docs=2)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (driver smoke check)."""
     return q_near_dup_clusters_transcripts("/root/testdata/sf0.001")
@@ -2046,6 +2064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_sim_pairs_docs": q_set_sim_pairs_docs,
         "conv_near_dup_pairs": q_conv_near_dup_pairs,
         "tiered_dedup_docs": q_tiered_dedup_docs,
+        "line_dedup_docs": q_line_dedup_docs,
     }
 
 
@@ -4368,6 +4387,31 @@ def _oracle_sql_base() -> dict[str, str]:
                         WHEN c.root != g.doc_id THEN 'near'
                         ELSE 'keep' END AS tier
             FROM g JOIN comp c ON c.node = g.exact_rep
+        """,
+        # line_dedup_docs: explode the lined view, count DISTINCT docs
+        # per non-empty line, collect the dup set as ONE list and
+        # list_filter each doc's lines against it (order-preserving —
+        # dodges DuckDB's missing WITH ORDINALITY).
+        "line_dedup_docs": _LINED_SQL + """,
+            ex AS (SELECT doc_id, unnest(lines) AS line FROM lined),
+            d AS (SELECT DISTINCT doc_id, line FROM ex WHERE line <> ''),
+            dup AS (SELECT line FROM d GROUP BY line
+                    HAVING count(*) >= 2),
+            dset AS (SELECT coalesce(list(line), []) AS dl FROM dup),
+            kept AS (
+                SELECT l.doc_id, l.lines,
+                       list_filter(l.lines,
+                           x -> x = '' OR NOT list_contains(dset.dl, x))
+                           AS kl
+                FROM lined l CROSS JOIN dset
+            )
+            SELECT doc_id,
+                   -- engine contract: a fully-wiped doc keeps its row
+                   -- with text = '' (DuckDB array_to_string([]) is NULL)
+                   coalesce(array_to_string(kl, chr(10)), '') AS text,
+                   len(lines) AS n_lines,
+                   len(lines) - len(kl) AS n_removed
+            FROM kept
         """,
     }
 

@@ -171,7 +171,10 @@ def run_bench() -> dict:
                   "remove_dup_spans",
                   "cross_corpus_matches_bloom",
                   "upsample_mix",
-                  "top_terms_global_sketch"):
+                  "top_terms_global_sketch",
+                  "set_sim_pairs_docs",
+                  "tiered_dedup_docs",
+                  "line_dedup_docs"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()
         queries[qname] = round(time.time() - t0, 3)
