@@ -1930,6 +1930,24 @@ def q_tiered_dedup_docs(sf_dir: str):
     return tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
 
 
+def q_tiered_semantic_docs(sf_dir: str):
+    """THREE-tier cascade (exact sha → near prefix-filter Jaccard >= 0.5
+    → SemDeDup cosine >= 0.35 over tier-2 survivors only), the full
+    published curation ordering. Every doc gets (exact_rep, n_exact,
+    near_cluster, cluster_id, tier in {exact,near,semantic,keep}). The
+    oracle recomputes all three tiers: window exact groups, brute-force
+    shingle Jaccard + recursive-CTE components, then
+    list_cosine_similarity pairs restricted to tier-2 survivors and a
+    second recursive-CTE component pass."""
+    import ray.data
+
+    from raydedup.pipelines.tiered import tiered_dedup_semantic
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return tiered_dedup_semantic(_docs(sf_dir), emb, threshold=0.5,
+                                 sem_threshold=0.35, cfg=SIMPLE_CFG)
+
+
 def q_line_dedup_docs(sf_dir: str):
     """LINE-level corpus dedup (the C4 / MassiveText / FineWeb recipe —
     Raffel et al. 2020 §2.2): over the lined-documents view (word-trigram
@@ -2064,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_sim_pairs_docs": q_set_sim_pairs_docs,
         "conv_near_dup_pairs": q_conv_near_dup_pairs,
         "tiered_dedup_docs": q_tiered_dedup_docs,
+        "tiered_semantic_docs": q_tiered_semantic_docs,
         "line_dedup_docs": q_line_dedup_docs,
     }
 
@@ -2472,6 +2491,63 @@ def _training_shards_sql() -> str:
                ws_tokens
         FROM scan
     """
+
+
+# Shared tier-1/tier-2 CTE chain for the tiered-cascade oracles:
+# window exact groups over text, brute-force 3-word-shingle Jaccard
+# >= 0.5 over exact reps, recursive-CTE min-label components (see
+# q_tiered_dedup_docs docstring for the hashing-vs-string contract).
+_TIERED_CTES = """
+            WITH RECURSIVE g AS (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY text) AS exact_rep,
+                       count(*) OVER (PARTITION BY text) AS n_exact
+                FROM documents
+            ),
+            reps AS (SELECT doc_id, text FROM g WHERE doc_id = exact_rep),
+            arrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
+                           AS arr
+                FROM reps
+            ),
+            sl AS (
+                SELECT doc_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM arrs WHERE len(arr) > 0
+            ),
+            sh AS (SELECT DISTINCT doc_id, s.sh
+                   FROM sl, UNNEST(shl) AS s(sh)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT i.a_id, i.b_id
+                FROM inter i
+                JOIN sz x ON x.doc_id = i.a_id
+                JOIN sz y ON y.doc_id = i.b_id
+                WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+            ),
+            edges AS (
+                SELECT a_id, b_id FROM pairs
+                UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT doc_id, doc_id FROM reps
+                UNION
+                SELECT reach.node, edges.b_id
+                FROM reach JOIN edges ON reach.r = edges.a_id
+            ),
+            comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node)
+"""
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -4331,62 +4407,52 @@ def _oracle_sql_base() -> dict[str, str]:
         # oracle's component idiom). Engine shas/hashes vs SQL
         # text/strings partition identically (collision-free at any
         # testable scale; documented in stages/setjoin.py).
-        "tiered_dedup_docs": """
-            WITH RECURSIVE g AS (
-                SELECT doc_id, text,
-                       min(doc_id) OVER (PARTITION BY text) AS exact_rep,
-                       count(*) OVER (PARTITION BY text) AS n_exact
-                FROM documents
-            ),
-            reps AS (SELECT doc_id, text FROM g WHERE doc_id = exact_rep),
-            arrs AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
-                           AS arr
-                FROM reps
-            ),
-            sl AS (
-                SELECT doc_id,
-                       CASE WHEN len(arr) > 3 THEN
-                           list_transform(range(len(arr) - 2),
-                               i -> arr[i + 1] || ' ' || arr[i + 2]
-                                    || ' ' || arr[i + 3])
-                       ELSE [array_to_string(arr, ' ')] END AS shl
-                FROM arrs WHERE len(arr) > 0
-            ),
-            sh AS (SELECT DISTINCT doc_id, s.sh
-                   FROM sl, UNNEST(shl) AS s(sh)),
-            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-            inter AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-                FROM sh a JOIN sh b
-                  ON a.sh = b.sh AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ),
-            pairs AS (
-                SELECT i.a_id, i.b_id
-                FROM inter i
-                JOIN sz x ON x.doc_id = i.a_id
-                JOIN sz y ON y.doc_id = i.b_id
-                WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
-            ),
-            edges AS (
-                SELECT a_id, b_id FROM pairs
-                UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs
-            ),
-            reach(node, r) AS (
-                SELECT doc_id, doc_id FROM reps
-                UNION
-                SELECT reach.node, edges.b_id
-                FROM reach JOIN edges ON reach.r = edges.a_id
-            ),
-            comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node)
+        "tiered_dedup_docs": _TIERED_CTES + """
             SELECT g.doc_id, g.exact_rep, g.n_exact,
                    c.root AS cluster_id,
                    CASE WHEN g.doc_id != g.exact_rep THEN 'exact'
                         WHEN c.root != g.doc_id THEN 'near'
                         ELSE 'keep' END AS tier
             FROM g JOIN comp c ON c.node = g.exact_rep
+        """,
+        # tiered_semantic_docs: tier 3 = list_cosine_similarity >= 0.35
+        # pairs restricted to tier-2 survivors (comp.root = node) + a
+        # second recursive component pass; final label composes
+        # doc -> exact_rep -> tier-2 root -> tier-3 root.
+        "tiered_semantic_docs": _TIERED_CTES + """,
+            surv AS (SELECT node FROM comp WHERE root = node),
+            spairs AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id < b.vec_id
+                JOIN surv sa ON sa.node = a.vec_id
+                JOIN surv sb ON sb.node = b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ),
+            sedges AS (
+                SELECT a_id, b_id FROM spairs
+                UNION SELECT b_id AS a_id, a_id AS b_id FROM spairs
+            ),
+            reach3(node, r) AS (
+                SELECT node, node FROM surv
+                UNION
+                SELECT reach3.node, sedges.b_id
+                FROM reach3 JOIN sedges ON reach3.r = sedges.a_id
+            ),
+            comp3 AS (SELECT node, min(r) AS root FROM reach3
+                      GROUP BY node)
+            SELECT g.doc_id, g.exact_rep, g.n_exact,
+                   c.root AS near_cluster,
+                   c3.root AS cluster_id,
+                   CASE WHEN g.doc_id != g.exact_rep THEN 'exact'
+                        WHEN c.root != g.doc_id THEN 'near'
+                        WHEN c3.root != g.doc_id THEN 'semantic'
+                        ELSE 'keep' END AS tier
+            FROM g
+            JOIN comp c ON c.node = g.exact_rep
+            JOIN comp3 c3 ON c3.node = c.root
         """,
         # line_dedup_docs: explode the lined view, count DISTINCT docs
         # per non-empty line, collect the dup set as ONE list and

@@ -265,3 +265,135 @@ def tiered_dedup(ds, threshold: float = 0.5,
 
     out = joined.map_batches(label_joined, batch_format="pyarrow")
     return out.union(ray.data.from_arrow(schema.empty_table()))
+
+
+def tiered_dedup_semantic(ds, emb, threshold: float = 0.5,
+                          sem_threshold: float = 0.95,
+                          cfg: DedupConfig = DEFAULT_CONFIG,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          emb_id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          components: str = "auto",
+                          driver_max: int = 2_000_000,
+                          num_partitions: int | None = None,
+                          sem_method: str = "blockwise"):
+    """THREE-tier cascade: exact → near (prefix-filter Jaccard) →
+    semantic (SemDeDup embedding cosine, run over tier-2 SURVIVORS only
+    — the cheap tiers shrink the input before the expensive one, the
+    published cascade ordering of RefinedWeb/FineWeb + SemDeDup).
+
+    Output: one row per input doc ``(id, exact_rep, n_exact,
+    near_cluster, cluster_id, tier)`` — ``near_cluster`` = tier-2
+    component root of the doc's exact rep, ``cluster_id`` = tier-3 root
+    of that (final label), ``tier`` ∈ {'exact', 'near', 'semantic',
+    'keep'}: the FIRST tier that removed the doc.
+
+    Scale shape: tier-1/2 as ``tiered_dedup``; survivor embeddings come
+    from a distributed ``semi_join`` (list columns never cross an Acero
+    join); tier-3 pairs use the chunk-pair blockwise cosine (zero driver
+    materialization); components + final paint reuse the auto-switch
+    driver/distributed idiom. Docs without an embedding row are isolated
+    at tier 3 (they keep their tier-2 label).
+    """
+    from raydedup.stages.embeddings import embedding_near_pairs
+    from raydedup.stages.relational import semi_join
+
+    base = tiered_dedup(ds, threshold, cfg, id_col=id_col,
+                        text_col=text_col, components=components,
+                        driver_max=driver_max,
+                        num_partitions=num_partitions).materialize()
+    id_type = pa.int64()
+    bsch = base.schema()
+    if bsch is not None and id_col in bsch.names:
+        id_type = dict(zip(bsch.names, bsch.types))[id_col]
+    schema = pa.schema([
+        pa.field(id_col, id_type),
+        pa.field("exact_rep", id_type),
+        pa.field("n_exact", pa.int64()),
+        pa.field("near_cluster", id_type),
+        pa.field("cluster_id", id_type),
+        pa.field("tier", pa.string()),
+    ])
+    if base.count() == 0:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def surv_ids(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["cluster_id"],
+                        batch[id_col].combine_chunks())
+        return pa.table({emb_id_col: batch.filter(keep)[id_col]})
+
+    surv = base.map_batches(surv_ids, batch_format="pyarrow")
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    semi_parts = min(64, max(2, 2 * ncpu))
+    surv_emb = semi_join(emb.select_columns([emb_id_col, vec_col]), surv,
+                         on=emb_id_col, num_partitions=semi_parts)
+    spairs = embedding_near_pairs(
+        surv_emb, sem_threshold, id_col=emb_id_col, vec_col=vec_col,
+        method=sem_method).materialize()
+    n_edges = spairs.count()
+    mode = components
+    if mode == "auto":
+        mode = "driver" if n_edges <= driver_max else "distributed"
+
+    def finish(batch: pa.Table, root3: pa.Array) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        tier2 = batch["tier"].combine_chunks()
+        was_keep = pc.equal(tier2, pa.scalar("keep"))
+        sem = pc.and_(was_keep, pc.not_equal(root3, ids))
+        tier = pc.if_else(sem, pa.scalar("semantic"), tier2)
+        return pa.table({id_col: ids,
+                         "exact_rep": batch["exact_rep"],
+                         "n_exact": batch["n_exact"],
+                         "near_cluster": batch["cluster_id"],
+                         "cluster_id": root3,
+                         "tier": tier})
+
+    if n_edges == 0 or mode == "driver":
+        if n_edges == 0:
+            nodes = np.array([], dtype=np.int64)
+            roots = np.array([], dtype=np.int64)
+        else:
+            nodes, roots = _semdedup_components_driver(spairs)
+        cref = ray.put((nodes, roots))
+
+        def label(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return schema.empty_table()
+            nd, rt = _cached(cref)
+            at = pc.index_in(batch["cluster_id"],
+                             value_set=pa.array(nd, type=id_type))
+            root3 = pc.coalesce(pc.take(pa.array(rt, type=id_type), at),
+                                batch["cluster_id"].combine_chunks())
+            return finish(batch, root3)
+
+        return base.map_batches(label, batch_format="pyarrow")
+
+    from raydedup.state.unionfind import connected_components_distributed
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"a_key": batch["a_id"], "b_key": batch["b_id"]})
+
+    labels = connected_components_distributed(
+        spairs.map_batches(as_edges, batch_format="pyarrow"),
+        num_partitions=num_partitions)
+
+    def as_lookup(batch: pa.Table) -> pa.Table:
+        return pa.table({"cluster_id": batch["node"].cast(id_type),
+                         "__root3": batch["label"].cast(id_type)})
+
+    lookup = labels.map_batches(as_lookup,
+                                batch_format="pyarrow").materialize()
+    n_parts = num_partitions or min(join_partitions(lookup.count()),
+                                    max(2, 2 * ncpu))
+    joined = base.join(lookup, join_type="left_outer",
+                       num_partitions=n_parts, on=("cluster_id",))
+
+    def label_joined(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        root3 = pc.coalesce(batch["__root3"],
+                            batch["cluster_id"].combine_chunks())
+        return finish(batch, root3)
+
+    out = joined.map_batches(label_joined, batch_format="pyarrow")
+    return out.union(ray.data.from_arrow(schema.empty_table()))

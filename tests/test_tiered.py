@@ -138,3 +138,84 @@ def test_tiered_empty_and_all_unique(ray_session):
     got = {r["doc_id"]: r["tier"]
            for r in tiered_dedup(uniq, 0.5, CFG).take_all()}
     assert got == {1: "keep", 2: "keep"}
+
+
+# ---- tier 3: semantic (tiered_dedup_semantic) ----
+
+def _embs(rows, dim=16):
+    """deterministic embeddings: doc_id % 10 picks a one-hot direction,
+    so same-group docs have cosine 1.0 and cross-group 0.0 — exactly
+    representable, no float-threshold ambiguity."""
+    out = []
+    for r in rows:
+        v = [0.0] * dim
+        v[r["doc_id"] % 10] = 1.0
+        out.append({"vec_id": r["doc_id"], "embedding": v})
+    return out
+
+
+def _brute_semantic(rows, threshold, sem_threshold):
+    base = _brute(rows, threshold)
+    surv = sorted(i for i, (_, _, c, t) in base.items() if t == "keep")
+    parent = {s: s for s in surv}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x in range(len(surv)):
+        for y in range(x + 1, len(surv)):
+            cos = 1.0 if surv[x] % 10 == surv[y] % 10 else 0.0
+            if cos >= sem_threshold:
+                ra, rb = find(surv[x]), find(surv[y])
+                parent[max(ra, rb)] = min(ra, rb)
+    root3 = {s: find(s) for s in surv}
+    expected = {}
+    for i, (rep, n, c2, t2) in base.items():
+        c3 = root3[c2]
+        tier = t2 if t2 != "keep" else ("semantic" if c3 != i else "keep")
+        expected[i] = (rep, n, c2, c3, tier)
+    return expected
+
+
+def _run_semantic(rows, threshold, sem_threshold, **kw):
+    from raydedup.pipelines.tiered import tiered_dedup_semantic
+
+    out = tiered_dedup_semantic(
+        ray.data.from_items(rows), ray.data.from_items(_embs(rows)),
+        threshold, sem_threshold, CFG, **kw)
+    return {r["doc_id"]: (r["exact_rep"], r["n_exact"], r["near_cluster"],
+                          r["cluster_id"], r["tier"])
+            for r in out.take_all()}
+
+
+def test_tiered_semantic_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(29)
+    rows = _docs(rng)
+    expected = _brute_semantic(rows, 0.5, 0.8)
+    assert _run_semantic(rows, 0.5, 0.8) == expected
+    # all four tiers must actually fire in the fixture
+    assert {t for (_, _, _, _, t) in expected.values()} == {
+        "exact", "near", "semantic", "keep"}
+
+
+def test_tiered_semantic_backends_agree(ray_session):
+    rng = np.random.default_rng(31)
+    rows = _docs(rng, n=25)
+    expected = _brute_semantic(rows, 0.5, 0.8)
+    assert _run_semantic(rows, 0.5, 0.8) == expected
+    # driver_max=0 forces distributed components + join paint end-to-end
+    assert _run_semantic(rows, 0.5, 0.8, driver_max=0) == expected
+
+
+def test_tiered_semantic_no_edges_keeps_tier2(ray_session):
+    rng = np.random.default_rng(37)
+    rows = _docs(rng, n=12)
+    # sem_threshold above any attainable cosine -> tier-2 labels pass
+    # through and near_cluster == cluster_id everywhere
+    got = _run_semantic(rows, 0.5, 1.5)
+    base = _brute(rows, 0.5)
+    assert {i: (r, n, c, t) for i, (r, n, c, _, t) in got.items()} == base
+    assert all(c2 == c3 for (_, _, c2, c3, _) in got.values())
