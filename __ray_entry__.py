@@ -1930,6 +1930,17 @@ def q_tiered_dedup_docs(sf_dir: str):
     return tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
 
 
+def q_unigram_logppl(sf_dir: str):
+    """Per-doc unigram log-perplexity under the corpus's own unigram LM
+    (CCNet-style quality signal): ln(N) - (1/n_d) * sum tf*ln(c). Counts
+    stay a Dataset hash-joined to exploded per-doc tf rows (no
+    vocabulary broadcast). Oracle recomputes counts + the join in SQL;
+    both sides round to 6 decimals (the repo float contract)."""
+    from raydedup.stages.textstats import unigram_logppl
+
+    return _round_col(unigram_logppl(_docs(sf_dir)), "logppl")
+
+
 def q_tiered_semantic_docs(sf_dir: str):
     """THREE-tier cascade (exact sha → near prefix-filter Jaccard >= 0.5
     → SemDeDup cosine >= 0.35 over tier-2 survivors only), the full
@@ -2083,6 +2094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_near_dup_pairs": q_conv_near_dup_pairs,
         "tiered_dedup_docs": q_tiered_dedup_docs,
         "tiered_semantic_docs": q_tiered_semantic_docs,
+        "unigram_logppl": q_unigram_logppl,
         "line_dedup_docs": q_line_dedup_docs,
     }
 
@@ -4453,6 +4465,31 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM g
             JOIN comp c ON c.node = g.exact_rep
             JOIN comp3 c3 ON c3.node = c.root
+        """,
+        # unigram_logppl: same token contract as token_counts; HUGEINT
+        # sums cast back to BIGINT/DOUBLE before the float math.
+        "unigram_logppl": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[0-9a-zA-Z_]+')) AS tok
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c
+                    FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+            per AS (
+                SELECT t.doc_id,
+                       sum(t.tf * ln(CAST(c.c AS DOUBLE))) AS s,
+                       CAST(sum(t.tf) AS BIGINT) AS nd
+                FROM tf t JOIN cnt c USING (tok) GROUP BY 1
+            )
+            SELECT p.doc_id, p.nd AS n_tokens,
+                   round(ln(CAST(tot.n AS DOUBLE)) - p.s / p.nd,
+                         {_ROUND}) AS logppl
+            FROM per p CROSS JOIN tot
         """,
         # line_dedup_docs: explode the lined view, count DISTINCT docs
         # per non-empty line, collect the dup set as ONE list and

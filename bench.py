@@ -174,7 +174,9 @@ def run_bench() -> dict:
                   "top_terms_global_sketch",
                   "set_sim_pairs_docs",
                   "tiered_dedup_docs",
-                  "line_dedup_docs"):
+                  "tiered_semantic_docs",
+                  "line_dedup_docs",
+                  "unigram_logppl"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()
         queries[qname] = round(time.time() - t0, 3)

@@ -1168,3 +1168,134 @@ def upsample_by_weight(ds, group_col: str, weights: dict, key_col: str,
         return pa.table(cols)
 
     return ds.map_batches(fan, batch_format="pyarrow")
+
+
+def unigram_logppl(ds, id_col: str = "doc_id", text_col: str = "text",
+                   num_partitions: int | None = None):
+    """Per-document unigram log-perplexity under the corpus's own
+    unigram LM (the CCNet / Wenzek et al. 2020 quality-signal shape,
+    with the corpus itself as the LM's training data):
+
+        logppl(d) = ln(N) - (1/n_d) * sum_t tf(d,t) * ln(c(t))
+
+    where c(t) is the corpus count of token t and N = sum_t c(t).
+    Lower = more typical text; the extreme-high tail is noise/outliers,
+    the extreme-low tail is boilerplate. Token contract = the ASCII RE2
+    contract of ``_doc_term_codes`` (mirrors the oracle's
+    ``regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')``). Docs with
+    zero tokens are omitted (they produce no token rows, matching SQL).
+
+    Scale shape (100-TB design): pass 1 reduces per-batch token counts
+    (one regex split + dictionary_encode + bincount) into a
+    vocabulary-sized count Dataset — the corpus never shuffles. Pass 2
+    explodes per-doc DISTINCT (id, token, tf) rows and hash-JOINS them
+    to the count Dataset (the vocabulary is never driver-materialized
+    or broadcast — Heaps' law makes it corpus-scale), then reduces
+    per-doc partials under a doc-keyed groupby. Only the scalar N lands
+    on the driver. Returns (id, n_tokens, logppl) at full precision.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from raydedup.util import join_partitions
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        _, codes, dictionary = _doc_term_codes(batch, text_col)
+        if len(codes) == 0:
+            return empty
+        c = np.bincount(codes, minlength=len(dictionary))
+        present = np.flatnonzero(c)
+        return pa.table({"tok": dictionary.take(pa.array(present)),
+                         "c": pa.array(c[present], pa.int64())})
+
+    counts = (ds.select_columns([text_col])
+              .map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("tok").aggregate(Sum("c", alias_name="c"))
+              .materialize())
+    n_vocab = counts.count()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch[id_col],
+                             "tok": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        docidx, codes, dictionary = _doc_term_codes(batch, text_col)
+        if len(codes) == 0:
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             "tok": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        order = np.lexsort((codes, docidx))
+        dc, cc = docidx[order], codes[order]
+        first = np.r_[True, (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])]
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.r_[starts, len(cc)]).astype(np.int64)
+        ids = batch[id_col].combine_chunks().take(pa.array(dc[starts]))
+        return pa.table({id_col: ids,
+                         "tok": dictionary.take(pa.array(cc[starts])),
+                         "tf": pa.array(tf)})
+
+    tf_ds = ds.select_columns([id_col, text_col]).map_batches(
+        tf_rows, batch_format="pyarrow")
+    if n_vocab == 0:
+        sch = ds.schema()
+        id_type = (dict(zip(sch.names, sch.types))[id_col]
+                   if sch is not None and id_col in sch.names
+                   else pa.int64())
+        return ray.data.from_arrow(pa.schema(
+            [pa.field(id_col, id_type), pa.field("n_tokens", pa.int64()),
+             pa.field("logppl", pa.float64())]).empty_table())
+    n_total = counts.sum("c")
+    ln_n = float(np.log(float(n_total)))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = num_partitions or min(join_partitions(n_vocab),
+                                    max(2, 2 * ncpu))
+    joined = tf_ds.join(counts, join_type="inner",
+                        num_partitions=n_parts, on=("tok",))
+
+    def partial_doc(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: batch[id_col].slice(0, 0)
+                          if id_col in batch.column_names
+                          else pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "nd": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].combine_chunks()
+        idnp = ids.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(idnp, return_inverse=True)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # token-sorted accumulation order per doc (np.unique sorts) —
+        # deterministic within a partial; cross-partial merge order is
+        # absorbed by the query-level 6-decimal rounding contract
+        s = np.zeros(len(uniq))
+        np.add.at(s, inv, tf * np.log(c))
+        nd = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(nd, inv, tf.astype(np.int64))
+        first_at = np.zeros(len(uniq), dtype=np.int64)
+        first_at[inv[::-1]] = np.arange(len(inv))[::-1]
+        return pa.table({id_col: ids.take(pa.array(first_at)),
+                         "s": pa.array(s),
+                         "nd": pa.array(nd)})
+
+    per = (joined.map_batches(partial_doc, batch_format="pyarrow")
+           .groupby(id_col).aggregate(Sum("s", alias_name="s"),
+                                      Sum("nd", alias_name="nd")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch[id_col],
+                             "n_tokens": pa.array([], pa.int64()),
+                             "logppl": pa.array([], pa.float64())})
+        nd = batch["nd"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: batch[id_col],
+                         "n_tokens": batch["nd"],
+                         "logppl": pa.array(ln_n - s / nd)})
+
+    return per.map_batches(finish, batch_format="pyarrow")

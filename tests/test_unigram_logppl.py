@@ -1,0 +1,75 @@
+"""unigram_logppl (stages/textstats.py) vs a brute-force corpus LM:
+logppl = ln(N) - mean ln(c(token)) over token occurrences; ASCII RE2
+token contract; zero-token docs omitted."""
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from raydedup.stages.textstats import unigram_logppl
+
+TOK = re.compile(r"[0-9a-z_]+")
+
+
+def _brute(rows):
+    from collections import Counter
+
+    cnt = Counter()
+    toks = {}
+    for r in rows:
+        ts = TOK.findall(r["text"].lower())
+        toks[r["doc_id"]] = ts
+        cnt.update(ts)
+    n = sum(cnt.values())
+    out = {}
+    for i, ts in toks.items():
+        if not ts:
+            continue
+        s = sum(math.log(cnt[t]) for t in ts)
+        out[i] = (len(ts), math.log(n) - s / len(ts))
+    return out
+
+
+def _run(rows, **kw):
+    got = unigram_logppl(ray.data.from_items(rows), **kw).take_all()
+    return {r["doc_id"]: (r["n_tokens"], r["logppl"]) for r in got}
+
+
+def test_unigram_logppl_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        k = int(rng.integers(1, 50))
+        rows.append({"doc_id": i, "text": " ".join(
+            vocab[int(rng.integers(0, len(vocab)))] for _ in range(k))})
+    rows.append({"doc_id": 60, "text": ""})       # zero tokens: omitted
+    rows.append({"doc_id": 61, "text": "...!?"})  # punct only: omitted
+    expected = _brute(rows)
+    got = _run(rows)
+    assert set(got) == set(expected)
+    assert 60 not in got and 61 not in got
+    for i, (n, v) in expected.items():
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(v, abs=1e-9)
+
+
+def test_unigram_logppl_uniform_corpus(ray_session):
+    # every token equally frequent -> logppl = ln(V) exactly, for all docs
+    rows = [{"doc_id": i, "text": f"a{i} b{i} c{i}"} for i in range(10)]
+    got = _run(rows)
+    for n, v in got.values():
+        assert n == 3
+        assert v == pytest.approx(math.log(30), abs=1e-12)
+
+
+def test_unigram_logppl_empty_input(ray_session):
+    empty = ray.data.from_items([{"doc_id": 1, "text": "x"}]).filter(
+        lambda r: False)
+    out = unigram_logppl(empty)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "n_tokens", "logppl"}
