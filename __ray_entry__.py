@@ -1930,6 +1930,23 @@ def q_tiered_dedup_docs(sf_dir: str):
     return tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
 
 
+def q_curate_docs(sf_dir: str):
+    """FLAGSHIP COMPOSITION — the full curation recipe a pretraining run
+    ships: integer-exact Gopher-style filters (25 <= n_words <= 90,
+    max_tf*5 <= n_words) → three-tier dedup cascade (exact → near 0.5 →
+    semantic 0.35 over survivors) → CCNet-ordered unigram-LM scoring of
+    the survivors under the filtered corpus's LM. The oracle recomposes
+    every stage in one SQL statement (filter CTEs feeding the tiered
+    CTE chain via text substitution, tier-3 cosine pass, LM join)."""
+    import ray.data
+
+    from raydedup.pipelines.curate import curate_docs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _round_col(curate_docs(_docs(sf_dir), emb, cfg=SIMPLE_CFG),
+                      "logppl")
+
+
 def q_unigram_logppl(sf_dir: str):
     """Per-doc unigram log-perplexity under the corpus's own unigram LM
     (CCNet-style quality signal): ln(N) - (1/n_d) * sum tf*ln(c). Counts
@@ -2095,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_dedup_docs": q_tiered_dedup_docs,
         "tiered_semantic_docs": q_tiered_semantic_docs,
         "unigram_logppl": q_unigram_logppl,
+        "curate_docs": q_curate_docs,
         "line_dedup_docs": q_line_dedup_docs,
     }
 
@@ -2560,6 +2578,77 @@ _TIERED_CTES = """
             ),
             comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node)
 """
+
+
+# curate_docs oracle = the tiered CTE chain re-rooted onto the
+# rule-filtered corpus (text substitution below), plus the tier-3 and
+# LM tails. Substitution order matters: "FROM documents" (g's only
+# occurrence) is rewritten BEFORE the prelude (which itself reads
+# documents) is spliced in.
+_CURATE_PRELUDE = """
+            WITH RECURSIVE toks0 AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[0-9a-zA-Z_]+')) AS tok
+                FROM documents
+            ),
+            tf0 AS (SELECT doc_id, tok, count(*) AS tf
+                    FROM toks0 GROUP BY 1, 2),
+            agg0 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+                            CAST(max(tf) AS BIGINT) AS max_tf
+                     FROM tf0 GROUP BY 1),
+            qdocs AS (
+                SELECT d.doc_id, d.text, a.n_words, a.max_tf
+                FROM documents d JOIN agg0 a USING (doc_id)
+                WHERE a.n_words BETWEEN 25 AND 90
+                  AND a.max_tf * 5 <= a.n_words
+            ),
+            g AS"""
+
+_CURATE_TAIL = """,
+            surv AS (SELECT node FROM comp WHERE root = node),
+            spairs AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id < b.vec_id
+                JOIN surv sa ON sa.node = a.vec_id
+                JOIN surv sb ON sb.node = b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ),
+            sedges AS (
+                SELECT a_id, b_id FROM spairs
+                UNION SELECT b_id AS a_id, a_id AS b_id FROM spairs
+            ),
+            reach3(node, r) AS (
+                SELECT node, node FROM surv
+                UNION
+                SELECT reach3.node, sedges.b_id
+                FROM reach3 JOIN sedges ON reach3.r = sedges.a_id
+            ),
+            comp3 AS (SELECT node, min(r) AS root FROM reach3
+                      GROUP BY node),
+            tfq AS (SELECT t.doc_id, t.tok, t.tf
+                    FROM tf0 t JOIN qdocs q USING (doc_id)),
+            cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c
+                    FROM tfq GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+            per AS (
+                SELECT t.doc_id,
+                       sum(t.tf * ln(CAST(c.c AS DOUBLE))) AS s,
+                       CAST(sum(t.tf) AS BIGINT) AS nd
+                FROM tfq t JOIN cnt c USING (tok) GROUP BY 1
+            )
+            SELECT c3.node AS doc_id, q.n_words, q.max_tf,
+                   round(ln(CAST(tot.n AS DOUBLE)) - p.s / p.nd,
+                         {round}) AS logppl
+            FROM comp3 c3
+            JOIN qdocs q ON q.doc_id = c3.node
+            JOIN per p ON p.doc_id = c3.node
+            CROSS JOIN tot
+            WHERE c3.root = c3.node
+        """
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -4466,6 +4555,10 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN comp c ON c.node = g.exact_rep
             JOIN comp3 c3 ON c3.node = c.root
         """,
+        "curate_docs": (_TIERED_CTES
+                        .replace("FROM documents", "FROM qdocs")
+                        .replace("WITH RECURSIVE g AS", _CURATE_PRELUDE)
+                        + _CURATE_TAIL.replace("{round}", str(_ROUND))),
         # unigram_logppl: same token contract as token_counts; HUGEINT
         # sums cast back to BIGINT/DOUBLE before the float math.
         "unigram_logppl": f"""

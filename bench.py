@@ -176,7 +176,8 @@ def run_bench() -> dict:
                   "tiered_dedup_docs",
                   "tiered_semantic_docs",
                   "line_dedup_docs",
-                  "unigram_logppl"):
+                  "unigram_logppl",
+                  "curate_docs"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()
         queries[qname] = round(time.time() - t0, 3)
