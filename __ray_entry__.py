@@ -1930,6 +1930,15 @@ def q_tiered_dedup_docs(sf_dir: str):
     return tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
 
 
+def q_shard_manifest(sf_dir: str):
+    """Deterministic output-shard manifest (the resumable-write
+    primitive): shard = md5-low60('shard0:' || doc_id) % 16, with
+    per-shard count/min/max — what sharded_stage checks on resume."""
+    from raydedup.stages.textstats import shard_manifest
+
+    return shard_manifest(_docs(sf_dir), n_shards=16)
+
+
 def q_curate_docs(sf_dir: str):
     """FLAGSHIP COMPOSITION — the full curation recipe a pretraining run
     ships: integer-exact Gopher-style filters (25 <= n_words <= 90,
@@ -2113,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_semantic_docs": q_tiered_semantic_docs,
         "unigram_logppl": q_unigram_logppl,
         "curate_docs": q_curate_docs,
+        "shard_manifest": q_shard_manifest,
         "line_dedup_docs": q_line_dedup_docs,
     }
 
@@ -4559,6 +4569,19 @@ def _oracle_sql_base() -> dict[str, str]:
                         .replace("FROM documents", "FROM qdocs")
                         .replace("WITH RECURSIVE g AS", _CURATE_PRELUDE)
                         + _CURATE_TAIL.replace("{round}", str(_ROUND))),
+        "shard_manifest": """
+            SELECT shard, count(*) AS n_docs,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(
+                                md5('shard0:' || CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS UBIGINT) % 16 AS BIGINT)
+                           AS shard
+                FROM documents
+            )
+            GROUP BY 1
+        """,
         # unigram_logppl: same token contract as token_counts; HUGEINT
         # sums cast back to BIGINT/DOUBLE before the float math.
         "unigram_logppl": f"""

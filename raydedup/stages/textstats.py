@@ -1299,3 +1299,40 @@ def unigram_logppl(ds, id_col: str = "doc_id", text_col: str = "text",
                          "logppl": pa.array(ln_n - s / nd)})
 
     return per.map_batches(finish, batch_format="pyarrow")
+
+
+def assign_shards(ds, n_shards: int = 16, key_col: str = "doc_id",
+                  seed: str = "shard0"):
+    """Deterministic output-shard assignment: ``shard =
+    md5-low60(seed || ':' || key) % n_shards`` (the ``sample_by_hash``
+    md5 contract — SQL mirror in the oracle). The primitive behind
+    resumable partitioned writes (``state/checkpoint.sharded_stage``):
+    a failed 100-TB run re-derives identical shard membership and skips
+    completed shards. Appends a ``shard`` int64 column."""
+    prefix = f"{seed}:".encode()
+    k = int(n_shards)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("shard", pa.array([], pa.int64()))
+        h = _hash60(batch[key_col].to_pylist(), prefix)
+        return batch.append_column(
+            "shard", pa.array((h % k).astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def shard_manifest(ds, n_shards: int = 16, key_col: str = "doc_id",
+                   seed: str = "shard0"):
+    """Per-shard manifest stats ``(shard, n_docs, min_id, max_id)`` for
+    the ``assign_shards`` layout — what a resume checks before skipping
+    a shard. One small groupby (<= n_shards rows cross the exchange
+    after per-batch partial aggregation by Ray's combiner)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    return (assign_shards(ds.select_columns([key_col]), n_shards,
+                          key_col, seed)
+            .groupby("shard")
+            .aggregate(Count(alias_name="n_docs"),
+                       Min(key_col, alias_name="min_id"),
+                       Max(key_col, alias_name="max_id")))

@@ -73,3 +73,35 @@ def test_unigram_logppl_empty_input(ray_session):
     out = unigram_logppl(empty)
     assert out.count() == 0
     assert set(out.schema().names) == {"doc_id", "n_tokens", "logppl"}
+
+
+# ---- assign_shards / shard_manifest (same module) ----
+
+def test_assign_shards_deterministic_and_manifest(ray_session):
+    import hashlib
+
+    from raydedup.stages.textstats import assign_shards, shard_manifest
+
+    rows = [{"doc_id": i} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    got = {r["doc_id"]: r["shard"]
+           for r in assign_shards(ds, 8, seed="s9").take_all()}
+
+    def brute(i):
+        h = int.from_bytes(
+            hashlib.md5(f"s9:{i}".encode()).digest()[:8], "big") >> 4
+        return h % 8
+
+    assert got == {i: brute(i) for i in range(200)}
+    # stable across runs / block layouts
+    got2 = {r["doc_id"]: r["shard"]
+            for r in assign_shards(ds.repartition(7), 8,
+                                   seed="s9").take_all()}
+    assert got2 == got
+
+    man = {r["shard"]: (r["n_docs"], r["min_id"], r["max_id"])
+           for r in shard_manifest(ds, 8, seed="s9").take_all()}
+    for s, (n, lo, hi) in man.items():
+        members = [i for i, sh in got.items() if sh == s]
+        assert (n, lo, hi) == (len(members), min(members), max(members))
+    assert sum(n for n, _, _ in man.values()) == 200
