@@ -1930,6 +1930,45 @@ def q_tiered_dedup_docs(sf_dir: str):
     return tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Curation report: per-source dedup attribution — how many docs
+    each source loses to each tier of the cascade (the table a data
+    audit reads before dropping a source). Composition: tiered cascade
+    → join back the pruned (doc_id, source) projection → one
+    combiner-friendly pivot groupby."""
+    import ray.data
+
+    from raydedup.pipelines.tiered import tiered_dedup
+    from raydedup.util import join_partitions
+
+    tiers = tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
+    src = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source"])
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    n_parts = min(join_partitions(src.count()), max(2, 2 * ncpu))
+    joined = tiers.select_columns(["doc_id", "tier"]).join(
+        src, join_type="inner", num_partitions=n_parts, on=("doc_id",))
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        t = batch["tier"]
+        cols = {"source": batch["source"],
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64))}
+        for name in ("exact", "near", "keep"):
+            cols[f"n_{name}"] = pc.cast(
+                pc.equal(t, pa.scalar(name)), pa.int64())
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    return (joined.map_batches(pivot, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_exact", alias_name="n_exact"),
+                       Sum("n_near", alias_name="n_near"),
+                       Sum("n_keep", alias_name="n_keep")))
+
+
 def q_shard_manifest(sf_dir: str):
     """Deterministic output-shard manifest (the resumable-write
     primitive): shard = md5-low60('shard0:' || doc_id) % 16, with
@@ -2122,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_semantic_docs": q_tiered_semantic_docs,
         "unigram_logppl": q_unigram_logppl,
         "curate_docs": q_curate_docs,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "shard_manifest": q_shard_manifest,
         "line_dedup_docs": q_line_dedup_docs,
     }
@@ -4569,6 +4609,25 @@ def _oracle_sql_base() -> dict[str, str]:
                         .replace("FROM documents", "FROM qdocs")
                         .replace("WITH RECURSIVE g AS", _CURATE_PRELUDE)
                         + _CURATE_TAIL.replace("{round}", str(_ROUND))),
+        "dup_rate_by_source": _TIERED_CTES + """
+            SELECT d.source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN t.tier = 'exact' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN t.tier = 'near' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_near,
+                   CAST(sum(CASE WHEN t.tier = 'keep' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_keep
+            FROM (
+                SELECT g.doc_id,
+                       CASE WHEN g.doc_id != g.exact_rep THEN 'exact'
+                            WHEN c.root != g.doc_id THEN 'near'
+                            ELSE 'keep' END AS tier
+                FROM g JOIN comp c ON c.node = g.exact_rep
+            ) t
+            JOIN documents d ON d.doc_id = t.doc_id
+            GROUP BY 1
+        """,
         "shard_manifest": """
             SELECT shard, count(*) AS n_docs,
                    min(doc_id) AS min_id, max(doc_id) AS max_id

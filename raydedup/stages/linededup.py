@@ -54,10 +54,10 @@ def _line_hashes(flat: pa.Array) -> np.ndarray:
     return uniq[enc.indices.to_numpy(zero_copy_only=False)]
 
 
-def _split_lines(batch: pa.Table, text_col: str):
+def _split_lines(batch: pa.Table, text_col: str, sep: str = "\n"):
     """batch → (ListArray of lines, flat line values, docidx, lens)."""
     lists = pc.split_pattern(
-        pc.fill_null(batch[text_col].combine_chunks(), ""), pattern="\n")
+        pc.fill_null(batch[text_col].combine_chunks(), ""), pattern=sep)
     lists = lists.combine_chunks() if isinstance(
         lists, pa.ChunkedArray) else lists
     flat = lists.values
@@ -67,7 +67,7 @@ def _split_lines(batch: pa.Table, text_col: str):
     return lists, flat, docidx, lens
 
 
-def _count_partials(text_col: str):
+def _count_partials(text_col: str, sep: str = "\n"):
     """per-batch partial: DISTINCT (doc, line-hash) collapsed to
     (h, c) rows — sum of c across batches = distinct-doc frequency
     (each doc's lines live in exactly one batch). Empty lines are
@@ -78,7 +78,7 @@ def _count_partials(text_col: str):
                           "c": pa.array([], pa.int64())})
         if batch.num_rows == 0:
             return empty
-        _, flat, docidx, _ = _split_lines(batch, text_col)
+        _, flat, docidx, _ = _split_lines(batch, text_col, sep)
         nonempty = pc.not_equal(flat, pa.scalar("")).to_numpy(
             zero_copy_only=False)
         h = _line_hashes(flat)[nonempty]
@@ -95,12 +95,12 @@ def _count_partials(text_col: str):
     return fn
 
 
-def _dup_hashes(ds, text_col: str, min_docs: int):
+def _dup_hashes(ds, text_col: str, min_docs: int, sep: str = "\n"):
     """docs → materialized Dataset (h,) of duplicated line hashes."""
     from ray.data.aggregate import Sum
 
     partials = ds.select_columns([text_col]).map_batches(
-        _count_partials(text_col), batch_format="pyarrow")
+        _count_partials(text_col, sep), batch_format="pyarrow")
     counts = partials.groupby("h").aggregate(Sum("c", alias_name="nd"))
     return counts.filter(expr=f"nd >= {int(min_docs)}").select_columns(
         ["h"]).materialize()
@@ -109,11 +109,13 @@ def _dup_hashes(ds, text_col: str, min_docs: int):
 def line_dedup(ds, min_docs: int = 2, id_col: str = "doc_id",
                text_col: str = "text", method: str = "auto",
                driver_max: int = 5_000_000,
-               num_partitions: int | None = None):
+               num_partitions: int | None = None, sep: str = "\n"):
     """docs → ``(id, text, n_lines, n_removed)``: ``text`` keeps only
     lines occurring in fewer than ``min_docs`` distinct docs (empty
-    lines always survive), joined by ``\\n`` in original order; a doc
+    lines always survive), re-joined by ``sep`` in original order; a doc
     whose every line is removed keeps its row with ``text=''``.
+    ``sep`` picks the granularity: ``"\\n"`` (default) = C4 line dedup,
+    ``"\\n\\n"`` = paragraph dedup, ``". "`` = sentence-ish dedup.
 
     ``method``: 'broadcast' (dup-hash set via ``ray.put``, one-pass
     in-batch rewrite), 'join' (distributed — exploded lines hash-join
@@ -131,7 +133,7 @@ def line_dedup(ds, min_docs: int = 2, id_col: str = "doc_id",
     if docs.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
-    dup = _dup_hashes(docs, text_col, min_docs)
+    dup = _dup_hashes(docs, text_col, min_docs, sep)
     n_dup = dup.count()
     if method == "auto":
         method = "broadcast" if n_dup <= driver_max else "join"
@@ -158,7 +160,7 @@ def line_dedup(ds, min_docs: int = 2, id_col: str = "doc_id",
                 hot = ray.get(href)
                 _LD_CACHE.clear()
                 _LD_CACHE[key] = hot
-            _, flat, docidx, lens = _split_lines(batch, text_col)
+            _, flat, docidx, lens = _split_lines(batch, text_col, sep)
             h = _line_hashes(flat)
             if hot.size:
                 at = np.clip(np.searchsorted(hot, h), 0, hot.size - 1)
@@ -175,7 +177,7 @@ def line_dedup(ds, min_docs: int = 2, id_col: str = "doc_id",
                 flat.filter(pa.array(keep)))
             return pa.table({
                 id_col: batch[id_col],
-                text_col: pc.binary_join(kept_list, pa.scalar("\n")),
+                text_col: pc.binary_join(kept_list, pa.scalar(sep)),
                 "n_lines": pa.array(lens),
                 "n_removed": pa.array(lens - kept_lens),
             })
@@ -195,7 +197,7 @@ def line_dedup(ds, min_docs: int = 2, id_col: str = "doc_id",
     def explode(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return exploded_schema.empty_table()
-        _, flat, docidx, lens = _split_lines(batch, text_col)
+        _, flat, docidx, lens = _split_lines(batch, text_col, sep)
         idx = (np.arange(len(flat), dtype=np.int64)
                - np.repeat(np.cumsum(np.r_[0, lens[:-1]]), lens))
         return pa.table({
@@ -229,7 +231,7 @@ def line_dedup(ds, min_docs: int = 2, id_col: str = "doc_id",
                               batch_format="pyarrow").materialize()
 
     assembled = assemble_by_key(kept, by=id_col, order_cols=["idx"],
-                                text_col="line", sep="\n", out="__text")
+                                text_col="line", sep=sep, out="__text")
     n_kept = kept.groupby(id_col).aggregate(Count(alias_name="__nk"))
     base = exploded.groupby(id_col).aggregate(Count(alias_name="n_lines"))
 

@@ -86,3 +86,23 @@ def test_line_dedup_empty_input(ray_session):
     assert out.count() == 0
     assert set(out.schema().names) == {
         "doc_id", "text", "n_lines", "n_removed"}
+
+
+def test_line_dedup_custom_sep(ray_session):
+    # paragraph-granularity: same semantics under sep='. '
+    rows = [
+        {"doc_id": 1, "text": "shared para. unique a. tail"},
+        {"doc_id": 2, "text": "shared para. unique b"},
+        {"doc_id": 3, "text": "solo only"},
+    ]
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+           for r in line_dedup(ray.data.from_items(rows), 2,
+                               sep=". ").take_all()}
+    assert got[1] == ("unique a. tail", 3, 1)
+    assert got[2] == ("unique b", 2, 1)
+    assert got[3] == ("solo only", 1, 0)
+    # join path agrees
+    got_j = {r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+             for r in line_dedup(ray.data.from_items(rows), 2,
+                                 sep=". ", method="join").take_all()}
+    assert got_j == got
