@@ -1978,6 +1978,16 @@ def q_shard_manifest(sf_dir: str):
     return shard_manifest(_docs(sf_dir), n_shards=16)
 
 
+def q_bigram_logppl(sf_dir: str):
+    """Bigram conditional log-perplexity under the corpus's own bigram
+    LM (one step toward the CCNet KenLM scorer): mean ln(cctx/c2) over
+    a doc's bigrams, exact-normalizer contexts. Same two-Dataset join
+    shape as unigram_logppl — nothing vocabulary-sized is broadcast."""
+    from raydedup.stages.textstats import bigram_logppl
+
+    return _round_col(bigram_logppl(_docs(sf_dir)), "logppl2")
+
+
 def q_curate_docs(sf_dir: str):
     """FLAGSHIP COMPOSITION — the full curation recipe a pretraining run
     ships: integer-exact Gopher-style filters (25 <= n_words <= 90,
@@ -2160,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_dedup_docs": q_tiered_dedup_docs,
         "tiered_semantic_docs": q_tiered_semantic_docs,
         "unigram_logppl": q_unigram_logppl,
+        "bigram_logppl": q_bigram_logppl,
         "curate_docs": q_curate_docs,
         "dup_rate_by_source": q_dup_rate_by_source,
         "shard_manifest": q_shard_manifest,
@@ -4609,6 +4620,44 @@ def _oracle_sql_base() -> dict[str, str]:
                         .replace("FROM documents", "FROM qdocs")
                         .replace("WITH RECURSIVE g AS", _CURATE_PRELUDE)
                         + _CURATE_TAIL.replace("{round}", str(_ROUND))),
+        # bigram_logppl: bigram key = prev || ' ' || next (tokens can't
+        # contain spaces); cctx = bigram-table marginal, the exact
+        # conditional normalizer. range(1, len) gives 1-based i with
+        # arr[i], arr[i+1] = each consecutive pair.
+        "bigram_logppl": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(arr)),
+                           i -> arr[i] || ' ' || arr[i + 1])) AS bi
+                FROM w WHERE len(arr) >= 2
+            ),
+            tf2 AS (SELECT doc_id, bi, count(*) AS tf
+                    FROM bg GROUP BY 1, 2),
+            c2 AS (SELECT bi, CAST(sum(tf) AS BIGINT) AS c
+                   FROM tf2 GROUP BY 1),
+            cctx AS (SELECT split_part(bi, ' ', 1) AS prev,
+                            CAST(sum(c) AS BIGINT) AS cc
+                     FROM c2 GROUP BY 1),
+            per AS (
+                SELECT t.doc_id,
+                       sum(t.tf * (ln(CAST(x.cc AS DOUBLE))
+                                   - ln(CAST(c.c AS DOUBLE)))) AS s,
+                       CAST(sum(t.tf) AS BIGINT) AS nb
+                FROM tf2 t
+                JOIN c2 c USING (bi)
+                JOIN cctx x ON x.prev = split_part(t.bi, ' ', 1)
+                GROUP BY 1
+            )
+            SELECT doc_id, nb AS n_bigrams,
+                   round(s / nb, {_ROUND}) AS logppl2
+            FROM per
+        """,
         "dup_rate_by_source": _TIERED_CTES + """
             SELECT d.source,
                    count(*) AS n_docs,

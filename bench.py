@@ -177,6 +177,8 @@ def run_bench() -> dict:
                   "tiered_semantic_docs",
                   "line_dedup_docs",
                   "unigram_logppl",
+                  "bigram_logppl",
+                  "dup_rate_by_source",
                   "curate_docs"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()

@@ -1336,3 +1336,168 @@ def shard_manifest(ds, n_shards: int = 16, key_col: str = "doc_id",
             .aggregate(Count(alias_name="n_docs"),
                        Min(key_col, alias_name="min_id"),
                        Max(key_col, alias_name="max_id")))
+
+
+def bigram_logppl(ds, id_col: str = "doc_id", text_col: str = "text",
+                  num_partitions: int | None = None):
+    """Per-document BIGRAM conditional log-perplexity under the
+    corpus's own bigram LM (one step toward the CCNet KenLM scorer):
+
+        logppl2(d) = (1/b_d) * sum_i [ln(cctx(w_{i-1})) - ln(c2(w_{i-1} w_i))]
+
+    where c2 is the corpus count of the bigram, cctx(w) = sum_v c2(w v)
+    (occurrences of w as a context — the exact normalizer, so the
+    conditional p(w_i|w_{i-1}) = c2/cctx sums to 1 per context), and
+    b_d = n_d - 1 bigrams. Self-corpus scoring means every bigram is
+    seen (no smoothing needed). Docs with < 2 tokens are omitted.
+
+    Scale shape mirrors ``unigram_logppl``: per-batch partial bigram
+    counts reduce into a bigram-vocabulary Dataset; the context table
+    derives from IT (not the corpus); pass 2 hash-joins exploded
+    per-doc bigram tf rows to both tables — nothing vocabulary- or
+    corpus-sized touches the driver. Bigram key = ``prev || ' ' ||
+    next`` (tokens cannot contain spaces under the ASCII RE2 contract).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from raydedup.util import join_partitions
+
+    def _bigrams(batch: pa.Table):
+        """→ (docidx_of_bigram, 'prev next' string array)."""
+        docidx, codes, dictionary = _doc_term_codes(batch, text_col)
+        if len(codes) < 2:
+            return (np.empty(0, np.int64),
+                    pa.array([], pa.string()))
+        same = docidx[1:] == docidx[:-1]
+        at = np.flatnonzero(same)
+        if at.size == 0:
+            return np.empty(0, np.int64), pa.array([], pa.string())
+        prev = dictionary.take(pa.array(codes[at]))
+        nxt = dictionary.take(pa.array(codes[at + 1]))
+        bi = pc.binary_join_element_wise(prev, nxt, pa.scalar(" "))
+        return docidx[at], bi
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bi": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        _, bi = _bigrams(batch)
+        if len(bi) == 0:
+            return empty
+        enc = pc.dictionary_encode(bi)
+        c = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                        minlength=len(enc.dictionary))
+        present = np.flatnonzero(c)
+        return pa.table({"bi": enc.dictionary.take(pa.array(present)),
+                         "c": pa.array(c[present], pa.int64())})
+
+    c2 = (ds.select_columns([text_col])
+          .map_batches(partial_counts, batch_format="pyarrow")
+          .groupby("bi").aggregate(Sum("c", alias_name="c"))
+          .materialize())
+    n_bi_vocab = c2.count()
+    if n_bi_vocab == 0:
+        sch = ds.schema()
+        id_type = (dict(zip(sch.names, sch.types))[id_col]
+                   if sch is not None and id_col in sch.names
+                   else pa.int64())
+        return ray.data.from_arrow(pa.schema(
+            [pa.field(id_col, id_type),
+             pa.field("n_bigrams", pa.int64()),
+             pa.field("logppl2", pa.float64())]).empty_table())
+
+    def ctx_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"prev": pa.array([], pa.string()),
+                             "cc": pa.array([], pa.int64())})
+        prev = pc.list_element(
+            pc.split_pattern(batch["bi"].combine_chunks(), " "), 0)
+        return pa.table({"prev": prev, "cc": batch["c"]})
+
+    cctx = (c2.map_batches(ctx_partial, batch_format="pyarrow")
+            .groupby("prev").aggregate(Sum("cc", alias_name="cc"))
+            .materialize())
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: batch[id_col].slice(0, 0)
+                          if id_col in batch.column_names
+                          else pa.array([], pa.int64()),
+                          "bi": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        docidx, bi = _bigrams(batch)
+        if len(bi) == 0:
+            return empty
+        enc = pc.dictionary_encode(bi)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, docidx))
+        dc, cc = docidx[order], codes[order]
+        first = np.r_[True, (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])]
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.r_[starts, len(cc)]).astype(np.int64)
+        ids = batch[id_col].combine_chunks().take(pa.array(dc[starts]))
+        return pa.table({id_col: ids,
+                         "bi": enc.dictionary.take(pa.array(cc[starts])),
+                         "tf": pa.array(tf)})
+
+    tf_ds = ds.select_columns([id_col, text_col]).map_batches(
+        tf_rows, batch_format="pyarrow")
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = num_partitions or min(join_partitions(n_bi_vocab),
+                                    max(2, 2 * ncpu))
+    joined = tf_ds.join(c2, join_type="inner",
+                        num_partitions=n_parts, on=("bi",))
+
+    def add_prev(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("prev", pa.array([], pa.string()))
+        prev = pc.list_element(
+            pc.split_pattern(batch["bi"].combine_chunks(), " "), 0)
+        return batch.append_column("prev", prev)
+
+    joined2 = joined.map_batches(add_prev, batch_format="pyarrow").join(
+        cctx, join_type="inner", num_partitions=n_parts, on=("prev",))
+
+    def partial_doc(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: batch[id_col].slice(0, 0)
+                          if id_col in batch.column_names
+                          else pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "nb": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].combine_chunks()
+        idnp = ids.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(idnp, return_inverse=True)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cc = batch["cc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.zeros(len(uniq))
+        np.add.at(s, inv, tf * (np.log(cc) - np.log(c)))
+        nb = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(nb, inv, tf.astype(np.int64))
+        first_at = np.zeros(len(uniq), dtype=np.int64)
+        first_at[inv[::-1]] = np.arange(len(inv))[::-1]
+        return pa.table({id_col: ids.take(pa.array(first_at)),
+                         "s": pa.array(s), "nb": pa.array(nb)})
+
+    per = (joined2.map_batches(partial_doc, batch_format="pyarrow")
+           .groupby(id_col).aggregate(Sum("s", alias_name="s"),
+                                      Sum("nb", alias_name="nb")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch[id_col],
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "logppl2": pa.array([], pa.float64())})
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: batch[id_col],
+                         "n_bigrams": batch["nb"],
+                         "logppl2": pa.array(s / nb)})
+
+    return per.map_batches(finish, batch_format="pyarrow")

@@ -105,3 +105,46 @@ def test_assign_shards_deterministic_and_manifest(ray_session):
         members = [i for i, sh in got.items() if sh == s]
         assert (n, lo, hi) == (len(members), min(members), max(members))
     assert sum(n for n, _, _ in man.values()) == 200
+
+
+# ---- bigram_logppl (same module) ----
+
+def test_bigram_logppl_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    from raydedup.stages.textstats import bigram_logppl
+
+    rng = np.random.default_rng(47)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = []
+    for i in range(40):
+        k = int(rng.integers(1, 30))
+        rows.append({"doc_id": i, "text": " ".join(
+            vocab[int(rng.integers(0, len(vocab)))] for _ in range(k))})
+    rows.append({"doc_id": 40, "text": "solo"})   # 1 token: omitted
+    rows.append({"doc_id": 41, "text": ""})       # 0 tokens: omitted
+
+    c2, bis = Counter(), {}
+    for r in rows:
+        ts = TOK.findall(r["text"].lower())
+        b = list(zip(ts, ts[1:]))
+        bis[r["doc_id"]] = b
+        c2.update(b)
+    cctx = Counter()
+    for (p, _), c in c2.items():
+        cctx[p] += c
+    expected = {}
+    for i, b in bis.items():
+        if not b:
+            continue
+        s = sum(math.log(cctx[p]) - math.log(c2[(p, n)]) for p, n in b)
+        expected[i] = (len(b), s / len(b))
+
+    got = {r["doc_id"]: (r["n_bigrams"], r["logppl2"])
+           for r in bigram_logppl(ray.data.from_items(rows)).take_all()}
+    assert set(got) == set(expected)
+    for i, (n, v) in expected.items():
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(v, abs=1e-9)
+    # conditional probabilities are well-normalized: every score >= 0
+    assert all(v >= -1e-12 for _, v in got.values())
