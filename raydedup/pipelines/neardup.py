@@ -23,7 +23,6 @@ Scale notes (10^12-turn design):
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
