@@ -1526,7 +1526,7 @@ def q_cluster_size_histogram(sf_dir: str):
     return cluster_size_histogram(_docs(sf_dir))
 
 
-def q_dup_rate_by_source(sf_dir: str):
+def q_exact_dup_rate_by_source(sf_dir: str):
     """Per-source exact-duplicate scorecard (rows, uniques, dup rows,
     dup fraction) — dup_frac divides the same exact int64s as the SQL
     oracle."""
@@ -2051,6 +2051,47 @@ def q_line_dedup_docs(sf_dir: str):
     return line_dedup(lined_documents(sf_dir), min_docs=2)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental dedup against a PERSISTED signature index (the
+    continuous-ingestion primitive a 100-TB corpus lives on): documents
+    split by the sample_by_hash md5 contract
+    (md5-low60('incr0:' || doc_id) % 5 — ~80% 'old', ~20% 'new'); the
+    old side is indexed ONCE (signatures only, exact-rep collapsed,
+    parquet on disk — its text is never read again), then the new shard
+    is labeled exact / near / new via column-pruned joins against the
+    index. Near = LSH band candidates exact-verified at shingle-set
+    jaccard >= 0.8 against the STORED sets; match_key = max-jaccard
+    match, ties broken by min key. The brute-force SQL oracle assumes
+    LSH candidate recall 1.0 on this fixture — the same assumption
+    near_dup_pairs_docs validates at the identical config."""
+    import shutil
+    import tempfile
+
+    from raydedup.stages.incremental import (build_dedup_index,
+                                             dedup_against_index)
+    from raydedup.stages.textstats import _hash60
+
+    docs = _docs(sf_dir)
+
+    def side(want_new: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = _hash60(batch["doc_id"].to_pylist(), b"incr0:")
+            m = (h % 5 == 0) if want_new else (h % 5 != 0)
+            return batch.filter(pa.array(m))
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    index_dir = tempfile.mkdtemp(prefix="raydedup-incr-")
+    try:
+        build_dedup_index(side(False), index_dir, SIMPLE_CFG,
+                          key_cols=["doc_id"])
+        res = dedup_against_index(side(True), index_dir, SIMPLE_CFG,
+                                  key_cols=["doc_id"])
+        return _round_col(res, "jaccard").materialize()
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (driver smoke check)."""
     return q_near_dup_clusters_transcripts("/root/testdata/sf0.001")
@@ -2159,7 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue": q_filtered_revenue,
         "top_unshipped_orders": q_top_unshipped_orders,
         "cluster_size_histogram": q_cluster_size_histogram,
-        "dup_rate_by_source": q_dup_rate_by_source,
+        "exact_dup_rate_by_source": q_exact_dup_rate_by_source,
         "prototype_prune": q_prototype_prune,
         "upsample_mix": q_upsample_mix,
         "remove_dup_spans": q_remove_dup_spans,
@@ -2175,6 +2216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "shard_manifest": q_shard_manifest,
         "line_dedup_docs": q_line_dedup_docs,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -4214,7 +4256,7 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT n AS cluster_size, count(*) AS n_clusters
             FROM g GROUP BY 1
         """,
-        "dup_rate_by_source": """
+        "exact_dup_rate_by_source": """
             WITH g AS (
                 SELECT source, count(*) AS n
                 FROM documents GROUP BY source, coalesce(text, '')
@@ -4689,6 +4731,103 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM documents
             )
             GROUP BY 1
+        """,
+        # incremental_dedup: brute-force replay — md5 split, exact =
+        # text equality vs min-key old rep, near = shingle jaccard >=
+        # 0.8 (same CASE shingle rule as near_dup_pairs_docs), best
+        # match by raw jaccard DESC then min key; raw float ranking is
+        # safe because both sides compute the identical exact-int
+        # division c / (na + nb - c).
+        "incremental_dedup": """
+            WITH split AS (
+                SELECT CAST(doc_id AS VARCHAR) AS k,
+                       coalesce(text, '') AS text,
+                       CAST(('0x' || substr(
+                            md5('incr0:' || CAST(doc_id AS VARCHAR)),
+                            1, 15)) AS UBIGINT) % 5 AS b
+                FROM documents
+            ),
+            old_side AS (SELECT k, text FROM split WHERE b <> 0),
+            new_side AS (SELECT k, text FROM split WHERE b = 0),
+            old_reps AS (
+                SELECT min(k) AS okey, text FROM old_side GROUP BY text
+            ),
+            ex AS (
+                SELECT n.k, min(r.okey) AS exact_match
+                FROM new_side n JOIN old_reps r ON n.text = r.text
+                GROUP BY 1
+            ),
+            o_arrs AS (
+                SELECT okey,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM old_reps
+            ),
+            o_shl AS (
+                SELECT okey,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM o_arrs WHERE len(arr) > 0
+            ),
+            o_sh AS (
+                SELECT DISTINCT okey, s.sh
+                FROM o_shl, UNNEST(shl) AS s(sh)
+            ),
+            o_n AS (SELECT okey, count(*) AS n FROM o_sh GROUP BY 1),
+            n_arrs AS (
+                SELECT k,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM new_side
+            ),
+            n_shl AS (
+                SELECT k,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM n_arrs WHERE len(arr) > 0
+            ),
+            n_sh AS (
+                SELECT DISTINCT k, s.sh
+                FROM n_shl, UNNEST(shl) AS s(sh)
+            ),
+            n_n AS (SELECT k, count(*) AS n FROM n_sh GROUP BY 1),
+            common AS (
+                SELECT n.k, o.okey, count(*) AS c
+                FROM n_sh n JOIN o_sh o ON n.sh = o.sh GROUP BY 1, 2
+            ),
+            near AS (
+                SELECT c.k, c.okey,
+                       CAST(c.c AS DOUBLE) / (nn.n + onn.n - c.c) AS j
+                FROM common c
+                JOIN n_n nn ON nn.k = c.k
+                JOIN o_n onn ON onn.okey = c.okey
+                WHERE CAST(c.c AS DOUBLE) / (nn.n + onn.n - c.c) >= 0.8
+            ),
+            near_best AS (
+                SELECT k, okey AS near_match, j FROM (
+                    SELECT k, okey, j,
+                           row_number() OVER (PARTITION BY k
+                                              ORDER BY j DESC, okey)
+                               AS rn
+                    FROM near
+                ) WHERE rn = 1
+            )
+            SELECT n.k AS key,
+                   CASE WHEN e.exact_match IS NOT NULL THEN 'exact'
+                        WHEN nb.near_match IS NOT NULL THEN 'near'
+                        ELSE 'new' END AS status,
+                   coalesce(e.exact_match, nb.near_match) AS match_key,
+                   CASE WHEN e.exact_match IS NOT NULL THEN NULL
+                        ELSE round(nb.j, 6) END AS jaccard
+            FROM new_side n
+            LEFT JOIN ex e ON e.k = n.k
+            LEFT JOIN near_best nb ON nb.k = n.k
         """,
         # unigram_logppl: same token contract as token_counts; HUGEINT
         # sums cast back to BIGINT/DOUBLE before the float math.

@@ -1,0 +1,411 @@
+"""Incremental deduplication against a PERSISTED signature index.
+
+Why this exists (the 100-TB operational story): a production corpus is
+deduped once, then new crawl / transcript shards arrive continuously.
+Re-running the full self-join over old+new re-pays the old corpus's
+signature and shuffle cost on every arrival. Instead:
+
+- ``build_dedup_index(corpus)`` computes signatures ONCE, collapses
+  exact-duplicate texts to their representative (min key per sha — the
+  same survivor contract as ``stages/exact.py``), and persists one
+  Parquet directory of ``(row_key, text_sha256, band_hashes,
+  shingle_hashes, n_shingles)`` rows plus a config manifest. The old
+  corpus's TEXT is never needed again.
+- ``dedup_against_index(new_shard, index_dir)`` labels every new row
+  ``exact`` (sha match in the index), ``near`` (LSH band collision with
+  a stored representative, exact-verified shingle-set Jaccard >=
+  threshold), or ``new`` — with cost proportional to the NEW shard plus
+  the sparse collision set, never to the old corpus.
+
+Ray-Data shape:
+- the index is ONE parquet directory; each probe phase reads only the
+  columns it needs (``columns=[...]`` pruning): the exact phase moves
+  ~100 B/row, the candidate phase moves band hashes, and only the
+  (sparse) verified-candidate set ever touches the stored shingle sets;
+- every phase is a distributed ``Dataset.join`` — nothing corpus-scale
+  lands on the driver and the new shard streams through ``map_batches``
+  signature tasks exactly like the self-join DAG (same per-worker
+  cached kernel, ``stages/signatures.py``);
+- shingle sets cross the verify joins as length-prefixed ``binary``
+  blobs because Acero hash joins reject ``list<...>`` payload columns;
+  the encode/decode is offsets-buffer arithmetic, no per-row Python;
+- candidate verification reuses the shared tiled intersection kernel
+  (``stages/lsh.py``) — exact set Jaccard, so output correctness does
+  not depend on MinHash estimation; candidate recall is the standard
+  LSH band guarantee at the index's (bands, rows) config.
+
+Reference semantics: same shingle/signature config as the self-join
+dedup DAG; ``exact`` mirrors otmt's identical-content collapse
+(reference cluster semantics, otmt/archivecrawl.py's one-URI-one-row
+contract generalized), ``near`` mirrors the verified-pair threshold of
+``pipelines/neardup.py``. blake64 shingle hashing is the engine-wide
+documented collision contract.
+
+Endianness note: blobs and stored hashes are native little-endian
+uint64; an index is portable across any LE cluster (x86/arm), which is
+every supported Ray target.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from raydedup.config import DedupConfig, DEFAULT_CONFIG
+from raydedup.util import join_partitions
+
+_SIGS_SUBDIR = "sigs"
+_META_FILE = "meta.json"
+
+# DedupConfig fields that must be IDENTICAL at build and probe time —
+# they change the stored signatures, so probing with a different value
+# is a silent-correctness bug, not a knob.
+_SIG_FIELDS = (
+    "minhash_num_perms", "minhash_shingle_words", "minhash_seed",
+    "lsh_bands", "lsh_rows", "stemming", "remove_stopwords",
+)
+
+_OUT_SCHEMA = pa.schema([
+    pa.field("key", pa.string()),
+    pa.field("status", pa.string()),
+    pa.field("match_key", pa.string()),
+    pa.field("jaccard", pa.float64()),
+])
+
+
+def _lists_to_blob(col) -> pa.Array:
+    """list<uint64> column → binary column (8 bytes per element), via
+    offsets-buffer arithmetic only — the join-safe encoding of a
+    shingle set (Acero rejects list payloads in hash joins)."""
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(la)
+    if n == 0:
+        return pa.array([], type=pa.binary())
+    offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = la.flatten().to_numpy(zero_copy_only=False)
+    boffs = ((offs - offs[0]) * 8).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(boffs.tobytes()), pa.py_buffer(flat.tobytes())])
+
+
+def _blob_views(col) -> tuple[np.ndarray, np.ndarray]:
+    """binary column → (flat uint64 values, int64 element offsets);
+    blob i is ``flat[offs[i]:offs[i+1]]``. Zero-copy buffer views."""
+    ba = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(ba)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    off_buf = np.frombuffer(ba.buffers()[1], dtype=np.int32)
+    boffs = off_buf[ba.offset: ba.offset + n + 1].astype(np.int64)
+    count = int(boffs[-1]) // 8
+    flat = np.frombuffer(ba.buffers()[2], dtype=np.uint64, count=count)
+    return flat, boffs // 8
+
+
+def build_dedup_index(ds, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
+                      key_cols: list[str] | None = None,
+                      text_col: str = "text") -> dict:
+    """Corpus → persisted dedup index at ``out_dir``; returns the
+    manifest dict. One signature pass, one exact-dedup collapse, one
+    column-pruned parquet write — the corpus text never persists."""
+    from raydedup.pipelines.neardup import signatures_with_rep
+
+    assigned = signatures_with_rep(ds, cfg, key_cols=key_cols,
+                                   text_col=text_col)
+    reps = assigned.filter(expr="is_rep").select_columns([
+        "row_key", "text_sha256", "band_hashes", "shingle_hashes",
+        "n_shingles",
+    ])
+    sigs_path = os.path.join(out_dir, _SIGS_SUBDIR)
+    reps.write_parquet(sigs_path)
+    # an empty corpus writes no files (and possibly no directory) —
+    # still a valid index: every probe row comes back 'new'
+    os.makedirs(sigs_path, exist_ok=True)
+    n_reps = sum(
+        pq.read_metadata(os.path.join(sigs_path, f)).num_rows
+        for f in os.listdir(sigs_path) if f.endswith(".parquet")
+    )
+    manifest = {
+        "n_reps": int(n_reps),
+        "config": {f: getattr(cfg, f) for f in _SIG_FIELDS},
+    }
+    with open(os.path.join(out_dir, _META_FILE), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def _load_manifest(index_dir: str, cfg: DedupConfig) -> dict:
+    with open(os.path.join(index_dir, _META_FILE)) as fh:
+        manifest = json.load(fh)
+    bad = {f: (manifest["config"][f], getattr(cfg, f))
+           for f in _SIG_FIELDS if manifest["config"][f] != getattr(cfg, f)}
+    if bad:
+        raise ValueError(
+            "dedup index was built with a different signature config; "
+            f"probing it would be silently wrong: {bad}")
+    return manifest
+
+
+def _project(ds, schema: pa.Schema):
+    """Fixed-schema projection barrier between chained Dataset.joins
+    (join outputs can't expose a schema to the next join's planner) —
+    also pins the schema of zero-row blocks."""
+    names = schema.names
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        return pa.table({n: batch[n] for n in names}, schema=schema)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_against_index(new_ds, index_dir: str,
+                        cfg: DedupConfig = DEFAULT_CONFIG,
+                        key_cols: list[str] | None = None,
+                        text_col: str = "text",
+                        min_jaccard: float | None = None):
+    """New shard → Dataset ``(key, status, match_key, jaccard)``:
+    ``status`` is ``'exact'`` (text sha stored in the index — match_key
+    is the stored representative, jaccard null), ``'near'`` (verified
+    shingle-set Jaccard >= threshold vs a stored representative —
+    match_key is the max-jaccard match, ties broken by min key; jaccard
+    is the raw verified value), or ``'new'``. No intra-shard dedup —
+    that is the self-join DAG's job; this operator answers "is it
+    already in the corpus".
+    """
+    from raydedup.pipelines.neardup import signatures_with_rep
+    from raydedup.stages.lsh import _tiled_intersections, light_explode
+
+    manifest = _load_manifest(index_dir, cfg)
+    thr = cfg.jaccard_dup_threshold if min_jaccard is None else min_jaccard
+    sigs_path = os.path.join(index_dir, _SIGS_SUBDIR)
+
+    nsig = signatures_with_rep(new_ds, cfg, key_cols=key_cols,
+                               text_col=text_col).drop_columns(
+        ["rep_key", "n_exact", "is_rep"]).materialize()
+    n_new = nsig.count()
+    if n_new == 0:
+        return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    jp = min(join_partitions(n_new), max(2, 2 * ncpu))
+
+    def all_new_status() -> ray.data.Dataset:
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "key": batch["row_key"],
+                "status": pa.array(["new"] * n, pa.string()),
+                "match_key": pa.array([None] * n, pa.string()),
+                "jaccard": pa.array([None] * n, pa.float64()),
+            }, schema=_OUT_SCHEMA)
+
+        return nsig.select_columns(["row_key"]).map_batches(
+            fn, batch_format="pyarrow")
+
+    if manifest["n_reps"] == 0:
+        return all_new_status()
+
+    # ---- phase 1: exact (sha equi-join; index read prunes to 2 cols) ----
+    old_exact = ray.data.read_parquet(
+        sigs_path, columns=["row_key", "text_sha256"])
+    old_exact = _project(old_exact.map_batches(
+        lambda b: b.rename_columns(["okey", "text_sha256"]),
+        batch_format="pyarrow"),
+        pa.schema([pa.field("okey", pa.string()),
+                   pa.field("text_sha256", pa.string())]))
+    new_sha = _project(
+        nsig.select_columns(["row_key", "text_sha256"]).map_batches(
+            lambda b: b.rename_columns(["key", "text_sha256"]),
+            batch_format="pyarrow"),
+        pa.schema([pa.field("key", pa.string()),
+                   pa.field("text_sha256", pa.string())]))
+    from ray.data.aggregate import Count, Max, Min
+    ex_best = new_sha.join(
+        old_exact, join_type="inner", num_partitions=jp,
+        on=("text_sha256",),
+    ).groupby("key").aggregate(Min("okey", alias_name="exact_match"))
+    ex_best = _project(ex_best, pa.schema([
+        pa.field("key", pa.string()),
+        pa.field("exact_match", pa.string())])).materialize()
+
+    # ---- phase 2: LSH candidates (band bucket equi-join) ----
+    old_band_src = ray.data.read_parquet(
+        sigs_path, columns=["row_key", "band_hashes", "n_shingles"])
+    old_bands = _project(
+        old_band_src.map_batches(
+            lambda b, _cfg=cfg: light_explode(b, _cfg).rename_columns(
+                ["bucket", "okey"]),
+            batch_format="pyarrow"),
+        pa.schema([pa.field("bucket", pa.int64()),
+                   pa.field("okey", pa.string())]))
+    new_bands = _project(
+        nsig.select_columns(
+            ["row_key", "band_hashes", "n_shingles"]).map_batches(
+            lambda b, _cfg=cfg: light_explode(b, _cfg),
+            batch_format="pyarrow"),
+        pa.schema([pa.field("bucket", pa.int64()),
+                   pa.field("row_key", pa.string())]))
+    cand = new_bands.join(
+        old_bands, join_type="inner", num_partitions=jp, on=("bucket",),
+    ).groupby(["row_key", "okey"]).aggregate(Count(alias_name="_nb"))
+    cand = _project(cand, pa.schema([
+        pa.field("row_key", pa.string()),
+        pa.field("okey", pa.string())])).materialize()
+    n_cand = cand.count()
+
+    near_best = None
+    if n_cand:
+        # ---- phase 3: exact verify over stored shingle sets ----
+        jp_c = min(join_partitions(n_cand), max(2, 2 * ncpu))
+        old_blob = _project(
+            ray.data.read_parquet(
+                sigs_path, columns=["row_key", "shingle_hashes"],
+            ).map_batches(
+                lambda b: pa.table({
+                    "okey": b["row_key"],
+                    "oblob": _lists_to_blob(b["shingle_hashes"]),
+                }),
+                batch_format="pyarrow"),
+            pa.schema([pa.field("okey", pa.string()),
+                       pa.field("oblob", pa.binary())]))
+        new_blob = _project(
+            nsig.select_columns(["row_key", "shingle_hashes"]).map_batches(
+                lambda b: pa.table({
+                    "row_key": b["row_key"],
+                    "nblob": _lists_to_blob(b["shingle_hashes"]),
+                }),
+                batch_format="pyarrow"),
+            pa.schema([pa.field("row_key", pa.string()),
+                       pa.field("nblob", pa.binary())]))
+        with_old = _project(
+            cand.join(old_blob, join_type="inner",
+                      num_partitions=jp_c, on=("okey",)),
+            pa.schema([pa.field("row_key", pa.string()),
+                       pa.field("okey", pa.string()),
+                       pa.field("oblob", pa.binary())]))
+        with_both = _project(
+            with_old.join(new_blob, join_type="inner",
+                          num_partitions=jp_c, on=("row_key",)),
+            pa.schema([pa.field("row_key", pa.string()),
+                       pa.field("okey", pa.string()),
+                       pa.field("oblob", pa.binary()),
+                       pa.field("nblob", pa.binary())]))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"key": pa.array([], pa.string()),
+                              "okey": pa.array([], pa.string()),
+                              "jaccard": pa.array([], pa.float64())})
+            if batch.num_rows == 0:
+                return empty
+            nf, no = _blob_views(batch["nblob"])
+            of, oo = _blob_views(batch["oblob"])
+            la = (no[1:] - no[:-1]).astype(np.int64)
+            lb = (oo[1:] - oo[:-1]).astype(np.int64)
+            nz = np.flatnonzero((la > 0) & (lb > 0))
+            if nz.size == 0:
+                return empty
+            lan, lbn = la[nz], lb[nz]
+
+            def fill(row: np.ndarray, i: int) -> None:
+                r = nz[i]
+                row[: lan[i]] = nf[no[r]: no[r + 1]]
+                row[lan[i]: lan[i] + lbn[i]] = of[oo[r]: oo[r + 1]]
+
+            inter = _tiled_intersections(lan, lbn, fill)
+            jac = inter / (lan + lbn - inter)
+            keep = jac >= thr
+            sel = pa.array(nz[keep])
+            return pa.table({
+                "key": pc.take(batch["row_key"].combine_chunks(), sel),
+                "okey": pc.take(batch["okey"].combine_chunks(), sel),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            })
+
+        verified = with_both.map_batches(
+            verify, batch_format="pyarrow").materialize()
+        if verified.count():
+            # argmax jaccard per key, ties broken by min okey; raw
+            # float ranking is safe — both engine and oracle compute
+            # the identical exact-int division (c / (na + nb - c))
+            best_j = verified.groupby("key").aggregate(
+                Max("jaccard", alias_name="_bj"))
+            best_j = _project(best_j, pa.schema([
+                pa.field("key", pa.string()),
+                pa.field("_bj", pa.float64())]))
+            at_best = _project(
+                verified.join(best_j, join_type="inner",
+                              num_partitions=jp_c, on=("key",)),
+                pa.schema([pa.field("key", pa.string()),
+                           pa.field("okey", pa.string()),
+                           pa.field("jaccard", pa.float64()),
+                           pa.field("_bj", pa.float64())]))
+            at_best = at_best.map_batches(
+                lambda b: b.filter(pc.equal(b["jaccard"], b["_bj"])),
+                batch_format="pyarrow")
+            near_best = at_best.groupby("key").aggregate(
+                Min("okey", alias_name="near_match"),
+                Max("_bj", alias_name="_nj"),
+            )
+            near_best = _project(near_best, pa.schema([
+                pa.field("key", pa.string()),
+                pa.field("near_match", pa.string()),
+                pa.field("_nj", pa.float64())])).materialize()
+            if near_best.count() == 0:
+                near_best = None
+
+    # ---- compose: exact > near > new ----
+    base = _project(
+        nsig.select_columns(["row_key"]).map_batches(
+            lambda b: b.rename_columns(["key"]), batch_format="pyarrow"),
+        pa.schema([pa.field("key", pa.string())]))
+    if ex_best.count():
+        base = _project(
+            base.join(ex_best, join_type="left_outer",
+                      num_partitions=jp, on=("key",)),
+            pa.schema([pa.field("key", pa.string()),
+                       pa.field("exact_match", pa.string())]))
+    else:
+        base = base.map_batches(
+            lambda b: b.append_column(
+                "exact_match", pa.array([None] * b.num_rows, pa.string())),
+            batch_format="pyarrow")
+    if near_best is not None:
+        merged = base.join(near_best, join_type="left_outer",
+                           num_partitions=jp, on=("key",))
+    else:
+        merged = base.map_batches(
+            lambda b: b.append_column(
+                "near_match", pa.array([None] * b.num_rows, pa.string()),
+            ).append_column(
+                "_nj", pa.array([None] * b.num_rows, pa.float64())),
+            batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _OUT_SCHEMA.empty_table()
+        em = batch["exact_match"].combine_chunks()
+        nm = batch["near_match"].combine_chunks()
+        nj = batch["_nj"].combine_chunks()
+        has_e = pc.is_valid(em)
+        status = pc.if_else(
+            has_e, pa.scalar("exact", pa.string()),
+            pc.if_else(pc.is_valid(nm), pa.scalar("near", pa.string()),
+                       pa.scalar("new", pa.string())))
+        return pa.table({
+            "key": batch["key"],
+            "status": status,
+            "match_key": pc.if_else(has_e, em, nm),
+            "jaccard": pc.if_else(has_e, pa.scalar(None, pa.float64()), nj),
+        }, schema=_OUT_SCHEMA)
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,151 @@
+"""Tests for stages/incremental.py — persisted-index incremental dedup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from raydedup.config import DEFAULT_CONFIG
+from raydedup.stages.incremental import (
+    _blob_views,
+    _lists_to_blob,
+    build_dedup_index,
+    dedup_against_index,
+)
+
+CFG = DEFAULT_CONFIG.with_overrides(stemming=False, remove_stopwords=False)
+
+OLD = pa.table({
+    "doc_id": [1, 2, 3, 4, 5],
+    "text": [
+        "the quick brown fox jumps over the lazy dog near the river today",
+        "the quick brown fox jumps over the lazy dog near the river today",
+        "completely different content about machine learning and arrow",
+        "a short one",
+        "",
+    ],
+})
+NEW = pa.table({
+    "doc_id": [10, 11, 12, 13],
+    "text": [
+        # exact dup of old 1/2 -> rep "1"
+        "the quick brown fox jumps over the lazy dog near the river today",
+        # near dup of old 1 (one word changed)
+        "the quick brown fox jumps over the lazy dog near the river tonight",
+        # novel
+        "totally novel text that matches nothing in the stored index here",
+        # empty: exact match to old 5
+        "",
+    ],
+})
+
+
+def _result(index_dir, new=NEW, cfg=CFG):
+    res = dedup_against_index(
+        ray.data.from_arrow(new), str(index_dir), cfg, key_cols=["doc_id"])
+    rows = {r["key"]: r for r in res.to_pandas().to_dict("records")}
+    return rows
+
+
+def test_statuses_and_matches(tmp_path):
+    man = build_dedup_index(
+        ray.data.from_arrow(OLD), str(tmp_path), CFG, key_cols=["doc_id"])
+    # 5 old rows, one exact-dup pair collapses -> 4 stored reps
+    assert man["n_reps"] == 4
+    rows = _result(tmp_path)
+    assert rows["10"]["status"] == "exact"
+    assert rows["10"]["match_key"] == "1"  # min key of the sha group
+    assert rows["11"]["status"] == "near"
+    assert rows["11"]["match_key"] == "1"
+    assert 0.8 <= rows["11"]["jaccard"] <= 1.0
+    assert rows["12"]["status"] == "new"
+    assert rows["12"]["match_key"] is None
+    assert rows["13"]["status"] == "exact"
+    assert rows["13"]["match_key"] == "5"
+    # exact rows carry no jaccard
+    assert rows["10"]["jaccard"] is None or np.isnan(rows["10"]["jaccard"])
+
+
+def test_near_matches_brute_force(tmp_path):
+    """Every new-vs-rep pair at jaccard >= thr (brute force over the
+    fixture) must surface: exact-status keys aside, near match = the
+    brute-force argmax."""
+    from raydedup.textnorm import full_tokenize
+
+    def shingles(t):
+        toks = full_tokenize(t, stemming=False, remove_stopwords=False)
+        if not toks:
+            return set()
+        if len(toks) <= 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    build_dedup_index(
+        ray.data.from_arrow(OLD), str(tmp_path), CFG, key_cols=["doc_id"])
+    reps = {}  # min key per old text
+    for k, t in zip(OLD["doc_id"].to_pylist(), OLD["text"].to_pylist()):
+        reps.setdefault(t, str(k))
+    old_texts = {v: k for k, v in reps.items()}
+    rows = _result(tmp_path)
+    for k, t in zip(NEW["doc_id"].to_pylist(), NEW["text"].to_pylist()):
+        if rows[str(k)]["status"] == "exact":
+            continue
+        ns = shingles(t)
+        best = None
+        for okey, ot in old_texts.items():
+            os_ = shingles(ot)
+            if not ns or not os_:
+                continue
+            j = len(ns & os_) / len(ns | os_)
+            if j >= CFG.jaccard_dup_threshold:
+                cand = (-j, okey)
+                best = min(best, cand) if best else cand
+        row = rows[str(k)]
+        if best is None:
+            assert row["status"] == "new"
+        else:
+            assert row["status"] == "near"
+            assert row["match_key"] == best[1]
+            assert row["jaccard"] == pytest.approx(-best[0], abs=1e-12)
+
+
+def test_blob_roundtrip():
+    rng = np.random.RandomState(7)
+    lists = [sorted(set(rng.randint(0, 2**63, size=n).tolist()))
+             for n in (0, 1, 5, 100, 3)]
+    arr = pa.array(lists, type=pa.list_(pa.uint64()))
+    blob = _lists_to_blob(arr)
+    flat, offs = _blob_views(pa.chunked_array([blob]))
+    for i, l in enumerate(lists):
+        got = flat[offs[i]: offs[i + 1]].tolist()
+        assert got == l
+
+
+def test_config_mismatch_raises(tmp_path):
+    build_dedup_index(
+        ray.data.from_arrow(OLD), str(tmp_path), CFG, key_cols=["doc_id"])
+    other = CFG.with_overrides(lsh_bands=8, lsh_rows=8)
+    with pytest.raises(ValueError, match="different signature config"):
+        dedup_against_index(
+            ray.data.from_arrow(NEW), str(tmp_path), other,
+            key_cols=["doc_id"])
+
+
+def test_empty_new_shard(tmp_path):
+    build_dedup_index(
+        ray.data.from_arrow(OLD), str(tmp_path), CFG, key_cols=["doc_id"])
+    res = dedup_against_index(
+        ray.data.from_arrow(NEW.slice(0, 0)), str(tmp_path), CFG,
+        key_cols=["doc_id"])
+    assert res.count() == 0
+    assert res.schema().names == ["key", "status", "match_key", "jaccard"]
+
+
+def test_empty_index_all_new(tmp_path):
+    build_dedup_index(
+        ray.data.from_arrow(OLD.slice(0, 0)), str(tmp_path), CFG,
+        key_cols=["doc_id"])
+    rows = _result(tmp_path)
+    assert len(rows) == 4
+    assert all(r["status"] == "new" for r in rows.values())
