@@ -2092,6 +2092,53 @@ def q_incremental_dedup(sf_dir: str):
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def q_incremental_dedup_rolling(sf_dir: str):
+    """The FULL continuous-ingestion loop: build index on ~60% of
+    documents (md5-low60('incr0:'||doc_id) % 5 > 1), probe shard 1
+    (% 5 == 1), EXTEND the index with shard 1's 'new'-labeled
+    survivors (within-shard exact-rep collapsed, appended as a second
+    index generation with an atomically republished manifest), then
+    probe shard 2 (% 5 == 0) against the extended index and return its
+    labels. Exercises what the single-probe query cannot: multi-
+    generation reads, the survivor policy, and cross-shard matches
+    (a shard-2 dup of a shard-1 doc is caught without ever re-reading
+    shard 1's text). Oracle replays both probe rounds brute-force."""
+    import shutil
+    import tempfile
+
+    from raydedup.stages.incremental import (build_dedup_index,
+                                             dedup_against_index,
+                                             extend_dedup_index)
+    from raydedup.stages.textstats import _hash60
+
+    docs = _docs(sf_dir)
+
+    def side(*classes):
+        want = set(classes)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            h = _hash60(batch["doc_id"].to_pylist(), b"incr0:")
+            m = np.isin((h % 5).astype(np.int64), list(want))
+            return batch.filter(pa.array(m))
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    index_dir = tempfile.mkdtemp(prefix="raydedup-roll-")
+    try:
+        build_dedup_index(side(2, 3, 4), index_dir, SIMPLE_CFG,
+                          key_cols=["doc_id"])
+        s1 = side(1)
+        r1 = dedup_against_index(s1, index_dir, SIMPLE_CFG,
+                                 key_cols=["doc_id"]).materialize()
+        extend_dedup_index(s1, index_dir, r1, SIMPLE_CFG,
+                           key_cols=["doc_id"])
+        r2 = dedup_against_index(side(0), index_dir, SIMPLE_CFG,
+                                 key_cols=["doc_id"])
+        return _round_col(r2, "jaccard").materialize()
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (driver smoke check)."""
     return q_near_dup_clusters_transcripts("/root/testdata/sf0.001")
@@ -2217,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_manifest": q_shard_manifest,
         "line_dedup_docs": q_line_dedup_docs,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_rolling": q_incremental_dedup_rolling,
     }
 
 
@@ -2752,6 +2800,35 @@ _CURATE_TAIL = """,
             CROSS JOIN tot
             WHERE c3.root = c3.node
         """
+
+
+def _shingle_ctes(pfx: str, src: str, id_expr: str) -> str:
+    """CTE fragment: ``{pfx}_sh (id, sh)`` distinct word-3-shingles and
+    ``{pfx}_n (id, n)`` set sizes for table ``src`` — the shared
+    shingle rule of the near-dup oracles (short-doc single shingle,
+    zero-token docs excluded)."""
+    return f"""
+            {pfx}_arrs AS (
+                SELECT {id_expr} AS id,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM {src}
+            ),
+            {pfx}_shl AS (
+                SELECT id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM {pfx}_arrs WHERE len(arr) > 0
+            ),
+            {pfx}_sh AS (
+                SELECT DISTINCT id, s.sh
+                FROM {pfx}_shl, UNNEST(shl) AS s(sh)
+            ),
+            {pfx}_n AS (SELECT id, count(*) AS n FROM {pfx}_sh
+                        GROUP BY 1)"""
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -4828,6 +4905,96 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM new_side n
             LEFT JOIN ex e ON e.k = n.k
             LEFT JOIN near_best nb ON nb.k = n.k
+        """,
+        # incremental_dedup_rolling: replay BOTH probe rounds brute
+        # force — shard-1 labels decide which min-key within-shard reps
+        # join the index (statuses=('new',) policy), then shard 2 is
+        # labeled against the two-generation union.
+        "incremental_dedup_rolling": f"""
+            WITH split AS (
+                SELECT CAST(doc_id AS VARCHAR) AS k,
+                       coalesce(text, '') AS text,
+                       CAST(('0x' || substr(
+                            md5('incr0:' || CAST(doc_id AS VARCHAR)),
+                            1, 15)) AS UBIGINT) % 5 AS b
+                FROM documents
+            ),
+            old_side AS (SELECT k, text FROM split WHERE b > 1),
+            s1 AS (SELECT k, text FROM split WHERE b = 1),
+            s2 AS (SELECT k, text FROM split WHERE b = 0),
+            i1 AS (SELECT min(k) AS okey, text FROM old_side
+                   GROUP BY text),
+            {_shingle_ctes('i1', 'i1', 'okey')},
+            {_shingle_ctes('s1', 's1', 'k')},
+            s1_ex AS (
+                SELECT DISTINCT s.k FROM s1 s JOIN i1 r
+                ON s.text = r.text
+            ),
+            s1_common AS (
+                SELECT a.id AS k, b.id AS okey, count(*) AS c
+                FROM s1_sh a JOIN i1_sh b ON a.sh = b.sh GROUP BY 1, 2
+            ),
+            s1_near AS (
+                SELECT DISTINCT c.k
+                FROM s1_common c
+                JOIN s1_n nn ON nn.id = c.k
+                JOIN i1_n onn ON onn.id = c.okey
+                WHERE CAST(c.c AS DOUBLE) / (nn.n + onn.n - c.c) >= 0.8
+            ),
+            s1_new AS (
+                SELECT k, text FROM s1
+                WHERE k NOT IN (SELECT k FROM s1_ex)
+                  AND k NOT IN (SELECT k FROM s1_near)
+            ),
+            s1_reps AS (SELECT min(k) AS okey, text FROM s1_new
+                        GROUP BY text),
+            i2 AS (
+                SELECT okey, text FROM i1
+                UNION ALL SELECT okey, text FROM s1_reps
+            ),
+            i2_sh AS (
+                SELECT id, sh FROM i1_sh
+                UNION ALL
+                SELECT r.okey AS id, a.sh
+                FROM s1_sh a JOIN s1_reps r ON r.okey = a.id
+            ),
+            i2_n AS (SELECT id, count(*) AS n FROM i2_sh GROUP BY 1),
+            {_shingle_ctes('s2', 's2', 'k')},
+            ex2 AS (
+                SELECT s.k, min(r.okey) AS exact_match
+                FROM s2 s JOIN i2 r ON s.text = r.text GROUP BY 1
+            ),
+            common2 AS (
+                SELECT a.id AS k, b.id AS okey, count(*) AS c
+                FROM s2_sh a JOIN i2_sh b ON a.sh = b.sh GROUP BY 1, 2
+            ),
+            near2 AS (
+                SELECT c.k, c.okey,
+                       CAST(c.c AS DOUBLE) / (nn.n + onn.n - c.c) AS j
+                FROM common2 c
+                JOIN s2_n nn ON nn.id = c.k
+                JOIN i2_n onn ON onn.id = c.okey
+                WHERE CAST(c.c AS DOUBLE) / (nn.n + onn.n - c.c) >= 0.8
+            ),
+            near_best2 AS (
+                SELECT k, okey AS near_match, j FROM (
+                    SELECT k, okey, j,
+                           row_number() OVER (PARTITION BY k
+                                              ORDER BY j DESC, okey)
+                               AS rn
+                    FROM near2
+                ) WHERE rn = 1
+            )
+            SELECT s.k AS key,
+                   CASE WHEN e.exact_match IS NOT NULL THEN 'exact'
+                        WHEN nb.near_match IS NOT NULL THEN 'near'
+                        ELSE 'new' END AS status,
+                   coalesce(e.exact_match, nb.near_match) AS match_key,
+                   CASE WHEN e.exact_match IS NOT NULL THEN NULL
+                        ELSE round(nb.j, 6) END AS jaccard
+            FROM s2 s
+            LEFT JOIN ex2 e ON e.k = s.k
+            LEFT JOIN near_best2 nb ON nb.k = s.k
         """,
         # unigram_logppl: same token contract as token_counts; HUGEINT
         # sums cast back to BIGINT/DOUBLE before the float math.

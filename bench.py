@@ -179,6 +179,7 @@ def run_bench() -> dict:
                   "unigram_logppl",
                   "bigram_logppl",
                   "dup_rate_by_source",
+                  "incremental_dedup",
                   "curate_docs"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()

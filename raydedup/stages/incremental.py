@@ -64,6 +64,7 @@ from raydedup.util import join_partitions
 
 _SIGS_SUBDIR = "sigs"
 _META_FILE = "meta.json"
+_GEN_FMT = "sigs-{:03d}"
 
 # DedupConfig fields that must be IDENTICAL at build and probe time —
 # they change the stored signatures, so probing with a different value
@@ -130,16 +131,84 @@ def build_dedup_index(ds, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
     # an empty corpus writes no files (and possibly no directory) —
     # still a valid index: every probe row comes back 'new'
     os.makedirs(sigs_path, exist_ok=True)
-    n_reps = sum(
-        pq.read_metadata(os.path.join(sigs_path, f)).num_rows
-        for f in os.listdir(sigs_path) if f.endswith(".parquet")
-    )
     manifest = {
-        "n_reps": int(n_reps),
+        "n_reps": _count_rows(sigs_path),
+        "generations": [_SIGS_SUBDIR],
         "config": {f: getattr(cfg, f) for f in _SIG_FIELDS},
     }
-    with open(os.path.join(out_dir, _META_FILE), "w") as fh:
+    _write_manifest(out_dir, manifest)
+    return manifest
+
+
+def _count_rows(path: str) -> int:
+    return int(sum(
+        pq.read_metadata(os.path.join(path, f)).num_rows
+        for f in os.listdir(path) if f.endswith(".parquet")
+    ))
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    # atomic publish: a crashed extend never leaves a manifest that
+    # references a half-written generation
+    tmp = os.path.join(out_dir, _META_FILE + ".tmp")
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, _META_FILE))
+
+
+def extend_dedup_index(new_ds, index_dir: str, labels_ds,
+                       cfg: DedupConfig = DEFAULT_CONFIG,
+                       key_cols: list[str] | None = None,
+                       text_col: str = "text",
+                       statuses: tuple = ("new",)) -> dict:
+    """Append a probed shard's SURVIVORS to the index as a new
+    generation — the second half of the continuous-ingestion loop:
+    probe shard → keep rows ``dedup_against_index`` labeled ``'new'``
+    (the default policy; pass ``statuses=('new', 'near')`` to also
+    index near-dup survivors) → ``extend`` → the next shard dedups
+    against old + all appended generations.
+
+    Within-shard exact duplicates collapse to their min-key rep before
+    writing (same contract as build). Because ``'exact'``-labeled rows
+    are excluded by default, generations stay disjoint on text — the
+    stored min-key rep of any text is unique across the whole index.
+    Each generation is its own parquet directory and the manifest is
+    republished atomically, so a crashed extend is invisible and the
+    write is resumable by simply re-running it.
+    """
+    from raydedup.pipelines.neardup import signatures_with_rep
+
+    manifest = _load_manifest(index_dir, cfg)
+    keep = labels_ds.filter(
+        expr=" or ".join(f"status == '{s}'" for s in statuses))
+    keys_tbl = pa.concat_tables(
+        keep.select_columns(["key"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"))
+    keys = keys_tbl["key"].combine_chunks()
+    key_ref = ray.put(keys)
+
+    assigned = signatures_with_rep(new_ds, cfg, key_cols=key_cols,
+                                   text_col=text_col)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(key_ref)
+        mask = pc.and_(
+            pc.is_valid(pc.index_in(batch["row_key"], value_set=wanted)),
+            batch["is_rep"].combine_chunks())
+        return batch.filter(mask)
+
+    gen = _GEN_FMT.format(len(manifest["generations"]))
+    gen_path = os.path.join(index_dir, gen)
+    assigned.map_batches(
+        survivors, batch_format="pyarrow",
+    ).select_columns([
+        "row_key", "text_sha256", "band_hashes", "shingle_hashes",
+        "n_shingles",
+    ]).write_parquet(gen_path)
+    os.makedirs(gen_path, exist_ok=True)
+    manifest["generations"].append(gen)
+    manifest["n_reps"] += _count_rows(gen_path)
+    _write_manifest(index_dir, manifest)
     return manifest
 
 
@@ -188,7 +257,15 @@ def dedup_against_index(new_ds, index_dir: str,
 
     manifest = _load_manifest(index_dir, cfg)
     thr = cfg.jaccard_dup_threshold if min_jaccard is None else min_jaccard
-    sigs_path = os.path.join(index_dir, _SIGS_SUBDIR)
+    # explicit file list across every generation dir (read_parquet
+    # given a LIST expects file paths, and empty generations hold none)
+    sigs_paths = [
+        os.path.join(p, f)
+        for p in (os.path.join(index_dir, g)
+                  for g in manifest.get("generations", [_SIGS_SUBDIR]))
+        if os.path.isdir(p)
+        for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+    ]
 
     nsig = signatures_with_rep(new_ds, cfg, key_cols=key_cols,
                                text_col=text_col).drop_columns(
@@ -217,7 +294,7 @@ def dedup_against_index(new_ds, index_dir: str,
 
     # ---- phase 1: exact (sha equi-join; index read prunes to 2 cols) ----
     old_exact = ray.data.read_parquet(
-        sigs_path, columns=["row_key", "text_sha256"])
+        sigs_paths, columns=["row_key", "text_sha256"])
     old_exact = _project(old_exact.map_batches(
         lambda b: b.rename_columns(["okey", "text_sha256"]),
         batch_format="pyarrow"),
@@ -240,7 +317,7 @@ def dedup_against_index(new_ds, index_dir: str,
 
     # ---- phase 2: LSH candidates (band bucket equi-join) ----
     old_band_src = ray.data.read_parquet(
-        sigs_path, columns=["row_key", "band_hashes", "n_shingles"])
+        sigs_paths, columns=["row_key", "band_hashes", "n_shingles"])
     old_bands = _project(
         old_band_src.map_batches(
             lambda b, _cfg=cfg: light_explode(b, _cfg).rename_columns(
@@ -269,7 +346,7 @@ def dedup_against_index(new_ds, index_dir: str,
         jp_c = min(join_partitions(n_cand), max(2, 2 * ncpu))
         old_blob = _project(
             ray.data.read_parquet(
-                sigs_path, columns=["row_key", "shingle_hashes"],
+                sigs_paths, columns=["row_key", "shingle_hashes"],
             ).map_batches(
                 lambda b: pa.table({
                     "okey": b["row_key"],

@@ -142,6 +142,47 @@ def test_empty_new_shard(tmp_path):
     assert res.schema().names == ["key", "status", "match_key", "jaccard"]
 
 
+_LONG = ("w%02d " * 30).strip()
+_LONG_A = _LONG % tuple(range(30))                     # w00 .. w29
+_LONG_B = (_LONG % tuple(range(30))).replace("w29", "zz")  # near: j≈0.81
+
+
+def test_extend_and_rolling(tmp_path):
+    from raydedup.stages.incremental import extend_dedup_index
+
+    old = pa.table({"doc_id": [1], "text": [_LONG_A]})
+    s1 = pa.table({"doc_id": [10, 11, 12], "text": [
+        _LONG_A,                                       # exact -> not indexed
+        "fresh shard one content nothing like anything stored before",
+        "fresh shard one content nothing like anything stored before",
+    ]})
+    s2 = pa.table({"doc_id": [20, 21], "text": [
+        "fresh shard one content nothing like anything stored before",
+        _LONG_B,
+    ]})
+    m0 = build_dedup_index(
+        ray.data.from_arrow(old), str(tmp_path), CFG, key_cols=["doc_id"])
+    assert m0["n_reps"] == 1 and m0["generations"] == ["sigs"]
+    r1 = dedup_against_index(
+        ray.data.from_arrow(s1), str(tmp_path), CFG,
+        key_cols=["doc_id"]).materialize()
+    m1 = extend_dedup_index(
+        ray.data.from_arrow(s1), str(tmp_path), r1, CFG,
+        key_cols=["doc_id"])
+    # 10 was exact (excluded); 11/12 collapse to one within-shard rep
+    assert m1["n_reps"] == 2
+    assert m1["generations"] == ["sigs", "sigs-001"]
+    rows = _result(tmp_path, new=s2)
+    # 20 exact-matches shard 1's stored rep (min key 11), caught
+    # without ever re-reading shard 1's text
+    assert rows["20"]["status"] == "exact"
+    assert rows["20"]["match_key"] == "11"
+    # 21 near-matches the original old doc across generations
+    assert rows["21"]["status"] == "near"
+    assert rows["21"]["match_key"] == "1"
+    assert rows["21"]["jaccard"] >= 0.8
+
+
 def test_empty_index_all_new(tmp_path):
     build_dedup_index(
         ray.data.from_arrow(OLD.slice(0, 0)), str(tmp_path), CFG,
