@@ -160,7 +160,8 @@ def extend_dedup_index(new_ds, index_dir: str, labels_ds,
                        cfg: DedupConfig = DEFAULT_CONFIG,
                        key_cols: list[str] | None = None,
                        text_col: str = "text",
-                       statuses: tuple = ("new",)) -> dict:
+                       statuses: tuple = ("new",),
+                       shard_id: str | None = None) -> dict:
     """Append a probed shard's SURVIVORS to the index as a new
     generation — the second half of the continuous-ingestion loop:
     probe shard → keep rows ``dedup_against_index`` labeled ``'new'``
@@ -175,16 +176,23 @@ def extend_dedup_index(new_ds, index_dir: str, labels_ds,
     Each generation is its own parquet directory and the manifest is
     republished atomically, so a crashed extend is invisible and the
     write is resumable by simply re-running it.
+
+    ``shard_id`` (optional) makes the append IDEMPOTENT per shard: an
+    id already recorded in the manifest's ``shards`` list returns the
+    manifest unchanged, so a resumed ingestion loop can replay every
+    shard unconditionally without double-indexing any of them.
     """
     from raydedup.pipelines.neardup import signatures_with_rep
 
     manifest = _load_manifest(index_dir, cfg)
+    if shard_id is not None and shard_id in manifest.get("shards", []):
+        return manifest
     keep = labels_ds.filter(
         expr=" or ".join(f"status == '{s}'" for s in statuses))
-    keys_tbl = pa.concat_tables(
-        keep.select_columns(["key"]).iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"))
-    keys = keys_tbl["key"].combine_chunks()
+    key_batches = list(keep.select_columns(["key"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"))
+    keys = (pa.concat_tables(key_batches)["key"].combine_chunks()
+            if key_batches else pa.array([], pa.string()))
     key_ref = ray.put(keys)
 
     assigned = signatures_with_rep(new_ds, cfg, key_cols=key_cols,
@@ -208,6 +216,8 @@ def extend_dedup_index(new_ds, index_dir: str, labels_ds,
     os.makedirs(gen_path, exist_ok=True)
     manifest["generations"].append(gen)
     manifest["n_reps"] += _count_rows(gen_path)
+    if shard_id is not None:
+        manifest.setdefault("shards", []).append(shard_id)
     _write_manifest(index_dir, manifest)
     return manifest
 

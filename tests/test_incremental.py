@@ -183,6 +183,67 @@ def test_extend_and_rolling(tmp_path):
     assert rows["21"]["jaccard"] >= 0.8
 
 
+def test_extend_shard_idempotent(tmp_path):
+    from raydedup.stages.incremental import extend_dedup_index
+
+    build_dedup_index(
+        ray.data.from_arrow(OLD), str(tmp_path), CFG, key_cols=["doc_id"])
+    s1 = pa.table({"doc_id": [30], "text": ["a fresh never seen doc"]})
+    r1 = dedup_against_index(
+        ray.data.from_arrow(s1), str(tmp_path), CFG,
+        key_cols=["doc_id"]).materialize()
+    m1 = extend_dedup_index(
+        ray.data.from_arrow(s1), str(tmp_path), r1, CFG,
+        key_cols=["doc_id"], shard_id="s1")
+    m2 = extend_dedup_index(
+        ray.data.from_arrow(s1), str(tmp_path), r1, CFG,
+        key_cols=["doc_id"], shard_id="s1")
+    assert m2 == m1  # replayed shard: manifest unchanged, no new gen
+    assert m1["shards"] == ["s1"]
+    assert m1["n_reps"] == 5  # 4 old reps + 1
+
+
+def test_ingest_shards_job(tmp_path):
+    """End-to-end resumable ingestion loop (in-process main(): Ray is
+    the session fixture's)."""
+    import importlib
+    import json as _json
+
+    import pyarrow.parquet as pq_
+
+    ingest = importlib.import_module("jobs.ingest_shards")
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    pq_.write_table(
+        pa.table({"doc_id": [1, 2],
+                  "text": [_LONG_A, _LONG_A]}),
+        str(shards / "s000.parquet"))
+    pq_.write_table(
+        pa.table({"doc_id": [10, 11],
+                  "text": [_LONG_A, "second shard novel content"]}),
+        str(shards / "s001.parquet"))
+    args = ["--shards", str(shards), "--index", str(tmp_path / "idx"),
+            "--labels-out", str(tmp_path / "labels")]
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert ingest.main(args) == 0
+    c1 = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert c1["shards"]["s000"] == {"exact": 0, "near": 0, "new": 2}
+    assert c1["shards"]["s001"] == {"exact": 1, "near": 0, "new": 1}
+    assert c1["n_reps"] == 2 and c1["skipped"] == 0
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        assert ingest.main(args) == 0
+    c2 = _json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert c2["skipped"] == 2
+    assert c2["shards"] == c1["shards"]
+    assert c2["n_reps"] == c1["n_reps"]
+    assert c2["generations"] == c1["generations"]
+
+
 def test_empty_index_all_new(tmp_path):
     build_dedup_index(
         ray.data.from_arrow(OLD.slice(0, 0)), str(tmp_path), CFG,
