@@ -695,6 +695,27 @@ def q_ann_topk_ivf(sf_dir: str):
     )
 
 
+def q_ann_topk_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace
+    Euclidean codebooks over a deterministic hash sample, ADC
+    inner-product shortlist per batch, EXACT in-batch cosine re-rank,
+    knn_brute's merge. Shares the brute-force SQL oracle: the output is
+    exact whenever each batch's true top-k lands in its own PQ
+    shortlist (shortlist=16·k per batch is the documented recall/speed
+    knob — the nprobe analog). Memory story at 100 TB: 16 uint8 codes
+    per 64-dim vector = 16x less resident state than float32 (the
+    default here; coarser m=8 is 32x at lower shortlist recall)."""
+    import ray.data
+
+    from raydedup.stages.embeddings import knn_pq
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_pq(emb, query_ids=list(range(10)), k=10)
+    return _round_col(out, "cosine").select_columns(
+        ["query_id", "neighbor_id", "cosine", "rank"]
+    )
+
+
 def q_knn_self_join(sf_dir: str):
     """Exact top-3 cosine neighbors for EVERY vector (the all-pairs
     similarity join): blockwise chunk-pair partial top-ks merged by a
@@ -2187,6 +2208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_topk": q_ann_topk,
+        "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivf": q_ann_topk_ivf,
         "knn_self_join": q_knn_self_join,
         "bm25_topk": q_bm25_topk,
@@ -5058,4 +5080,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["range_join_events_bucketed"] = oracles["range_join_events"]
     oracles["running_qty_per_part_bucketed"] = (
         oracles["running_qty_per_part"])
+    # PQ-shortlist + exact re-rank answers the same top-k question —
+    # one SQL truth, another execution path (like the bucketed pairs)
+    oracles["ann_topk_pq"] = oracles["ann_topk"]
     return oracles

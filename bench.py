@@ -180,6 +180,7 @@ def run_bench() -> dict:
                   "bigram_logppl",
                   "dup_rate_by_source",
                   "incremental_dedup",
+                  "ann_topk_pq",
                   "curate_docs"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()

@@ -1197,3 +1197,149 @@ def prototype_prune(ds, dims: int, prune_frac: float = 0.25,
     scored = slim.map_batches(score, batch_format="pyarrow")
     return (scored.map_batches(tag, batch_format="pyarrow")
             .groupby("__part").map_groups(prune, batch_format="pyarrow"))
+
+
+# --- Product-quantization ANN (IP-ADC + exact in-batch re-rank) ------------
+#
+# The memory-bound scale path for embedding search: PQ (Jégou, Douze,
+# Schmid 2011, public) stores m uint8 codes per vector instead of d
+# floats (64-dim float32 -> 8 bytes is 32x), and scores a query against
+# a whole batch with m table lookups per vector (ADC) instead of a
+# d-dim dot product. Codebooks are per-subspace Euclidean k-means over
+# a deterministic hash sample (the standard training recipe — every
+# production PQ index trains on a sample), broadcast once via ray.put.
+#
+# Exactness contract: each batch shortlists `shortlist*k` candidates
+# per query by ADC score, then re-ranks the shortlist with EXACT cosine
+# against the batch's own (still-in-memory) vectors — so the emitted
+# partials are exact whenever a batch's true top-k all land in its own
+# shortlist (a per-batch condition, far weaker than global PQ recall).
+# The final merge is the same (cosine desc, id asc) top-k as knn_brute,
+# so with adequate shortlist the output EQUALS the brute-force oracle;
+# shortlist is the documented recall/speed knob, mirroring knn_ivf's
+# nprobe.
+
+
+def _pq_train(sample: np.ndarray, m: int, k_codes: int,
+              iters: int = 10) -> np.ndarray:
+    """(n, d) L2-normalized sample → (m, k_codes, d//m) Euclidean-Lloyd
+    codebooks, farthest-point seeded — deterministic, no RNG."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    kc = min(k_codes, n)
+    books = np.empty((m, kc, sub), dtype=np.float64)
+    for j in range(m):
+        X = sample[:, j * sub: (j + 1) * sub]
+        sq = (X * X).sum(axis=1)
+        chosen = [0]
+        best = sq + sq[0] - 2.0 * (X @ X[0])
+        for _ in range(kc - 1):
+            nxt = int(np.argmax(best))
+            chosen.append(nxt)
+            best = np.minimum(best, sq + sq[nxt] - 2.0 * (X @ X[nxt]))
+        cent = X[chosen].copy()
+        for _ in range(iters):
+            d2 = sq[:, None] - 2.0 * (X @ cent.T) + (cent * cent).sum(axis=1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(kc):
+                members = X[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+                else:  # dead cell: re-seed to the worst-served point
+                    cent[c] = X[int(np.argmax(d2.min(axis=1)))]
+        books[j] = cent
+    return books
+
+
+def _pq_codes(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) → (m, n) int codes: per-subspace Euclidean argmin."""
+    m, kc, sub = books.shape
+    n = X.shape[0]
+    codes = np.empty((m, n), dtype=np.int64)
+    for j in range(m):
+        Xj = X[:, j * sub: (j + 1) * sub]
+        d2 = -2.0 * (Xj @ books[j].T) + (books[j] * books[j]).sum(axis=1)
+        codes[j] = np.argmin(d2, axis=1)  # ||x||² constant per row
+    return codes
+
+
+def knn_pq(ds, query_ids: list[int], k: int = 10, m: int = 16,
+           k_codes: int = 64, shortlist: int = 16,
+           sample_size: int = 2048, id_col: str = "vec_id",
+           vec_col: str = "embedding"):
+    """→ Dataset(query_id, neighbor_id, cosine, rank): PQ-ADC shortlist
+    per batch, exact in-batch cosine re-rank, knn_brute's merge — same
+    output contract (exact cosine, ties by neighbor_id asc, self
+    excluded)."""
+    from raydedup.util import hash_sample_fixed
+
+    q_ids, Q = _collect_queries(ds, query_ids, id_col, vec_col)
+    sample_rows = hash_sample_fixed(
+        ds.select_columns([id_col, vec_col]), id_col, sample_size
+    ).take_all()
+    S = _l2norm(np.array([r[vec_col] for r in sample_rows],
+                         dtype=np.float64))
+    books = _pq_train(S, m, k_codes)
+    mm, kc, sub = books.shape
+    # LUT[j] (q, kc): <Q_j, c> — ADC inner-product tables, built once
+    lut = np.stack([
+        Q[:, j * sub: (j + 1) * sub] @ books[j].T for j in range(mm)
+    ])  # (m, q, kc)
+    ref = ray.put((q_ids, Q, books, lut))
+
+    class PartialPQ:
+        def __init__(self, ref, k, shortlist):
+            self.q_ids, self.Q, self.books, self.lut = ray.get(ref)
+            self.k = k
+            self.sl = max(k * shortlist, k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
+            if batch.num_rows == 0:
+                return empty
+            X = _l2norm(_to_matrix(batch, vec_col))
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            codes = _pq_codes(X, self.books)        # (m, n)
+            # ADC: approx (q, n) = Σ_j lut[j][:, codes[j]]
+            approx = self.lut[0][:, codes[0]]
+            for j in range(1, codes.shape[0]):
+                approx = approx + self.lut[j][:, codes[j]]
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(self.q_ids)):
+                mask = ids != self.q_ids[qi]
+                cand_ids = ids[mask]
+                if cand_ids.size == 0:
+                    continue
+                a = approx[qi][mask]
+                s = min(self.sl, cand_ids.size)
+                # shortlist by (ADC desc, id asc) — deterministic
+                short = np.lexsort((cand_ids, -a))[:s]
+                # exact re-rank of the shortlist only
+                exact = X[mask][short] @ self.Q[qi]
+                kk = min(self.k, s)
+                sel = np.lexsort((cand_ids[short], -exact))[:kk]
+                out_q.extend([int(self.q_ids[qi])] * kk)
+                out_n.extend(cand_ids[short][sel].tolist())
+                out_c.extend(exact[sel].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_c, type=pa.float64()),
+            })
+
+    partial = ds.map_batches(
+        PartialPQ,
+        fn_constructor_args=(ref, k, shortlist),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 16),
+        num_cpus=1,
+    )
+    return partial.groupby("query_id").map_groups(_rank_topk(k),
+                                                  batch_format="pyarrow")

@@ -630,3 +630,74 @@ def test_prototype_prune(ray_session):
     # the scoring guard), never silently misroute
     with pytest.raises(Exception):
         prototype_prune(withnull, dims=2).take_all()
+
+
+def test_pq_matches_brute(emb_ds):
+    """PQ-ADC shortlist + exact re-rank equals brute output at the
+    default knobs on the real fixture (the value-oracle contract)."""
+    from raydedup.stages.embeddings import knn_pq
+
+    queries = list(range(5))
+    brute = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+             for r in knn_brute(emb_ds, queries, k=8).take_all()}
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+           for r in knn_pq(emb_ds, queries, k=8).take_all()}
+    assert got.keys() == brute.keys()
+    for key, (nid, cos) in brute.items():
+        gnid, gcos = got[key]
+        assert gnid == nid
+        # rerank uses a vector dot where brute uses a matmul — same
+        # value to 1 ulp; the shared SQL oracle rounds to 6 decimals
+        assert gcos == pytest.approx(cos, abs=1e-12)
+
+
+def test_pq_train_deterministic_and_shaped():
+    from raydedup.stages.embeddings import _pq_codes, _pq_train
+
+    rng = np.random.RandomState(3)
+    S = _norm(rng.randn(500, 64))
+    b1 = _pq_train(S, m=16, k_codes=64)
+    b2 = _pq_train(S, m=16, k_codes=64)
+    assert b1.shape == (16, 64, 4)
+    assert np.array_equal(b1, b2)  # no RNG anywhere in the fit
+    codes = _pq_codes(S, b1)
+    assert codes.shape == (16, 500)
+    assert codes.min() >= 0 and codes.max() < 64
+    # 16 uint8 codes replace 64 float32s — the 16x memory story
+    assert codes.astype(np.uint8).shape[0] * 1 == 16
+
+
+def test_pq_dim_not_divisible_raises():
+    from raydedup.stages.embeddings import _pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        _pq_train(np.zeros((10, 65)), m=16, k_codes=4)
+
+
+def test_pq_shortlist_recall_planted(ray_session):
+    """Planted far-apart clusters: every true neighbor is in-cluster;
+    PQ at default knobs recovers the exact brute top-k."""
+    import pyarrow as pa
+
+    from raydedup.stages.embeddings import knn_pq
+
+    rng = np.random.RandomState(11)
+    centers = _norm(rng.randn(6, 64)) * 10.0
+    vecs, ids = [], []
+    for c in range(6):
+        for i in range(40):
+            vecs.append(centers[c] + rng.randn(64) * 0.05)
+            ids.append(c * 100 + i)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    }))
+    queries = [0, 100, 200]
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in knn_brute(ds, queries, k=10).take_all()}
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in knn_pq(ds, queries, k=10).take_all()}
+    assert got == brute
+    # sanity: neighbors stay in the query's own planted cluster
+    assert all(n // 100 == q // 100 for (q, _), n in got.items())
