@@ -284,7 +284,13 @@ def dedup_against_index(new_ds, index_dir: str,
     if n_new == 0:
         return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    jp = min(join_partitions(n_new), max(2, 2 * ncpu))
+    # size the probe joins by the LARGER side: the index side is the
+    # big one and a shard-sized partition count would hash-build it
+    # serially (measured 3x slower at a 200:1 index:shard ratio); both
+    # join inputs here are _project-pinned map outputs, so over-
+    # partitioning the small side is safe (schemas are exposed)
+    jp = min(join_partitions(max(n_new, manifest["n_reps"])),
+             max(2, 2 * ncpu))
 
     def all_new_status() -> ray.data.Dataset:
         def fn(batch: pa.Table) -> pa.Table:
@@ -354,15 +360,36 @@ def dedup_against_index(new_ds, index_dir: str,
     if n_cand:
         # ---- phase 3: exact verify over stored shingle sets ----
         jp_c = min(join_partitions(n_cand), max(2, 2 * ncpu))
+        # semi-filter the stored shingle sets down to the CANDIDATE
+        # okeys before the verify join: candidates are shard-
+        # proportional (LSH collisions), so this turns an index-wide
+        # blob build side into a sparse one. The okey set is collected
+        # once (bounded by n_cand, which is already materialized);
+        # above semi_max it would be corpus-scale, so fall back to the
+        # unfiltered join rather than a giant broadcast.
+        semi_max = 2_000_000
+        okeys = None
+        if n_cand <= semi_max:
+            ok_tbls = list(cand.select_columns(["okey"]).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"))
+            okeys = pc.unique(
+                pa.concat_tables(ok_tbls)["okey"].combine_chunks())
+        okeys_ref = ray.put(okeys)
+
+        def old_to_blob(b: pa.Table) -> pa.Table:
+            wanted = ray.get(okeys_ref)
+            if wanted is not None:
+                b = b.filter(pc.is_valid(
+                    pc.index_in(b["row_key"], value_set=wanted)))
+            return pa.table({
+                "okey": b["row_key"],
+                "oblob": _lists_to_blob(b["shingle_hashes"]),
+            })
+
         old_blob = _project(
             ray.data.read_parquet(
                 sigs_paths, columns=["row_key", "shingle_hashes"],
-            ).map_batches(
-                lambda b: pa.table({
-                    "okey": b["row_key"],
-                    "oblob": _lists_to_blob(b["shingle_hashes"]),
-                }),
-                batch_format="pyarrow"),
+            ).map_batches(old_to_blob, batch_format="pyarrow"),
             pa.schema([pa.field("okey", pa.string()),
                        pa.field("oblob", pa.binary())]))
         new_blob = _project(
