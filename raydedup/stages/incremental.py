@@ -252,7 +252,8 @@ def dedup_against_index(new_ds, index_dir: str,
                         cfg: DedupConfig = DEFAULT_CONFIG,
                         key_cols: list[str] | None = None,
                         text_col: str = "text",
-                        min_jaccard: float | None = None):
+                        min_jaccard: float | None = None,
+                        compose_max: int = 5_000_000):
     """New shard → Dataset ``(key, status, match_key, jaccard)``:
     ``status`` is ``'exact'`` (text sha stored in the index — match_key
     is the stored representative, jaccard null), ``'near'`` (verified
@@ -478,11 +479,62 @@ def dedup_against_index(new_ds, index_dir: str,
                 near_best = None
 
     # ---- compose: exact > near > new ----
+    def _compose(em, nm, nj, keys):
+        has_e = pc.is_valid(em)
+        status = pc.if_else(
+            has_e, pa.scalar("exact", pa.string()),
+            pc.if_else(pc.is_valid(nm), pa.scalar("near", pa.string()),
+                       pa.scalar("new", pa.string())))
+        return pa.table({
+            "key": keys,
+            "status": status,
+            "match_key": pc.if_else(has_e, em, nm),
+            "jaccard": pc.if_else(has_e, pa.scalar(None, pa.float64()), nj),
+        }, schema=_OUT_SCHEMA)
+
+    n_ex = ex_best.count()
+    n_nb = near_best.count() if near_best is not None else 0
+    if n_ex + n_nb <= compose_max:
+        # both match tables are SHARD-bounded (<= one row per new key)
+        # — broadcast them once and paint, instead of two more
+        # left-outer joins (~2 s of fixed stage spin-up each; the same
+        # pc.index_in idiom as exact.py's dup paint)
+        def _flat(ds_, cols, types):
+            tbls = [] if ds_ is None else list(ds_.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"))
+            if tbls:
+                t = pa.concat_tables(tbls)
+                return tuple(t[c].combine_chunks() for c in cols)
+            return tuple(pa.array([], ty) for ty in types)
+
+        ex_k, ex_m = _flat(ex_best if n_ex else None,
+                           ["key", "exact_match"],
+                           [pa.string(), pa.string()])
+        nb_k, nb_m, nb_j = _flat(near_best,
+                                 ["key", "near_match", "_nj"],
+                                 [pa.string(), pa.string(), pa.float64()])
+        paint_ref = ray.put((ex_k, ex_m, nb_k, nb_m, nb_j))
+
+        def paint(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _OUT_SCHEMA.empty_table()
+            exk, exm, nbk, nbm, nbj = ray.get(paint_ref)
+            keys = batch["row_key"].combine_chunks()
+            ei = pc.index_in(keys, value_set=exk)
+            ni = pc.index_in(keys, value_set=nbk)
+            return _compose(pc.take(exm, ei), pc.take(nbm, ni),
+                            pc.take(nbj, ni), keys)
+
+        return nsig.select_columns(["row_key"]).map_batches(
+            paint, batch_format="pyarrow")
+
+    # distributed fallback: left-outer joins (match tables too large to
+    # broadcast — only possible when the shard itself is that large)
     base = _project(
         nsig.select_columns(["row_key"]).map_batches(
             lambda b: b.rename_columns(["key"]), batch_format="pyarrow"),
         pa.schema([pa.field("key", pa.string())]))
-    if ex_best.count():
+    if n_ex:
         base = _project(
             base.join(ex_best, join_type="left_outer",
                       num_partitions=jp, on=("key",)),
@@ -507,19 +559,9 @@ def dedup_against_index(new_ds, index_dir: str,
     def finish(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _OUT_SCHEMA.empty_table()
-        em = batch["exact_match"].combine_chunks()
-        nm = batch["near_match"].combine_chunks()
-        nj = batch["_nj"].combine_chunks()
-        has_e = pc.is_valid(em)
-        status = pc.if_else(
-            has_e, pa.scalar("exact", pa.string()),
-            pc.if_else(pc.is_valid(nm), pa.scalar("near", pa.string()),
-                       pa.scalar("new", pa.string())))
-        return pa.table({
-            "key": batch["key"],
-            "status": status,
-            "match_key": pc.if_else(has_e, em, nm),
-            "jaccard": pc.if_else(has_e, pa.scalar(None, pa.float64()), nj),
-        }, schema=_OUT_SCHEMA)
+        return _compose(batch["exact_match"].combine_chunks(),
+                        batch["near_match"].combine_chunks(),
+                        batch["_nj"].combine_chunks(),
+                        batch["key"])
 
     return merged.map_batches(finish, batch_format="pyarrow")

@@ -110,6 +110,21 @@ def test_near_matches_brute_force(tmp_path):
             assert row["jaccard"] == pytest.approx(-best[0], abs=1e-12)
 
 
+def test_compose_backends_identical(tmp_path):
+    """compose_max=0 forces the distributed join composition; output
+    must equal the broadcast-paint default row for row."""
+    build_dedup_index(
+        ray.data.from_arrow(OLD), str(tmp_path), CFG, key_cols=["doc_id"])
+    a = dedup_against_index(
+        ray.data.from_arrow(NEW), str(tmp_path), CFG, key_cols=["doc_id"])
+    b = dedup_against_index(
+        ray.data.from_arrow(NEW), str(tmp_path), CFG, key_cols=["doc_id"],
+        compose_max=0)
+    pa_ = a.to_pandas().sort_values("key").reset_index(drop=True)
+    pb_ = b.to_pandas().sort_values("key").reset_index(drop=True)
+    assert pa_.equals(pb_)
+
+
 def test_blob_roundtrip():
     rng = np.random.RandomState(7)
     lists = [sorted(set(rng.randint(0, 2**63, size=n).tolist()))
