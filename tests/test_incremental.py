@@ -6,7 +6,7 @@ import pytest
 
 import ray.data
 
-from raydedup.config import DEFAULT_CONFIG
+from raydedup.config import DEFAULT_CONFIG  # noqa: F401 (job-config test)
 from raydedup.stages.incremental import (
     _blob_views,
     _lists_to_blob,
@@ -257,6 +257,50 @@ def test_ingest_shards_job(tmp_path):
     assert c2["shards"] == c1["shards"]
     assert c2["n_reps"] == c1["n_reps"]
     assert c2["generations"] == c1["generations"]
+
+
+def test_ingest_resumes_after_crash_window(tmp_path):
+    """Kill between 'labels published' and 'index extended': the next
+    run must skip the probe but still replay that shard's extend."""
+    import importlib
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow.parquet as pq_
+
+    ingest = importlib.import_module("jobs.ingest_shards")
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    pq_.write_table(
+        pa.table({"doc_id": [1], "text": ["crash window shard one"]}),
+        str(shards / "s000.parquet"))
+    idx = tmp_path / "idx"
+    lbl = tmp_path / "labels"
+    # simulate the crash: bootstrap the index, publish s000's labels,
+    # but do NOT extend (no shard id in the manifest)
+    empty = pa.table({"doc_id": pa.array([], pa.string()),
+                      "text": pa.array([], pa.string())})
+    # the job runs DEFAULT_CONFIG — build/probe with the same config
+    # (the manifest guard rejects anything else, by design)
+    build_dedup_index(ray.data.from_arrow(empty), str(idx),
+                      DEFAULT_CONFIG, key_cols=["doc_id"])
+    labels = dedup_against_index(
+        ray.data.from_arrow(pq_.read_table(str(shards / "s000.parquet"))),
+        str(idx), DEFAULT_CONFIG, key_cols=["doc_id"]).materialize()
+    (lbl).mkdir()
+    labels.write_parquet(str(lbl / "s000"))
+    # resume: probe skipped, extend replayed
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert ingest.main(["--shards", str(shards), "--index", str(idx),
+                            "--labels-out", str(lbl)]) == 0
+    c = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert c["skipped"] == 1
+    assert c["n_reps"] == 1  # the missed extend happened on resume
+    import json as _j
+    man = _j.load(open(idx / "meta.json"))
+    assert man["shards"] == ["s000"]
 
 
 def test_empty_index_all_new(tmp_path):
