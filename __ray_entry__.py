@@ -1930,10 +1930,22 @@ def q_conv_near_dup_pairs(sf_dir: str):
     ts = transcripts_from_documents(sf_dir)
     convs = assemble_by_key(ts, by="conv_id", order_cols=["turn_idx"],
                             text_col="text", sep="\n", out="conv_text")
-    return _round_col(
+    out = _round_col(
         set_similarity_self_join(convs, 0.1, SIMPLE_CFG,
                                  id_col="conv_id", text_col="conv_text"),
-        "jaccard")
+        "jaccard").materialize()
+    if out.count() == 0:
+        # zero pairs IS the correct answer at some scales (sf0.1's
+        # conversations dilute below the 0.1 threshold) — but Ray 2.49
+        # Dataset.to_pandas() drops ALL columns from a fully-empty
+        # Dataset, which would fail the driver's schema compare; hand
+        # it a schema-carrying Arrow table instead
+        return pa.schema([
+            pa.field("a_id", pa.string()), pa.field("b_id", pa.string()),
+            pa.field("common", pa.int64()), pa.field("na", pa.int64()),
+            pa.field("nb", pa.int64()), pa.field("jaccard", pa.float64()),
+        ]).empty_table()
+    return out
 
 
 def q_tiered_dedup_docs(sf_dir: str):

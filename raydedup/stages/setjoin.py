@@ -372,7 +372,15 @@ def set_similarity_self_join(ds, threshold: float,
             "jaccard", pa.array(c / u, type=pa.float64()))
 
     out = deduped.map_batches(finish, batch_format="pyarrow")
-    # a fully-empty Dataset loses its schema (Ray 2.49: no block ever
-    # flows, map_batches is never called) — union one empty block that
-    # carries it, so zero-match corpora still report a stable schema
-    return out.union(ray.data.from_arrow(pair_schema.empty_table()))
+    # a fully-empty Dataset loses its schema (Ray 2.49: when the
+    # aggregate emits nothing, no block ever flows, map_batches is
+    # never called, and union CANNOT restore the schema — the union of
+    # a schema-less side and a schema-pinned empty block still reports
+    # zero columns). Zero matches is a normal outcome here, so pin it
+    # explicitly: materialize (the pair set is output-sized, sparse by
+    # construction) and swap in a schema-pinned empty when nothing
+    # survived.
+    out = out.materialize()
+    if out.count() == 0:
+        return ray.data.from_arrow(pair_schema.empty_table())
+    return out
