@@ -702,9 +702,12 @@ def q_ann_topk_pq(sf_dir: str):
     knn_brute's merge. Shares the brute-force SQL oracle: the output is
     exact whenever each batch's true top-k lands in its own PQ
     shortlist (shortlist=16·k per batch is the documented recall/speed
-    knob — the nprobe analog). Memory story at 100 TB: 16 uint8 codes
-    per 64-dim vector = 16x less resident state than float32 (the
-    default here; coarser m=8 is 32x at lower shortlist recall)."""
+    knob — the nprobe analog). The win is COMPUTE: m table lookups
+    per vector instead of a d-dim dot for candidate scoring; the
+    16-uint8-codes layout is what a persisted PQ index would store —
+    this operator recomputes codes per batch and keeps the float
+    vectors for the exact re-rank, so resident memory matches
+    knn_brute."""
     import ray.data
 
     from raydedup.stages.embeddings import knn_pq
@@ -4849,7 +4852,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # match by raw jaccard DESC then min key; raw float ranking is
         # safe because both sides compute the identical exact-int
         # division c / (na + nb - c).
-        "incremental_dedup": """
+        "incremental_dedup": f"""
             WITH split AS (
                 SELECT CAST(doc_id AS VARCHAR) AS k,
                        coalesce(text, '') AS text,
@@ -4868,56 +4871,18 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM new_side n JOIN old_reps r ON n.text = r.text
                 GROUP BY 1
             ),
-            o_arrs AS (
-                SELECT okey,
-                       regexp_extract_all(lower(text),
-                                          '[0-9a-zA-Z_]+') AS arr
-                FROM old_reps
-            ),
-            o_shl AS (
-                SELECT okey,
-                       CASE WHEN len(arr) > 3 THEN
-                           list_transform(range(len(arr) - 2),
-                               i -> arr[i + 1] || ' ' || arr[i + 2]
-                                    || ' ' || arr[i + 3])
-                       ELSE [array_to_string(arr, ' ')] END AS shl
-                FROM o_arrs WHERE len(arr) > 0
-            ),
-            o_sh AS (
-                SELECT DISTINCT okey, s.sh
-                FROM o_shl, UNNEST(shl) AS s(sh)
-            ),
-            o_n AS (SELECT okey, count(*) AS n FROM o_sh GROUP BY 1),
-            n_arrs AS (
-                SELECT k,
-                       regexp_extract_all(lower(text),
-                                          '[0-9a-zA-Z_]+') AS arr
-                FROM new_side
-            ),
-            n_shl AS (
-                SELECT k,
-                       CASE WHEN len(arr) > 3 THEN
-                           list_transform(range(len(arr) - 2),
-                               i -> arr[i + 1] || ' ' || arr[i + 2]
-                                    || ' ' || arr[i + 3])
-                       ELSE [array_to_string(arr, ' ')] END AS shl
-                FROM n_arrs WHERE len(arr) > 0
-            ),
-            n_sh AS (
-                SELECT DISTINCT k, s.sh
-                FROM n_shl, UNNEST(shl) AS s(sh)
-            ),
-            n_n AS (SELECT k, count(*) AS n FROM n_sh GROUP BY 1),
+            {_shingle_ctes('o', 'old_reps', 'okey')},
+            {_shingle_ctes('n', 'new_side', 'k')},
             common AS (
-                SELECT n.k, o.okey, count(*) AS c
+                SELECT n.id AS k, o.id AS okey, count(*) AS c
                 FROM n_sh n JOIN o_sh o ON n.sh = o.sh GROUP BY 1, 2
             ),
             near AS (
                 SELECT c.k, c.okey,
                        CAST(c.c AS DOUBLE) / (nn.n + onn.n - c.c) AS j
                 FROM common c
-                JOIN n_n nn ON nn.k = c.k
-                JOIN o_n onn ON onn.okey = c.okey
+                JOIN n_n nn ON nn.id = c.k
+                JOIN o_n onn ON onn.id = c.okey
                 WHERE CAST(c.c AS DOUBLE) / (nn.n + onn.n - c.c) >= 0.8
             ),
             near_best AS (

@@ -1201,13 +1201,17 @@ def prototype_prune(ds, dims: int, prune_frac: float = 0.25,
 
 # --- Product-quantization ANN (IP-ADC + exact in-batch re-rank) ------------
 #
-# The memory-bound scale path for embedding search: PQ (Jégou, Douze,
-# Schmid 2011, public) stores m uint8 codes per vector instead of d
-# floats (64-dim float32 -> 8 bytes is 32x), and scores a query against
-# a whole batch with m table lookups per vector (ADC) instead of a
-# d-dim dot product. Codebooks are per-subspace Euclidean k-means over
-# a deterministic hash sample (the standard training recipe — every
-# production PQ index trains on a sample), broadcast once via ray.put.
+# PQ (Jégou, Douze, Schmid 2011, public) scores a query against a
+# whole batch with m table lookups per vector (ADC) instead of a d-dim
+# dot product — a COMPUTE win for candidate generation. The m-uint8
+# codes-per-vector layout (16 bytes vs 256 for a 64-dim float32 row)
+# is what a PERSISTED PQ index would store; this operator recomputes
+# codes per batch and keeps the batch's float vectors in memory for
+# the exact re-rank, so its resident memory matches knn_brute — the
+# codes here buy cheaper scoring, not a smaller footprint. Codebooks
+# are per-subspace Euclidean k-means over a deterministic hash sample
+# (the standard training recipe — every production PQ index trains on
+# a sample), broadcast once via ray.put.
 #
 # Exactness contract: each batch shortlists `shortlist*k` candidates
 # per query by ADC score, then re-ranks the shortlist with EXACT cosine
@@ -1312,16 +1316,18 @@ def knn_pq(ds, query_ids: list[int], k: int = 10, m: int = 16,
                 approx = approx + self.lut[j][:, codes[j]]
             out_q, out_n, out_c = [], [], []
             for qi in range(len(self.q_ids)):
-                mask = ids != self.q_ids[qi]
-                cand_ids = ids[mask]
+                # index gather, not a boolean-masked (n, d) copy per
+                # query — only the s shortlist rows are materialized
+                idx = np.flatnonzero(ids != self.q_ids[qi])
+                cand_ids = ids[idx]
                 if cand_ids.size == 0:
                     continue
-                a = approx[qi][mask]
+                a = approx[qi][idx]
                 s = min(self.sl, cand_ids.size)
                 # shortlist by (ADC desc, id asc) — deterministic
                 short = np.lexsort((cand_ids, -a))[:s]
                 # exact re-rank of the shortlist only
-                exact = X[mask][short] @ self.Q[qi]
+                exact = X[idx[short]] @ self.Q[qi]
                 kk = min(self.k, s)
                 sel = np.lexsort((cand_ids[short], -exact))[:kk]
                 out_q.extend([int(self.q_ids[qi])] * kk)

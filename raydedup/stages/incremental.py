@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -127,6 +128,11 @@ def build_dedup_index(ds, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
         "n_shingles",
     ])
     sigs_path = os.path.join(out_dir, _SIGS_SUBDIR)
+    # Ray's write_parquet APPENDS into an existing dir — a re-run over
+    # a half-written previous attempt would duplicate rows (or trip on
+    # a truncated file), so clear the target first; the manifest is
+    # only (re)published after a complete write
+    shutil.rmtree(sigs_path, ignore_errors=True)
     reps.write_parquet(sigs_path)
     # an empty corpus writes no files (and possibly no directory) —
     # still a valid index: every probe row comes back 'new'
@@ -207,6 +213,11 @@ def extend_dedup_index(new_ds, index_dir: str, labels_ds,
 
     gen = _GEN_FMT.format(len(manifest["generations"]))
     gen_path = os.path.join(index_dir, gen)
+    # a run killed between this write and the manifest publish leaves
+    # orphan files in gen_path; Ray's write_parquet APPENDS, so the
+    # replay must clear them or the generation double-counts (and a
+    # truncated orphan would brick every later read)
+    shutil.rmtree(gen_path, ignore_errors=True)
     assigned.map_batches(
         survivors, batch_format="pyarrow",
     ).select_columns([

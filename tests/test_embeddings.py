@@ -663,8 +663,10 @@ def test_pq_train_deterministic_and_shaped():
     codes = _pq_codes(S, b1)
     assert codes.shape == (16, 500)
     assert codes.min() >= 0 and codes.max() < 64
-    # 16 uint8 codes replace 64 float32s — the 16x memory story
-    assert codes.astype(np.uint8).shape[0] * 1 == 16
+    # codes must FIT the uint8 storage a persisted PQ index would use
+    # (k_codes above 256 would silently wrap on astype)
+    assert codes.max() < 256
+    assert np.array_equal(codes.astype(np.uint8).astype(np.int64), codes)
 
 
 def test_pq_dim_not_divisible_raises():

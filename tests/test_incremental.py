@@ -259,6 +259,36 @@ def test_ingest_shards_job(tmp_path):
     assert c2["generations"] == c1["generations"]
 
 
+def test_extend_replay_clears_partial_write(tmp_path):
+    """A previous extend attempt that wrote generation files but died
+    before publishing the manifest must be fully replaced on replay —
+    Ray's write_parquet appends, so without the clear the generation
+    would double-count (or trip on a truncated orphan)."""
+    import pyarrow.parquet as pq_
+
+    from raydedup.stages.incremental import extend_dedup_index
+
+    build_dedup_index(
+        ray.data.from_arrow(OLD), str(tmp_path), CFG, key_cols=["doc_id"])
+    s1 = pa.table({"doc_id": [40], "text": ["replay clears partials"]})
+    r1 = dedup_against_index(
+        ray.data.from_arrow(s1), str(tmp_path), CFG,
+        key_cols=["doc_id"]).materialize()
+    # simulate the orphaned half-write: gen dir exists with stray rows
+    # (wrong schema, even) but the manifest never learned about it
+    gen = tmp_path / "sigs-001"
+    gen.mkdir()
+    pq_.write_table(pa.table({"row_key": ["zz", "zz2"]}),
+                    str(gen / "orphan.parquet"))
+    m1 = extend_dedup_index(
+        ray.data.from_arrow(s1), str(tmp_path), r1, CFG,
+        key_cols=["doc_id"], shard_id="s1")
+    assert m1["n_reps"] == 5  # 4 old reps + exactly ONE new, no orphans
+    files = [f for f in (gen).iterdir() if f.suffix == ".parquet"]
+    total = sum(pq_.read_metadata(str(f)).num_rows for f in files)
+    assert total == 1
+
+
 def test_ingest_resumes_after_crash_window(tmp_path):
     """Kill between 'labels published' and 'index extended': the next
     run must skip the probe but still replay that shard's extend."""
