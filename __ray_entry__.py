@@ -112,6 +112,35 @@ def q_near_dup_clusters_docs(sf_dir: str):
     return clusters.select_columns(["row_key", "cluster_id"])
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/val/test split: near-dup CLUSTERS (not docs)
+    are the split unit, so no near-duplicate of a training doc can land
+    in val/test — the contamination-safe split a curation run needs.
+    Composition: near_dup_pipeline clusters -> split_assign keyed by
+    cluster_id (one stateless vectorized pass, no extra shuffle)."""
+    from raydedup.pipelines.neardup import near_dup_pipeline
+    from raydedup.stages.textstats import split_assign
+
+    clusters, _ = near_dup_pipeline(_docs(sf_dir), SIMPLE_CFG,
+                                    key_cols=["doc_id"])
+    out = split_assign(clusters, key_col="cluster_id")
+    return out.select_columns(["row_key", "cluster_id", "split"])
+
+
+def q_dup_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank over the duplicate graph (star
+    exact edges + LSH-verified near edges): 'duplicate centrality' —
+    which documents sit at the heart of duplication families. Exact
+    BIGINT arithmetic both sides (see stages/graph.py contract), so the
+    oracle is the same recurrence unrolled in SQL."""
+    from raydedup.pipelines.neardup import near_dup_pipeline
+    from raydedup.stages.graph import dup_pagerank
+
+    clusters, pairs = near_dup_pipeline(_docs(sf_dir), SIMPLE_CFG,
+                                        key_cols=["doc_id"])
+    return dup_pagerank(clusters, pairs)
+
+
 def q_near_dup_clusters_transcripts(sf_dir: str):
     """Flagship: full near-dup DAG over the derived transcript table with
     the reference (stemmed) config. Value-level DuckDB oracle: Porter
@@ -2186,6 +2215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_clusters": q_exact_dup_clusters,
         "near_dup_pairs_docs": q_near_dup_pairs_docs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
+        "leakage_safe_split": q_leakage_safe_split,
+        "dup_pagerank": q_dup_pagerank,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
         "otmt_wordcount_simple": q_otmt_wordcount_simple,
@@ -2448,6 +2479,114 @@ near_pairs AS (
     WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= 0.8
 )
 """
+
+# Connected-component clustering over the dup graph (exact-text cliques +
+# near_pairs edges), shared by every cluster-consuming oracle. Requires
+# _DOC_SHINGLES_CTE spliced first and a RECURSIVE WITH head. Yields
+# ``clust (row_key, cluster_id)``.
+_DOC_CLUSTERS_CTE = """
+exact_edges AS (
+    SELECT CAST(a.doc_id AS VARCHAR) AS a_key,
+           CAST(b.doc_id AS VARCHAR) AS b_key
+    FROM documents a JOIN documents b
+      ON a.text = b.text AND a.doc_id <> b.doc_id
+),
+near_edges AS (
+    SELECT CAST(a_id AS VARCHAR) AS a_key,
+           CAST(b_id AS VARCHAR) AS b_key
+    FROM near_pairs
+),
+edges AS (
+    SELECT a_key, b_key FROM exact_edges
+    UNION SELECT b_key, a_key FROM exact_edges
+    UNION SELECT a_key, b_key FROM near_edges
+    UNION SELECT b_key, a_key FROM near_edges
+),
+reach(node, r) AS (
+    SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR)
+    FROM documents
+    UNION
+    SELECT reach.node, edges.b_key
+    FROM reach JOIN edges ON reach.r = edges.a_key
+),
+clust AS (
+    SELECT node AS row_key, min(r) AS cluster_id
+    FROM reach GROUP BY node
+)
+"""
+
+
+def _dup_pagerank_sql(iters: int = 3, scale: int = 10 ** 12) -> str:
+    """Unrolled integer PageRank recurrence (stages/graph.py contract):
+    floor division everywhere, BIGINT casts around DuckDB's
+    sum(BIGINT) -> HUGEINT widening. Edges mirror the engine's star
+    form (member<->rep per exact-text group, not the clique) + the
+    shared near_pairs CTE, UNION ALL'd in both directions."""
+    body = f"""
+        WITH {_DOC_SHINGLES_CTE},
+        star AS (
+            SELECT CAST(d.doc_id AS VARCHAR) AS a, r.rep AS b
+            FROM documents d
+            JOIN (SELECT text, min(CAST(doc_id AS VARCHAR)) AS rep
+                  FROM documents GROUP BY text) r ON d.text = r.text
+            WHERE CAST(d.doc_id AS VARCHAR) <> r.rep
+        ),
+        nedges AS (
+            SELECT CAST(a_id AS VARCHAR) AS a, CAST(b_id AS VARCHAR) AS b
+            FROM near_pairs
+        ),
+        edges AS (
+            SELECT a, b FROM star UNION ALL SELECT b, a FROM star
+            UNION ALL SELECT a, b FROM nedges
+            UNION ALL SELECT b, a FROM nedges
+        ),
+        deg AS (SELECT a AS node, count(*) AS d FROM edges GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM documents),
+        allnodes AS (SELECT CAST(doc_id AS VARCHAR) AS node FROM documents),
+        r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS r
+               FROM allnodes)"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        body += f""",
+        s{k} AS (
+            SELECT e.b AS node,
+                   CAST(sum({prev}.r // deg.d) AS BIGINT) AS s
+            FROM edges e
+            JOIN {prev} ON {prev}.node = e.a
+            JOIN deg ON deg.node = e.a
+            GROUP BY 1
+        ),
+        r{k} AS (
+            SELECT a.node,
+                   (15 * {scale}) // (100 * (SELECT n FROM nn))
+                   + (85 * coalesce(s{k}.s, 0)) // 100 AS r
+            FROM allnodes a LEFT JOIN s{k} ON s{k}.node = a.node
+        )"""
+        prev = f"r{k}"
+    return body + f"""
+        SELECT node AS row_key, CAST(r AS BIGINT) AS pr FROM {prev}
+    """
+
+
+def _leakage_safe_split_sql() -> str:
+    """Cluster-consistent split mirror: the split_assign md5/2^60
+    contract keyed by cluster_id instead of doc_id, so every member of
+    a near-dup cluster lands in the same split."""
+    from raydedup.stages.textstats import split_thresholds
+
+    names, cuts = split_thresholds()
+    case = f"WHEN h < {cuts[0]} THEN '{names[0]}' " \
+           f"WHEN h < {cuts[1]} THEN '{names[1]}' ELSE '{names[2]}' END"
+    return f"""
+        WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE}
+        SELECT row_key, cluster_id, CASE {case} AS split
+        FROM (
+            SELECT row_key, cluster_id,
+                   CAST(('0x' || substr(md5('s0:' || cluster_id), 1, 15))
+                   AS UBIGINT) AS h
+            FROM clust
+        )
+    """
 
 _STOPWORD_LIST = ", ".join(
     "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)
@@ -2897,34 +3036,11 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE CAST(b_id AS VARCHAR) < CAST(a_id AS VARCHAR)
         """,
         "near_dup_clusters_docs": f"""
-            WITH RECURSIVE {_DOC_SHINGLES_CTE},
-            exact_edges AS (
-                SELECT CAST(a.doc_id AS VARCHAR) AS a_key,
-                       CAST(b.doc_id AS VARCHAR) AS b_key
-                FROM documents a JOIN documents b
-                  ON a.text = b.text AND a.doc_id <> b.doc_id
-            ),
-            near_edges AS (
-                SELECT CAST(a_id AS VARCHAR) AS a_key,
-                       CAST(b_id AS VARCHAR) AS b_key
-                FROM near_pairs
-            ),
-            edges AS (
-                SELECT a_key, b_key FROM exact_edges
-                UNION SELECT b_key, a_key FROM exact_edges
-                UNION SELECT a_key, b_key FROM near_edges
-                UNION SELECT b_key, a_key FROM near_edges
-            ),
-            reach(node, r) AS (
-                SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR)
-                FROM documents
-                UNION
-                SELECT reach.node, edges.b_key
-                FROM reach JOIN edges ON reach.r = edges.a_key
-            )
-            SELECT node AS row_key, min(r) AS cluster_id
-            FROM reach GROUP BY node
+            WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE}
+            SELECT row_key, cluster_id FROM clust
         """,
+        "leakage_safe_split": _leakage_safe_split_sql(),
+        "dup_pagerank": _dup_pagerank_sql(),
         "otmt_bytecount": TRANSCRIPTS_SQL + f"""
             SELECT t.conv_id, t.turn_idx,
                    round(CAST(length(t.text) AS DOUBLE)

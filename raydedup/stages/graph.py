@@ -1,0 +1,144 @@
+"""Dup-graph analytics: exact integer PageRank over the duplicate graph.
+
+The duplicate graph is the same one the clustering stage walks
+(reference semantics: otmt's per-memento similarity scores induce
+duplicate relations; ``bin/exclude_duplicates`` collapses them — here
+generalized to collection-scale centrality): nodes are every input row
+(``row_key``); undirected edges are
+
+* **star edges** member <-> representative inside each exact-text group
+  (the sparse, scale-correct form of the exact-dup clique — O(m) edges
+  per group instead of O(m^2)), and
+* **near edges** between representatives: the LSH-verified pair set
+  (``raydedup.pipelines.neardup.near_dup_pairs``).
+
+PageRank runs in EXACT integer fixed-point so a DuckDB oracle can
+reproduce it bit-for-bit (no float-summation-order contract needed):
+with scale ``S``, node count ``N`` and damping 0.85 written as 85/100,
+
+    r_0(v)     = S // N
+    c_k(u)     = r_k(u) // deg(u)
+    r_{k+1}(v) = (15*S) // (100*N) + (85 * sum_{(u,v) in E} c_k(u)) // 100
+
+Floor division on both sides; no dangling-mass redistribution, so an
+isolated node settles at the base term after one iteration (closed
+form the driver never has to iterate for). With S = 1e12 every
+intermediate stays far below 2^63 (85 * sum <= ~85 * S), so the
+per-component numpy kernel uses int64 ``np.add.at`` scatter adds —
+exact, unlike float-weighted ``bincount``.
+
+Scale shape: contributions only flow along edges, so PageRank
+decomposes per connected component (the base term needs only the
+global N, a driver scalar). The engine therefore ships ONE distributed
+hash join (pair edges -> component labels) plus ONE groupby shuffle of
+the edge list — which is dup-subset-sized, orders of magnitude below
+the corpus — and a vectorized numpy kernel per component. Isolated
+nodes (singleton clusters) never enter the shuffle: they are labeled
+by an anti-join and painted with the closed-form base rank.
+Partitioning assumption: a single component's edge list fits one
+worker — guaranteed upstream by the LSH pair budget that bounds
+component fan-in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydedup.util import join_partitions
+
+PR_SCALE = 10 ** 12
+PR_ITERS = 3
+
+
+def _component_pagerank(group: pa.Table, iters: int, scale: int,
+                        n_total: int) -> pa.Table:
+    """One connected component's edge list -> (row_key, pr) rows."""
+    src = group["src"].combine_chunks()
+    dst = group["dst"].combine_chunks()
+    nodes = pc.unique(pa.chunked_array([src, dst]))
+    s_codes = pc.index_in(src, nodes).to_numpy().astype(np.int64)
+    d_codes = pc.index_in(dst, nodes).to_numpy().astype(np.int64)
+    # stored edges are one row per undirected edge: symmetrize locally
+    srcs = np.concatenate([s_codes, d_codes])
+    dsts = np.concatenate([d_codes, s_codes])
+    n = len(nodes)
+    deg = np.bincount(srcs, minlength=n).astype(np.int64)
+    base = (15 * scale) // (100 * n_total)
+    r = np.full(n, scale // n_total, dtype=np.int64)
+    for _ in range(iters):
+        contrib = r // deg
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, dsts, contrib[srcs])
+        r = base + (85 * acc) // 100
+    return pa.table({"row_key": nodes,
+                     "pr": pa.array(r, type=pa.int64())})
+
+
+def dup_pagerank(clusters, pairs, iters: int = PR_ITERS,
+                 scale: int = PR_SCALE, num_partitions: int | None = None):
+    """clusters (row_key, rep_key, cluster_id, ...) + verified near-dup
+    pairs (a_key, b_key) -> Dataset(row_key, pr): integer fixed-point
+    PageRank of every row over the duplicate graph. ``pr`` is rank
+    scaled by ``scale`` (divide by it for the conventional value)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1 (isolated-node closed form)")
+    from raydedup.stages.relational import semi_join
+
+    labels = clusters.select_columns(["row_key", "rep_key", "cluster_id"])
+    labels = labels.materialize()
+    n_total = labels.count()
+    if n_total == 0:
+        return clusters.select_columns(["row_key"])  # empty in, empty out
+    base = (15 * scale) // (100 * n_total)
+
+    def star_edges(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.invert(
+            pc.equal(batch["row_key"], batch["rep_key"])))
+        return pa.table({"src": keep["row_key"], "dst": keep["rep_key"],
+                         "cluster_id": keep["cluster_id"]})
+
+    star = labels.map_batches(star_edges, batch_format="pyarrow")
+
+    # near edges need their component label: one distributed hash join
+    # (pairs are dup-subset-sized; partitions sized by the LARGER side so
+    # the label build parallelizes — see BASELINE.md probe-join lesson).
+    # An all-empty pairs side would hit Ray 2.49's zero-column hash-join
+    # partition bug, so skip the join outright when there are no pairs.
+    key_only = labels.select_columns(["row_key", "cluster_id"])
+    edges = star
+    if pairs.count() > 0:
+        n_parts = num_partitions or join_partitions(n_total)
+        near = pairs.select_columns(["a_key", "b_key"]).join(
+            key_only, join_type="inner", num_partitions=n_parts,
+            on=("a_key",), right_on=("row_key",))
+
+        def near_edges(batch: pa.Table) -> pa.Table:
+            return pa.table({"src": batch["a_key"], "dst": batch["b_key"],
+                             "cluster_id": batch["cluster_id"]})
+
+        edges = star.union(near.map_batches(near_edges,
+                                            batch_format="pyarrow"))
+    edges = edges.materialize()
+
+    def paint_base(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "row_key": batch["row_key"],
+            "pr": pa.array(np.full(batch.num_rows, base, dtype=np.int64)),
+        })
+
+    if edges.count() == 0:
+        # no duplicates anywhere: every node is isolated (closed form)
+        return key_only.select_columns(["row_key"]).map_batches(
+            paint_base, batch_format="pyarrow")
+
+    ranked = edges.groupby("cluster_id").map_groups(
+        lambda g: _component_pagerank(g, iters, scale, n_total),
+        batch_format="pyarrow").materialize()
+
+    isolated = semi_join(labels.select_columns(["row_key"]),
+                         ranked.select_columns(["row_key"]),
+                         on="row_key", anti=True)
+    return ranked.union(
+        isolated.map_batches(paint_base, batch_format="pyarrow"))
