@@ -141,6 +141,23 @@ def q_dup_pagerank(sf_dir: str):
     return dup_pagerank(clusters, pairs)
 
 
+def q_cluster_medoids(sf_dir: str):
+    """Canonical-copy selection per near-dup cluster: the MEDOID rep —
+    highest summed scaled-jaccard similarity to the cluster's other
+    reps (exact integer scores; ties -> min key). Singleton-rep
+    clusters never enter the groupby (repeated-keys semi-join split)."""
+    from raydedup.pipelines.neardup import (cluster_assignments,
+                                            near_dup_pairs,
+                                            signatures_with_rep)
+    from raydedup.stages.graph import cluster_medoids
+
+    assigned = signatures_with_rep(_docs(sf_dir), SIMPLE_CFG,
+                                   key_cols=["doc_id"]).materialize()
+    pairs = near_dup_pairs(assigned, SIMPLE_CFG).materialize()
+    clusters = cluster_assignments(assigned, pairs, SIMPLE_CFG)
+    return cluster_medoids(assigned, clusters)
+
+
 def q_near_dup_clusters_transcripts(sf_dir: str):
     """Flagship: full near-dup DAG over the derived transcript table with
     the reference (stemmed) config. Value-level DuckDB oracle: Porter
@@ -2217,6 +2234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "leakage_safe_split": q_leakage_safe_split,
         "dup_pagerank": q_dup_pagerank,
+        "cluster_medoids": q_cluster_medoids,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
         "otmt_wordcount_simple": q_otmt_wordcount_simple,
@@ -2565,6 +2583,47 @@ def _dup_pagerank_sql(iters: int = 3, scale: int = 10 ** 12) -> str:
         prev = f"r{k}"
     return body + f"""
         SELECT node AS row_key, CAST(r AS BIGINT) AS pr FROM {prev}
+    """
+
+
+def _cluster_medoids_sql(scale: int = 10 ** 12) -> str:
+    """Medoid mirror: pairwise common-shingle counts between same-cluster
+    reps, per-pair (scale*c) // (n_a + n_b - c) floor-division scores
+    (exact BIGINT both sides), argmax per cluster with min-key tie-break
+    via row_number."""
+    return f"""
+        WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE},
+        rep_clust AS (
+            SELECT c.row_key, c.cluster_id FROM clust c
+            WHERE c.row_key IN (SELECT rep FROM doc_reps)
+        ),
+        pc2 AS (
+            SELECT ra.row_key AS a, rb.row_key AS b, count(*) AS c
+            FROM rep_clust ra
+            JOIN rep_clust rb ON ra.cluster_id = rb.cluster_id
+                             AND ra.row_key <> rb.row_key
+            JOIN shingles sa ON CAST(sa.doc_id AS VARCHAR) = ra.row_key
+            JOIN shingles sb ON CAST(sb.doc_id AS VARCHAR) = rb.row_key
+                            AND sb.sh = sa.sh
+            GROUP BY 1, 2
+        ),
+        pair_scores AS (
+            SELECT p.a, ({scale} * p.c) // (na.n + nb.n - p.c) AS ps
+            FROM pc2 p
+            JOIN shsize na ON CAST(na.doc_id AS VARCHAR) = p.a
+            JOIN shsize nb ON CAST(nb.doc_id AS VARCHAR) = p.b
+        ),
+        agg AS (SELECT a, CAST(sum(ps) AS BIGINT) AS score
+                FROM pair_scores GROUP BY 1),
+        scores AS (
+            SELECT rc.cluster_id, rc.row_key,
+                   coalesce(g.score, CAST(0 AS BIGINT)) AS score
+            FROM rep_clust rc LEFT JOIN agg g ON g.a = rc.row_key
+        )
+        SELECT cluster_id, row_key AS medoid_key, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY score DESC, row_key ASC) AS rn FROM scores)
+        WHERE rn = 1
     """
 
 
@@ -3041,6 +3100,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "leakage_safe_split": _leakage_safe_split_sql(),
         "dup_pagerank": _dup_pagerank_sql(),
+        "cluster_medoids": _cluster_medoids_sql(),
         "otmt_bytecount": TRANSCRIPTS_SQL + f"""
             SELECT t.conv_id, t.turn_idx,
                    round(CAST(length(t.text) AS DOUBLE)

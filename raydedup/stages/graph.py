@@ -76,6 +76,88 @@ def _component_pagerank(group: pa.Table, iters: int, scale: int,
                      "pr": pa.array(r, type=pa.int64())})
 
 
+MEDOID_SCALE = 10 ** 12
+
+
+def _medoid_group(group: pa.Table, scale: int) -> pa.Table:
+    """One cluster's representative rows (row_key, blob, cluster_id) ->
+    the medoid row. Pairwise exact shingle intersections inside the
+    group; score_i = sum_j (scale * c_ij) // (n_i + n_j - c_ij), exact
+    int64. Partitioning assumption: representative count per cluster is
+    bounded by the upstream LSH pair budget, so the O(k^2) pair loop is
+    group-local and small."""
+    from raydedup.stages.incremental import _blob_views
+
+    flat, offs = _blob_views(group["blob"])
+    keys = np.asarray(group["row_key"].to_pylist())
+    n = group.num_rows
+    sizes = np.diff(offs).astype(np.int64)
+    sets = [flat[offs[i]: offs[i + 1]] for i in range(n)]
+    scores = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            c = int(np.intersect1d(sets[i], sets[j],
+                                   assume_unique=True).size)
+            denom = int(sizes[i] + sizes[j]) - c
+            ps = (scale * c) // denom if denom > 0 else 0
+            scores[i] += ps
+            scores[j] += ps
+    best = int(np.lexsort((keys, -scores))[0])
+    return pa.table({
+        "cluster_id": group["cluster_id"][:1],
+        "medoid_key": pa.array([str(keys[best])], pa.string()),
+        "score": pa.array([int(scores[best])], pa.int64()),
+    })
+
+
+def cluster_medoids(assigned_sigs, clusters, scale: int = MEDOID_SCALE,
+                    num_partitions: int | None = None):
+    """One canonical row per cluster: the MEDOID representative — the
+    rep whose summed scaled-jaccard similarity to the cluster's other
+    reps is highest (ties -> lexicographic min key). This is the
+    'which copy do we keep' upgrade over min-key survivors: the most
+    central text wins, not the accidentally-smallest key.
+
+    Shape: reps' shingle sets cross ONE hash join to their cluster
+    label as length-prefixed binary blobs (Acero rejects list payloads);
+    singleton-rep clusters — the overwhelming majority — are split off
+    by a repeated-keys semi-join and painted with the closed form
+    (medoid = the rep, score 0) without ever entering the groupby; only
+    multi-rep clusters shuffle into the per-component medoid kernel."""
+    from raydedup.stages.incremental import _lists_to_blob
+    from raydedup.stages.relational import semi_join
+    from raydedup.util import repeated_keys
+
+    def to_blob(b: pa.Table) -> pa.Table:
+        return pa.table({"row_key": b["row_key"],
+                         "blob": _lists_to_blob(b["shingle_hashes"])})
+
+    reps_b = (assigned_sigs.filter(expr="is_rep")
+              .select_columns(["row_key", "shingle_hashes"])
+              .map_batches(to_blob, batch_format="pyarrow"))
+    labels = clusters.select_columns(["row_key", "cluster_id"]).materialize()
+    n_parts = num_partitions or join_partitions(labels.count())
+    rc = reps_b.join(labels, join_type="inner", num_partitions=n_parts,
+                     on=("row_key",)).materialize()
+
+    def paint_self(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": b["cluster_id"],
+            "medoid_key": b["row_key"],
+            "score": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+        })
+
+    multi_keys = repeated_keys(rc, "cluster_id").materialize()
+    if multi_keys.count() == 0:
+        return rc.map_batches(paint_self, batch_format="pyarrow")
+    single = semi_join(rc, multi_keys, on="cluster_id", anti=True)
+    multi = semi_join(rc, multi_keys, on="cluster_id")
+    medoids = multi.groupby("cluster_id").map_groups(
+        lambda g: _medoid_group(g, scale), batch_format="pyarrow")
+    return medoids.union(
+        single.map_batches(paint_self, batch_format="pyarrow"))
+
+
 def dup_pagerank(clusters, pairs, iters: int = PR_ITERS,
                  scale: int = PR_SCALE, num_partitions: int | None = None):
     """clusters (row_key, rep_key, cluster_id, ...) + verified near-dup

@@ -100,3 +100,84 @@ def test_leakage_safe_split_cluster_consistent():
         by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_cluster.values())
     assert len({next(iter(s)) for s in by_cluster.values()}) > 1
+
+
+def test_cluster_medoids_brute_parity():
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.pipelines.neardup import (cluster_assignments,
+                                            near_dup_pairs,
+                                            signatures_with_rep)
+    from raydedup.stages.graph import MEDOID_SCALE, cluster_medoids
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet green hills beyond the river").split()
+    texts = [" ".join(base)]
+    for k in (1, 2, 3):  # drop k leading words: chain of near-dups
+        texts.append(" ".join(base[k:]))
+    texts += ["totally unrelated content here", "another lone document",
+              texts[0]]  # exact dup of doc 0
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    cfg = DEFAULT_CONFIG.with_overrides(stemming=False,
+                                        remove_stopwords=False)
+    assigned = signatures_with_rep(docs, cfg,
+                                   key_cols=["doc_id"]).materialize()
+    pairs = near_dup_pairs(assigned, cfg).materialize()
+    clusters = cluster_assignments(assigned, pairs, cfg)
+    got = {r["cluster_id"]: (r["medoid_key"], r["score"])
+           for r in cluster_medoids(assigned, clusters).take_all()}
+
+    # brute: reps' hashed shingle sets + cluster labels, python loops
+    sigs = {r["row_key"]: set(r["shingle_hashes"])
+            for r in assigned.take_all() if r["is_rep"]}
+    labels = {r["row_key"]: r["cluster_id"]
+              for r in clusters.take_all() if r["row_key"] in sigs}
+    by_cluster = {}
+    for k, cid in labels.items():
+        by_cluster.setdefault(cid, []).append(k)
+    want = {}
+    for cid, members in by_cluster.items():
+        scores = {}
+        for a in members:
+            s = 0
+            for b in members:
+                if a == b:
+                    continue
+                c = len(sigs[a] & sigs[b])
+                denom = len(sigs[a]) + len(sigs[b]) - c
+                s += (MEDOID_SCALE * c) // denom if denom else 0
+            scores[a] = s
+        best = sorted(members, key=lambda k: (-scores[k], k))[0]
+        want[cid] = (best, scores[best])
+    assert got == want
+    # the chain has >= 3 reps in one cluster and an interior medoid
+    big = max(by_cluster.values(), key=len)
+    assert len(big) >= 3
+
+
+def test_cluster_medoids_all_singletons():
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.pipelines.neardup import (cluster_assignments,
+                                            near_dup_pairs,
+                                            signatures_with_rep)
+    from raydedup.stages.graph import cluster_medoids
+
+    texts = [f"unique document number {i} with its own words {i * 7}"
+             for i in range(6)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    cfg = DEFAULT_CONFIG.with_overrides(stemming=False,
+                                        remove_stopwords=False)
+    assigned = signatures_with_rep(docs, cfg,
+                                   key_cols=["doc_id"]).materialize()
+    pairs = near_dup_pairs(assigned, cfg).materialize()
+    clusters = cluster_assignments(assigned, pairs, cfg)
+    got = cluster_medoids(assigned, clusters).take_all()
+    assert sorted(r["medoid_key"] for r in got) == [str(i) for i in
+                                                    range(6)]
+    assert all(r["score"] == 0 and r["cluster_id"] == r["medoid_key"]
+               for r in got)
