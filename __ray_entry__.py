@@ -141,6 +141,53 @@ def q_dup_pagerank(sf_dir: str):
     return dup_pagerank(clusters, pairs)
 
 
+def _docs_v2(sf_dir: str):
+    """Deterministic 'next snapshot' of the documents table for the
+    corpus_diff query (no external data): doc_id % 11 == 0 rows are
+    dropped (removed), % 7 == 0 survivors get ' v2' appended (changed),
+    and % 13 == 0 rows spawn a doc_id + 1000000 'new doc <id>' row
+    (added). Mirrored verbatim by the oracle's v2 CTE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def v2_rows(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        text = b["text"].combine_chunks()
+        keep = ids % 11 != 0
+        kept_ids = ids[keep]
+        kept_text = text.filter(pa.array(keep))
+        changed = kept_ids % 7 == 0
+        new_text = pc.if_else(pa.array(changed),
+                              pc.binary_join_element_wise(
+                                  kept_text, pa.scalar(" v2"), ""),
+                              kept_text)
+        addmask = ids % 13 == 0
+        add_ids = ids[addmask] + 1000000
+        add_text = pa.array([f"new doc {i}" for i in ids[addmask]],
+                            pa.string())
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([kept_ids, add_ids]),
+                               pa.int64()),
+            "text": pa.concat_arrays([new_text.combine_chunks()
+                                      if isinstance(new_text,
+                                                    pa.ChunkedArray)
+                                      else new_text, add_text]),
+        })
+
+    return _docs(sf_dir).map_batches(v2_rows, batch_format="pyarrow")
+
+
+def q_corpus_diff(sf_dir: str):
+    """Snapshot diff old -> new corpus version by content sha256:
+    added / removed / changed / unchanged per key, one hash-sized
+    groupby shuffle (see stages/incremental.py corpus_diff)."""
+    from raydedup.stages.incremental import corpus_diff
+
+    return corpus_diff(_docs(sf_dir), _docs_v2(sf_dir))
+
+
 def q_cluster_medoids(sf_dir: str):
     """Canonical-copy selection per near-dup cluster: the MEDOID rep —
     highest summed scaled-jaccard similarity to the cluster's other
@@ -2235,6 +2282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": q_leakage_safe_split,
         "dup_pagerank": q_dup_pagerank,
         "cluster_medoids": q_cluster_medoids,
+        "corpus_diff": q_corpus_diff,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
         "otmt_wordcount_simple": q_otmt_wordcount_simple,
@@ -3101,6 +3149,24 @@ def _oracle_sql_base() -> dict[str, str]:
         "leakage_safe_split": _leakage_safe_split_sql(),
         "dup_pagerank": _dup_pagerank_sql(),
         "cluster_medoids": _cluster_medoids_sql(),
+        "corpus_diff": """
+            WITH v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       'new doc ' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT coalesce(o.doc_id, v2.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN o.text <> v2.text THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents o FULL OUTER JOIN v2 ON o.doc_id = v2.doc_id
+        """,
         "otmt_bytecount": TRANSCRIPTS_SQL + f"""
             SELECT t.conv_id, t.turn_idx,
                    round(CAST(length(t.text) AS DOUBLE)

@@ -576,3 +576,62 @@ def dedup_against_index(new_ds, index_dir: str,
                         batch["key"])
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def corpus_diff(old_ds, new_ds, key_col: str = "doc_id",
+                text_col: str = "text"):
+    """Snapshot diff between two corpus versions: one row per key with
+    ``status`` in {added, removed, changed, unchanged} — the audit
+    artifact an incremental ingest publishes alongside its index
+    extension (which keys this generation touched and how).
+
+    Scale shape: each side reduces to (key, content sha256) INSIDE
+    map_batches — per-batch dictionary_encode dedups repeated texts
+    before hashing (same idiom as stages/signatures.py), and the text
+    itself never crosses the exchange. The diff is ONE groupby shuffle
+    of hash-sized rows: both sides union as (key, old_sha, new_sha)
+    with the other side null, then null-skipping Max aggregates rebuild
+    the per-key pair (each key has at most one non-null per column) —
+    no reliance on outer-join key coalescing. Equal-sha <=> equal-text
+    is the engine-wide sha256 exactness contract."""
+    import hashlib
+
+    from ray.data.aggregate import Max
+
+    def hashed(self_col: str, other_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(b[text_col].combine_chunks())
+            u_sha = pa.array(
+                [hashlib.sha256(t.encode("utf-8")).hexdigest()
+                 for t in enc.dictionary.to_pylist()], pa.string())
+            sha = pc.take(u_sha, enc.indices)
+            n = b.num_rows
+            cols = {key_col: b[key_col], self_col: sha,
+                    other_col: pa.nulls(n, pa.string())}
+            return pa.table({key_col: cols[key_col],
+                             "old_sha": cols["old_sha"],
+                             "new_sha": cols["new_sha"]})
+        return fn
+
+    tagged = old_ds.select_columns([key_col, text_col]).map_batches(
+        hashed("old_sha", "new_sha"), batch_format="pyarrow").union(
+        new_ds.select_columns([key_col, text_col]).map_batches(
+            hashed("new_sha", "old_sha"), batch_format="pyarrow"))
+    agg = tagged.groupby(key_col).aggregate(
+        Max("old_sha", alias_name="old_sha"),
+        Max("new_sha", alias_name="new_sha"))
+
+    statuses = np.array(["added", "removed", "changed", "unchanged"])
+
+    def label(b: pa.Table) -> pa.Table:
+        old = b["old_sha"]
+        new = b["new_sha"]
+        no_old = pc.is_null(old).to_numpy(zero_copy_only=False)
+        no_new = pc.is_null(new).to_numpy(zero_copy_only=False)
+        same = pc.equal(old, new).fill_null(False).to_numpy(
+            zero_copy_only=False)
+        code = np.select([no_old, no_new, ~same], [0, 1, 2], default=3)
+        return pa.table({key_col: b[key_col],
+                         "status": pa.array(statuses[code], pa.string())})
+
+    return agg.map_batches(label, batch_format="pyarrow")

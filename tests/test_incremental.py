@@ -340,3 +340,23 @@ def test_empty_index_all_new(tmp_path):
     rows = _result(tmp_path)
     assert len(rows) == 4
     assert all(r["status"] == "new" for r in rows.values())
+
+
+def test_corpus_diff_statuses():
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.incremental import corpus_diff
+
+    old = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", "b", "c", "dup"]),
+    }))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["b", "c CHANGED", "dup", "e"]),
+    }))
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).take_all()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "unchanged", 5: "added"}
