@@ -55,6 +55,11 @@ def main(argv=None) -> int:
     p.add_argument("--index-near", action="store_true",
                    help="also index 'near'-labeled survivors "
                         "(default: only 'new')")
+    p.add_argument("--compact-every", type=int, default=0, metavar="N",
+                   help="compact the index back to one generation after "
+                        "every N ingested shards, and once at the end "
+                        "(0 = never; compaction is crash-safe and "
+                        "idempotent, see compact_dedup_index)")
     args = p.parse_args(argv)
 
     import ray
@@ -76,6 +81,7 @@ def main(argv=None) -> int:
     from raydedup.stages.incremental import (
         _META_FILE,
         build_dedup_index,
+        compact_dedup_index,
         dedup_against_index,
         extend_dedup_index,
     )
@@ -129,7 +135,12 @@ def main(argv=None) -> int:
                 by[s] += int(pc.sum(pc.cast(pc.equal(
                     b["status"], pa.scalar(s)), pa.int64())).as_py() or 0)
         counters["shards"][shard_id] = by
+        if (args.compact_every
+                and len(counters["shards"]) % args.compact_every == 0):
+            manifest = compact_dedup_index(args.index, cfg)
 
+    if args.compact_every and manifest:
+        manifest = compact_dedup_index(args.index, cfg)
     counters["n_reps"] = manifest["n_reps"] if manifest else 0
     counters["generations"] = (len(manifest["generations"])
                                if manifest else 0)

@@ -211,7 +211,14 @@ def extend_dedup_index(new_ds, index_dir: str, labels_ds,
             batch["is_rep"].combine_chunks())
         return batch.filter(mask)
 
-    gen = _GEN_FMT.format(len(manifest["generations"]))
+    # smallest free slot, NOT len(generations): after a compaction the
+    # surviving generation keeps its original name (e.g. 'sigs-003'
+    # with len == 1), so a pure length counter would eventually collide
+    # with — and clobber — a live generation
+    n = len(manifest["generations"])
+    while _GEN_FMT.format(n) in manifest["generations"]:
+        n += 1
+    gen = _GEN_FMT.format(n)
     gen_path = os.path.join(index_dir, gen)
     # a run killed between this write and the manifest publish leaves
     # orphan files in gen_path; Ray's write_parquet APPENDS, so the
@@ -635,3 +642,77 @@ def corpus_diff(old_ds, new_ds, key_col: str = "doc_id",
                          "status": pa.array(statuses[code], pa.string())})
 
     return agg.map_batches(label, batch_format="pyarrow")
+
+
+def _index_files(index_dir: str, gens: list[str]) -> list[str]:
+    return [os.path.join(index_dir, g, f)
+            for g in gens
+            for f in sorted(os.listdir(os.path.join(index_dir, g)))
+            if f.endswith(".parquet")]
+
+
+def compact_dedup_index(index_dir: str,
+                        cfg: DedupConfig = DEFAULT_CONFIG) -> dict:
+    """Rewrite every generation into ONE — the maintenance step of the
+    continuous-ingestion loop. Each ``extend_dedup_index`` appends a
+    small generation directory; after many shards a probe fans out over
+    hundreds of small parquet files (per-file reader overhead, tiny row
+    groups). Compaction streams all generations through one
+    column-complete read -> one partitioned write, republishes the
+    manifest atomically (a crash anywhere leaves the old manifest and
+    its generations fully intact), then deletes the superseded
+    generation directories. Also sweeps orphan ``sigs*`` directories a
+    crashed extend/compact left behind (the manifest is the only source
+    of truth; anything it doesn't reference is garbage).
+
+    Generations written by the supported ingest flow are DISJOINT on
+    text ('exact'-labeled rows never re-index), so compaction is a pure
+    concatenation; the invariant is verified with one hash-sized
+    groupby and a violation raises rather than silently double-listing
+    a representative. Idempotent: a single-generation index is a no-op
+    (after the orphan sweep)."""
+    manifest = _load_manifest(index_dir, cfg)
+    gens = manifest["generations"]
+    known = set(gens)
+
+    def sweep_orphans() -> None:
+        for d in os.listdir(index_dir):
+            p = os.path.join(index_dir, d)
+            if (os.path.isdir(p) and d not in known
+                    and (d == _SIGS_SUBDIR
+                         or d.startswith(_SIGS_SUBDIR + "-"))):
+                shutil.rmtree(p, ignore_errors=True)
+
+    if len(gens) <= 1:
+        sweep_orphans()
+        return manifest
+
+    n = len(gens)
+    while _GEN_FMT.format(n) in gens:  # never reuse a live generation name
+        n += 1
+    target = _GEN_FMT.format(n)
+    tpath = os.path.join(index_dir, target)
+    shutil.rmtree(tpath, ignore_errors=True)
+    files = _index_files(index_dir, gens)
+    if files:
+        from raydedup.util import repeated_keys
+
+        ds = ray.data.read_parquet(files)
+        n_dup = repeated_keys(ds.select_columns(["text_sha256"]),
+                              "text_sha256").count()
+        if n_dup:
+            raise RuntimeError(
+                f"index generations are not text-disjoint ({n_dup} "
+                "shas stored twice) — refusing to compact; rebuild "
+                "with build_dedup_index instead")
+        ds.write_parquet(tpath)
+    os.makedirs(tpath, exist_ok=True)
+    manifest = {
+        **manifest,
+        "generations": [target],
+        "n_reps": _count_rows(tpath),
+    }
+    _write_manifest(index_dir, manifest)
+    known = {target}
+    sweep_orphans()
+    return manifest

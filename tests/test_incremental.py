@@ -360,3 +360,142 @@ def test_corpus_diff_statuses():
            for r in corpus_diff(old, new).take_all()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed",
                    4: "unchanged", 5: "added"}
+
+
+def test_compact_index(tmp_path):
+    import os
+
+    from raydedup.stages.incremental import (compact_dedup_index,
+                                             extend_dedup_index)
+
+    old = pa.table({"doc_id": [1], "text": [_LONG_A]})
+    s1 = pa.table({"doc_id": [10], "text": [
+        "fresh shard one content nothing like anything stored before"]})
+    s2 = pa.table({"doc_id": [20], "text": [_LONG_B]})
+    build_dedup_index(ray.data.from_arrow(old), str(tmp_path), CFG,
+                      key_cols=["doc_id"])
+    for shard in (s1, s2):
+        ds = ray.data.from_arrow(shard)
+        labels = dedup_against_index(ds, str(tmp_path), CFG,
+                                     key_cols=["doc_id"]).materialize()
+        extend_dedup_index(ds, str(tmp_path), labels, CFG,
+                           key_cols=["doc_id"])
+    def _norm(rows):
+        import math
+        return {k: {f: (None if isinstance(v, float) and math.isnan(v)
+                        else v) for f, v in r.items()}
+                for k, r in rows.items()}
+
+    before = _norm(_result(tmp_path))
+    # plant an orphan dir from a "crashed" extend
+    orphan = tmp_path / "sigs-009"
+    orphan.mkdir()
+    (orphan / "junk.txt").write_text("leftover")
+
+    m = compact_dedup_index(str(tmp_path), CFG)
+    assert m["generations"] == ["sigs-003"]
+    # old rep + s1's novel rep (s2 was a 'near' -> not indexed by policy)
+    assert m["n_reps"] == 2
+    dirs = sorted(d for d in os.listdir(tmp_path)
+                  if (tmp_path / d).is_dir())
+    assert dirs == ["sigs-003"]  # old gens + orphan swept
+    # probe results identical post-compaction
+    assert _norm(_result(tmp_path)) == before
+    # idempotent replay (single generation -> no-op)
+    m2 = compact_dedup_index(str(tmp_path), CFG)
+    assert m2["generations"] == ["sigs-003"] and m2["n_reps"] == 2
+
+
+def test_compact_refuses_non_disjoint(tmp_path):
+    import pytest as _pytest
+
+    from raydedup.stages.incremental import (_SIGS_SUBDIR,
+                                             compact_dedup_index)
+    import shutil as _shutil
+
+    build_dedup_index(ray.data.from_arrow(
+        pa.table({"doc_id": [1], "text": [_LONG_A]})), str(tmp_path), CFG,
+        key_cols=["doc_id"])
+    # forge a second generation duplicating the first's rows
+    src = tmp_path / _SIGS_SUBDIR
+    dst = tmp_path / "sigs-001"
+    _shutil.copytree(src, dst)
+    import json as _json
+    meta = _json.loads((tmp_path / "meta.json").read_text())
+    meta["generations"].append("sigs-001")
+    (tmp_path / "meta.json").write_text(_json.dumps(meta))
+    with _pytest.raises(RuntimeError, match="not text-disjoint"):
+        compact_dedup_index(str(tmp_path), CFG)
+
+
+def test_compact_then_extend_no_name_collision(tmp_path):
+    """After compaction the surviving generation keeps its name; later
+    extends must pick FREE slots, never clobber it."""
+    from raydedup.stages.incremental import (compact_dedup_index,
+                                             extend_dedup_index)
+
+    build_dedup_index(ray.data.from_arrow(
+        pa.table({"doc_id": [1], "text": [_LONG_A]})), str(tmp_path), CFG,
+        key_cols=["doc_id"])
+    texts = [f"novel shard {i} body " + " ".join(
+        f"tok{i}x{j}" for j in range(12)) for i in range(5)]
+
+    def ingest(i):
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": [100 + i], "text": [texts[i]]}))
+        labels = dedup_against_index(ds, str(tmp_path), CFG,
+                                     key_cols=["doc_id"]).materialize()
+        return extend_dedup_index(ds, str(tmp_path), labels, CFG,
+                                  key_cols=["doc_id"])
+
+    ingest(0)
+    ingest(1)
+    m = compact_dedup_index(str(tmp_path), CFG)
+    assert m["generations"] == ["sigs-003"] and m["n_reps"] == 3
+    # three more extends: slot counter would hit 'sigs-003' at the third
+    for i in (2, 3, 4):
+        m = ingest(i)
+    assert len(m["generations"]) == 4
+    assert len(set(m["generations"])) == 4
+    assert m["n_reps"] == 6
+    # every indexed text still probes back as exact
+    probe = pa.table({"doc_id": [900], "text": [texts[0]]})
+    assert _result(tmp_path, new=probe)["900"]["status"] == "exact"
+    m2 = compact_dedup_index(str(tmp_path), CFG)
+    assert m2["n_reps"] == 6
+    assert _result(tmp_path, new=probe)["900"]["status"] == "exact"
+
+
+def test_ingest_shards_job_compact_every(tmp_path):
+    import importlib
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow.parquet as pq_
+
+    ingest = importlib.import_module("jobs.ingest_shards")
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    for i in range(3):
+        pq_.write_table(
+            pa.table({"doc_id": [100 + i],
+                      "text": [f"compactable novel shard {i} " + " ".join(
+                          f"w{i}q{j}" for j in range(12))]}),
+            str(shards / f"s{i:03d}.parquet"))
+    args = ["--shards", str(shards), "--index", str(tmp_path / "idx"),
+            "--labels-out", str(tmp_path / "labels"),
+            "--compact-every", "2"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert ingest.main(args) == 0
+    c = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert c["generations"] == 1  # final compaction collapsed the index
+    assert c["n_reps"] == 3
+    # resubmit: everything skipped, nothing re-indexed, still compact
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        assert ingest.main(args) == 0
+    c2 = _json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert c2["skipped"] == 3 and c2["n_reps"] == 3
+    assert c2["generations"] == 1
