@@ -179,6 +179,38 @@ def _docs_v2(sf_dir: str):
     return _docs(sf_dir).map_batches(v2_rows, batch_format="pyarrow")
 
 
+def q_event_dedup_window(sf_dir: str):
+    """Telemetry debounce: drop an event whose previous event with the
+    same (user_id, event_type) is <= 2 h older — lag semantics (gap to
+    the previous ROW, not the previous kept row), deterministic
+    (ts, event_id) ordering. One composite-key pass through the
+    ordered.lag_delta partition sweep; no per-key Python calls."""
+    import ray.data
+
+    from raydedup.stages.ordered import lag_delta
+
+    window_us = 2 * 3600 * 1_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b["user_id"], pa.string()), b["event_type"], ":")
+        return b.append_column("__key", k)
+
+    lagged = lag_delta(ev.map_batches(keyed, batch_format="pyarrow"),
+                       by="__key", ts_col="ts", tie_cols=["event_id"],
+                       out="__gap")
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.or_kleene(pc.is_null(b["__gap"]),
+                         pc.greater(b["__gap"], window_us))
+        return b.filter(m).drop_columns(["__key", "__gap"])
+
+    return lagged.map_batches(keep, batch_format="pyarrow")
+
+
 def q_corpus_diff(sf_dir: str):
     """Snapshot diff old -> new corpus version by content sha256:
     added / removed / changed / unchanged per key, one hash-sized
@@ -2283,6 +2315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_pagerank": q_dup_pagerank,
         "cluster_medoids": q_cluster_medoids,
         "corpus_diff": q_corpus_diff,
+        "event_dedup_window": q_event_dedup_window,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
         "otmt_wordcount_simple": q_otmt_wordcount_simple,
@@ -4274,6 +4307,18 @@ def _oracle_sql_base() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "event_dedup_window": """
+            WITH g AS (
+                SELECT event_id, ts, user_id, event_type,
+                       date_diff('microsecond',
+                           lag(ts) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id),
+                           ts) AS gap
+                FROM events
+            )
+            SELECT event_id, ts, user_id, event_type
+            FROM g WHERE gap IS NULL OR gap > 7200000000
         """,
         "event_gaps": """
             SELECT event_id, user_id, ts,
