@@ -211,6 +211,21 @@ def q_event_dedup_window(sf_dir: str):
     return lagged.map_batches(keep, batch_format="pyarrow")
 
 
+def q_length_deciles(sf_dir: str):
+    """Global exact decile binning of document length: bucket =
+    ceil(10 * cume_dist(n_chars)) in pure integer arithmetic — the
+    quality-binning primitive (drop the bottom decile, stratify by
+    decile). Corpus reduces to one row per distinct length before the
+    driver walk; the paint is a broadcast pc.index_in."""
+    import ray.data
+
+    from raydedup.stages.stats import value_deciles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    return value_deciles(docs, "n_chars")
+
+
 def q_corpus_diff(sf_dir: str):
     """Snapshot diff old -> new corpus version by content sha256:
     added / removed / changed / unchanged per key, one hash-sized
@@ -2316,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_medoids": q_cluster_medoids,
         "corpus_diff": q_corpus_diff,
         "event_dedup_window": q_event_dedup_window,
+        "length_deciles": q_length_deciles,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
         "otmt_wordcount_simple": q_otmt_wordcount_simple,
@@ -4307,6 +4323,20 @@ def _oracle_sql_base() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "length_deciles": """
+            WITH c AS (SELECT n_chars, count(*) AS m
+                       FROM documents GROUP BY 1),
+            cum AS (SELECT n_chars,
+                           sum(m) OVER (ORDER BY n_chars) AS cm
+                    FROM c),
+            tot AS (SELECT count(*) AS n FROM documents)
+            SELECT d.doc_id, d.n_chars,
+                   CAST((10 * cum.cm + tot.n - 1) // tot.n AS BIGINT)
+                       AS decile
+            FROM documents d
+            JOIN cum ON cum.n_chars = d.n_chars
+            CROSS JOIN tot
         """,
         "event_dedup_window": """
             WITH g AS (

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 
 def grouped_quantiles(ds, group_col: str, value_col: str,
                       qs: list[float], prefix: str = "p"):
@@ -547,3 +549,44 @@ def conversation_stats(ds, conv_col: str = "conv_id",
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(conv_col).aggregate(
         *[Sum(c, alias_name=c) for c in out_cols])
+
+
+def value_deciles(ds, value_col: str, k: int = 10,
+                  out: str = "decile"):
+    """Global exact quantile binning: bucket i of ``k`` by cumulative
+    distribution over the VALUE (ties share a bucket; bucket =
+    ceil(k * cume_dist) in exact integer arithmetic, so both sides of
+    the oracle agree bit-for-bit) — the quality-binning primitive a
+    curation run uses to, e.g., drop the bottom length decile.
+
+    Scale shape: the corpus reduces to one row per DISTINCT value
+    (one groupby count); only that bounded table reaches the driver
+    for the cumulative walk, and the value -> bucket map is broadcast
+    back (``ray.put`` once) for a vectorized ``pc.index_in`` paint.
+    Same driver-walk contract as ``collection.vocab_coverage`` —
+    correct while distinct values stay driver-bounded (true for any
+    integer measurement column; NOT for free-form text keys)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = ds.groupby(value_col).count().materialize()
+    rows = sorted((r[value_col], r["count()"])
+                  for r in counts.iter_rows())
+    n = sum(m for _, m in rows)
+    if n == 0:
+        def noop(b: pa.Table) -> pa.Table:
+            return b.append_column(out, pa.array([], pa.int64()))
+        return ds.map_batches(noop, batch_format="pyarrow")
+    vals = pa.array([v for v, _ in rows])
+    cum = np.cumsum([m for _, m in rows], dtype=np.int64)
+    buckets = (k * cum + n - 1) // n
+    vals_ref = ray.put(vals)
+    buckets_ref = ray.put(buckets)
+
+    def paint(b: pa.Table) -> pa.Table:
+        v = ray.get(vals_ref)
+        bk = ray.get(buckets_ref)
+        idx = pc.index_in(b[value_col], value_set=v).to_numpy(
+            zero_copy_only=False)
+        return b.append_column(out, pa.array(bk[idx], pa.int64()))
+
+    return ds.map_batches(paint, batch_format="pyarrow")

@@ -181,3 +181,30 @@ def test_cluster_medoids_all_singletons():
                                                     range(6)]
     assert all(r["score"] == 0 and r["cluster_id"] == r["medoid_key"]
                for r in got)
+
+
+def test_value_deciles_exact_contract():
+    import numpy as np
+
+    from raydedup.stages.stats import value_deciles
+
+    vals = [5, 5, 5, 5, 7, 7, 9, 12, 12, 40]  # n=10, with ties
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    }))
+    got = {r["doc_id"]: r["decile"]
+           for r in value_deciles(ds, "v").take_all()}
+    # brute: bucket = ceil(k * cume_dist)
+    arr = np.array(vals)
+    want = {}
+    for i, v in enumerate(vals):
+        cume = int((arr <= v).sum())
+        want[i] = (10 * cume + 10 - 1) // 10
+    assert got == want
+    # quartiles variant, same rows
+    got4 = {r["doc_id"]: r["q"]
+            for r in value_deciles(ds, "v", k=4, out="q").take_all()}
+    for i, v in enumerate(vals):
+        cume = int((arr <= v).sum())
+        assert got4[i] == (4 * cume + 10 - 1) // 10
