@@ -181,7 +181,13 @@ def run_bench() -> dict:
                   "dup_rate_by_source",
                   "incremental_dedup",
                   "ann_topk_pq",
-                  "curate_docs"):
+                  "curate_docs",
+                  "dup_pagerank",
+                  "cluster_medoids",
+                  "leakage_safe_split",
+                  "corpus_diff",
+                  "event_dedup_window",
+                  "length_deciles"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()
         queries[qname] = round(time.time() - t0, 3)
