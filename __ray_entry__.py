@@ -68,6 +68,21 @@ def _round_col(ds, col, nudge: float = 0.0):
     return ds.map_batches(r, batch_format="pyarrow")
 
 
+def _round_tbl(tbl: pa.Table, col: str) -> pa.Table:
+    """_round_col for an in-memory (small) pyarrow Table result."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quant = Decimal(1).scaleb(-_ROUND)
+    i = tbl.schema.get_field_index(col)
+    rounded = pa.array(
+        [None if v is None
+         else float(Decimal(v).quantize(quant, rounding=ROUND_HALF_UP))
+         for v in tbl[col].to_pylist()],
+        type=pa.float64(),
+    )
+    return tbl.set_column(i, col, rounded)
+
+
 def _docs(sf_dir: str):
     import ray.data
 
@@ -224,6 +239,42 @@ def q_length_deciles(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
     return value_deciles(docs, "n_chars")
+
+
+def q_source_similarity(sf_dir: str):
+    """Inter-source overlap matrix: Jaccard between every source pair
+    over DISTINCT word trigrams (group-vs-group lift of the reference's
+    collection measures, otmt/collection_measures.py:96-214). Gram
+    strings never shuffle — 64-bit fingerprints partition-reduce to a
+    k x k matrix (see stages/collection.py:source_similarity)."""
+    import ray.data
+
+    from raydedup.stages.collection import source_similarity
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"],
+                                 override_num_blocks=64)
+    return _round_tbl(source_similarity(docs), "jaccard")
+
+
+_SWEEP_GRID = [0.8, 0.85, 0.9, 0.95, 1.0]
+
+
+def q_dedup_threshold_sweep(sf_dir: str):
+    """Dedup sensitivity curve: verified near-dup pair count and
+    distinct-rep-doc-with-a-dup count at each candidate Jaccard
+    threshold >= the config threshold (so LSH recall is untouched).
+    One verified-pairs pass, two grid-sized aggregates (see
+    pipelines/neardup.py:pair_threshold_sweep)."""
+    from raydedup.pipelines.neardup import (near_dup_pairs,
+                                            pair_threshold_sweep,
+                                            signatures_with_rep)
+
+    assigned = signatures_with_rep(
+        _docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"]
+    ).materialize()
+    return pair_threshold_sweep(near_dup_pairs(assigned, SIMPLE_CFG),
+                                _SWEEP_GRID)
 
 
 def q_corpus_diff(sf_dir: str):
@@ -2332,6 +2383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q_corpus_diff,
         "event_dedup_window": q_event_dedup_window,
         "length_deciles": q_length_deciles,
+        "source_similarity": q_source_similarity,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
         "otmt_wordcount_simple": q_otmt_wordcount_simple,
@@ -3190,6 +3243,58 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(jaccard, {_ROUND})
             FROM near_pairs
             WHERE CAST(b_id AS VARCHAR) < CAST(a_id AS VARCHAR)
+        """,
+        "source_similarity": f"""
+            WITH arrs AS (
+                SELECT source,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM documents
+            ),
+            gl AS (
+                SELECT source,
+                       list_transform(range(len(arr) - 2),
+                           i -> arr[i + 1] || ' ' || arr[i + 2] || ' '
+                                || arr[i + 3]) AS l
+                FROM arrs WHERE len(arr) >= 3
+            ),
+            grams AS (SELECT DISTINCT source, g.g FROM gl,
+                      UNNEST(l) AS g(g)),
+            sz AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+            co AS (
+                SELECT a.source AS sa, b.source AS sb, count(*) AS c
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT x.source AS source_a, y.source AS source_b,
+                   x.n AS n_a, y.n AS n_b,
+                   coalesce(co.c, 0) AS n_common,
+                   round(CAST(coalesce(co.c, 0) AS DOUBLE)
+                         / (x.n + y.n - coalesce(co.c, 0)),
+                         {_ROUND}) AS jaccard
+            FROM sz x JOIN sz y ON x.source < y.source
+            LEFT JOIN co ON co.sa = x.source AND co.sb = y.source
+        """,
+        "dedup_threshold_sweep": f"""
+            WITH {_DOC_SHINGLES_CTE},
+            grid AS (SELECT unnest([0.8, 0.85, 0.9, 0.95, 1.0])
+                     AS threshold),
+            docmax AS (
+                SELECT id, max(jaccard) AS mj FROM (
+                    SELECT CAST(a_id AS VARCHAR) AS id, jaccard
+                    FROM near_pairs
+                    UNION ALL
+                    SELECT CAST(b_id AS VARCHAR) AS id, jaccard
+                    FROM near_pairs
+                ) u GROUP BY id
+            )
+            SELECT g.threshold,
+                   (SELECT count(*) FROM near_pairs p
+                    WHERE p.jaccard >= g.threshold) AS n_pairs,
+                   (SELECT count(*) FROM docmax d
+                    WHERE d.mj >= g.threshold) AS n_dup_docs
+            FROM grid g
         """,
         "near_dup_clusters_docs": f"""
             WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE}

@@ -157,3 +157,80 @@ def survivors(clusters_ds):
     """Canonical one-row-per-cluster keep list (≡ the reference's
     'nonduplicates' output files, bin/exclude_duplicates:108-111)."""
     return clusters_ds.filter(expr="is_duplicate == False")
+
+
+def pair_threshold_sweep(pairs_ds, thresholds: list[float],
+                         jaccard_col: str = "jaccard",
+                         key_cols: tuple[str, str] = ("a_key", "b_key")):
+    """Dedup sensitivity curve: for each candidate threshold t (each must
+    be >= the config threshold the pairs were verified at, so LSH recall
+    is unaffected), count the verified near-dup pairs with jaccard >= t
+    and the DISTINCT representative docs appearing in such a pair — the
+    one-pass report a curation run reads before committing to a dedup
+    aggressiveness level.
+
+    Scale shape: the pairs Dataset is consumed twice (pair histogram +
+    per-doc max), so it is materialized once; each consumer is a per-batch
+    partial count over the (tiny, fixed) threshold grid followed by a
+    grid-sized groupby-sum, and the per-doc side reduces through a native
+    Max aggregate keyed by doc — nothing corpus-sized ever reaches the
+    driver. Threshold comparisons are exact both sides: jaccard is a
+    correctly-rounded float64 division of exact ints in the engine and in
+    the DuckDB oracle, and the grid literals parse to the same float64.
+
+    Returns a (tiny) pyarrow Table: threshold, n_pairs, n_dup_docs.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Max, Sum
+
+    ts = np.array(sorted(thresholds), dtype=np.float64)
+    pairs_ds = pairs_ds.materialize()
+    zeros = pa.table({"threshold": pa.array(ts, pa.float64()),
+                      "n_pairs": pa.array([0] * len(ts), pa.int64()),
+                      "n_dup_docs": pa.array([0] * len(ts), pa.int64())})
+    if pairs_ds.count() == 0:
+        return zeros
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        j = batch[jaccard_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = (j[None, :] >= ts[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({"threshold": pa.array(ts, pa.float64()),
+                         "n": pa.array(n, pa.int64())})
+
+    n_pairs = (pairs_ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby("threshold").aggregate(Sum("n", alias_name="n")))
+
+    a_col, b_col = key_cols
+
+    def explode(batch: pa.Table) -> pa.Table:
+        j = batch[jaccard_col].combine_chunks()
+        keys = pa.concat_arrays([batch[a_col].combine_chunks(),
+                                 batch[b_col].combine_chunks()])
+        return pa.table({"key": keys,
+                         "j": pa.concat_arrays([j, j])})
+
+    docmax = (pairs_ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("key").aggregate(Max("j", alias_name="mj")))
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        mj = batch["mj"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = (mj[None, :] >= ts[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({"threshold": pa.array(ts, pa.float64()),
+                         "n": pa.array(n, pa.int64())})
+
+    n_docs = (docmax.map_batches(doc_partial, batch_format="pyarrow")
+              .groupby("threshold").aggregate(Sum("n", alias_name="n")))
+
+    # grid-sized merges: len(ts) rows each
+    pmap = {r["threshold"]: r["n"] for r in n_pairs.take_all()}
+    dmap = {r["threshold"]: r["n"] for r in n_docs.take_all()}
+    return pa.table({
+        "threshold": pa.array(ts, pa.float64()),
+        "n_pairs": pa.array([int(pmap.get(t, 0)) for t in ts], pa.int64()),
+        "n_dup_docs": pa.array([int(dmap.get(t, 0)) for t in ts],
+                               pa.int64()),
+    })

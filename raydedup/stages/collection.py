@@ -553,3 +553,147 @@ def global_top_terms_sketch(ds, k: int = 20, text_col: str = "text",
         return global_top_terms(ds, k=k, text_col=text_col,
                                 simple_tokens=simple_tokens)
     return exact
+
+
+def source_similarity(ds, by: str = "source", text_col: str = "text",
+                      n: int = 3, num_partitions: int = 64):
+    """Pairwise corpus-segment similarity matrix: Jaccard between every
+    pair of ``by`` groups (sources, dumps, domains) over each group's
+    DISTINCT word ``n``-grams — the inter-source overlap report a
+    curation run uses to decide which crawls are redundant (the
+    corpus-level analogue of the reference's per-pair collection
+    measures, ``otmt/collection_measures.py:96-214``, lifted from
+    doc-vs-collection to group-vs-group).
+
+    Scale shape: gram STRINGS never cross a shuffle — each batch emits
+    distinct (64-bit blake2b gram fingerprint, group code) pairs; the
+    only exchange hash-partitions those fixed-width rows by fingerprint;
+    each partition then reduces to a k x k co-occurrence matrix (k =
+    group count, small) via one lexsort + bitmask ANDs, and the global
+    merge is a groupby-sum over <= k^2 * num_partitions tiny rows. The
+    driver touches only the final k x k matrix. Distinct counts are over
+    64-bit fingerprints: collision probability ~ m^2 / 2^64 (m = distinct
+    grams) — negligible at any feasible vocabulary, and the string-exact
+    DuckDB oracle agrees absent collisions. Groups producing zero
+    n-grams are dropped (SQL parity: they have no row in the size CTE).
+
+    Returns a (small) pyarrow Table: source_a < source_b, n_a, n_b,
+    n_common, jaccard = n_common / (n_a + n_b - n_common), unrounded.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from raydedup.stages.decontam import _ngrams
+
+    groups = sorted(x for x in ds.unique(by) if x is not None)
+    k = len(groups)
+    empty_out = pa.table({
+        "source_a": pa.array([], pa.string()),
+        "source_b": pa.array([], pa.string()),
+        "n_a": pa.array([], pa.int64()),
+        "n_b": pa.array([], pa.int64()),
+        "n_common": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+    if k == 0:
+        return empty_out
+    code_of = {g: i for i, g in enumerate(groups)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per_src: dict[int, set[str]] = {}
+        for s, t in zip(batch[by].to_pylist(), batch[text_col].to_pylist()):
+            if s is None or not t:
+                continue
+            grams = _ngrams(t, n)
+            if grams:
+                per_src.setdefault(code_of[s], set()).update(grams)
+        fps: list[np.ndarray] = []
+        cds: list[np.ndarray] = []
+        for c, gs in per_src.items():
+            h = np.fromiter(
+                (int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                    "little") for g in gs),
+                dtype=np.uint64, count=len(gs))
+            fps.append(h)
+            cds.append(np.full(len(h), c, dtype=np.int64))
+        if not fps:
+            return pa.table({"gm": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        gm = np.concatenate(fps)
+        return pa.table({
+            "gm": gm.view(np.int64),
+            "code": np.concatenate(cds),
+            "__part": (gm % np.uint64(num_partitions)).astype(np.int64),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        out_empty = pa.table({"ia": pa.array([], pa.int64()),
+                              "ib": pa.array([], pa.int64()),
+                              "c": pa.array([], pa.int64())})
+        if g.num_rows == 0 or "gm" not in g.column_names:
+            return out_empty
+        gm = g["gm"].combine_chunks().to_numpy(zero_copy_only=False)
+        code = g["code"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((code, gm))
+        gm, code = gm[order], code[order]
+        keep = np.ones(len(gm), dtype=bool)
+        keep[1:] = (gm[1:] != gm[:-1]) | (code[1:] != code[:-1])
+        gm, code = gm[keep], code[keep]
+        new_g = np.r_[False, gm[1:] != gm[:-1]]
+        gid = np.cumsum(new_g)
+        n_g = int(gid[-1]) + 1 if len(gid) else 0
+        mask = np.zeros((n_g, k), dtype=bool)
+        mask[gid, code] = True
+        ia: list[int] = []
+        ib: list[int] = []
+        cnt: list[int] = []
+        for i in range(k):
+            ci = mask[:, i]
+            ia.append(i)
+            ib.append(i)
+            cnt.append(int(np.count_nonzero(ci)))
+            for j in range(i + 1, k):
+                ia.append(i)
+                ib.append(j)
+                cnt.append(int(np.count_nonzero(ci & mask[:, j])))
+        return pa.table({"ia": pa.array(ia, pa.int64()),
+                         "ib": pa.array(ib, pa.int64()),
+                         "c": pa.array(cnt, pa.int64())})
+
+    summed = (ds.select_columns([by, text_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("__part").map_groups(merge, batch_format="pyarrow")
+              .groupby(["ia", "ib"]).aggregate(Sum("c", alias_name="c")))
+    C = np.zeros((k, k), dtype=np.int64)
+    for r in summed.take_all():
+        C[r["ia"], r["ib"]] = r["c"]
+    sa: list[str] = []
+    sb: list[str] = []
+    na: list[int] = []
+    nb: list[int] = []
+    ncm: list[int] = []
+    jac: list[float] = []
+    for i in range(k):
+        if C[i, i] == 0:
+            continue
+        for j in range(i + 1, k):
+            if C[j, j] == 0:
+                continue
+            c = int(C[i, j])
+            sa.append(groups[i])
+            sb.append(groups[j])
+            na.append(int(C[i, i]))
+            nb.append(int(C[j, j]))
+            ncm.append(c)
+            jac.append(c / (C[i, i] + C[j, j] - c))
+    if not sa:
+        return empty_out
+    return pa.table({"source_a": pa.array(sa, pa.string()),
+                     "source_b": pa.array(sb, pa.string()),
+                     "n_a": pa.array(na, pa.int64()),
+                     "n_b": pa.array(nb, pa.int64()),
+                     "n_common": pa.array(ncm, pa.int64()),
+                     "jaccard": pa.array(jac, pa.float64())})

@@ -1,0 +1,75 @@
+"""source_similarity matrix and pair_threshold_sweep vs brute force."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from raydedup.pipelines.neardup import pair_threshold_sweep
+from raydedup.stages.collection import source_similarity
+from raydedup.stages.decontam import _ngrams
+
+
+def test_source_similarity_vs_bruteforce(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    sources, texts = [], []
+    for i in range(120):
+        src = f"s{int(rng.integers(0, 4))}"
+        n_tok = int(rng.integers(0, 12))
+        sources.append(src)
+        texts.append(" ".join(rng.choice(vocab, size=n_tok)))
+    # a source whose docs never reach 3 tokens must drop out entirely
+    sources += ["tiny", "tiny"]
+    texts += ["one two", ""]
+    ds = ray.data.from_arrow(pa.table({"source": sources, "text": texts}))
+    got = source_similarity(ds, num_partitions=8).to_pandas()
+
+    grams: dict[str, set] = {}
+    for s, t in zip(sources, texts):
+        grams.setdefault(s, set()).update(_ngrams(t, 3))
+    keep = sorted(s for s in grams if grams[s])
+    assert "tiny" not in keep
+    exp_rows = {}
+    for i, a in enumerate(keep):
+        for b in keep[i + 1:]:
+            c = len(grams[a] & grams[b])
+            u = len(grams[a] | grams[b])
+            exp_rows[(a, b)] = (len(grams[a]), len(grams[b]), c, c / u)
+    assert len(got) == len(exp_rows)
+    for r in got.itertuples():
+        na, nb, c, j = exp_rows[(r.source_a, r.source_b)]
+        assert (r.n_a, r.n_b, r.n_common) == (na, nb, c)
+        assert abs(r.jaccard - j) < 1e-12
+    # at least one pair must actually share grams for the test to bite
+    assert got["n_common"].max() > 0
+
+
+def test_pair_threshold_sweep_counts(ray_session):
+    pairs = ray.data.from_arrow(pa.table({
+        "a_key": ["a", "a", "b", "c"],
+        "b_key": ["b", "c", "d", "e"],
+        "jaccard": [0.82, 0.91, 0.95, 1.0],
+    }))
+    out = pair_threshold_sweep(pairs, [0.8, 0.9, 0.95, 1.0]).to_pandas()
+    out = out.set_index("threshold")
+    assert out.loc[0.8, "n_pairs"] == 4
+    assert out.loc[0.9, "n_pairs"] == 3
+    assert out.loc[0.95, "n_pairs"] == 2
+    assert out.loc[1.0, "n_pairs"] == 1
+    # docs with a pair >= t: t=0.9 -> {a,c,b,d,e}; t=1.0 -> {c,e}
+    assert out.loc[0.8, "n_dup_docs"] == 5
+    assert out.loc[0.9, "n_dup_docs"] == 5
+    assert out.loc[0.95, "n_dup_docs"] == 4
+    assert out.loc[1.0, "n_dup_docs"] == 2
+
+
+def test_pair_threshold_sweep_empty(ray_session):
+    pairs = ray.data.from_arrow(pa.table({
+        "a_key": pa.array([], pa.string()),
+        "b_key": pa.array([], pa.string()),
+        "jaccard": pa.array([], pa.float64()),
+    }))
+    out = pair_threshold_sweep(pairs, [0.8, 1.0]).to_pandas()
+    assert list(out["threshold"]) == [0.8, 1.0]
+    assert out["n_pairs"].sum() == 0 and out["n_dup_docs"].sum() == 0
