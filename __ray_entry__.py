@@ -2196,6 +2196,47 @@ def q_dup_rate_by_source(sf_dir: str):
                        Sum("n_keep", alias_name="n_keep")))
 
 
+def q_dup_rate_by_lang(sf_dir: str):
+    """Curation report: per-LANGUAGE dedup attribution — the language
+    crosstab of the tiered cascade (a multilingual curation run reads
+    this before re-weighting languages whose crawl is mostly
+    duplicates). Composition: tiered cascade → distributed join to the
+    langid stage output → one combiner-friendly pivot groupby (same
+    shape as dup_rate_by_source, keyed by the MODEL'S language call
+    rather than a stored column)."""
+    import ray as _ray
+
+    from raydedup.pipelines.tiered import tiered_dedup
+    from raydedup.stages.textstats import detect_language
+    from raydedup.util import join_partitions
+
+    tiers = tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
+    langs = detect_language(_docs(sf_dir)).select_columns(
+        ["doc_id", "detected_lang"])
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    n_parts = min(join_partitions(langs.count()), max(2, 2 * ncpu))
+    joined = tiers.select_columns(["doc_id", "tier"]).join(
+        langs, join_type="inner", num_partitions=n_parts, on=("doc_id",))
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        t = batch["tier"]
+        cols = {"detected_lang": batch["detected_lang"],
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64))}
+        for name in ("exact", "near", "keep"):
+            cols[f"n_{name}"] = pc.cast(
+                pc.equal(t, pa.scalar(name)), pa.int64())
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    return (joined.map_batches(pivot, batch_format="pyarrow")
+            .groupby("detected_lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_exact", alias_name="n_exact"),
+                       Sum("n_near", alias_name="n_near"),
+                       Sum("n_keep", alias_name="n_keep")))
+
+
 def q_shard_manifest(sf_dir: str):
     """Deterministic output-shard manifest (the resumable-write
     primitive): shard = md5-low60('shard0:' || doc_id) % 16, with
@@ -2497,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logppl": q_bigram_logppl,
         "curate_docs": q_curate_docs,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "dup_rate_by_lang": q_dup_rate_by_lang,
         "shard_manifest": q_shard_manifest,
         "line_dedup_docs": q_line_dedup_docs,
         "incremental_dedup": q_incremental_dedup,
@@ -5253,6 +5295,25 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM g JOIN comp c ON c.node = g.exact_rep
             ) t
             JOIN documents d ON d.doc_id = t.doc_id
+            GROUP BY 1
+        """,
+        "dup_rate_by_lang": _TIERED_CTES + f"""
+            SELECT l.detected_lang,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN t.tier = 'exact' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact,
+                   CAST(sum(CASE WHEN t.tier = 'near' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_near,
+                   CAST(sum(CASE WHEN t.tier = 'keep' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_keep
+            FROM (
+                SELECT g.doc_id,
+                       CASE WHEN g.doc_id != g.exact_rep THEN 'exact'
+                            WHEN c.root != g.doc_id THEN 'near'
+                            ELSE 'keep' END AS tier
+                FROM g JOIN comp c ON c.node = g.exact_rep
+            ) t
+            JOIN ({_langid_sql()}) l ON l.doc_id = t.doc_id
             GROUP BY 1
         """,
         "shard_manifest": """
