@@ -2196,6 +2196,21 @@ def q_dup_rate_by_source(sf_dir: str):
                        Sum("n_keep", alias_name="n_keep")))
 
 
+def q_length_drift_by_source(sf_dir: str):
+    """Distribution-drift monitor: exact two-sample KS statistic of each
+    source's length distribution vs the rest of the corpus (see
+    stages/stats.py:ecdf_drift_by_group — one counting groupby, driver
+    walk bounded by sources x distinct lengths)."""
+    import ray.data
+
+    from raydedup.stages.stats import ecdf_drift_by_group
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"],
+                                 override_num_blocks=64)
+    return _round_tbl(ecdf_drift_by_group(docs), "ks_stat")
+
+
 def q_dup_rate_by_lang(sf_dir: str):
     """Curation report: per-LANGUAGE dedup attribution — the language
     crosstab of the tiered cascade (a multilingual curation run reads
@@ -2539,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": q_curate_docs,
         "dup_rate_by_source": q_dup_rate_by_source,
         "dup_rate_by_lang": q_dup_rate_by_lang,
+        "length_drift_by_source": q_length_drift_by_source,
         "shard_manifest": q_shard_manifest,
         "line_dedup_docs": q_line_dedup_docs,
         "incremental_dedup": q_incremental_dedup,
@@ -5296,6 +5312,43 @@ def _oracle_sql_base() -> dict[str, str]:
             ) t
             JOIN documents d ON d.doc_id = t.doc_id
             GROUP BY 1
+        """,
+        "length_drift_by_source": f"""
+            WITH grid AS (SELECT DISTINCT n_chars AS x FROM documents),
+            srcs AS (SELECT source, count(*) AS n_s FROM documents
+                     GROUP BY 1),
+            tot AS (SELECT count(*) AS n FROM documents),
+            counts AS (SELECT source, n_chars AS x, count(*) AS c
+                       FROM documents GROUP BY 1, 2),
+            sx AS (
+                SELECT s.source, g.x, coalesce(c.c, 0) AS c
+                FROM srcs s CROSS JOIN grid g
+                LEFT JOIN counts c
+                  ON c.source = s.source AND c.x = g.x
+            ),
+            cum AS (
+                SELECT source, x,
+                       sum(c) OVER (PARTITION BY source ORDER BY x) AS cle
+                FROM sx
+            ),
+            tcum AS (
+                SELECT x, sum(c) OVER (ORDER BY x) AS tle
+                FROM (SELECT x, sum(c) AS c FROM sx GROUP BY x) q
+            ),
+            stat AS (
+                SELECT cum.source,
+                       max(abs(CAST(cum.cle AS DOUBLE) / s.n_s
+                               - CAST(tcum.tle - cum.cle AS DOUBLE)
+                                 / (t.n - s.n_s))) AS ks
+                FROM cum JOIN tcum USING (x)
+                JOIN srcs s ON s.source = cum.source
+                CROSS JOIN tot t
+                WHERE s.n_s < t.n
+                GROUP BY 1
+            )
+            SELECT s.source, s.n_s AS n_docs,
+                   round(st.ks, {_ROUND}) AS ks_stat
+            FROM stat st JOIN srcs s USING (source)
         """,
         "dup_rate_by_lang": _TIERED_CTES + f"""
             SELECT l.detected_lang,

@@ -590,3 +590,74 @@ def value_deciles(ds, value_col: str, k: int = 10,
         return b.append_column(out, pa.array(bk[idx], pa.int64()))
 
     return ds.map_batches(paint, batch_format="pyarrow")
+
+
+def ecdf_drift_by_group(ds, by: str = "source", value_col: str = "n_chars"):
+    """Distribution-drift monitor: the exact two-sample Kolmogorov-
+    Smirnov statistic between each ``by`` group and the REST of the
+    corpus over an integer measurement column — sup_x |F_group(x) -
+    F_rest(x)| evaluated at every distinct value (the exact KS supremum
+    for step ECDFs). The per-source drift report a curation run reads
+    to catch a crawl whose length/quality distribution silently shifted.
+
+    Scale shape: the corpus reduces to one row per (group, distinct
+    value) through a counting groupby — the only exchange; that table is
+    bounded by groups x distinct values (value_deciles' driver-walk
+    contract: fine for integer measurement columns, not free-form keys),
+    and the driver does one cumsum sweep over it. ECDF ratios are single
+    correctly-rounded divisions of exact ints on both engine and oracle
+    sides, so the max and the 6-decimal round agree bit-for-bit.
+
+    Groups equal to the whole corpus (n_rest = 0) are dropped; null
+    group keys are dropped (SQL grouping of NULL never joins back).
+    Returns a small pyarrow Table: group, n_docs, ks_stat (unrounded).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({by: batch[by], value_col: batch[value_col]})
+        t = t.filter(pc.and_(pc.is_valid(t[by]), pc.is_valid(t[value_col])))
+        if t.num_rows == 0:
+            return pa.table({by: pa.array([], batch[by].type),
+                             "x": pa.array([], batch[value_col].type),
+                             "c": pa.array([], pa.int64())})
+        g = t.group_by([by, value_col]).aggregate([([], "count_all")])
+        return pa.table({by: g[by], "x": g[value_col],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (ds.select_columns([by, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby([by, "x"]).aggregate(Sum("c", alias_name="c")))
+    rows = counts.take_all()
+    empty = pa.table({by: pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "ks_stat": pa.array([], pa.float64())})
+    if not rows:
+        return empty
+    groups = sorted({r[by] for r in rows})
+    xs = sorted({r["x"] for r in rows})
+    gi = {g: i for i, g in enumerate(groups)}
+    xi = {x: i for i, x in enumerate(xs)}
+    M = np.zeros((len(groups), len(xs)), dtype=np.int64)
+    for r in rows:
+        M[gi[r[by]], xi[r["x"]]] = r["c"]
+    cum = np.cumsum(M, axis=1)
+    tot_le = cum.sum(axis=0)
+    n_g = M.sum(axis=1)
+    n = int(n_g.sum())
+    out_g: list = []
+    out_n: list[int] = []
+    out_ks: list[float] = []
+    for i, g in enumerate(groups):
+        n_rest = n - int(n_g[i])
+        if n_rest == 0:
+            continue
+        f_g = cum[i] / n_g[i]
+        f_rest = (tot_le - cum[i]) / n_rest
+        out_g.append(g)
+        out_n.append(int(n_g[i]))
+        out_ks.append(float(np.max(np.abs(f_g - f_rest))))
+    if not out_g:
+        return empty
+    return pa.table({by: out_g, "n_docs": pa.array(out_n, pa.int64()),
+                     "ks_stat": pa.array(out_ks, pa.float64())})

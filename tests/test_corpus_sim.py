@@ -73,3 +73,30 @@ def test_pair_threshold_sweep_empty(ray_session):
     out = pair_threshold_sweep(pairs, [0.8, 1.0]).to_pandas()
     assert list(out["threshold"]) == [0.8, 1.0]
     assert out["n_pairs"].sum() == 0 and out["n_dup_docs"].sum() == 0
+
+
+def test_ecdf_drift_vs_bruteforce(ray_session):
+    from raydedup.stages.stats import ecdf_drift_by_group
+
+    rng = np.random.default_rng(3)
+    srcs = [f"s{int(rng.integers(0, 3))}" for _ in range(400)]
+    # s2 drawn from a shifted distribution so drift is nonzero
+    vals = [int(rng.integers(100, 200)) if s != "s2"
+            else int(rng.integers(150, 260)) for s in srcs]
+    ds = ray.data.from_arrow(pa.table({"source": srcs, "n_chars": vals}))
+    got = {r.source: (r.n_docs, r.ks_stat)
+           for r in ecdf_drift_by_group(ds).to_pandas().itertuples()}
+
+    xs = sorted(set(vals))
+    arr = np.array(vals)
+    sarr = np.array(srcs)
+    for s in sorted(set(srcs)):
+        mine = arr[sarr == s]
+        rest = arr[sarr != s]
+        f_g = np.array([(mine <= x).sum() for x in xs]) / len(mine)
+        f_r = np.array([(rest <= x).sum() for x in xs]) / len(rest)
+        ks = np.max(np.abs(f_g - f_r))
+        n_docs, got_ks = got[s]
+        assert n_docs == len(mine)
+        assert abs(got_ks - ks) < 1e-12
+    assert got["s2"][1] > 0.2  # the planted shift is detected
