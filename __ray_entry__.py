@@ -2196,6 +2196,46 @@ def q_dup_rate_by_source(sf_dir: str):
                        Sum("n_keep", alias_name="n_keep")))
 
 
+def q_embedding_decontam(sf_dir: str):
+    """Embedding-space decontamination: every corpus vector (vec_id %
+    10 != 0) scored with its nearest 'benchmark' vector (vec_id % 10 ==
+    0) by cosine — the semantic complement of the n-gram decontaminate
+    stage (see stages/embeddings.py:cross_corpus_nn — benchmark
+    broadcast once, corpus streams, no shuffle)."""
+    import ray.data
+
+    from raydedup.stages.embeddings import cross_corpus_nn
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    def pick(want_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            mask = (ids % 10 == 0) if want_bench else (ids % 10 != 0)
+            return batch.filter(pa.array(mask))
+        return f
+
+    bench = emb.map_batches(pick(True), batch_format="pyarrow")
+    corpus = emb.map_batches(pick(False), batch_format="pyarrow")
+    return _round_col(cross_corpus_nn(corpus, bench), "cosine")
+
+
+def q_priority_dedup(sf_dir: str):
+    """Provenance-priority exact dedup: identical texts keep the copy
+    from the lexicographically-first source (ties: min doc_id), with
+    the collapse count — the multi-corpus merge rule (see
+    stages/exact.py:priority_dedup; texts never shuffle)."""
+    import ray.data
+
+    from raydedup.stages.exact import priority_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"],
+                                 override_num_blocks=64)
+    return priority_dedup(docs)
+
+
 def q_length_drift_by_source(sf_dir: str):
     """Distribution-drift monitor: exact two-sample KS statistic of each
     source's length distribution vs the rest of the corpus (see
@@ -2555,6 +2595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "dup_rate_by_lang": q_dup_rate_by_lang,
         "length_drift_by_source": q_length_drift_by_source,
+        "embedding_decontam": q_embedding_decontam,
+        "priority_dedup": q_priority_dedup,
         "shard_manifest": q_shard_manifest,
         "line_dedup_docs": q_line_dedup_docs,
         "incremental_dedup": q_incremental_dedup,
@@ -5312,6 +5354,44 @@ def _oracle_sql_base() -> dict[str, str]:
             ) t
             JOIN documents d ON d.doc_id = t.doc_id
             GROUP BY 1
+        """,
+        "embedding_decontam": f"""
+            WITH b AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 10 = 0
+            ),
+            c AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 10 <> 0
+            ),
+            sims AS (
+                SELECT c.vec_id, b.vec_id AS bench_id,
+                       list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) AS cosine
+                FROM c CROSS JOIN b
+            ),
+            ranked AS (
+                SELECT vec_id, bench_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cosine DESC, bench_id) AS rn
+                FROM sims
+            )
+            SELECT vec_id, bench_id, round(cosine, {_ROUND}) AS cosine
+            FROM ranked WHERE rn = 1
+        """,
+        "priority_dedup": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY text
+                           ORDER BY source, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY text) AS n_copies
+                FROM documents
+            )
+            SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
+            FROM ranked WHERE rn = 1
         """,
         "length_drift_by_source": f"""
             WITH grid AS (SELECT DISTINCT n_chars AS x FROM documents),

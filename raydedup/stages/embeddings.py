@@ -1349,3 +1349,59 @@ def knn_pq(ds, query_ids: list[int], k: int = 10, m: int = 16,
     )
     return partial.groupby("query_id").map_groups(_rank_topk(k),
                                                   batch_format="pyarrow")
+
+
+def cross_corpus_nn(ds, bench_ds, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    bench_max_rows: int = 500_000):
+    """Embedding-space decontamination scan: for every corpus vector its
+    nearest BENCHMARK vector by cosine (ties -> min benchmark id) — the
+    semantic analogue of the n-gram ``decontaminate`` stage (an eval
+    paraphrase shares no 8-gram but sits at cosine ~1). Thresholding the
+    returned ``cosine`` is the caller's one-line filter; the expensive
+    part is this cross-corpus max-similarity, and it streams.
+
+    Scale shape: the benchmark side is genuinely small (eval suites), so
+    it is collected once, L2-normalized, sorted by id and broadcast via
+    ``ray.put`` (guarded by ``bench_max_rows``); the corpus streams
+    through an actor-pool matmul with a per-batch argmax — no shuffle.
+    ``np.argmax`` takes the FIRST maximum, and benchmark rows are sorted
+    by id, so exact-tie handling matches the SQL ``row_number ... ORDER
+    BY cosine DESC, id`` contract.
+    """
+    rows = bench_ds.select_columns([id_col, vec_col]).take_all()
+    if len(rows) > bench_max_rows:
+        raise ValueError(
+            f"benchmark side has {len(rows)} rows > {bench_max_rows}; "
+            "a benchmark this large should go through the bucketed "
+            "embedding_near_pairs path instead")
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "bench_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if not rows:
+        return empty
+    rows.sort(key=lambda r: r[id_col])
+    b_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    B = _l2norm(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    ref = ray.put((b_ids, B))
+
+    class NearestBench:
+        def __init__(self, ref):
+            self.b_ids, self.B = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return empty
+            X = _l2norm(_to_matrix(batch, vec_col))
+            sims = X @ self.B.T
+            j = np.argmax(sims, axis=1)
+            return pa.table({
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "bench_id": pa.array(self.b_ids[j], type=pa.int64()),
+                "cosine": pa.array(sims[np.arange(len(j)), j],
+                                   type=pa.float64()),
+            })
+
+    return ds.map_batches(NearestBench, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=(1, 16), num_cpus=1)

@@ -410,3 +410,70 @@ def drop_boilerplate_turns(ds, min_convs: int = 2,
         return b.drop_columns(["__h"])
 
     return kept.map_batches(strip, batch_format="pyarrow")
+
+
+def priority_dedup(ds, key_col: str = "doc_id",
+                   priority_col: str = "source", text_col: str = "text"):
+    """Multi-source exact dedup with provenance priority: identical
+    texts collapse to ONE surviving copy — the row whose
+    ``priority_col`` value sorts FIRST (callers encode their real source
+    ranking as sortable strings), ties by min ``key_col`` — the
+    'prefer the curated source when crawls collide' rule of C4-style
+    multi-corpus merges. Emits one row per distinct text:
+    (key_col int64, priority_col, n_copies).
+
+    Scale shape: texts never cross a shuffle — every batch reduces to
+    one (sha256(text), min composite, count) row per distinct text (the
+    combiner), the only exchange is a sha-keyed groupby with native
+    Min/Sum aggregates, and the winner is decoded from the composite
+    with vectorized Arrow kernels. Identity is sha256-of-text, the
+    exact.py contract (collision odds ~ n^2/2^256). The composite is
+    ``priority || US || zero-padded key``: the 0x1f separator sorts
+    below every printable byte, so composite string order equals
+    (priority, key) order even when one priority value prefixes another;
+    priority values containing 0x1f are rejected.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list] = {}
+        for t, p, k in zip(batch[text_col].to_pylist(),
+                           batch[priority_col].to_pylist(),
+                           batch[key_col].to_pylist()):
+            if t is None or p is None:
+                continue
+            if "\x1f" in p:
+                raise ValueError(
+                    f"priority value {p!r} contains the 0x1f separator")
+            sha = hashlib.sha256(t.encode()).hexdigest()
+            comp = f"{p}\x1f{int(k):019d}"
+            hit = agg.get(sha)
+            if hit is None:
+                agg[sha] = [comp, 1]
+            else:
+                if comp < hit[0]:
+                    hit[0] = comp
+                hit[1] += 1
+        return pa.table({
+            "sha": pa.array(list(agg.keys()), pa.string()),
+            "comp": pa.array([v[0] for v in agg.values()], pa.string()),
+            "c": pa.array([v[1] for v in agg.values()], pa.int64()),
+        })
+
+    merged = (ds.select_columns([key_col, priority_col, text_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("sha")
+              .aggregate(Min("comp", alias_name="comp"),
+                         Sum("c", alias_name="n_copies")))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["comp"], "\x1f")
+        return pa.table({
+            key_col: pc.cast(pc.list_element(parts, 1), pa.int64()),
+            priority_col: pc.list_element(parts, 0),
+            "n_copies": pc.cast(batch["n_copies"], pa.int64()),
+        })
+
+    return merged.map_batches(decode, batch_format="pyarrow")

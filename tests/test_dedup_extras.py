@@ -643,3 +643,30 @@ def test_global_top_terms_sketch_exact(ray_session, monkeypatch):
 
     empty = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
     assert global_top_terms_sketch(empty, k=5).take_all() == []
+
+
+def test_priority_dedup_prefix_and_ties(ray_session):
+    from raydedup.stages.exact import priority_dedup
+
+    tbl = pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        # "a" must beat "ab" for the same text (prefix-priority edge);
+        # equal priorities fall back to min doc_id
+        "source": ["ab", "a", "zz", "zz", "b", "b", "solo"],
+        "text": ["t1", "t1", "t1", "t2", "t2", "t2", "t3"],
+    })
+    got = {r.doc_id: (r.source, r.n_copies)
+           for r in priority_dedup(ray.data.from_arrow(tbl))
+           .to_pandas().itertuples()}
+    assert got == {2: ("a", 3), 5: ("b", 3), 7: ("solo", 1)}
+
+
+def test_priority_dedup_rejects_separator(ray_session):
+    import pytest
+
+    from raydedup.stages.exact import priority_dedup
+
+    tbl = pa.table({"doc_id": [1], "source": ["bad\x1fsrc"],
+                    "text": ["t"]})
+    with pytest.raises(Exception):
+        priority_dedup(ray.data.from_arrow(tbl)).materialize()

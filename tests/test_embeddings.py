@@ -703,3 +703,32 @@ def test_pq_shortlist_recall_planted(ray_session):
     assert got == brute
     # sanity: neighbors stay in the query's own planted cluster
     assert all(n // 100 == q // 100 for (q, _), n in got.items())
+
+
+def test_cross_corpus_nn_vs_bruteforce(ray_session):
+    import pyarrow as pa
+
+    from raydedup.stages.embeddings import cross_corpus_nn
+
+    rng = np.random.default_rng(5)
+    n, d = 60, 8
+    vecs = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"vec_id": ids,
+                    "embedding": [v.tolist() for v in vecs]})
+    bench_mask = ids % 7 == 0
+    ds_b = ray.data.from_arrow(tbl.filter(pa.array(bench_mask)))
+    ds_c = ray.data.from_arrow(tbl.filter(pa.array(~bench_mask)))
+    got = {r.vec_id: (r.bench_id, r.cosine)
+           for r in cross_corpus_nn(ds_c, ds_b).to_pandas().itertuples()}
+
+    norm = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    b_ids = ids[bench_mask]
+    B = norm[bench_mask]
+    for i in ids[~bench_mask]:
+        sims = B @ norm[i]
+        j = int(np.argmax(sims))
+        bid, cos = got[int(i)]
+        assert bid == b_ids[j]
+        assert abs(cos - sims[j]) < 1e-12
+    assert len(got) == int((~bench_mask).sum())
