@@ -2221,6 +2221,69 @@ def q_embedding_decontam(sf_dir: str):
     return _round_col(cross_corpus_nn(corpus, bench), "cosine")
 
 
+def _transcripts_with_retries(sf_dir: str):
+    """Deterministic 'retry' view of the derived transcripts (no
+    external data): every 5th conversation spawns a truncated replica
+    (first 3 turns) under conv_id + '-retry' — the crashed-run-
+    resubmitted pattern prefix_containment_convs exists to catch.
+    Mirrored verbatim by the oracle's retry CTE."""
+    import numpy as np
+
+    ts = transcripts_from_documents(sf_dir)
+
+    def add_retry(b: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(b["conv_id"], 5, 99),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        turn = b["turn_idx"].to_numpy(zero_copy_only=False)
+        mask = pa.array((num % 5 == 0) & (turn < 3))
+        rep = b.filter(mask)
+        rep = rep.set_column(
+            rep.column_names.index("conv_id"), "conv_id",
+            pc.binary_join_element_wise(
+                rep["conv_id"], pa.scalar("-retry"), ""))
+        return pa.concat_tables([b, rep])
+
+    return ts.map_batches(add_retry, batch_format="pyarrow")
+
+
+def q_prefix_containment_convs(sf_dir: str):
+    """Retry/continuation dedup for agent transcripts: conversations
+    whose full (role, text) turn sequence is a strict prefix of another
+    conversation's (or an exact whole-sequence duplicate, emitted once)
+    — OTMT's "shorter rerun of the same capture" pattern lifted to
+    conversations. Linear candidate generation (one rolling-hash row
+    per TURN, ordered.py partition sweep), hash-join on (hash, pos),
+    text-verified exact output (see stages/convdedup.py)."""
+    from raydedup.stages.convdedup import (PAIR_SCHEMA,
+                                           prefix_containment_pairs)
+
+    out = prefix_containment_pairs(
+        _transcripts_with_retries(sf_dir)).materialize()
+    if out.count() == 0:
+        # empty Datasets drop columns through to_pandas (Ray 2.49) —
+        # hand the driver a schema-carrying Arrow table
+        return PAIR_SCHEMA.empty_table()
+    return out
+
+
+def q_tool_seq_clusters(sf_dir: str):
+    """Structural conversation dedup: clusters of conversations sharing
+    the exact ordered tool-call sequence (text ignored — 'same tool
+    script, different wording'), cluster id = min conv_id, size >= 2.
+    Only tool names shuffle (see stages/convdedup.py)."""
+    from raydedup.stages.convdedup import tool_sequence_clusters
+
+    out = tool_sequence_clusters(
+        transcripts_from_documents(sf_dir)).materialize()
+    if out.count() == 0:
+        return pa.schema([
+            pa.field("conv_id", pa.string()),
+            pa.field("cluster_id", pa.string()),
+            pa.field("cluster_size", pa.int64()),
+        ]).empty_table()
+    return out
+
+
 def q_priority_dedup(sf_dir: str):
     """Provenance-priority exact dedup: identical texts keep the copy
     from the lexicographically-first source (ties: min doc_id), with
@@ -2597,6 +2660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_drift_by_source": q_length_drift_by_source,
         "embedding_decontam": q_embedding_decontam,
         "priority_dedup": q_priority_dedup,
+        "prefix_containment_convs": q_prefix_containment_convs,
+        "tool_seq_clusters": q_tool_seq_clusters,
         "shard_manifest": q_shard_manifest,
         "line_dedup_docs": q_line_dedup_docs,
         "incremental_dedup": q_incremental_dedup,
@@ -5392,6 +5457,43 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
             FROM ranked WHERE rn = 1
+        """,
+        "prefix_containment_convs": TRANSCRIPTS_SQL + """
+            , retry AS (
+                SELECT conv_id || '-retry' AS conv_id, turn_idx, role,
+                       text
+                FROM transcripts
+                WHERE CAST(substr(conv_id, 6) AS INTEGER) % 5 = 0
+                  AND turn_idx < 3),
+            tall AS (
+                SELECT conv_id, turn_idx, role, text FROM transcripts
+                UNION ALL SELECT * FROM retry),
+            conv AS (
+                SELECT conv_id,
+                       string_agg(role || chr(30) || text, chr(31)
+                                  ORDER BY turn_idx) AS s,
+                       count(*) AS len
+                FROM tall GROUP BY 1)
+            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                   CAST(a.len AS BIGINT) AS prefix_len,
+                   (a.len = b.len) AS full_match
+            FROM conv a JOIN conv b ON a.conv_id <> b.conv_id
+            WHERE (b.len > a.len AND starts_with(b.s, a.s || chr(31)))
+               OR (b.len = a.len AND a.conv_id < b.conv_id AND a.s = b.s)
+        """,
+        "tool_seq_clusters": TRANSCRIPTS_SQL + """
+            , seqs AS (
+                SELECT conv_id,
+                       string_agg(tool, ',' ORDER BY turn_idx) AS tool_seq
+                FROM transcripts
+                WHERE tool IS NOT NULL AND tool <> '' GROUP BY 1),
+            cl AS (
+                SELECT tool_seq, count(*) AS cluster_size,
+                       min(conv_id) AS cluster_id
+                FROM seqs GROUP BY 1 HAVING count(*) >= 2)
+            SELECT s.conv_id, c.cluster_id,
+                   CAST(c.cluster_size AS BIGINT) AS cluster_size
+            FROM seqs s JOIN cl c USING (tool_seq)
         """,
         "length_drift_by_source": f"""
             WITH grid AS (SELECT DISTINCT n_chars AS x FROM documents),

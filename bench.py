@@ -187,7 +187,15 @@ def run_bench() -> dict:
                   "leakage_safe_split",
                   "corpus_diff",
                   "event_dedup_window",
-                  "length_deciles"):
+                  "length_deciles",
+                  "source_similarity",
+                  "dedup_threshold_sweep",
+                  "dup_rate_by_lang",
+                  "length_drift_by_source",
+                  "embedding_decontam",
+                  "priority_dedup",
+                  "prefix_containment_convs",
+                  "tool_seq_clusters"):
         t0 = time.time()
         entrymod.queries()[qname](sf_dir).count()
         queries[qname] = round(time.time() - t0, 3)

@@ -1,0 +1,159 @@
+"""Conversation-structure dedup: prefix containment + tool-sequence
+clusters (stages/convdedup.py) against planted fixtures and a
+brute-force oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from raydedup.stages.convdedup import (_B, _BINV, conv_prefix_hashes,
+                                       prefix_containment_pairs,
+                                       tool_sequence_clusters)
+
+
+def _ts_table(convs: dict[str, list[tuple[str, str, str]]]) -> pa.Table:
+    """convs: conv_id -> [(role, text, tool), ...] in turn order."""
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+            "tool": []}
+    for cid, turns in convs.items():
+        for i, (role, text, tool) in enumerate(turns):
+            rows["conv_id"].append(cid)
+            rows["turn_idx"].append(i)
+            rows["role"].append(role)
+            rows["text"].append(text)
+            rows["tool"].append(tool)
+    return pa.table({
+        "conv_id": pa.array(rows["conv_id"], pa.string()),
+        "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+        "role": pa.array(rows["role"], pa.string()),
+        "text": pa.array(rows["text"], pa.string()),
+        "tool": pa.array(rows["tool"], pa.string()),
+    })
+
+
+def _brute_prefix_pairs(convs):
+    seqs = {c: [(r, t) for r, t, _ in v] for c, v in convs.items()}
+    out = set()
+    for a, sa in seqs.items():
+        for b, sb in seqs.items():
+            if a == b:
+                continue
+            if len(sb) > len(sa) and sb[:len(sa)] == sa:
+                out.add((a, b, len(sa), False))
+            elif len(sb) == len(sa) and sa == sb and a < b:
+                out.add((a, b, len(sa), True))
+    return out
+
+
+FIXTURE = {
+    # base conversation
+    "c-base": [("user", "hi", ""), ("assistant", "hello", ""),
+               ("user", "run it", ""), ("tool", "ok", "search")],
+    # strict prefix of c-base (the retry pattern)
+    "c-retry": [("user", "hi", ""), ("assistant", "hello", "")],
+    # exact duplicate of c-base
+    "c-dup": [("user", "hi", ""), ("assistant", "hello", ""),
+              ("user", "run it", ""), ("tool", "ok", "search")],
+    # same texts, different role on turn 1 -> NOT a prefix
+    "c-role": [("user", "hi", ""), ("user", "hello", "")],
+    # shares first turn only, then diverges
+    "c-div": [("user", "hi", ""), ("assistant", "nope", "")],
+    # unrelated
+    "c-other": [("user", "what", ""), ("assistant", "no", "")],
+    # single-turn prefix of c-base
+    "c-one": [("user", "hi", "")],
+}
+
+
+def test_prefix_pairs_match_brute_force(ray_session):
+    ds = ray.data.from_arrow(_ts_table(FIXTURE))
+    got = {(r["conv_a"], r["conv_b"], r["prefix_len"], r["full_match"])
+           for r in prefix_containment_pairs(ds).take_all()}
+    want = _brute_prefix_pairs(FIXTURE)
+    assert got == want
+    # sanity on the planted shapes: retry + one are strict prefixes of
+    # BOTH c-base and its exact dup; base<->dup is one full match
+    assert ("c-retry", "c-base", 2, False) in got
+    assert ("c-one", "c-dup", 1, False) in got
+    assert ("c-base", "c-dup", 4, True) in got
+    assert not any(a == "c-role" or b == "c-role" for a, b, _, _ in got
+                   if "c-role" in (a, b) and "c-div" in (a, b))
+
+
+def test_prefix_pairs_empty_keeps_schema(ray_session):
+    convs = {"a": [("user", "x", "")], "b": [("user", "y", "")]}
+    out = prefix_containment_pairs(ray.data.from_arrow(_ts_table(convs)))
+    # Ray 2.49 drops schema through to_pandas() on a fully-empty
+    # Dataset (see setjoin.py) — Dataset.schema() is the stable probe;
+    # driver-facing query wrappers swap in an Arrow empty_table.
+    assert set(out.schema().names) == {"conv_a", "conv_b", "prefix_len",
+                                       "full_match"}
+    assert out.count() == 0
+
+
+def test_prefix_hash_positions_and_rolling_identity(ray_session):
+    """The rolling hash must satisfy H_k = H_{k-1}*B + d_k — recompute
+    sequentially from the turn digests and compare."""
+    import hashlib
+
+    ds = ray.data.from_arrow(_ts_table({"c": [
+        ("user", "a", ""), ("assistant", "b", ""), ("user", "c", "")]}))
+    rows = sorted(conv_prefix_hashes(ds).take_all(),
+                  key=lambda r: r["pos"])
+    h = 0
+    for r in rows:
+        rep = f"{FIX_ROLE[r['pos']]}\x1e{FIX_TXT[r['pos']]}"
+        d = int.from_bytes(
+            hashlib.blake2b(rep.encode(), digest_size=8).digest(), "big")
+        h = (h * int(_B) + d) % (1 << 64)
+        assert r["prefix_hash"] % (1 << 64) == h
+    assert rows[-1]["is_last"] and rows[-1]["conv_len"] == 3
+
+
+FIX_ROLE = ["user", "assistant", "user"]
+FIX_TXT = ["a", "b", "c"]
+
+
+def test_binv_is_inverse():
+    assert (int(_B) * int(_BINV)) % (1 << 64) == 1
+
+
+def test_tool_sequence_clusters(ray_session):
+    convs = {
+        "t1": [("user", "x", ""), ("tool", "r", "search"),
+               ("tool", "r2", "fetch")],
+        "t2": [("user", "completely different", ""),
+               ("tool", "zz", "search"), ("tool", "q", "fetch")],
+        "t3": [("user", "x", ""), ("tool", "r", "fetch"),
+               ("tool", "r2", "search")],  # same tools, other order
+        "t4": [("user", "no tools at all", "")],
+        "t5": [("tool", "a", "search"), ("tool", "b", "fetch")],
+    }
+    ds = ray.data.from_arrow(_ts_table(convs))
+    got = {(r["conv_id"], r["cluster_id"], r["cluster_size"])
+           for r in tool_sequence_clusters(ds).take_all()}
+    # t1/t2/t5 share 'search,fetch'; t3 is 'fetch,search' (alone); t4 none
+    assert got == {("t1", "t1", 3), ("t2", "t1", 3), ("t5", "t1", 3)}
+
+
+def test_tool_sequence_empty_keeps_schema(ray_session):
+    convs = {"a": [("user", "x", "")]}
+    out = tool_sequence_clusters(ray.data.from_arrow(_ts_table(convs)))
+    assert set(out.schema().names) == {"conv_id", "cluster_id",
+                                       "cluster_size"}
+    assert out.count() == 0
+
+
+def test_prefix_pairs_join_fallback_path(ray_session):
+    """verify_broadcast_max=0 forces the distributed semi-join verify
+    path; output must be identical to the broadcast path."""
+    ds = ray.data.from_arrow(_ts_table(FIXTURE))
+    a = {tuple(sorted(r.items()))
+         for r in prefix_containment_pairs(ds).take_all()}
+    b = {tuple(sorted(r.items()))
+         for r in prefix_containment_pairs(
+             ds, verify_broadcast_max=0).take_all()}
+    assert a == b == {tuple(sorted(p.items())) for p in (
+        dict(conv_a=x, conv_b=y, prefix_len=n, full_match=f)
+        for x, y, n, f in _brute_prefix_pairs(FIXTURE))}
