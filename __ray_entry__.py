@@ -257,6 +257,64 @@ def q_source_similarity(sf_dir: str):
     return _round_tbl(source_similarity(docs), "jaccard")
 
 
+def _docs_with_fragments(sf_dir: str):
+    """Deterministic 'fragmented corpus' view (no external data): every
+    7th sufficiently-long doc also appears as two fragments sharing an
+    exact 64-char overlap seam at the midpoint (ids +2e6 / +3e6) — the
+    fixed-overlap chunker output stitch_candidates exists to reassemble.
+    Mirrored verbatim by the oracle's frags CTE. The per-row Python
+    split runs only over the %7 fixture subset (a derived test view,
+    not a scale operator — same contract as _docs_v2)."""
+    def frag(b: pa.Table) -> pa.Table:
+        base = pa.table({"doc_id": b["doc_id"], "text": b["text"]})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        fid, ftext = [], []
+        for i, t in zip(ids, texts):
+            if i % 7 or t is None or len(t) < 130:
+                continue
+            p = len(t) // 2
+            fid.append(int(i) + 2000000)
+            ftext.append(t[:p + 64])
+            fid.append(int(i) + 3000000)
+            ftext.append(t[p:])
+        if not fid:
+            return base
+        return pa.concat_tables([base, pa.table({
+            "doc_id": pa.array(fid, pa.int64()),
+            "text": pa.array(ftext, pa.string()),
+        })])
+
+    return _docs(sf_dir).map_batches(frag, batch_format="pyarrow")
+
+
+def q_stitch_candidates(sf_dir: str):
+    """Fragment reassembly: pairs where the last 64 chars of one doc
+    equal the first 64 of another — the seam signature a fixed-overlap
+    chunker leaves. Only 64-char grams shuffle; one distributed hash
+    join on the literal gram (see stages/exact.py:stitch_candidates)."""
+    from raydedup.stages.exact import stitch_candidates
+
+    return stitch_candidates(_docs_with_fragments(sf_dir))
+
+
+def q_source_similarity_kmv(sf_dir: str):
+    """Bounded-memory KMV-sketch estimate of the inter-source overlap
+    matrix (k-minimum-values, k=256): per-source state is capped at k
+    md5-low64 values no matter the vocabulary — the 100-TB path where
+    the exact matrix's distinct-fingerprint shuffle gets expensive.
+    Deterministic given the hash, so the DuckDB oracle reproduces the
+    ESTIMATE bit-for-bit (see stages/collection.py:source_similarity_kmv)."""
+    import ray.data
+
+    from raydedup.stages.collection import source_similarity_kmv
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"],
+                                 override_num_blocks=64)
+    return _round_tbl(source_similarity_kmv(docs), "jaccard_est")
+
+
 _SWEEP_GRID = [0.8, 0.85, 0.9, 0.95, 1.0]
 
 
@@ -2543,6 +2601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_dedup_window": q_event_dedup_window,
         "length_deciles": q_length_deciles,
         "source_similarity": q_source_similarity,
+        "source_similarity_kmv": q_source_similarity_kmv,
+        "stitch_candidates": q_stitch_candidates,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
@@ -3440,6 +3500,79 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard
             FROM sz x JOIN sz y ON x.source < y.source
             LEFT JOIN co ON co.sa = x.source AND co.sb = y.source
+        """,
+        "source_similarity_kmv": f"""
+            WITH arrs AS (
+                SELECT source,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM documents
+            ),
+            gl AS (
+                SELECT source,
+                       list_transform(range(len(arr) - 2),
+                           i -> arr[i + 1] || ' ' || arr[i + 2] || ' '
+                                || arr[i + 3]) AS l
+                FROM arrs WHERE len(arr) >= 3
+            ),
+            grams AS (SELECT DISTINCT source, g.g FROM gl,
+                      UNNEST(l) AS g(g)),
+            hs AS (SELECT DISTINCT source,
+                          CAST('0x' || substr(md5(g), 17, 16) AS UBIGINT)
+                              AS h
+                   FROM grams),
+            sk AS (SELECT source, h FROM (
+                     SELECT source, h,
+                            row_number() OVER (PARTITION BY source
+                                               ORDER BY h) AS rn
+                     FROM hs) WHERE rn <= 256),
+            ps AS (SELECT DISTINCT source FROM sk),
+            pairs AS (SELECT a.source AS sa, b.source AS sb
+                      FROM ps a JOIN ps b ON a.source < b.source),
+            u AS (SELECT p.sa, p.sb, s.h
+                  FROM pairs p JOIN sk s
+                    ON s.source = p.sa OR s.source = p.sb
+                  GROUP BY 1, 2, 3),
+            uk AS (SELECT sa, sb, h FROM (
+                     SELECT sa, sb, h,
+                            row_number() OVER (PARTITION BY sa, sb
+                                               ORDER BY h) AS rn
+                     FROM u) WHERE rn <= 256),
+            inter AS (SELECT uk.sa, uk.sb, count(*) AS c
+                      FROM uk
+                      JOIN sk x ON x.source = uk.sa AND x.h = uk.h
+                      JOIN sk y ON y.source = uk.sb AND y.h = uk.h
+                      GROUP BY 1, 2),
+            usz AS (SELECT sa, sb, count(*) AS ku FROM uk GROUP BY 1, 2)
+            SELECT z.sa AS source_a, z.sb AS source_b,
+                   CAST(z.ku AS BIGINT) AS k_union,
+                   CAST(coalesce(i.c, 0) AS BIGINT) AS n_inter,
+                   round(CAST(coalesce(i.c, 0) AS DOUBLE) / z.ku,
+                         {_ROUND}) AS jaccard_est
+            FROM usz z LEFT JOIN inter i
+              ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "stitch_candidates": """
+            WITH frags AS (
+                SELECT doc_id + 2000000 AS doc_id,
+                       substr(text, 1, (length(text) // 2) + 64) AS text
+                FROM documents
+                WHERE doc_id % 7 = 0 AND length(text) >= 130
+                UNION ALL
+                SELECT doc_id + 3000000,
+                       substr(text, (length(text) // 2) + 1)
+                FROM documents
+                WHERE doc_id % 7 = 0 AND length(text) >= 130),
+            tall AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT * FROM frags),
+            heads AS (SELECT doc_id AS b_id, substr(text, 1, 64) AS gram
+                      FROM tall WHERE length(text) >= 64),
+            tails AS (SELECT doc_id AS a_id,
+                             substr(text, length(text) - 63) AS gram
+                      FROM tall WHERE length(text) >= 64)
+            SELECT t.a_id, h.b_id
+            FROM tails t JOIN heads h USING (gram)
+            WHERE t.a_id <> h.b_id
         """,
         "dedup_threshold_sweep": f"""
             WITH {_DOC_SHINGLES_CTE},

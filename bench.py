@@ -195,9 +195,14 @@ def run_bench() -> dict:
                   "embedding_decontam",
                   "priority_dedup",
                   "prefix_containment_convs",
-                  "tool_seq_clusters"):
+                  "tool_seq_clusters",
+                  "source_similarity_kmv",
+                  "stitch_candidates"):
         t0 = time.time()
-        entrymod.queries()[qname](sf_dir).count()
+        r = entrymod.queries()[qname](sf_dir)
+        # consume: Dataset -> count(); small pa.Table / DataFrame
+        # results are already materialized
+        r.count() if isinstance(r, ray.data.Dataset) else len(r)
         queries[qname] = round(time.time() - t0, 3)
 
     result = {

@@ -697,3 +697,115 @@ def source_similarity(ds, by: str = "source", text_col: str = "text",
                      "n_b": pa.array(nb, pa.int64()),
                      "n_common": pa.array(ncm, pa.int64()),
                      "jaccard": pa.array(jac, pa.float64())})
+
+
+def source_similarity_kmv(ds, by: str = "source", text_col: str = "text",
+                          n: int = 3, k: int = 256):
+    """Bounded-memory estimate of the ``source_similarity`` matrix via
+    k-minimum-values sketches (Bar-Yossef et al. 2002; Beyer et al.
+    SIGMOD 2007) — the scale path when per-source distinct-gram volume
+    outgrows the exact matrix's fingerprint shuffle. The exact
+    operator's exchange is linear in TOTAL distinct grams; this one
+    caps per-source state at ``k`` 64-bit values regardless of
+    vocabulary, so the whole reduction is sources x k values.
+
+    Estimator per pair (A, B): U = the k smallest values of
+    sketch(A) ∪ sketch(B); Ĵ = |U ∩ sketch(A) ∩ sketch(B)| / |U| —
+    an unbiased Jaccard estimate with RMSE ~ 1/sqrt(k). DETERMINISTIC
+    given the hash: grams hash with md5 low-64 (unsigned order), so a
+    SQL oracle reproduces the estimate bit-for-bit — same contract as
+    the md5-keyed samplers in textstats.
+
+    Per batch: distinct grams per source → md5-low64 → k smallest
+    (np.partition, no full sort) leave the batch; a per-source merge
+    keeps the k smallest distinct of the partials; the driver sees
+    only sources x k values and computes the (tiny) pairwise matrix
+    vectorized. Sources with zero n-grams drop out (oracle parity).
+
+    Returns pyarrow Table: source_a < source_b, k_union (=|U|),
+    n_inter, jaccard_est (unrounded; callers round)."""
+    import hashlib
+
+    from raydedup.stages.decontam import _ngrams
+
+    empty_out = pa.table({
+        "source_a": pa.array([], pa.string()),
+        "source_b": pa.array([], pa.string()),
+        "k_union": pa.array([], pa.int64()),
+        "n_inter": pa.array([], pa.int64()),
+        "jaccard_est": pa.array([], pa.float64()),
+    })
+
+    def _ksmall(h: np.ndarray) -> np.ndarray:
+        """k smallest DISTINCT values of h (uint64)."""
+        u = np.unique(h)          # sorted distinct
+        return u[:k]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per_src: dict[str, set[str]] = {}
+        for s, t in zip(batch[by].to_pylist(),
+                        batch[text_col].to_pylist()):
+            if s is None or not t:
+                continue
+            grams = _ngrams(t, n)
+            if grams:
+                per_src.setdefault(s, set()).update(grams)
+        srcs: list[np.ndarray] = []
+        hs: list[np.ndarray] = []
+        for s, gs in per_src.items():
+            h = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(g.encode()).digest()[8:], "big")
+                 for g in gs),
+                dtype=np.uint64, count=len(gs))
+            h = _ksmall(h)
+            hs.append(h)
+            srcs.append(np.full(len(h), s, dtype=object))
+        if not hs:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64())})
+        return pa.table({
+            "src": pa.array(np.concatenate(srcs), pa.string()),
+            "h": pa.array(np.concatenate(hs).view(np.int64)),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "h" not in g.column_names:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64())})
+        h = _ksmall(g["h"].combine_chunks().to_numpy(
+            zero_copy_only=False).view(np.uint64))
+        return pa.table({
+            "src": pa.array([g["src"][0].as_py()] * len(h), pa.string()),
+            "h": pa.array(h.view(np.int64)),
+        })
+
+    rows = (ds.select_columns([by, text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("src").map_groups(merge, batch_format="pyarrow")
+            .take_all())              # sources x k rows — driver-sized
+    sketches: dict[str, np.ndarray] = {}
+    for r in rows:
+        sketches.setdefault(r["src"], []).append(r["h"])
+    sketches = {s: np.sort(np.asarray(v, dtype=np.int64).view(np.uint64))
+                for s, v in sketches.items()}
+    srcs = sorted(sketches)
+    sa, sb, ku, ni, je = [], [], [], [], []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            A, B = sketches[a], sketches[b]
+            u = np.unique(np.concatenate([A, B]))[:k]
+            inter = np.intersect1d(A, B, assume_unique=True)
+            c = int(np.isin(u, inter).sum())
+            sa.append(a)
+            sb.append(b)
+            ku.append(len(u))
+            ni.append(c)
+            je.append(c / len(u) if len(u) else 0.0)
+    if not sa:
+        return empty_out
+    return pa.table({"source_a": pa.array(sa, pa.string()),
+                     "source_b": pa.array(sb, pa.string()),
+                     "k_union": pa.array(ku, pa.int64()),
+                     "n_inter": pa.array(ni, pa.int64()),
+                     "jaccard_est": pa.array(je, pa.float64())})

@@ -477,3 +477,60 @@ def priority_dedup(ds, key_col: str = "doc_id",
         })
 
     return merged.map_batches(decode, batch_format="pyarrow")
+
+
+def stitch_candidates(ds, key_col: str = "doc_id", text_col: str = "text",
+                      k: int = 64):
+    """Fragment-reassembly candidates: pairs (a_id, b_id) where the
+    LAST ``k`` characters of a's text equal the FIRST ``k`` characters
+    of b's (a != b, both texts >= k chars) — the inverse primitive of
+    fixed-overlap chunking (textstats.chunk_documents): a splitter that
+    broke documents into chunks sharing a k-char overlap window leaves
+    exactly this signature at every seam, so reassembly is this join.
+
+    Scale shape: each side leaves its batch as (id, k-char gram) — the
+    head via one vectorized slice, the tail via reverse→slice→reverse
+    (pyarrow has no per-row-variable slice; double-reverse gets 'last k
+    codepoints' with scalar kernels only). Only the k-char grams
+    shuffle, never full text; one distributed hash join on the literal
+    gram (no hashing → no collision caveat). Output is candidates:
+    transitive seams (a→b→c) appear as both pairs."""
+    import numpy as np
+
+    import ray.data
+
+    from raydedup.util import join_partitions
+
+    def _long_enough(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b[text_col], "")
+        ok = pc.greater_equal(pc.utf8_length(t), k)
+        out = pa.table({key_col: b[key_col], text_col: t})
+        return out.filter(ok)
+
+    def heads(b: pa.Table) -> pa.Table:
+        b = _long_enough(b)
+        return pa.table({
+            "b_id": b[key_col],
+            "gram": pc.utf8_slice_codeunits(b[text_col], 0, k),
+        })
+
+    def tails(b: pa.Table) -> pa.Table:
+        b = _long_enough(b)
+        rev = pc.utf8_reverse(b[text_col])
+        tail = pc.utf8_reverse(pc.utf8_slice_codeunits(rev, 0, k))
+        return pa.table({"a_id": b[key_col], "gram": tail})
+
+    h = ds.map_batches(heads, batch_format="pyarrow")
+    t = ds.map_batches(tails, batch_format="pyarrow")
+    n_parts = join_partitions(max(ds.count(), 1))
+    out = (t.join(h, join_type="inner", num_partitions=n_parts,
+                  on=("gram",))
+           .filter(expr="a_id != b_id")
+           .select_columns(["a_id", "b_id"])
+           .materialize())
+    if out.count() == 0:
+        ktype = ds.schema().types[list(ds.schema().names).index(key_col)]
+        return ray.data.from_arrow(pa.schema([
+            pa.field("a_id", ktype), pa.field("b_id", ktype),
+        ]).empty_table())
+    return out

@@ -100,3 +100,54 @@ def test_ecdf_drift_vs_bruteforce(ray_session):
         assert n_docs == len(mine)
         assert abs(got_ks - ks) < 1e-12
     assert got["s2"][1] > 0.2  # the planted shift is detected
+
+
+def test_source_similarity_kmv_exact_when_small(ray_session):
+    """With distinct grams per source <= k, the KMV union sketch IS the
+    union — the estimate must equal the exact Jaccard."""
+    from raydedup.stages.collection import (source_similarity,
+                                            source_similarity_kmv)
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = {"source": [], "text": []}
+    for s in ("a", "b", "c"):
+        for _ in range(10):
+            words = rng.choice(vocab, size=12, replace=True)
+            rows["source"].append(s)
+            rows["text"].append(" ".join(words))
+    ds = ray.data.from_arrow(pa.table(rows))
+    exact = {(r.source_a, r.source_b): r.jaccard
+             for r in source_similarity(ds).to_pandas().itertuples()}
+    est = {(r.source_a, r.source_b): r.jaccard_est
+           for r in source_similarity_kmv(ds, k=100000).to_pandas()
+           .itertuples()}
+    assert set(exact) == set(est)
+    for p, j in exact.items():
+        assert abs(est[p] - j) < 1e-12
+
+
+def test_source_similarity_kmv_estimate_accuracy(ray_session):
+    """At k=256 the estimate must land within a few sigma
+    (~3/sqrt(k) ~ 0.19) of the true Jaccard on overlapping corpora,
+    and be deterministic across runs."""
+    from raydedup.stages.collection import (source_similarity,
+                                            source_similarity_kmv)
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(3000)]
+    rows = {"source": [], "text": []}
+    shared = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+    for s in ("a", "b"):
+        rows["source"] += [s] * 60
+        rows["text"] += shared  # identical half
+        rows["source"] += [s] * 60
+        rows["text"] += [" ".join(rng.choice(vocab, size=30))
+                         for _ in range(60)]  # private half
+    ds = ray.data.from_arrow(pa.table(rows))
+    exact = source_similarity(ds).to_pandas().iloc[0]["jaccard"]
+    e1 = source_similarity_kmv(ds, k=256).to_pandas()
+    e2 = source_similarity_kmv(ds, k=256).to_pandas()
+    assert abs(e1.iloc[0]["jaccard_est"] - exact) < 3 / np.sqrt(256) + 0.02
+    assert e1.iloc[0]["jaccard_est"] == e2.iloc[0]["jaccard_est"]
+    assert e1.iloc[0]["k_union"] == 256

@@ -670,3 +670,42 @@ def test_priority_dedup_rejects_separator(ray_session):
                     "text": ["t"]})
     with pytest.raises(Exception):
         priority_dedup(ray.data.from_arrow(tbl)).materialize()
+
+
+def test_stitch_candidates_planted_seams(ray_session):
+    from raydedup.stages.exact import stitch_candidates
+
+    k = 64
+    body = "".join(chr(97 + (i * 7) % 26) for i in range(200))
+    seam = body[100:100 + k]
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            body[:100] + seam,          # 1: ends with seam
+            seam + body[:100],          # 2: starts with seam -> (1,2)
+            "short",                    # 3: < k chars, excluded
+            body[:100] + seam[::-1],    # 4: ends with reversed seam
+            "ü" * 50 + seam,            # 5: multi-byte prefix, ends with
+                                        #    seam -> (5,2); codepoint
+                                        #    slicing must not split 'ü'
+        ],
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "text": pa.array(rows["text"], pa.string()),
+    }))
+    got = {(r["a_id"], r["b_id"])
+           for r in stitch_candidates(ds, k=k).take_all()}
+    assert got == {(1, 2), (5, 2)}
+
+
+def test_stitch_candidates_empty_keeps_schema(ray_session):
+    from raydedup.stages.exact import stitch_candidates
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a" * 80, "b" * 80], pa.string()),
+    }))
+    out = stitch_candidates(ds)
+    assert set(out.schema().names) == {"a_id", "b_id"}
+    assert out.count() == 0
