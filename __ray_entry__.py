@@ -298,6 +298,64 @@ def q_stitch_candidates(sf_dir: str):
     return stitch_candidates(_docs_with_fragments(sf_dir))
 
 
+def _transcripts_with_forks(sf_dir: str):
+    """Deterministic 'fork' view (no external data): every 4th
+    conversation spawns a replica under conv_id + '-fork' whose turns
+    from index 5 onward have ' forked' appended — a rerun that diverged
+    at turn 5. Mirrored verbatim by the oracle's fork CTE."""
+    import numpy as np
+
+    ts = transcripts_from_documents(sf_dir)
+
+    def add_fork(b: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(b["conv_id"], 5, 99),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        mask = pa.array(num % 4 == 0)
+        rep = b.filter(mask)
+        late = pc.greater_equal(rep["turn_idx"], 5)
+        new_text = pc.if_else(
+            late,
+            pc.binary_join_element_wise(rep["text"],
+                                        pa.scalar(" forked"), ""),
+            rep["text"])
+        rep = rep.set_column(rep.column_names.index("text"), "text",
+                             new_text)
+        rep = rep.set_column(
+            rep.column_names.index("conv_id"), "conv_id",
+            pc.binary_join_element_wise(rep["conv_id"],
+                                        pa.scalar("-fork"), ""))
+        return pa.concat_tables([b, rep])
+
+    return ts.map_batches(add_fork, batch_format="pyarrow")
+
+
+def q_conv_divergence(sf_dir: str):
+    """Fork divergence report: for each (conversation, its fork
+    replica) pair, the longest common turn prefix plus both lengths —
+    'where did the rerun diverge'. Linear in paired turns; no text
+    shuffles (see stages/convdedup.py:conv_divergence)."""
+    import ray.data
+
+    from raydedup.stages.convdedup import conv_divergence
+
+    tall = _transcripts_with_forks(sf_dir)
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(b["conv_id"], 5, 99),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(num % 4 == 0))
+        t = t.filter(pc.equal(t["turn_idx"], 0))
+        return pa.table({
+            "conv_a": t["conv_id"],
+            "conv_b": pc.binary_join_element_wise(
+                t["conv_id"], pa.scalar("-fork"), ""),
+        })
+
+    pairs = transcripts_from_documents(sf_dir).map_batches(
+        pair_rows, batch_format="pyarrow")
+    return conv_divergence(tall, pairs)
+
+
 def q_source_similarity_kmv(sf_dir: str):
     """Bounded-memory KMV-sketch estimate of the inter-source overlap
     matrix (k-minimum-values, k=256): per-source state is capped at k
@@ -2603,6 +2661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity": q_source_similarity,
         "source_similarity_kmv": q_source_similarity_kmv,
         "stitch_candidates": q_stitch_candidates,
+        "conv_divergence": q_conv_divergence,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
@@ -3573,6 +3632,43 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT t.a_id, h.b_id
             FROM tails t JOIN heads h USING (gram)
             WHERE t.a_id <> h.b_id
+        """,
+        "conv_divergence": TRANSCRIPTS_SQL + """
+            , forks AS (
+                SELECT conv_id || '-fork' AS conv_id, turn_idx, role,
+                       CASE WHEN turn_idx >= 5 THEN text || ' forked'
+                            ELSE text END AS text
+                FROM transcripts
+                WHERE CAST(substr(conv_id, 6) AS INTEGER) % 4 = 0),
+            tall AS (
+                SELECT conv_id, turn_idx, role, text FROM transcripts
+                UNION ALL SELECT * FROM forks),
+            pairs AS (
+                SELECT DISTINCT conv_id AS conv_a,
+                       conv_id || '-fork' AS conv_b
+                FROM transcripts
+                WHERE CAST(substr(conv_id, 6) AS INTEGER) % 4 = 0),
+            lens AS (SELECT conv_id, count(*) AS len FROM tall
+                     GROUP BY 1),
+            j AS (
+                SELECT p.conv_a, p.conv_b, a.turn_idx,
+                       (a.role = b.role AND a.text = b.text) AS eq
+                FROM pairs p
+                JOIN tall a ON a.conv_id = p.conv_a
+                JOIN tall b ON b.conv_id = p.conv_b
+                           AND b.turn_idx = a.turn_idx),
+            d AS (
+                SELECT conv_a, conv_b,
+                       min(turn_idx) FILTER (WHERE NOT eq) AS first_diff,
+                       count(*) AS aligned
+                FROM j GROUP BY 1, 2)
+            SELECT d.conv_a, d.conv_b,
+                   CAST(coalesce(d.first_diff, d.aligned) AS BIGINT)
+                       AS lcp,
+                   CAST(la.len AS BIGINT) AS a_len,
+                   CAST(lb.len AS BIGINT) AS b_len
+            FROM d JOIN lens la ON la.conv_id = d.conv_a
+                   JOIN lens lb ON lb.conv_id = d.conv_b
         """,
         "dedup_threshold_sweep": f"""
             WITH {_DOC_SHINGLES_CTE},

@@ -197,7 +197,8 @@ def run_bench() -> dict:
                   "prefix_containment_convs",
                   "tool_seq_clusters",
                   "source_similarity_kmv",
-                  "stitch_candidates"):
+                  "stitch_candidates",
+                  "conv_divergence"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

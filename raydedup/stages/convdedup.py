@@ -314,3 +314,83 @@ def tool_sequence_clusters(ds, key_col: str = "conv_id",
     if out.count() == 0:
         return ray.data.from_arrow(empty)
     return out
+
+
+def conv_divergence(ds, pairs, key_col: str = "conv_id",
+                    order_col: str = "turn_idx",
+                    text_cols: tuple[str, ...] = ("role", "text"),
+                    num_partitions: int = 64):
+    """Divergence analysis for conversation pairs: for every (conv_a,
+    conv_b) row of ``pairs``, the length of the longest common TURN
+    prefix (lcp — the turn index where a fork/retry diverged) plus both
+    lengths. The agent-trace "where did the rerun go different" report,
+    composable over any pair source (tool_sequence_clusters mates,
+    near-dup cluster pairs, prefix_containment output).
+
+    Execution: one prefix-hash row per turn (conv_prefix_hashes), then
+    pairs ⋈ a-side rows on conv_a and an inner join to b-side rows on
+    (conv_b, pos, hash) — prefix-hash equality at pos implies the first
+    pos+1 turns are equal, so the per-pair MATCH COUNT is exactly the
+    lcp. Work is linear in the total turns of paired conversations; no
+    text ever shuffles. Equality is at 64-bit rolling-hash grain
+    (collision odds ~2^-64 per compared position — same documented
+    caveat as the simhash stages; downstream edits should re-verify
+    text at the reported divergence turn if bit-certainty matters).
+
+    Returns (conv_a, conv_b, lcp, a_len, b_len); pairs whose members
+    share no prefix get lcp=0, pairs referencing unknown conv ids keep
+    their row with null lengths (left-join semantics)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ph = conv_prefix_hashes(ds, key_col, order_col, text_cols,
+                            num_partitions).materialize()
+    n_parts = join_partitions(max(ph.count(), 1))
+
+    lens = _rename(
+        ph.filter(expr="is_last == True")
+          .select_columns([key_col, "conv_len"]),
+        {key_col: "__k"})
+    a_rows = _rename(ph.select_columns([key_col, "pos", "prefix_hash"]),
+                     {key_col: "conv_a", "prefix_hash": "h"})
+    b_rows = _rename(ph.select_columns([key_col, "pos", "prefix_hash"]),
+                     {key_col: "conv_b", "prefix_hash": "h"})
+
+    pairs = pairs.select_columns(["conv_a", "conv_b"]).materialize()
+    np_pairs = join_partitions(max(pairs.count(), 1))
+    matched = (pairs.join(a_rows, join_type="inner",
+                          num_partitions=n_parts, on=("conv_a",))
+               .join(b_rows, join_type="inner", num_partitions=n_parts,
+                     on=("conv_b", "pos", "h")))
+    lcp = (matched.groupby(["conv_a", "conv_b"])
+           .aggregate(Count(alias_name="lcp")))
+
+    out = pairs.join(lcp, join_type="left_outer",
+                     num_partitions=np_pairs, on=("conv_a", "conv_b"))
+    out = out.join(_rename(lens, {"__k": "conv_a",
+                                  "conv_len": "a_len"}),
+                   join_type="left_outer", num_partitions=np_pairs,
+                   on=("conv_a",))
+    out = out.join(_rename(lens, {"__k": "conv_b",
+                                  "conv_len": "b_len"}),
+                   join_type="left_outer", num_partitions=np_pairs,
+                   on=("conv_b",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_a": b["conv_a"], "conv_b": b["conv_b"],
+            "lcp": pc.cast(pc.fill_null(b["lcp"], 0), pa.int64()),
+            "a_len": pc.cast(b["a_len"], pa.int64()),
+            "b_len": pc.cast(b["b_len"], pa.int64()),
+        })
+
+    res = out.map_batches(finish, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        return ray.data.from_arrow(pa.schema([
+            pa.field("conv_a", pa.string()),
+            pa.field("conv_b", pa.string()),
+            pa.field("lcp", pa.int64()),
+            pa.field("a_len", pa.int64()),
+            pa.field("b_len", pa.int64()),
+        ]).empty_table())
+    return res

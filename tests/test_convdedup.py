@@ -157,3 +157,28 @@ def test_prefix_pairs_join_fallback_path(ray_session):
     assert a == b == {tuple(sorted(p.items())) for p in (
         dict(conv_a=x, conv_b=y, prefix_len=n, full_match=f)
         for x, y, n, f in _brute_prefix_pairs(FIXTURE))}
+
+
+def test_conv_divergence_planted(ray_session):
+    from raydedup.stages.convdedup import conv_divergence
+
+    convs = {
+        "d1": [("user", "a", ""), ("assistant", "b", ""),
+               ("user", "c", "")],
+        "d2": [("user", "a", ""), ("assistant", "b", ""),
+               ("user", "DIFFERENT", ""), ("tool", "x", "t")],
+        "d3": [("user", "zzz", "")],
+        "d4": [("user", "a", ""), ("assistant", "b", ""),
+               ("user", "c", "")],
+    }
+    ds = ray.data.from_arrow(_ts_table(convs))
+    pairs = ray.data.from_arrow(pa.table({
+        "conv_a": pa.array(["d1", "d1", "d1", "d1"], pa.string()),
+        "conv_b": pa.array(["d2", "d3", "d4", "nope"], pa.string()),
+    }))
+    got = {(r["conv_a"], r["conv_b"]): (r["lcp"], r["a_len"], r["b_len"])
+           for r in conv_divergence(ds, pairs).take_all()}
+    assert got[("d1", "d2")] == (2, 3, 4)   # diverge at turn 2
+    assert got[("d1", "d3")] == (0, 3, 1)   # nothing shared
+    assert got[("d1", "d4")] == (3, 3, 3)   # identical
+    assert got[("d1", "nope")] == (0, 3, None)  # unknown id kept
