@@ -298,6 +298,73 @@ def q_stitch_candidates(sf_dir: str):
     return stitch_candidates(_docs_with_fragments(sf_dir))
 
 
+def q_dup_flow_matrix(sf_dir: str):
+    """Cross-source duplicate FLOW matrix: for every unordered source
+    pair, how many exact star edges (member → its exact-text rep; star,
+    not clique, so a viral text never explodes quadratically — the
+    dup_pagerank edge contract) and verified near-dup rep pairs connect
+    them — 'which crawls copy from which'. Edges are key pairs only;
+    sources attach via two hash joins to a pruned (key, source)
+    projection; one combiner-friendly 3-key counting groupby."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from raydedup.pipelines.neardup import (near_dup_pairs,
+                                            signatures_with_rep)
+    from raydedup.util import join_partitions
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"],
+                                 override_num_blocks=64)
+    assigned = signatures_with_rep(docs, SIMPLE_CFG,
+                                   key_cols=["doc_id"]).materialize()
+
+    def srcmap(b: pa.Table) -> pa.Table:
+        return pa.table({"ka": pc.cast(b["doc_id"], pa.string()),
+                         "src": b["source"]})
+
+    srcs = docs.map_batches(srcmap, batch_format="pyarrow").materialize()
+
+    def as_edge(ka: str, kb: str, kind: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "ka": b[ka], "kb": b[kb],
+                "kind": pa.array([kind] * b.num_rows, pa.string()),
+            })
+        return f
+
+    exact = (assigned.filter(expr="is_rep == False")
+             .map_batches(as_edge("row_key", "rep_key", "exact"),
+                          batch_format="pyarrow"))
+    near = near_dup_pairs(assigned, SIMPLE_CFG).map_batches(
+        as_edge("a_key", "b_key", "near"), batch_format="pyarrow")
+    edges = exact.union(near)
+
+    n_parts = join_partitions(max(assigned.count(), 1))
+    j = edges.join(srcs, join_type="inner", num_partitions=n_parts,
+                   on=("ka",))
+    j = j.map_batches(
+        lambda b: b.rename_columns(
+            ["kb" if c == "ka" else "ka" if c == "kb" else
+             "sa" if c == "src" else c for c in b.column_names]),
+        batch_format="pyarrow")
+    # after the swap the second join also keys on "ka" (originally kb)
+    j = j.join(srcs, join_type="inner", num_partitions=n_parts,
+               on=("ka",))
+
+    def unordered(b: pa.Table) -> pa.Table:
+        lo = pc.if_else(pc.less_equal(b["sa"], b["src"]), b["sa"],
+                        b["src"])
+        hi = pc.if_else(pc.less_equal(b["sa"], b["src"]), b["src"],
+                        b["sa"])
+        return pa.table({"source_a": lo, "source_b": hi,
+                         "kind": b["kind"]})
+
+    return (j.map_batches(unordered, batch_format="pyarrow")
+            .groupby(["source_a", "source_b", "kind"])
+            .aggregate(Count(alias_name="n_edges")))
+
+
 def _transcripts_with_forks(sf_dir: str):
     """Deterministic 'fork' view (no external data): every 4th
     conversation spawns a replica under conv_id + '-fork' whose turns
@@ -2662,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity_kmv": q_source_similarity_kmv,
         "stitch_candidates": q_stitch_candidates,
         "conv_divergence": q_conv_divergence,
+        "dup_flow_matrix": q_dup_flow_matrix,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
@@ -3632,6 +3700,32 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT t.a_id, h.b_id
             FROM tails t JOIN heads h USING (gram)
             WHERE t.a_id <> h.b_id
+        """,
+        "dup_flow_matrix": f"""
+            WITH {_DOC_SHINGLES_CTE},
+            reps AS (
+                SELECT text, min(CAST(doc_id AS VARCHAR)) AS rep
+                FROM documents GROUP BY text),
+            exact_edges AS (
+                SELECT CAST(d.doc_id AS VARCHAR) AS ka, r.rep AS kb
+                FROM documents d JOIN reps r ON d.text = r.text
+                WHERE CAST(d.doc_id AS VARCHAR) <> r.rep),
+            near_edges AS (
+                SELECT CAST(a_id AS VARCHAR) AS ka,
+                       CAST(b_id AS VARCHAR) AS kb
+                FROM near_pairs),
+            edges AS (
+                SELECT ka, kb, 'exact' AS kind FROM exact_edges
+                UNION ALL SELECT ka, kb, 'near' FROM near_edges),
+            es AS (
+                SELECT e.kind,
+                       least(da.source, db.source) AS source_a,
+                       greatest(da.source, db.source) AS source_b
+                FROM edges e
+                JOIN documents da ON CAST(da.doc_id AS VARCHAR) = e.ka
+                JOIN documents db ON CAST(db.doc_id AS VARCHAR) = e.kb)
+            SELECT source_a, source_b, kind, count(*) AS n_edges
+            FROM es GROUP BY 1, 2, 3
         """,
         "conv_divergence": TRANSCRIPTS_SQL + """
             , forks AS (

@@ -198,7 +198,8 @@ def run_bench() -> dict:
                   "tool_seq_clusters",
                   "source_similarity_kmv",
                   "stitch_candidates",
-                  "conv_divergence"):
+                  "conv_divergence",
+                  "dup_flow_matrix"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame
