@@ -298,6 +298,42 @@ def q_stitch_candidates(sf_dir: str):
     return stitch_candidates(_docs_with_fragments(sf_dir))
 
 
+def q_snm_candidate_pairs(sf_dir: str):
+    """Sorted-neighborhood candidate pairs (Hernández-Stolfo blocked
+    SNM, window 3, bucket = first 8 normalized chars): the third
+    candidate paradigm next to LSH and simhash pigeonhole — catches
+    stable-head edits regardless of tail churn, pair volume bounded by
+    window * n by construction (see stages/snm.py)."""
+    from raydedup.stages.snm import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(_docs(sf_dir))
+
+
+def q_snm_multipass_pairs(sf_dir: str):
+    """Multi-pass SNM (the standard blocked-SNM recall recovery): one
+    forward pass over the normalized key plus one pass over the
+    REVERSED key (stable-tail edits sort adjacent there), each row
+    tagged with its pass. Two independent partition sweeps; same
+    bounded pair volume per pass."""
+    from raydedup.stages.snm import _norm_key, sorted_neighborhood_pairs
+
+    def rev_key(arr):
+        return pc.utf8_reverse(_norm_key(arr))
+
+    def tag(pass_name):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "pass", pa.array([pass_name] * b.num_rows, pa.string()))
+        return f
+
+    fwd = sorted_neighborhood_pairs(_docs(sf_dir)).map_batches(
+        tag("fwd"), batch_format="pyarrow")
+    rev = sorted_neighborhood_pairs(_docs(sf_dir), key_fn=rev_key
+                                    ).map_batches(
+        tag("rev"), batch_format="pyarrow")
+    return fwd.union(rev)
+
+
 def q_dup_flow_matrix(sf_dir: str):
     """Cross-source duplicate FLOW matrix: for every unordered source
     pair, how many exact star edges (member → its exact-text rep; star,
@@ -2730,6 +2766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stitch_candidates": q_stitch_candidates,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
+        "snm_candidate_pairs": q_snm_candidate_pairs,
+        "snm_multipass_pairs": q_snm_multipass_pairs,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
@@ -3700,6 +3738,59 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT t.a_id, h.b_id
             FROM tails t JOIN heads h USING (gram)
             WHERE t.a_id <> h.b_id
+        """,
+        "snm_multipass_pairs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                           '[^0-9a-z\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                           AS skey
+                FROM documents),
+            keys AS (
+                SELECT doc_id, skey, reverse(skey) AS rkey,
+                       CAST(doc_id AS VARCHAR) AS ids
+                FROM norm WHERE skey IS NOT NULL AND skey <> ''),
+            fr AS (SELECT doc_id,
+                          substr(skey, 1, 8) AS bucket,
+                          row_number() OVER (
+                              PARTITION BY substr(skey, 1, 8)
+                              ORDER BY substr(skey, 1, 64), ids) AS rn
+                   FROM keys),
+            rr AS (SELECT doc_id,
+                          substr(rkey, 1, 8) AS bucket,
+                          row_number() OVER (
+                              PARTITION BY substr(rkey, 1, 8)
+                              ORDER BY substr(rkey, 1, 64), ids) AS rn
+                   FROM keys)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   b.rn - a.rn AS gap, 'fwd' AS pass
+            FROM fr a JOIN fr b
+              ON a.bucket = b.bucket AND b.rn - a.rn BETWEEN 1 AND 3
+            UNION ALL
+            SELECT a.doc_id, b.doc_id, b.rn - a.rn, 'rev'
+            FROM rr a JOIN rr b
+              ON a.bucket = b.bucket AND b.rn - a.rn BETWEEN 1 AND 3
+        """,
+        "snm_candidate_pairs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                           '[^0-9a-z\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                           AS skey
+                FROM documents),
+            r AS (SELECT doc_id,
+                         substr(skey, 1, 8) AS bucket,
+                         substr(skey, 1, 64) AS skey64,
+                         CAST(doc_id AS VARCHAR) AS ids
+                  FROM norm WHERE skey IS NOT NULL AND skey <> ''),
+            rr AS (SELECT doc_id, bucket,
+                          row_number() OVER (PARTITION BY bucket
+                                             ORDER BY skey64, ids) AS rn
+                   FROM r)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   b.rn - a.rn AS gap
+            FROM rr a JOIN rr b
+              ON a.bucket = b.bucket AND b.rn - a.rn BETWEEN 1 AND 3
         """,
         "dup_flow_matrix": f"""
             WITH {_DOC_SHINGLES_CTE},

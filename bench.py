@@ -199,7 +199,9 @@ def run_bench() -> dict:
                   "source_similarity_kmv",
                   "stitch_candidates",
                   "conv_divergence",
-                  "dup_flow_matrix"):
+                  "dup_flow_matrix",
+                  "snm_candidate_pairs",
+                  "snm_multipass_pairs"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame
