@@ -2056,6 +2056,42 @@ def _label_centroids_sql() -> str:
     """
 
 
+def q_label_centroid_similarity(sf_dir: str):
+    """Embedding-space class-overlap matrix: pairwise cosine between
+    per-label centroids, computed over EXACT integer sum vectors (the
+    n divisor cancels out of cosine) so the HUGEINT SQL oracle
+    reproduces it bit-for-bit (see embeddings.label_centroid_similarity)."""
+    import ray.data
+
+    from raydedup.stages.embeddings import label_centroid_similarity
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["label", "embedding"])
+    return _round_tbl(label_centroid_similarity(emb, dims=64), "cosine")
+
+
+def _label_centroid_similarity_sql() -> str:
+    dot = " + ".join(f"CAST(a.s{i} AS HUGEINT) * b.s{i}"
+                     for i in range(64))
+    na = " + ".join(f"CAST(a.s{i} AS HUGEINT) * a.s{i}"
+                    for i in range(64))
+    nb = " + ".join(f"CAST(b.s{i} AS HUGEINT) * b.s{i}"
+                    for i in range(64))
+    return f"""
+        WITH cent AS ({_label_centroids_sql()}),
+        p AS (
+            SELECT CAST(a.label AS BIGINT) AS label_a,
+                   CAST(b.label AS BIGINT) AS label_b,
+                   ({dot}) AS dot, ({na}) AS naq, ({nb}) AS nbq
+            FROM cent a JOIN cent b ON a.label < b.label)
+        SELECT label_a, label_b,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(naq AS DOUBLE))
+                        * sqrt(CAST(nbq AS DOUBLE))), {_ROUND}) AS cosine
+        FROM p WHERE naq > 0 AND nbq > 0
+    """
+
+
 def q_cross_corpus_matches_bloom(sf_dir: str):
     """Exact cross-corpus contamination via the BLOOM scale path (ref
     side never collected: distributed tree-OR bloom build, bounded bits
@@ -2768,6 +2804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
         "snm_multipass_pairs": q_snm_multipass_pairs,
+        "label_centroid_similarity": q_label_centroid_similarity,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "near_dup_clusters_transcripts": q_near_dup_clusters_transcripts,
         "otmt_bytecount": q_otmt_bytecount,
@@ -5458,6 +5495,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM tagged GROUP BY 1, 2
         """,
         "label_centroids": _label_centroids_sql(),
+        "label_centroid_similarity": _label_centroid_similarity_sql(),
         "prototype_prune": _prototype_prune_sql(),
         "upsample_mix": _upsample_mix_sql(),
         "chunk_documents": """

@@ -1405,3 +1405,43 @@ def cross_corpus_nn(ds, bench_ds, id_col: str = "vec_id",
     return ds.map_batches(NearestBench, fn_constructor_args=(ref,),
                           batch_format="pyarrow", batch_size=4096,
                           concurrency=(1, 16), num_cpus=1)
+
+
+def label_centroid_similarity(ds, dims: int, label_col: str = "label",
+                              vec_col: str = "embedding",
+                              scale: float = 1e6):
+    """Pairwise cosine similarity between per-label centroids — the
+    embedding-space analogue of the inter-source trigram matrix
+    (collection.source_similarity): which classes/sources occupy the
+    same region of embedding space. Cosine is computed over the EXACT
+    integer sum vectors from ``label_centroids`` (the n divisor cancels
+    out of cosine, so cos(sum_a, sum_b) == cos(mean_a, mean_b)); the
+    dot/norm arithmetic runs driver-side in arbitrary-precision Python
+    ints over the label-sized centroid table, then ONE float division —
+    deterministic, so a SQL oracle (HUGEINT dot/norms) reproduces it
+    bit-for-bit. Zero-norm centroids (no direction) are excluded.
+
+    Distributed cost is exactly label_centroids' (per-batch lexsort +
+    reduceat partials, shuffle <= labels rows per block); the driver
+    touches labels x (dims + 2) integers."""
+    import math
+
+    cents = label_centroids(ds, dims, label_col, vec_col, scale)
+    rows = sorted(cents.take_all(), key=lambda r: r[label_col])
+    sums = [f"s{i}" for i in range(dims)]
+    la, lb, cos = [], [], []
+    vecs = [(r[label_col], [int(r[s]) for s in sums]) for r in rows]
+    norms = {lab: sum(v * v for v in vec) for lab, vec in vecs}
+    for i, (a, va) in enumerate(vecs):
+        if norms[a] == 0:
+            continue
+        for b, vb in vecs[i + 1:]:
+            if norms[b] == 0:
+                continue
+            dot = sum(x * y for x, y in zip(va, vb))
+            la.append(int(a))
+            lb.append(int(b))
+            cos.append(dot / (math.sqrt(norms[a]) * math.sqrt(norms[b])))
+    return pa.table({"label_a": pa.array(la, pa.int64()),
+                     "label_b": pa.array(lb, pa.int64()),
+                     "cosine": pa.array(cos, pa.float64())})

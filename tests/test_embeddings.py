@@ -1,6 +1,7 @@
 """ANN (brute-force cosine top-k) and embedding near-pairs vs numpy."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 import ray.data
@@ -732,3 +733,49 @@ def test_cross_corpus_nn_vs_bruteforce(ray_session):
         assert bid == b_ids[j]
         assert abs(cos - sims[j]) < 1e-12
     assert len(got) == int((~bench_mask).sum())
+
+
+def test_label_centroid_similarity_brute(ray_session):
+    import math
+
+    from raydedup.stages.embeddings import label_centroid_similarity
+
+    rng = np.random.default_rng(13)
+    labs, vecs = [], []
+    for lab, base in ((0, 1.0), (1, -1.0), (2, 0.5)):
+        for _ in range(7):
+            labs.append(lab)
+            vecs.append((base * rng.random(8)).astype(np.float32))
+    # label 3: all-zero vectors -> zero-norm centroid, excluded
+    for _ in range(3):
+        labs.append(3)
+        vecs.append(np.zeros(8, dtype=np.float32))
+    ds = ray.data.from_arrow(pa.table({
+        "label": pa.array(labs, pa.int32()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    got = {(r["label_a"], r["label_b"]): r["cosine"]
+           for r in label_centroid_similarity(ds, dims=8).to_pylist()}
+    # brute force with the same int quantization contract
+    sums = {}
+    for lab, v in zip(labs, vecs):
+        q = [int(np.round(float(x) * 1e6)) for x in v]
+        s = sums.setdefault(lab, [0] * 8)
+        for i, x in enumerate(q):
+            s[i] += x
+    want = {}
+    for a in sorted(sums):
+        for b in sorted(sums):
+            if a >= b:
+                continue
+            na = sum(x * x for x in sums[a])
+            nb = sum(x * x for x in sums[b])
+            if na == 0 or nb == 0:
+                continue
+            dot = sum(x * y for x, y in zip(sums[a], sums[b]))
+            want[(a, b)] = dot / (math.sqrt(na) * math.sqrt(nb))
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+    assert not any(3 in k for k in got)
