@@ -1224,6 +1224,72 @@ def q_semantic_dedup(sf_dir: str):
     return semantic_dedup(emb, threshold=0.35, method="blockwise")
 
 
+def q_dbscan_embeddings(sf_dir: str):
+    """Deterministic DBSCAN over the embedding table (cosine eps-ball
+    >= 0.35, min_pts=3): core = eps-degree+1 >= min_pts, clusters =
+    min-id connected components of the core-core graph, border = min
+    core-neighbor cluster, noise = -1. Pairs come from the exact
+    blockwise backend (the 100-TB path); components auto-switch
+    driver/distributed on edge count (see embeddings.dbscan_embeddings;
+    both backends pinned value-equal by pytest)."""
+    import ray.data
+
+    from raydedup.stages.embeddings import dbscan_embeddings
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return dbscan_embeddings(emb, threshold=0.35, min_pts=3,
+                             method="blockwise")
+
+
+def _dbscan_embeddings_sql(thr: float = 0.35, min_pts: int = 3) -> str:
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= {thr}
+        ),
+        edges AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs
+        ),
+        deg AS (SELECT u AS node, COUNT(*) AS c FROM edges GROUP BY u),
+        core AS (
+            SELECT node AS vec_id FROM deg WHERE c + 1 >= {min_pts}
+        ),
+        cedges AS (
+            SELECT u, v FROM edges
+            WHERE u IN (SELECT vec_id FROM core)
+              AND v IN (SELECT vec_id FROM core)
+        ),
+        reach(node, r) AS (
+            SELECT vec_id, vec_id FROM core
+            UNION
+            SELECT reach.node, cedges.v
+            FROM reach JOIN cedges ON reach.r = cedges.u
+        ),
+        clab AS (SELECT node, min(r) AS lab FROM reach GROUP BY node),
+        blab AS (
+            SELECT e.u AS node, min(c2.lab) AS lab
+            FROM edges e JOIN clab c2 ON c2.node = e.v
+            WHERE e.u NOT IN (SELECT vec_id FROM core)
+            GROUP BY e.u
+        )
+        SELECT emb.vec_id,
+               CASE WHEN cl.node IS NOT NULL THEN cl.lab
+                    WHEN bl.node IS NOT NULL THEN bl.lab
+                    ELSE -1 END AS cluster_id,
+               CASE WHEN cl.node IS NOT NULL THEN 'core'
+                    WHEN bl.node IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS kind
+        FROM embeddings emb
+        LEFT JOIN clab cl ON cl.node = emb.vec_id
+        LEFT JOIN blab bl ON bl.node = emb.vec_id
+    """
+
+
 def q_langid(sf_dir: str):
     from raydedup.stages.textstats import detect_language
 
@@ -2852,6 +2918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "embedding_near_pairs": q_embedding_near_pairs,
         "semantic_dedup": q_semantic_dedup,
+        "dbscan_embeddings": q_dbscan_embeddings,
         "langid": q_langid,
         "chain_scan_transcripts": q_chain_scan_transcripts,
         "long_span_pairs": q_long_span_pairs,
@@ -4925,6 +4992,7 @@ def _oracle_sql_base() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.35
         """,
+        "dbscan_embeddings": _dbscan_embeddings_sql(),
         "semantic_dedup": """
             WITH RECURSIVE pairs AS (
                 SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -1445,3 +1445,279 @@ def label_centroid_similarity(ds, dims: int, label_col: str = "label",
     return pa.table({"label_a": pa.array(la, pa.int64()),
                      "label_b": pa.array(lb, pa.int64()),
                      "cosine": pa.array(cos, pa.float64())})
+
+
+def _gather_pair_arrays(pairs) -> tuple[np.ndarray, np.ndarray]:
+    """Edges Dataset(a_id, b_id) -> two int64 numpy arrays (driver path;
+    callers gate on an edge-count budget before materializing)."""
+    batches = list(pairs.select_columns(["a_id", "b_id"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"))
+    if not batches:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy()
+    a = np.concatenate(
+        [b["a_id"].to_numpy(zero_copy_only=False) for b in batches]
+    ).astype(np.int64)
+    b_ = np.concatenate(
+        [b["b_id"].to_numpy(zero_copy_only=False) for b in batches]
+    ).astype(np.int64)
+    return a, b_
+
+
+def _minlabel_prop(a_r: np.ndarray, b_r: np.ndarray, n: int) -> np.ndarray:
+    """Pointer-jumping min-label propagation over rank-space edges:
+    label[i] = rank of the smallest node in i's connected component
+    (the `_semdedup_components_driver` loop, factored for reuse)."""
+    label = np.arange(n, dtype=np.int64)
+    if len(a_r) == 0:
+        return label
+    while True:
+        lo = np.minimum(label[a_r], label[b_r])
+        np.minimum.at(label, a_r, lo)
+        np.minimum.at(label, b_r, lo)
+        nxt = label[label]
+        while not np.array_equal(nxt, label):
+            label, nxt = nxt, nxt[nxt]
+        if np.array_equal(label[a_r], label[b_r]):
+            break
+    return label
+
+
+# size-1 per-worker cache of the broadcast dbscan paint arrays
+_DBSCAN_CACHE: dict[bytes, tuple] = {}
+
+
+def dbscan_embeddings(ds, threshold: float = 0.35, min_pts: int = 3,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      method: str = "auto", components: str = "auto",
+                      driver_max_edges: int = 2_000_000,
+                      num_partitions: int | None = None):
+    """Deterministic DBSCAN over an embedding column with the cosine
+    eps-ball (sim >= ``threshold``), Ester et al. 1996 semantics made
+    order-independent: a point is CORE if its eps-neighbor count + 1
+    (itself) >= ``min_pts``; clusters are connected components of the
+    core-core eps-graph labeled by their min core id; a non-core point
+    within eps of >= 1 core is a BORDER point assigned the MIN cluster
+    label among its core neighbors (classic DBSCAN gives border ties to
+    whichever core was scanned first — nondeterministic; min is the
+    canonical deterministic choice); everything else is NOISE
+    (cluster_id = -1). Emits ``(id, cluster_id, kind)`` for every row.
+
+    Scale shape: eps-pairs come from :func:`embedding_near_pairs`
+    (broadcast / exact-blockwise / LSH backends — pairs, never a
+    distance matrix, cross the cluster). ``components='driver'`` runs
+    degrees + min-label propagation + border mins fully vectorized on
+    numpy edge arrays and paints with broadcast ``pc.index_in`` arrays;
+    ``'distributed'`` keeps edges a Dataset: partial-count degree
+    groupby, core semi-joins, ``connected_components_distributed``
+    min-label propagation, border = directed-edges-to-core join +
+    groupby min, two left-join paints. ``auto`` switches on the edge
+    count at ``driver_max_edges`` (the ``exact.py``/``lsh.py`` idiom).
+    """
+    import ray
+    import ray.data
+
+    pairs = embedding_near_pairs(
+        ds, threshold, id_col, vec_col, method).materialize()
+    n_edges = pairs.count()
+    if components == "auto":
+        components = ("driver" if n_edges <= driver_max_edges
+                      else "distributed")
+    id_type = ds.schema().types[ds.schema().names.index(id_col)]
+    kinds = pa.array(["core", "border", "noise"], pa.string())
+    # a pair-less row has 1 eps-neighbor (itself): core iff min_pts <= 1
+    lone_cluster = 0 if min_pts <= 1 else -1  # 0 = "own id" sentinel
+    lone_kind = 0 if min_pts <= 1 else 2
+
+    if n_edges == 0 or components == "driver":
+        a, b = _gather_pair_arrays(pairs)
+        nodes, inv = np.unique(np.r_[a, b], return_inverse=True)
+        m = len(a)
+        a_r, b_r = inv[:m], inv[m:]
+        deg = np.bincount(np.r_[a_r, b_r], minlength=len(nodes))
+        core = (deg + 1) >= min_pts
+        ce = core[a_r] & core[b_r]
+        label = _minlabel_prop(a_r[ce], b_r[ce], len(nodes))
+        clab = nodes[label]  # min core id per component (core rows only)
+        # border: min core-neighbor cluster per non-core node
+        blab = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+        for src, dst in ((a_r, b_r), (b_r, a_r)):
+            sel = core[dst] & ~core[src]
+            np.minimum.at(blab, src[sel], clab[dst[sel]])
+        cluster = np.where(
+            core, clab,
+            np.where(blab < np.iinfo(np.int64).max, blab, -1))
+        kind_code = np.where(
+            core, 0, np.where(blab < np.iinfo(np.int64).max, 1, 2)
+        ).astype(np.int64)
+        paint_ref = ray.put((nodes, cluster, kind_code))
+
+        def paint(batch: pa.Table) -> pa.Table:
+            ck = paint_ref.binary()
+            cached = _DBSCAN_CACHE.get(ck)
+            if cached is None:
+                cached = ray.get(paint_ref)
+                _DBSCAN_CACHE.clear()
+                _DBSCAN_CACHE[ck] = cached
+            node_arr = pa.array(cached[0], type=id_type)
+            clus_arr = pa.array(cached[1], type=pa.int64())
+            kind_arr = pa.array(cached[2], type=pa.int64())
+            ids = batch[id_col].combine_chunks()
+            at = pc.index_in(ids, value_set=node_arr)
+            lone = pc.is_null(at)
+            lone_cl = (ids.cast(pa.int64()) if lone_cluster == 0
+                       else pa.array(np.full(len(ids), -1), pa.int64()))
+            cluster = pc.if_else(lone, lone_cl, pc.take(clus_arr, at))
+            kcode = pc.if_else(
+                lone, pa.scalar(lone_kind, pa.int64()),
+                pc.take(kind_arr, at))
+            return pa.table({id_col: ids,
+                             "cluster_id": cluster.cast(pa.int64()),
+                             "kind": pc.take(kinds, kcode)})
+
+        return ds.select_columns([id_col]).map_batches(
+            paint, batch_format="pyarrow")
+
+    # ---- distributed path: edges stay Datasets end to end ----
+    from raydedup.state.unionfind import connected_components_distributed
+    from raydedup.util import join_partitions
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.r_[batch["a_id"].to_numpy(zero_copy_only=False),
+                    batch["b_id"].to_numpy(zero_copy_only=False)]
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    deg = (pairs.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").sum("c"))
+
+    def core_only(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.add(batch["sum(c)"], 1), min_pts)
+        kept = pc.filter(batch["node"], keep)
+        return pa.table({"cnode": kept,
+                         "__is_core": pa.array(np.ones(len(kept), np.int8))})
+
+    core_nodes = deg.map_batches(
+        core_only, batch_format="pyarrow").materialize()
+    n_core = core_nodes.count()
+    if num_partitions is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(join_partitions(max(n_core, n_edges)),
+                             max(2, 2 * ncpu))
+
+    def _sj(left, col, right):
+        """inner semi-join: keep left rows whose `col` is in right.cnode
+        (flag column projected away so chained joins never stack it)."""
+        j = left.join(right, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=(col,), right_on=("cnode",))
+        return j.select_columns(["a_key", "b_key"])
+
+    # Ray 2.49's hash join can't take a fully-EMPTY side (zero blocks
+    # reach the aggregator, so the per-partition Arrow join sees a
+    # columnless table) — every join below is guarded by a count on its
+    # materialized small side, falling back to the closed-form result.
+    if n_core == 0:
+        clab = None
+    else:
+        edges = pairs.map_batches(
+            lambda b: pa.table({"a_key": b["a_id"], "b_key": b["b_id"]}),
+            batch_format="pyarrow")
+        cc = _sj(_sj(edges, "a_key", core_nodes),
+                 "b_key", core_nodes).materialize()
+        if cc.count() == 0:
+            # no core-core edge: every core is its own singleton cluster
+            clab = core_nodes.map_batches(
+                lambda b: pa.table({"cnode": b["cnode"],
+                                    "lab": b["cnode"]}),
+                batch_format="pyarrow").materialize()
+        else:
+            comp = connected_components_distributed(
+                cc, num_partitions=num_partitions)
+            # component min-label; own id for edge-isolated cores
+            clab = core_nodes.join(
+                comp.map_batches(
+                    lambda b: pa.table({"cnode": b["node"],
+                                        "lab": b["label"]}),
+                    batch_format="pyarrow"),
+                join_type="left_outer", num_partitions=num_partitions,
+                on=("cnode",)).map_batches(
+                    lambda b: pa.table({
+                        "cnode": b["cnode"],
+                        "lab": pc.coalesce(b["lab"],
+                                           b["cnode"].combine_chunks())}),
+                    batch_format="pyarrow").materialize()
+
+    if clab is None:
+        blab = None
+    else:
+        # border: directed edges whose DST is core pick up dst's label;
+        # groupby-min per src, then drop srcs that are themselves core
+        directed = pairs.map_batches(
+            lambda b: pa.table({
+                "src": pa.concat_arrays(
+                    [b["a_id"].combine_chunks().cast(pa.int64()),
+                     b["b_id"].combine_chunks().cast(pa.int64())]),
+                "dst": pa.concat_arrays(
+                    [b["b_id"].combine_chunks().cast(pa.int64()),
+                     b["a_id"].combine_chunks().cast(pa.int64())]),
+            }), batch_format="pyarrow")
+        to_core = directed.join(clab, join_type="inner",
+                                num_partitions=num_partitions,
+                                on=("dst",), right_on=("cnode",))
+        bmin = (to_core.select_columns(["src", "lab"])
+                .groupby("src").min("lab"))
+        blab = bmin.join(
+            core_nodes, join_type="left_outer",
+            num_partitions=num_partitions, on=("src",),
+            right_on=("cnode",)
+        ).map_batches(
+            lambda b: (lambda keep: pa.table({
+                "bnode": pc.filter(b["src"], keep),
+                "blab": pc.filter(b["min(lab)"], keep)}))(
+                    pc.is_null(b["__is_core"])),
+            batch_format="pyarrow")
+
+    def _attach(left, side, colname: str):
+        """left_outer-join `side` ({id, colname}) onto `left`, or append
+        an all-null column when the side is empty/absent (see above)."""
+        side = side.materialize() if side is not None else None
+        if side is None or side.count() == 0:
+            return left.map_batches(
+                lambda b: b.append_column(
+                    colname, pa.nulls(b.num_rows, pa.int64())),
+                batch_format="pyarrow")
+        return left.join(side, join_type="left_outer",
+                         num_partitions=num_partitions, on=(id_col,))
+
+    clab_side = clab.map_batches(lambda b: pa.table(
+        {id_col: b["cnode"].cast(id_type),
+         "__clab": b["lab"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow") if clab is not None else None
+    blab_side = blab.map_batches(lambda b: pa.table(
+        {id_col: b["bnode"].cast(id_type),
+         "__blab": b["blab"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow") if blab is not None else None
+    out = _attach(_attach(ds.select_columns([id_col]), clab_side,
+                          "__clab"), blab_side, "__blab")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "cluster_id": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.string())})
+        ids = batch[id_col].combine_chunks()
+        cl = batch["__clab"].combine_chunks().cast(pa.int64())
+        bl = batch["__blab"].combine_chunks().cast(pa.int64())
+        lone_cl = (ids.cast(pa.int64()) if lone_cluster == 0
+                   else pa.array(np.full(len(ids), -1), pa.int64()))
+        cluster = pc.coalesce(cl, bl, lone_cl)
+        kcode = pc.if_else(
+            pc.is_valid(cl), pa.scalar(0, pa.int64()),
+            pc.if_else(pc.is_valid(bl), pa.scalar(1, pa.int64()),
+                       pa.scalar(lone_kind, pa.int64())))
+        return pa.table({id_col: ids, "cluster_id": cluster,
+                         "kind": pc.take(kinds, kcode)})
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -779,3 +779,58 @@ def test_label_centroid_similarity_brute(ray_session):
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12
     assert not any(3 in k for k in got)
+
+
+def _brute_dbscan(X: np.ndarray, thr: float, min_pts: int) -> dict:
+    Xf = X.astype(np.float64)
+    Xn = Xf / np.linalg.norm(Xf, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    n = len(X)
+    nbr = [set(np.nonzero(S[i] >= thr)[0]) - {i} for i in range(n)]
+    core = [len(nbr[i]) + 1 >= min_pts for i in range(n)]
+    lab = list(range(n))
+    changed = True
+    while changed:
+        changed = False
+        for i in range(n):
+            if not core[i]:
+                continue
+            for j in nbr[i]:
+                if core[j]:
+                    m = min(lab[i], lab[j])
+                    if lab[i] != m or lab[j] != m:
+                        lab[i] = lab[j] = m
+                        changed = True
+    out = {}
+    for i in range(n):
+        if core[i]:
+            out[i] = (lab[i], "core")
+        else:
+            cands = [lab[j] for j in nbr[i] if core[j]]
+            out[i] = (min(cands), "border") if cands else (-1, "noise")
+    return out
+
+
+@pytest.mark.parametrize("thr,min_pts", [(0.6, 3), (0.3, 2), (0.99, 5),
+                                         (0.6, 1)])
+def test_dbscan_backends_vs_brute(ray_session, thr, min_pts):
+    from raydedup.stages.embeddings import dbscan_embeddings
+
+    rng = np.random.default_rng(7)
+    pts = []
+    for _ in range(3):
+        center = rng.normal(size=16)
+        pts.extend(center + 0.05 * rng.normal(size=16) for _ in range(12))
+    pts.extend(rng.normal(size=16) for _ in range(10))
+    X = np.array(pts, dtype=np.float32)
+    want = _brute_dbscan(X, thr, min_pts)
+    tbl = pa.table({
+        "vec_id": np.arange(len(X), dtype=np.int64),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float32()))})
+    for comp in ("driver", "distributed"):
+        got = {r["vec_id"]: (r["cluster_id"], r["kind"])
+               for r in dbscan_embeddings(
+                   ray.data.from_arrow(tbl), threshold=thr,
+                   min_pts=min_pts, components=comp).take_all()}
+        assert got == want, (comp, thr, min_pts)
