@@ -288,6 +288,43 @@ def _docs_with_fragments(sf_dir: str):
     return _docs(sf_dir).map_batches(frag, batch_format="pyarrow")
 
 
+def _docs_with_repeats(sf_dir: str):
+    """Deterministic 'repeated corpus' view (no external data): every
+    5th doc appears 4 times in total (copies at ids +1e6/+2e6/+3e6) —
+    the driver tables carry no exact duplicates, so frequency-capping
+    queries need planted repeats. Mirrored verbatim by the oracle's
+    reps CTE. Vectorized numpy fan-out; a derived test view, same
+    contract as _docs_with_fragments."""
+    def rep(b: pa.Table) -> pa.Table:
+        base = pa.table({"doc_id": b["doc_id"], "text": b["text"]})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 5 == 0
+        if not m.any():
+            return base
+        sub_ids = ids[m]
+        sub_txt = b["text"].filter(pa.array(m))
+        extra = pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [sub_ids + 1_000_000, sub_ids + 2_000_000,
+                 sub_ids + 3_000_000]), pa.int64()),
+            "text": pa.concat_arrays([sub_txt.combine_chunks()] * 3),
+        })
+        return pa.concat_tables([base, extra])
+
+    return _docs(sf_dir).map_batches(rep, batch_format="pyarrow")
+
+
+def q_cap_duplicates(sf_dir: str):
+    """Frequency capping: keep at most 2 copies of every exact-text
+    group (smallest doc_ids survive), reporting each survivor's original
+    group size — the keep-a-few relaxation of exact dedup
+    (see stages/exact.py:cap_duplicates; texts never shuffle, only
+    over-cap groups' skinny (sha, key) rows enter the ranking sweep)."""
+    from raydedup.stages.exact import cap_duplicates
+
+    return cap_duplicates(_docs_with_repeats(sf_dir), k=2)
+
+
 def q_stitch_candidates(sf_dir: str):
     """Fragment reassembly: pairs where the last 64 chars of one doc
     equal the first 64 of another — the seam signature a fixed-overlap
@@ -2866,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity": q_source_similarity,
         "source_similarity_kmv": q_source_similarity_kmv,
         "stitch_candidates": q_stitch_candidates,
+        "cap_duplicates": q_cap_duplicates,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
@@ -3820,6 +3858,23 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard_est
             FROM usz z LEFT JOIN inter i
               ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "cap_duplicates": """
+            WITH reps AS (
+                SELECT doc_id + 1000000 * j AS doc_id, text
+                FROM documents, range(1, 4) AS t(j)
+                WHERE doc_id % 5 = 0),
+            tall AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM reps),
+            g AS (SELECT doc_id, coalesce(text, '') AS txt FROM tall),
+            c AS (SELECT txt, count(*) AS n FROM g GROUP BY txt),
+            r AS (SELECT doc_id, txt,
+                         row_number() OVER (PARTITION BY txt
+                                            ORDER BY doc_id) AS rn
+                  FROM g)
+            SELECT r.doc_id, CAST(c.n AS BIGINT) AS n_copies
+            FROM r JOIN c ON r.txt = c.txt
+            WHERE r.rn <= 2
         """,
         "stitch_candidates": """
             WITH frags AS (

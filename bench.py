@@ -201,7 +201,10 @@ def run_bench() -> dict:
                   "conv_divergence",
                   "dup_flow_matrix",
                   "snm_candidate_pairs",
-                  "snm_multipass_pairs"):
+                  "snm_multipass_pairs",
+                  "label_centroid_similarity",
+                  "dbscan_embeddings",
+                  "cap_duplicates"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -479,6 +479,112 @@ def priority_dedup(ds, key_col: str = "doc_id",
     return merged.map_batches(decode, batch_format="pyarrow")
 
 
+def cap_duplicates(ds, k: int = 2, key_col: str = "doc_id",
+                   text_col: str = "text", n_parts: int = 32):
+    """Frequency capping: keep at most ``k`` copies of every exact-text
+    group — the 'keep a few copies' relaxation of exact dedup some
+    pretraining recipes apply to moderately repeated pages instead of
+    hard-unique. Survivors are the ``k`` smallest ``key_col`` values per
+    group (deterministic under any parallelism); emits
+    ``(key_col, n_copies)`` where ``n_copies`` is the group's ORIGINAL
+    size, so downstream loss accounting stays exact. Generalizes the
+    reference's keep-first suppression (``bin/exclude_duplicates:81-98``)
+    from keep-1 to keep-k.
+
+    Scale shape: texts never shuffle — each batch reduces them to a
+    sha256 per DISTINCT value; group sizes come from the counting
+    groupby of ``_text_group_counts``; only groups with n >= 2 are
+    broadcast (the exact_dedup dup-set boundedness argument), and only
+    rows of OVER-CAP groups (n > k, smaller still) enter the ranking
+    shuffle, as skinny (sha, key) pairs swept with one lexsort per hash
+    partition (the ordered.py idiom — no Python call per group). Rows
+    in groups of size <= k stream straight through pass 2. NULL text
+    folds to '' (mirror with coalesce in SQL oracles).
+    """
+    import hashlib
+
+    import numpy as np
+
+    from raydedup.stages.asof import _part_array
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    counts = _text_group_counts(ds, text_col)
+    dup_tbls = list(counts.filter(expr="n >= 2")
+                    .iter_batches(batch_size=1 << 20,
+                                  batch_format="pyarrow"))
+    if dup_tbls:
+        dup = pa.concat_tables(dup_tbls).combine_chunks()
+    else:
+        dup = pa.table({"h": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64())})
+    ref = ray.put((dup["h"].combine_chunks(),
+                   pc.cast(dup["n"], pa.int64()).combine_chunks()))
+
+    schema = ds.schema()
+    key_type = schema.types[schema.names.index(key_col)]
+
+    def _sha(b: pa.Table) -> pa.Array:
+        enc = pc.dictionary_encode(
+            pc.fill_null(b[text_col].combine_chunks(), ""))
+        u = [hashlib.sha256(t.encode("utf-8")).hexdigest()
+             for t in enc.dictionary.to_pylist()]
+        return pc.take(pa.array(u, pa.string()), enc.indices)
+
+    def keep_small(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_type),
+                             "n_copies": pa.array([], pa.int64())})
+        hs, ns = ray.get(ref)
+        idx = pc.index_in(_sha(b), value_set=hs)
+        n = pc.coalesce(pc.take(ns, idx), pa.scalar(1, pa.int64()))
+        t = pa.table({key_col: b[key_col], "n_copies": n})
+        return t.filter(pc.less_equal(n, k))
+
+    def over_rows(b: pa.Table) -> pa.Table:
+        empty = pa.table({"__h": pa.array([], pa.string()),
+                          key_col: pa.array([], key_type),
+                          "n_copies": pa.array([], pa.int64()),
+                          "__part": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        hs, ns = ray.get(ref)
+        sha = _sha(b)
+        idx = pc.index_in(sha, value_set=hs)
+        n = pc.coalesce(pc.take(ns, idx), pa.scalar(1, pa.int64()))
+        t = pa.table({"__h": sha, key_col: b[key_col], "n_copies": n})
+        t = t.filter(pc.greater(n, k))
+        if t.num_rows == 0:
+            return empty
+        return t.append_column(
+            "__part", _part_array(t["__h"].combine_chunks(), n_parts))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__h" not in g.column_names:
+            return pa.table({key_col: pa.array([], key_type),
+                             "n_copies": pa.array([], pa.int64())})
+        hs = np.asarray(g["__h"].to_pylist())
+        keys = np.asarray(g[key_col].to_pylist())
+        order = np.lexsort((keys, hs))
+        sh = hs[order]
+        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+        lens = np.diff(np.r_[starts, len(sh)])
+        rank = np.arange(len(sh)) - np.repeat(starts, lens)
+        keep = order[rank < k]
+        return pa.table({
+            key_col: g[key_col].take(pa.array(keep, pa.int64())),
+            "n_copies": g["n_copies"].take(pa.array(keep, pa.int64())),
+        })
+
+    slim = ds.select_columns([key_col, text_col])
+    kept_small = slim.map_batches(keep_small, batch_format="pyarrow")
+    kept_over = (slim.map_batches(over_rows, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(sweep, batch_format="pyarrow"))
+    return kept_small.union(kept_over)
+
+
 def stitch_candidates(ds, key_col: str = "doc_id", text_col: str = "text",
                       k: int = 64):
     """Fragment-reassembly candidates: pairs (a_id, b_id) where the

@@ -709,3 +709,39 @@ def test_stitch_candidates_empty_keeps_schema(ray_session):
     out = stitch_candidates(ds)
     assert set(out.schema().names) == {"a_id", "b_id"}
     assert out.count() == 0
+
+
+def test_cap_duplicates_planted_groups(ray_session):
+    """Planted group sizes 1/2/5 at k=2: singletons and exactly-k groups
+    stream through pass 2 untouched; the size-5 group exercises the
+    over-cap ranking sweep (smallest keys win) with original-size
+    accounting."""
+    from raydedup.stages.exact import cap_duplicates
+
+    rows = (
+        [("uniq", 100)]
+        + [("pair", i) for i in (20, 10)]
+        + [("hot", i) for i in (55, 51, 53, 52, 54)]
+        + [(None, 70), ("", 71)]  # NULL folds to '' -> one group of 2
+    )
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([k for _, k in rows], pa.int64()),
+        "text": pa.array([t for t, _ in rows], pa.string()),
+    }))
+    got = {r["doc_id"]: r["n_copies"]
+           for r in cap_duplicates(ds, k=2).take_all()}
+    assert got == {100: 1, 10: 2, 20: 2, 51: 5, 52: 5, 70: 2, 71: 2}
+
+
+def test_cap_duplicates_k1_matches_exact_dedup_survivors(ray_session):
+    """k=1 degenerates to exact dedup: one (min-key) survivor per text."""
+    from raydedup.stages.exact import cap_duplicates
+
+    texts = ["a", "b", "a", "c", "b", "a"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = {r["doc_id"]: r["n_copies"]
+           for r in cap_duplicates(ds, k=1).take_all()}
+    assert got == {0: 3, 1: 2, 3: 1}
