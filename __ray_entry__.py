@@ -325,6 +325,20 @@ def q_cap_duplicates(sf_dir: str):
     return cap_duplicates(_docs_with_repeats(sf_dir), k=2)
 
 
+def q_blocklist_hits(sf_dir: str):
+    """Banned-phrase compliance scan: (doc_id, phrase, n_hits) for every
+    document containing a blocklist phrase — zero shuffle, one
+    vectorized substring-count pass per phrase per batch; counts are
+    non-overlapping left-to-right on both sides (see
+    stages/textstats.py:blocklist_scan). 'drop table' plants a
+    zero-hit phrase so absent phrases are exercised."""
+    from raydedup.stages.textstats import blocklist_scan
+
+    return blocklist_scan(
+        _docs(sf_dir),
+        ["slow scan", "hash join", "spark", "drop table"])
+
+
 def q_stitch_candidates(sf_dir: str):
     """Fragment reassembly: pairs where the last 64 chars of one doc
     equal the first 64 of another — the seam signature a fixed-overlap
@@ -2904,6 +2918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity_kmv": q_source_similarity_kmv,
         "stitch_candidates": q_stitch_candidates,
         "cap_duplicates": q_cap_duplicates,
+        "blocklist_hits": q_blocklist_hits,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
@@ -3858,6 +3873,18 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard_est
             FROM usz z LEFT JOIN inter i
               ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "blocklist_hits": """
+            WITH p AS (SELECT * FROM (VALUES ('slow scan'), ('hash join'),
+                                             ('spark'), ('drop table'))
+                       AS v(phrase)),
+            d AS (SELECT doc_id, lower(coalesce(text, '')) AS t
+                  FROM documents)
+            SELECT d.doc_id, p.phrase,
+                   CAST((length(d.t) - length(replace(d.t, p.phrase, '')))
+                        // length(p.phrase) AS BIGINT) AS n_hits
+            FROM d CROSS JOIN p
+            WHERE contains(d.t, p.phrase)
         """,
         "cap_duplicates": """
             WITH reps AS (

@@ -204,7 +204,8 @@ def run_bench() -> dict:
                   "snm_multipass_pairs",
                   "label_centroid_similarity",
                   "dbscan_embeddings",
-                  "cap_duplicates"):
+                  "cap_duplicates",
+                  "blocklist_hits"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -898,6 +898,61 @@ def redact_pii(ds, text_col: str = "text"):
     return ds.map_batches(rr, batch_format="pyarrow")
 
 
+def blocklist_scan(ds, phrases: list[str], key_col: str = "doc_id",
+                   text_col: str = "text",
+                   case_insensitive: bool = True):
+    """Banned-phrase scan — the safety/compliance gate of a curation
+    run: → Dataset(key, phrase, n_hits), one row per (row, phrase) with
+    >= 1 occurrence. ``n_hits`` counts non-overlapping left-to-right
+    occurrences (``pc.count_substring``), the same rule DuckDB's
+    replace-based length arithmetic computes, so the oracle is exact.
+
+    Scale shape: zero shuffle — the phrase list rides the task closure
+    once per task (genuinely small; it is the operator's CONFIG, not
+    data) and each batch runs one vectorized Arrow substring-count pass
+    per phrase. For blocklists beyond a few hundred entries the right
+    kernel is an Aho-Corasick automaton in an actor pool (__init__
+    builds the automaton once per worker) — same output contract; this
+    vectorized path is the small-P fast case.
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    plist = [p.lower() if case_insensitive else p for p in phrases]
+    if any(not p for p in plist):
+        raise ValueError("empty phrase in blocklist")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        txt = pc.fill_null(batch[text_col].combine_chunks(), "")
+        if case_insensitive:
+            txt = pc.utf8_lower(txt)
+        out_k, out_p, out_n = [], [], []
+        for p in plist:
+            n = pc.count_substring(txt, p)
+            mask = pc.greater(n, 0)
+            hit_k = keys.filter(mask)
+            if len(hit_k) == 0:
+                continue
+            out_k.append(hit_k)
+            out_p.append(pa.array([p] * len(hit_k), pa.string()))
+            out_n.append(pc.cast(n.filter(mask), pa.int64()))
+        if not out_k:
+            return pa.table({key_col: pa.array([], batch.schema.field(
+                                 key_col).type),
+                             "phrase": pa.array([], pa.string()),
+                             "n_hits": pa.array([], pa.int64())})
+        return pa.table({
+            key_col: pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in out_k]),
+            "phrase": pa.concat_arrays(out_p),
+            "n_hits": pa.concat_arrays(out_n),
+        })
+
+    return ds.select_columns([key_col, text_col]).map_batches(
+        scan, batch_format="pyarrow")
+
+
 def stratified_sample(ds, group_col: str, key_col: str,
                       rates: dict, default_rate: float = 0.0,
                       seed: str = "s0"):

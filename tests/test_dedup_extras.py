@@ -745,3 +745,28 @@ def test_cap_duplicates_k1_matches_exact_dedup_survivors(ray_session):
     got = {r["doc_id"]: r["n_copies"]
            for r in cap_duplicates(ds, k=1).take_all()}
     assert got == {0: 3, 1: 2, 3: 1}
+
+
+def test_blocklist_scan_counts_and_edges(ray_session):
+    """Non-overlapping L2R counting, case folding, NULL text, zero-hit
+    phrase, and the typed-empty schema when nothing matches."""
+    from raydedup.stages.textstats import blocklist_scan
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(
+            ["Spark SPARK spark", "aaa", None, "clean row"], pa.string()),
+    }))
+    got = {(r["doc_id"], r["phrase"]): r["n_hits"]
+           for r in blocklist_scan(ds, ["spark", "aa", "absent"]).take_all()}
+    assert got == {(1, "spark"): 3, (2, "aa"): 1}
+
+    none = blocklist_scan(ds, ["zzz"])
+    assert set(none.schema().names) == {"doc_id", "phrase", "n_hits"}
+    assert none.count() == 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        blocklist_scan(ds, [])
+    with pytest.raises(ValueError):
+        blocklist_scan(ds, ["ok", ""])
