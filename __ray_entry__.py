@@ -339,6 +339,29 @@ def q_blocklist_hits(sf_dir: str):
         ["slow scan", "hash join", "spark", "drop table"])
 
 
+def q_data_expectations(sf_dir: str):
+    """Declarative ingest contract check: one (rule, n_violations) row
+    per expectation — null/empty text, length range, closed language
+    set, cross-column n_chars consistency, doc_id uniqueness. All mask
+    rules reduce to one partial row per batch; only the uniqueness rule
+    shuffles, and it moves (value, count) partials, never rows (see
+    stages/expectations.py)."""
+    import ray.data
+
+    from raydedup.stages.expectations import expect
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 override_num_blocks=64)
+    return expect(docs, [
+        ("text_not_null", "not_null", "text"),
+        ("text_non_empty", "non_empty", "text"),
+        ("text_len_100_10000", "len_between", "text", 100, 10000),
+        ("lang_known", "in_set", "lang", ["en", "de", "fr"]),
+        ("n_chars_consistent", "len_equals", "n_chars", "text"),
+        ("doc_id_unique", "unique", "doc_id"),
+    ])
+
+
 def q_stitch_candidates(sf_dir: str):
     """Fragment reassembly: pairs where the last 64 chars of one doc
     equal the first 64 of another — the seam signature a fixed-overlap
@@ -2919,6 +2942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stitch_candidates": q_stitch_candidates,
         "cap_duplicates": q_cap_duplicates,
         "blocklist_hits": q_blocklist_hits,
+        "data_expectations": q_data_expectations,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
@@ -3873,6 +3897,43 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard_est
             FROM usz z LEFT JOIN inter i
               ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "data_expectations": """
+            SELECT 'text_not_null' AS rule,
+                   CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT)
+                       AS n_violations
+            FROM documents
+            UNION ALL
+            SELECT 'text_non_empty',
+                   CAST(count(*) FILTER (WHERE coalesce(text, '') = '')
+                        AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'text_len_100_10000',
+                   CAST(count(*) FILTER (WHERE length(coalesce(text, ''))
+                                         NOT BETWEEN 100 AND 10000)
+                        AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'lang_known',
+                   CAST(count(*) FILTER (WHERE lang IS NULL
+                                         OR lang NOT IN ('en', 'de', 'fr'))
+                        AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars_consistent',
+                   CAST(count(*) FILTER (
+                            WHERE n_chars IS NULL
+                            OR n_chars <> length(coalesce(text, '')))
+                        AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'doc_id_unique',
+                   CAST(coalesce((SELECT sum(c - 1)
+                                  FROM (SELECT count(*) AS c
+                                        FROM documents
+                                        GROUP BY doc_id)
+                                  WHERE c >= 2), 0) AS BIGINT)
         """,
         "blocklist_hits": """
             WITH p AS (SELECT * FROM (VALUES ('slow scan'), ('hash join'),

@@ -205,7 +205,8 @@ def run_bench() -> dict:
                   "label_centroid_similarity",
                   "dbscan_embeddings",
                   "cap_duplicates",
-                  "blocklist_hits"):
+                  "blocklist_hits",
+                  "data_expectations"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

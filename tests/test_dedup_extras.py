@@ -770,3 +770,35 @@ def test_blocklist_scan_counts_and_edges(ray_session):
         blocklist_scan(ds, [])
     with pytest.raises(ValueError):
         blocklist_scan(ds, ["ok", ""])
+
+
+def test_expect_rules_planted_violations(ray_session):
+    """Every rule kind with planted violations, including NULL
+    semantics (NULL fails in_set/len_equals, counts in not_null) and
+    the unique rule's extra-copy accounting."""
+    from raydedup.stages.expectations import expect
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "text": pa.array(["hello", "", None, "hi", "okay!"], pa.string()),
+        "lang": pa.array(["en", "xx", None, "de", "en"], pa.string()),
+        "n_chars": pa.array([5, 0, 0, 99, None], pa.int64()),
+    }))
+    got = {r["rule"]: r["n_violations"] for r in expect(ds, [
+        ("t_null", "not_null", "text"),
+        ("t_nonempty", "non_empty", "text"),
+        ("t_len", "len_between", "text", 3, 100),
+        ("lang_ok", "in_set", "lang", ["en", "de"]),
+        ("nc_ok", "len_equals", "n_chars", "text"),
+        ("id_uniq", "unique", "id"),
+    ]).take_all()}
+    assert got == {"t_null": 1, "t_nonempty": 2, "t_len": 3,
+                   "lang_ok": 2, "nc_ok": 2, "id_uniq": 2}
+
+    import pytest
+    with pytest.raises(ValueError):
+        expect(ds, [])
+    with pytest.raises(ValueError):
+        expect(ds, [("a", "not_null", "text"), ("a", "non_empty", "text")])
+    with pytest.raises(ValueError):
+        expect(ds, [("a", "bogus", "text")])
