@@ -339,6 +339,40 @@ def q_blocklist_hits(sf_dir: str):
         ["slow scan", "hash join", "spark", "drop table"])
 
 
+def _docs_with_reordered(sf_dir: str):
+    """Deterministic 'reordered corpus' view: every 9th doc also appears
+    with its words REVERSED (id +4e6) — the shuffled-copy pattern bag
+    dedup exists to catch; exact hashing misses these by construction.
+    Mirrored verbatim by the oracle's reord CTE (list_reverse)."""
+    def reord(b: pa.Table) -> pa.Table:
+        base = pa.table({"doc_id": b["doc_id"],
+                         "text": pc.fill_null(b["text"], "")})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 9 == 0
+        if not m.any():
+            return base
+        rev = [" ".join(t.split(" ")[::-1])
+               for t in base["text"].filter(pa.array(m)).to_pylist()]
+        extra = pa.table({
+            "doc_id": pa.array(ids[m] + 4_000_000, pa.int64()),
+            "text": pa.array(rev, pa.string()),
+        })
+        return pa.concat_tables([base, extra])
+
+    return _docs(sf_dir).map_batches(reord, batch_format="pyarrow")
+
+
+def q_bag_dup_groups(sf_dir: str):
+    """Word-multiset duplicate groups over the reordered-corpus view:
+    reversed copies land in the same bag as their originals even though
+    no exact or prefix method pairs them (see
+    stages/exact.py:bag_dup_groups — canonical hashes shuffle, texts
+    never do)."""
+    from raydedup.stages.exact import bag_dup_groups
+
+    return bag_dup_groups(_docs_with_reordered(sf_dir))
+
+
 def q_data_expectations(sf_dir: str):
     """Declarative ingest contract check: one (rule, n_violations) row
     per expectation — null/empty text, length range, closed language
@@ -2943,6 +2977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_duplicates": q_cap_duplicates,
         "blocklist_hits": q_blocklist_hits,
         "data_expectations": q_data_expectations,
+        "bag_dup_groups": q_bag_dup_groups,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
@@ -3897,6 +3932,28 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard_est
             FROM usz z LEFT JOIN inter i
               ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "bag_dup_groups": """
+            WITH reord AS (
+                SELECT doc_id + 4000000 AS doc_id,
+                       array_to_string(
+                           list_reverse(str_split(coalesce(text, ''), ' ')),
+                           ' ') AS text
+                FROM documents WHERE doc_id % 9 = 0),
+            tall AS (SELECT doc_id, coalesce(text, '') AS text
+                     FROM documents
+                     UNION ALL SELECT doc_id, text FROM reord),
+            k AS (SELECT doc_id,
+                         array_to_string(list_sort(str_split(text, ' ')),
+                                         ' ') AS canon
+                  FROM tall),
+            c AS (SELECT canon, count(*) AS n,
+                         min(CAST(doc_id AS VARCHAR)) AS bag_id
+                  FROM k GROUP BY canon)
+            SELECT CAST(k.doc_id AS VARCHAR) AS row_key, c.bag_id,
+                   CAST(c.n AS BIGINT) AS n_members
+            FROM k JOIN c USING (canon)
+            WHERE c.n >= 2
         """,
         "data_expectations": """
             SELECT 'text_not_null' AS rule,

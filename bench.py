@@ -206,7 +206,8 @@ def run_bench() -> dict:
                   "dbscan_embeddings",
                   "cap_duplicates",
                   "blocklist_hits",
-                  "data_expectations"):
+                  "data_expectations",
+                  "bag_dup_groups"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -585,6 +585,49 @@ def cap_duplicates(ds, k: int = 2, key_col: str = "doc_id",
     return kept_small.union(kept_over)
 
 
+def bag_dup_groups(ds, key_cols: list[str] | None = None,
+                   text_col: str = "text", min_size: int = 2):
+    """Word-multiset (bag) duplicate groups: rows whose whitespace-token
+    MULTISET is identical — catches reordered boilerplate and shuffled
+    copies that exact hashing misses entirely and similarity methods
+    only score. Canonical form = tokens split on single spaces, sorted,
+    rejoined with single spaces; identity = sha256 of that canonical
+    string. Emits one row per member of every group with >=
+    ``min_size`` members: (row_key, bag_id = min member row_key,
+    n_members).
+
+    Scale shape: identical to exact dedup — the canonicalization runs
+    once per DISTINCT text per batch (dictionary-encode idiom), only
+    64-char canonical hashes shuffle, and the group paint reuses
+    ``exact_dedup``'s dup-set broadcast + vectorized ``pc.index_in``.
+    NULL text folds to '' (mirror with coalesce in SQL oracles).
+    """
+    import hashlib
+
+    key_cols = key_cols or ["doc_id"]
+    keyed = add_row_key(ds.select_columns(key_cols + [text_col]), key_cols)
+
+    def canon(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            pc.fill_null(b[text_col].combine_chunks(), ""))
+        u = [hashlib.sha256(
+                " ".join(sorted(t.split(" "))).encode("utf-8")).hexdigest()
+             for t in enc.dictionary.to_pylist()]
+        return pa.table({
+            "row_key": b["row_key"],
+            "text_sha256": pc.take(pa.array(u, pa.string()), enc.indices),
+        })
+
+    assigned = exact_dedup(keyed.map_batches(canon, batch_format="pyarrow"))
+
+    def out(b: pa.Table) -> pa.Table:
+        t = pa.table({"row_key": b["row_key"], "bag_id": b["rep_key"],
+                      "n_members": pc.cast(b["n_exact"], pa.int64())})
+        return t.filter(pc.greater_equal(b["n_exact"], min_size))
+
+    return assigned.map_batches(out, batch_format="pyarrow")
+
+
 def stitch_candidates(ds, key_col: str = "doc_id", text_col: str = "text",
                       k: int = 64):
     """Fragment-reassembly candidates: pairs (a_id, b_id) where the

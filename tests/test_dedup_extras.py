@@ -802,3 +802,22 @@ def test_expect_rules_planted_violations(ray_session):
         expect(ds, [("a", "not_null", "text"), ("a", "non_empty", "text")])
     with pytest.raises(ValueError):
         expect(ds, [("a", "bogus", "text")])
+
+
+def test_bag_dup_groups_reordered_and_exact(ray_session):
+    """Reordered copies group with originals; distinct multisets stay
+    out; bag_id is the min member row_key and exact copies also count."""
+    from raydedup.stages.exact import bag_dup_groups
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "a b c", "c b a",        # same bag, reordered
+            "a b c",                 # exact copy of 1 -> same bag
+            "a b b",                 # different multiset
+            None,                    # NULL -> '' singleton
+        ], pa.string()),
+    }))
+    rows = bag_dup_groups(ds).take_all()
+    got = {(r["row_key"], r["bag_id"], r["n_members"]) for r in rows}
+    assert got == {("1", "1", 3), ("2", "1", 3), ("3", "1", 3)}
