@@ -373,6 +373,45 @@ def q_bag_dup_groups(sf_dir: str):
     return bag_dup_groups(_docs_with_reordered(sf_dir))
 
 
+def _docs_with_snippets(sf_dir: str):
+    """Deterministic 'snippet corpus' view: every 6th sufficiently-long
+    doc also appears as a 160-char mid-document excerpt (id +5e6) — the
+    quote/chunk-reingestion pattern containment detection exists for.
+    Mirrored verbatim by the oracle's snips CTE (substr is 1-based and
+    char-indexed on both sides)."""
+    def snip(b: pa.Table) -> pa.Table:
+        base = pa.table({"doc_id": b["doc_id"], "text": b["text"]})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        sid, stext = [], []
+        for i, t in zip(ids, texts):
+            if i % 6 or t is None or len(t) < 260:
+                continue
+            sid.append(int(i) + 5_000_000)
+            stext.append(t[39:199])  # == substr(text, 40, 160)
+        if not sid:
+            return base
+        return pa.concat_tables([base, pa.table({
+            "doc_id": pa.array(sid, pa.int64()),
+            "text": pa.array(stext, pa.string()),
+        })])
+
+    return _docs(sf_dir).map_batches(snip, batch_format="pyarrow")
+
+
+def q_doc_containment_pairs(sf_dir: str):
+    """Strict whole-document containment over the snippet-corpus view:
+    winnowing-fingerprint candidates (perfect recall for inner texts >=
+    window+k-1 = 63 chars, Schleimer et al. 2003) verified by an exact
+    substring check — quote/chunk leakage detection (see
+    stages/suffix_span.py:containment_pairs)."""
+    from raydedup.stages.exact import add_row_key
+    from raydedup.stages.suffix_span import containment_pairs
+
+    keyed = add_row_key(_docs_with_snippets(sf_dir), ["doc_id"])
+    return containment_pairs(keyed, k=16, window=48)
+
+
 def q_data_expectations(sf_dir: str):
     """Declarative ingest contract check: one (rule, n_violations) row
     per expectation — null/empty text, length range, closed language
@@ -2978,6 +3017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_hits": q_blocklist_hits,
         "data_expectations": q_data_expectations,
         "bag_dup_groups": q_bag_dup_groups,
+        "doc_containment_pairs": q_doc_containment_pairs,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
@@ -3932,6 +3972,23 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard_est
             FROM usz z LEFT JOIN inter i
               ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "doc_containment_pairs": """
+            WITH snips AS (
+                SELECT doc_id + 5000000 AS doc_id,
+                       substr(text, 40, 160) AS text
+                FROM documents
+                WHERE doc_id % 6 = 0 AND length(text) >= 260),
+            tall AS (SELECT doc_id, coalesce(text, '') AS text
+                     FROM documents
+                     UNION ALL SELECT doc_id, text FROM snips)
+            SELECT CAST(a.doc_id AS VARCHAR) AS inner_key,
+                   CAST(b.doc_id AS VARCHAR) AS outer_key,
+                   CAST(length(a.text) AS BIGINT) AS inner_len
+            FROM tall a JOIN tall b
+              ON length(a.text) >= 63
+             AND length(a.text) < length(b.text)
+             AND contains(b.text, a.text)
         """,
         "bag_dup_groups": """
             WITH reord AS (

@@ -207,7 +207,8 @@ def run_bench() -> dict:
                   "cap_duplicates",
                   "blocklist_hits",
                   "data_expectations",
-                  "bag_dup_groups"):
+                  "bag_dup_groups",
+                  "doc_containment_pairs"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

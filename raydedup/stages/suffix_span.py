@@ -650,3 +650,148 @@ def _remove_dup_spans_round(ds, cfg: DedupConfig, k: int,
                          "n_removed": pa.array(removed)})
 
     return joined.map_batches(apply, batch_format="pyarrow")
+
+
+_EMPTY_CONTAIN_TABLE = pa.table(
+    {"inner_key": pa.array([], type=pa.string()),
+     "outer_key": pa.array([], type=pa.string()),
+     "inner_len": pa.array([], type=pa.int64())}
+)
+
+
+def containment_pairs(ds, k: int = 16, window: int = 48,
+                      key_col: str = "row_key", text_col: str = "text",
+                      fp_member_cap: int = 64,
+                      num_partitions: int | None = None):
+    """Strict document CONTAINMENT pairs: (inner_key, outer_key,
+    inner_len) where the inner row's full text occurs verbatim inside a
+    strictly longer outer text — quote extraction, chunk re-ingestion
+    and snippet leakage, the whole-document case of the span pass.
+
+    Exactness: a contained text of >= ``window + k - 1`` bytes shares at
+    least one selected winnowing fingerprint with its container
+    (Schleimer et al. 2003's detection guarantee applied to the inner
+    text itself), so fingerprint-bucket candidates have perfect recall;
+    verification is an exact substring check, so precision is 1 by
+    construction. Rows shorter than the guarantee threshold are
+    excluded from the INNER side (documented contract — they can still
+    act as containers). Equal texts are exact duplicates, not
+    containment, and are excluded (inner is strictly shorter).
+
+    Scale shape mirrors ``long_span_pairs``: per-batch whole-column
+    winnowing (``_winnow_hashes_batch``), singleton fingerprints dropped
+    by a counting semi-join BEFORE any Python call, hot fingerprints
+    bounded by the same rotated-chain linear budget (recall caveat only
+    above the cap; small corpora stay exact, which keeps the SQL oracle
+    hash-green), pairs stay a Dataset, and both texts attach through ONE
+    pair-exploded hash join. The verify is a candidate-bounded exact
+    substring check per pair (C-level ``str.__contains__``), not a
+    corpus-scale loop.
+    """
+    t_min = window + k - 1
+    empty_tbl = _EMPTY_CONTAIN_TABLE
+
+    def fp(batch: pa.Table) -> pa.Table:
+        rid, val = _winnow_hashes_batch(batch[text_col], k, window)
+        return pa.table(
+            {"fp": pa.array(val.view(np.int64)),
+             key_col: batch[key_col].combine_chunks().take(pa.array(rid))}
+        )
+
+    from raydedup.util import join_partitions, repeated_keys
+
+    exploded = ds.map_batches(fp, batch_format="pyarrow").materialize()
+    n_exploded = exploded.count()
+    if n_exploded == 0:
+        return ray.data.from_arrow(empty_tbl)
+    n_parts = num_partitions or join_partitions(n_exploded)
+
+    hot = repeated_keys(exploded, "fp").materialize()
+    if hot.count() == 0:
+        return ray.data.from_arrow(empty_tbl)
+    cands = exploded.join(hot, join_type="inner", num_partitions=n_parts,
+                          on=("fp",))
+
+    cap = fp_member_cap
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        keys = sorted(set(group[key_col].to_pylist()))
+        m = len(keys)
+        a_out, b_out = [], []
+        if m > cap:
+            off = int(group["fp"][0].as_py()) % m
+            rot = keys[off:] + keys[:off]
+            for x, y in zip(rot, rot[1:]):
+                a, b = (x, y) if x < y else (y, x)
+                a_out.append(a)
+                b_out.append(b)
+        else:
+            for i in range(m):
+                for j in range(i + 1, m):
+                    a_out.append(keys[i])
+                    b_out.append(keys[j])
+        return pa.table(
+            {"a_key": pa.array(a_out, type=pa.string()),
+             "b_key": pa.array(b_out, type=pa.string())}
+        )
+
+    candidates = cands.groupby("fp").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    pairs = candidates.groupby(["a_key", "b_key"]).count().drop_columns(
+        ["count()"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(empty_tbl)
+
+    jp = join_partitions(2 * n_pairs)
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pid = pc.binary_join_element_wise(batch["a_key"], batch["b_key"],
+                                          "\x1f")
+        return pa.table(
+            {"join_key": pa.concat_arrays(
+                 [batch["a_key"].combine_chunks(),
+                  batch["b_key"].combine_chunks()]),
+             "pid": pa.concat_arrays([pid.combine_chunks()] * 2),
+             "side": pa.array([0] * batch.num_rows + [1] * batch.num_rows,
+                              type=pa.int32())}
+        )
+
+    exp = pairs.map_batches(explode_pairs, batch_format="pyarrow")
+
+    def as_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"join_key": batch[key_col], "t": batch[text_col]})
+
+    texts = ds.map_batches(as_key, batch_format="pyarrow")
+    joined = exp.join(texts, join_type="inner", num_partitions=jp,
+                      on=("join_key",))
+
+    def verify(group: pa.Table) -> pa.Table:
+        a = b = None
+        ta = tb = ""
+        for s, kk, tt in zip(group["side"].to_pylist(),
+                             group["join_key"].to_pylist(),
+                             group["t"].to_pylist()):
+            if s == 0:
+                a, ta = kk, tt or ""
+            else:
+                b, tb = kk, tt or ""
+        if a is None or b is None:
+            return empty_tbl
+        la, lb = len(ta), len(tb)
+        inner = outer = None
+        if la < lb and la >= t_min and ta in tb:
+            inner, outer, li = a, b, la
+        elif lb < la and lb >= t_min and tb in ta:
+            inner, outer, li = b, a, lb
+        if inner is None:
+            return empty_tbl
+        return pa.table(
+            {"inner_key": pa.array([inner], type=pa.string()),
+             "outer_key": pa.array([outer], type=pa.string()),
+             "inner_len": pa.array([li], type=pa.int64())}
+        )
+
+    return joined.groupby("pid").map_groups(verify, batch_format="pyarrow")

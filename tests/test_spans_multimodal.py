@@ -1068,3 +1068,51 @@ def test_remove_dup_spans_multi_round():
 
     with pytest.raises(ValueError, match="rounds"):
         remove_dup_spans(ds, DEFAULT_CONFIG, rounds=0)
+
+
+def test_containment_pairs_planted(ray_session):
+    """Planted snippet ⊂ doc detected with correct orientation; equal
+    texts and too-short inners excluded; precision 1 by construction."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.suffix_span import containment_pairs
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    long1 = " ".join(rng.choice(words, 120))
+    long2 = " ".join(rng.choice(words, 120))
+    snippet = long1[30:130]          # 100 chars >= t_min 63
+    tiny = long2[10:50]              # 40 chars < t_min, excluded as inner
+    ds = ray.data.from_arrow(pa.table({
+        "row_key": pa.array(["d1", "d2", "s1", "t1", "e1", "e2"],
+                            pa.string()),
+        "text": pa.array([long1, long2, snippet, tiny, long1, long1],
+                         pa.string()),
+    }))
+    rows = containment_pairs(ds, k=16, window=48).take_all()
+    got = {(r["inner_key"], r["outer_key"]) for r in rows}
+    # s1 ⊂ d1 (and ⊂ the exact copies e1/e2); equal-text pairs
+    # (d1,e1,e2) never appear; tiny never appears as inner
+    assert ("s1", "d1") in got
+    assert got == {("s1", "d1"), ("s1", "e1"), ("s1", "e2")}
+    lens = {r["inner_key"]: r["inner_len"] for r in rows}
+    assert lens["s1"] == len(snippet)
+
+
+def test_containment_pairs_empty_schema(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.suffix_span import containment_pairs
+
+    ds = ray.data.from_arrow(pa.table({
+        "row_key": pa.array(["a", "b"], pa.string()),
+        "text": pa.array(["completely different one " * 8,
+                          "another unrelated body " * 8], pa.string()),
+    }))
+    out = containment_pairs(ds, k=16, window=48)
+    assert set(out.schema().names) == {"inner_key", "outer_key",
+                                       "inner_len"}
+    assert out.count() == 0
