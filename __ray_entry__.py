@@ -412,6 +412,15 @@ def q_doc_containment_pairs(sf_dir: str):
     return containment_pairs(keyed, k=16, window=48)
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution — the
+    corpus-free repetition/gibberish quality signal (zero shuffle, one
+    vectorized pass; see stages/textstats.py:token_entropy)."""
+    from raydedup.stages.textstats import token_entropy
+
+    return _round_col(token_entropy(_docs(sf_dir)), "entropy")
+
+
 def q_data_expectations(sf_dir: str):
     """Declarative ingest contract check: one (rule, n_violations) row
     per expectation — null/empty text, length range, closed language
@@ -3018,6 +3027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_expectations": q_data_expectations,
         "bag_dup_groups": q_bag_dup_groups,
         "doc_containment_pairs": q_doc_containment_pairs,
+        "token_entropy": q_token_entropy,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
@@ -3972,6 +3982,23 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard_est
             FROM usz z LEFT JOIN inter i
               ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "token_entropy": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[0-9a-zA-Z_]+')) AS tok
+                FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            per AS (SELECT doc_id,
+                           sum(tf * ln(CAST(tf AS DOUBLE))) AS s,
+                           CAST(sum(tf) AS BIGINT) AS nd
+                    FROM tf GROUP BY 1)
+            SELECT doc_id, nd AS n_tokens,
+                   round(ln(CAST(nd AS DOUBLE)) - s / nd,
+                         {_ROUND}) AS entropy
+            FROM per
         """,
         "doc_containment_pairs": """
             WITH snips AS (

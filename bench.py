@@ -208,7 +208,8 @@ def run_bench() -> dict:
                   "blocklist_hits",
                   "data_expectations",
                   "bag_dup_groups",
-                  "doc_containment_pairs"):
+                  "doc_containment_pairs",
+                  "token_entropy"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

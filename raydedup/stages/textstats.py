@@ -544,6 +544,55 @@ def _doc_term_codes(batch: pa.Table, text_col: str):
     return docidx, codes, enc.dictionary
 
 
+def token_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon entropy of the token distribution (nats):
+
+        H(d) = ln(n_d) - (1/n_d) * sum_t tf(d,t) * ln(tf(d,t))
+
+    The low tail is repetition/boilerplate (one token repeated has
+    H = 0), the high tail is maximally-spread vocabulary — the cheap
+    gibberish/repetition quality signal that needs NO corpus statistics,
+    complementing ``unigram_logppl`` (which ranks docs against the
+    corpus LM). Token contract = the ASCII RE2 contract of
+    ``_doc_term_codes``; docs with zero tokens are omitted (no token
+    rows, matching SQL). Returns (id, n_tokens, entropy) at full
+    precision.
+
+    Scale shape: ZERO shuffle — a document's tokens live in its own
+    row, so everything is one vectorized per-batch pass (regex split,
+    dictionary_encode, lexsort run-lengths, reduceat)."""
+
+    def ent(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        empty = pa.table({id_col: pa.array([], id_type),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "entropy": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        docidx, codes, _ = _doc_term_codes(batch, text_col)
+        if len(codes) == 0:
+            return empty
+        order = np.lexsort((codes, docidx))
+        dc, cc = docidx[order], codes[order]
+        newrun = np.r_[True, (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])]
+        starts = np.flatnonzero(newrun)
+        tf = np.diff(np.r_[starts, len(dc)]).astype(np.float64)
+        drun = dc[starts]
+        dstarts = np.r_[0, np.flatnonzero(drun[1:] != drun[:-1]) + 1]
+        s = np.add.reduceat(tf * np.log(tf), dstarts)
+        nd = np.add.reduceat(tf, dstarts)
+        h = np.log(nd) - s / nd
+        docs = drun[dstarts]
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(docs)),
+            "n_tokens": pa.array(nd.astype(np.int64)),
+            "entropy": pa.array(h),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        ent, batch_format="pyarrow")
+
+
 def characteristic_terms(ds, id_col: str = "doc_id",
                          text_col: str = "text"):
     """Per-document most-characteristic term — the TF-IDF argmax with a

@@ -821,3 +821,28 @@ def test_bag_dup_groups_reordered_and_exact(ray_session):
     rows = bag_dup_groups(ds).take_all()
     got = {(r["row_key"], r["bag_id"], r["n_members"]) for r in rows}
     assert got == {("1", "1", 3), ("2", "1", 3), ("3", "1", 3)}
+
+
+def test_token_entropy_closed_form(ray_session):
+    """H=0 for a single repeated token, ln(n) for all-distinct tokens,
+    exact closed form for a mixed doc; empty/NULL docs omitted."""
+    import math
+
+    from raydedup.stages.textstats import token_entropy
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "spam spam spam spam",
+            "a b c d",
+            "x x y",          # H = ln(3) - (2 ln 2)/3
+            "",
+            None,
+        ], pa.string()),
+    }))
+    got = {r["doc_id"]: (r["n_tokens"], r["entropy"])
+           for r in token_entropy(ds).take_all()}
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 4 and abs(got[1][1]) < 1e-12
+    assert abs(got[2][1] - math.log(4)) < 1e-12
+    assert abs(got[3][1] - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12
