@@ -421,6 +421,20 @@ def q_token_entropy(sf_dir: str):
     return _round_col(token_entropy(_docs(sf_dir)), "entropy")
 
 
+def q_similar_docs_topk(sf_dir: str):
+    """Text-side similarity search (query-by-document): top-5 most
+    similar docs per query id by EXACT shingle-set Jaccard — the
+    set-based counterpart of ann_topk; query sets broadcast once, the
+    corpus streams through a vectorized partial-top-k scoring pass
+    (see stages/setjoin.py:similar_docs_topk)."""
+    from raydedup.stages.setjoin import similar_docs_topk
+
+    return _round_col(
+        similar_docs_topk(_docs(sf_dir), list(range(10)), k=5,
+                          cfg=SIMPLE_CFG),
+        "jaccard")
+
+
 def q_data_expectations(sf_dir: str):
     """Declarative ingest contract check: one (rule, n_violations) row
     per expectation — null/empty text, length range, closed language
@@ -3028,6 +3042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_dup_groups": q_bag_dup_groups,
         "doc_containment_pairs": q_doc_containment_pairs,
         "token_entropy": q_token_entropy,
+        "similar_docs_topk": q_similar_docs_topk,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
@@ -3982,6 +3997,49 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard_est
             FROM usz z LEFT JOIN inter i
               ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "similar_docs_topk": f"""
+            WITH arrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
+                           AS arr
+                FROM documents
+            ),
+            sl AS (
+                SELECT doc_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM arrs WHERE len(arr) > 0
+            ),
+            sh AS (SELECT DISTINCT doc_id, s.sh
+                   FROM sl, UNNEST(shl) AS s(sh)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT q.doc_id AS query_id, b.doc_id AS doc_id,
+                       count(*) AS c
+                FROM sh q JOIN sh b
+                  ON q.sh = b.sh AND q.doc_id <> b.doc_id
+                WHERE q.doc_id BETWEEN 0 AND 9
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT i.query_id, i.doc_id,
+                       CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) AS j
+                FROM inter i
+                JOIN sz x ON x.doc_id = i.query_id
+                JOIN sz y ON y.doc_id = i.doc_id
+            ),
+            r AS (SELECT query_id, doc_id, j,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY j DESC, doc_id)
+                             AS rank
+                  FROM scored)
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+                   round(j, {_ROUND}) AS jaccard
+            FROM r WHERE rank <= 5
         """,
         "token_entropy": f"""
             WITH toks AS (

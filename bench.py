@@ -209,7 +209,8 @@ def run_bench() -> dict:
                   "data_expectations",
                   "bag_dup_groups",
                   "doc_containment_pairs",
-                  "token_entropy"):
+                  "token_entropy",
+                  "similar_docs_topk"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

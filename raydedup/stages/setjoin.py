@@ -384,3 +384,102 @@ def set_similarity_self_join(ds, threshold: float,
     if out.count() == 0:
         return ray.data.from_arrow(pair_schema.empty_table())
     return out
+
+
+def similar_docs_topk(ds, query_ids: list, k: int = 5,
+                      cfg: DedupConfig = DEFAULT_CONFIG,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Query-by-document similarity search: for each query row, the
+    top-``k`` most similar OTHER rows by exact token-shingle-set Jaccard
+    (the set-based counterpart of the embedding ANN family — same
+    shingle contract as the near-dup oracles). → Dataset(query_id,
+    doc_id, rank, jaccard); only rows with jaccard > 0 are ranked, so a
+    query may return fewer than k rows.
+
+    Scale shape: the query side is genuinely small (an explicit id
+    list) — its shingle sets broadcast once via ``ray.put``; the corpus
+    streams ONCE through a vectorized scoring pass (one searchsorted
+    membership probe + reduceat per query per batch, no per-row
+    Python), each batch emits at most ``k`` candidates per query (the
+    partial-top-k combiner), and the final reduce ranks
+    blocks x queries x k candidate rows under a query-keyed groupby —
+    nothing corpus-sized shuffles or lands on the driver.
+    """
+    import ray
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    sets = shingle_sets(ds, cfg, id_col=id_col, text_col=text_col)
+
+    def only_queries(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col],
+                                 value_set=pa.array(query_ids)))
+
+    qrows = sets.map_batches(only_queries,
+                             batch_format="pyarrow").take_all()
+    qdata = [(r[id_col], np.asarray(sorted(r["sh"]), dtype=np.uint64),
+              int(r["nsh"])) for r in qrows]
+    ref = ray.put(qdata)
+    id_type = ds.schema().types[ds.schema().names.index(id_col)]
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], id_type),
+                          id_col: pa.array([], id_type),
+                          "jaccard": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        queries = ray.get(ref)
+        if not queries:
+            return empty
+        sh = batch["sh"].combine_chunks()
+        flat = sh.values.to_numpy(zero_copy_only=False)
+        offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nsh = batch["nsh"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_d, out_j = [], [], []
+        for qid, qs, qn in queries:
+            if qs.size == 0:
+                continue
+            pos = np.searchsorted(qs, flat)
+            np.minimum(pos, qs.size - 1, out=pos)
+            hit = (qs[pos] == flat).astype(np.int64)
+            common = (np.add.reduceat(hit, offs[:-1])
+                      if flat.size else np.zeros(len(nsh), np.int64))
+            j = common / (nsh + qn - common)
+            j[ids == qid] = 0.0
+            cand = np.flatnonzero(j > 0)
+            if cand.size == 0:
+                continue
+            top = cand[np.lexsort((ids[cand], -j[cand]))[:k]]
+            out_q.append(np.full(top.size, qid))
+            out_d.append(ids[top])
+            out_j.append(j[top])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), id_type),
+            id_col: pa.array(np.concatenate(out_d), id_type),
+            "jaccard": pa.array(np.concatenate(out_j), pa.float64()),
+        })
+
+    cands = sets.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], id_type),
+                          id_col: pa.array([], id_type),
+                          "rank": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if g.num_rows == 0 or "jaccard" not in g.column_names:
+            return empty
+        j = g["jaccard"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids, -j))[:k]
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array(top)),
+            id_col: g[id_col].take(pa.array(top)),
+            "rank": pa.array(np.arange(1, top.size + 1, dtype=np.int64)),
+            "jaccard": g["jaccard"].take(pa.array(top)),
+        })
+
+    return cands.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pyarrow")

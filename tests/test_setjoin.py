@@ -115,3 +115,50 @@ def test_setjoin_empty_and_no_match(ray_session):
     assert out.count() == 0
     assert set(out.schema().names) == {
         "a_id", "b_id", "common", "na", "nb", "jaccard"}
+
+
+def test_similar_docs_topk_vs_bruteforce(ray_session):
+    """Partial-top-k + final reduce must equal brute-force shingle
+    Jaccard ranking (jaccard desc, id asc), self excluded, zero-overlap
+    rows never returned."""
+    import numpy as np
+
+    from raydedup.functions.minhash import MinHasher
+    from raydedup.stages.setjoin import similar_docs_topk
+    from raydedup.textnorm import full_tokenize
+
+    cfg = DEFAULT_CONFIG.with_overrides(stemming=False,
+                                        remove_stopwords=False)
+    rng = np.random.default_rng(17)
+    vocab = ["red", "blue", "green", "lime", "teal", "pink", "gray"]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    texts[5] = texts[0]                     # exact copy of a query doc
+    texts[7] = texts[1] + " extra tail here"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = [(r["query_id"], r["doc_id"], r["rank"], r["jaccard"])
+           for r in similar_docs_topk(ds, [0, 1, 2], k=4,
+                                      cfg=cfg).take_all()]
+
+    hasher = MinHasher(1, cfg.minhash_seed)
+    shs = []
+    for t in texts:
+        toks = full_tokenize(t, stemming=False, remove_stopwords=False)
+        flat, offs = hasher.shingle_hash_arrays(
+            [toks], cfg.minhash_shingle_words)
+        shs.append(set(flat.tolist()))
+    expect = []
+    for q in (0, 1, 2):
+        scored = []
+        for d in range(40):
+            if d == q:
+                continue
+            c = len(shs[q] & shs[d])
+            if c:
+                scored.append((c / (len(shs[q] | shs[d])), -d))
+        scored.sort(reverse=True)
+        for rk, (j, nd) in enumerate(scored[:4], 1):
+            expect.append((q, -nd, rk, j))
+    assert sorted(got) == sorted(expect)
