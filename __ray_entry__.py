@@ -435,6 +435,18 @@ def q_similar_docs_topk(sf_dir: str):
         "jaccard")
 
 
+def q_temporal_novelty(sf_dir: str):
+    """First-introduction novelty per doc under ascending-id arrival
+    order: how many of a doc's distinct shingles first appear in it —
+    the crawl/snapshot growth audit (see
+    stages/setjoin.py:temporal_novelty; hashes shuffle, text never
+    does)."""
+    from raydedup.stages.setjoin import temporal_novelty
+
+    return _round_col(temporal_novelty(_docs(sf_dir), cfg=SIMPLE_CFG),
+                      "novelty_frac")
+
+
 def q_data_expectations(sf_dir: str):
     """Declarative ingest contract check: one (rule, n_violations) row
     per expectation — null/empty text, length range, closed language
@@ -3043,6 +3055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment_pairs": q_doc_containment_pairs,
         "token_entropy": q_token_entropy,
         "similar_docs_topk": q_similar_docs_topk,
+        "temporal_novelty": q_temporal_novelty,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
@@ -3997,6 +4010,35 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard_est
             FROM usz z LEFT JOIN inter i
               ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "temporal_novelty": f"""
+            WITH arrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
+                           AS arr
+                FROM documents
+            ),
+            sl AS (
+                SELECT doc_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM arrs WHERE len(arr) > 0
+            ),
+            sh AS (SELECT DISTINCT doc_id, s.sh
+                   FROM sl, UNNEST(shl) AS s(sh)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            f AS (SELECT sh, min(doc_id) AS fid FROM sh GROUP BY 1),
+            nf AS (SELECT fid AS doc_id, count(*) AS n_first
+                   FROM f GROUP BY 1)
+            SELECT sz.doc_id, CAST(sz.n AS BIGINT) AS n_grams,
+                   CAST(coalesce(nf.n_first, 0) AS BIGINT)
+                       AS n_first_seen,
+                   round(CAST(coalesce(nf.n_first, 0) AS DOUBLE) / sz.n,
+                         {_ROUND}) AS novelty_frac
+            FROM sz LEFT JOIN nf USING (doc_id)
         """,
         "similar_docs_topk": f"""
             WITH arrs AS (

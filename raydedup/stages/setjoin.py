@@ -483,3 +483,83 @@ def similar_docs_topk(ds, query_ids: list, k: int = 5,
 
     return cands.groupby("query_id").map_groups(final_topk,
                                                 batch_format="pyarrow")
+
+
+def temporal_novelty(ds, cfg: DedupConfig = DEFAULT_CONFIG,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     num_partitions: int | None = None):
+    """First-introduction novelty per row: of a doc's DISTINCT w-word
+    shingles, how many first appear in THIS doc under ascending id
+    (arrival) order — the crawl/snapshot growth audit ("this re-crawl
+    introduced 3% new content"), the temporal complement of
+    ``decontam.ngram_novelty``'s symmetric redundancy. → Dataset(id,
+    n_grams, n_first_seen, novelty_frac); zero-shingle docs are dropped
+    (same contract as ``shingle_sets``).
+
+    Scale shape: the corpus reduces to skinny (shingle_hash, id) rows;
+    one gram-keyed ``Min`` groupby finds each gram's first owner (the
+    irreducible exchange — hashes only, never text); per-doc
+    first-introduction counts reduce from the one-row-per-distinct-gram
+    owner table through a counting groupby; the two doc-level tables
+    meet in ONE id-keyed hash join. novelty_frac divides the same two
+    int64s the SQL oracle divides.
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from raydedup.util import join_partitions
+
+    sets = shingle_sets(ds, cfg, id_col=id_col,
+                        text_col=text_col).materialize()
+    id_type = ds.schema().types[ds.schema().names.index(id_col)]
+
+    def sizes(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b[id_col], "n_grams": b["nsh"]})
+
+    sz = sets.map_batches(sizes, batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        sh = b["sh"].combine_chunks()
+        lens = np.diff(sh.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        ids = b[id_col].take(pa.array(
+            np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)))
+        return pa.table({"h": sh.values, id_col: ids})
+
+    firsts = (sets.map_batches(explode, batch_format="pyarrow")
+              .groupby("h").aggregate(Min(id_col, alias_name="fid")))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "fid" not in b.column_names:
+            return pa.table({id_col: pa.array([], id_type),
+                             "n_first_seen": pa.array([], pa.int64())})
+        t = pa.table({id_col: b["fid"],
+                      "n_first_seen": pa.array(
+                          np.ones(b.num_rows, dtype=np.int64))})
+        agg = t.group_by([id_col]).aggregate([("n_first_seen", "sum")])
+        return pa.table({id_col: agg[id_col],
+                         "n_first_seen": agg["n_first_seen_sum"]})
+
+    nf = (firsts.map_batches(count_partial, batch_format="pyarrow")
+          .groupby(id_col).aggregate(Sum("n_first_seen",
+                                         alias_name="n_first_seen")))
+
+    n_docs = sz.count()
+    jp = num_partitions or join_partitions(n_docs)
+    joined = sz.join(nf, join_type="left_outer", num_partitions=jp,
+                     on=(id_col,))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_first_seen": pa.array([], pa.int64()),
+                             "novelty_frac": pa.array([], pa.float64())})
+        nfs = pc.fill_null(pc.cast(b["n_first_seen"], pa.int64()), 0)
+        ng = pc.cast(b["n_grams"], pa.int64())
+        frac = pc.divide(pc.cast(nfs, pa.float64()),
+                         pc.cast(ng, pa.float64()))
+        return pa.table({id_col: b[id_col], "n_grams": ng,
+                         "n_first_seen": nfs, "novelty_frac": frac})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

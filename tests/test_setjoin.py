@@ -162,3 +162,39 @@ def test_similar_docs_topk_vs_bruteforce(ray_session):
         for rk, (j, nd) in enumerate(scored[:4], 1):
             expect.append((q, -nd, rk, j))
     assert sorted(got) == sorted(expect)
+
+
+def test_temporal_novelty_vs_bruteforce(ray_session):
+    """First-introduction counts equal the brute sequential-set scan;
+    the first doc is 100% novel; an exact late copy is 0% novel."""
+    import numpy as np
+
+    from raydedup.functions.minhash import MinHasher
+    from raydedup.stages.setjoin import temporal_novelty
+    from raydedup.textnorm import full_tokenize
+
+    cfg = DEFAULT_CONFIG.with_overrides(stemming=False,
+                                        remove_stopwords=False)
+    rng = np.random.default_rng(23)
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox"]
+    texts = [" ".join(rng.choice(vocab, 25)) for _ in range(20)]
+    texts[15] = texts[2]  # exact late copy -> zero novelty
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = {r["doc_id"]: (r["n_grams"], r["n_first_seen"])
+           for r in temporal_novelty(ds, cfg=cfg).take_all()}
+
+    hasher = MinHasher(1, cfg.minhash_seed)
+    seen: set = set()
+    for d, t in enumerate(texts):
+        toks = full_tokenize(t, stemming=False, remove_stopwords=False)
+        flat, _ = hasher.shingle_hash_arrays(
+            [toks], cfg.minhash_shingle_words)
+        s = set(flat.tolist())
+        first = len(s - seen)
+        seen |= s
+        assert got[d] == (len(s), first), d
+    assert got[15][1] == 0
+    assert got[0][0] == got[0][1]
