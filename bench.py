@@ -210,7 +210,8 @@ def run_bench() -> dict:
                   "bag_dup_groups",
                   "doc_containment_pairs",
                   "token_entropy",
-                  "similar_docs_topk"):
+                  "similar_docs_topk",
+                  "temporal_novelty"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame
