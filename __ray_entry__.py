@@ -325,6 +325,17 @@ def q_cap_duplicates(sf_dir: str):
     return cap_duplicates(_docs_with_repeats(sf_dir), k=2)
 
 
+def q_dup_rate_estimate(sf_dir: str):
+    """Sampled duplication estimate over the repeated-corpus view:
+    exact dup stats on a 50% content-hash sample (groups are atomic
+    under the text-hash gate, so dup_frac is unbiased; see
+    stages/exact.py:dup_rate_estimate)."""
+    from raydedup.stages.exact import dup_rate_estimate
+
+    return _round_col(dup_rate_estimate(_docs_with_repeats(sf_dir),
+                                        rate=0.5), "dup_frac")
+
+
 def q_blocklist_hits(sf_dir: str):
     """Banned-phrase compliance scan: (doc_id, phrase, n_hits) for every
     document containing a blocklist phrase — zero shuffle, one
@@ -3056,6 +3067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": q_token_entropy,
         "similar_docs_topk": q_similar_docs_topk,
         "temporal_novelty": q_temporal_novelty,
+        "dup_rate_estimate": q_dup_rate_estimate,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
@@ -4010,6 +4022,26 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard_est
             FROM usz z LEFT JOIN inter i
               ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "dup_rate_estimate": f"""
+            WITH reps AS (
+                SELECT doc_id + 1000000 * j AS doc_id, text
+                FROM documents, range(1, 4) AS t(j)
+                WHERE doc_id % 5 = 0),
+            tall AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM reps),
+            g AS (SELECT coalesce(text, '') AS txt FROM tall),
+            s AS (SELECT txt FROM g
+                  WHERE CAST(('0x' || substr(md5('s0:' || txt), 1, 15))
+                             AS UBIGINT) < {int(0.5 * (1 << 60))}),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+                           CAST(count(DISTINCT txt) AS BIGINT) AS n_uniq
+                    FROM s)
+            SELECT n_sampled, n_uniq,
+                   n_sampled - n_uniq AS dup_rows,
+                   round(CAST(n_sampled - n_uniq AS DOUBLE) / n_sampled,
+                         {_ROUND}) AS dup_frac
+            FROM agg
         """,
         "temporal_novelty": f"""
             WITH arrs AS (

@@ -211,7 +211,8 @@ def run_bench() -> dict:
                   "doc_containment_pairs",
                   "token_entropy",
                   "similar_docs_topk",
-                  "temporal_novelty"):
+                  "temporal_novelty",
+                  "dup_rate_estimate"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

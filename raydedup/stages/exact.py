@@ -585,6 +585,85 @@ def cap_duplicates(ds, k: int = 2, key_col: str = "doc_id",
     return kept_small.union(kept_over)
 
 
+def dup_rate_estimate(ds, rate: float = 0.5, text_col: str = "text",
+                      seed: str = "s0"):
+    """Plan-before-you-pay duplication estimator: exact-duplicate
+    statistics over a deterministic CONTENT-hash sample —
+    → one row (n_sampled, n_uniq, dup_rows, dup_frac). Sampling gates
+    on md5 of the TEXT (not the row key), so every copy of a sampled
+    text is sampled together: duplicate groups are atomic under the
+    sample and ``dup_frac`` is an unbiased estimate of the corpus's
+    extra-copy fraction. (Key-hash sampling would keep each copy
+    independently and quadratically under-count pairs.) Deterministic
+    and rerun-stable like ``sample_by_hash`` — same md5-low60 gate,
+    mirrored in SQL.
+
+    Scale shape: the gate runs once per DISTINCT text per batch
+    (dictionary-encode idiom); the surviving rows reduce through
+    ``_text_group_counts`` (hashes shuffle, text never does) and a
+    constant-key counting merge — one row reaches the driver.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thr = int(rate * (1 << 60))
+    prefix = f"{seed}:".encode()
+
+    def gate(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        enc = pc.dictionary_encode(
+            pc.fill_null(b[text_col].combine_chunks(), ""))
+        keep_u = pa.array(
+            [int.from_bytes(
+                hashlib.md5(prefix + t.encode("utf-8")).digest()[:8],
+                "big") >> 4 < thr
+             for t in enc.dictionary.to_pylist()], pa.bool_())
+        return b.filter(pc.take(keep_u, enc.indices))
+
+    sampled = ds.select_columns([text_col]).map_batches(
+        gate, batch_format="pyarrow")
+    counts = _text_group_counts(sampled, text_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n" not in b.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "n_sampled": pa.array([], pa.int64()),
+                             "n_uniq": pa.array([], pa.int64())})
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "n_sampled": pa.array([int(n.sum())], pa.int64()),
+                         "n_uniq": pa.array([b.num_rows], pa.int64())})
+
+    merged = (counts.map_batches(partial, batch_format="pyarrow")
+              .groupby("k")
+              .aggregate(Sum("n_sampled", alias_name="n_sampled"),
+                         Sum("n_uniq", alias_name="n_uniq")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n_sampled": pa.array([], pa.int64()),
+                             "n_uniq": pa.array([], pa.int64()),
+                             "dup_rows": pa.array([], pa.int64()),
+                             "dup_frac": pa.array([], pa.float64())})
+        ns = b["n_sampled"].to_numpy(zero_copy_only=False)
+        nu = b["n_uniq"].to_numpy(zero_copy_only=False)
+        dup = ns - nu
+        return pa.table({
+            "n_sampled": pa.array(ns), "n_uniq": pa.array(nu),
+            "dup_rows": pa.array(dup),
+            "dup_frac": pa.array(dup.astype(np.float64) /
+                                 ns.astype(np.float64)),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def bag_dup_groups(ds, key_cols: list[str] | None = None,
                    text_col: str = "text", min_size: int = 2):
     """Word-multiset (bag) duplicate groups: rows whose whitespace-token

@@ -846,3 +846,37 @@ def test_token_entropy_closed_form(ray_session):
     assert got[1][0] == 4 and abs(got[1][1]) < 1e-12
     assert abs(got[2][1] - math.log(4)) < 1e-12
     assert abs(got[3][1] - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12
+
+
+def test_dup_rate_estimate_atomic_groups(ray_session):
+    """rate=1.0 gives the exact corpus stats; any rate keeps duplicate
+    groups atomic (n_sampled is always a whole multiple of each sampled
+    text's copy count), so dup_frac never under-counts pairs the way
+    key-sampling would."""
+    from raydedup.stages.exact import dup_rate_estimate
+
+    texts = ["a"] * 4 + ["b"] * 2 + ["c", "d", "e", "f"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    full = dup_rate_estimate(ds, rate=1.0).take_all()[0]
+    assert (full["n_sampled"], full["n_uniq"], full["dup_rows"]) == (10, 6, 4)
+    assert abs(full["dup_frac"] - 0.4) < 1e-12
+
+    half = dup_rate_estimate(ds, rate=0.5).take_all()
+    if half:  # sample may be empty at tiny n
+        r = half[0]
+        # group atomicity: sampled rows decompose exactly into whole
+        # copy-groups of sizes from {4, 2, 1}
+        assert r["n_sampled"] >= r["n_uniq"]
+        from itertools import combinations
+        sizes = [4, 2, 1, 1, 1, 1]
+        feas = {(sum(c), len(c))
+                for k in range(1, 7)
+                for c in combinations(sizes, k)}
+        assert (r["n_sampled"], r["n_uniq"]) in feas
+
+    import pytest
+    with pytest.raises(ValueError):
+        dup_rate_estimate(ds, rate=1.5)
