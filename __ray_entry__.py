@@ -458,6 +458,55 @@ def q_temporal_novelty(sf_dir: str):
                       "novelty_frac")
 
 
+def q_prepare_training_transcripts(sf_dir: str):
+    """END-TO-END transcript training-data prep — the composed pipeline
+    a transcript-pretraining run ships: assemble conversations under
+    stable (conv_id, turn_idx) order → conversation-level near-dup
+    pairs (exact prefix-filter join, threshold 0.1) → connected
+    components → min-conv_id survivor per cluster → whitespace token
+    counts → deterministic md5 shard assignment → per-shard manifest
+    (shard, n_convs, n_tokens, min_conv, max_conv). Every stage is the
+    already-oracled operator; the duplicate-conv set broadcast is
+    pair-bounded (components exist only where edges do)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from raydedup.stages.ordered import assemble_by_key
+    from raydedup.stages.setjoin import set_similarity_self_join
+    from raydedup.stages.textstats import assign_shards
+    from raydedup.state.unionfind import connected_components_driver
+
+    ts = transcripts_from_documents(sf_dir)
+    convs = assemble_by_key(ts, by="conv_id", order_cols=["turn_idx"],
+                            text_col="text", sep="\n",
+                            out="conv_text").materialize()
+    pairs = set_similarity_self_join(convs, 0.1, SIMPLE_CFG,
+                                     id_col="conv_id",
+                                     text_col="conv_text")
+    comp = connected_components_driver(pairs, a_col="a_id", b_col="b_id")
+    dup_keys = pa.array([k for k, v in comp.items() if v != k],
+                        pa.string())
+    ref = ray.put(dup_keys)
+
+    def survivors(b: pa.Table) -> pa.Table:
+        dups = ray.get(ref)
+        keep = pc.invert(pc.is_in(b["conv_id"], value_set=dups))
+        t = b.filter(keep)
+        n_tok = pc.cast(pc.count_substring_regex(
+            pc.fill_null(t["conv_text"].combine_chunks(), ""), r"\S+"),
+            pa.int64())
+        return pa.table({"conv_id": t["conv_id"], "n_tokens": n_tok})
+
+    surv = convs.map_batches(survivors, batch_format="pyarrow")
+    sharded = assign_shards(surv, n_shards=4, key_col="conv_id")
+    return (sharded.groupby("shard")
+            .aggregate(Count(alias_name="n_convs"),
+                       Sum("n_tokens", alias_name="n_tokens"),
+                       Min("conv_id", alias_name="min_conv"),
+                       Max("conv_id", alias_name="max_conv")))
+
+
 def q_data_expectations(sf_dir: str):
     """Declarative ingest contract check: one (rule, n_violations) row
     per expectation — null/empty text, length range, closed language
@@ -3068,6 +3117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_docs_topk": q_similar_docs_topk,
         "temporal_novelty": q_temporal_novelty,
         "dup_rate_estimate": q_dup_rate_estimate,
+        "prepare_training_transcripts": q_prepare_training_transcripts,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
         "snm_candidate_pairs": q_snm_candidate_pairs,
@@ -4022,6 +4072,72 @@ def _oracle_sql_base() -> dict[str, str]:
                          {_ROUND}) AS jaccard_est
             FROM usz z LEFT JOIN inter i
               ON i.sa = z.sa AND i.sb = z.sb
+        """,
+        "prepare_training_transcripts": TRANSCRIPTS_SQL.replace(
+            "WITH transcripts", "WITH RECURSIVE transcripts", 1) + """,
+            conv AS (
+                SELECT conv_id,
+                       string_agg(text, chr(10) ORDER BY turn_idx)
+                           AS conv_text
+                FROM transcripts GROUP BY conv_id
+            ),
+            arrs AS (
+                SELECT conv_id,
+                       regexp_extract_all(lower(conv_text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM conv
+            ),
+            sl AS (
+                SELECT conv_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM arrs WHERE len(arr) > 0
+            ),
+            sh AS (SELECT DISTINCT conv_id, s.sh
+                   FROM sl, UNNEST(shl) AS s(sh)),
+            sz AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY 1),
+            np AS (
+                SELECT i.a_id, i.b_id
+                FROM (SELECT a.conv_id AS a_id, b.conv_id AS b_id,
+                             count(*) AS c
+                      FROM sh a JOIN sh b
+                        ON a.sh = b.sh AND a.conv_id < b.conv_id
+                      GROUP BY 1, 2) i
+                JOIN sz x ON x.conv_id = i.a_id
+                JOIN sz y ON y.conv_id = i.b_id
+                WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.1
+            ),
+            edges AS (SELECT a_id AS a, b_id AS b FROM np
+                      UNION SELECT b_id, a_id FROM np),
+            reach(node, r) AS (
+                SELECT conv_id, conv_id FROM conv
+                UNION
+                SELECT reach.node, edges.b
+                FROM reach JOIN edges ON reach.r = edges.a
+            ),
+            clust AS (SELECT node, min(r) AS label
+                      FROM reach GROUP BY node),
+            surv AS (
+                SELECT c.conv_id, c.conv_text
+                FROM conv c JOIN clust ON clust.node = c.conv_id
+                WHERE clust.label = c.conv_id
+            ),
+            tok AS (
+                SELECT conv_id,
+                       CAST(len(regexp_extract_all(conv_text, '\\S+'))
+                            AS BIGINT) AS n_tokens,
+                       CAST(CAST(('0x' || substr(
+                                md5('shard0:' || conv_id), 1, 15))
+                            AS UBIGINT) % 4 AS BIGINT) AS shard
+                FROM surv
+            )
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   min(conv_id) AS min_conv, max(conv_id) AS max_conv
+            FROM tok GROUP BY shard
         """,
         "dup_rate_estimate": f"""
             WITH reps AS (

@@ -212,7 +212,8 @@ def run_bench() -> dict:
                   "token_entropy",
                   "similar_docs_topk",
                   "temporal_novelty",
-                  "dup_rate_estimate"):
+                  "dup_rate_estimate",
+                  "prepare_training_transcripts"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

