@@ -214,20 +214,41 @@ def _prefix_len(lens: np.ndarray, threshold: float) -> np.ndarray:
     return np.clip(lens - o_min + 1, 1, lens)
 
 
+def _finish_pairs(verified, pair_schema: pa.Schema):
+    """Append the exact-division jaccard column and pin the schema on an
+    empty result (Ray 2.49 loses the schema when no block ever flows —
+    same empty-pin idiom as stages/lsh.py)."""
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "common" not in batch.column_names:
+            return pair_schema.empty_table()
+        c = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (batch["na"].to_numpy(zero_copy_only=False)
+             + batch["nb"].to_numpy(zero_copy_only=False)
+             - batch["common"].to_numpy(zero_copy_only=False)).astype(
+                 np.float64)
+        return batch.append_column(
+            "jaccard", pa.array(c / u, type=pa.float64()))
+
+    out = verified.map_batches(finish, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return ray.data.from_arrow(pair_schema.empty_table())
+    return out
+
+
 def set_similarity_self_join(ds, threshold: float,
                              cfg: DedupConfig = DEFAULT_CONFIG,
                              id_col: str = "doc_id",
                              text_col: str = "text",
                              hot_k: int = 1024,
-                             num_partitions: int | None = None):
+                             num_partitions: int | None = None,
+                             verify_broadcast_max_rows: int = 200_000):
     """All pairs with token-shingle-set Jaccard >= ``threshold``, exactly.
 
     Returns a Dataset ``(a_id, b_id, common, na, nb, jaccard)`` with
     ``a_id < b_id`` — ``common``/``na``/``nb`` are exact intersection /
     set sizes so the float is auditable downstream.
     """
-    from ray.data.aggregate import Max
-
     from raydedup.util import join_partitions, repeated_keys
 
     sets = shingle_sets(ds, cfg, id_col=id_col, text_col=text_col)
@@ -254,7 +275,7 @@ def set_similarity_self_join(ds, threshold: float,
 
     explode_schema = pa.schema([
         pa.field("bucket", pa.int64()), id_field,
-        pa.field("nsh", pa.int64()), pa.field("shbin", pa.binary()),
+        pa.field("nsh", pa.int64()),
     ])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -284,12 +305,16 @@ def set_similarity_self_join(ds, threshold: float,
         sel = pos < np.repeat(p, lens)
         d_sel = docidx[sel]
         take = pa.array(d_sel)
-        packed = _pack_u64_lists(shc)
+        # shingle payloads do NOT ride the bucket join: candidate
+        # generation needs only (bucket, id, nsh); the sets attach to
+        # the DISTINCT pairs later — verification happens once per
+        # pair, not once per shared prefix bucket (at low thresholds a
+        # pair can share hundreds of buckets; re-intersecting in each
+        # was the measured 10x+ drag on long-document corpora)
         return pa.table({
             "bucket": pa.array(f2[sel].view(np.int64), type=pa.int64()),
             id_col: pc.take(batch[id_col].combine_chunks(), take),
             "nsh": pa.array(lens[d_sel], type=pa.int64()),
-            "shbin": pc.take(packed, take),
         })
 
     exploded = sets.map_batches(explode, batch_format="pyarrow").materialize()
@@ -303,16 +328,13 @@ def set_similarity_self_join(ds, threshold: float,
     cands = exploded.join(hot_buckets, join_type="inner",
                           num_partitions=n_parts, on=("bucket",))
 
-    raw_schema = pa.schema([
-        pa.field("a_id", id_field.type), pa.field("b_id", id_field.type),
-        pa.field("common", pa.int64()), pa.field("na", pa.int64()),
-        pa.field("nb", pa.int64()),
-    ])
+    cand_schema = pa.schema([pa.field("a_id", id_field.type),
+                             pa.field("b_id", id_field.type)])
 
-    def verify(group: pa.Table) -> pa.Table:
+    def gen_pairs(group: pa.Table) -> pa.Table:
         m = group.num_rows
         if m < 2:
-            return raw_schema.empty_table()
+            return cand_schema.empty_table()
         nsh = group["nsh"].to_numpy(zero_copy_only=False)
         pi, pj = np.triu_indices(m, k=1)
         # length filter: jac >= t needs min(na, nb) >= t * max(na, nb)
@@ -321,15 +343,141 @@ def set_similarity_self_join(ds, threshold: float,
         ok = lo >= threshold * hi - 1e-9
         pi, pj = pi[ok], pj[ok]
         if pi.size == 0:
+            return cand_schema.empty_table()
+        ids = group[id_col].combine_chunks()
+        ai = pc.take(ids, pa.array(pi))
+        bi = pc.take(ids, pa.array(pj))
+        swap = pc.greater(ai, bi)
+        return pa.table({"a_id": pc.if_else(swap, bi, ai),
+                         "b_id": pc.if_else(swap, ai, bi)})
+
+    raw_pairs = cands.groupby("bucket").map_groups(
+        gen_pairs, batch_format="pyarrow")
+    # DISTINCT candidate pairs (native counting groupby) — each pair is
+    # verified exactly once below regardless of shared-bucket count
+    pairs = raw_pairs.groupby(["a_id", "b_id"]).count().drop_columns(
+        ["count()"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pair_schema.empty_table())
+
+    raw_schema_b = pa.schema([
+        pa.field("a_id", id_field.type), pa.field("b_id", id_field.type),
+        pa.field("common", pa.int64()), pa.field("na", pa.int64()),
+        pa.field("nb", pa.int64()),
+    ])
+
+    if sets.count() <= verify_broadcast_max_rows:
+        # small-corpus verify path (the exact.py auto-switch idiom):
+        # the packed set table fits comfortably in worker heaps, so
+        # broadcast it once and verify pairs in a stateless
+        # map_batches — no pair-exploded join, no partition groupby
+        # (measured ~2x on the sf0.1 documents bench, where the two
+        # extra barrier stages dominated the sparse pair volume)
+        chunks = [pa.table(b) for b in
+                  sets.map_batches(lambda t: pa.table(
+                      {"jkey": t[id_col],
+                       "shbin": _pack_u64_lists(t["sh"].combine_chunks())}),
+                      batch_format="pyarrow")
+                  .iter_batches(batch_size=1 << 20,
+                                batch_format="pyarrow")]
+        alltbl = pa.concat_tables(chunks).combine_chunks()
+        bflat, boffs = _unpack_u64_binary(alltbl["shbin"])
+        bref = ray.put((alltbl["jkey"].combine_chunks(), bflat, boffs))
+
+        def verify_bcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return raw_schema_b.empty_table()
+            ids_arr, flat, offs = ray.get(bref)
+            ia = pc.index_in(b["a_id"], value_set=ids_arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ib = pc.index_in(b["b_id"], value_set=ids_arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            la = (offs[ia + 1] - offs[ia]).astype(np.int64)
+            lb = (offs[ib + 1] - offs[ib]).astype(np.int64)
+
+            def fill(row: np.ndarray, i: int) -> None:
+                k = la[i]
+                row[:k] = flat[offs[ia[i]]: offs[ia[i] + 1]]
+                row[k: k + lb[i]] = flat[offs[ib[i]]: offs[ib[i] + 1]]
+
+            inter = _tiled_intersections(la, lb, fill)
+            union = la + lb - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            keep = np.flatnonzero(jac >= threshold)
+            if keep.size == 0:
+                return raw_schema_b.empty_table()
+            sel = pa.array(keep)
+            return pa.table({
+                "a_id": b["a_id"].take(sel), "b_id": b["b_id"].take(sel),
+                "common": pa.array(inter[keep], type=pa.int64()),
+                "na": pa.array(la[keep], type=pa.int64()),
+                "nb": pa.array(lb[keep], type=pa.int64()),
+            })
+
+        verified = pairs.map_batches(verify_bcast, batch_format="pyarrow")
+        return _finish_pairs(verified, pair_schema)
+
+    jp = join_partitions(2 * n_pairs)
+    n_vparts = max(1, min(64, n_pairs // 4096 + 1))
+
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        a_s = pc.cast(b["a_id"], pa.string())
+        b_s = pc.cast(b["b_id"], pa.string())
+        pid = pc.binary_join_element_wise(a_s, b_s, "\x1f")
+        pidc = pa.concat_arrays([pid.combine_chunks()] * 2)
+        from raydedup.stages.asof import _part_array
+
+        return pa.table({
+            "jkey": pa.concat_arrays([b["a_id"].combine_chunks(),
+                                      b["b_id"].combine_chunks()]),
+            "pid": pidc,
+            "side": pa.array([0] * b.num_rows + [1] * b.num_rows,
+                             pa.int32()),
+            "vpart": _part_array(pa.chunked_array([pidc]), n_vparts),
+        })
+
+    exp = pairs.map_batches(explode_pairs, batch_format="pyarrow")
+
+    def pack_sets(b: pa.Table) -> pa.Table:
+        return pa.table({"jkey": b[id_col],
+                         "shbin": _pack_u64_lists(
+                             b["sh"].combine_chunks())})
+
+    packed = sets.map_batches(pack_sets, batch_format="pyarrow")
+    joined = exp.join(packed, join_type="inner", num_partitions=jp,
+                      on=("jkey",))
+
+    raw_schema = pa.schema([
+        pa.field("a_id", id_field.type), pa.field("b_id", id_field.type),
+        pa.field("common", pa.int64()), pa.field("na", pa.int64()),
+        pa.field("nb", pa.int64()),
+    ])
+
+    def verify_part(group: pa.Table) -> pa.Table:
+        # one Python call per hash partition of pairs (not per pair):
+        # sort rows by (pid, side), pair up adjacent same-pid rows, and
+        # run the shared tiled intersection kernel over the whole
+        # partition's pairs at once
+        if group.num_rows < 2 or "pid" not in group.column_names:
             return raw_schema.empty_table()
+        pids = np.asarray(group["pid"].to_pylist())
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sides, pids))
+        sp = pids[order]
+        both = np.flatnonzero(sp[:-1] == sp[1:])
+        if both.size == 0:
+            return raw_schema.empty_table()
+        ia = order[both]        # side 0 row of each complete pair
+        ib = order[both + 1]    # side 1 row
         flat, offs = _unpack_u64_binary(group["shbin"])
-        la = (offs[pi + 1] - offs[pi]).astype(np.int64)
-        lb = (offs[pj + 1] - offs[pj]).astype(np.int64)
+        la = (offs[ia + 1] - offs[ia]).astype(np.int64)
+        lb = (offs[ib + 1] - offs[ib]).astype(np.int64)
 
         def fill(row: np.ndarray, i: int) -> None:
             k = la[i]
-            row[:k] = flat[offs[pi[i]]: offs[pi[i] + 1]]
-            row[k: k + lb[i]] = flat[offs[pj[i]]: offs[pj[i] + 1]]
+            row[:k] = flat[offs[ia[i]]: offs[ia[i] + 1]]
+            row[k: k + lb[i]] = flat[offs[ib[i]]: offs[ib[i] + 1]]
 
         inter = _tiled_intersections(la, lb, fill)
         union = la + lb - inter
@@ -337,53 +485,18 @@ def set_similarity_self_join(ds, threshold: float,
         keep = np.flatnonzero(jac >= threshold)
         if keep.size == 0:
             return raw_schema.empty_table()
-        ids = group[id_col].combine_chunks()
-        ai = pc.take(ids, pa.array(pi[keep]))
-        bi = pc.take(ids, pa.array(pj[keep]))
-        swap = pc.greater(ai, bi)
+        jkeys = group["jkey"].combine_chunks()
         return pa.table({
-            "a_id": pc.if_else(swap, bi, ai),
-            "b_id": pc.if_else(swap, ai, bi),
+            "a_id": pc.take(jkeys, pa.array(ia[keep])),
+            "b_id": pc.take(jkeys, pa.array(ib[keep])),
             "common": pa.array(inter[keep], type=pa.int64()),
-            "na": pa.array(np.where(swap.to_numpy(zero_copy_only=False),
-                                    lb[keep], la[keep]), type=pa.int64()),
-            "nb": pa.array(np.where(swap.to_numpy(zero_copy_only=False),
-                                    la[keep], lb[keep]), type=pa.int64()),
+            "na": pa.array(la[keep], type=pa.int64()),
+            "nb": pa.array(lb[keep], type=pa.int64()),
         })
 
-    raw = cands.groupby("bucket").map_groups(verify, batch_format="pyarrow")
-    # a pair verified in several shared-prefix buckets emits identical
-    # rows — collapse, then recompute the float from the exact ints
-    deduped = raw.groupby(["a_id", "b_id"]).aggregate(
-        Max("common", alias_name="common"),
-        Max("na", alias_name="na"),
-        Max("nb", alias_name="nb"),
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "common" not in batch.column_names:
-            return pair_schema.empty_table()
-        c = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
-        u = (batch["na"].to_numpy(zero_copy_only=False)
-             + batch["nb"].to_numpy(zero_copy_only=False)
-             - batch["common"].to_numpy(zero_copy_only=False)).astype(
-                 np.float64)
-        return batch.append_column(
-            "jaccard", pa.array(c / u, type=pa.float64()))
-
-    out = deduped.map_batches(finish, batch_format="pyarrow")
-    # a fully-empty Dataset loses its schema (Ray 2.49: when the
-    # aggregate emits nothing, no block ever flows, map_batches is
-    # never called, and union CANNOT restore the schema — the union of
-    # a schema-less side and a schema-pinned empty block still reports
-    # zero columns). Zero matches is a normal outcome here, so pin it
-    # explicitly: materialize (the pair set is output-sized, sparse by
-    # construction) and swap in a schema-pinned empty when nothing
-    # survived.
-    out = out.materialize()
-    if out.count() == 0:
-        return ray.data.from_arrow(pair_schema.empty_table())
-    return out
+    verified = joined.groupby("vpart").map_groups(
+        verify_part, batch_format="pyarrow")
+    return _finish_pairs(verified, pair_schema)
 
 
 def similar_docs_topk(ds, query_ids: list, k: int = 5,

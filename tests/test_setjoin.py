@@ -198,3 +198,39 @@ def test_temporal_novelty_vs_bruteforce(ray_session):
         assert got[d] == (len(s), first), d
     assert got[15][1] == 0
     assert got[0][0] == got[0][1]
+
+
+def test_setjoin_distributed_verify_path(ray_session):
+    """Force the pair-exploded join + partition-sweep verify (the path
+    corpora above ``verify_broadcast_max_rows`` take) and demand the
+    exact same pair set as the broadcast path / brute force."""
+    rng = np.random.default_rng(23)
+    rows = _random_docs(rng, 60)
+    for threshold in (0.4, 0.8):
+        expected = _brute_pairs(rows, threshold)
+        assert _run(rows, threshold,
+                    verify_broadcast_max_rows=0) == expected
+
+
+def test_setjoin_distributed_verify_int_ids(ray_session):
+    """Distributed verify with int64 ids (pid building casts to string;
+    id columns keep their native type end-to-end)."""
+    rng = np.random.default_rng(29)
+    texts = [" ".join(VOCAB[int(rng.integers(0, len(VOCAB)))]
+                      for _ in range(20)) for _ in range(30)]
+    texts[11] = texts[3]
+    texts[17] = texts[3] + " extra"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(30)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    big = set_similarity_self_join(ds, 0.5, DEFAULT_CONFIG,
+                                   verify_broadcast_max_rows=0)
+    small = set_similarity_self_join(ds, 0.5, DEFAULT_CONFIG)
+    key = lambda t: sorted((r["a_id"], r["b_id"], r["common"],
+                            r["na"], r["nb"]) for r in t.take_all())
+    got = key(big)
+    assert got == key(small)
+    assert any(a == 3 or b == 3 for a, b, *_ in got)
+    sch = big.schema()
+    assert dict(zip(sch.names, sch.types))["a_id"] == pa.int64()
