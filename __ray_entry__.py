@@ -336,6 +336,19 @@ def q_dup_rate_estimate(sf_dir: str):
                                         rate=0.5), "dup_frac")
 
 
+def q_soft_dedup_weights(sf_dir: str):
+    """Reweight-not-remove dedup (SoftDedup): every row of the
+    repeated-corpus view keeps flowing, annotated with its exact-text
+    group size and a 1/n training weight so each group contributes one
+    document of gradient in aggregate (see
+    stages/exact.py:soft_dedup_weights — texts reduce to a sha per
+    distinct value in-batch; only (hash, count) rows shuffle)."""
+    from raydedup.stages.exact import soft_dedup_weights
+
+    return _round_col(soft_dedup_weights(_docs_with_repeats(sf_dir)),
+                      "weight")
+
+
 def q_blocklist_hits(sf_dir: str):
     """Banned-phrase compliance scan: (doc_id, phrase, n_hits) for every
     document containing a blocklist phrase — zero shuffle, one
@@ -3117,6 +3130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_docs_topk": q_similar_docs_topk,
         "temporal_novelty": q_temporal_novelty,
         "dup_rate_estimate": q_dup_rate_estimate,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "prepare_training_transcripts": q_prepare_training_transcripts,
         "conv_divergence": q_conv_divergence,
         "dup_flow_matrix": q_dup_flow_matrix,
@@ -4335,6 +4349,20 @@ def _oracle_sql_base() -> dict[str, str]:
                         // length(p.phrase) AS BIGINT) AS n_hits
             FROM d CROSS JOIN p
             WHERE contains(d.t, p.phrase)
+        """,
+        "soft_dedup_weights": f"""
+            WITH reps AS (
+                SELECT doc_id + 1000000 * j AS doc_id, text
+                FROM documents, range(1, 4) AS t(j)
+                WHERE doc_id % 5 = 0),
+            tall AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM reps),
+            g AS (SELECT doc_id, coalesce(text, '') AS txt FROM tall),
+            c AS (SELECT txt, CAST(count(*) AS BIGINT) AS n
+                  FROM g GROUP BY txt)
+            SELECT g.doc_id, c.n AS n_copies,
+                   round(1.0 / c.n, {_ROUND}) AS weight
+            FROM g JOIN c USING (txt)
         """,
         "cap_duplicates": """
             WITH reps AS (

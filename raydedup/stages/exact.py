@@ -46,6 +46,16 @@ import ray
 from ray.data.aggregate import Count, Min
 
 
+def _text_filled(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Combine chunks, coalesce NULL text to '' — tolerating blocks whose
+    column is Arrow ``null``-typed (an all-null block from a row-based
+    source infers no string type, and ``fill_null(null_arr, '')`` throws)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_null(arr.type):
+        arr = arr.cast(pa.string())
+    return pc.fill_null(arr, "")
+
+
 def add_row_key(ds, key_cols: list[str]):
     """Append a scalar sortable ``row_key`` string column: the key column
     values cast to string and joined with ':'. Mirrored in DuckDB oracles as
@@ -250,7 +260,7 @@ def _text_group_counts(ds, text_col: str, group_col: str | None = None):
 
     def partial(b: pa.Table) -> pa.Table:
         enc = pc.dictionary_encode(
-            pc.fill_null(b[text_col].combine_chunks(), ""))
+            _text_filled(b[text_col]))
         u_sha = [hashlib.sha256(t.encode("utf-8")).hexdigest()
                  for t in enc.dictionary.to_pylist()]
         cols = {"h": pc.take(pa.array(u_sha, pa.string()), enc.indices),
@@ -368,7 +378,7 @@ def drop_boilerplate_turns(ds, min_convs: int = 2,
 
     def add_h(b: pa.Table) -> pa.Table:
         enc = pc.dictionary_encode(
-            pc.fill_null(b[text_col].combine_chunks(), ""))
+            _text_filled(b[text_col]))
         u_sha = [hashlib.sha256(t.encode("utf-8")).hexdigest()
                  for t in enc.dictionary.to_pylist()]
         return b.append_column(
@@ -527,7 +537,7 @@ def cap_duplicates(ds, k: int = 2, key_col: str = "doc_id",
 
     def _sha(b: pa.Table) -> pa.Array:
         enc = pc.dictionary_encode(
-            pc.fill_null(b[text_col].combine_chunks(), ""))
+            _text_filled(b[text_col]))
         u = [hashlib.sha256(t.encode("utf-8")).hexdigest()
              for t in enc.dictionary.to_pylist()]
         return pc.take(pa.array(u, pa.string()), enc.indices)
@@ -585,6 +595,106 @@ def cap_duplicates(ds, k: int = 2, key_col: str = "doc_id",
     return kept_small.union(kept_over)
 
 
+def soft_dedup_weights(ds, key_col: str = "doc_id",
+                       text_col: str = "text",
+                       method: str = "auto",
+                       broadcast_max_groups: int = 2_000_000,
+                       num_partitions: int | None = None):
+    """Soft deduplication: instead of DROPPING duplicates, emit a
+    per-row training weight ``1 / n_copies`` so each exact-text group
+    contributes one document's worth of gradient in aggregate (the
+    reweight-not-remove recipe — SoftDedup, He et al., ACL 2024; public
+    method, implemented from the paper's description). → Dataset
+    ``(key_col, n_copies, weight)`` for EVERY input row; the weights of
+    a group sum to exactly 1.0. The keep-one counterpart is
+    :func:`exact_dedup`; the keep-k counterpart is
+    :func:`cap_duplicates`.
+
+    Scale shape: texts reduce to a sha256 per DISTINCT value inside
+    ``map_batches`` (the :func:`_text_group_counts` idiom — documents
+    never shuffle). ``method='broadcast'`` ships only the n >= 2 groups
+    (one 64-char hash + count each) via ``ray.put`` and paints rows
+    with ``pc.index_in`` — right when dup GROUPS are bounded.
+    ``method='join'`` keeps the count table a Dataset and hash-joins it
+    to the rows' hashes — the path for a realistic 20-50%% dup rate at
+    100 TB where even the dup-group set is corpus-scale. ``auto``
+    switches on the dup-group count at ``broadcast_max_groups`` (the
+    ``exact.py``/``lsh.py`` auto-switch idiom). Both backends are
+    value-identical (pinned by pytest).
+    """
+    import hashlib
+
+    from raydedup.util import join_partitions
+
+    schema = ds.schema()
+    key_type = schema.types[schema.names.index(key_col)]
+    out_schema = pa.schema([pa.field(key_col, key_type),
+                            pa.field("n_copies", pa.int64()),
+                            pa.field("weight", pa.float64())])
+
+    def _sha(b: pa.Table) -> pa.Array:
+        enc = pc.dictionary_encode(
+            _text_filled(b[text_col]))
+        u = [hashlib.sha256(t.encode("utf-8")).hexdigest()
+             for t in enc.dictionary.to_pylist()]
+        return pc.take(pa.array(u, pa.string()), enc.indices)
+
+    def _finish(key_arr, n_arr) -> pa.Table:
+        import numpy as np
+
+        n = pc.cast(n_arr, pa.int64())
+        nf = n.to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({key_col: key_arr, "n_copies": n,
+                         "weight": pa.array(1.0 / nf, pa.float64())})
+
+    counts = _text_group_counts(ds, text_col).materialize()
+    dups = counts.filter(expr="n >= 2").materialize()
+    n_groups = dups.count()
+    if method == "auto":
+        method = ("broadcast" if n_groups <= broadcast_max_groups
+                  else "join")
+    slim = ds.select_columns([key_col, text_col])
+
+    if method == "broadcast":
+        tbls = list(dups.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow"))
+        dup = (pa.concat_tables(tbls).combine_chunks() if tbls
+               else pa.table({"h": pa.array([], pa.string()),
+                              "n": pa.array([], pa.int64())}))
+        ref = ray.put((dup["h"].combine_chunks(),
+                       pc.cast(dup["n"], pa.int64()).combine_chunks()))
+
+        def paint(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_schema.empty_table()
+            hs, ns = ray.get(ref)
+            idx = pc.index_in(_sha(b), value_set=hs)
+            n = pc.coalesce(pc.take(ns, idx), pa.scalar(1, pa.int64()))
+            return _finish(b[key_col].combine_chunks(), n)
+
+        return slim.map_batches(paint, batch_format="pyarrow")
+
+    # join backend: rows reduce to (key, h); the count table stays a
+    # Dataset; one hash join on the 64-char hash, coalesce misses to 1
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({key_col: b[key_col], "h": _sha(b)})
+
+    rows = slim.map_batches(keyed, batch_format="pyarrow")
+    jp = num_partitions or join_partitions(ds.count())
+    joined = rows.join(dups.rename_columns({"h": "h", "n": "__n"}),
+                       join_type="left_outer", num_partitions=jp,
+                       on=("h",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        n = pc.coalesce(pc.cast(b["__n"], pa.int64()),
+                        pa.scalar(1, pa.int64()))
+        return _finish(b[key_col].combine_chunks(), n.combine_chunks())
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def dup_rate_estimate(ds, rate: float = 0.5, text_col: str = "text",
                       seed: str = "s0"):
     """Plan-before-you-pay duplication estimator: exact-duplicate
@@ -618,7 +728,7 @@ def dup_rate_estimate(ds, rate: float = 0.5, text_col: str = "text",
         if b.num_rows == 0:
             return b
         enc = pc.dictionary_encode(
-            pc.fill_null(b[text_col].combine_chunks(), ""))
+            _text_filled(b[text_col]))
         keep_u = pa.array(
             [int.from_bytes(
                 hashlib.md5(prefix + t.encode("utf-8")).digest()[:8],
@@ -688,7 +798,7 @@ def bag_dup_groups(ds, key_cols: list[str] | None = None,
 
     def canon(b: pa.Table) -> pa.Table:
         enc = pc.dictionary_encode(
-            pc.fill_null(b[text_col].combine_chunks(), ""))
+            _text_filled(b[text_col]))
         u = [hashlib.sha256(
                 " ".join(sorted(t.split(" "))).encode("utf-8")).hexdigest()
              for t in enc.dictionary.to_pylist()]
@@ -730,7 +840,7 @@ def stitch_candidates(ds, key_col: str = "doc_id", text_col: str = "text",
     from raydedup.util import join_partitions
 
     def _long_enough(b: pa.Table) -> pa.Table:
-        t = pc.fill_null(b[text_col], "")
+        t = _text_filled(b[text_col])
         ok = pc.greater_equal(pc.utf8_length(t), k)
         out = pa.table({key_col: b[key_col], text_col: t})
         return out.filter(ok)

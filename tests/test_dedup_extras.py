@@ -880,3 +880,37 @@ def test_dup_rate_estimate_atomic_groups(ray_session):
     import pytest
     with pytest.raises(ValueError):
         dup_rate_estimate(ds, rate=1.5)
+
+
+def test_soft_dedup_weights_backends_agree(ray_session):
+    """weight = 1/n_copies for every row, group weights sum to 1.0,
+    broadcast and join backends value-identical."""
+    import ray.data
+
+    from raydedup.stages.exact import soft_dedup_weights
+
+    rows = ([{"doc_id": f"a{i}", "text": "same text here"}
+             for i in range(4)]
+            + [{"doc_id": f"b{i}", "text": "other copy"} for i in range(2)]
+            + [{"doc_id": "u1", "text": "unique one"},
+               {"doc_id": "u2", "text": None},
+               {"doc_id": "u3", "text": ""}])
+    ds = ray.data.from_items(rows)
+    got = {r["doc_id"]: (r["n_copies"], r["weight"])
+           for r in soft_dedup_weights(ds, method="broadcast").take_all()}
+    assert len(got) == len(rows)
+    for i in range(4):
+        assert got[f"a{i}"] == (4, 0.25)
+    for i in range(2):
+        assert got[f"b{i}"] == (2, 0.5)
+    assert got["u1"] == (1, 1.0)
+    # NULL text folds to '' — u2 and u3 form one group of 2
+    assert got["u2"] == (2, 0.5) and got["u3"] == (2, 0.5)
+    joined = {r["doc_id"]: (r["n_copies"], r["weight"])
+              for r in soft_dedup_weights(ds, method="join").take_all()}
+    assert joined == got
+    auto_small = {r["doc_id"]: (r["n_copies"], r["weight"])
+                  for r in soft_dedup_weights(
+                      ds, method="auto",
+                      broadcast_max_groups=0).take_all()}
+    assert auto_small == got
