@@ -2967,6 +2967,21 @@ def q_curate_docs(sf_dir: str):
                       "logppl")
 
 
+def q_self_line_dedup_docs(sf_dir: str):
+    """WITHIN-doc repeated-line removal (the 'dedup lines inside a page'
+    step of C4-style cleaning; within-doc counterpart of line_dedup):
+    over the word-per-line lined view (lined_documents(n=1) — the small
+    closed vocabulary makes within-doc word repeats dense), keep the
+    FIRST occurrence of each distinct line per doc, drop later repeats,
+    rejoin in original order. Zero shuffle — a doc's lines never leave
+    its batch (stages/linededup.py:self_line_dedup). Oracle replays
+    split → min-position-per-(doc, line) → ordered string_agg."""
+    from raydedup.sources.lined import lined_documents
+    from raydedup.stages.linededup import self_line_dedup
+
+    return self_line_dedup(lined_documents(sf_dir, n=1))
+
+
 def q_unigram_logppl(sf_dir: str):
     """Per-doc unigram log-perplexity under the corpus's own unigram LM
     (CCNet-style quality signal): ln(N) - (1/n_d) * sum tf*ln(c). Counts
@@ -3259,6 +3274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_seq_clusters": q_tool_seq_clusters,
         "shard_manifest": q_shard_manifest,
         "line_dedup_docs": q_line_dedup_docs,
+        "self_line_dedup_docs": q_self_line_dedup_docs,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_rolling": q_incremental_dedup_rolling,
     }
@@ -6822,6 +6838,26 @@ def _oracle_sql_base() -> dict[str, str]:
         # per non-empty line, collect the dup set as ONE list and
         # list_filter each doc's lines against it (order-preserving —
         # dodges DuckDB's missing WITH ORDINALITY).
+        # self_line_dedup_docs: word-per-line view (n=1 => lines =
+        # str_split(text, ' ')); first occurrence per (doc, line) by min
+        # position (zip-unnest ordinality), ordered string_agg rejoin.
+        "self_line_dedup_docs": """
+            WITH lined AS (SELECT doc_id, str_split(text, ' ') AS lines
+                           FROM documents),
+            ex AS (SELECT doc_id, unnest(lines) AS line,
+                          unnest(generate_series(1, len(lines))) AS ord
+                   FROM lined),
+            firsts AS (SELECT doc_id, line, min(ord) AS m
+                       FROM ex GROUP BY 1, 2),
+            agg AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY m) AS text,
+                           count(*) AS nk
+                    FROM firsts GROUP BY 1)
+            SELECT l.doc_id, coalesce(a.text, '') AS text,
+                   len(l.lines) AS n_lines,
+                   len(l.lines) - a.nk AS n_removed
+            FROM lined l JOIN agg a USING (doc_id)
+        """,
         "line_dedup_docs": _LINED_SQL + """,
             ex AS (SELECT doc_id, unnest(lines) AS line FROM lined),
             d AS (SELECT DISTINCT doc_id, line FROM ex WHERE line <> ''),

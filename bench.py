@@ -213,7 +213,9 @@ def run_bench() -> dict:
                   "similar_docs_topk",
                   "temporal_novelty",
                   "dup_rate_estimate",
-                  "prepare_training_transcripts"):
+                  "prepare_training_transcripts",
+                  "soft_dedup_weights",
+                  "self_line_dedup_docs"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

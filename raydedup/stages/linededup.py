@@ -254,3 +254,68 @@ def line_dedup(ds, min_docs: int = 2, id_col: str = "doc_id",
 
     final = out.map_batches(finish, batch_format="pyarrow")
     return final.union(ray.data.from_arrow(out_schema.empty_table()))
+
+
+def self_line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = "\n"):
+    """WITHIN-document repeated-line removal: keep the FIRST occurrence
+    of each distinct line inside a document, drop its later repeats,
+    re-join survivors in original order. The within-doc counterpart of
+    :func:`line_dedup` (which removes lines duplicated ACROSS >=
+    min_docs documents) — this one targets templated pages whose OWN
+    sections repeat (nav blocks, retry loops in agent transcripts,
+    scraper stutter), the "deduplicate lines within a page" step of
+    C4-style cleaning (Raffel et al. 2020 §2.2).
+
+    Scale shape (100-TB design): ZERO shuffle — a document's lines never
+    leave its batch. One streaming ``map_batches`` does split →
+    first-occurrence mask (one stable lexsort over (doc, line-code);
+    dictionary codes, never text comparisons) → in-batch ListArray
+    regroup + ``binary_join``. Output one row per input doc:
+    ``(id, text, n_lines, n_removed)``. Empty lines dedup like any
+    other line (the first '' survives, later '' repeats drop).
+    """
+    out_schema = pa.schema([
+        pa.field(id_col, pa.int64()), pa.field(text_col, pa.string()),
+        pa.field("n_lines", pa.int64()), pa.field("n_removed", pa.int64()),
+    ])
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        lists = pc.split_pattern(
+            pc.fill_null(batch[text_col].combine_chunks(), ""),
+            pattern=sep)
+        lists = lists.combine_chunks() if isinstance(
+            lists, pa.ChunkedArray) else lists
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off0 = int(offs[0])
+        flat = lists.values.slice(off0, int(offs[-1]) - off0)
+        lens = np.diff(offs)
+        docidx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # stable lexsort => within equal (doc, code) original position
+        # ascending; first-of-run = the occurrence to keep
+        order = np.lexsort((codes, docidx))
+        d_s, c_s = docidx[order], codes[order]
+        first = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        keep = np.zeros(len(docidx), dtype=bool)
+        keep[order[first]] = True
+        kept_flat = flat.filter(pa.array(keep))
+        nk = np.bincount(docidx[keep], minlength=batch.num_rows)
+        k_offs = np.r_[0, np.cumsum(nk)].astype(np.int32)
+        text2 = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(k_offs, pa.int32()),
+                                     kept_flat),
+            pa.scalar(sep))
+        return pa.table({
+            id_col: batch[id_col],
+            text_col: text2.cast(pa.string()),
+            "n_lines": pa.array(lens, pa.int64()),
+            "n_removed": pa.array(lens - nk, pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(rewrite, batch_format="pyarrow")
+            .union(ray.data.from_arrow(out_schema.empty_table())))

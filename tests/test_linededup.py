@@ -106,3 +106,55 @@ def test_line_dedup_custom_sep(ray_session):
              for r in line_dedup(ray.data.from_items(rows), 2,
                                  sep=". ", method="join").take_all()}
     assert got_j == got
+
+
+def test_self_line_dedup_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.linededup import self_line_dedup
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a\nb\na\nc\nb",   # repeats of a and b drop
+                 "",                 # single empty line survives
+                 "x\n\nx\n\ny",      # dup 'x' and dup '' both drop
+                 "solo"],            # untouched
+    })
+    out = {r["doc_id"]: r for r in
+           self_line_dedup(ray.data.from_arrow(t)).take_all()}
+    assert out[1]["text"] == "a\nb\nc"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (5, 2)
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 0
+    assert out[3]["text"] == "x\n\ny"
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (5, 2)
+    assert out[4]["text"] == "solo" and out[4]["n_removed"] == 0
+
+
+def test_self_line_dedup_matches_bruteforce(ray_session):
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.linededup import self_line_dedup
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(60):
+        lines = [rng.choice(["hdr", "foo", "bar", "baz", ""])
+                 for _ in range(rng.randrange(0, 12))]
+        docs.append((i, "\n".join(lines)))
+    out = {r["doc_id"]: r for r in self_line_dedup(
+        ray.data.from_arrow(pa.table({
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs]}))).take_all()}
+    for i, text in docs:
+        seen, kept = set(), []
+        for ln in text.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        assert out[i]["text"] == "\n".join(kept), i
+        assert out[i]["n_lines"] == len(text.split("\n"))
+        assert out[i]["n_removed"] == len(text.split("\n")) - len(kept)
