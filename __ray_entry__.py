@@ -2982,6 +2982,27 @@ def q_self_line_dedup_docs(sf_dir: str):
     return self_line_dedup(lined_documents(sf_dir, n=1))
 
 
+def q_dsir_logweights(sf_dir: str):
+    """DSIR importance log-weights (Xie et al. 2023): score every
+    document by target-likeness under bag-of-hashed-ngrams (unigram +
+    adjacent bigram, md5-low60 % 4096 buckets — the sample_by_hash
+    contract) models of target (source = 'src0') vs the full corpus,
+    add-1 smoothed. Model state is two FIXED 4096-long count vectors —
+    the fixed-size-by-construction state is DSIR's point, so nothing
+    corpus-scale is broadcast (stages/textstats.py:dsir_logweights).
+    Oracle replays the bucket hash, both count passes and the per-doc
+    feature-instance sum in SQL; 6-decimal float contract."""
+    import ray.data
+
+    from raydedup.stages.textstats import dsir_logweights
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"],
+                                 override_num_blocks=64)
+    target = docs.filter(expr="source == 'src0'")
+    return _round_col(dsir_logweights(docs, target), "log_w")
+
+
 def q_unigram_logppl(sf_dir: str):
     """Per-doc unigram log-perplexity under the corpus's own unigram LM
     (CCNet-style quality signal): ln(N) - (1/n_d) * sum tf*ln(c). Counts
@@ -3275,6 +3296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_manifest": q_shard_manifest,
         "line_dedup_docs": q_line_dedup_docs,
         "self_line_dedup_docs": q_self_line_dedup_docs,
+        "dsir_logweights": q_dsir_logweights,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_rolling": q_incremental_dedup_rolling,
     }
@@ -6838,6 +6860,49 @@ def _oracle_sql_base() -> dict[str, str]:
         # per non-empty line, collect the dup set as ONE list and
         # list_filter each doc's lines against it (order-preserving —
         # dodges DuckDB's missing WITH ORDINALITY).
+        # dsir_logweights: hashed unigram+bigram feature instances ->
+        # md5-low60 % 4096 buckets; target = src0, raw = all docs;
+        # lam(b) = ln(ct+1) - ln(cr+1); log_w = sum lam + nf * const.
+        "dsir_logweights": f"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS tk
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, source, unnest(tk) AS f FROM toks
+                UNION ALL
+                SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i+1])) AS f
+                FROM toks
+            ),
+            fb AS (
+                SELECT doc_id, source,
+                       CAST(CAST(('0x' || substr(md5('dsir0:' || f),
+                                                 1, 15)) AS UBIGINT)
+                            % 4096 AS BIGINT) AS b
+                FROM feats
+            ),
+            cr AS (SELECT b, count(*) AS c FROM fb GROUP BY 1),
+            ct AS (SELECT b, count(*) AS c FROM fb
+                   WHERE source = 'src0' GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM fb) AS nr,
+                           (SELECT count(*) FROM fb
+                            WHERE source = 'src0') AS nt),
+            lam AS (SELECT cr.b,
+                           ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE))
+                         - ln(CAST(cr.c + 1 AS DOUBLE)) AS l
+                    FROM cr LEFT JOIN ct USING (b)),
+            per AS (SELECT fb.doc_id, count(*) AS nf, sum(lam.l) AS s
+                    FROM fb JOIN lam USING (b) GROUP BY 1)
+            SELECT p.doc_id, p.nf AS n_feats,
+                   round(p.s + p.nf * (ln(CAST(tot.nr + 4096 AS DOUBLE))
+                                     - ln(CAST(tot.nt + 4096 AS DOUBLE))),
+                         {_ROUND}) AS log_w
+            FROM per p CROSS JOIN tot
+        """,
         # self_line_dedup_docs: word-per-line view (n=1 => lines =
         # str_split(text, ' ')); first occurrence per (doc, line) by min
         # position (zip-unnest ordinality), ordered string_agg rejoin.

@@ -215,7 +215,8 @@ def run_bench() -> dict:
                   "dup_rate_estimate",
                   "prepare_training_transcripts",
                   "soft_dedup_weights",
-                  "self_line_dedup_docs"):
+                  "self_line_dedup_docs",
+                  "dsir_logweights"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -1605,3 +1605,127 @@ def bigram_logppl(ds, id_col: str = "doc_id", text_col: str = "text",
                          "logppl2": pa.array(s / nb)})
 
     return per.map_batches(finish, batch_format="pyarrow")
+
+
+def _dsir_feat_buckets(batch: pa.Table, text_col: str, n_buckets: int,
+                       prefix: bytes):
+    """batch → (doc_row_idx, bucket) rows for DSIR's hashed unigram +
+    adjacent-bigram feature space. md5 runs once per DISTINCT unigram /
+    DISTINCT bigram per batch (the per-distinct-value hashing idiom of
+    ``asof._part_array`` / ``linededup._line_hashes``); instances map
+    through integer code lookups."""
+    docidx, codes, dictionary = _doc_term_codes(batch, text_col)
+    if len(codes) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    toks = dictionary.to_pylist()
+    uni_b = (_hash60(toks, prefix) % np.uint64(n_buckets)).astype(np.int64)
+    b_uni = uni_b[codes]
+    adj = docidx[1:] == docidx[:-1]
+    ci, cj = codes[:-1][adj], codes[1:][adj]
+    if ci.size:
+        k = np.int64(len(toks))
+        upair, pinv = np.unique(ci * k + cj, return_inverse=True)
+        pair_strs = [f"{toks[p // k]} {toks[p % k]}" for p in upair]
+        bi_b = (_hash60(pair_strs, prefix)
+                % np.uint64(n_buckets)).astype(np.int64)
+        b_bi = bi_b[pinv]
+    else:
+        b_bi = np.empty(0, dtype=np.int64)
+    docf = np.r_[docidx, docidx[:-1][adj]]
+    return docf, np.r_[b_uni, b_bi]
+
+
+def _dsir_bucket_counts(ds, text_col: str, n_buckets: int,
+                        prefix: bytes) -> np.ndarray:
+    """corpus → dense length-``n_buckets`` int64 feature-instance count
+    vector. Per-batch bincount partials shuffle at most B (bucket,
+    count) rows each; the groupby output is B-bounded BY CONFIG, so the
+    driver materialization is fixed-size, not corpus-scale."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"b": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        _, b = _dsir_feat_buckets(batch, text_col, n_buckets, prefix)
+        if b.size == 0:
+            return empty
+        c = np.bincount(b, minlength=n_buckets)
+        present = np.flatnonzero(c)
+        return pa.table({"b": pa.array(present, pa.int64()),
+                         "c": pa.array(c[present], pa.int64())})
+
+    rows = (ds.select_columns([text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("b").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    out = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        out[r["b"]] = r["c"]
+    return out
+
+
+def dsir_logweights(raw, target, n_buckets: int = 4096,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    seed: str = "dsir0"):
+    """DSIR data-selection importance log-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each raw-corpus document by how target-like it looks under
+    bag-of-hashed-ngrams models of the two corpora,
+
+        log_w(d) = sum_f [ln p_t(b(f)) - ln p_r(b(f))]
+
+    summed over d's unigram + adjacent-bigram feature INSTANCES f, with
+    buckets b(f) = md5-low60(seed || ':' || f) % n_buckets (the
+    ``sample_by_hash`` hash contract, so the SQL oracle replays it) and
+    add-1-smoothed bucket probabilities p(b) = (c(b)+1) / (N+B).
+    High-log_w docs are the target-like ones to keep / up-sample; the
+    engine emits deterministic weights and leaves the sampling policy
+    to ``upsample_by_weight`` / ``topk_by_group`` (the paper resamples
+    proportionally with Gumbel noise — policy, not measurement).
+    Token contract = the ASCII RE2 contract of ``_doc_term_codes``.
+    Docs with zero tokens are omitted (they produce no feature rows,
+    matching SQL). Returns ``(id, n_feats, log_w)``.
+
+    Scale shape (100-TB design): DSIR's model state is two length-B
+    count vectors — FIXED-size by construction (hashing n-grams into B
+    buckets is the paper's point), unlike a vocabulary. So the ln-ratio
+    table rides the scoring closure (B doubles, ~32 KB at the default),
+    NOT a corpus-scale broadcast. Count pass per corpus = one streaming
+    map_batches of bincount partials + one B-bounded groupby; scoring
+    pass = one streaming map_batches over raw with np.add.at per-doc
+    accumulation. Nothing corpus-scale ever shuffles or lands on the
+    driver.
+    """
+    import ray.data
+
+    prefix = f"{seed}:".encode()
+    cr = _dsir_bucket_counts(raw, text_col, n_buckets, prefix)
+    ct = _dsir_bucket_counts(target, text_col, n_buckets, prefix)
+    lam = np.log(ct + 1.0) - np.log(cr + 1.0)
+    const = float(np.log(float(cr.sum()) + n_buckets)
+                  - np.log(float(ct.sum()) + n_buckets))
+    out_schema = pa.schema([
+        pa.field(id_col, pa.int64()), pa.field("n_feats", pa.int64()),
+        pa.field("log_w", pa.float64()),
+    ])
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        docf, b = _dsir_feat_buckets(batch, text_col, n_buckets, prefix)
+        s = np.zeros(batch.num_rows)
+        np.add.at(s, docf, lam[b])
+        nf = np.bincount(docf, minlength=batch.num_rows)
+        has = np.flatnonzero(nf > 0)
+        ids = batch[id_col].combine_chunks().take(pa.array(has))
+        return pa.table({
+            id_col: ids,
+            "n_feats": pa.array(nf[has], pa.int64()),
+            "log_w": pa.array(s[has] + nf[has] * const),
+        })
+
+    return (raw.select_columns([id_col, text_col])
+            .map_batches(score, batch_format="pyarrow")
+            .union(ray.data.from_arrow(out_schema.empty_table())))

@@ -148,3 +148,60 @@ def test_bigram_logppl_matches_bruteforce(ray_session):
         assert got[i][1] == pytest.approx(v, abs=1e-9)
     # conditional probabilities are well-normalized: every score >= 0
     assert all(v >= -1e-12 for _, v in got.values())
+
+
+def test_dsir_logweights_matches_bruteforce(ray_session):
+    import hashlib
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from raydedup.stages.textstats import dsir_logweights
+
+    B = 64  # small bucket count to force collisions
+    rows = [
+        (0, "the cat sat on the mat", "t"),
+        (1, "the dog ate the cat food", "t"),
+        (2, "stack trace null pointer exception", "r"),
+        (3, "the cat sat", "r"),
+        (4, "merge sort quick sort heap sort", "r"),
+        (5, "", "r"),  # zero tokens -> omitted
+    ]
+
+    def feats(text):
+        toks = TOK.findall(text.lower())
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        h = int.from_bytes(
+            hashlib.md5(b"dsir0:" + f.encode()).digest()[:8], "big") >> 4
+        return h % B
+
+    cr = Counter(bucket(f) for _, t, _ in rows for f in feats(t))
+    ct = Counter(bucket(f) for _, t, s in rows if s == "t"
+                 for f in feats(t))
+    nr, nt = sum(cr.values()), sum(ct.values())
+    expected = {}
+    for i, text, _ in rows:
+        fs = feats(text)
+        if not fs:
+            continue
+        s = sum(math.log(ct.get(bucket(f), 0) + 1)
+                - math.log(cr[bucket(f)] + 1) for f in fs)
+        expected[i] = (len(fs),
+                       s + len(fs) * (math.log(nr + B) - math.log(nt + B)))
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "src": [r[2] for r in rows]}))
+    target = docs.filter(expr="src == 't'")
+    got = {r["doc_id"]: r for r in
+           dsir_logweights(docs, target, n_buckets=B).take_all()}
+    assert set(got) == set(expected)
+    for i, (nf, lw) in expected.items():
+        assert got[i]["n_feats"] == nf, i
+        assert got[i]["log_w"] == pytest.approx(lw, abs=1e-9), i
+    # target-membership sanity: target docs score above the
+    # out-of-distribution doc
+    assert min(got[0]["log_w"], got[1]["log_w"]) > got[2]["log_w"]
