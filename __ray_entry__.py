@@ -3003,6 +3003,50 @@ def q_dsir_logweights(sf_dir: str):
     return _round_col(dsir_logweights(docs, target), "log_w")
 
 
+def q_kcenter_coreset(sf_dir: str):
+    """k-center greedy coreset (Gonzalez farthest-point traversal;
+    coreset data selection per Sener & Savarese 2018): 8 maximally
+    diverse exemplars over the embeddings table, exact-integer distance
+    contract (round-half-away 1e6 quantization — the prototype_prune
+    contract) so the selection order and min-id tie-breaks are
+    bit-reproducible; oracle replays the full traversal with a
+    recursive CTE (stages/embeddings.py:kcenter_select)."""
+    import ray.data
+
+    from raydedup.stages.embeddings import kcenter_select
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return kcenter_select(emb, k=8, dims=64)
+
+
+def _kcenter_sql(k: int = 8, dims: int = 64) -> str:
+    qcols = ", ".join(
+        f"CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000, 0)"
+        f" AS BIGINT) AS q{i}" for i in range(dims))
+    dist = " + ".join(f"(x.q{i} - c.q{i}) * (x.q{i} - c.q{i})"
+                      for i in range(dims))
+    return f"""
+        WITH RECURSIVE q AS MATERIALIZED (
+            SELECT vec_id, {qcols} FROM embeddings),
+        sel(t, vids) AS (
+            SELECT 1, [(SELECT min(vec_id) FROM q)]
+            UNION ALL
+            SELECT t + 1, list_append(vids, (
+                SELECT x.vec_id FROM q x
+                WHERE NOT list_contains(vids, x.vec_id)
+                ORDER BY (SELECT min({dist}) FROM q c
+                          WHERE list_contains(vids, c.vec_id)) DESC,
+                         x.vec_id
+                LIMIT 1))
+            FROM sel WHERE t < {k}
+        )
+        SELECT unnest(vids) AS vec_id,
+               unnest(generate_series(1, len(vids))) AS rank
+        FROM sel WHERE t = {k}
+    """
+
+
 def q_unigram_logppl(sf_dir: str):
     """Per-doc unigram log-perplexity under the corpus's own unigram LM
     (CCNet-style quality signal): ln(N) - (1/n_d) * sum tf*ln(c). Counts
@@ -3297,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": q_line_dedup_docs,
         "self_line_dedup_docs": q_self_line_dedup_docs,
         "dsir_logweights": q_dsir_logweights,
+        "kcenter_coreset": q_kcenter_coreset,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_rolling": q_incremental_dedup_rolling,
     }
@@ -6860,6 +6905,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # per non-empty line, collect the dup set as ONE list and
         # list_filter each doc's lines against it (order-preserving —
         # dodges DuckDB's missing WITH ORDINALITY).
+        "kcenter_coreset": _kcenter_sql(),
         # dsir_logweights: hashed unigram+bigram feature instances ->
         # md5-low60 % 4096 buckets; target = src0, raw = all docs;
         # lam(b) = ln(ct+1) - ln(cr+1); log_w = sum lam + nf * const.

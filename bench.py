@@ -216,7 +216,8 @@ def run_bench() -> dict:
                   "prepare_training_transcripts",
                   "soft_dedup_weights",
                   "self_line_dedup_docs",
-                  "dsir_logweights"):
+                  "dsir_logweights",
+                  "kcenter_coreset"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

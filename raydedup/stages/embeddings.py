@@ -1721,3 +1721,123 @@ def dbscan_embeddings(ds, threshold: float = 0.35, min_pts: int = 3,
                          "kind": pc.take(kinds, kcode)})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def kcenter_select(ds, k: int = 8, dims: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding", scale: float = 1e6):
+    """k-center greedy coreset / diversity selection (Gonzalez 1985
+    farthest-point traversal; coreset-based data selection per Sener &
+    Savarese 2018): seed with the min id, then k-1 times select the row
+    FARTHEST from the selected set (max over rows of min squared
+    euclidean distance to any selected center, ties -> min id). The
+    training-data use is picking a small maximally-diverse exemplar set
+    (dedup's complement: instead of dropping redundancy, choose the
+    spanning skeleton).
+
+    Exactness contract (shared with the SQL oracle): vectors quantize
+    to round-half-away(v * scale) int64 (the ``prototype_prune``
+    contract) and every distance is an exact int64 sum, so the argmax
+    and its min-id tie-break are bit-reproducible; the oracle replays
+    the whole traversal with a recursive CTE. Returns ``(id, rank)``
+    for the k selected rows, rank = selection order 1..k.
+
+    Scale shape (100-TB design): iterative by construction — k rounds,
+    each ONE streaming tighten pass (per-row running min-dist² against
+    the single newly-selected center: 64 ints riding the closure) +
+    ONE argmax-partial pass emitting a single row per block (max d2,
+    tie-min id, and that row's packed vector — so the driver never
+    fetches a row by id). The quantized Dataset re-materializes once
+    per round (bounded lineage); only block-count rows reach the
+    driver per round. k is small by use-case (a coreset << corpus);
+    per-batch overflow is guarded like ``prototype_prune``.
+    """
+    from raydedup.util import round_half_away
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: batch[id_col] if id_col in batch.column_names
+                else pa.array([], pa.int64()),
+                "__q": pa.array([], pa.binary(dims * 8)),
+                "__d2": pa.array([], pa.int64())})
+        M = _to_matrix(batch, vec_col)
+        Q = round_half_away(M.astype(np.float64) * scale).astype(np.int64)
+        # int64 packed through the float64 pack helper — same 8-byte
+        # lanes, bit-exact round trip via .view()
+        return pa.table({
+            id_col: batch[id_col],
+            "__q": _pack_matrix(Q.view(np.float64)),
+            "__d2": pa.array(np.full(batch.num_rows, np.iinfo(np.int64).max,
+                                     dtype=np.int64)),
+        })
+
+    state = ds.select_columns([id_col, vec_col]).map_batches(
+        quantize, batch_format="pyarrow").materialize()
+    n = state.count()
+    if n == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())}))
+    k = min(k, n)
+
+    def block_best(batch: pa.Table) -> pa.Table:
+        """one row per block: the (max d2, tie min id) candidate."""
+        empty = pa.table({id_col: batch[id_col].slice(0, 0),
+                          "__q": pa.array([], pa.binary(dims * 8)),
+                          "__d2": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        d2 = batch["__d2"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        live = d2 >= 0
+        if not live.any():
+            return empty
+        order = np.lexsort((ids[live], -d2[live]))
+        at = np.flatnonzero(live)[order[0]]
+        return batch.take(pa.array([at]))
+
+    def tighten(center: np.ndarray, sel_id) -> "callable":
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            Q = _unpack_matrix(batch["__q"]).view(np.int64)
+            maxq = int(np.abs(Q).max(initial=0))
+            maxc = int(np.abs(center).max(initial=0))
+            if dims * (maxq + maxc) ** 2 >= 2 ** 63:
+                raise OverflowError(
+                    "kcenter_select: quantized magnitudes overflow int64 "
+                    f"distance (max|q|={maxq}, max|c|={maxc}); lower scale")
+            diff = Q - center[None, :]
+            nd2 = np.einsum("ij,ij->i", diff, diff)
+            d2 = np.minimum(batch["__d2"].to_numpy(zero_copy_only=False),
+                            nd2)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            d2 = np.where(ids == sel_id, np.int64(-1), d2)
+            return batch.set_column(
+                batch.schema.get_field_index("__d2"), "__d2",
+                pa.array(d2, pa.int64()))
+        return fn
+
+    # round 1: seed = global min id (argmax over the +inf d2 column ties
+    # every row, so block_best's min-id tie-break IS the seed rule)
+    picked: list = []
+    for rank in range(1, k + 1):
+        cands = state.map_batches(block_best,
+                                  batch_format="pyarrow").take_all()
+        best = min(cands, key=lambda r: (-int(r["__d2"]), r[id_col]))
+        center = np.frombuffer(best["__q"], dtype=np.int64).copy()
+        picked.append(best[id_col])
+        if rank < k:
+            state = state.map_batches(
+                tighten(center, best[id_col]),
+                batch_format="pyarrow").materialize()
+
+    import ray.data
+    id_type = state.schema().types[state.schema().names.index(id_col)]
+    return ray.data.from_arrow(pa.table({
+        id_col: pa.array(picked, id_type),
+        "rank": pa.array(np.arange(1, k + 1), pa.int64())}))

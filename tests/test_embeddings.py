@@ -834,3 +834,68 @@ def test_dbscan_backends_vs_brute(ray_session, thr, min_pts):
                    ray.data.from_arrow(tbl), threshold=thr,
                    min_pts=min_pts, components=comp).take_all()}
         assert got == want, (comp, thr, min_pts)
+
+
+def test_kcenter_select_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.embeddings import kcenter_select
+    from raydedup.util import round_half_away
+
+    rng = np.random.default_rng(11)
+    n, d, k = 80, 6, 7
+    M = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(M.tolist(),
+                                        pa.list_(pa.float32()))})
+    got = [(r["vec_id"], r["rank"]) for r in sorted(
+        kcenter_select(ray.data.from_arrow(t), k=k, dims=d).take_all(),
+        key=lambda r: r["rank"])]
+
+    Q = round_half_away(M.astype(np.float64) * 1e6).astype(np.int64)
+    sel = [0]
+    d2 = np.full(n, np.iinfo(np.int64).max)
+    for _ in range(k - 1):
+        c = Q[sel[-1]]
+        d2 = np.minimum(d2, ((Q - c) ** 2).sum(1))
+        d2[sel[-1]] = -1
+        sel.append(int(np.lexsort((np.arange(n), -d2))[0]))
+    assert got == [(s, i + 1) for i, s in enumerate(sel)]
+
+
+def test_kcenter_select_planted_spread(ray_session):
+    """three tight blobs + k=3 must pick one point from each blob."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.embeddings import kcenter_select
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[10.0, 0], [-10.0, 0], [0, 17.0]])
+    pts = np.vstack([c + 0.01 * rng.normal(size=(20, 2))
+                     for c in centers]).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(60), pa.int64()),
+                  "embedding": pa.array(pts.tolist(),
+                                        pa.list_(pa.float32()))})
+    sel = [r["vec_id"] for r in kcenter_select(
+        ray.data.from_arrow(t), k=3, dims=2).take_all()]
+    assert sorted(s // 20 for s in sel) == [0, 1, 2]
+
+
+def test_kcenter_select_k_exceeds_n(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.embeddings import kcenter_select
+
+    t = pa.table({"vec_id": pa.array([7, 3], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                        pa.list_(pa.float32()))})
+    out = sorted(kcenter_select(ray.data.from_arrow(t), k=10,
+                                dims=2).take_all(),
+                 key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in out] == [3, 7]
