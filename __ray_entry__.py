@@ -3003,6 +3003,23 @@ def q_dsir_logweights(sf_dir: str):
     return _round_col(dsir_logweights(docs, target), "log_w")
 
 
+def q_dedup_method_agreement(sf_dir: str):
+    """Pair-counting Rand agreement between two dedup methods over the
+    reordered-corpus view: exact-text groups vs word-multiset (bag)
+    groups. The reversed copies are exactly where the partitions
+    disagree (bag co-clusters them, exact cannot), so pairs_b >
+    pairs_both by construction. Exact int64 pair combinatorics + one
+    final division — bit-identical to the SQL replay
+    (stages/graph.py:clustering_agreement)."""
+    from raydedup.stages.exact import text_label_groups
+    from raydedup.stages.graph import clustering_agreement
+
+    view = _docs_with_reordered(sf_dir)
+    la = text_label_groups(view, canonical=False, label_col="label_a")
+    lb = text_label_groups(view, canonical=True, label_col="label_b")
+    return _round_col(clustering_agreement(la, lb), "rand_index")
+
+
 def q_kcenter_coreset(sf_dir: str):
     """k-center greedy coreset (Gonzalez farthest-point traversal;
     coreset data selection per Sener & Savarese 2018): 8 maximally
@@ -3342,6 +3359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "self_line_dedup_docs": q_self_line_dedup_docs,
         "dsir_logweights": q_dsir_logweights,
         "kcenter_coreset": q_kcenter_coreset,
+        "dedup_method_agreement": q_dedup_method_agreement,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_rolling": q_incremental_dedup_rolling,
     }
@@ -6906,6 +6924,51 @@ def _oracle_sql_base() -> dict[str, str]:
         # list_filter each doc's lines against it (order-preserving —
         # dodges DuckDB's missing WITH ORDINALITY).
         "kcenter_coreset": _kcenter_sql(),
+        # dedup_method_agreement: Rand pair-counting components between
+        # exact-text and bag partitions of the reordered view; label
+        # VALUES differ between engine (varchar min key) and SQL
+        # (bigint min id) but only the PARTITIONS enter the counts.
+        "dedup_method_agreement": f"""
+            WITH reord AS (
+                SELECT doc_id + 4000000 AS doc_id,
+                       array_to_string(
+                           list_reverse(str_split(coalesce(text, ''), ' ')),
+                           ' ') AS text
+                FROM documents WHERE doc_id % 9 = 0),
+            tall AS (SELECT doc_id, coalesce(text, '') AS text
+                     FROM documents
+                     UNION ALL SELECT doc_id, text FROM reord),
+            ga AS (SELECT text, min(doc_id) AS l FROM tall GROUP BY 1),
+            ka AS (SELECT t.doc_id, g.l AS a
+                   FROM tall t JOIN ga g USING (text)),
+            canon AS (SELECT doc_id,
+                             array_to_string(list_sort(str_split(text, ' ')),
+                                             ' ') AS cn
+                      FROM tall),
+            gb AS (SELECT cn, min(doc_id) AS l FROM canon GROUP BY 1),
+            kb AS (SELECT c.doc_id, g.l AS b
+                   FROM canon c JOIN gb g USING (cn)),
+            j AS (SELECT ka.a, kb.b FROM ka JOIN kb USING (doc_id)),
+            cells AS (SELECT a, b, count(*) AS c FROM j GROUP BY 1, 2),
+            sab AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS v,
+                           CAST(sum(c) AS BIGINT) AS n FROM cells),
+            ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS c
+                   FROM cells GROUP BY 1),
+            sa AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS v
+                   FROM ma),
+            mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS c
+                   FROM cells GROUP BY 1),
+            sb AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS v
+                   FROM mb)
+            SELECT sab.n AS n, sab.v AS pairs_both, sa.v AS pairs_a,
+                   sb.v AS pairs_b,
+                   sab.n * (sab.n - 1) // 2 AS pairs_total,
+                   round(CAST(2 * sab.v + sab.n * (sab.n - 1) // 2
+                              - sa.v - sb.v AS DOUBLE)
+                         / CAST(sab.n * (sab.n - 1) // 2 AS DOUBLE),
+                         {_ROUND}) AS rand_index
+            FROM sab CROSS JOIN sa CROSS JOIN sb
+        """,
         # dsir_logweights: hashed unigram+bigram feature instances ->
         # md5-low60 % 4096 buckets; target = src0, raw = all docs;
         # lam(b) = ln(ct+1) - ln(cr+1); log_w = sum lam + nf * const.

@@ -217,7 +217,8 @@ def run_bench() -> dict:
                   "soft_dedup_weights",
                   "self_line_dedup_docs",
                   "dsir_logweights",
-                  "kcenter_coreset"):
+                  "kcenter_coreset",
+                  "dedup_method_agreement"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

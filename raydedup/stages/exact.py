@@ -774,47 +774,67 @@ def dup_rate_estimate(ds, rate: float = 0.5, text_col: str = "text",
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
-def bag_dup_groups(ds, key_cols: list[str] | None = None,
-                   text_col: str = "text", min_size: int = 2):
-    """Word-multiset (bag) duplicate groups: rows whose whitespace-token
-    MULTISET is identical — catches reordered boilerplate and shuffled
-    copies that exact hashing misses entirely and similarity methods
-    only score. Canonical form = tokens split on single spaces, sorted,
-    rejoined with single spaces; identity = sha256 of that canonical
-    string. Emits one row per member of every group with >=
-    ``min_size`` members: (row_key, bag_id = min member row_key,
-    n_members).
+def text_label_groups(ds, key_cols: list[str] | None = None,
+                      text_col: str = "text", canonical: bool = False,
+                      min_size: int = 1, label_col: str = "label"):
+    """Full-corpus text-identity labeling: one row per input row with
+    ``(row_key, <label_col> = min member key, n_members)``, grouped by
+    EXACT text (``canonical=False``: sha256 of the raw text) or by
+    word-multiset identity (``canonical=True``: tokens split on single
+    spaces, sorted, rejoined — the bag contract). Singletons label
+    themselves, so the output is a complete partition of the corpus —
+    the labeling primitive behind :func:`bag_dup_groups` and
+    ``graph.clustering_agreement``.
 
-    Scale shape: identical to exact dedup — the canonicalization runs
-    once per DISTINCT text per batch (dictionary-encode idiom), only
-    64-char canonical hashes shuffle, and the group paint reuses
-    ``exact_dedup``'s dup-set broadcast + vectorized ``pc.index_in``.
-    NULL text folds to '' (mirror with coalesce in SQL oracles).
+    Scale shape: exact dedup's — the (canonical) sha runs once per
+    DISTINCT text per batch (dictionary-encode idiom), only 64-char
+    hashes shuffle, and the group paint reuses ``exact_dedup``'s
+    dup-set broadcast + vectorized ``pc.index_in``. NULL text folds to
+    '' (mirror with coalesce in SQL oracles).
     """
     import hashlib
 
     key_cols = key_cols or ["doc_id"]
     keyed = add_row_key(ds.select_columns(key_cols + [text_col]), key_cols)
 
-    def canon(b: pa.Table) -> pa.Table:
-        enc = pc.dictionary_encode(
-            _text_filled(b[text_col]))
-        u = [hashlib.sha256(
-                " ".join(sorted(t.split(" "))).encode("utf-8")).hexdigest()
-             for t in enc.dictionary.to_pylist()]
+    def sha(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(_text_filled(b[text_col]))
+        if canonical:
+            u = [hashlib.sha256(
+                    " ".join(sorted(t.split(" "))).encode("utf-8"))
+                 .hexdigest() for t in enc.dictionary.to_pylist()]
+        else:
+            u = [hashlib.sha256(t.encode("utf-8")).hexdigest()
+                 for t in enc.dictionary.to_pylist()]
         return pa.table({
             "row_key": b["row_key"],
             "text_sha256": pc.take(pa.array(u, pa.string()), enc.indices),
         })
 
-    assigned = exact_dedup(keyed.map_batches(canon, batch_format="pyarrow"))
+    assigned = exact_dedup(keyed.map_batches(sha, batch_format="pyarrow"))
 
     def out(b: pa.Table) -> pa.Table:
-        t = pa.table({"row_key": b["row_key"], "bag_id": b["rep_key"],
+        t = pa.table({"row_key": b["row_key"], label_col: b["rep_key"],
                       "n_members": pc.cast(b["n_exact"], pa.int64())})
-        return t.filter(pc.greater_equal(b["n_exact"], min_size))
+        if min_size > 1:
+            t = t.filter(pc.greater_equal(b["n_exact"], min_size))
+        return t
 
     return assigned.map_batches(out, batch_format="pyarrow")
+
+
+def bag_dup_groups(ds, key_cols: list[str] | None = None,
+                   text_col: str = "text", min_size: int = 2):
+    """Word-multiset (bag) duplicate groups: rows whose whitespace-token
+    MULTISET is identical — catches reordered boilerplate and shuffled
+    copies that exact hashing misses entirely and similarity methods
+    only score. Emits one row per member of every group with >=
+    ``min_size`` members: (row_key, bag_id = min member row_key,
+    n_members). Thin wrapper over :func:`text_label_groups`
+    (canonical=True) — see it for the hashing + scale contract.
+    """
+    return text_label_groups(ds, key_cols, text_col, canonical=True,
+                             min_size=min_size, label_col="bag_id")
 
 
 def stitch_candidates(ds, key_col: str = "doc_id", text_col: str = "text",

@@ -224,3 +224,93 @@ def dup_pagerank(clusters, pairs, iters: int = PR_ITERS,
                          on="row_key", anti=True)
     return ranked.union(
         isolated.map_batches(paint_base, batch_format="pyarrow"))
+
+
+def clustering_agreement(a, b, key_col: str = "row_key",
+                         a_col: str = "label_a", b_col: str = "label_b",
+                         num_partitions: int | None = None):
+    """Pair-counting agreement between two clusterings of the same
+    corpus (Rand 1971 — 'do two dedup methods see the same duplicate
+    structure?'): given two full labelings ``a = (key, a_col)`` and
+    ``b = (key, b_col)``, emit ONE row with the exact pair-counting
+    components and the Rand index:
+
+        n            rows in the joined universe
+        pairs_both   pairs co-clustered by BOTH   = Σ_ij C(n_ij, 2)
+        pairs_a      pairs co-clustered by A      = Σ_i  C(a_i, 2)
+        pairs_b      pairs co-clustered by B      = Σ_j  C(b_j, 2)
+        pairs_total  C(n, 2)
+        rand_index   (2·pairs_both + pairs_total − pairs_a − pairs_b)
+                     / pairs_total        (1.0 when n < 2)
+
+    Everything is exact int64 combinatorics (one int division at the
+    end — bit-identical to the SQL oracle); C(x, 2) overflow is guarded
+    (raises beyond ~4.3e9-member clusters / corpora — switch the
+    accumulators to HUGEINT-style Python ints before running there).
+
+    Scale shape (100-TB design): one distributed inner hash join on the
+    key, one counting groupby over (label_a, label_b) CELLS with
+    per-batch Acero partial counts (cells << rows — bounded by the
+    cluster structure, not the corpus), two marginal groupbys over the
+    cell table, then scalar sums. The driver sees six numbers.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def one_row(n, both, sa, sb):
+        if n * (n - 1) // 2 >= 2 ** 63:
+            raise OverflowError(
+                f"clustering_agreement: C({n}, 2) overflows int64")
+        total = n * (n - 1) // 2
+        ri = 1.0 if total == 0 else (2 * both + total - sa - sb) / total
+        return ray.data.from_arrow(pa.table({
+            "n": pa.array([n], pa.int64()),
+            "pairs_both": pa.array([both], pa.int64()),
+            "pairs_a": pa.array([sa], pa.int64()),
+            "pairs_b": pa.array([sb], pa.int64()),
+            "pairs_total": pa.array([total], pa.int64()),
+            "rand_index": pa.array([ri], pa.float64()),
+        }))
+
+    a = a.select_columns([key_col, a_col])
+    b = b.select_columns([key_col, b_col])
+    if num_partitions is None:
+        nrows = a.count()
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(join_partitions(nrows), max(2, 2 * ncpu))
+    joined = a.join(b, join_type="inner", num_partitions=num_partitions,
+                    on=(key_col,))
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({a_col: batch[a_col], b_col: batch[b_col],
+                             "c": pa.array([], pa.int64())})
+        g = batch.group_by([a_col, b_col]).aggregate([([], "count_all")])
+        return g.rename_columns([a_col, b_col, "c"])
+
+    cells = (joined.map_batches(cell_partial, batch_format="pyarrow")
+             .groupby([a_col, b_col]).aggregate(Sum("c", alias_name="c"))
+             .materialize())
+    if cells.count() == 0:
+        return one_row(0, 0, 0, 0)
+
+    def comb2_partial(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if c.size and int(c.max()) >= 3_037_000_500:
+                raise OverflowError(
+                    "clustering_agreement: a cluster of "
+                    f"{int(c.max())} members overflows int64 C(x, 2)")
+            return pa.table({"v": pa.array([int((c * (c - 1) // 2).sum())],
+                                           pa.int64()),
+                             "s": pa.array([int(c.sum())], pa.int64())})
+        return fn
+
+    both_t = cells.map_batches(comb2_partial("c"), batch_format="pyarrow")
+    both, n = both_t.sum("v"), both_t.sum("s")
+    ma = cells.groupby(a_col).aggregate(Sum("c", alias_name="ca"))
+    sa = ma.map_batches(comb2_partial("ca"), batch_format="pyarrow").sum("v")
+    mb = cells.groupby(b_col).aggregate(Sum("c", alias_name="cb"))
+    sb = mb.map_batches(comb2_partial("cb"), batch_format="pyarrow").sum("v")
+    return one_row(int(n), int(both), int(sa), int(sb))

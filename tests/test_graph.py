@@ -208,3 +208,69 @@ def test_value_deciles_exact_contract():
     for i, v in enumerate(vals):
         cume = int((arr <= v).sum())
         assert got4[i] == (4 * cume + 10 - 1) // 10
+
+
+def test_clustering_agreement_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.graph import clustering_agreement
+
+    # A: {1,2,3}{4,5}{6}   B: {1,2}{3,4,5}{6}
+    a = ray.data.from_arrow(pa.table({
+        "row_key": ["1", "2", "3", "4", "5", "6"],
+        "label_a": ["x", "x", "x", "y", "y", "z"]}))
+    b = ray.data.from_arrow(pa.table({
+        "row_key": ["1", "2", "3", "4", "5", "6"],
+        "label_b": ["p", "p", "q", "q", "q", "r"]}))
+    row = clustering_agreement(a, b).take_all()[0]
+    # both: {1,2} and {4,5} -> 2; A pairs: C(3,2)+C(2,2)=4; B: 1+3=4
+    assert row["n"] == 6
+    assert row["pairs_both"] == 2
+    assert row["pairs_a"] == 4 and row["pairs_b"] == 4
+    assert row["pairs_total"] == 15
+    # agreements = 2 + (15 - 4 - 4 + 2) = 11
+    assert row["rand_index"] == 11 / 15
+
+
+def test_clustering_agreement_identical_and_disjoint(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.graph import clustering_agreement
+
+    keys = [str(i) for i in range(8)]
+    same = pa.table({"row_key": keys,
+                     "label_a": ["g" + str(i % 2) for i in range(8)]})
+    b_same = same.rename_columns(["row_key", "label_b"])
+    row = clustering_agreement(ray.data.from_arrow(same),
+                               ray.data.from_arrow(b_same)).take_all()[0]
+    assert row["rand_index"] == 1.0
+    singl = pa.table({"row_key": keys, "label_b": keys})
+    row2 = clustering_agreement(
+        ray.data.from_arrow(same),
+        ray.data.from_arrow(singl).rename_columns(
+            ["row_key", "label_b"])).take_all()[0]
+    assert row2["pairs_both"] == 0 and row2["pairs_b"] == 0
+    # agreement = pairs co-separated by both = total - pairs_a
+    assert row2["rand_index"] == (row2["pairs_total"] - row2["pairs_a"]) \
+        / row2["pairs_total"]
+
+
+def test_text_label_groups_full_partition(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.exact import text_label_groups
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b", "b a", "a b", "c"]})
+    ds = ray.data.from_arrow(t)
+    exact = {r["row_key"]: r["label"] for r in
+             text_label_groups(ds, canonical=False).take_all()}
+    bag = {r["row_key"]: r["label"] for r in
+           text_label_groups(ds, canonical=True).take_all()}
+    assert len(exact) == 4 and len(bag) == 4  # full partition
+    assert exact["1"] == exact["3"] != exact["2"]
+    assert bag["1"] == bag["2"] == bag["3"]
+    assert exact["4"] == "4" and bag["4"] == "4"  # singleton self-label
