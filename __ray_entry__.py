@@ -3020,6 +3020,21 @@ def q_dedup_method_agreement(sf_dir: str):
     return _round_col(clustering_agreement(la, lb), "rand_index")
 
 
+def q_cdc_dup_stats(sf_dir: str):
+    """Content-defined-chunking duplicate exposure (LBFS/Rabin CDC, the
+    storage-dedup paradigm): cut each document where the rolling hash
+    of the trailing 6 code points is 0 mod 32, then per doc count chunk
+    instances whose content recurs in >= 2 distinct documents —
+    chunk-granular, SHIFT-ROBUST cross-doc duplication that fixed-stride
+    chunking and line dedup miss (stages/cdc.py:cdc_dup_stats). Engine
+    compares chunks by blake2b-64, oracle by exact string (documented
+    collision contract). Oracle replays the rolling hash with LAG
+    windows and reassembles chunks with ordered string_agg."""
+    from raydedup.stages.cdc import cdc_dup_stats
+
+    return cdc_dup_stats(_docs(sf_dir))
+
+
 def q_kcenter_coreset(sf_dir: str):
     """k-center greedy coreset (Gonzalez farthest-point traversal;
     coreset data selection per Sener & Savarese 2018): 8 maximally
@@ -3360,6 +3375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_logweights": q_dsir_logweights,
         "kcenter_coreset": q_kcenter_coreset,
         "dedup_method_agreement": q_dedup_method_agreement,
+        "cdc_dup_stats": q_cdc_dup_stats,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_rolling": q_incremental_dedup_rolling,
     }
@@ -6923,6 +6939,62 @@ def _oracle_sql_base() -> dict[str, str]:
         # per non-empty line, collect the dup set as ONE list and
         # list_filter each doc's lines against it (order-preserving —
         # dodges DuckDB's missing WITH ORDINALITY).
+        "cdc_dup_stats": """
+            WITH ch AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, len(text))) AS i
+                FROM documents WHERE len(text) > 0
+            ),
+            cp AS (
+                SELECT doc_id, i, substr(text, i, 1) AS s,
+                       unicode(substr(text, i, 1)) % 251 AS c
+                FROM ch
+            ),
+            hs AS (
+                SELECT doc_id, i, s,
+                       c + coalesce(lag(c, 1) OVER w, 0) * 256
+                         + coalesce(lag(c, 2) OVER w, 0) * 65536
+                         + coalesce(lag(c, 3) OVER w, 0) * 16777216
+                         + coalesce(lag(c, 4) OVER w, 0) * 4294967296
+                         + coalesce(lag(c, 5) OVER w, 0) * 1099511627776
+                           AS h
+                FROM cp WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            bd AS (
+                SELECT doc_id, i, s,
+                       CASE WHEN i >= 6 AND h % 32 = 0 THEN 1 ELSE 0 END
+                           AS b
+                FROM hs
+            ),
+            cid AS (
+                SELECT doc_id, i, s,
+                       coalesce(sum(b) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS k
+                FROM bd
+            ),
+            chunks AS (
+                SELECT doc_id, k, string_agg(s, '' ORDER BY i) AS chunk
+                FROM cid GROUP BY 1, 2
+            ),
+            nd AS (SELECT chunk
+                   FROM (SELECT chunk, count(DISTINCT doc_id) AS n
+                         FROM chunks GROUP BY 1)
+                   WHERE n >= 2),
+            st AS (
+                SELECT c.doc_id, count(*) AS n_chunks,
+                       count(*) FILTER (
+                           WHERE c.chunk IN (SELECT chunk FROM nd))
+                           AS n_dup_chunks
+                FROM chunks c GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(st.n_chunks, 0) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(st.n_dup_chunks, 0) AS BIGINT)
+                       AS n_dup_chunks
+            FROM documents d LEFT JOIN st USING (doc_id)
+        """,
         "kcenter_coreset": _kcenter_sql(),
         # dedup_method_agreement: Rand pair-counting components between
         # exact-text and bag partitions of the reordered view; label

@@ -218,7 +218,8 @@ def run_bench() -> dict:
                   "self_line_dedup_docs",
                   "dsir_logweights",
                   "kcenter_coreset",
-                  "dedup_method_agreement"):
+                  "dedup_method_agreement",
+                  "cdc_dup_stats"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame
