@@ -3020,6 +3020,19 @@ def q_dedup_method_agreement(sf_dir: str):
     return _round_col(clustering_agreement(la, lb), "rand_index")
 
 
+def q_hot_ngrams(sf_dir: str):
+    """Hot boilerplate n-grams: every word 5-gram in >= T distinct
+    documents, T = max(2, the 10th-largest distinct-doc count) — the
+    threshold-VALUE contract needs no tie-break, so ties at the cutoff
+    are all included and the SQL replay is exact. Pass 1 shuffles only
+    64-bit hashes; gram STRINGS are built only for winner instances and
+    final counts recount per string (collision contract documented,
+    stages/collection.py:hot_ngrams)."""
+    from raydedup.stages.collection import hot_ngrams
+
+    return hot_ngrams(_docs(sf_dir), n=5, k=10)
+
+
 def q_cdc_dup_stats(sf_dir: str):
     """Content-defined-chunking duplicate exposure (LBFS/Rabin CDC, the
     storage-dedup paradigm): cut each document where the rolling hash
@@ -3376,6 +3389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": q_kcenter_coreset,
         "dedup_method_agreement": q_dedup_method_agreement,
         "cdc_dup_stats": q_cdc_dup_stats,
+        "hot_ngrams": q_hot_ngrams,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_rolling": q_incremental_dedup_rolling,
     }
@@ -6939,6 +6953,29 @@ def _oracle_sql_base() -> dict[str, str]:
         # per non-empty line, collect the dup set as ONE list and
         # list_filter each doc's lines against it (order-preserving —
         # dodges DuckDB's missing WITH ORDINALITY).
+        "hot_ngrams": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS tk
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(tk) - 3),
+                              i -> array_to_string(tk[i : i + 4], ' ')))
+                           AS g
+                FROM toks
+            ),
+            counts AS (SELECT g, count(DISTINCT doc_id) AS n_docs
+                       FROM grams GROUP BY 1),
+            thr AS (SELECT greatest(coalesce(
+                        (SELECT n_docs FROM counts
+                         ORDER BY n_docs DESC LIMIT 1 OFFSET 9), 2), 2)
+                        AS t)
+            SELECT g AS gram, CAST(n_docs AS BIGINT) AS n_docs
+            FROM counts, thr WHERE n_docs >= thr.t
+        """,
         "cdc_dup_stats": """
             WITH ch AS (
                 SELECT doc_id, text,

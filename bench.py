@@ -219,7 +219,8 @@ def run_bench() -> dict:
                   "dsir_logweights",
                   "kcenter_coreset",
                   "dedup_method_agreement",
-                  "cdc_dup_stats"):
+                  "cdc_dup_stats",
+                  "hot_ngrams"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -809,3 +809,140 @@ def source_similarity_kmv(ds, by: str = "source", text_col: str = "text",
                      "k_union": pa.array(ku, pa.int64()),
                      "n_inter": pa.array(ni, pa.int64()),
                      "jaccard_est": pa.array(je, pa.float64())})
+
+
+def hot_ngrams(ds, n: int = 5, k: int = 10, min_docs: int = 2,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Hot boilerplate word n-grams: every n-gram appearing in at least
+    ``T`` distinct documents, where ``T = max(min_docs, the k-th largest
+    distinct-doc count over all n-grams)`` — the threshold-VALUE
+    contract makes the result deterministic without a tie-break (ties
+    at the cutoff are all included), so the SQL oracle reproduces it
+    exactly. The curation diagnostic behind n-gram decontamination and
+    span removal: which exact phrases are the corpus's most-replicated
+    content. Returns ``(gram, n_docs)``. Token contract = the ASCII RE2
+    contract of ``_doc_term_codes``; n-grams joined with single spaces.
+
+    Scale shape (100-TB design): pass 1 shuffles only 64-bit n-gram
+    hashes (per-token blake2b-64 once per DISTINCT token per batch,
+    polynomial window combine — the minhash kernel's trick), counts
+    distinct docs via the per-batch-distinct partial (each doc is one
+    row => one batch), and finds the threshold VALUE from k-sized
+    per-block partial top-k rows. Pass 2 re-streams the corpus and
+    builds gram STRINGS only for instances matching the (>= k, tie
+    bounded) winner-hash broadcast — final counts are recomputed per
+    STRING, so a pass-1 hash collision can only perturb T by one, never
+    a reported row (documented contract).
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raydedup.stages.textstats import _doc_term_codes
+
+    C = np.uint64(0x9E3779B97F4A7C15)
+
+    def _gram_hashes(batch: pa.Table):
+        """→ (docidx per gram instance, window-start flat index,
+        gram hash uint64, codes, dictionary, docidx per token)."""
+        docidx, codes, dictionary = _doc_term_codes(batch, text_col)
+        total = len(codes)
+        if total < n:
+            z = np.empty(0, np.int64)
+            return z, z, np.empty(0, np.uint64), codes, dictionary, docidx
+        toks = dictionary.to_pylist()
+        th_u = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode("utf-8"),
+                                            digest_size=8).digest(), "big")
+             for t in toks), dtype=np.uint64, count=len(toks))
+        th = th_u[codes]
+        h = np.zeros(total - n + 1, dtype=np.uint64)
+        for j in range(n):
+            h = h * C + th[j:total - n + 1 + j]
+        valid = docidx[:total - n + 1] == docidx[n - 1:]
+        starts = np.flatnonzero(valid)
+        return (docidx[starts], starts, h[starts], codes, dictionary,
+                docidx)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        gd, _, gh, *_ = _gram_hashes(batch)
+        if gd.size == 0:
+            return empty
+        hs = gh.view(np.int64)
+        order = np.lexsort((hs, gd))
+        ds_, hs_ = gd[order], hs[order]
+        first = np.r_[True, (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])]
+        hu, cnt = np.unique(hs_[first], return_counts=True)
+        return pa.table({"h": pa.array(hu, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    counts = (ds.select_columns([id_col, text_col])
+              .map_batches(count_partial, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("c", alias_name="nd"))
+              .materialize())
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        c = batch["nd"].to_numpy(zero_copy_only=False)
+        if c.size > k:
+            c = -np.partition(-c, k - 1)[:k]
+        return pa.table({"nd": pa.array(np.sort(c)[::-1], pa.int64())})
+
+    top = np.sort(np.concatenate(
+        [b["nd"].to_numpy(zero_copy_only=False) for b in
+         counts.map_batches(topk_partial,
+                            batch_format="pyarrow").iter_batches(
+             batch_size=None, batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]))[::-1]
+    thr = int(top[k - 1]) if top.size >= k else min_docs
+    thr = max(thr, min_docs)
+
+    win = counts.filter(expr=f"nd >= {thr}").select_columns(["h"])
+    win_hashes = np.sort(np.concatenate(
+        [b["h"].to_numpy(zero_copy_only=False) for b in
+         win.iter_batches(batch_size=None, batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]))
+    out_schema = pa.schema([pa.field("gram", pa.string()),
+                            pa.field("n_docs", pa.int64())])
+    if win_hashes.size == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    win_ref = ray.put(win_hashes)
+
+    def winner_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        gd, starts, gh, codes, dictionary, _ = _gram_hashes(batch)
+        if gd.size == 0:
+            return empty
+        wh = ray.get(win_ref)
+        at = np.searchsorted(wh, gh.view(np.int64))
+        at[at == len(wh)] = 0
+        hit = wh[at] == gh.view(np.int64)
+        if not hit.any():
+            return empty
+        toks = dictionary.to_pylist()
+        seen = set()
+        for s, d in zip(starts[hit], gd[hit]):
+            seen.add((int(d),
+                      " ".join(toks[codes[s + j]] for j in range(n))))
+        if not seen:
+            return empty
+        grams = [g for _, g in seen]
+        u, inv = np.unique(np.array(grams, dtype=object),
+                           return_inverse=True)
+        cnt = np.bincount(inv)
+        return pa.table({"gram": pa.array(list(u), pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    final = (ds.select_columns([id_col, text_col])
+             .map_batches(winner_partial, batch_format="pyarrow")
+             .groupby("gram").aggregate(Sum("c", alias_name="n_docs"))
+             .filter(expr=f"n_docs >= {thr}"))
+    return final.union(ray.data.from_arrow(out_schema.empty_table()))

@@ -151,3 +151,43 @@ def test_source_similarity_kmv_estimate_accuracy(ray_session):
     assert abs(e1.iloc[0]["jaccard_est"] - exact) < 3 / np.sqrt(256) + 0.02
     assert e1.iloc[0]["jaccard_est"] == e2.iloc[0]["jaccard_est"]
     assert e1.iloc[0]["k_union"] == 256
+
+
+def test_hot_ngrams_threshold_contract(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.collection import hot_ngrams
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon eta",
+        3: "pre alpha beta gamma delta epsilon",
+        4: "unrelated words entirely different from others here",
+        5: "more unrelated words entirely different from others",
+    }
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(texts),
+                                       "text": list(texts.values())}))
+    got = {r["gram"]: r["n_docs"] for r in
+           hot_ngrams(ds, n=5, k=1).take_all()}
+    # 'alpha beta gamma delta epsilon' is the unique 3-doc gram; with
+    # k=1 the threshold value is 3, so it alone survives
+    assert got == {"alpha beta gamma delta epsilon": 3}
+    # k large => threshold floors at min_docs=2; 2-doc grams now appear
+    got2 = {r["gram"]: r["n_docs"] for r in
+            hot_ngrams(ds, n=5, k=50).take_all()}
+    assert got2["alpha beta gamma delta epsilon"] == 3
+    assert all(v >= 2 for v in got2.values()) and len(got2) > 1
+
+
+def test_hot_ngrams_no_duplicated_grams(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.collection import hot_ngrams
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["one two three four five six",
+                 "seven eight nine ten eleven twelve"]}))
+    assert hot_ngrams(ds, n=5, k=10).take_all() == []
