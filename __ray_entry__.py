@@ -3020,6 +3020,51 @@ def q_dedup_method_agreement(sf_dir: str):
     return _round_col(clustering_agreement(la, lb), "rand_index")
 
 
+def _docs_with_repeats_src(sf_dir: str):
+    """The _docs_with_repeats fan-out carrying `source` through the
+    copies (effective-token attribution needs the group column);
+    mirrored by the reps-with-source CTE in the oracle."""
+    import ray.data
+
+    def rep(b: pa.Table) -> pa.Table:
+        base = pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "source": b["source"]})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 5 == 0
+        if not m.any():
+            return base
+        sub_ids = ids[m]
+        sub_txt = b["text"].filter(pa.array(m)).combine_chunks()
+        sub_src = b["source"].filter(pa.array(m)).combine_chunks()
+        extra = pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [sub_ids + 1_000_000, sub_ids + 2_000_000,
+                 sub_ids + 3_000_000]), pa.int64()),
+            "text": pa.concat_arrays([sub_txt] * 3),
+            "source": pa.concat_arrays([sub_src] * 3),
+        })
+        return pa.concat_tables([base, extra])
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"],
+                                 override_num_blocks=64)
+    return docs.map_batches(rep, batch_format="pyarrow")
+
+
+def q_effective_tokens(sf_dir: str):
+    """Soft-dedup effective token census per source over the repeated
+    corpus view: raw n_docs / n_tokens and eff_tokens = sum of
+    tok(t) * copies(t, source) / copies(t, total) — the unique-signal
+    share each source contributes under reweight-not-remove dedup
+    (stages/textstats.py:effective_tokens_by_group; 6-decimal float
+    contract)."""
+    from raydedup.stages.textstats import effective_tokens_by_group
+
+    return _round_col(
+        effective_tokens_by_group(_docs_with_repeats_src(sf_dir)),
+        "eff_tokens")
+
+
 def q_hot_ngrams(sf_dir: str):
     """Hot boilerplate n-grams: every word 5-gram in >= T distinct
     documents, T = max(2, the 10th-largest distinct-doc count) — the
@@ -3390,6 +3435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_method_agreement": q_dedup_method_agreement,
         "cdc_dup_stats": q_cdc_dup_stats,
         "hot_ngrams": q_hot_ngrams,
+        "effective_tokens": q_effective_tokens,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_rolling": q_incremental_dedup_rolling,
     }
@@ -6953,6 +6999,29 @@ def _oracle_sql_base() -> dict[str, str]:
         # per non-empty line, collect the dup set as ONE list and
         # list_filter each doc's lines against it (order-preserving —
         # dodges DuckDB's missing WITH ORDINALITY).
+        "effective_tokens": f"""
+            WITH reps AS (
+                SELECT doc_id + 1000000 * j AS doc_id, text, source
+                FROM documents, range(1, 4) AS t(j)
+                WHERE doc_id % 5 = 0),
+            tall AS (SELECT doc_id, text, source FROM documents
+                     UNION ALL SELECT doc_id, text, source FROM reps),
+            g AS (SELECT source, coalesce(text, '') AS txt FROM tall),
+            tk AS (SELECT txt,
+                          len(regexp_extract_all(lower(txt),
+                                                 '[0-9a-z_]+')) AS tok
+                   FROM (SELECT DISTINCT txt FROM g)),
+            c AS (SELECT txt, source, count(*) AS c FROM g GROUP BY 1, 2),
+            n AS (SELECT txt, CAST(sum(c) AS BIGINT) AS n
+                  FROM c GROUP BY 1)
+            SELECT c.source,
+                   CAST(sum(c.c) AS BIGINT) AS n_docs,
+                   CAST(sum(c.c * tk.tok) AS BIGINT) AS n_tokens,
+                   round(sum(c.c * tk.tok / CAST(n.n AS DOUBLE)),
+                         {_ROUND}) AS eff_tokens
+            FROM c JOIN tk USING (txt) JOIN n USING (txt)
+            GROUP BY 1
+        """,
         "hot_ngrams": """
             WITH toks AS (
                 SELECT doc_id,

@@ -220,7 +220,8 @@ def run_bench() -> dict:
                   "kcenter_coreset",
                   "dedup_method_agreement",
                   "cdc_dup_stats",
-                  "hot_ngrams"):
+                  "hot_ngrams",
+                  "effective_tokens"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

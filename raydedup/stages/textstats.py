@@ -1729,3 +1729,107 @@ def dsir_logweights(raw, target, n_buckets: int = 4096,
     return (raw.select_columns([id_col, text_col])
             .map_batches(score, batch_format="pyarrow")
             .union(ray.data.from_arrow(out_schema.empty_table())))
+
+
+def effective_tokens_by_group(ds, group_col: str = "source",
+                              text_col: str = "text",
+                              num_partitions: int | None = None):
+    """Effective (dedup-weighted) token census per group: under soft
+    deduplication (SoftDedup, He et al. 2024 — every copy of a text
+    carries weight 1/n_copies), how many tokens' worth of UNIQUE signal
+    does each source actually contribute?
+
+        eff_tokens(s) = sum over distinct texts t of
+                        tok(t) * copies(t, s) / copies(t, total)
+
+    Also reports raw n_docs / n_tokens, so (n_tokens − eff_tokens) is
+    the source's redundancy tax. Token contract = the ascii RE2
+    contract of :func:`ascii_token_counts`; NULL text folds to ''.
+    Returns ``(group, n_docs, n_tokens, eff_tokens)``.
+
+    Scale shape (100-TB design): rows reduce inside ``map_batches`` to
+    DISTINCT (sha, group) partials carrying (c = copies, ct = copies ×
+    tokens) — both LINEAR, so cross-batch Sum is exact; texts never
+    shuffle and tokens are counted once per DISTINCT text per batch.
+    One sha-keyed groupby totals copies per text, one skinny join feeds
+    per-cell shares ct/n, one group-keyed groupby emits ≤ groups rows.
+    Float accumulation lands under the query-level 6-decimal contract.
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raydedup.util import join_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"sha": pa.array([], pa.string()),
+                          group_col: batch[group_col].slice(0, 0)
+                          if group_col in batch.column_names
+                          else pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64()),
+                          "ct": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        filled = pc.fill_null(batch[text_col].combine_chunks(), "")
+        enc = pc.dictionary_encode(filled)
+        dic = enc.dictionary
+        shas = pa.array([hashlib.sha256(t.encode("utf-8")).hexdigest()
+                         for t in dic.to_pylist()], pa.string())
+        toks = ascii_token_counts(dic)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        genc = pc.dictionary_encode(batch[group_col].combine_chunks())
+        ng = len(genc.dictionary)
+        gcodes = genc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pair = codes * np.int64(ng) + gcodes
+        up, cnt = np.unique(pair, return_counts=True)
+        tcode, gcode = up // ng, up % ng
+        c = cnt.astype(np.int64)
+        return pa.table({
+            "sha": pc.take(shas, pa.array(tcode)),
+            group_col: pc.take(genc.dictionary, pa.array(gcode)),
+            "c": pa.array(c),
+            "ct": pa.array(c * toks[tcode], pa.int64())})
+
+    cells = (ds.select_columns([group_col, text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(["sha", group_col])
+             .aggregate(Sum("c", alias_name="c"),
+                        Sum("ct", alias_name="ct"))
+             .materialize())
+    totals = cells.groupby("sha").aggregate(Sum("c", alias_name="n"))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    jp = num_partitions or min(join_partitions(max(cells.count(), 1)),
+                               max(2, 2 * ncpu))
+    joined = cells.join(totals, join_type="inner", num_partitions=jp,
+                        on=("sha",))
+
+    def share(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: batch[group_col],
+                             "nd": pa.array([], pa.int64()),
+                             "nt": pa.array([], pa.int64()),
+                             "eff": pa.array([], pa.float64())})
+        ct = batch["ct"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({group_col: batch[group_col],
+                         "nd": batch["c"],
+                         "nt": batch["ct"],
+                         "eff": pa.array(ct / n)})
+
+    out = (joined.map_batches(share, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(Sum("nd", alias_name="n_docs"),
+                      Sum("nt", alias_name="n_tokens"),
+                      Sum("eff", alias_name="eff_tokens")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: batch[group_col],
+            "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+            "n_tokens": pc.cast(batch["n_tokens"], pa.int64()),
+            "eff_tokens": pc.cast(batch["eff_tokens"], pa.float64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")

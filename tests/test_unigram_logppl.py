@@ -205,3 +205,34 @@ def test_dsir_logweights_matches_bruteforce(ray_session):
     # target-membership sanity: target docs score above the
     # out-of-distribution doc
     assert min(got[0]["log_w"], got[1]["log_w"]) > got[2]["log_w"]
+
+
+def test_effective_tokens_by_group_closed_form(ray_session):
+    import pyarrow as pa
+
+    from raydedup.stages.textstats import effective_tokens_by_group
+
+    # text A (3 tokens): 2 copies in s1, 1 in s2; text B (2 tokens):
+    # s2 only; text C (1 token): s1 only
+    t = pa.table({
+        "source": ["s1", "s1", "s2", "s2", "s1"],
+        "text": ["a b c", "a b c", "a b c", "x y", "z"]})
+    got = {r["source"]: r for r in
+           effective_tokens_by_group(
+               ray.data.from_arrow(t)).take_all()}
+    assert got["s1"]["n_docs"] == 3 and got["s2"]["n_docs"] == 2
+    assert got["s1"]["n_tokens"] == 7 and got["s2"]["n_tokens"] == 5
+    assert got["s1"]["eff_tokens"] == pytest.approx(3 * 2 / 3 + 1)
+    assert got["s2"]["eff_tokens"] == pytest.approx(3 * 1 / 3 + 2)
+
+
+def test_effective_tokens_no_dups_equals_raw(ray_session):
+    import pyarrow as pa
+
+    from raydedup.stages.textstats import effective_tokens_by_group
+
+    t = pa.table({"source": ["s1", "s1", "s2"],
+                  "text": ["one two", "three", "four five six"]})
+    for r in effective_tokens_by_group(
+            ray.data.from_arrow(t)).take_all():
+        assert r["eff_tokens"] == pytest.approx(r["n_tokens"])
