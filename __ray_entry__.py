@@ -288,30 +288,38 @@ def _docs_with_fragments(sf_dir: str):
     return _docs(sf_dir).map_batches(frag, batch_format="pyarrow")
 
 
-def _docs_with_repeats(sf_dir: str):
+def _docs_with_repeats(sf_dir: str, extra_cols: tuple = ()):
     """Deterministic 'repeated corpus' view (no external data): every
     5th doc appears 4 times in total (copies at ids +1e6/+2e6/+3e6) —
     the driver tables carry no exact duplicates, so frequency-capping
     queries need planted repeats. Mirrored verbatim by the oracle's
     reps CTE. Vectorized numpy fan-out; a derived test view, same
-    contract as _docs_with_fragments."""
+    contract as _docs_with_fragments. ``extra_cols`` carries further
+    document columns (e.g. ``source``) through the copies."""
+    import ray.data
+
+    cols = ["doc_id", "text", *extra_cols]
+
     def rep(b: pa.Table) -> pa.Table:
-        base = pa.table({"doc_id": b["doc_id"], "text": b["text"]})
+        base = pa.table({c: b[c] for c in cols})
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         m = ids % 5 == 0
         if not m.any():
             return base
-        sub_ids = ids[m]
-        sub_txt = b["text"].filter(pa.array(m))
+        mask = pa.array(m)
         extra = pa.table({
             "doc_id": pa.array(np.concatenate(
-                [sub_ids + 1_000_000, sub_ids + 2_000_000,
-                 sub_ids + 3_000_000]), pa.int64()),
-            "text": pa.concat_arrays([sub_txt.combine_chunks()] * 3),
+                [ids[m] + 1_000_000, ids[m] + 2_000_000,
+                 ids[m] + 3_000_000]), pa.int64()),
+            **{c: pa.concat_arrays(
+                [b[c].filter(mask).combine_chunks()] * 3)
+               for c in cols[1:]},
         })
         return pa.concat_tables([base, extra])
 
-    return _docs(sf_dir).map_batches(rep, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=cols, override_num_blocks=64)
+    return docs.map_batches(rep, batch_format="pyarrow")
 
 
 def q_cap_duplicates(sf_dir: str):
@@ -3020,37 +3028,6 @@ def q_dedup_method_agreement(sf_dir: str):
     return _round_col(clustering_agreement(la, lb), "rand_index")
 
 
-def _docs_with_repeats_src(sf_dir: str):
-    """The _docs_with_repeats fan-out carrying `source` through the
-    copies (effective-token attribution needs the group column);
-    mirrored by the reps-with-source CTE in the oracle."""
-    import ray.data
-
-    def rep(b: pa.Table) -> pa.Table:
-        base = pa.table({"doc_id": b["doc_id"], "text": b["text"],
-                         "source": b["source"]})
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        m = ids % 5 == 0
-        if not m.any():
-            return base
-        sub_ids = ids[m]
-        sub_txt = b["text"].filter(pa.array(m)).combine_chunks()
-        sub_src = b["source"].filter(pa.array(m)).combine_chunks()
-        extra = pa.table({
-            "doc_id": pa.array(np.concatenate(
-                [sub_ids + 1_000_000, sub_ids + 2_000_000,
-                 sub_ids + 3_000_000]), pa.int64()),
-            "text": pa.concat_arrays([sub_txt] * 3),
-            "source": pa.concat_arrays([sub_src] * 3),
-        })
-        return pa.concat_tables([base, extra])
-
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text", "source"],
-                                 override_num_blocks=64)
-    return docs.map_batches(rep, batch_format="pyarrow")
-
-
 def q_effective_tokens(sf_dir: str):
     """Soft-dedup effective token census per source over the repeated
     corpus view: raw n_docs / n_tokens and eff_tokens = sum of
@@ -3061,7 +3038,8 @@ def q_effective_tokens(sf_dir: str):
     from raydedup.stages.textstats import effective_tokens_by_group
 
     return _round_col(
-        effective_tokens_by_group(_docs_with_repeats_src(sf_dir)),
+        effective_tokens_by_group(
+            _docs_with_repeats(sf_dir, extra_cols=("source",))),
         "eff_tokens")
 
 
@@ -7194,7 +7172,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # str_split(text, ' ')); first occurrence per (doc, line) by min
         # position (zip-unnest ordinality), ordered string_agg rejoin.
         "self_line_dedup_docs": """
-            WITH lined AS (SELECT doc_id, str_split(text, ' ') AS lines
+            WITH lined AS (SELECT doc_id,
+                                  str_split(coalesce(text, ''), ' ')
+                                      AS lines
                            FROM documents),
             ex AS (SELECT doc_id, unnest(lines) AS line,
                           unnest(generate_series(1, len(lines))) AS ord

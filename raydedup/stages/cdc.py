@@ -100,15 +100,18 @@ def cdc_dup_stats(ds, w: int = 6, div: int = 32, id_col: str = "doc_id",
     inst = (ds.select_columns([id_col, text_col])
             .map_batches(instances, batch_format="pyarrow").materialize())
 
-    # distinct docs per hash: each doc's chunks live in ONE batch, so
+    # distinct docs per hash: re-chunk from the DOC-per-row input (a
+    # row can never split across blocks, unlike the exploded `inst`
+    # table whose output blocks slice at target_max_block_size), so
     # per-batch distinct (doc, h) partials sum to the global count
     def nd_partial(batch: pa.Table) -> pa.Table:
         empty = pa.table({"h": pa.array([], pa.int64()),
                           "c": pa.array([], pa.int64())})
         if batch.num_rows == 0:
             return empty
-        hs = batch["h"].to_numpy(zero_copy_only=False)
-        d = batch[id_col].to_numpy(zero_copy_only=False)
+        d, hs = _chunk_rows(batch, id_col, text_col, w, div)
+        if d.size == 0:
+            return empty
         order = np.lexsort((hs, d))
         ds_, hs_ = d[order], hs[order]
         first = np.r_[True, (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])]
@@ -121,7 +124,8 @@ def cdc_dup_stats(ds, w: int = 6, div: int = 32, id_col: str = "doc_id",
                if sch is not None and id_col in sch.names else pa.int64())
     # legitimately-empty intermediates lose their schema; union a typed
     # empty block so the joins/groupbys below keep their key columns
-    dup = (inst.map_batches(nd_partial, batch_format="pyarrow")
+    dup = (ds.select_columns([id_col, text_col])
+           .map_batches(nd_partial, batch_format="pyarrow")
            .groupby("h").aggregate(Sum("c", alias_name="nd"))
            .filter(expr="nd >= 2").select_columns(["h"])
            .union(ray.data.from_arrow(pa.schema(
@@ -178,7 +182,7 @@ def cdc_dup_stats(ds, w: int = 6, div: int = 32, id_col: str = "doc_id",
         })
 
     out_schema = pa.schema([
-        pa.field(id_col, pa.int64()), pa.field("n_chunks", pa.int64()),
+        pa.field(id_col, id_type), pa.field("n_chunks", pa.int64()),
         pa.field("n_dup_chunks", pa.int64())])
     return (out.map_batches(finish, batch_format="pyarrow")
             .union(ray.data.from_arrow(out_schema.empty_table())))

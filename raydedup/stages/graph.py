@@ -287,7 +287,10 @@ def clustering_agreement(a, b, key_col: str = "row_key",
             return pa.table({a_col: batch[a_col], b_col: batch[b_col],
                              "c": pa.array([], pa.int64())})
         g = batch.group_by([a_col, b_col]).aggregate([([], "count_all")])
-        return g.rename_columns([a_col, b_col, "c"])
+        # select by NAME (the relational.py convention: positional
+        # order of keys vs aggregates differs across pyarrow versions)
+        return pa.table({a_col: g[a_col], b_col: g[b_col],
+                         "c": g["count_all"]})
 
     cells = (joined.map_batches(cell_partial, batch_format="pyarrow")
              .groupby([a_col, b_col]).aggregate(Sum("c", alias_name="c"))
