@@ -371,6 +371,34 @@ def q_blocklist_hits(sf_dir: str):
         ["slow scan", "hash join", "spark", "drop table"])
 
 
+# shared by q_blocklist_hits_rk and its oracle: a blocklist big enough
+# that per-phrase substring passes stop being the right kernel (mixed
+# 1-3 word phrases over the corpus vocabulary + planted absent entries)
+_RK_PHRASES = [
+    "slow scan", "hash join", "spark", "drop table", "table part",
+    "fast merge", "value table", "sort table", "window table",
+    "big table", "group value", "batch part", "row fast", "key agg",
+    "order data", "data column", "small line", "customer query",
+    "line value", "scan query", "stream fast", "filter value",
+    "vector table", "agg row scan", "the line sort", "no such phrase",
+    "zebra", "query line",
+]
+
+
+def q_blocklist_hits_rk(sf_dir: str):
+    """Large-blocklist banned-phrase scan via the Rabin-Karp
+    multi-pattern kernel: one rolling-hash pass per distinct phrase
+    LENGTH over the batch's raw Arrow data buffer (zero-copy), instead
+    of one substring pass per phrase — the kernel a thousands-entry
+    compliance blocklist needs. Same (doc_id, phrase, n_hits)
+    non-overlapping-count contract as blocklist_hits; candidates are
+    byte-verified exactly, so hash collisions never reach the output
+    (see stages/textstats.py:blocklist_scan_rk)."""
+    from raydedup.stages.textstats import blocklist_scan_rk
+
+    return blocklist_scan_rk(_docs(sf_dir), _RK_PHRASES)
+
+
 def _docs_with_reordered(sf_dir: str):
     """Deterministic 'reordered corpus' view: every 9th doc also appears
     with its words REVERSED (id +4e6) — the shuffled-copy pattern bag
@@ -3271,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stitch_candidates": q_stitch_candidates,
         "cap_duplicates": q_cap_duplicates,
         "blocklist_hits": q_blocklist_hits,
+        "blocklist_hits_rk": q_blocklist_hits_rk,
         "data_expectations": q_data_expectations,
         "bag_dup_groups": q_bag_dup_groups,
         "doc_containment_pairs": q_doc_containment_pairs,
@@ -4496,6 +4525,18 @@ def _oracle_sql_base() -> dict[str, str]:
         "blocklist_hits": """
             WITH p AS (SELECT * FROM (VALUES ('slow scan'), ('hash join'),
                                              ('spark'), ('drop table'))
+                       AS v(phrase)),
+            d AS (SELECT doc_id, lower(coalesce(text, '')) AS t
+                  FROM documents)
+            SELECT d.doc_id, p.phrase,
+                   CAST((length(d.t) - length(replace(d.t, p.phrase, '')))
+                        // length(p.phrase) AS BIGINT) AS n_hits
+            FROM d CROSS JOIN p
+            WHERE contains(d.t, p.phrase)
+        """,
+        "blocklist_hits_rk": f"""
+            WITH p AS (SELECT * FROM (VALUES
+                           {", ".join(f"('{p}')" for p in _RK_PHRASES)})
                        AS v(phrase)),
             d AS (SELECT doc_id, lower(coalesce(text, '')) AS t
                   FROM documents)

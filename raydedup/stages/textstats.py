@@ -1002,6 +1002,191 @@ def blocklist_scan(ds, phrases: list[str], key_col: str = "doc_id",
         scan, batch_format="pyarrow")
 
 
+# deterministic odd bases for the Rabin-Karp rolling hash; odd => invertible
+# mod 2^64, so the prefix-product trick below works. A cross-pattern 64-bit
+# hash collision (~P^2 / 2^64) deterministically retries with the next base.
+_RK_BASES = (0x100000001B3, 0x1000193, 0x9E3779B97F4A7C15 | 1,
+             0xC2B2AE3D27D4EB4F | 1, 0x2545F4914F6CDD1D | 1)
+
+
+def _rk_hash(b: bytes, base: int) -> int:
+    h = 0
+    for x in b:
+        h = (h * base + x) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def blocklist_scan_rk(ds, phrases: list[str], key_col: str = "doc_id",
+                      text_col: str = "text",
+                      case_insensitive: bool = True):
+    """Large-blocklist banned-phrase scan — same output contract as
+    ``blocklist_scan`` (one row per (key, phrase) with >= 1 hit; n_hits
+    = non-overlapping left-to-right occurrences, the
+    ``pc.count_substring`` / DuckDB replace-arithmetic rule) but ONE
+    vectorized pass per distinct phrase *byte length* instead of one
+    pass per phrase, so cost is O(text x distinct_lengths) not
+    O(text x P) — the scale path when the blocklist has thousands of
+    entries (Karp & Rabin 1987 multi-pattern matching).
+
+    Kernel: the batch's Arrow string data buffer is already the
+    back-to-back concatenation of every row's utf-8 bytes, so rolling
+    hashes are computed once over that buffer with zero copies — the
+    window hash H[s] = sum b[s+j]*B^(L-1-j) is factored as
+    B^(s+L-1) * (C[s+L] - C[s]) with C = cumsum(b[i]*B^-i) in
+    wrapping uint64 (B odd => invertible mod 2^64), giving every
+    length's hashes from ONE shared cumsum + two cumprods per batch.
+    Candidates come from a searchsorted probe against the per-length
+    sorted pattern-hash table, windows that cross a row boundary are
+    dropped by offset lookup, survivors are byte-verified exactly
+    (hash collisions cost time, never correctness), and the
+    non-overlap rule is applied per (pattern, row) — vectorized when
+    no two same-pattern matches are closer than L (the common case),
+    a bounded greedy walk over just the matches otherwise.
+
+    Matching is byte-level but utf-8 is self-synchronizing (a valid
+    pattern's first byte is never a continuation byte), so byte matches
+    are exactly the char matches ``pc.count_substring`` counts.
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    plist = [p.lower() if case_insensitive else p for p in phrases]
+    if any(not p for p in plist):
+        raise ValueError("empty phrase in blocklist")
+    # distinct patterns scanned once; duplicate list entries re-emit rows
+    from collections import Counter
+
+    mult = Counter(plist)
+    pats = sorted(mult)  # deterministic order
+    pbytes = [p.encode() for p in pats]
+    for base in _RK_BASES:
+        by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        ok = True
+        for length in sorted({len(b) for b in pbytes}):
+            ids = np.array([i for i, b in enumerate(pbytes)
+                            if len(b) == length], dtype=np.int64)
+            hs = np.array([_rk_hash(pbytes[i], base) for i in ids],
+                          dtype=np.uint64)
+            order = np.argsort(hs)
+            hs, ids = hs[order], ids[order]
+            if len(hs) > 1 and (hs[1:] == hs[:-1]).any():
+                ok = False
+                break
+            by_len[length] = (hs, ids)
+        if ok:
+            break
+    else:  # pragma: no cover - 5 base retries all colliding
+        raise ValueError("could not find a collision-free RK base")
+    binv = pow(base, -1, 1 << 64)
+    u64 = np.uint64
+
+    def scan(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].combine_chunks()
+        col = batch[text_col].combine_chunks()
+        if pa.types.is_null(col.type):
+            col = pa.nulls(len(col), pa.string())
+        txt = pc.fill_null(col, "")
+        if case_insensitive:
+            txt = pc.utf8_lower(txt)
+        txt = txt.cast(pa.large_string())
+        empty = pa.table({key_col: pa.array([], keys.type),
+                          "phrase": pa.array([], pa.string()),
+                          "n_hits": pa.array([], pa.int64())})
+        nrows = len(txt)
+        if nrows == 0:
+            return empty
+        off = (np.frombuffer(txt.buffers()[1], np.int64)
+               [txt.offset:txt.offset + nrows + 1])
+        start, stop = int(off[0]), int(off[-1])
+        nbytes = stop - start
+        if nbytes == 0:
+            return empty
+        data = np.frombuffer(txt.buffers()[2], np.uint8)[start:stop]
+        off = off - start
+        # shared rolling-hash state for every pattern length
+        maxlen = max(by_len)
+        npow = nbytes + maxlen + 1
+        bpow = np.empty(npow, dtype=np.uint64)
+        bipow = np.empty(npow, dtype=np.uint64)
+        bpow[0] = bipow[0] = 1
+        with np.errstate(over="ignore"):
+            bpow[1:] = np.cumprod(np.full(npow - 1, base, np.uint64))
+            bipow[1:] = np.cumprod(np.full(npow - 1, binv, np.uint64))
+            csum = np.zeros(nbytes + 1, dtype=np.uint64)
+            np.cumsum(data.astype(np.uint64) * bipow[:nbytes],
+                      out=csum[1:])
+        hit_pid, hit_doc, hit_cnt = [], [], []
+        for length, (phash, pids) in by_len.items():
+            if nbytes < length:
+                continue
+            ns = nbytes - length + 1  # candidate window starts
+            with np.errstate(over="ignore"):
+                h = (csum[length:length + ns] - csum[:ns]) \
+                    * bpow[length - 1:length - 1 + ns]
+            pos = np.searchsorted(phash, h)
+            cand = np.flatnonzero(
+                (pos < len(phash)) & (phash[np.minimum(pos, len(phash) - 1)]
+                                      == h))
+            if len(cand) == 0:
+                continue
+            # drop windows crossing a row boundary
+            did = np.searchsorted(off, cand, side="right") - 1
+            keep = cand + length <= off[did + 1]
+            cand, did = cand[keep], did[keep]
+            if len(cand) == 0:
+                continue
+            pid = pids[pos[cand]]
+            # exact byte verify (removes hash false positives)
+            win = np.lib.stride_tricks.sliding_window_view(data, length)
+            for p in np.unique(pid):
+                sel = pid == p
+                target = np.frombuffer(pbytes[int(p)], np.uint8)
+                real = (win[cand[sel]] == target).all(axis=1)
+                cpos, cdoc = cand[sel][real], did[sel][real]
+                if len(cpos) == 0:
+                    continue
+                # non-overlap rule: greedy left-to-right within each row
+                gaps_ok = True
+                if len(cpos) > 1:
+                    close = (np.diff(cpos) < length) & (cdoc[1:]
+                                                        == cdoc[:-1])
+                    gaps_ok = not close.any()
+                if gaps_ok:
+                    docs, cnts = np.unique(cdoc, return_counts=True)
+                else:
+                    kept_docs = []
+                    last_doc, nxt = -1, -1
+                    for s, d in zip(cpos.tolist(), cdoc.tolist()):
+                        if d != last_doc or s >= nxt:
+                            kept_docs.append(d)
+                            last_doc, nxt = d, s + length
+                    docs, cnts = np.unique(np.array(kept_docs,
+                                                    dtype=np.int64),
+                                           return_counts=True)
+                hit_pid.append(np.full(len(docs), p, np.int64))
+                hit_doc.append(docs)
+                hit_cnt.append(cnts.astype(np.int64))
+        if not hit_pid:
+            return empty
+        pid = np.concatenate(hit_pid)
+        doc = np.concatenate(hit_doc)
+        cnt = np.concatenate(hit_cnt)
+        order = np.lexsort((doc, pid))
+        pid, doc, cnt = pid[order], doc[order], cnt[order]
+        # duplicate phrase entries in the input list re-emit their rows
+        rep = np.array([mult[pats[int(p)]] for p in pid], dtype=np.int64)
+        if (rep > 1).any():
+            pid, doc, cnt = (np.repeat(pid, rep), np.repeat(doc, rep),
+                             np.repeat(cnt, rep))
+        return pa.table({
+            key_col: keys.take(pa.array(doc)),
+            "phrase": pa.array([pats[int(p)] for p in pid], pa.string()),
+            "n_hits": pa.array(cnt),
+        })
+
+    return ds.select_columns([key_col, text_col]).map_batches(
+        scan, batch_format="pyarrow")
+
+
 def stratified_sample(ds, group_col: str, key_col: str,
                       rates: dict, default_rate: float = 0.0,
                       seed: str = "s0"):

@@ -772,6 +772,65 @@ def test_blocklist_scan_counts_and_edges(ray_session):
         blocklist_scan(ds, ["ok", ""])
 
 
+def test_blocklist_rk_parity_fuzz(ray_session):
+    """The Rabin-Karp multi-pattern path is row-for-row identical to
+    the per-phrase vectorized path on a seeded random corpus built to
+    stress the hard cases: self-overlapping patterns ('aa' in 'aaaa'),
+    one pattern a substring of another, multi-byte utf-8, duplicate
+    list entries, case folding, NULL/empty text."""
+    import random
+
+    from raydedup.stages.textstats import blocklist_scan, blocklist_scan_rk
+
+    rng = random.Random(7)
+    vocab = ["aa", "ab", "b", "slow", "scan", "é", "ü", " "]
+    ids = list(range(300)) + [999, 1000]
+    txts = ["".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+            for _ in range(300)] + [None, ""]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(txts, pa.string()),
+    }))
+    phr = ["aa", "aaa", "AB", "slow scan", "éü", "zzz", "aa", "b", "aab"]
+    base = sorted((r["doc_id"], r["phrase"], r["n_hits"])
+                  for r in blocklist_scan(ds, phr).take_all())
+    rk = sorted((r["doc_id"], r["phrase"], r["n_hits"])
+                for r in blocklist_scan_rk(ds, phr).take_all())
+    assert base == rk and len(base) > 100
+
+
+def test_blocklist_rk_row_boundaries_and_edges(ray_session):
+    """A phrase spanning two adjacent rows of the Arrow data buffer
+    must NOT match (the rolling hash runs over the concatenated
+    buffer; boundary windows are dropped by offset lookup), and the
+    empty-result schema + input validation match blocklist_scan."""
+    import pytest
+
+    from raydedup.stages.textstats import blocklist_scan_rk
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["xxslow", " scanyy"], pa.string()),
+    }))
+    assert blocklist_scan_rk(ds, ["slow scan"]).count() == 0
+    none = blocklist_scan_rk(ds, ["zzz"])
+    assert set(none.schema().names) == {"doc_id", "phrase", "n_hits"}
+    assert none.count() == 0
+    with pytest.raises(ValueError):
+        blocklist_scan_rk(ds, [])
+    with pytest.raises(ValueError):
+        blocklist_scan_rk(ds, ["ok", ""])
+    # non-overlap greedy path: 'aa' in 'aaaaa' counts 2, 'aba' in
+    # 'ababa' counts 1 (second overlapping hit suppressed)
+    ds2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aaaaa", "ababa"], pa.string()),
+    }))
+    got = {(r["doc_id"], r["phrase"]): r["n_hits"]
+           for r in blocklist_scan_rk(ds2, ["aa", "aba"]).take_all()}
+    assert got == {(1, "aa"): 2, (2, "aba"): 1}
+
+
 def test_expect_rules_planted_violations(ray_session):
     """Every rule kind with planted violations, including NULL
     semantics (NULL fails in_set/len_equals, counts in not_null) and
