@@ -127,6 +127,39 @@ def q_near_dup_clusters_docs(sf_dir: str):
     return clusters.select_columns(["row_key", "cluster_id"])
 
 
+def q_near_dup_clusters_altstar(sf_dir: str):
+    """Same cluster question as near_dup_clusters_docs, answered
+    through the THIRD components backend: alternating large-star /
+    small-star (Kiveris et al. 2014) in state/unionfind.py — O(log n)
+    rounds on any edge structure with built-in hot-node splitting,
+    labels painted onto rows via a distributed left join (no driver
+    dict). One SQL truth, another execution path, like the bucketed
+    asof twins."""
+    from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
+    from raydedup.state.unionfind import connected_components_altstar
+
+    assigned = signatures_with_rep(
+        _docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"]).materialize()
+    pairs = near_dup_pairs(assigned, SIMPLE_CFG).materialize()
+    labels = connected_components_altstar(pairs)
+    lab = labels.map_batches(
+        lambda b: pa.table({"rep_key": b["node"], "_cl": b["label"]}),
+        batch_format="pyarrow").materialize()
+    from raydedup.util import join_partitions
+
+    rows = assigned.select_columns(["row_key", "rep_key"])
+    out = rows.join(lab, join_type="left_outer",
+                    num_partitions=join_partitions(lab.count()),
+                    on=("rep_key",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"row_key": b["row_key"],
+                         "cluster_id": pc.coalesce(b["_cl"],
+                                                   b["rep_key"])})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Leakage-safe train/val/test split: near-dup CLUSTERS (not docs)
     are the split unit, so no near-duplicate of a training doc can land
@@ -3288,6 +3321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_clusters": q_exact_dup_clusters,
         "near_dup_pairs_docs": q_near_dup_pairs_docs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
+        "near_dup_clusters_altstar": q_near_dup_clusters_altstar,
         "leakage_safe_split": q_leakage_safe_split,
         "dup_pagerank": q_dup_pagerank,
         "cluster_medoids": q_cluster_medoids,
@@ -7267,4 +7301,7 @@ def oracle_sql() -> dict[str, str]:
     # PQ-shortlist + exact re-rank answers the same top-k question —
     # one SQL truth, another execution path (like the bucketed pairs)
     oracles["ann_topk_pq"] = oracles["ann_topk"]
+    # the alternating-star components backend answers the same cluster
+    # question — one SQL truth, a third execution path
+    oracles["near_dup_clusters_altstar"] = oracles["near_dup_clusters_docs"]
     return oracles

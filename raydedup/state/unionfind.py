@@ -200,6 +200,192 @@ def connected_components_distributed(pairs_ds, max_rounds: int = 50,
     return labels
 
 
+def connected_components_altstar(pairs_ds, max_rounds: int = 30,
+                                 num_partitions: int | None = None,
+                                 a_col: str = "a_key",
+                                 b_col: str = "b_key"):
+    """Alternating large-star / small-star connected components
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — a THIRD backend next to driver union-find and min-label
+    propagation, with the same contract: Dataset (node, label) for
+    every node appearing in a pair, label = lexicographic component
+    min.
+
+    Why it exists: label propagation does work proportional to the
+    full edge set every round and needs pointer-jumping joins to tame
+    diameter; the alternating star operations provably converge in
+    O(log^2 n) rounds (O(log n) in practice) on ANY edge structure,
+    and every large-star step re-roots each node's larger neighbors at
+    the current minimum — so hot nodes shed their neighborhoods
+    instead of accumulating them, the built-in skew mitigation. Each
+    round costs two groupby-min shuffles + two hash joins over the
+    (shrinking) edge set only; rows/texts never enter.
+
+    Mechanics per round over the canonically-oriented edge set
+    {(u, v) : u > v}:
+
+    - large-star: for every node x with undirected neighborhood G(x),
+      m = min(G(x) + {x}); emit (n, m) for each neighbor n > x.
+    - small-star: for every node u over incoming oriented edges
+      (u, v < u), m = min neighbors; emit (v, m) for v != m and (u, m).
+
+    Both preserve orientation and connectivity; the fixed point is one
+    star per component rooted at its min. Convergence is detected as
+    edge-set stability (equal counts + new-minus-old anti-join empty —
+    the deduped sets are equal), and a non-converged exit raises
+    rather than returning split components.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    key_type = pa.string()
+    empty = pa.table({"node": pa.array([], key_type),
+                      "label": pa.array([], key_type)})
+    if pairs_ds.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].combine_chunks()
+        b = batch[b_col].combine_chunks()
+        hi = pc.max_element_wise(a, b)
+        lo = pc.min_element_wise(a, b)
+        return pa.table({"u": hi, "v": lo}).filter(pc.not_equal(hi, lo))
+
+    raw = pairs_ds.select_columns([a_col, b_col])
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [batch[a_col].combine_chunks().cast(key_type),
+             batch[b_col].combine_chunks().cast(key_type)])})
+
+    # every node ever seen (self-pairs keep their node, like both_dirs
+    # does in the label-propagation backend)
+    nodes = (raw.map_batches(node_rows, batch_format="pyarrow")
+             .groupby("node").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+
+    def dedupe(es):
+        return (es.groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"]))
+
+    edges = dedupe(raw.map_batches(canon, batch_format="pyarrow")
+                   ).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:  # only self-pairs
+        return nodes.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow")
+    if num_partitions is None:
+        # sized so every hash partition is statistically non-empty
+        # (Ray 2.49 mishandles all-empty join partitions — see
+        # util.join_partitions) and capped at 2x CPUs
+        import ray
+
+        from raydedup.util import join_partitions
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(join_partitions(n_edges), max(2, 2 * ncpu))
+    n_parts = num_partitions
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pa.concat_arrays([batch["u"].combine_chunks(),
+                                   batch["v"].combine_chunks()]),
+            "nbr": pa.concat_arrays([batch["v"].combine_chunks(),
+                                     batch["u"].combine_chunks()]),
+        })
+
+    def large_star(es):
+        bid = es.map_batches(both_dirs, batch_format="pyarrow")
+        mins = bid.groupby("x").aggregate(Min("nbr", alias_name="m"))
+
+        def clamp(batch: pa.Table) -> pa.Table:
+            return pa.table({"x": batch["x"], "m": pc.min_element_wise(
+                batch["m"], batch["x"])})
+
+        mins = mins.map_batches(clamp, batch_format="pyarrow")
+        joined = bid.join(mins, join_type="inner",
+                          num_partitions=n_parts, on=("x",))
+
+        def emit(batch: pa.Table) -> pa.Table:
+            keep = pc.greater(batch["nbr"], batch["x"])
+            t = batch.filter(keep)
+            return pa.table({"u": t["nbr"], "v": t["m"]})
+
+        return dedupe(joined.map_batches(emit, batch_format="pyarrow"))
+
+    def small_star(es):
+        mins = es.groupby("u").aggregate(Min("v", alias_name="m"))
+        joined = es.join(mins, join_type="inner",
+                         num_partitions=n_parts, on=("u",))
+
+        def emit(batch: pa.Table) -> pa.Table:
+            v = batch["v"].combine_chunks()
+            m = batch["m"].combine_chunks()
+            u = batch["u"].combine_chunks()
+            keep = pc.not_equal(v, m)
+            return pa.table({
+                "u": pa.concat_arrays([v.filter(keep), u]),
+                "v": pa.concat_arrays([m.filter(keep), m]),
+            })
+
+        return dedupe(joined.map_batches(emit, batch_format="pyarrow"))
+
+    for _ in range(max_rounds):
+        new_edges = small_star(large_star(edges)).materialize()
+        if new_edges.count() == edges.count():
+
+            def mark(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "_old", pa.array([1] * batch.num_rows, pa.int64()))
+
+            chk = new_edges.join(
+                edges.map_batches(mark, batch_format="pyarrow"),
+                join_type="left_outer", num_partitions=n_parts,
+                on=("u", "v"))
+
+            def miss(batch: pa.Table) -> pa.Table:
+                return pa.table({"miss": pc.cast(
+                    pc.is_null(batch["_old"]), pa.int64())})
+
+            missing = chk.map_batches(
+                miss, batch_format="pyarrow").aggregate(
+                    Sum("miss", alias_name="n"))["n"] or 0
+            if missing == 0:
+                edges = new_edges
+                break
+        edges = new_edges
+    else:
+        raise RuntimeError(
+            f"connected_components_altstar did not converge in "
+            f"{max_rounds} rounds — this exceeds the proven O(log^2 n) "
+            f"bound for any physical input; raise max_rounds")
+
+    # converged: one star per component, rooted at the component min
+    stars = edges.map_batches(
+        lambda b: pa.table({"node": b["u"], "label": b["v"]}),
+        batch_format="pyarrow")
+    roots = (edges.groupby("v").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])
+             .map_batches(lambda b: pa.table({"node": b["v"],
+                                              "label": b["v"]}),
+                          batch_format="pyarrow"))
+    known = stars.union(roots)
+    out = nodes.join(known, join_type="left_outer",
+                     num_partitions=n_parts, on=("node",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "label": pc.coalesce(batch["label"], batch["node"]),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def components_to_frame(components: dict[str, str]) -> pd.DataFrame:
     return pd.DataFrame(
         {"row_key": list(components.keys()), "component": list(components.values())}

@@ -89,6 +89,75 @@ def test_distributed_components_match_driver():
     assert dist == driver
 
 
+def test_altstar_components_match_driver():
+    """Alternating large-star/small-star backend (Kiveris et al. 2014)
+    == driver union-find on a seeded random multigraph (duplicate
+    edges, both orientations, isolated self-pairs)."""
+    from raydedup.state.unionfind import connected_components_altstar
+
+    rng = np.random.default_rng(3)
+    edges = []
+    for _ in range(200):
+        a, b = rng.integers(0, 80, size=2)
+        if a != b:
+            # mixed orientation on purpose: canonicalization is the
+            # backend's job
+            edges.append((f"n{a:03d}", f"n{b:03d}"))
+    edges += [("s1", "s1")]  # self-pair keeps its node, label = itself
+    pairs = ray.data.from_arrow(pa.table({
+        "a_key": [e[0] for e in edges],
+        "b_key": [e[1] for e in edges],
+    }))
+    driver = connected_components_driver(pairs)
+    alt = {r["node"]: r["label"]
+           for r in connected_components_altstar(pairs).take_all()}
+    assert alt == driver
+    assert alt["s1"] == "s1"
+
+
+def test_altstar_long_chain_logarithmic_rounds():
+    """A 200-node path graph (diameter 199) must converge well inside
+    max_rounds=12: star operations contract ANY structure in O(log n)
+    rounds — the property that makes this backend diameter-proof
+    without pointer-jumping joins."""
+    from raydedup.state.unionfind import connected_components_altstar
+
+    keys = [f"n{i:04d}" for i in range(200)]
+    pairs = ray.data.from_arrow(pa.table({
+        "a_key": keys[:-1], "b_key": keys[1:],
+    }))
+    out = {r["node"]: r["label"]
+           for r in connected_components_altstar(
+               pairs, max_rounds=12).take_all()}
+    assert len(out) == 200
+    assert all(v == "n0000" for v in out.values())
+
+
+def test_altstar_hot_star_and_empty():
+    """A 500-leaf hot star (the skew case large-star exists to split)
+    resolves in a round or two; empty input returns a typed empty
+    (node, label) Dataset."""
+    from raydedup.state.unionfind import connected_components_altstar
+
+    hub = "m500"
+    leaves = [f"m{i:03d}" for i in range(500)]
+    pairs = ray.data.from_arrow(pa.table({
+        "a_key": [hub] * 500, "b_key": leaves,
+    }))
+    out = {r["node"]: r["label"]
+           for r in connected_components_altstar(pairs).take_all()}
+    assert len(out) == 501
+    assert set(out.values()) == {"m000"}
+
+    empty = ray.data.from_arrow(pa.table({
+        "a_key": pa.array([], pa.string()),
+        "b_key": pa.array([], pa.string()),
+    }))
+    res = connected_components_altstar(empty)
+    assert set(res.schema().names) == {"node", "label"}
+    assert res.count() == 0
+
+
 def test_exact_clusters_reference_noise_label():
     tbl = pa.table(
         {
