@@ -455,6 +455,65 @@ def _docs_with_reordered(sf_dir: str):
     return _docs(sf_dir).map_batches(reord, batch_format="pyarrow")
 
 
+# fixed 10-word tail for the suffixed-variant corpus view (vocabulary
+# words, so variant grams blend into the corpus distribution)
+_SUFFIX_WORDS = ("spark filter window merge column batch stream "
+                 "vector sort small")
+
+
+def _docs_with_suffixed(sf_dir: str):
+    """Deterministic 'suffixed corpus' view: every 7th doc also appears
+    with a fixed 10-word tail appended (id +5e6) — a TRUE near-duplicate
+    at 3-gram Jaccard ~0.8, the similarity regime a compressed-sketch
+    estimator has to resolve. Mirrored verbatim by the oracle's varnt
+    CTE (text || ' ...')."""
+    def suff(b: pa.Table) -> pa.Table:
+        base = pa.table({"doc_id": b["doc_id"],
+                         "text": pc.fill_null(b["text"], "")})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 7 == 0
+        if not m.any():
+            return base
+        extra = pa.table({
+            "doc_id": pa.array(ids[m] + 5_000_000, pa.int64()),
+            "text": pc.binary_join_element_wise(
+                base["text"].filter(pa.array(m)),
+                " " + _SUFFIX_WORDS, ""),
+        })
+        return pa.concat_tables([base, extra])
+
+    return _docs(sf_dir).map_batches(suff, batch_format="pyarrow")
+
+
+def q_bbit_minhash_pairs(sf_dir: str):
+    """b-bit minhash Jaccard estimation (Li & Konig 2010) — signature
+    COMPRESSION: k=16 permutation minima keep only their low b=2 bits,
+    so a document's whole sketch is ONE uint64 and a pair's estimate is
+    one XOR + field count, with the collision bias corrected by
+    J_hat = (M/k - 2^-b)/(1 - 2^-b). Pairs mix planted suffixed
+    near-duplicates (J ~0.8) with adjacent-id dissimilar pairs, so the
+    estimator is exercised across the range. md5-derived permutations
+    (Kirsch-Mitzenmacher) make the estimate deterministic — the oracle
+    replays it bit-for-bit (see stages/bbit.py)."""
+    from raydedup.stages.bbit import bbit_jaccard_pairs
+
+    def mk_pairs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        a7 = ids[ids % 7 == 0]
+        a11 = ids[ids % 11 == 0]
+        return pa.table({
+            "a_id": pa.array(np.concatenate([a7, a11]), pa.int64()),
+            "b_id": pa.array(np.concatenate([a7 + 5_000_000, a11 + 1]),
+                             pa.int64()),
+        })
+
+    pairs = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        mk_pairs, batch_format="pyarrow")
+    return _round_col(
+        bbit_jaccard_pairs(_docs_with_suffixed(sf_dir), pairs),
+        "jaccard_est")
+
+
 def q_bag_dup_groups(sf_dir: str):
     """Word-multiset duplicate groups over the reordered-corpus view:
     reversed copies land in the same bag as their originals even though
@@ -3334,6 +3393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_duplicates": q_cap_duplicates,
         "blocklist_hits": q_blocklist_hits,
         "blocklist_hits_rk": q_blocklist_hits_rk,
+        "bbit_minhash_pairs": q_bbit_minhash_pairs,
         "data_expectations": q_data_expectations,
         "bag_dup_groups": q_bag_dup_groups,
         "doc_containment_pairs": q_doc_containment_pairs,
@@ -4567,6 +4627,53 @@ def _oracle_sql_base() -> dict[str, str]:
                         // length(p.phrase) AS BIGINT) AS n_hits
             FROM d CROSS JOIN p
             WHERE contains(d.t, p.phrase)
+        """,
+        "bbit_minhash_pairs": f"""
+            WITH varnt AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+                UNION ALL
+                SELECT doc_id + 5000000,
+                       coalesce(text, '') || ' {_SUFFIX_WORDS}'
+                FROM documents WHERE doc_id % 7 = 0),
+            cand AS (
+                SELECT doc_id AS a_id, doc_id + 5000000 AS b_id
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id, doc_id + 1
+                FROM documents WHERE doc_id % 11 = 0),
+            arrs AS (SELECT doc_id,
+                            regexp_extract_all(lower(text),
+                                               '[0-9a-zA-Z_]+') AS arr
+                     FROM varnt),
+            gl AS (SELECT doc_id,
+                          list_transform(range(len(arr) - 2),
+                              i -> arr[i + 1] || ' ' || arr[i + 2]
+                                   || ' ' || arr[i + 3]) AS l
+                   FROM arrs WHERE len(arr) >= 3),
+            grams AS (SELECT DISTINCT doc_id, g.g FROM gl,
+                      UNNEST(l) AS g(g)),
+            hs AS (SELECT doc_id,
+                          CAST('0x' || substr(md5(g), 17, 16) AS UBIGINT)
+                              AS h1,
+                          CAST('0x' || substr(md5(g), 1, 16) AS UBIGINT)
+                              AS h2
+                   FROM grams),
+            mins AS (SELECT doc_id, s,
+                            min((CAST(h1 AS HUGEINT)
+                                 + s * CAST(h2 AS HUGEINT))
+                                % 18446744073709551616) AS mn
+                     FROM hs, range(16) t(s) GROUP BY 1, 2),
+            bb AS (SELECT doc_id, s, mn % 4 AS v FROM mins)
+            SELECT c.a_id, c.b_id,
+                   CAST(count(*) FILTER (WHERE a.v = b.v) AS BIGINT)
+                       AS n_match,
+                   round((CAST(count(*) FILTER (WHERE a.v = b.v)
+                               AS DOUBLE) / 16 - 0.25) / 0.75,
+                         {_ROUND}) AS jaccard_est
+            FROM cand c
+            JOIN bb a ON a.doc_id = c.a_id
+            JOIN bb b ON b.doc_id = c.b_id AND b.s = a.s
+            GROUP BY 1, 2
         """,
         "blocklist_hits_rk": f"""
             WITH p AS (SELECT * FROM (VALUES
