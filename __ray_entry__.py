@@ -514,6 +514,48 @@ def q_bbit_minhash_pairs(sf_dir: str):
         "jaccard_est")
 
 
+def _docs_with_typos(sf_dir: str):
+    """Deterministic 'typo corpus' view: fixed 40-char prefixes of every
+    long-enough doc, plus a single-SUBSTITUTION copy (position 6 -> 'q',
+    id +6e6) for every 13th doc — the lev-1 class the deletion-variant
+    join exists to catch. Mirrored verbatim by the oracle's base/v
+    CTEs."""
+    def typo(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(b["text"].combine_chunks(), "")
+        s = pc.utf8_slice_codeunits(txt, 0, 40)
+        keep = pc.equal(pc.utf8_length(s), 40).to_numpy(
+            zero_copy_only=False)
+        base = pa.table({"doc_id": b["doc_id"],
+                         "text": s}).filter(pa.array(keep))
+        bids = ids[keep]
+        m = bids % 13 == 0
+        if not m.any():
+            return base
+        ss = base["text"].filter(pa.array(m)).to_pylist()
+        extra = pa.table({
+            "doc_id": pa.array(bids[m] + 6_000_000, pa.int64()),
+            "text": pa.array([t[:5] + "q" + t[6:] for t in ss],
+                             pa.string()),
+        })
+        return pa.concat_tables([base, extra])
+
+    return _docs(sf_dir).map_batches(typo, batch_format="pyarrow")
+
+
+def q_typo_dedup_pairs(sf_dir: str):
+    """Edit-distance self-join: the EXACT set of distinct-text pairs at
+    Levenshtein distance 1, via FastSS deletion-variant hash collisions
+    + exact verify (stages/editjoin.py) — the typo/near-identical dedup
+    class where shingle methods have nothing to band. The oracle's
+    candidate prefilter is different math (equal-length lev-1 is a
+    substitution, so one 20-char half must match exactly), making the
+    two sides independent derivations of the same pair set."""
+    from raydedup.stages.editjoin import typo_pairs
+
+    return typo_pairs(_docs_with_typos(sf_dir))
+
+
 def q_bag_dup_groups(sf_dir: str):
     """Word-multiset duplicate groups over the reordered-corpus view:
     reversed copies land in the same bag as their originals even though
@@ -3394,6 +3436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_hits": q_blocklist_hits,
         "blocklist_hits_rk": q_blocklist_hits_rk,
         "bbit_minhash_pairs": q_bbit_minhash_pairs,
+        "typo_dedup_pairs": q_typo_dedup_pairs,
         "data_expectations": q_data_expectations,
         "bag_dup_groups": q_bag_dup_groups,
         "doc_containment_pairs": q_doc_containment_pairs,
@@ -4627,6 +4670,30 @@ def _oracle_sql_base() -> dict[str, str]:
                         // length(p.phrase) AS BIGINT) AS n_hits
             FROM d CROSS JOIN p
             WHERE contains(d.t, p.phrase)
+        """,
+        "typo_dedup_pairs": """
+            WITH base AS (
+                SELECT doc_id, substr(coalesce(text, ''), 1, 40) AS s
+                FROM documents
+                WHERE length(coalesce(text, '')) >= 40),
+            v AS (
+                SELECT doc_id, s FROM base
+                UNION ALL
+                SELECT doc_id + 6000000,
+                       substr(s, 1, 5) || 'q' || substr(s, 7)
+                FROM base WHERE doc_id % 13 = 0),
+            dist AS (SELECT s, CAST(min(doc_id) AS BIGINT) AS id
+                     FROM v GROUP BY s),
+            pre AS (
+                SELECT a.id AS a_id, b.id AS b_id, a.s AS sa, b.s AS sb
+                FROM dist a JOIN dist b
+                  ON substr(a.s, 1, 20) = substr(b.s, 1, 20)
+                     AND a.id < b.id
+                UNION
+                SELECT a.id, b.id, a.s, b.s
+                FROM dist a JOIN dist b
+                  ON substr(a.s, 21) = substr(b.s, 21) AND a.id < b.id)
+            SELECT a_id, b_id FROM pre WHERE levenshtein(sa, sb) = 1
         """,
         "bbit_minhash_pairs": f"""
             WITH varnt AS (

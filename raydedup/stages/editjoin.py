@@ -1,0 +1,164 @@
+"""Edit-distance self-join via deletion-variant candidates (FastSS,
+Bocek et al. 2007, "Fast Similarity Search in Large Dictionaries").
+
+The FOURTH candidate paradigm next to MinHash-LSH banding, SimHash
+pigeonhole blocks and sorted-neighborhood windows: two strings within
+Levenshtein distance 1 MUST share a single-deletion variant —
+substitution pairs collide on the variant with the edited position
+deleted, insert/delete pairs collide because the shorter string IS a
+variant of the longer, equal strings collide on themselves. Candidates
+are therefore exact hash-bucket collisions (no recall tuning at all),
+and an exact verify scan removes the false positives (two different
+deletions colliding), so the output is the EXACT lev-1 pair set.
+
+This is the typo/near-identical class of dedup — short fields (titles,
+user queries, tool names, single turns), where shingle-based methods
+have nothing to band and a quadratic scan is the naive alternative.
+Deliberately scoped to short strings: the variant explode is linear in
+string length, so rows longer than ``max_len`` are excluded by contract
+(long-text near-dup belongs to the LSH/shingle family; same division as
+the reference's per-measure applicability rules).
+
+Scale shape: identical texts collapse to a min-id representative first
+(one groupby — the LSH-rep idiom), only 60-bit variant hashes shuffle,
+singleton buckets are dropped by the ``repeated_keys`` semi-join BEFORE
+the pair groupby (the measured map_groups tax), candidate pairs dedupe
+in a (a, b) groupby, and texts re-attach for the verify via two skinny
+hash joins sized by ``join_partitions``. A hot variant bucket is a
+clique of true lev-1 neighbors, so its quadratic pair emission is
+output-bound, not waste.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact test lev(a, b) == 1 (a != b assumed)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        diff = 0
+        for x, y in zip(a, b):
+            if x != y:
+                diff += 1
+                if diff > 1:
+                    return False
+        return diff == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def _h60(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                          "big") >> 4
+
+
+def typo_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+               max_len: int = 64, num_partitions: int | None = None):
+    """rows -> Dataset(a_id, b_id): every unordered pair of DISTINCT
+    text values at Levenshtein distance exactly 1, identified by the
+    min-``id_col`` representative of each text (a_id < b_id). Rows with
+    empty text or more than ``max_len`` characters are out of scope by
+    contract. Identical texts are collapsed first, so dist-0 pairs
+    never appear — compose with exact dedup for those."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from raydedup.util import join_partitions, repeated_keys
+
+    pair_schema = pa.schema([pa.field("a_id", pa.int64()),
+                             pa.field("b_id", pa.int64())])
+
+    def in_scope(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col].combine_chunks(), "")
+        n = pc.utf8_length(t)
+        keep = pc.and_(pc.greater(n, 0),
+                       pc.less_equal(n, pa.scalar(max_len)))
+        return pa.table({id_col: batch[id_col],
+                         text_col: t}).filter(keep)
+
+    base = ds.select_columns([id_col, text_col]).map_batches(
+        in_scope, batch_format="pyarrow")
+    reps = base.groupby(text_col).aggregate(
+        Min(id_col, alias_name="rid")).materialize()
+    n_reps = reps.count()
+    if n_reps < 2:
+        return ray.data.from_arrow(pair_schema.empty_table())
+
+    def variants(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        rids = batch["rid"].to_pylist()
+        out_h: list[int] = []
+        out_i: list[int] = []
+        for t, i in zip(texts, rids):
+            hs = {_h60(t)}
+            for p in range(len(t)):
+                hs.add(_h60(t[:p] + t[p + 1:]))
+            out_h.extend(hs)
+            out_i.extend([i] * len(hs))
+        return pa.table({"vhash": pa.array(out_h, pa.int64()),
+                         "rid": pa.array(out_i, pa.int64())})
+
+    exploded = reps.map_batches(
+        variants, batch_format="pyarrow").materialize()
+    hot = repeated_keys(exploded, "vhash").materialize()
+    if hot.count() == 0:
+        return ray.data.from_arrow(pair_schema.empty_table())
+    n_parts = num_partitions or min(
+        join_partitions(exploded.count()),
+        max(2, 2 * int(ray.cluster_resources().get("CPU", 8))))
+    cands = exploded.join(hot, join_type="inner",
+                          num_partitions=n_parts, on=("vhash",))
+
+    def gen_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["rid"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pair_schema.empty_table()
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.table({"a_id": pa.array(ids[ai], pa.int64()),
+                         "b_id": pa.array(ids[bi], pa.int64())})
+
+    raw_pairs = cands.groupby("vhash").map_groups(
+        gen_pairs, batch_format="pyarrow")
+    # a pair can collide in several variant buckets: verify once
+    from ray.data.aggregate import Count
+
+    uniq = (raw_pairs.groupby(["a_id", "b_id"])
+            .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+
+    def as_text(col_id: str, col_txt: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({col_id: batch["rid"],
+                             col_txt: batch[text_col]})
+        return f
+
+    joined = (uniq
+              .join(reps.map_batches(as_text("a_id", "_ta"),
+                                     batch_format="pyarrow"),
+                    join_type="inner", num_partitions=n_parts,
+                    on=("a_id",))
+              .join(reps.map_batches(as_text("b_id", "_tb"),
+                                     batch_format="pyarrow"),
+                    join_type="inner", num_partitions=n_parts,
+                    on=("b_id",)))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["_ta"].to_pylist()
+        tb = batch["_tb"].to_pylist()
+        keep = pa.array([_lev_le1(x, y) for x, y in zip(ta, tb)])
+        t = batch.filter(keep)
+        return pa.table({"a_id": t["a_id"], "b_id": t["b_id"]})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
