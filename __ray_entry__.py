@@ -3173,6 +3173,36 @@ def q_dsir_logweights(sf_dir: str):
     return _round_col(dsir_logweights(docs, target), "log_w")
 
 
+def q_token_freq_spectrum(sf_dir: str):
+    """Zipf/Heaps frequency spectrum: for every global token occurrence
+    count tf, the number of distinct token types occurring exactly that
+    often — the one-glance power-law health check (a tf=2..4 bulge
+    means boilerplate duplication; a depleted hapax count means the
+    crawl re-visited itself). Corpus reduces to the vocabulary-sized
+    count table, then to |distinct tf| rows
+    (stages/collection.py:token_frequency_spectrum)."""
+    from raydedup.stages.collection import token_frequency_spectrum
+
+    return token_frequency_spectrum(_docs(sf_dir))
+
+
+def q_kl_by_source(sf_dir: str):
+    """Information-theoretic drift monitor: per-source unigram KL
+    divergence vs the rest of the corpus over 1024 md5-hashed token
+    buckets, add-1 smoothed — KS (length_drift_by_source) sees a
+    shifted length distribution, KL sees a shifted VOCABULARY. Fixed
+    n_buckets state (the DSIR idiom); driver walk bounded by
+    sources x 1024 (stages/stats.py:kl_divergence_by_group)."""
+    import ray.data
+
+    from raydedup.stages.stats import kl_divergence_by_group
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"],
+                                 override_num_blocks=64)
+    return _round_tbl(kl_divergence_by_group(docs), "kl")
+
+
 def q_dedup_method_agreement(sf_dir: str):
     """Pair-counting Rand agreement between two dedup methods over the
     reordered-corpus view: exact-text groups vs word-multiset (bag)
@@ -3437,6 +3467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_hits_rk": q_blocklist_hits_rk,
         "bbit_minhash_pairs": q_bbit_minhash_pairs,
         "typo_dedup_pairs": q_typo_dedup_pairs,
+        "token_freq_spectrum": q_token_freq_spectrum,
+        "kl_by_source": q_kl_by_source,
         "data_expectations": q_data_expectations,
         "bag_dup_groups": q_bag_dup_groups,
         "doc_containment_pairs": q_doc_containment_pairs,
@@ -4670,6 +4702,53 @@ def _oracle_sql_base() -> dict[str, str]:
                         // length(p.phrase) AS BIGINT) AS n_hits
             FROM d CROSS JOIN p
             WHERE contains(d.t, p.phrase)
+        """,
+        "token_freq_spectrum": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(
+                           lower(coalesce(text, '')),
+                           '[0-9a-zA-Z_]+')) AS tok
+                FROM documents),
+            c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+            SELECT CAST(c AS BIGINT) AS tf,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM c GROUP BY c
+        """,
+        "kl_by_source": f"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(
+                           lower(coalesce(text, '')),
+                           '[0-9a-zA-Z_]+')) AS tok
+                FROM documents WHERE source IS NOT NULL),
+            b AS (SELECT source,
+                         CAST(CAST('0x' || substr(md5(tok), 17, 16)
+                                   AS UBIGINT) % 1024 AS BIGINT) AS bkt
+                  FROM toks),
+            cnt AS (SELECT source, bkt, CAST(count(*) AS DOUBLE) AS c
+                    FROM b GROUP BY 1, 2),
+            tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+            ab AS (SELECT bkt, sum(c) AS cb FROM cnt GROUP BY 1),
+            alln AS (SELECT sum(c) AS na FROM cnt),
+            grid AS (SELECT t.source, t.n, r.range AS bkt
+                     FROM tot t CROSS JOIN range(1024) r),
+            cell AS (SELECT g.source, g.n, g.bkt,
+                            coalesce(c.c, 0) AS cg,
+                            coalesce(a.cb, 0) AS cb
+                     FROM grid g
+                     LEFT JOIN cnt c ON c.source = g.source
+                                        AND c.bkt = g.bkt
+                     LEFT JOIN ab a ON a.bkt = g.bkt),
+            term AS (SELECT source, n,
+                            (cg + 1.0) / (n + 1024.0) AS p,
+                            (cb - cg + 1.0)
+                                / ((SELECT na FROM alln) - n + 1024.0)
+                                AS q
+                     FROM cell
+                     WHERE n < (SELECT na FROM alln))
+            SELECT source, CAST(n AS BIGINT) AS n_tokens,
+                   round(sum(p * ln(p / q)), {_ROUND}) AS kl
+            FROM term GROUP BY 1, 2
         """,
         "typo_dedup_pairs": """
             WITH base AS (

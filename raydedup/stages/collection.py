@@ -212,6 +212,33 @@ def _unigram_counts(ds, text_col: str = "text", out: str = "n_term"):
             .groupby("term").aggregate(Sum(out, alias_name=out)))
 
 
+def token_frequency_spectrum(ds, text_col: str = "text"):
+    """Zipf / Heaps corpus-health audit: → Dataset(tf, n_types) — for
+    every global occurrence count ``tf``, how many DISTINCT token types
+    occur exactly that often. The frequency spectrum is the one-glance
+    check that a corpus follows the expected power law: a bulge at
+    tf = 2..4 means boilerplate duplication, a depleted hapax count
+    (tf = 1) means the crawl re-visited itself, and dedup runs can be
+    compared before/after by their spectra.
+
+    Scale shape: the corpus reduces to the vocabulary-sized global
+    count table via ``_unigram_counts`` (per-batch value_counts partial,
+    one grouped sum), then collapses to at most |distinct tf values|
+    rows in a counting groupby — output is ~log-scale in corpus size;
+    nothing lands on the driver."""
+    from ray.data.aggregate import Count
+
+    spec = _unigram_counts(ds, text_col, out="c").groupby("c").aggregate(
+        Count(alias_name="n_types"))
+
+    def fix(batch: pa.Table) -> pa.Table:
+        return pa.table({"tf": pc.cast(batch["c"], pa.int64()),
+                         "n_types": pc.cast(batch["n_types"],
+                                            pa.int64())})
+
+    return spec.map_batches(fix, batch_format="pyarrow")
+
+
 def _bigram_counts(ds, text_col: str = "text", out: str = "n_ab"):
     """→ Dataset(w1, w2, n_ab): global adjacent-token pair counts.
     Pairs come from one shifted same-row mask over the flat token

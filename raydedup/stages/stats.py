@@ -661,3 +661,102 @@ def ecdf_drift_by_group(ds, by: str = "source", value_col: str = "n_chars"):
         return empty
     return pa.table({by: out_g, "n_docs": pa.array(out_n, pa.int64()),
                      "ks_stat": pa.array(out_ks, pa.float64())})
+
+
+def kl_divergence_by_group(ds, by: str = "source", text_col: str = "text",
+                           n_buckets: int = 1024, alpha: float = 1.0):
+    """Per-group unigram KL divergence vs the REST of the corpus over
+    hashed token buckets — the information-theoretic drift monitor next
+    to ``ecdf_drift_by_group``'s KS statistic: KS sees a shifted length
+    distribution, KL sees a shifted VOCABULARY (a crawl that switched
+    language, template, or domain mix). With add-``alpha`` smoothing
+    over ``n_buckets`` md5 buckets (the DSIR fixed-size-state idiom —
+    model size is n_buckets by construction, never vocabulary-scale):
+
+        p_b = (c(g, b) + alpha) / (n_g + alpha * B)
+        q_b = (c(rest, b) + alpha) / (n_rest + alpha * B)
+        KL(g || rest) = sum_b p_b * ln(p_b / q_b)    [nats]
+
+    bucket(t) = md5-low64(t) % B, so a DuckDB oracle replays every cell
+    (``CAST('0x' || substr(md5(tok), 17, 16) AS UBIGINT) % B``).
+
+    Scale shape: per batch, one vectorized tokenize + dictionary_encode,
+    md5 once per DISTINCT token, one bincount over (group, bucket)
+    composite codes — the corpus reduces to <= groups x B partial rows
+    per batch and one grouped sum. The driver walk is bounded by
+    groups x B (the ``ecdf_drift_by_group`` contract), never by corpus
+    or vocabulary. NULL group keys are dropped; a group equal to the
+    whole corpus (empty rest) is dropped. Returns pyarrow Table
+    (by, n_tokens, kl), kl unrounded."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from raydedup.stages.collection import _flat_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty_p = pa.table({by: pa.array([], pa.string()),
+                            "bkt": pa.array([], pa.int64()),
+                            "c": pa.array([], pa.int64())})
+        gcol = pc.cast(batch[by].combine_chunks(), pa.string())
+        flat, rowidx = _flat_tokens(batch[text_col])
+        if len(rowidx) == 0:
+            return empty_p
+        genc = pc.dictionary_encode(gcol)
+        gcodes = pc.fill_null(genc.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tok_g = gcodes[rowidx]
+        keep = tok_g >= 0  # drop NULL group keys
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            tok_g = tok_g[keep]
+        if len(tok_g) == 0:
+            return empty_p
+        tenc = pc.dictionary_encode(flat)
+        tcodes = tenc.indices.to_numpy(zero_copy_only=False)
+        bkt_of = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[8:],
+                            "big") % n_buckets
+             for t in tenc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(tenc.dictionary))
+        comp = tok_g * n_buckets + bkt_of[tcodes]
+        counts = np.bincount(comp)
+        present = np.flatnonzero(counts)
+        return pa.table({
+            by: genc.dictionary.take(pa.array(present // n_buckets)),
+            "bkt": pa.array(present % n_buckets, pa.int64()),
+            "c": pa.array(counts[present], pa.int64()),
+        })
+
+    cells = (ds.select_columns([by, text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby([by, "bkt"]).aggregate(Sum("c", alias_name="c")))
+    rows = cells.take_all()  # bounded by groups x n_buckets
+    empty = pa.table({by: pa.array([], pa.string()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "kl": pa.array([], pa.float64())})
+    if not rows:
+        return empty
+    groups = sorted({r[by] for r in rows})
+    gi = {g: i for i, g in enumerate(groups)}
+    M = np.zeros((len(groups), n_buckets), dtype=np.int64)
+    for r in rows:
+        M[gi[r[by]], r["bkt"]] = r["c"]
+    n_g = M.sum(axis=1)
+    tot_b = M.sum(axis=0)
+    n = int(n_g.sum())
+    out_g, out_n, out_kl = [], [], []
+    for i, g in enumerate(groups):
+        n_rest = n - int(n_g[i])
+        if n_rest == 0:
+            continue
+        p = (M[i] + alpha) / (n_g[i] + alpha * n_buckets)
+        q = (tot_b - M[i] + alpha) / (n_rest + alpha * n_buckets)
+        out_g.append(g)
+        out_n.append(int(n_g[i]))
+        out_kl.append(float(np.sum(p * np.log(p / q))))
+    if not out_g:
+        return empty
+    return pa.table({by: out_g,
+                     "n_tokens": pa.array(out_n, pa.int64()),
+                     "kl": pa.array(out_kl, pa.float64())})

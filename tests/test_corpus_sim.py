@@ -191,3 +191,48 @@ def test_hot_ngrams_no_duplicated_grams(ray_session):
         "text": ["one two three four five six",
                  "seven eight nine ten eleven twelve"]}))
     assert hot_ngrams(ds, n=5, k=10).take_all() == []
+
+
+def test_token_frequency_spectrum_closed_form(ray_session):
+    """Hand-countable corpus: spectrum rows match exact type counts and
+    the sum invariant sum(tf * n_types) == total token instances."""
+    import ray.data
+
+    from raydedup.stages.collection import token_frequency_spectrum
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a b b c", "b c d", None],
+    }))
+    got = {r["tf"]: r["n_types"]
+           for r in token_frequency_spectrum(ds).take_all()}
+    # counts: a=3, b=3, c=2, d=1 -> tf 3 has 2 types, tf 2 has 1, tf 1 has 1
+    assert got == {3: 2, 2: 1, 1: 1}
+    assert sum(tf * n for tf, n in got.items()) == 9
+
+
+def test_kl_by_group_behavior(ray_session):
+    """Identical-vocabulary groups sit near KL 0; a divergent-vocabulary
+    group scores far higher; NULL group keys are dropped; a lone group
+    (empty rest) yields no rows."""
+    import ray.data
+
+    from raydedup.stages.stats import kl_divergence_by_group
+
+    same = "alpha beta gamma delta " * 10
+    diff = "omega psi chi phi upsilon tau " * 10
+    ds = ray.data.from_arrow(pa.table({
+        "source": ["s1"] * 4 + ["s2"] * 4 + ["s3"] * 4 + [None],
+        "text": [same] * 8 + [diff] * 4 + [same],
+    }))
+    tbl = kl_divergence_by_group(ds)
+    got = {tbl["source"][i].as_py(): tbl["kl"][i].as_py()
+           for i in range(tbl.num_rows)}
+    assert set(got) == {"s1", "s2", "s3"}
+    assert got["s3"] > 2 * max(got["s1"], got["s2"])
+    assert abs(got["s1"] - got["s2"]) < 1e-12  # symmetric twins
+
+    lone = ray.data.from_arrow(pa.table({
+        "source": ["only"], "text": ["some words here"],
+    }))
+    assert kl_divergence_by_group(lone).num_rows == 0
