@@ -556,6 +556,44 @@ def q_typo_dedup_pairs(sf_dir: str):
     return typo_pairs(_docs_with_typos(sf_dir))
 
 
+def _docs_with_loops(sf_dir: str):
+    """Deterministic 'loop corpus' view: 270-char prefixes of every
+    doc, plus — for every 17th doc — a LOOPED copy (id +7e6) that
+    re-emits its own first 130 chars, the verbatim-cycle pattern a
+    stuck generator produces. Mirrored by the oracle's base/v CTEs."""
+    def loops(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = pc.utf8_slice_codeunits(
+            pc.fill_null(b["text"].combine_chunks(), ""), 0, 270)
+        base = pa.table({"doc_id": b["doc_id"], "text": s})
+        m = ids % 17 == 0
+        if not m.any():
+            return base
+        ss = s.filter(pa.array(m))
+        extra = pa.table({
+            "doc_id": pa.array(ids[m] + 7_000_000, pa.int64()),
+            "text": pc.binary_join_element_wise(
+                ss, pc.utf8_slice_codeunits(ss, 0, 130), " "),
+        })
+        return pa.concat_tables([base, extra])
+
+    return _docs(sf_dir).map_batches(loops, batch_format="pyarrow")
+
+
+def q_max_repeat_len(sf_dir: str):
+    """Loop detector: grid-quantized longest-repeated-substring length
+    per document — the quality signal that catches a generator stuck in
+    a long verbatim cycle, which Gopher's small-n-gram fractions
+    dilute. Zero shuffle; every grid length reuses one shared
+    rolling-hash cumsum per batch, equal-window runs are byte-verified
+    (stages/textstats.py:max_repeat_len). The view plants 130-char
+    self-loops so the 128 bin is exercised alongside natural 8/16-char
+    repeats."""
+    from raydedup.stages.textstats import max_repeat_len
+
+    return max_repeat_len(_docs_with_loops(sf_dir))
+
+
 def q_bag_dup_groups(sf_dir: str):
     """Word-multiset duplicate groups over the reordered-corpus view:
     reversed copies land in the same bag as their originals even though
@@ -3468,6 +3506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbit_minhash_pairs": q_bbit_minhash_pairs,
         "typo_dedup_pairs": q_typo_dedup_pairs,
         "token_freq_spectrum": q_token_freq_spectrum,
+        "max_repeat_len": q_max_repeat_len,
         "kl_by_source": q_kl_by_source,
         "data_expectations": q_data_expectations,
         "bag_dup_groups": q_bag_dup_groups,
@@ -4702,6 +4741,31 @@ def _oracle_sql_base() -> dict[str, str]:
                         // length(p.phrase) AS BIGINT) AS n_hits
             FROM d CROSS JOIN p
             WHERE contains(d.t, p.phrase)
+        """,
+        "max_repeat_len": """
+            WITH base AS (
+                SELECT doc_id,
+                       substr(coalesce(text, ''), 1, 270) AS s
+                FROM documents),
+            v AS (SELECT doc_id, s FROM base
+                  UNION ALL
+                  SELECT doc_id + 7000000,
+                         s || ' ' || substr(s, 1, 130)
+                  FROM base WHERE doc_id % 17 = 0),
+            g AS (SELECT L FROM (VALUES (8), (16), (32), (64),
+                                        (128)) t(L)),
+            win AS (SELECT doc_id, L,
+                           unnest(list_transform(
+                               range(1, length(s) - L + 2),
+                               i -> substr(s, CAST(i AS INT), L))) AS w
+                    FROM v, g WHERE length(s) >= L),
+            rep AS (SELECT DISTINCT doc_id, L FROM (
+                        SELECT doc_id, L, w FROM win
+                        GROUP BY doc_id, L, w HAVING count(*) >= 2))
+            SELECT v.doc_id,
+                   CAST(coalesce(max(rep.L), 0) AS BIGINT)
+                       AS max_repeat_len
+            FROM v LEFT JOIN rep USING (doc_id) GROUP BY 1
         """,
         "token_freq_spectrum": """
             WITH toks AS (

@@ -1187,6 +1187,104 @@ def blocklist_scan_rk(ds, phrases: list[str], key_col: str = "doc_id",
         scan, batch_format="pyarrow")
 
 
+def max_repeat_len(ds, id_col: str = "doc_id", text_col: str = "text",
+                   grid: tuple = (8, 16, 32, 64, 128)):
+    """Grid-quantized longest-repeated-substring length per document —
+    the LOOP detector for generated/agent text: a model stuck in a
+    cycle emits long verbatim internal repeats that the Gopher
+    small-n-gram fractions (``repetition_stats``) dilute away, but a
+    repeated 64/128-byte window flags immediately.
+
+    Output (id, max_repeat_len): the LARGEST grid length L such that
+    some length-L byte window of the text occurs at >= 2 (possibly
+    overlapping) positions, 0 when none does — monotone in L, so the
+    grid scan runs largest-first and each doc exits at its first hit.
+    Byte-window semantics == character semantics on ASCII text (the
+    SQL mirror's substr windows); multi-byte text is compared at byte
+    level, which can only make both positions' contents equal together.
+
+    Kernel: zero shuffle — the batch's Arrow string buffer is already
+    the row-concatenated byte stream, so every grid length reuses ONE
+    shared prefix-factored rolling-hash cumsum (the
+    ``blocklist_scan_rk`` machinery); per length, equal (row, hash)
+    window runs come from one lexsort, and each run is byte-verified
+    (``np.unique`` over the gathered windows), so hash collisions cost
+    time, never a wrong answer."""
+    glens = sorted({int(g) for g in grid}, reverse=True)
+    if not glens or glens[-1] < 2:
+        raise ValueError("grid lengths must be >= 2")
+    base = _RK_BASES[0]
+    binv = pow(base, -1, 1 << 64)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        keys = batch[id_col].combine_chunks()
+        col = batch[text_col].combine_chunks()
+        if pa.types.is_null(col.type):
+            col = pa.nulls(len(col), pa.string())
+        txt = pc.fill_null(col, "").cast(pa.large_string())
+        nrows = len(txt)
+        out = np.zeros(nrows, np.int64)
+        if nrows == 0:
+            return pa.table({id_col: keys,
+                             "max_repeat_len": pa.array(out)})
+        off = (np.frombuffer(txt.buffers()[1], np.int64)
+               [txt.offset:txt.offset + nrows + 1])
+        start, stop = int(off[0]), int(off[-1])
+        nbytes = stop - start
+        if nbytes == 0:
+            return pa.table({id_col: keys,
+                             "max_repeat_len": pa.array(out)})
+        data = np.frombuffer(txt.buffers()[2], np.uint8)[start:stop]
+        off = off - start
+        npow = nbytes + glens[0] + 1
+        bpow = np.empty(npow, dtype=np.uint64)
+        bipow = np.empty(npow, dtype=np.uint64)
+        bpow[0] = bipow[0] = 1
+        with np.errstate(over="ignore"):
+            bpow[1:] = np.cumprod(np.full(npow - 1, base, np.uint64))
+            bipow[1:] = np.cumprod(np.full(npow - 1, binv, np.uint64))
+            csum = np.zeros(nbytes + 1, dtype=np.uint64)
+            np.cumsum(data.astype(np.uint64) * bipow[:nbytes],
+                      out=csum[1:])
+        unresolved = np.ones(nrows, bool)
+        for length in glens:
+            if nbytes < length or not unresolved.any():
+                continue
+            ns = nbytes - length + 1
+            with np.errstate(over="ignore"):
+                h = (csum[length:length + ns] - csum[:ns]) \
+                    * bpow[length - 1:length - 1 + ns]
+            pos = np.arange(ns, dtype=np.int64)
+            did = np.searchsorted(off, pos, side="right") - 1
+            keep = (pos + length <= off[did + 1]) & unresolved[did]
+            pos, did, h = pos[keep], did[keep], h[keep]
+            if len(pos) < 2:
+                continue
+            order = np.lexsort((h, did))
+            did_s, h_s, pos_s = did[order], h[order], pos[order]
+            same = (did_s[1:] == did_s[:-1]) & (h_s[1:] == h_s[:-1])
+            if not same.any():
+                continue
+            bounds = np.flatnonzero(~np.r_[False, same])
+            run_starts = bounds
+            run_ends = np.r_[bounds[1:], len(pos_s)]
+            win = np.lib.stride_tricks.sliding_window_view(data, length)
+            for s, e in zip(run_starts.tolist(), run_ends.tolist()):
+                if e - s < 2:
+                    continue
+                d = int(did_s[s])
+                if not unresolved[d]:
+                    continue
+                mat = win[pos_s[s:e]]
+                if len(np.unique(mat, axis=0)) < e - s:
+                    out[d] = length
+                    unresolved[d] = False
+        return pa.table({id_col: keys, "max_repeat_len": pa.array(out)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow")
+
+
 def stratified_sample(ds, group_col: str, key_col: str,
                       rates: dict, default_rate: float = 0.0,
                       seed: str = "s0"):

@@ -1042,3 +1042,42 @@ def test_soft_dedup_weights_backends_agree(ray_session):
                       ds, method="auto",
                       broadcast_max_groups=0).take_all()}
     assert auto_small == got
+
+
+def test_max_repeat_len_brute_parity_fuzz(ray_session):
+    """Grid-quantized longest-repeated-substring == brute-force window
+    scan on a seeded random small-alphabet corpus (overlapping repeats,
+    planted long loops, empty/NULL rows, multi-byte text)."""
+    import random
+
+    from raydedup.stages.textstats import max_repeat_len
+
+    rng = random.Random(13)
+    alpha = "abcé "
+    texts = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 200)))
+             for _ in range(120)]
+    texts += [t + " " + t[:130] for t in texts[:5]]     # planted loops
+    texts += ["", None, "x" * 300, "abcdefgh" * 2]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = {r["doc_id"]: r["max_repeat_len"]
+           for r in max_repeat_len(ds).take_all()}
+
+    def brute(s: str) -> int:
+        b = s.encode()  # byte-window contract
+        best = 0
+        for L in (8, 16, 32, 64, 128):
+            seen = set()
+            for i in range(len(b) - L + 1):
+                w = b[i:i + L]
+                if w in seen:
+                    best = L
+                    break
+                seen.add(w)
+        return best
+
+    want = {i: brute(t or "") for i, t in enumerate(texts)}
+    assert got == want
+    assert max(got.values()) == 128 and min(got.values()) == 0
