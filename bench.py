@@ -221,7 +221,14 @@ def run_bench() -> dict:
                   "dedup_method_agreement",
                   "cdc_dup_stats",
                   "hot_ngrams",
-                  "effective_tokens"):
+                  "effective_tokens",
+                  "blocklist_hits_rk",
+                  "near_dup_clusters_altstar",
+                  "bbit_minhash_pairs",
+                  "typo_dedup_pairs",
+                  "token_freq_spectrum",
+                  "kl_by_source",
+                  "max_repeat_len"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame
