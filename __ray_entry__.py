@@ -1788,6 +1788,85 @@ def q_simhash_near_docs(sf_dir: str):
     return simhash_near_pairs(reps, DEFAULT_CONFIG)
 
 
+def q_simhash_calibration(sf_dir: str):
+    """Fingerprint-family calibration audit: for every Hamming distance
+    h <= simhash_dup_hamming among exact-text reps, how many simhash
+    pairs exist and how many are TRUE near-duplicates (word-shingle
+    Jaccard >= 0.8, the near_pairs contract) — the table an operator
+    reads to pick a simhash radius ('at h <= 4, precision is X').
+    One signature pass provides both fingerprints (simhash is
+    char-shingle based, config-independent); shingle sets for the
+    verify are fetched only for PAIRED keys (pair-bounded broadcast,
+    the prepare_training_transcripts precedent); the final reduce is a
+    <= h_max+1-row groupby."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from raydedup.pipelines.neardup import signatures_with_rep
+    from raydedup.stages.simhash_near import simhash_near_pairs
+
+    assigned = signatures_with_rep(
+        _docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"]).materialize()
+    reps = assigned.filter(expr="is_rep == True").materialize()
+    pairs = simhash_near_pairs(reps, SIMPLE_CFG).materialize()
+    empty = pa.table({"hamming": pa.array([], pa.int32()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "n_true": pa.array([], pa.int64()),
+                      "precision": pa.array([], pa.float64())})
+    if pairs.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+    keyset: set = set()
+    for b in pairs.select_columns(["a_key", "b_key"]).iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow"):
+        keyset.update(b["a_key"].to_pylist())
+        keyset.update(b["b_key"].to_pylist())
+    kref = ray.put(pa.array(sorted(keyset), pa.string()))
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["row_key"], value_set=ray.get(kref))
+        t = b.filter(m)
+        return pa.table({"row_key": t["row_key"],
+                         "shingle_hashes": t["shingle_hashes"]})
+
+    lut: dict = {}
+    for b in reps.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 14, batch_format="pyarrow"):
+        for k, s in zip(b["row_key"].to_pylist(),
+                        b["shingle_hashes"].to_pylist()):
+            lut[k] = np.unique(np.asarray(s, dtype=np.uint64))
+    lref = ray.put(lut)
+
+    def score(b: pa.Table) -> pa.Table:
+        lu = ray.get(lref)
+        nil = np.empty(0, np.uint64)
+        truth = []
+        for a, bb in zip(b["a_key"].to_pylist(), b["b_key"].to_pylist()):
+            sa, sb = lu.get(a, nil), lu.get(bb, nil)
+            c = len(np.intersect1d(sa, sb))
+            u = len(sa) + len(sb) - c
+            truth.append(int(u > 0 and c / u >= 0.8))
+        return pa.table({"hamming": b["hamming"],
+                         "t": pa.array(truth, pa.int64())})
+
+    grouped = (pairs.map_batches(score, batch_format="pyarrow")
+               .groupby("hamming")
+               .aggregate(Count(alias_name="n_pairs"),
+                          Sum("t", alias_name="n_true")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        npairs = pc.cast(b["n_pairs"], pa.int64())
+        ntrue = pc.cast(b["n_true"], pa.int64())
+        prec = pc.divide(pc.cast(ntrue, pa.float64()),
+                         pc.cast(npairs, pa.float64()))
+        return pa.table({"hamming": b["hamming"], "n_pairs": npairs,
+                         "n_true": ntrue, "precision": prec})
+
+    return _round_col(grouped.map_batches(finish, batch_format="pyarrow"),
+                      "precision")
+
+
 def q_fingerprints(sf_dir: str):
     from raydedup.stages.textstats import fingerprints
 
@@ -3574,6 +3653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chain_scan_transcripts": q_chain_scan_transcripts,
         "long_span_pairs": q_long_span_pairs,
         "simhash_near_docs": q_simhash_near_docs,
+        "simhash_calibration": q_simhash_calibration,
         "fingerprints": q_fingerprints,
         "customers_without_recent_orders": q_customers_without_recent_orders,
         "pivot_event_counts": q_pivot_event_counts,
@@ -6714,6 +6794,45 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM simhashes a JOIN simhashes b ON a.sh_key < b.sh_key
             WHERE bit_count(xor(a.simhash, b.simhash))
                   <= {DEFAULT_CONFIG.simhash_dup_hamming}
+        """,
+        "simhash_calibration": f"""
+            WITH reps_text AS (
+                SELECT min(CAST(doc_id AS VARCHAR)) AS k, text
+                FROM documents GROUP BY text
+            ),
+            {_simhash_cte("reps_text", "k")},
+            sp AS (
+                SELECT least(CAST(a.sh_key AS BIGINT),
+                             CAST(b.sh_key AS BIGINT)) AS a_id,
+                       greatest(CAST(a.sh_key AS BIGINT),
+                                CAST(b.sh_key AS BIGINT)) AS b_id,
+                       CAST(bit_count(xor(a.simhash, b.simhash))
+                            AS INTEGER) AS hamming
+                FROM simhashes a JOIN simhashes b ON a.sh_key < b.sh_key
+                WHERE bit_count(xor(a.simhash, b.simhash))
+                      <= {DEFAULT_CONFIG.simhash_dup_hamming}
+            ),
+            {_DOC_SHINGLES_CTE},
+            j AS (
+                SELECT sp.hamming,
+                       coalesce(c.c, 0) AS c,
+                       coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                           - coalesce(c.c, 0) AS u
+                FROM sp
+                LEFT JOIN pair_common c
+                  ON c.a_id = sp.a_id AND c.b_id = sp.b_id
+                LEFT JOIN shsize sa ON sa.doc_id = sp.a_id
+                LEFT JOIN shsize sb ON sb.doc_id = sp.b_id
+            )
+            SELECT hamming,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(*) FILTER (WHERE u > 0
+                            AND CAST(c AS DOUBLE) / u >= 0.8)
+                        AS BIGINT) AS n_true,
+                   round(CAST(count(*) FILTER (WHERE u > 0
+                            AND CAST(c AS DOUBLE) / u >= 0.8) AS DOUBLE)
+                         / count(*), {_ROUND}) AS precision
+            FROM j GROUP BY hamming
         """,
         "chain_scan_transcripts": TRANSCRIPTS_SQL + f"""
             , ts_keyed AS (

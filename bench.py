@@ -228,7 +228,8 @@ def run_bench() -> dict:
                   "typo_dedup_pairs",
                   "token_freq_spectrum",
                   "kl_by_source",
-                  "max_repeat_len"):
+                  "max_repeat_len",
+                  "simhash_calibration"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -1081,3 +1081,32 @@ def test_max_repeat_len_brute_parity_fuzz(ray_session):
     want = {i: brute(t or "") for i, t in enumerate(texts)}
     assert got == want
     assert max(got.values()) == 128 and min(got.values()) == 0
+
+
+def test_simhash_calibration_query_planted(ray_session, tmp_path):
+    """Planted corpus: a near-identical pair lands at low hamming with
+    n_true counting it; an unrelated pair inside the radius (if any)
+    doesn't. Checks the composed calibration query end-to-end on a tiny
+    parquet dir."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    base = " ".join(f"tok{i}" for i in range(80))
+    near = base + " tail"
+    other = " ".join(f"zzz{i}" for i in range(80))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([base, near, other, base], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = entrymod.queries()["simhash_calibration"](str(tmp_path))
+    rows = out.take_all()
+    # doc 4 collapses into doc 1's rep; (1,2) is the near pair
+    total_true = sum(r["n_true"] for r in rows)
+    assert total_true >= 1
+    low = min(r["hamming"] for r in rows if r["n_true"])
+    assert low <= 6  # near-identical text -> small hamming
+    for r in rows:
+        assert 0.0 <= r["precision"] <= 1.0
+        assert r["n_true"] <= r["n_pairs"]
