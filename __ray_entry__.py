@@ -3290,6 +3290,24 @@ def q_dsir_logweights(sf_dir: str):
     return _round_col(dsir_logweights(docs, target), "log_w")
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Weight-proportional sample without replacement (Efraimidis-
+    Spirakis priority sampling): top-50 docs by ln(u)/n_chars with
+    deterministic md5 uniforms — longer docs proportionally likelier,
+    reruns identical, each batch ships only its local top-k
+    (stages/textstats.py:weighted_sample). Oracle replays the exact
+    priority arithmetic and selection."""
+    import ray.data
+
+    from raydedup.stages.textstats import weighted_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"],
+                                 override_num_blocks=64)
+    return weighted_sample(docs, key_col="doc_id",
+                           weight_col="n_chars", k=50)
+
+
 def q_token_freq_spectrum(sf_dir: str):
     """Zipf/Heaps frequency spectrum: for every global token occurrence
     count tf, the number of distinct token types occurring exactly that
@@ -3586,6 +3604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_dedup_pairs": q_typo_dedup_pairs,
         "token_freq_spectrum": q_token_freq_spectrum,
         "max_repeat_len": q_max_repeat_len,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "kl_by_source": q_kl_by_source,
         "data_expectations": q_data_expectations,
         "bag_dup_groups": q_bag_dup_groups,
@@ -4821,6 +4840,19 @@ def _oracle_sql_base() -> dict[str, str]:
                         // length(p.phrase) AS BIGINT) AS n_hits
             FROM d CROSS JOIN p
             WHERE contains(d.t, p.phrase)
+        """,
+        "weighted_sample_docs": """
+            WITH w AS (
+                SELECT doc_id, n_chars,
+                       ln((CAST(CAST('0x' || substr(
+                                md5('ws0:' || CAST(doc_id AS VARCHAR)),
+                                1, 15) AS UBIGINT) AS DOUBLE) + 1)
+                          / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE) AS p
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0)
+            SELECT doc_id, n_chars
+            FROM w ORDER BY p DESC, doc_id LIMIT 50
         """,
         "max_repeat_len": """
             WITH base AS (

@@ -229,7 +229,8 @@ def run_bench() -> dict:
                   "token_freq_spectrum",
                   "kl_by_source",
                   "max_repeat_len",
-                  "simhash_calibration"):
+                  "simhash_calibration",
+                  "weighted_sample_docs"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

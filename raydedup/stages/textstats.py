@@ -1187,6 +1187,49 @@ def blocklist_scan_rk(ds, phrases: list[str], key_col: str = "doc_id",
         scan, batch_format="pyarrow")
 
 
+def weighted_sample(ds, key_col: str, weight_col: str, k: int,
+                    seed: str = "ws0"):
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 priority sampling): each row gets priority
+    ln(u) / w with u = (md5-low60(seed:key) + 1) / 2^60, and the
+    global top-k priorities win — inclusion probability proportional
+    to weight, one streaming pass, no global weight total needed. The
+    data-mixing primitive next to the uniform (``sample_by_hash``),
+    stratified and quota samplers: sample tokens-proportional,
+    quality-proportional, or any per-row importance.
+
+    DETERMINISTIC: u comes from the repo's md5-low60 convention
+    (``_hash60``), so reruns pick identical rows and a SQL oracle
+    replays the exact selection (same CAST-to-DOUBLE + ln arithmetic).
+    Rows with weight <= 0 or NULL are excluded by contract.
+
+    Scale shape: each batch keeps only its LOCAL top-k, so the final
+    sort+limit shuffles at most k rows per input block (the
+    ``hash_sample_fixed`` idiom)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    prefix = f"{seed}:".encode()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w_raw = pc.cast(batch[weight_col], pa.float64())
+        keep = pc.and_(pc.is_valid(w_raw), pc.greater(w_raw, 0.0))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return t.append_column("__p", pa.array([], pa.float64()))
+        w = pc.cast(t[weight_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        h = _hash60(t[key_col].to_pylist(), prefix)
+        u = (h.astype(np.float64) + 1.0) / float(1 << 60)
+        p = np.log(u) / w
+        sel = np.argsort(-p, kind="stable")[:k]
+        out = t.take(pa.array(sel))
+        return out.append_column("__p", pa.array(p[sel], pa.float64()))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .sort("__p", descending=True).limit(k)
+            .drop_columns(["__p"]))
+
+
 def max_repeat_len(ds, id_col: str = "doc_id", text_col: str = "text",
                    grid: tuple = (8, 16, 32, 64, 128)):
     """Grid-quantized longest-repeated-substring length per document —

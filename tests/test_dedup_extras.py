@@ -1110,3 +1110,39 @@ def test_simhash_calibration_query_planted(ray_session, tmp_path):
     for r in rows:
         assert 0.0 <= r["precision"] <= 1.0
         assert r["n_true"] <= r["n_pairs"]
+
+
+def test_weighted_sample_replay_and_contract(ray_session):
+    """Engine selection == pure-Python replay of the Efraimidis-
+    Spirakis priorities (same md5-low60 + CAST arithmetic); w <= 0 and
+    NULL rows excluded; rerun identical; heavy weights overrepresented."""
+    import hashlib
+
+    from raydedup.stages.textstats import weighted_sample
+
+    n = 400
+    ids = list(range(n))
+    weights = [1000 if i < 40 else 1 for i in ids]  # 40 heavy rows
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "w": pa.array(weights, pa.int64())})
+    tbl = pa.concat_tables([tbl, pa.table({
+        "doc_id": pa.array([900, 901], pa.int64()),
+        "w": pa.array([0, None], pa.int64())})])
+    ds = ray.data.from_arrow(tbl)
+    got = sorted(r["doc_id"] for r in
+                 weighted_sample(ds, "doc_id", "w", k=30).take_all())
+    got2 = sorted(r["doc_id"] for r in
+                  weighted_sample(ds, "doc_id", "w", k=30).take_all())
+    assert got == got2 and len(got) == 30
+    assert 900 not in got and 901 not in got
+
+    def prio(i, w):
+        h = int.from_bytes(hashlib.md5(f"ws0:{i}".encode())
+                           .digest()[:8], "big") >> 4
+        u = (np.float64(h) + 1.0) / float(1 << 60)
+        return np.log(u) / w
+
+    want = sorted(sorted(ids, key=lambda i: -prio(i, weights[i]))[:30])
+    assert got == want
+    # heavy rows (10% of rows, weight x1000) dominate the sample
+    assert sum(1 for i in got if i < 40) >= 25
