@@ -160,6 +160,55 @@ def q_near_dup_clusters_altstar(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_cluster_cohesion(sf_dir: str):
+    """Transitive-chaining audit of connected-component dedup: per
+    near-dup cluster (over exact-text reps), member count, verified
+    in-cluster pair count, and pair DENSITY n_pairs / C(m, 2) — a
+    large low-density cluster is glued by chains (a~b~c without a~c),
+    the classic way CC-based dedup over-merges. Components via the
+    alternating-star backend; pairs attach to clusters by one label
+    join; the final table is cluster-count sized."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
+    from raydedup.state.unionfind import connected_components_altstar
+    from raydedup.util import join_partitions
+
+    assigned = signatures_with_rep(
+        _docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"]).materialize()
+    pairs = near_dup_pairs(assigned, SIMPLE_CFG).materialize()
+    empty = pa.table({"cluster_id": pa.array([], pa.string()),
+                      "n_members": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "density": pa.array([], pa.float64())})
+    if pairs.count() == 0:
+        return ray.data.from_arrow(empty)
+    labels = connected_components_altstar(pairs).materialize()
+    n_parts = join_partitions(labels.count())
+    members = labels.groupby("label").aggregate(
+        Count(alias_name="n_members"))
+    pl = (pairs.map_batches(
+        lambda b: pa.table({"node": b["a_key"]}), batch_format="pyarrow")
+        .join(labels, join_type="inner", num_partitions=n_parts,
+              on=("node",))
+        .groupby("label").aggregate(Count(alias_name="n_pairs")))
+    joined = members.join(pl, join_type="inner",
+                          num_partitions=n_parts, on=("label",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        m = pc.cast(b["n_members"], pa.int64())
+        npair = pc.cast(b["n_pairs"], pa.int64())
+        mn = m.to_numpy(zero_copy_only=False).astype(np.float64)
+        dens = npair.to_numpy(zero_copy_only=False) / (mn * (mn - 1) / 2)
+        return pa.table({"cluster_id": b["label"], "n_members": m,
+                         "n_pairs": npair,
+                         "density": pa.array(dens, pa.float64())})
+
+    return _round_col(joined.map_batches(fin, batch_format="pyarrow"),
+                      "density")
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Leakage-safe train/val/test split: near-dup CLUSTERS (not docs)
     are the split unit, so no near-duplicate of a training doc can land
@@ -3588,6 +3637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs_docs": q_near_dup_pairs_docs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "near_dup_clusters_altstar": q_near_dup_clusters_altstar,
+        "cluster_cohesion": q_cluster_cohesion,
         "leakage_safe_split": q_leakage_safe_split,
         "dup_pagerank": q_dup_pagerank,
         "cluster_medoids": q_cluster_medoids,
@@ -5201,6 +5251,39 @@ def _oracle_sql_base() -> dict[str, str]:
         "near_dup_clusters_docs": f"""
             WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE}
             SELECT row_key, cluster_id FROM clust
+        """,
+        "cluster_cohesion": f"""
+            WITH RECURSIVE {_DOC_SHINGLES_CTE},
+            pnodes AS (
+                SELECT DISTINCT CAST(a_id AS VARCHAR) AS k
+                FROM near_pairs
+                UNION
+                SELECT DISTINCT CAST(b_id AS VARCHAR) FROM near_pairs),
+            pedges AS (
+                SELECT CAST(a_id AS VARCHAR) AS a,
+                       CAST(b_id AS VARCHAR) AS b
+                FROM near_pairs
+                UNION
+                SELECT CAST(b_id AS VARCHAR), CAST(a_id AS VARCHAR)
+                FROM near_pairs),
+            reach(node, r) AS (
+                SELECT k, k FROM pnodes
+                UNION
+                SELECT reach.node, pedges.b
+                FROM reach JOIN pedges ON reach.r = pedges.a),
+            comp AS (SELECT node, min(r) AS cid
+                     FROM reach GROUP BY node),
+            m AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+                  FROM comp GROUP BY cid),
+            np AS (SELECT c.cid, CAST(count(*) AS BIGINT) AS n_pairs
+                   FROM near_pairs p
+                   JOIN comp c ON c.node = CAST(p.a_id AS VARCHAR)
+                   GROUP BY 1)
+            SELECT m.cid AS cluster_id, m.n_members, np.n_pairs,
+                   round(CAST(np.n_pairs AS DOUBLE)
+                         / (m.n_members * (m.n_members - 1) / 2),
+                         {_ROUND}) AS density
+            FROM m JOIN np USING (cid)
         """,
         "leakage_safe_split": _leakage_safe_split_sql(),
         "dup_pagerank": _dup_pagerank_sql(),

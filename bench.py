@@ -230,7 +230,8 @@ def run_bench() -> dict:
                   "kl_by_source",
                   "max_repeat_len",
                   "simhash_calibration",
-                  "weighted_sample_docs"):
+                  "weighted_sample_docs",
+                  "cluster_cohesion"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

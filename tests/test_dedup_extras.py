@@ -1146,3 +1146,33 @@ def test_weighted_sample_replay_and_contract(ray_session):
     assert got == want
     # heavy rows (10% of rows, weight x1000) dominate the sample
     assert sum(1 for i in got if i < 40) >= 25
+
+
+def test_cluster_cohesion_planted(ray_session, tmp_path):
+    """A planted 3-chain (a~b, b~c, no a~c) must report density 2/3
+    while a planted clique pair reports 1.0."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    words = [f"tok{i}" for i in range(60)]
+    a = " ".join(words)
+    # b: words 58,59 replaced -> J(a,b) = 56/60 ~ 0.933 (pair)
+    bw = words[:58] + ["xa", "xb"]
+    b = " ".join(bw)
+    # c: b with words 50..53 replaced -> J(b,c) = 52/64 ~ 0.813 (pair)
+    # but J(a,c) = 50/66 ~ 0.758 < 0.8 (chain, no triangle)
+    cw = bw[:50] + ["ya", "yb", "yc", "yd"] + bw[54:]
+    c = " ".join(cw)
+    d1 = " ".join(f"zzz{i}" for i in range(60))
+    d2 = " ".join([f"zzz{i}" for i in range(58)] + ["qq", "ww"])
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([a, b, c, d1, d2], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    rows = entrymod.queries()["cluster_cohesion"](str(tmp_path)).take_all()
+    by = {r["cluster_id"]: r for r in rows}
+    assert by["1"]["n_members"] == 3 and by["1"]["n_pairs"] == 2
+    assert abs(by["1"]["density"] - round(2 / 3, 6)) < 1e-9
+    assert by["4"]["n_members"] == 2 and by["4"]["density"] == 1.0
