@@ -3339,6 +3339,33 @@ def q_dsir_logweights(sf_dir: str):
     return _round_col(dsir_logweights(docs, target), "log_w")
 
 
+def q_normalized_dedup_groups(sf_dir: str):
+    """Normalization-robust exact dedup: identical after casefold +
+    punctuation/whitespace collapse — the 'soft-exact' tier catching
+    SHOUTING/re-punctuated copies that sha-exact misses while
+    similarity pipelines pay a full candidate pass for them. The view
+    plants upper-cased, re-punctuated copies (id +8e6) for every 19th
+    doc (stages/exact.py:normalized_dup_groups)."""
+    from raydedup.stages.exact import normalized_dup_groups
+
+    def shout(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(b["text"].combine_chunks(), "")
+        base = pa.table({"doc_id": b["doc_id"], "text": txt})
+        m = ids % 19 == 0
+        if not m.any():
+            return base
+        extra = pa.table({
+            "doc_id": pa.array(ids[m] + 8_000_000, pa.int64()),
+            "text": pc.binary_join_element_wise(
+                pc.utf8_upper(txt.filter(pa.array(m))), "!!  ", ""),
+        })
+        return pa.concat_tables([base, extra])
+
+    view = _docs(sf_dir).map_batches(shout, batch_format="pyarrow")
+    return normalized_dup_groups(view)
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Weight-proportional sample without replacement (Efraimidis-
     Spirakis priority sampling): top-50 docs by ln(u)/n_chars with
@@ -3655,6 +3682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_spectrum": q_token_freq_spectrum,
         "max_repeat_len": q_max_repeat_len,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "normalized_dedup_groups": q_normalized_dedup_groups,
         "kl_by_source": q_kl_by_source,
         "data_expectations": q_data_expectations,
         "bag_dup_groups": q_bag_dup_groups,
@@ -4890,6 +4918,25 @@ def _oracle_sql_base() -> dict[str, str]:
                         // length(p.phrase) AS BIGINT) AS n_hits
             FROM d CROSS JOIN p
             WHERE contains(d.t, p.phrase)
+        """,
+        "normalized_dedup_groups": """
+            WITH base AS (SELECT doc_id, coalesce(text, '') AS text
+                          FROM documents),
+            v AS (SELECT doc_id, text FROM base
+                  UNION ALL
+                  SELECT doc_id + 8000000, upper(text) || '!!  '
+                  FROM base WHERE doc_id % 19 = 0),
+            n AS (SELECT CAST(doc_id AS VARCHAR) AS row_key,
+                         trim(regexp_replace(lower(text),
+                                             '[^0-9a-z]+', ' ', 'g'))
+                             AS nt
+                  FROM v),
+            g AS (SELECT nt, min(row_key) AS norm_id,
+                         CAST(count(*) AS BIGINT) AS n_members
+                  FROM n GROUP BY nt)
+            SELECT n.row_key, g.norm_id, g.n_members
+            FROM n JOIN g USING (nt)
+            WHERE g.n_members >= 2
         """,
         "weighted_sample_docs": """
             WITH w AS (

@@ -231,7 +231,8 @@ def run_bench() -> dict:
                   "max_repeat_len",
                   "simhash_calibration",
                   "weighted_sample_docs",
-                  "cluster_cohesion"):
+                  "cluster_cohesion",
+                  "normalized_dedup_groups"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -837,6 +837,38 @@ def bag_dup_groups(ds, key_cols: list[str] | None = None,
                              min_size=min_size, label_col="bag_id")
 
 
+def normalized_dup_groups(ds, key_cols: list[str] | None = None,
+                          text_col: str = "text", min_size: int = 2):
+    """Normalization-robust exact duplicate groups: rows identical
+    after casefold + collapsing every non-alphanumeric run to one
+    space + trim — the 'soft-exact' tier between byte-exact dedup and
+    similarity methods, catching SHOUTING copies, re-punctuated and
+    re-whitespaced boilerplate that sha-exact misses while similarity
+    pipelines pay a full candidate/verify pass for them.
+
+    Normalization contract (mirrored by the SQL oracle verbatim):
+    ``trim(regexp_replace(lower(coalesce(text, '')), '[^0-9a-z]+',
+    ' ', 'g'))`` — both sides RE2-class char sets, applied with Arrow
+    kernels per batch, so the normalized text never leaves the task.
+    Emits one row per member of every group with >= ``min_size``
+    members: (row_key, norm_id = min member row_key, n_members). Thin
+    wrapper over :func:`text_label_groups` — see it for the hashing +
+    scale contract."""
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(_text_filled(b[text_col])),
+                pattern="[^0-9a-z]+", replacement=" "),
+            characters=" ")
+        i = b.schema.get_field_index(text_col)
+        return b.set_column(i, text_col, t)
+
+    return text_label_groups(
+        ds.map_batches(norm, batch_format="pyarrow"), key_cols,
+        text_col, canonical=False, min_size=min_size,
+        label_col="norm_id")
+
+
 def stitch_candidates(ds, key_col: str = "doc_id", text_col: str = "text",
                       k: int = 64):
     """Fragment-reassembly candidates: pairs (a_id, b_id) where the

@@ -1176,3 +1176,22 @@ def test_cluster_cohesion_planted(ray_session, tmp_path):
     assert by["1"]["n_members"] == 3 and by["1"]["n_pairs"] == 2
     assert abs(by["1"]["density"] - round(2 / 3, 6)) < 1e-9
     assert by["4"]["n_members"] == 2 and by["4"]["density"] == 1.0
+
+
+def test_normalized_dup_groups_folds_variants(ray_session):
+    """Casefold + punctuation/whitespace collapse folds SHOUTING and
+    re-punctuated copies into one group; genuinely different texts stay
+    apart; min_size filters singletons."""
+    from raydedup.stages.exact import normalized_dup_groups
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["Hello,   world!", "HELLO WORLD", "hello world.",
+                          "different text", None], pa.string()),
+    }))
+    rows = normalized_dup_groups(ds).take_all()
+    got = {r["row_key"]: (r["norm_id"], r["n_members"]) for r in rows}
+    assert got == {"1": ("1", 3), "2": ("1", 3), "3": ("1", 3)}
+    # min_size=1 keeps every row, singletons label themselves
+    all_rows = normalized_dup_groups(ds, min_size=1).take_all()
+    assert len(all_rows) == 5
