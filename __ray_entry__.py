@@ -3339,6 +3339,22 @@ def q_dsir_logweights(sf_dir: str):
     return _round_col(dsir_logweights(docs, target), "log_w")
 
 
+def q_top_event_types_per_user(sf_dir: str):
+    """Grouped top-k by frequency: each user's 2 most frequent event
+    types with deterministic tie-break (count desc, value asc) — the
+    k>1 generalization of mode_by_group with a per-block top-k
+    pre-filter, so the final per-group reduce sees at most k rows per
+    (group, block) (stages/stats.py:top_values_by_group)."""
+    import ray.data
+
+    from raydedup.stages.stats import top_values_by_group
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"],
+                               override_num_blocks=64)
+    return top_values_by_group(ev, "user_id", "event_type", k=2)
+
+
 def q_normalized_dedup_groups(sf_dir: str):
     """Normalization-robust exact dedup: identical after casefold +
     punctuation/whitespace collapse — the 'soft-exact' tier catching
@@ -3683,6 +3699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_repeat_len": q_max_repeat_len,
         "weighted_sample_docs": q_weighted_sample_docs,
         "normalized_dedup_groups": q_normalized_dedup_groups,
+        "top_event_types_per_user": q_top_event_types_per_user,
         "kl_by_source": q_kl_by_source,
         "data_expectations": q_data_expectations,
         "bag_dup_groups": q_bag_dup_groups,
@@ -4918,6 +4935,20 @@ def _oracle_sql_base() -> dict[str, str]:
                         // length(p.phrase) AS BIGINT) AS n_hits
             FROM d CROSS JOIN p
             WHERE contains(d.t, p.phrase)
+        """,
+        "top_event_types_per_user": """
+            WITH c AS (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2)
+            SELECT user_id, event_type, n, CAST(rn AS BIGINT) AS rank
+            FROM (SELECT user_id, event_type, n,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY n DESC, event_type) AS rn
+                  FROM c)
+            WHERE rn <= 2
         """,
         "normalized_dedup_groups": """
             WITH base AS (SELECT doc_id, coalesce(text, '') AS text

@@ -232,7 +232,8 @@ def run_bench() -> dict:
                   "simhash_calibration",
                   "weighted_sample_docs",
                   "cluster_cohesion",
-                  "normalized_dedup_groups"):
+                  "normalized_dedup_groups",
+                  "top_event_types_per_user"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -281,6 +281,91 @@ def mode_by_group(ds, group_col: str, value_col: str,
                                                 batch_format="pyarrow")
 
 
+def top_values_by_group(ds, group_col: str, value_col: str, k: int = 3):
+    """→ Dataset(group, value, n, rank): the ``k`` most frequent values
+    per group, ties broken count-desc then SMALLEST value (the
+    ``mode_by_group`` rule generalized to k > 1 — deterministic under
+    any partitioning, exactly replayable by a row_number window).
+
+    Scale shape: per-batch (group, value, count) partials → one keyed
+    Sum merge (exchange = distinct pairs, not rows) → a per-BLOCK
+    per-group top-k pre-filter, so the final per-group reduce receives
+    at most k rows per (group, block) instead of every distinct value —
+    the grouped analogue of the partial-top-k combiner the ANN stages
+    use. Union of per-block top-ks ⊇ global top-k, so the pre-filter
+    never drops a winner. Nulls are excluded (SQL aggregate
+    semantics)."""
+    from ray.data.aggregate import Sum
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    schema = ds.schema()
+    gtype = schema.types[schema.names.index(group_col)]
+    vtype = schema.types[schema.names.index(value_col)]
+    empty = pa.table({group_col: pa.array([], gtype),
+                      value_col: pa.array([], vtype),
+                      "n": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b[group_col], value_col: b[value_col]})
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                             pc.is_valid(t[value_col])))
+        agg = t.group_by([group_col, value_col]).aggregate(
+            [([], "count_all")])
+        return pa.table({group_col: agg[group_col],
+                         value_col: agg[value_col],
+                         "__n": agg["count_all"]})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, value_col])
+              .aggregate(Sum("__n", alias_name="__n")))
+
+    def _ordered(g: pa.Table):
+        n = pc.cast(g["__n"], pa.int64())
+        return pc.sort_indices(
+            pa.table({"g": g[group_col],
+                      "a": pc.negate_checked(n),
+                      "b": g[value_col]}),
+            sort_keys=[("g", "ascending"), ("a", "ascending"),
+                       ("b", "ascending")])
+
+    def block_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             value_col: pa.array([], vtype),
+                             "__n": pa.array([], pa.int64())})
+        order = _ordered(g).to_numpy(zero_copy_only=False)
+        genc = pc.dictionary_encode(
+            pc.cast(g[group_col].combine_chunks(), pa.string()))
+        gcodes = genc.indices.to_numpy(zero_copy_only=False)[order]
+        new_run = np.r_[True, gcodes[1:] != gcodes[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_start = np.flatnonzero(new_run)
+        pos_in_run = np.arange(len(order)) - run_start[run_id]
+        keep = order[pos_in_run < k]
+        t = g.take(pa.array(keep))
+        return pa.table({group_col: t[group_col],
+                         value_col: t[value_col],
+                         "__n": pc.cast(t["__n"], pa.int64())})
+
+    pre = counts.map_batches(block_topk, batch_format="pyarrow")
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__n" not in g.column_names:
+            return empty
+        order = _ordered(g).to_numpy(zero_copy_only=False)[:k]
+        t = g.take(pa.array(order))
+        return pa.table({group_col: t[group_col],
+                         value_col: t[value_col],
+                         "n": pc.cast(t["__n"], pa.int64()),
+                         "rank": pa.array(
+                             np.arange(1, len(order) + 1), pa.int64())})
+
+    return pre.groupby(group_col).map_groups(final_topk,
+                                             batch_format="pyarrow")
+
+
 def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
                  out: str = "corr"):
     """→ Dataset(group, n, corr): exact Pearson correlation per group

@@ -236,3 +236,29 @@ def test_kl_by_group_behavior(ray_session):
         "source": ["only"], "text": ["some words here"],
     }))
     assert kl_divergence_by_group(lone).num_rows == 0
+
+
+def test_top_values_by_group_prefilter_exact(ray_session):
+    """Grouped top-k equals a brute Counter ranking (count desc, value
+    asc tie-break) even when each group's values are scattered across
+    many small blocks — the per-block pre-filter must never drop a
+    global winner."""
+    from collections import Counter
+
+    from raydedup.stages.stats import top_values_by_group
+
+    rng = np.random.default_rng(9)
+    groups = [f"g{int(i)}" for i in rng.integers(0, 6, size=3000)]
+    vals = [f"v{int(i)}" for i in rng.integers(0, 25, size=3000)]
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(groups), "v": pa.array(vals),
+    })).repartition(40)
+    got = {(r["g"], r["rank"]): (r["v"], r["n"])
+           for r in top_values_by_group(ds, "g", "v", k=3).take_all()}
+    want = {}
+    for g in set(groups):
+        cnt = Counter(v for gg, v in zip(groups, vals) if gg == g)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for i, (v, n) in enumerate(ranked, 1):
+            want[(g, i)] = (v, n)
+    assert got == want
