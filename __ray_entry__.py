@@ -209,6 +209,47 @@ def q_cluster_cohesion(sf_dir: str):
                       "density")
 
 
+def q_cluster_survivor_by_score(sf_dir: str):
+    """Score-based survivor selection: per near-dup cluster keep the
+    member with the MOST content (max n_chars, tie min row_key) — the
+    curation choice of 'keep the most complete copy' instead of the
+    arbitrary min-key canonical. Singleton clusters bypass the grouped
+    arg-max entirely (repeated_keys semi-split — the map_groups-tax
+    idiom from cluster_medoids); only multi-member clusters reach
+    quality.select_high_quality."""
+    import ray.data
+
+    from raydedup.pipelines.neardup import near_dup_pipeline
+    from raydedup.stages.quality import select_high_quality
+    from raydedup.stages.relational import semi_join
+    from raydedup.util import join_partitions, repeated_keys
+
+    clusters, _ = near_dup_pipeline(_docs(sf_dir), SIMPLE_CFG,
+                                    key_cols=["doc_id"])
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"],
+                                 override_num_blocks=64)
+
+    def rk(b: pa.Table) -> pa.Table:
+        return pa.table({"row_key": pc.cast(b["doc_id"], pa.string()),
+                         "n_chars": pc.cast(b["n_chars"], pa.int64())})
+
+    keyed = docs.map_batches(rk, batch_format="pyarrow").materialize()
+    scored = (clusters.select_columns(["row_key", "cluster_id"])
+              .join(keyed, join_type="inner",
+                    num_partitions=join_partitions(keyed.count()),
+                    on=("row_key",)).materialize())
+    multi_ids = repeated_keys(
+        scored.select_columns(["cluster_id"]), "cluster_id")
+    singles = semi_join(scored, multi_ids, on="cluster_id", anti=True)
+    multi = semi_join(scored, multi_ids, on="cluster_id")
+    winners = select_high_quality(multi, group_cols=("cluster_id",),
+                                  quality_col="n_chars")
+    cols = ["row_key", "cluster_id", "n_chars"]
+    return singles.select_columns(cols).union(
+        winners.select_columns(cols))
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Leakage-safe train/val/test split: near-dup CLUSTERS (not docs)
     are the split unit, so no near-duplicate of a training doc can land
@@ -3681,6 +3722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "near_dup_clusters_altstar": q_near_dup_clusters_altstar,
         "cluster_cohesion": q_cluster_cohesion,
+        "cluster_survivor_by_score": q_cluster_survivor_by_score,
         "leakage_safe_split": q_leakage_safe_split,
         "dup_pagerank": q_dup_pagerank,
         "cluster_medoids": q_cluster_medoids,
@@ -5329,6 +5371,20 @@ def _oracle_sql_base() -> dict[str, str]:
         "near_dup_clusters_docs": f"""
             WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE}
             SELECT row_key, cluster_id FROM clust
+        """,
+        "cluster_survivor_by_score": f"""
+            WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE},
+            scored AS (
+                SELECT c.row_key, c.cluster_id,
+                       CAST(d.n_chars AS BIGINT) AS n_chars
+                FROM clust c
+                JOIN documents d
+                  ON CAST(d.doc_id AS VARCHAR) = c.row_key)
+            SELECT row_key, cluster_id, n_chars
+            FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY n_chars DESC, row_key) AS rn
+                  FROM scored)
+            WHERE rn = 1
         """,
         "cluster_cohesion": f"""
             WITH RECURSIVE {_DOC_SHINGLES_CTE},

@@ -233,7 +233,8 @@ def run_bench() -> dict:
                   "weighted_sample_docs",
                   "cluster_cohesion",
                   "normalized_dedup_groups",
-                  "top_event_types_per_user"):
+                  "top_event_types_per_user",
+                  "cluster_survivor_by_score"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame
