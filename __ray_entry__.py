@@ -120,6 +120,25 @@ def q_near_dup_pairs_docs(sf_dir: str):
     return _round_col(near_dup_pairs(assigned, SIMPLE_CFG), "jaccard")
 
 
+def q_near_dup_pairs_oph(sf_dir: str):
+    """Same verified near-dup pair question as near_dup_pairs_docs,
+    answered through the ONE-PERMUTATION-HASHING signature kernel
+    (Li/Owen/Zhang 2012 + Shrivastava/Li 2014 rotation densification;
+    functions/minhash.py) instead of K independent permutations: one
+    modulo + bin-min per shingle rather than K multiply-adds — the scale
+    path for the bandwidth-bound signature stage. Candidates differ only
+    probabilistically; verification is exact shingle Jaccard either way,
+    so the same brute-force SQL is the truth. One SQL oracle, another
+    execution path — like the altstar/bucketed twins."""
+    from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
+
+    cfg = SIMPLE_CFG.with_overrides(minhash_kernel="oph")
+    assigned = signatures_with_rep(
+        _docs(sf_dir), cfg, key_cols=["doc_id"]
+    ).materialize()
+    return _round_col(near_dup_pairs(assigned, cfg), "jaccard")
+
+
 def q_near_dup_clusters_docs(sf_dir: str):
     from raydedup.pipelines.neardup import near_dup_pipeline
 
@@ -3719,6 +3738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_survivors": q_exact_dedup_survivors,
         "exact_dup_clusters": q_exact_dup_clusters,
         "near_dup_pairs_docs": q_near_dup_pairs_docs,
+        "near_dup_pairs_oph": q_near_dup_pairs_oph,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "near_dup_clusters_altstar": q_near_dup_clusters_altstar,
         "cluster_cohesion": q_cluster_cohesion,
@@ -7989,4 +8009,7 @@ def oracle_sql() -> dict[str, str]:
     # the alternating-star components backend answers the same cluster
     # question — one SQL truth, a third execution path
     oracles["near_dup_clusters_altstar"] = oracles["near_dup_clusters_docs"]
+    # the OPH signature kernel answers the same verified-pair question —
+    # one SQL truth, another signature kernel (exact verify either way)
+    oracles["near_dup_pairs_oph"] = oracles["near_dup_pairs_docs"]
     return oracles

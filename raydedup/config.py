@@ -71,6 +71,14 @@ class DedupConfig:
     minhash_num_perms: int = 64
     minhash_shingle_words: int = 3
     minhash_seed: int = 4242
+    # signature kernel: "kperm" = K independent permutations (the
+    # reference-parity default); "oph" = one-permutation hashing with
+    # rotation densification (Li/Owen/Zhang 2012 + Shrivastava/Li 2014)
+    # — ONE hash pass per shingle instead of K multiply-adds, the scale
+    # path for the bandwidth-bound signature stage. Both produce (n, K)
+    # minwise sketches with the same banding math; candidate sets may
+    # differ per pair but verification is exact either way.
+    minhash_kernel: str = "kperm"
 
     # --- LSH banding: bands * rows == num_perms ---
     lsh_bands: int = 16
@@ -119,6 +127,11 @@ class DedupConfig:
             raise ValueError(
                 f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
                 f"must equal minhash_num_perms ({self.minhash_num_perms})"
+            )
+        if self.minhash_kernel not in ("kperm", "oph"):
+            raise ValueError(
+                f"minhash_kernel must be 'kperm' or 'oph', "
+                f"got {self.minhash_kernel!r}"
             )
 
     def with_overrides(self, **kw) -> "DedupConfig":

@@ -245,3 +245,104 @@ class MinHasher:
     @staticmethod
     def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float((sig_a == sig_b).mean())
+
+
+# ---------------------------------------------------------------------------
+# One-permutation hashing (OPH) with rotation densification.
+#
+# Li, Owen & Zhang 2012 ("One Permutation Hashing") partition the hash
+# space into K bins and keep the minimum hash value per bin — ONE pass
+# over the shingles instead of K independent permutations, so the
+# per-shingle signature cost drops from K multiply-adds (the measured
+# memory-bandwidth bottleneck of the k-perm kernel under full task
+# concurrency; see BASELINE.md kernel notes) to one modulo + one min.
+# Empty bins are filled by rotation densification (Shrivastava & Li 2014,
+# "Densifying One Permutation Hashing via Rotation"): an empty bin j
+# borrows the value of the nearest non-empty bin t positions to its right
+# (circularly), offset by t*C so distinct-distance borrows cannot
+# spuriously collide. The densified signature is a valid minwise sketch —
+# P[sig_a[i] == sig_b[i]] ≈ J(A, B) — so the LSH banding math
+# (1-(1-J^r)^b) is unchanged and band_hashes_from_minhash applies as-is.
+#
+# Deterministic: bins and values derive only from the 64-bit shingle
+# hashes, so identical text ⇒ identical OPH signature on every worker.
+# Public algorithms (Li/Owen/Zhang 2012; Shrivastava/Li 2014); no
+# reference-repo counterpart — this is the engine's scale path for the
+# signature stage, selectable via DedupConfig.minhash_kernel = "oph".
+# ---------------------------------------------------------------------------
+
+_OPH_C = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit offset constant
+
+
+def oph_signature_ref(hashes: list[int], k: int) -> list[int]:
+    """Scalar REFERENCE implementation (pytest parity oracle for the
+    vectorized batch path). Empty input → all-ones sentinel row, matching
+    MinHasher's empty-doc convention."""
+    sig = [int(_EMPTY)] * k
+    if not hashes:
+        return sig
+    filled = [False] * k
+    for x in hashes:
+        x &= _M64
+        b = x % k
+        if not filled[b] or x < sig[b]:
+            sig[b] = x
+            filled[b] = True
+    if not any(filled):
+        return [int(_EMPTY)] * k
+    out = list(sig)
+    for j in range(k):
+        if filled[j]:
+            continue
+        t = 1
+        while not filled[(j + t) % k]:
+            t += 1
+        out[j] = (sig[(j + t) % k] + t * int(_OPH_C)) & _M64
+    return out
+
+
+def oph_signatures_from_flat(flat: np.ndarray, offsets: np.ndarray,
+                             k: int,
+                             values_ascending: bool = False) -> np.ndarray:
+    """(flat uint64 shingle hashes, per-doc int64 offsets) → (n_docs, k)
+    uint64 densified OPH signatures. Fully vectorized, sort-free when the
+    caller's flat array is already value-ascending WITHIN each doc
+    (``values_ascending=True`` — signature_batch has that order for free
+    from its sorted-unique shingle lexsort): per-(doc, bin) minima fall
+    out of one reversed scatter store (descending values ⇒ the LAST write
+    per key is the min); rotation densification is a reverse running-min
+    over a circularly doubled index plane. Agrees exactly with
+    ``oph_signature_ref``."""
+    n = len(offsets) - 1
+    out = np.full((n, k), _EMPTY, dtype=np.uint64)
+    if flat.size == 0 or n == 0:
+        return out
+    d_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    if not values_ascending:
+        order = np.argsort(flat, kind="stable")
+        flat, d_ids = flat[order], d_ids[order]
+    keys = d_ids * k + (flat % np.uint64(k)).astype(np.int64)
+    rk = keys[::-1]
+    out.reshape(-1)[rk] = flat[::-1]
+
+    filled = np.zeros(n * k, dtype=bool)
+    filled[keys] = True
+    filled = filled.reshape(n, k)
+    rows = np.flatnonzero(filled.any(axis=1) & ~filled.all(axis=1))
+    if rows.size:
+        sub = out[rows]
+        m = filled[rows]
+        big = 2 * k + 1
+        col = np.arange(k, dtype=np.int64)
+        # nearest non-empty index at-or-right of j in circular space:
+        # reverse running-min over [idx, idx+k] with empties masked BIG
+        ext = np.concatenate(
+            [np.where(m, col[None, :], big),
+             np.where(m, col[None, :] + k, big)], axis=1)
+        nxt = np.minimum.accumulate(ext[:, ::-1], axis=1)[:, ::-1][:, :k]
+        t = (nxt - col[None, :]).astype(np.uint64)
+        src = (nxt % k).astype(np.int64)
+        borrowed = (np.take_along_axis(sub, src, axis=1)
+                    + t * _OPH_C)  # uint64 wrap
+        out[rows] = np.where(m, sub, borrowed)
+    return out

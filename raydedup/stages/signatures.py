@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raydedup.config import DedupConfig
-from raydedup.functions.minhash import MinHasher
+from raydedup.functions.minhash import MinHasher, oph_signatures_from_flat
 from raydedup.functions.simhash import simhash64_batch
 from raydedup.textnorm import full_tokenize
 
@@ -103,16 +103,28 @@ def signature_batch(batch: pa.Table, cfg: DedupConfig,
     flat_sh, sh_doc_offs = minhasher.shingle_hash_arrays(
         token_lists, cfg.minhash_shingle_words
     )
-    u_minhash = minhasher.signatures_from_flat(flat_sh, sh_doc_offs)
-    u_bands = band_hashes_from_minhash(u_minhash, cfg.lsh_bands, cfg.lsh_rows)
-
     # per-doc sorted-unique shingle hashes in ONE batch lexsort + diff
-    # (a per-doc np.unique loop was ~0.15 s/batch of call overhead)
+    # (a per-doc np.unique loop was ~0.15 s/batch of call overhead);
+    # hoisted above the minhash kernel because the OPH path reuses the
+    # (doc-contiguous, value-ascending) order to take its bin minima
+    # sort-free
     n_u = len(token_lists)
     d_ids = np.repeat(np.arange(n_u, dtype=np.int64),
                       np.diff(sh_doc_offs))
     order = np.lexsort((flat_sh, d_ids))
     fs, fd = flat_sh[order], d_ids[order]
+
+    if cfg.minhash_kernel == "oph":
+        # one-permutation hashing + rotation densification: one modulo
+        # + one scatter-min per shingle instead of K multiply-adds — the
+        # scale path for the bandwidth-bound stage (functions/minhash.py).
+        # fs has the same per-doc multiset as flat_sh, so sh_doc_offs
+        # still describes it.
+        u_minhash = oph_signatures_from_flat(
+            fs, sh_doc_offs, cfg.minhash_num_perms, values_ascending=True)
+    else:
+        u_minhash = minhasher.signatures_from_flat(flat_sh, sh_doc_offs)
+    u_bands = band_hashes_from_minhash(u_minhash, cfg.lsh_bands, cfg.lsh_rows)
     keep = np.r_[True, (fd[1:] != fd[:-1]) | (fs[1:] != fs[:-1])] \
         if fs.size else np.empty(0, dtype=bool)
     sh_values = fs[keep]
