@@ -64,20 +64,26 @@ def run_bench() -> dict:
     # luck of one draw. The second pass also runs on warm workers.
     passes = int(os.environ.get("BENCH_HEADLINE_PASSES", "2"))
 
+    # BENCH_MINHASH_KERNEL=oph benches the one-permutation-hashing
+    # signature kernel; default is the reference-parity k-perm config
+    kernel = os.environ.get("BENCH_MINHASH_KERNEL")
+    cfg = (DEFAULT_CONFIG.with_overrides(minhash_kernel=kernel)
+           if kernel else DEFAULT_CONFIG)
+
     def one_headline() -> tuple[dict, float, int, object, object]:
         q: dict[str, float] = {}
         t_start = time.time()
         t0 = time.time()
-        assigned = signatures_with_rep(ts_warm, DEFAULT_CONFIG).materialize()
+        assigned = signatures_with_rep(ts_warm, cfg).materialize()
         q["signatures_exact_dedup"] = round(time.time() - t0, 3)
 
         t0 = time.time()
-        pairs = near_dup_pairs(assigned, DEFAULT_CONFIG).materialize()
+        pairs = near_dup_pairs(assigned, cfg).materialize()
         np_ = pairs.count()
         q["lsh_verified_pairs"] = round(time.time() - t0, 3)
 
         t0 = time.time()
-        clusters = cluster_assignments(assigned, pairs, DEFAULT_CONFIG)
+        clusters = cluster_assignments(assigned, pairs, cfg)
         out_dir = f"/tmp/raydedup_bench/{num_cpus}"
         import shutil
 
