@@ -139,6 +139,24 @@ def q_near_dup_pairs_oph(sf_dir: str):
     return _round_col(near_dup_pairs(assigned, cfg), "jaccard")
 
 
+def q_bag_near_dup_pairs(sf_dir: str):
+    """WEIGHTED (token-multiset) Jaccard near-dup pairs between
+    exact-text reps — the bag-similarity contract that catches reordered
+    AND lightly edited copies (order-invariant, count-sensitive), which
+    exact bag hashing (any edit breaks) and word-shingle LSH (reordering
+    destroys n-grams) both miss. Exact reduction: counts expand to
+    (token, occurrence) elements, set Jaccard of expanded sets ≡ weighted
+    Jaccard, so the flagship LSH machinery runs unchanged and its exact
+    in-bucket verification IS the exact weighted Jaccard
+    (stages/wjaccard.py). Oracle replays Σmin/Σmax from per-(doc, token)
+    counts."""
+    from raydedup.stages.wjaccard import bag_near_dup_pairs
+
+    return _round_col(
+        bag_near_dup_pairs(_docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"]),
+        "jaccard")
+
+
 def q_near_dup_clusters_docs(sf_dir: str):
     from raydedup.pipelines.neardup import near_dup_pipeline
 
@@ -3739,6 +3757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_clusters": q_exact_dup_clusters,
         "near_dup_pairs_docs": q_near_dup_pairs_docs,
         "near_dup_pairs_oph": q_near_dup_pairs_oph,
+        "bag_near_dup_pairs": q_bag_near_dup_pairs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "near_dup_clusters_altstar": q_near_dup_clusters_altstar,
         "cluster_cohesion": q_cluster_cohesion,
@@ -4638,6 +4657,33 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(count(*) OVER (PARTITION BY text) AS INTEGER)
                        AS cluster_size
             FROM documents
+        """,
+        "bag_near_dup_pairs": f"""
+            WITH bag_reps AS (
+                SELECT min(CAST(doc_id AS VARCHAR)) AS rep
+                FROM documents GROUP BY text
+            ),
+            arrs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM documents
+                WHERE CAST(doc_id AS VARCHAR) IN (SELECT rep FROM bag_reps)
+            ),
+            toks AS (SELECT id, t.t FROM arrs, UNNEST(arr) AS t(t)),
+            cnts AS (SELECT id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+            tot AS (SELECT id, sum(c) AS n FROM cnts GROUP BY 1),
+            inter AS (
+                SELECT a.id AS ai, b.id AS bi, sum(least(a.c, b.c)) AS m
+                FROM cnts a JOIN cnts b ON a.t = b.t AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT ai AS a_key, bi AS b_key,
+                   round(CAST(m AS DOUBLE) / (x.n + y.n - m), {_ROUND})
+                       AS jaccard
+            FROM inter
+            JOIN tot x ON x.id = ai JOIN tot y ON y.id = bi
+            WHERE CAST(m AS DOUBLE) / (x.n + y.n - m) >= 0.8
         """,
         "near_dup_pairs_docs": f"""
             WITH {_DOC_SHINGLES_CTE}

@@ -240,7 +240,9 @@ def run_bench() -> dict:
                   "cluster_cohesion",
                   "normalized_dedup_groups",
                   "top_event_types_per_user",
-                  "cluster_survivor_by_score"):
+                  "cluster_survivor_by_score",
+                  "near_dup_pairs_oph",
+                  "bag_near_dup_pairs"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -1,0 +1,178 @@
+"""Weighted (multiset / bag) near-duplicate pairs.
+
+The FIFTH similarity contract next to set-Jaccard LSH, simhash
+pigeonhole, SNM and FastSS: WEIGHTED Jaccard over token multisets,
+
+    J_w(A, B) = Σ_t min(c_A(t), c_B(t)) / Σ_t max(c_A(t), c_B(t)),
+
+the bag generalization of ``exact.bag_dup_groups`` (which only catches
+IDENTICAL multisets). Token-level J_w is order-invariant, so it finds
+reordered AND lightly edited copies that both exact bag hashing (any
+edit breaks it) and set-shingle LSH (reordering destroys word n-grams)
+miss — the classic shuffled-boilerplate / template-with-substitutions
+case.
+
+Reduction (exact, for integer counts — Kleinberg/Tardos-style element
+expansion; see also Haveliwala et al. 2000): expand each token t with
+count c into c distinct elements (t, 1) … (t, c). Then
+
+    set-Jaccard(expand(A), expand(B)) ≡ weighted-Jaccard(A, B)
+
+because the expanded sets share exactly Σ min(c_A, c_B) elements and
+union to Σ max. So the ENTIRE existing pipeline applies unchanged:
+minhash (k-perm or OPH per ``cfg.minhash_kernel``) over the expanded
+element hashes, band-fold, ``lsh_verified_pairs``' bucket groupby +
+exact set-Jaccard verification — whose verified jaccard IS the exact
+weighted Jaccard. Salting, pair budgets, driver/co-partitioned paths,
+everything is inherited.
+
+Scale shape: identical to the flagship — texts are dropped at this
+stage, only hashes shuffle; expansion does not blow up the data (the
+expanded set of a doc has exactly one element per TOKEN INSTANCE, the
+same size as the token stream the tokenizer already produced).
+
+Tokenizer: ``simple_tokenize`` (lowercase ``\\w+``) — the
+SQL-mirrorable contract (``regexp_extract_all(lower(text),
+'[0-9a-zA-Z_]+')``), so the DuckDB oracle can replay exact weighted
+Jaccard from per-(doc, token) counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydedup.config import DedupConfig, DEFAULT_CONFIG
+from raydedup.functions.minhash import (
+    MinHasher,
+    _blake64,
+    _fmix64_batch,
+    _POLY_C,
+    oph_signatures_from_flat,
+)
+from raydedup.stages.exact import add_row_key, exact_dedup
+from raydedup.stages.lsh import lsh_verified_pairs
+from raydedup.stages.signatures import band_hashes_from_minhash
+from raydedup.textnorm import simple_tokenize
+
+# per-worker-process state: (num_perms, seed) → (MinHasher, token-hash
+# cache). Pure-function values — process reuse cannot change results.
+_STATE: dict[tuple, tuple[MinHasher, dict]] = {}
+
+
+def _state_for(cfg: DedupConfig) -> tuple[MinHasher, dict]:
+    key = (cfg.minhash_num_perms, cfg.minhash_seed)
+    st = _STATE.get(key)
+    if st is None:
+        st = (MinHasher(cfg.minhash_num_perms, cfg.minhash_seed), {})
+        _STATE[key] = st
+    return st
+
+
+def expanded_elements_ref(tokens: list[str]) -> list[int]:
+    """Scalar REFERENCE of the (token, occurrence) element hashing
+    (pytest parity oracle for the vectorized batch path): the i-th
+    occurrence of token t (1-based) hashes to
+    fmix64(blake64(t) + i * POLY_C)."""
+    seen: dict[str, int] = {}
+    out = []
+    for t in tokens:
+        occ = seen.get(t, 0) + 1
+        seen[t] = occ
+        x = np.uint64((_blake64(t) + occ * _POLY_C) & ((1 << 64) - 1))
+        out.append(int(_fmix64_batch(np.array([x], dtype=np.uint64))[0]))
+    return out
+
+
+def _bag_signature_batch(batch: pa.Table, cfg: DedupConfig,
+                         text_col: str) -> pa.Table:
+    minhasher, tok_cache = _state_for(cfg)
+
+    enc = pc.dictionary_encode(
+        pc.fill_null(batch[text_col].combine_chunks(), ""))
+    row_to_uniq = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_texts: list[str] = enc.dictionary.to_pylist()
+    u_sha = [hashlib.sha256(t.encode("utf-8")).hexdigest()
+             for t in uniq_texts]
+
+    token_lists = [simple_tokenize(t) for t in uniq_texts]
+    n_u = len(token_lists)
+    lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+    offsets = np.zeros(n_u + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+
+    flat_tokens = [t for lst in token_lists for t in lst]
+    if flat_tokens:
+        tenc = pc.dictionary_encode(pa.array(flat_tokens, type=pa.string()))
+        idx = tenc.indices.to_numpy().astype(np.int64)
+        dvals = tenc.dictionary.to_pylist()
+        dh = np.empty(len(dvals), dtype=np.uint64)
+        get = tok_cache.get
+        for i, s in enumerate(dvals):
+            h = get(s)
+            if h is None:
+                h = _blake64(s)
+                tok_cache[s] = h
+            dh[i] = h
+        th = dh[idx]
+        # occurrence index per (doc, token): lexsort by (doc, token hash)
+        # → within-run rank; element hash = fmix64(th + occ * POLY_C)
+        d_ids = np.repeat(np.arange(n_u, dtype=np.int64), lens)
+        order = np.lexsort((th, d_ids))
+        ts, td = th[order], d_ids[order]
+        pos = np.arange(ts.size, dtype=np.int64)
+        run_start = np.r_[True, (td[1:] != td[:-1]) | (ts[1:] != ts[:-1])]
+        occ = pos - np.maximum.accumulate(np.where(run_start, pos, 0)) + 1
+        elem = _fmix64_batch(ts + occ.astype(np.uint64) * np.uint64(_POLY_C))
+        # per-doc value-ascending order (td is already doc-contiguous)
+        eorder = np.lexsort((elem, td))
+        fs = elem[eorder]
+    else:
+        fs = np.empty(0, dtype=np.uint64)
+
+    if cfg.minhash_kernel == "oph":
+        u_minhash = oph_signatures_from_flat(
+            fs, offsets, cfg.minhash_num_perms, values_ascending=True)
+    else:
+        u_minhash = minhasher.signatures_from_flat(fs, offsets)
+    u_bands = band_hashes_from_minhash(u_minhash, cfg.lsh_bands, cfg.lsh_rows)
+
+    sel = pa.array(row_to_uniq)
+    cols = {name: batch[name] for name in batch.column_names
+            if name != text_col}
+    cols["text_sha256"] = pc.take(pa.array(u_sha, type=pa.string()), sel)
+    cols["band_hashes"] = pc.take(
+        pa.FixedSizeListArray.from_arrays(
+            pa.array(u_bands.reshape(-1), type=pa.uint64()), cfg.lsh_bands),
+        sel)
+    cols["shingle_hashes"] = pc.take(
+        pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(fs, type=pa.uint64())),
+        sel)
+    cols["n_shingles"] = pc.take(
+        pa.array(lens.astype(np.int32), type=pa.int32()), sel)
+    return pa.table(cols)
+
+
+def bag_near_dup_pairs(ds, cfg: DedupConfig = DEFAULT_CONFIG,
+                       key_cols: list[str] | None = None,
+                       text_col: str = "text",
+                       min_jaccard: float | None = None):
+    """rows → verified weighted-Jaccard near-dup pairs between exact-text
+    representatives: (a_key < b_key, jaccard = EXACT token-multiset
+    weighted Jaccard ≥ cfg.jaccard_dup_threshold). Exact-text duplicates
+    collapse first (identical text ⇒ J_w = 1 trivially — those are exact
+    pairs, not bag pairs), mirroring the flagship's rep contract."""
+    key_cols = key_cols or ["doc_id"]
+    keyed = add_row_key(ds.select_columns(key_cols + [text_col]), key_cols)
+    sigs = keyed.map_batches(
+        lambda b: _bag_signature_batch(b, cfg, text_col),
+        batch_format="pyarrow", batch_size=cfg.batch_size)
+    assigned = exact_dedup(sigs)
+    reps = assigned.filter(expr="is_rep").select_columns(
+        ["row_key", "band_hashes", "shingle_hashes", "n_shingles"])
+    return lsh_verified_pairs(reps, cfg, min_jaccard=min_jaccard)

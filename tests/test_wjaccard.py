@@ -1,0 +1,138 @@
+"""Weighted (multiset) near-dup pairs (stages/wjaccard.py).
+
+The expansion reduction must be exact: set Jaccard over the expanded
+(token, occurrence) elements ≡ weighted Jaccard over token counts. We
+pin (a) the element hashing against a scalar replay, (b) the full
+pipeline against a brute-force weighted-Jaccard oracle on planted
+reordered / edited / decoy docs, and (c) the contract boundaries
+(pure reorder ⇒ J_w = 1 pair; exact-text copies collapse, never pair).
+"""
+
+import itertools
+import random
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+
+from raydedup.config import DedupConfig
+from raydedup.stages.wjaccard import (
+    _bag_signature_batch,
+    bag_near_dup_pairs,
+    expanded_elements_ref,
+)
+from raydedup.textnorm import simple_tokenize
+
+CFG = DedupConfig().with_overrides(stemming=False, remove_stopwords=False)
+
+
+def _jw(a: str, b: str) -> float:
+    ca, cb = Counter(simple_tokenize(a)), Counter(simple_tokenize(b))
+    inter = sum(min(ca[t], cb[t]) for t in ca.keys() & cb.keys())
+    union = sum(ca.values()) + sum(cb.values()) - inter
+    return inter / union if union else 0.0
+
+
+def _run(rows, cfg=CFG):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = set()
+    for b in bag_near_dup_pairs(ds, cfg).iter_batches(
+            batch_format="pyarrow"):
+        got |= set(zip(b["a_key"].to_pylist(), b["b_key"].to_pylist(),
+                       [round(j, 9) for j in b["jaccard"].to_pylist()]))
+    return got
+
+
+def _brute(rows):
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(str(r["doc_id"]))
+    reps = [(min(ks), t) for t, ks in by_text.items()]
+    out = set()
+    for (ka, ta), (kb, tb) in itertools.combinations(reps, 2):
+        j = _jw(ta, tb)
+        if j >= 0.8:
+            a, b = sorted([ka, kb])
+            out.add((a, b, round(j, 9)))
+    return out
+
+
+def test_element_hash_batch_matches_scalar_ref():
+    texts = ["the cat the cat sat", "", "a a a b", "Cat THE the cat sat",
+             "x" * 5, "1 2 3 1 2 1"]
+    tbl = pa.table({
+        "doc_id": list(range(len(texts))),
+        "row_key": [str(i) for i in range(len(texts))],
+        "text": texts,
+    })
+    out = _bag_signature_batch(tbl, CFG, "text")
+    for i, t in enumerate(texts):
+        exp = sorted(set(expanded_elements_ref(simple_tokenize(t))))
+        assert out["shingle_hashes"][i].as_py() == exp
+
+
+def test_pipeline_matches_brute_weighted_jaccard(ray_session):
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(50)]
+    rows = []
+    for fam in range(8):
+        base = [rng.choice(words) for _ in range(60)]
+        rows.append({"doc_id": fam * 10, "text": " ".join(base)})
+        sh = base[:]
+        rng.shuffle(sh)
+        rows.append({"doc_id": fam * 10 + 1, "text": " ".join(sh)})
+        ed = base[:]
+        ed[rng.randrange(60)] = rng.choice(words)
+        rows.append({"doc_id": fam * 10 + 2, "text": " ".join(ed)})
+    for i in range(30):
+        rows.append({"doc_id": 1000 + i,
+                     "text": " ".join(rng.choice(words) for _ in range(40))})
+    brute = _brute(rows)
+    got = _run(rows)
+    assert len(brute) >= 16  # every planted reorder + edit pair survives
+    assert got == brute
+
+
+def test_pipeline_matches_brute_under_oph_kernel(ray_session):
+    rng = random.Random(12)
+    words = [f"t{i}" for i in range(40)]
+    rows = []
+    for fam in range(6):
+        base = [rng.choice(words) for _ in range(50)]
+        sh = base[:]
+        rng.shuffle(sh)
+        rows.append({"doc_id": fam * 2, "text": " ".join(base)})
+        rows.append({"doc_id": fam * 2 + 1, "text": " ".join(sh)})
+    got = _run(rows, CFG.with_overrides(minhash_kernel="oph"))
+    assert got == _brute(rows)
+
+
+def test_pure_reorder_scores_one_and_exact_copies_collapse(ray_session):
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta alpha"},
+        {"doc_id": 2, "text": "delta alpha alpha beta gamma"},  # reorder
+        {"doc_id": 3, "text": "alpha beta gamma delta alpha"},  # exact copy
+        {"doc_id": 4, "text": "zz yy xx ww vv"},
+    ]
+    got = _run(rows)
+    # exact copy of doc 1 collapses into rep '1'; the reorder pairs with
+    # the rep at exactly J_w = 1.0; no pair involves key '3'
+    assert got == {("1", "2", 1.0)}
+
+
+def test_count_sensitivity_distinguishes_multiplicity(ray_session):
+    # same SUPPORT set, very different counts → weighted J low, no pair
+    rows = [
+        {"doc_id": 1, "text": " ".join(["a"] * 30 + ["b"])},
+        {"doc_id": 2, "text": " ".join(["b"] * 30 + ["a"])},
+    ]
+    assert _run(rows) == set()
+    assert _jw(rows[0]["text"], rows[1]["text"]) < 0.1
+
+
+def test_empty_and_null_texts_never_pair(ray_session):
+    rows = [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": None},
+            {"doc_id": 3, "text": "   "}, {"doc_id": 4, "text": "a b c"}]
+    assert _run(rows) == set()
