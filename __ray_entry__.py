@@ -3100,6 +3100,26 @@ def q_set_sim_pairs_docs(sf_dir: str):
         "jaccard")
 
 
+def q_set_containment_pairs(sf_dir: str):
+    """Exact ASYMMETRIC shingle-set containment pairs
+    (|inner ∩ outer| / |inner| >= 0.9, |inner| >= 5 shingles, ordered,
+    inner != outer) via the asymmetric prefix filter: only the INNER
+    side prefixes (floor((1-t)n)+1 hot-last shingles), the outer side
+    indexes its full set — no outer length bound exists, which is
+    exactly where the Jaccard join goes blind (a small doc swallowed by
+    a huge one has near-zero Jaccard). SET-level counterpart of
+    doc_containment_pairs' verbatim-substring contract: robust to
+    reordering/interleaving of the reused material. Recall exactly 1.0
+    at threshold by the prefix theorem; the oracle recomputes brute
+    containment in SQL."""
+    from raydedup.stages.setjoin import set_containment_self_join
+
+    return _round_col(
+        set_containment_self_join(_docs(sf_dir), 0.9, SIMPLE_CFG,
+                                  min_inner=5),
+        "containment")
+
+
 def q_conv_near_dup_pairs(sf_dir: str):
     """CONVERSATION-granularity near-dup pairs: reassemble each
     conversation under stable (conv_id, turn_idx) ordering, then run
@@ -3904,6 +3924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_matches_bloom": q_cross_corpus_matches_bloom,
         "top_terms_global_sketch": q_top_terms_global_sketch,
         "set_sim_pairs_docs": q_set_sim_pairs_docs,
+        "set_containment_pairs": q_set_containment_pairs,
         "conv_near_dup_pairs": q_conv_near_dup_pairs,
         "tiered_dedup_docs": q_tiered_dedup_docs,
         "tiered_semantic_docs": q_tiered_semantic_docs,
@@ -7326,6 +7347,40 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.a_id
             JOIN sz y ON y.doc_id = i.b_id
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        "set_containment_pairs": f"""
+            WITH arrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
+                           AS arr
+                FROM documents
+            ),
+            sl AS (
+                SELECT doc_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM arrs WHERE len(arr) > 0
+            ),
+            sh AS (SELECT DISTINCT doc_id, s.sh
+                   FROM sl, UNNEST(shl) AS s(sh)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.ai AS inner_id, i.bi AS outer_id, i.c AS common,
+                   x.n AS n_inner, y.n AS n_outer,
+                   round(CAST(i.c AS DOUBLE) / x.n, {_ROUND})
+                       AS containment
+            FROM inter i
+            JOIN sz x ON x.doc_id = i.ai
+            JOIN sz y ON y.doc_id = i.bi
+            WHERE x.n >= 5 AND CAST(i.c AS DOUBLE) / x.n >= 0.9
         """,
         "conv_near_dup_pairs": TRANSCRIPTS_SQL + f""",
             conv AS (

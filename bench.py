@@ -242,7 +242,8 @@ def run_bench() -> dict:
                   "top_event_types_per_user",
                   "cluster_survivor_by_score",
                   "near_dup_pairs_oph",
-                  "bag_near_dup_pairs"):
+                  "bag_near_dup_pairs",
+                  "set_containment_pairs"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -676,3 +676,279 @@ def temporal_novelty(ds, cfg: DedupConfig = DEFAULT_CONFIG,
                          "n_first_seen": nfs, "novelty_frac": frac})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def set_containment_self_join(ds, threshold: float,
+                              cfg: DedupConfig = DEFAULT_CONFIG,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              min_inner: int = 1,
+                              hot_k: int = 1024,
+                              num_partitions: int | None = None,
+                              verify_broadcast_max_rows: int = 200_000):
+    """Exact ASYMMETRIC set-containment self-join: all ORDERED pairs
+    (inner, outer), inner != outer, with Broder containment
+
+        c(inner → outer) = |inner ∩ outer| / |inner| >= threshold
+
+    and |inner| >= ``min_inner`` shingles (tiny sets reach containment
+    1.0 from a single shared shingle; the floor is part of the contract
+    and mirrored in the SQL oracle).
+
+    This is the SET-level quote / subset-reuse detector next to
+    ``suffix_span.containment_pairs`` (verbatim substring): robust to
+    reordering and interleaving, which substring containment is not,
+    and with no constraint on the outer document's size — exactly the
+    regime where a Jaccard join goes blind (a small doc swallowed by a
+    huge one has near-zero Jaccard at any threshold).
+
+    Prefix-filter soundness (same theorem family as the Jaccard join,
+    asymmetric form): c >= t means inner misses at most
+    ``(1-t)*|inner|`` of its own elements, so ANY
+    ``floor((1-t)*|inner|) + 1`` of them — in particular the hot-last
+    prefix ``_prefix_len`` computes — must share one with outer. The
+    INNER side therefore explodes only its prefix; the OUTER side must
+    index its FULL set (no length bound exists on the outer). Payload
+    stays (bucket, id, nsh, flag) — shingle lists attach to DISTINCT
+    ordered pairs once, exactly like the Jaccard join.
+
+    Scale shape: the index-side explode is one row per shingle
+    INSTANCE of the corpus — the same volume `temporal_novelty` already
+    shuffles; hot-last ordering keeps corpus-hot shingles out of
+    prefixes so the classic hot-bucket cartesian cannot form on the
+    probe side. Candidate volume per bucket is (prefix members ×
+    members), linear in bucket size per probe.
+    """
+    from raydedup.util import join_partitions, repeated_keys
+
+    sets = shingle_sets(ds, cfg, id_col=id_col, text_col=text_col)
+    sets = sets.materialize()
+    id_type = pa.string()
+    for sch in (ds.schema(), sets.schema()):
+        if sch is not None and id_col in sch.names:
+            id_type = dict(zip(sch.names, sch.types))[id_col]
+            break
+    id_field = pa.field(id_col, id_type)
+    pair_schema = pa.schema([
+        pa.field("inner_id", id_field.type),
+        pa.field("outer_id", id_field.type),
+        pa.field("common", pa.int64()), pa.field("n_inner", pa.int64()),
+        pa.field("n_outer", pa.int64()),
+        pa.field("containment", pa.float64()),
+    ])
+    if sets.count() == 0:
+        return ray.data.from_arrow(pair_schema.empty_table())
+
+    hot_sorted = (hot_shingle_hashes(sets, hot_k) if hot_k > 0
+                  else np.empty(0, dtype=np.uint64))
+    hot_ref = ray.put(hot_sorted)
+
+    explode_schema = pa.schema([
+        pa.field("bucket", pa.int64()), id_field,
+        pa.field("nsh", pa.int64()), pa.field("pfx", pa.bool_()),
+    ])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return explode_schema.empty_table()
+        ck = hot_ref.binary()
+        hot = _HOT_CACHE.get(ck)
+        if hot is None:
+            hot = ray.get(hot_ref)
+            _HOT_CACHE.clear()
+            _HOT_CACHE[ck] = hot
+        shc = batch["sh"].combine_chunks()
+        flat = shc.values.to_numpy(zero_copy_only=False)
+        lens = batch["nsh"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        docidx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        is_hot = (np.zeros(flat.size, dtype=bool) if hot.size == 0
+                  else (hot[np.clip(np.searchsorted(hot, flat), 0,
+                                    hot.size - 1)] == flat))
+        order = np.lexsort((flat, is_hot, docidx))
+        f2 = flat[order]
+        pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)
+        p = _prefix_len(lens, threshold)
+        in_prefix = pos < np.repeat(p, lens)
+        take = pa.array(docidx)
+        return pa.table({
+            "bucket": pa.array(f2.view(np.int64), type=pa.int64()),
+            id_col: pc.take(batch[id_col].combine_chunks(), take),
+            "nsh": pa.array(lens[docidx], type=pa.int64()),
+            "pfx": pa.array(in_prefix),
+        })
+
+    exploded = sets.map_batches(explode, batch_format="pyarrow").materialize()
+    n_exploded = exploded.count()
+    if n_exploded == 0:
+        return ray.data.from_arrow(pair_schema.empty_table())
+    hot_buckets = repeated_keys(exploded, "bucket").materialize()
+    if hot_buckets.count() == 0:
+        return ray.data.from_arrow(pair_schema.empty_table())
+    n_parts = num_partitions or join_partitions(n_exploded)
+    cands = exploded.join(hot_buckets, join_type="inner",
+                          num_partitions=n_parts, on=("bucket",))
+
+    cand_schema = pa.schema([pa.field("inner_id", id_field.type),
+                             pa.field("outer_id", id_field.type)])
+
+    def gen_pairs(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return cand_schema.empty_table()
+        nsh = group["nsh"].to_numpy(zero_copy_only=False)
+        pfx = group["pfx"].to_numpy(zero_copy_only=False)
+        inner = np.flatnonzero(pfx & (nsh >= min_inner))
+        if inner.size == 0:
+            return cand_schema.empty_table()
+        # ordered (inner, outer) candidates: every prefix member of the
+        # bucket against every member; self-pairs drop below
+        pi = np.repeat(inner, m)
+        pj = np.tile(np.arange(m, dtype=np.int64), inner.size)
+        keep = pi != pj
+        # containment >= t needs |outer| >= |inner ∩ outer| >= t*|inner|
+        keep &= nsh[pj] >= threshold * nsh[pi] - 1e-9
+        pi, pj = pi[keep], pj[keep]
+        if pi.size == 0:
+            return cand_schema.empty_table()
+        ids = group[id_col].combine_chunks()
+        return pa.table({"inner_id": pc.take(ids, pa.array(pi)),
+                         "outer_id": pc.take(ids, pa.array(pj))})
+
+    raw_pairs = cands.groupby("bucket").map_groups(
+        gen_pairs, batch_format="pyarrow")
+    pairs = raw_pairs.groupby(["inner_id", "outer_id"]).count().drop_columns(
+        ["count()"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pair_schema.empty_table())
+
+    def _with_containment(tbl_cols):
+        c = tbl_cols["common"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        na = tbl_cols["n_inner"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.array(c / na, type=pa.float64())
+
+    if sets.count() <= verify_broadcast_max_rows:
+        chunks = [pa.table(b) for b in
+                  sets.map_batches(lambda t: pa.table(
+                      {"jkey": t[id_col],
+                       "shbin": _pack_u64_lists(t["sh"].combine_chunks())}),
+                      batch_format="pyarrow")
+                  .iter_batches(batch_size=1 << 20,
+                                batch_format="pyarrow")]
+        alltbl = pa.concat_tables(chunks).combine_chunks()
+        bflat, boffs = _unpack_u64_binary(alltbl["shbin"])
+        bref = ray.put((alltbl["jkey"].combine_chunks(), bflat, boffs))
+
+        def verify_bcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pair_schema.empty_table()
+            ids_arr, flat, offs = ray.get(bref)
+            ia = pc.index_in(b["inner_id"], value_set=ids_arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ib = pc.index_in(b["outer_id"], value_set=ids_arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            la = (offs[ia + 1] - offs[ia]).astype(np.int64)
+            lb = (offs[ib + 1] - offs[ib]).astype(np.int64)
+
+            def fill(row: np.ndarray, i: int) -> None:
+                k = la[i]
+                row[:k] = flat[offs[ia[i]]: offs[ia[i] + 1]]
+                row[k: k + lb[i]] = flat[offs[ib[i]]: offs[ib[i] + 1]]
+
+            inter = _tiled_intersections(la, lb, fill)
+            cont = np.where(la > 0, inter / np.maximum(la, 1), 0.0)
+            keep = np.flatnonzero(cont >= threshold)
+            if keep.size == 0:
+                return pair_schema.empty_table()
+            sel = pa.array(keep)
+            out = pa.table({
+                "inner_id": b["inner_id"].take(sel),
+                "outer_id": b["outer_id"].take(sel),
+                "common": pa.array(inter[keep], type=pa.int64()),
+                "n_inner": pa.array(la[keep], type=pa.int64()),
+                "n_outer": pa.array(lb[keep], type=pa.int64()),
+            })
+            return out.append_column("containment", _with_containment(out))
+
+        out = pairs.map_batches(verify_bcast,
+                                batch_format="pyarrow").materialize()
+        if out.count() == 0:
+            return ray.data.from_arrow(pair_schema.empty_table())
+        return out
+
+    jp = join_partitions(2 * n_pairs)
+    n_vparts = max(1, min(64, n_pairs // 4096 + 1))
+
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        a_s = pc.cast(b["inner_id"], pa.string())
+        b_s = pc.cast(b["outer_id"], pa.string())
+        pid = pc.binary_join_element_wise(a_s, b_s, "\x1f")
+        pidc = pa.concat_arrays([pid.combine_chunks()] * 2)
+        from raydedup.stages.asof import _part_array
+
+        return pa.table({
+            "jkey": pa.concat_arrays([b["inner_id"].combine_chunks(),
+                                      b["outer_id"].combine_chunks()]),
+            "pid": pidc,
+            "side": pa.array([0] * b.num_rows + [1] * b.num_rows,
+                             pa.int32()),
+            "vpart": _part_array(pa.chunked_array([pidc]), n_vparts),
+        })
+
+    exp = pairs.map_batches(explode_pairs, batch_format="pyarrow")
+
+    def pack_sets(b: pa.Table) -> pa.Table:
+        return pa.table({"jkey": b[id_col],
+                         "shbin": _pack_u64_lists(
+                             b["sh"].combine_chunks())})
+
+    packed = sets.map_batches(pack_sets, batch_format="pyarrow")
+    joined = exp.join(packed, join_type="inner", num_partitions=jp,
+                      on=("jkey",))
+
+    def verify_part(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2 or "pid" not in group.column_names:
+            return pair_schema.empty_table()
+        pids = np.asarray(group["pid"].to_pylist())
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sides, pids))
+        sp = pids[order]
+        both = np.flatnonzero(sp[:-1] == sp[1:])
+        if both.size == 0:
+            return pair_schema.empty_table()
+        ia = order[both]        # side 0 = inner
+        ib = order[both + 1]    # side 1 = outer
+        flat, offs = _unpack_u64_binary(group["shbin"])
+        la = (offs[ia + 1] - offs[ia]).astype(np.int64)
+        lb = (offs[ib + 1] - offs[ib]).astype(np.int64)
+
+        def fill(row: np.ndarray, i: int) -> None:
+            k = la[i]
+            row[:k] = flat[offs[ia[i]]: offs[ia[i] + 1]]
+            row[k: k + lb[i]] = flat[offs[ib[i]]: offs[ib[i] + 1]]
+
+        inter = _tiled_intersections(la, lb, fill)
+        cont = np.where(la > 0, inter / np.maximum(la, 1), 0.0)
+        keep = np.flatnonzero(cont >= threshold)
+        if keep.size == 0:
+            return pair_schema.empty_table()
+        jkeys = group["jkey"].combine_chunks()
+        out = pa.table({
+            "inner_id": pc.take(jkeys, pa.array(ia[keep])),
+            "outer_id": pc.take(jkeys, pa.array(ib[keep])),
+            "common": pa.array(inter[keep], type=pa.int64()),
+            "n_inner": pa.array(la[keep], type=pa.int64()),
+            "n_outer": pa.array(lb[keep], type=pa.int64()),
+        })
+        return out.append_column("containment", _with_containment(out))
+
+    out = joined.groupby("vpart").map_groups(
+        verify_part, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return ray.data.from_arrow(pair_schema.empty_table())
+    return out
