@@ -3100,6 +3100,21 @@ def q_set_sim_pairs_docs(sf_dir: str):
         "jaccard")
 
 
+def q_heavy_hitter_tokens(sf_dir: str):
+    """GUARANTEED heavy hitters over documents: exactly the tokens with
+    corpus frequency n·(k+1) > N (k=64, N = total token instances),
+    EXACT counts — via mergeable Misra-Gries summaries (≤ k counters
+    per task regardless of vocabulary; Agarwal et al. 2012 merge-tree
+    bound keeps every qualifying token alive under any Ray batching)
+    + an exact broadcast recount of the ≤ k candidates. The
+    bounded-memory scale path next to the vocabulary-sized exact
+    groupbys (top_terms_global, hot_ngrams); strict integer threshold,
+    so the SQL HAVING replays it bit-for-bit."""
+    from raydedup.stages.heavyhitters import guaranteed_heavy_hitters
+
+    return guaranteed_heavy_hitters(_docs(sf_dir), k=64)
+
+
 def q_set_containment_pairs(sf_dir: str):
     """Exact ASYMMETRIC shingle-set containment pairs
     (|inner ∩ outer| / |inner| >= 0.9, |inner| >= 5 shingles, ordered,
@@ -3925,6 +3940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_global_sketch": q_top_terms_global_sketch,
         "set_sim_pairs_docs": q_set_sim_pairs_docs,
         "set_containment_pairs": q_set_containment_pairs,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "conv_near_dup_pairs": q_conv_near_dup_pairs,
         "tiered_dedup_docs": q_tiered_dedup_docs,
         "tiered_semantic_docs": q_tiered_semantic_docs,
@@ -7347,6 +7363,19 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.a_id
             JOIN sz y ON y.doc_id = i.b_id
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        "heavy_hitter_tokens": """
+            WITH toks AS (
+                SELECT t.t
+                FROM (SELECT regexp_extract_all(lower(text),
+                                                '[0-9a-zA-Z_]+') AS arr
+                      FROM documents) a, UNNEST(arr) AS t(t)
+            ),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT t AS token, count(*) AS n
+            FROM toks, tot
+            GROUP BY t, tot.n
+            HAVING count(*) * 65 > tot.n
         """,
         "set_containment_pairs": f"""
             WITH arrs AS (

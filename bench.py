@@ -243,7 +243,8 @@ def run_bench() -> dict:
                   "cluster_survivor_by_score",
                   "near_dup_pairs_oph",
                   "bag_near_dup_pairs",
-                  "set_containment_pairs"):
+                  "set_containment_pairs",
+                  "heavy_hitter_tokens"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame
