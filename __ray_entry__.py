@@ -3100,6 +3100,27 @@ def q_set_sim_pairs_docs(sf_dir: str):
         "jaccard")
 
 
+def q_cross_corpus_sim_pairs(sf_dir: str):
+    """Exact TWO-CORPUS (R-S) set-similarity join: every cross pair
+    between the 'src0' slice (probe side — the benchmark/reference role)
+    and the rest of the corpus (index side) with shingle-set Jaccard
+    >= 0.5 — recall exactly 1.0 by the one-sided prefix theorem, where
+    the LSH decontam path is probabilistic. Probe side explodes hot-last
+    prefixes only; the corpus side indexes full sets (no size assumption
+    on the corpus). Within-corpus pairs are never emitted
+    (stages/setjoin.py:set_similarity_join)."""
+    import ray.data
+
+    from raydedup.stages.setjoin import set_similarity_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    ds_a = docs.filter(expr='source == "src0"')
+    ds_b = docs.filter(expr='source != "src0"')
+    return _round_col(
+        set_similarity_join(ds_a, ds_b, 0.5, SIMPLE_CFG), "jaccard")
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """GUARANTEED heavy hitters over documents: exactly the tokens with
     corpus frequency n·(k+1) > N (k=64, N = total token instances),
@@ -3941,6 +3962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_sim_pairs_docs": q_set_sim_pairs_docs,
         "set_containment_pairs": q_set_containment_pairs,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
         "conv_near_dup_pairs": q_conv_near_dup_pairs,
         "tiered_dedup_docs": q_tiered_dedup_docs,
         "tiered_semantic_docs": q_tiered_semantic_docs,
@@ -7362,6 +7384,40 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM inter i
             JOIN sz x ON x.doc_id = i.a_id
             JOIN sz y ON y.doc_id = i.b_id
+            WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        "cross_corpus_sim_pairs": f"""
+            WITH arrs AS (
+                SELECT doc_id, source,
+                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
+                           AS arr
+                FROM documents
+            ),
+            sl AS (
+                SELECT doc_id, source,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM arrs WHERE len(arr) > 0
+            ),
+            sh AS (SELECT DISTINCT doc_id, source, s.sh
+                   FROM sl, UNNEST(shl) AS s(sh)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
+                FROM sh a JOIN sh b ON a.sh = b.sh
+                WHERE a.source = 'src0' AND b.source <> 'src0'
+                GROUP BY 1, 2
+            )
+            SELECT i.ai AS a_id, i.bi AS b_id, i.c AS common,
+                   x.n AS na, y.n AS nb,
+                   round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c),
+                         {_ROUND}) AS jaccard
+            FROM inter i
+            JOIN sz x ON x.doc_id = i.ai
+            JOIN sz y ON y.doc_id = i.bi
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
         """,
         "heavy_hitter_tokens": """

@@ -244,7 +244,8 @@ def run_bench() -> dict:
                   "near_dup_pairs_oph",
                   "bag_near_dup_pairs",
                   "set_containment_pairs",
-                  "heavy_hitter_tokens"):
+                  "heavy_hitter_tokens",
+                  "cross_corpus_sim_pairs"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame
