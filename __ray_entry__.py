@@ -3100,6 +3100,25 @@ def q_set_sim_pairs_docs(sf_dir: str):
         "jaccard")
 
 
+def q_turn_dedup_in_conv(sf_dir: str):
+    """WITHIN-conversation turn dedup: keep only the first occurrence
+    (by turn_idx) of each distinct turn text per conversation — the
+    agent-loop repeated-message cleaner (retry storms, stuck tool
+    loops), conversation twin of self_line_dedup. ordered.py partition
+    sweep: convs hash-partition once, ONE lexsort per partition handles
+    every conv, group identity via dictionary codes (no crypto, no
+    per-conv Python call). The synthetic corpus has no within-conv
+    exact repeats (the planted copies never share a conv), so the
+    oracle verifies the identity-preserving side of the contract here;
+    the removal side is pinned by the planted-fixture pytest."""
+    from raydedup.sources.transcripts import transcripts_from_documents
+    from raydedup.stages.convdedup import dedup_turns_within_conv
+
+    ts = transcripts_from_documents(sf_dir)
+    return dedup_turns_within_conv(ts).select_columns(
+        ["conv_id", "turn_idx"])
+
+
 def q_cross_corpus_sim_pairs(sf_dir: str):
     """Exact TWO-CORPUS (R-S) set-similarity join: every cross pair
     between the 'src0' slice (probe side — the benchmark/reference role)
@@ -3963,6 +3982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_containment_pairs": q_set_containment_pairs,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
+        "turn_dedup_in_conv": q_turn_dedup_in_conv,
         "conv_near_dup_pairs": q_conv_near_dup_pairs,
         "tiered_dedup_docs": q_tiered_dedup_docs,
         "tiered_semantic_docs": q_tiered_semantic_docs,
@@ -7385,6 +7405,16 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.a_id
             JOIN sz y ON y.doc_id = i.b_id
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        "turn_dedup_in_conv": TRANSCRIPTS_SQL + """,
+            ranked AS (
+                SELECT conv_id, turn_idx,
+                       row_number() OVER (
+                           PARTITION BY conv_id, coalesce(text, '')
+                           ORDER BY turn_idx) AS rn
+                FROM transcripts
+            )
+            SELECT conv_id, turn_idx FROM ranked WHERE rn = 1
         """,
         "cross_corpus_sim_pairs": f"""
             WITH arrs AS (

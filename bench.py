@@ -245,7 +245,8 @@ def run_bench() -> dict:
                   "bag_near_dup_pairs",
                   "set_containment_pairs",
                   "heavy_hitter_tokens",
-                  "cross_corpus_sim_pairs"):
+                  "cross_corpus_sim_pairs",
+                  "turn_dedup_in_conv"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

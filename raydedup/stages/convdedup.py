@@ -394,3 +394,50 @@ def conv_divergence(ds, pairs, key_col: str = "conv_id",
             pa.field("b_len", pa.int64()),
         ]).empty_table())
     return res
+
+
+def dedup_turns_within_conv(ds, key_col: str = "conv_id",
+                            order_col: str = "turn_idx",
+                            text_col: str = "text",
+                            num_partitions: int = 32):
+    """WITHIN-conversation turn dedup: for each conversation, keep only
+    the FIRST occurrence (by ``order_col``) of each distinct turn text —
+    the agent-loop repeated-message cleaner (retry storms, stuck tool
+    loops, templated acknowledgements), the conversation-granularity
+    twin of ``linededup.self_line_dedup``.
+
+    Scale shape: the ``ordered.py`` partition sweep — conversations
+    hash-partition once (only rows of the same conv must co-locate; a
+    conversation's turns are tiny next to a partition), and ONE lexsort
+    per partition handles every conversation in it: group key =
+    (conv code, text code) from two dictionary_encodes, first-in-run
+    selection by the (turn order)-sorted run starts. No per-conv Python
+    call, no crypto hash — text identity within a partition is the
+    dictionary code. NULL text folds to '' (mirror with coalesce in
+    SQL).
+    """
+    schema = ds.schema()
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _part_array(batch[key_col], num_partitions))
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__part" not in g.column_names:
+            return pa.table({c: pa.array([], types[c]) for c in names})
+        conv = pc.dictionary_encode(g[key_col].combine_chunks())
+        txt = pc.dictionary_encode(
+            pc.fill_null(g[text_col].combine_chunks(), ""))
+        cc = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = txt.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        oi = g[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((oi, tc, cc))
+        sc, st = cc[order], tc[order]
+        first = np.r_[True, (sc[1:] != sc[:-1]) | (st[1:] != st[:-1])]
+        keep = pa.array(np.sort(order[first]))
+        return pa.table({c: g[c].take(keep) for c in names})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part").map_groups(merge, batch_format="pyarrow"))

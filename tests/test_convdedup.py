@@ -182,3 +182,65 @@ def test_conv_divergence_planted(ray_session):
     assert got[("d1", "d3")] == (0, 3, 1)   # nothing shared
     assert got[("d1", "d4")] == (3, 3, 3)   # identical
     assert got[("d1", "nope")] == (0, 3, None)  # unknown id kept
+
+
+class TestDedupTurnsWithinConv:
+    """dedup_turns_within_conv: first occurrence per (conv, text)."""
+
+    def _run(self, rows, **kw):
+        import ray.data
+
+        import pyarrow as pa
+
+        from raydedup.stages.convdedup import dedup_turns_within_conv
+
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        out = dedup_turns_within_conv(ds, **kw)
+        return {(r["conv_id"], r["turn_idx"])
+                for r in out.select_columns(
+                    ["conv_id", "turn_idx"]).take_all()}
+
+    def test_planted_retry_storm(self, ray_session):
+        rows = [
+            {"conv_id": "c1", "turn_idx": 0, "text": "hi"},
+            {"conv_id": "c1", "turn_idx": 1, "text": "retrying..."},
+            {"conv_id": "c1", "turn_idx": 2, "text": "retrying..."},
+            {"conv_id": "c1", "turn_idx": 3, "text": "retrying..."},
+            {"conv_id": "c1", "turn_idx": 4, "text": "done"},
+            # same text in ANOTHER conv must survive independently
+            {"conv_id": "c2", "turn_idx": 0, "text": "retrying..."},
+            {"conv_id": "c2", "turn_idx": 1, "text": "retrying..."},
+        ]
+        assert self._run(rows) == {("c1", 0), ("c1", 1), ("c1", 4),
+                                   ("c2", 0)}
+
+    def test_null_text_folds_to_empty(self, ray_session):
+        rows = [
+            {"conv_id": "c", "turn_idx": 0, "text": None},
+            {"conv_id": "c", "turn_idx": 1, "text": ""},
+            {"conv_id": "c", "turn_idx": 2, "text": "x"},
+        ]
+        # NULL and '' are the same identity: earliest (idx 0) survives
+        assert self._run(rows) == {("c", 0), ("c", 2)}
+
+    def test_no_dups_is_identity(self, ray_session):
+        rows = [{"conv_id": f"c{i % 3}", "turn_idx": i, "text": f"t{i}"}
+                for i in range(20)]
+        assert self._run(rows) == {(f"c{i % 3}", i) for i in range(20)}
+
+    def test_brute_parity_fuzz(self, ray_session):
+        import random
+
+        rng = random.Random(31)
+        rows = []
+        for c in range(12):
+            for i in range(rng.randrange(1, 15)):
+                rows.append({"conv_id": f"c{c}", "turn_idx": i,
+                             "text": f"m{rng.randrange(5)}"})
+        seen, exp = set(), set()
+        for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+            k = (r["conv_id"], r["text"])
+            if k not in seen:
+                seen.add(k)
+                exp.add((r["conv_id"], r["turn_idx"]))
+        assert self._run(rows, num_partitions=5) == exp
