@@ -3100,6 +3100,28 @@ def q_set_sim_pairs_docs(sf_dir: str):
         "jaccard")
 
 
+def q_near_dup_pair_edits(sf_dir: str):
+    """Edit-script forensics for the verified near-dup pair set: per
+    pair, TOKEN-level Levenshtein distance between the two docs'
+    ordered token streams + max-length normalization — 'what kind of
+    edit separates these near-dups' (few substitutions vs a block
+    insertion), the ORDER-SENSITIVE complement of the set-level jaccard
+    the verifier attached. Pairs explode to (pid, side) rows, texts
+    attach via one inner hash join (only PAIRED keys leave the corpus),
+    per-pair numpy DP on the sparse pair set only
+    (stages/editjoin.py:pair_edit_stats). Oracle: the byte-encoded
+    token-alphabet trick (dense_rank → chr → DuckDB levenshtein), same
+    idiom as otmt_levenshtein_simple."""
+    from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
+    from raydedup.stages.editjoin import pair_edit_stats
+
+    assigned = signatures_with_rep(
+        _docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"]).materialize()
+    pairs = near_dup_pairs(assigned, SIMPLE_CFG)
+    return _round_col(
+        pair_edit_stats(pairs, _docs(sf_dir), key_col="doc_id"), "nlev")
+
+
 def q_turn_dedup_in_conv(sf_dir: str):
     """WITHIN-conversation turn dedup: keep only the first occurrence
     (by turn_idx) of each distinct turn text per conversation — the
@@ -3983,6 +4005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
         "turn_dedup_in_conv": q_turn_dedup_in_conv,
+        "near_dup_pair_edits": q_near_dup_pair_edits,
         "conv_near_dup_pairs": q_conv_near_dup_pairs,
         "tiered_dedup_docs": q_tiered_dedup_docs,
         "tiered_semantic_docs": q_tiered_semantic_docs,
@@ -7405,6 +7428,59 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.a_id
             JOIN sz y ON y.doc_id = i.b_id
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        "near_dup_pair_edits": f"""
+            WITH {_DOC_SHINGLES_CTE},
+            p2 AS (
+                SELECT CAST(a_id AS VARCHAR) AS a_key,
+                       CAST(b_id AS VARCHAR) AS b_key,
+                       a_id AS ai, b_id AS bi
+                FROM near_pairs
+                WHERE CAST(a_id AS VARCHAR) < CAST(b_id AS VARCHAR)
+                UNION ALL
+                SELECT CAST(b_id AS VARCHAR), CAST(a_id AS VARCHAR),
+                       b_id, a_id
+                FROM near_pairs
+                WHERE CAST(b_id AS VARCHAR) < CAST(a_id AS VARCHAR)
+            ),
+            tokpos AS (
+                SELECT doc_id, CAST(i.i AS INTEGER) AS p,
+                       arr[CAST(i.i AS INTEGER) + 1] AS tok
+                FROM arrs, UNNEST(range(len(arr))) AS i(i)
+            ),
+            pairtok AS (
+                SELECT p2.a_key, p2.b_key, 0 AS side, t.p, t.tok
+                FROM p2 JOIN tokpos t ON t.doc_id = p2.ai
+                UNION ALL
+                SELECT p2.a_key, p2.b_key, 1, t.p, t.tok
+                FROM p2 JOIN tokpos t ON t.doc_id = p2.bi
+            ),
+            ranked AS (
+                SELECT a_key, b_key, side, p,
+                       dense_rank() OVER (PARTITION BY a_key, b_key
+                                          ORDER BY tok) AS r
+                FROM pairtok
+            ),
+            enc AS (
+                SELECT a_key, b_key,
+                       coalesce(string_agg(CASE WHEN side = 0 THEN
+                           chr(CAST(r AS INTEGER)) END, '' ORDER BY p),
+                           '') AS s_a,
+                       coalesce(string_agg(CASE WHEN side = 1 THEN
+                           chr(CAST(r AS INTEGER)) END, '' ORDER BY p),
+                           '') AS s_b
+                FROM ranked GROUP BY 1, 2
+            )
+            SELECT a_key, b_key,
+                   length(s_a) AS n_a, length(s_b) AS n_b,
+                   levenshtein(s_a, s_b) AS token_lev,
+                   round(CASE WHEN greatest(length(s_a),
+                                            length(s_b)) = 0
+                         THEN 0.0e0
+                         ELSE CAST(levenshtein(s_a, s_b) AS DOUBLE)
+                              / greatest(length(s_a), length(s_b)) END,
+                         {_ROUND}) AS nlev
+            FROM enc
         """,
         "turn_dedup_in_conv": TRANSCRIPTS_SQL + """,
             ranked AS (

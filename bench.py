@@ -246,7 +246,8 @@ def run_bench() -> dict:
                   "set_containment_pairs",
                   "heavy_hitter_tokens",
                   "cross_corpus_sim_pairs",
-                  "turn_dedup_in_conv"):
+                  "turn_dedup_in_conv",
+                  "near_dup_pair_edits"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -162,3 +162,118 @@ def typo_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({"a_id": t["a_id"], "b_id": t["b_id"]})
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def pair_edit_stats(pairs_ds, keyed_texts_ds, key_col: str = "row_key",
+                    text_col: str = "text", n_vparts: int | None = None):
+    """Edit-script forensics for an ALREADY-VERIFIED pair set: for each
+    (a_key, b_key) pair, the TOKEN-level Levenshtein distance between
+    the two documents' ordered token streams (simple_tokenize contract)
+    and its max-length normalization — "what kind of edit separates
+    these near-dups" (a handful of substitutions vs a large
+    insertion), the per-pair complement of the set-level jaccard the
+    verifier already attached.
+
+    Scale shape: the lsh.py pair-verify idiom — pairs explode to
+    (pid, side, jkey) rows, texts attach via ONE inner hash join (only
+    PAIRED keys' texts ever leave the corpus table — the pair set is
+    sparse by the dup-threshold contract), and each hash partition of
+    pairs is processed in one Python call. The per-pair DP
+    (functions/setsim.py:levenshtein_tokens, two-row numpy sweep) is
+    the only per-pair cost and is O(len_a · len_b) on the PAIRED rows
+    only — never corpus-scale.
+    """
+    import ray
+    import ray.data
+
+    from raydedup.functions.setsim import levenshtein_tokens
+    from raydedup.stages.asof import _part_array
+    from raydedup.textnorm import simple_tokenize
+    from raydedup.util import join_partitions
+
+    out_schema = pa.schema([
+        pa.field("a_key", pa.string()), pa.field("b_key", pa.string()),
+        pa.field("n_a", pa.int64()), pa.field("n_b", pa.int64()),
+        pa.field("token_lev", pa.int64()),
+        pa.field("nlev", pa.float64()),
+    ])
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    nvp = n_vparts or max(1, min(64, n_pairs // 4096 + 1))
+
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        a_s = pc.cast(b["a_key"], pa.string())
+        b_s = pc.cast(b["b_key"], pa.string())
+        pid = pc.binary_join_element_wise(a_s, b_s, "\x1f")
+        pidc = pa.concat_arrays([pid.combine_chunks()] * 2)
+        return pa.table({
+            "jkey": pa.concat_arrays([a_s.combine_chunks(),
+                                      b_s.combine_chunks()]),
+            "pid": pidc,
+            "side": pa.array([0] * b.num_rows + [1] * b.num_rows,
+                             pa.int32()),
+            "vpart": _part_array(pa.chunked_array([pidc]), nvp),
+        })
+
+    exp = pairs_ds.map_batches(explode_pairs, batch_format="pyarrow")
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "jkey": pc.cast(b[key_col], pa.string()),
+            "txt": pc.fill_null(b[text_col], ""),
+        })
+
+    texts = keyed_texts_ds.map_batches(keyed, batch_format="pyarrow")
+    joined = exp.join(texts, join_type="inner",
+                      num_partitions=join_partitions(2 * n_pairs),
+                      on=("jkey",))
+
+    def stats_part(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2 or "pid" not in group.column_names:
+            return out_schema.empty_table()
+        pids = np.asarray(group["pid"].to_pylist())
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sides, pids))
+        sp = pids[order]
+        both = np.flatnonzero(sp[:-1] == sp[1:])
+        if both.size == 0:
+            return out_schema.empty_table()
+        ia, ib = order[both], order[both + 1]
+        keys = group["jkey"].to_pylist()
+        txts = group["txt"].to_pylist()
+        tok_cache: dict[int, list] = {}
+
+        def toks(i: int) -> list:
+            t = tok_cache.get(i)
+            if t is None:
+                t = simple_tokenize(txts[i] or "")
+                tok_cache[i] = t
+            return t
+
+        a_k, b_k, n_a, n_b, lev, nlev = [], [], [], [], [], []
+        for i, j in zip(ia, ib):
+            ta, tb = toks(int(i)), toks(int(j))
+            d = levenshtein_tokens(ta, tb)
+            m = max(len(ta), len(tb))
+            a_k.append(keys[int(i)])
+            b_k.append(keys[int(j)])
+            n_a.append(len(ta))
+            n_b.append(len(tb))
+            lev.append(d)
+            nlev.append(d / m if m else 0.0)
+        return pa.table({
+            "a_key": pa.array(a_k, pa.string()),
+            "b_key": pa.array(b_k, pa.string()),
+            "n_a": pa.array(n_a, pa.int64()),
+            "n_b": pa.array(n_b, pa.int64()),
+            "token_lev": pa.array(lev, pa.int64()),
+            "nlev": pa.array(nlev, pa.float64()),
+        })
+
+    out = joined.groupby("vpart").map_groups(
+        stats_part, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return out

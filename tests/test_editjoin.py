@@ -89,3 +89,44 @@ def test_typo_pairs_insert_delete_substitute(ray_session):
     }))
     got = {(r["a_id"], r["b_id"]) for r in typo_pairs(ds).take_all()}
     assert got == {(1, 2), (1, 3), (1, 4)}
+
+
+class TestPairEditStats:
+    """pair_edit_stats: token-level DP over an already-verified pair set."""
+
+    def _run(self, pairs, docs):
+        import pyarrow as pa
+        import ray.data
+
+        from raydedup.stages.editjoin import pair_edit_stats
+
+        p = ray.data.from_arrow(pa.table({
+            "a_key": pa.array([a for a, _ in pairs], pa.string()),
+            "b_key": pa.array([b for _, b in pairs], pa.string()),
+        }))
+        d = ray.data.from_arrow(pa.Table.from_pylist(
+            [{"doc_id": k, "text": t} for k, t in docs.items()]))
+        out = {}
+        for r in pair_edit_stats(p, d, key_col="doc_id").take_all():
+            out[(r["a_key"], r["b_key"])] = (
+                r["n_a"], r["n_b"], r["token_lev"], round(r["nlev"], 9))
+        return out
+
+    def test_known_edit_scripts(self, ray_session):
+        from raydedup.functions.setsim import levenshtein_tokens
+
+        docs = {
+            "1": "a b c d e",
+            "2": "a b x d e",        # 1 substitution
+            "3": "a b c d e f g h",  # 3 insertions vs doc 1
+            "4": "",                 # empty vs doc 1 → 5 deletions
+        }
+        got = self._run([("1", "2"), ("1", "3"), ("1", "4")], docs)
+        assert got[("1", "2")] == (5, 5, 1, round(1 / 5, 9))
+        assert got[("1", "3")] == (5, 8, 3, round(3 / 8, 9))
+        assert got[("1", "4")] == (5, 0, 5, 1.0)
+        # DP function parity on a reordering (order-sensitive!)
+        assert levenshtein_tokens("a b c".split(), "c b a".split()) == 2
+
+    def test_empty_pairs(self, ray_session):
+        assert self._run([], {"1": "x"}) == {}
