@@ -3100,6 +3100,28 @@ def q_set_sim_pairs_docs(sf_dir: str):
         "jaccard")
 
 
+def q_idf_weighted_near_pairs(sf_dir: str):
+    """Rarity-aware RE-SCORING of the verified near-dup pairs:
+    idf_jaccard = Σ idf(shared shingles) / Σ idf(union shingles), idf =
+    ln(N_reps / df). Separates pairs glued by corpus-hot boilerplate
+    (idf ≈ 0 → score collapses) from pairs sharing DISTINCTIVE content —
+    the over-merge diagnosis complement of cluster cohesion. Hash-skinny
+    and pair-sparse throughout: df is one counting groupby over rep
+    shingle hashes, idf sums touch only PAIRED keys
+    (stages/setjoin.py:idf_weighted_rescore). Float-sum contract as in
+    the cosine measure (identical ln/division shape both sides, final
+    round)."""
+    from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
+    from raydedup.stages.setjoin import idf_weighted_rescore
+
+    assigned = signatures_with_rep(
+        _docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"]).materialize()
+    pairs = near_dup_pairs(assigned, SIMPLE_CFG)
+    reps = assigned.filter(expr="is_rep").select_columns(
+        ["row_key", "shingle_hashes"])
+    return _round_col(idf_weighted_rescore(pairs, reps), "idf_jaccard")
+
+
 def q_near_dup_pair_edits(sf_dir: str):
     """Edit-script forensics for the verified near-dup pair set: per
     pair, TOKEN-level Levenshtein distance between the two docs'
@@ -4006,6 +4028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
         "turn_dedup_in_conv": q_turn_dedup_in_conv,
         "near_dup_pair_edits": q_near_dup_pair_edits,
+        "idf_weighted_near_pairs": q_idf_weighted_near_pairs,
         "conv_near_dup_pairs": q_conv_near_dup_pairs,
         "tiered_dedup_docs": q_tiered_dedup_docs,
         "tiered_semantic_docs": q_tiered_semantic_docs,
@@ -7428,6 +7451,46 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.a_id
             JOIN sz y ON y.doc_id = i.b_id
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        "idf_weighted_near_pairs": f"""
+            WITH {_DOC_SHINGLES_CTE},
+            nreps AS (SELECT count(*) AS n FROM doc_reps),
+            idf AS (
+                SELECT sh,
+                       ln(CAST((SELECT n FROM nreps) AS DOUBLE)
+                          / count(DISTINCT doc_id)) AS w
+                FROM shingles GROUP BY sh
+            ),
+            ksum AS (
+                SELECT s.doc_id, sum(i.w) AS sw
+                FROM shingles s JOIN idf i ON i.sh = s.sh
+                GROUP BY 1
+            ),
+            isum AS (
+                SELECT p.a_id, p.b_id, sum(i.w) AS iw
+                FROM near_pairs p
+                JOIN shingles a ON a.doc_id = p.a_id
+                JOIN shingles b ON b.doc_id = p.b_id AND b.sh = a.sh
+                JOIN idf i ON i.sh = a.sh
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT i.a_id, i.b_id,
+                       i.iw / (ka.sw + kb.sw - i.iw) AS j
+                FROM isum i
+                JOIN ksum ka ON ka.doc_id = i.a_id
+                JOIN ksum kb ON kb.doc_id = i.b_id
+            )
+            SELECT CAST(a_id AS VARCHAR) AS a_key,
+                   CAST(b_id AS VARCHAR) AS b_key,
+                   round(j, {_ROUND}) AS idf_jaccard
+            FROM scored
+            WHERE CAST(a_id AS VARCHAR) < CAST(b_id AS VARCHAR)
+            UNION ALL
+            SELECT CAST(b_id AS VARCHAR), CAST(a_id AS VARCHAR),
+                   round(j, {_ROUND})
+            FROM scored
+            WHERE CAST(b_id AS VARCHAR) < CAST(a_id AS VARCHAR)
         """,
         "near_dup_pair_edits": f"""
             WITH {_DOC_SHINGLES_CTE},

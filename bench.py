@@ -247,7 +247,8 @@ def run_bench() -> dict:
                   "heavy_hitter_tokens",
                   "cross_corpus_sim_pairs",
                   "turn_dedup_in_conv",
-                  "near_dup_pair_edits"):
+                  "near_dup_pair_edits",
+                  "idf_weighted_near_pairs"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -133,16 +133,31 @@ def cdc_dup_stats(ds, w: int = 6, div: int = 32, id_col: str = "doc_id",
            .materialize())
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # hash-join actor pools are sized to num_partitions and hold their
+    # slot while waiting for input; the FINAL plan chains TWO id-joins,
+    # so size each by its own input — the (id)-joins see doc-count rows,
+    # not instance rows. Sizing both by the instance count put
+    # 2 × 33 join actors on 32 CPUs and deadlocked the streaming
+    # executor at sf0.1 (observed: every worker blocked in ray.get).
+    n_docs = ds.count()
+    # a join's partition-actor pool must leave at least one CPU for the
+    # upstream producer tasks, or the plan starves (observed: 2 join
+    # actors on 2 CPUs never receive input)
     jp = num_partitions or min(join_partitions(max(inst.count(), 1)),
-                               max(2, 2 * ncpu))
+                               max(1, ncpu - 1))
+    jp_id = num_partitions or min(join_partitions(max(n_docs, 1)),
+                                  max(1, ncpu // 2))
 
     from ray.data.aggregate import Count
 
     empty_counts = pa.schema([pa.field(id_col, id_type),
                               pa.field("n_chunks", pa.int64())])
+    # materialized: an Aggregate (all-to-all) and a JoinOperator in one
+    # streaming plan starve each other below ~4 CPUs (both reserve
+    # slots up front); the barrier table is doc-count-sized
     n_chunks = inst.groupby(id_col).aggregate(
         Count(alias_name="n_chunks")).union(
-            ray.data.from_arrow(empty_counts.empty_table()))
+            ray.data.from_arrow(empty_counts.empty_table())).materialize()
     empty_dups = pa.schema([pa.field(id_col, id_type),
                             pa.field("n_dup_chunks", pa.int64())])
     if dup.count() == 0:
@@ -152,9 +167,14 @@ def cdc_dup_stats(ds, w: int = 6, div: int = 32, id_col: str = "doc_id",
     else:
         dup_inst = inst.join(dup, join_type="inner", num_partitions=jp,
                              on=("h",))
+        # materialized: every hash-join actor pool in ONE streaming plan
+        # pins its slots while waiting for input, so two joins in one
+        # plan deadlock whenever their pools together reach the CPU
+        # count (observed at both 32 and 2 CPUs). One join per
+        # execution; the barrier tables are doc-count-sized.
         n_dup = dup_inst.groupby(id_col).aggregate(
             Count(alias_name="n_dup_chunks")).union(
-                ray.data.from_arrow(empty_dups.empty_table()))
+                ray.data.from_arrow(empty_dups.empty_table())).materialize()
 
     def attach(left, right, col):
         """left ⋈ right, tolerating an all-empty right side (Ray 2.49
@@ -165,10 +185,10 @@ def cdc_dup_stats(ds, w: int = 6, div: int = 32, id_col: str = "doc_id",
                     col, pa.nulls(batch.num_rows, pa.int64()))
             return left.map_batches(add_null, batch_format="pyarrow")
         return left.join(right, join_type="left_outer",
-                         num_partitions=jp, on=(id_col,))
+                         num_partitions=jp_id, on=(id_col,))
 
     base = ds.select_columns([id_col])
-    out = attach(base, n_chunks, "n_chunks")
+    out = attach(base, n_chunks, "n_chunks").materialize()
     out = attach(out, n_dup, "n_dup_chunks")
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -1169,3 +1169,168 @@ def set_similarity_join(ds_a, ds_b, threshold: float,
     if out.count() == 0:
         return ray.data.from_arrow(pair_schema.empty_table())
     return out
+
+
+def idf_weighted_rescore(pairs_ds, rep_sigs_ds, key_col: str = "row_key",
+                         sh_col: str = "shingle_hashes"):
+    """Rarity-aware RE-SCORING of an already-verified pair set: per pair,
+
+        idf_jaccard = Σ_{sh ∈ A∩B} idf(sh) / Σ_{sh ∈ A∪B} idf(sh),
+        idf(sh) = ln(N / df(sh)),
+
+    over the representative corpus (N = rep count, df = rep document
+    frequency of the shingle). The unweighted jaccard the verifier
+    attached counts every shingle equally; this lens separates pairs
+    glued by CORPUS-HOT boilerplate (idf ≈ 0 → low idf_jaccard) from
+    pairs sharing DISTINCTIVE content (rare shingles dominate both
+    sums) — the over-merge diagnosis complement to cluster cohesion.
+
+    Scale shape: everything is hash-skinny and pair-sparse. df is one
+    (hash)-keyed counting groupby over the rep corpus' exploded shingle
+    hashes; per-key and per-pair idf sums touch ONLY the paired keys
+    (broadcast key set — bounded by 2·pairs — filters the corpus before
+    any explode); intersections fall out of a (pid, hash) counting
+    groupby (each side's hashes are distinct, so count == 2 ⇔ shared).
+    Float contract: idf = ln(N/df) with the division done first, summed
+    per key/pair — mirror the same shape in SQL and round the final
+    ratio (the cosine-measure float precedent).
+    """
+    import ray
+    import ray.data
+
+    from raydedup.util import join_partitions
+
+    out_schema = pa.schema([
+        pa.field("a_key", pa.string()), pa.field("b_key", pa.string()),
+        pa.field("idf_jaccard", pa.float64()),
+    ])
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    rep_sigs_ds = rep_sigs_ds.materialize()
+    n_reps = rep_sigs_ds.count()
+
+    # df over the rep corpus: hash-only explode + counting groupby.
+    # int64 VIEW of the uint64 hash — Ray's hash shuffle pickles
+    # unsigned keys into extension objects, which then cannot join
+    # against plain columns (same idiom as lsh.py's bucket columns)
+    def explode_hashes(b: pa.Table) -> pa.Table:
+        shc = b[sh_col].combine_chunks()
+        h = shc.values.to_numpy(zero_copy_only=False).view(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    df_ds = (rep_sigs_ds.map_batches(explode_hashes,
+                                     batch_format="pyarrow")
+             .groupby("h").aggregate(Count(alias_name="df"))).materialize()
+
+    # paired keys only (2·pairs, sparse) — broadcast the key set
+    keyset = set()
+    for b in pairs_ds.select_columns(["a_key", "b_key"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        keyset.update(b["a_key"].to_pylist())
+        keyset.update(b["b_key"].to_pylist())
+    keys_ref = ray.put(pa.array(sorted(keyset), pa.string()))
+
+    def paired_rows(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        sel = pc.is_valid(pc.index_in(pc.cast(b[key_col], pa.string()),
+                                      value_set=ks))
+        t = b.filter(sel)
+        shc = t[sh_col].combine_chunks()
+        lens = pc.list_value_length(shc).to_numpy(zero_copy_only=False)
+        keys = pc.cast(t[key_col], pa.string()).combine_chunks()
+        h = shc.values.to_numpy(zero_copy_only=False).view(np.int64)
+        return pa.table({
+            "k": pc.take(keys, pa.array(
+                np.repeat(np.arange(len(lens), dtype=np.int64), lens))),
+            "h": pa.array(h, pa.int64()),
+        })
+
+    kh = rep_sigs_ds.map_batches(paired_rows,
+                                 batch_format="pyarrow").materialize()
+    jp = join_partitions(max(kh.count(), 1))
+    kh_df = kh.join(df_ds, join_type="inner", num_partitions=jp, on=("h",))
+
+    def idf_partial(b: pa.Table) -> pa.Table:
+        df = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log(float(n_reps) / df)
+        return pa.table({"k": b["k"],
+                         "w": pa.array(idf, pa.float64())})
+
+    from ray.data.aggregate import Sum
+
+    key_sums = (kh_df.map_batches(idf_partial, batch_format="pyarrow")
+                .groupby("k").aggregate(Sum("w", alias_name="sw"))
+                ).materialize()
+
+    # per-pair shared-hash idf sums: (pid, hash) counting groupby over
+    # both sides' hashes; count == 2 ⇔ shared (per-doc hashes distinct)
+    def pair_sides(b: pa.Table) -> pa.Table:
+        a_s = pc.cast(b["a_key"], pa.string())
+        b_s = pc.cast(b["b_key"], pa.string())
+        pid = pc.binary_join_element_wise(a_s, b_s, "\x1f")
+        return pa.table({
+            "k": pa.concat_arrays([a_s.combine_chunks(),
+                                   b_s.combine_chunks()]),
+            "pid": pa.concat_arrays([pid.combine_chunks()] * 2),
+        })
+
+    sides = pairs_ds.map_batches(pair_sides, batch_format="pyarrow")
+    sides_h = sides.join(kh, join_type="inner",
+                         num_partitions=jp, on=("k",))
+    # union a typed empty block: groupby→filter outputs lose their
+    # schema when a partition is empty, and Ray 2.49's join aggregator
+    # then builds a zero-column table (the cdc.py / join_partitions
+    # idiom)
+    shared_schema = pa.schema([pa.field("pid", pa.string()),
+                               pa.field("h", pa.int64()),
+                               pa.field("c", pa.int64())])
+    shared = (sides_h.map_batches(
+        lambda b: pa.table({"pid": b["pid"], "h": b["h"]}),
+        batch_format="pyarrow")
+        .groupby(["pid", "h"]).aggregate(Count(alias_name="c"))
+        .filter(expr="c == 2")
+        .union(ray.data.from_arrow(shared_schema.empty_table()))
+        .materialize())
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"pid": b["pid"],
+                         "w": pa.array(np.log(float(n_reps) / df),
+                                       pa.float64())})
+
+    if shared.count() == 0:
+        # pairs sharing no shingles at all: nothing to join (Ray 2.49
+        # rejects an all-empty join side — the cdc.py guard idiom)
+        inter_sums = ray.data.from_arrow(pa.table(
+            {"pid": pa.array([], pa.string()),
+             "iw": pa.array([], pa.float64())}))
+    else:
+        shared_df = shared.join(df_ds, join_type="inner",
+                                num_partitions=jp, on=("h",))
+        inter_sums = (shared_df.map_batches(pair_partial,
+                                            batch_format="pyarrow")
+                      .groupby("pid").aggregate(Sum("w", alias_name="iw"))
+                      ).materialize()
+
+    # final assembly on the driver: pairs, per-key sums and per-pair
+    # intersections are ALL pair-sparse tables
+    ks = {r["k"]: r["sw"] for r in key_sums.iter_rows()}
+    iw = {r["pid"]: r["iw"] for r in inter_sums.iter_rows()}
+    a_out, b_out, j_out = [], [], []
+    for b in pairs_ds.select_columns(["a_key", "b_key"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        for a, bb in zip(b["a_key"].to_pylist(), b["b_key"].to_pylist()):
+            pid = f"{a}\x1f{bb}"
+            inter = iw.get(pid, 0.0)
+            union = ks.get(a, 0.0) + ks.get(bb, 0.0) - inter
+            a_out.append(a)
+            b_out.append(bb)
+            j_out.append(inter / union if union > 0 else 0.0)
+    return ray.data.from_arrow(pa.table({
+        "a_key": pa.array(a_out, pa.string()),
+        "b_key": pa.array(b_out, pa.string()),
+        "idf_jaccard": pa.array(j_out, pa.float64()),
+    }))
