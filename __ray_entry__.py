@@ -3184,6 +3184,27 @@ def q_cross_corpus_sim_pairs(sf_dir: str):
         set_similarity_join(ds_a, ds_b, 0.5, SIMPLE_CFG), "jaccard")
 
 
+def q_bag_containment_pairs(sf_dir: str):
+    """WEIGHTED (multiset) containment pairs: ordered (inner, outer)
+    with Σ_t min(c_inner(t), c_outer(t)) / Σ_t c_inner(t) >= 0.9 and
+    >= 5 inner token instances — 'is this doc's token BAG swallowed by
+    that one', counting multiplicity (a doc of 30 'the's is NOT
+    contained in a doc with one 'the'). Pure composition of the two new
+    machines: wjaccard.bag_element_sets expands counts into (token,
+    occurrence) elements, and set_containment_self_join's asymmetric
+    prefix filter + exact verify run UNCHANGED on them — set containment
+    of expanded sets ≡ weighted containment, exactly."""
+    from raydedup.stages.setjoin import set_containment_self_join
+    from raydedup.stages.wjaccard import bag_element_sets
+
+    docs = _docs(sf_dir)
+    sets = bag_element_sets(docs, SIMPLE_CFG)
+    return _round_col(
+        set_containment_self_join(docs, 0.9, SIMPLE_CFG, min_inner=5,
+                                  sets_ds=sets),
+        "containment")
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """GUARANTEED heavy hitters over documents: exactly the tokens with
     corpus frequency n·(k+1) > N (k=64, N = total token instances),
@@ -4025,6 +4046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_sim_pairs_docs": q_set_sim_pairs_docs,
         "set_containment_pairs": q_set_containment_pairs,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "bag_containment_pairs": q_bag_containment_pairs,
         "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
         "turn_dedup_in_conv": q_turn_dedup_in_conv,
         "near_dup_pair_edits": q_near_dup_pair_edits,
@@ -7588,6 +7610,35 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.ai
             JOIN sz y ON y.doc_id = i.bi
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        "bag_containment_pairs": f"""
+            WITH arrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
+                           AS arr
+                FROM documents
+            ),
+            toks AS (SELECT doc_id, t.t FROM arrs, UNNEST(arr) AS t(t)),
+            cnts AS (SELECT doc_id, t, count(*) AS c
+                     FROM toks GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(c) AS n FROM cnts GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS ai, b.doc_id AS bi,
+                       sum(least(a.c, b.c)) AS m
+                FROM cnts a JOIN cnts b
+                  ON a.t = b.t AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.ai AS inner_id, i.bi AS outer_id,
+                   CAST(i.m AS BIGINT) AS common,
+                   CAST(x.n AS BIGINT) AS n_inner,
+                   CAST(y.n AS BIGINT) AS n_outer,
+                   round(CAST(i.m AS DOUBLE) / x.n, {_ROUND})
+                       AS containment
+            FROM inter i
+            JOIN tot x ON x.doc_id = i.ai
+            JOIN tot y ON y.doc_id = i.bi
+            WHERE x.n >= 5 AND CAST(i.m AS DOUBLE) / x.n >= 0.9
         """,
         "heavy_hitter_tokens": """
             WITH toks AS (

@@ -685,7 +685,8 @@ def set_containment_self_join(ds, threshold: float,
                               min_inner: int = 1,
                               hot_k: int = 1024,
                               num_partitions: int | None = None,
-                              verify_broadcast_max_rows: int = 200_000):
+                              verify_broadcast_max_rows: int = 200_000,
+                              sets_ds=None):
     """Exact ASYMMETRIC set-containment self-join: all ORDERED pairs
     (inner, outer), inner != outer, with Broder containment
 
@@ -721,7 +722,12 @@ def set_containment_self_join(ds, threshold: float,
     """
     from raydedup.util import join_partitions, repeated_keys
 
-    sets = shingle_sets(ds, cfg, id_col=id_col, text_col=text_col)
+    # sets_ds overrides the element universe: any (id, nsh, sh) table
+    # with per-id DISTINCT uint64 elements works — e.g. the expanded
+    # (token, occurrence) elements of wjaccard.bag_element_sets, which
+    # turn this join into exact WEIGHTED (multiset) containment
+    sets = (sets_ds if sets_ds is not None
+            else shingle_sets(ds, cfg, id_col=id_col, text_col=text_col))
     sets = sets.materialize()
     id_type = pa.string()
     for sch in (ds.schema(), sets.schema()):

@@ -176,3 +176,69 @@ def bag_near_dup_pairs(ds, cfg: DedupConfig = DEFAULT_CONFIG,
     reps = assigned.filter(expr="is_rep").select_columns(
         ["row_key", "band_hashes", "shingle_hashes", "n_shingles"])
     return lsh_verified_pairs(reps, cfg, min_jaccard=min_jaccard)
+
+
+def bag_element_sets(ds, cfg: DedupConfig = DEFAULT_CONFIG,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """rows → (id, nsh, sh) element-set table in ``shingle_sets``'
+    schema, where the per-doc elements are the expanded (token,
+    occurrence) hashes — so any set operator downstream (prefix-filter
+    joins, containment, tiled intersections) computes the exact
+    WEIGHTED (multiset) counterpart of its set semantics. nsh = total
+    token count (every instance contributes one distinct element)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        minhasher, tok_cache = _state_for(cfg)
+        enc = pc.dictionary_encode(
+            pc.fill_null(batch[text_col].combine_chunks(), ""))
+        row_to_uniq = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq_texts: list[str] = enc.dictionary.to_pylist()
+        from raydedup.textnorm import simple_tokenize
+
+        token_lists = [simple_tokenize(t) for t in uniq_texts]
+        n_u = len(token_lists)
+        lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+        offsets = np.zeros(n_u + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat_tokens = [t for lst in token_lists for t in lst]
+        if flat_tokens:
+            tenc = pc.dictionary_encode(
+                pa.array(flat_tokens, type=pa.string()))
+            idx = tenc.indices.to_numpy().astype(np.int64)
+            dvals = tenc.dictionary.to_pylist()
+            dh = np.empty(len(dvals), dtype=np.uint64)
+            get = tok_cache.get
+            for i, s in enumerate(dvals):
+                h = get(s)
+                if h is None:
+                    h = _blake64(s)
+                    tok_cache[s] = h
+                dh[i] = h
+            th = dh[idx]
+            d_ids = np.repeat(np.arange(n_u, dtype=np.int64), lens)
+            order = np.lexsort((th, d_ids))
+            ts, td = th[order], d_ids[order]
+            pos = np.arange(ts.size, dtype=np.int64)
+            run_start = np.r_[True,
+                              (td[1:] != td[:-1]) | (ts[1:] != ts[:-1])]
+            occ = pos - np.maximum.accumulate(
+                np.where(run_start, pos, 0)) + 1
+            elem = _fmix64_batch(
+                ts + occ.astype(np.uint64) * np.uint64(_POLY_C))
+            eorder = np.lexsort((elem, td))
+            fs = elem[eorder]
+        else:
+            fs = np.empty(0, dtype=np.uint64)
+        sets_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(fs, type=pa.uint64()))
+        sel = pa.array(row_to_uniq)
+        return pa.table({
+            id_col: batch[id_col],
+            "nsh": pc.take(pa.array(lens, pa.int64()), sel),
+            "sh": pc.take(sets_list, sel),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", batch_size=cfg.batch_size)

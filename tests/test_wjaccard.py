@@ -136,3 +136,72 @@ def test_empty_and_null_texts_never_pair(ray_session):
     rows = [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": None},
             {"doc_id": 3, "text": "   "}, {"doc_id": 4, "text": "a b c"}]
     assert _run(rows) == set()
+
+
+class TestBagContainment:
+    """bag_element_sets + set_containment_self_join = exact weighted
+    (multiset) containment."""
+
+    def _run(self, rows, t=0.9, min_inner=1):
+        import ray.data
+
+        from raydedup.stages.setjoin import set_containment_self_join
+        from raydedup.stages.wjaccard import bag_element_sets
+
+        ds = ray.data.from_arrow(pa.Table.from_pylist(
+            [{"doc_id": str(r["doc_id"]), "text": r["text"]}
+             for r in rows]))
+        sets = bag_element_sets(ds, CFG)
+        out = set()
+        for r in set_containment_self_join(
+                ds, t, CFG, min_inner=min_inner,
+                sets_ds=sets).take_all():
+            out.add((r["inner_id"], r["outer_id"], r["common"],
+                     r["n_inner"], r["n_outer"],
+                     round(r["containment"], 9)))
+        return out
+
+    def _brute(self, rows, t, min_inner):
+        out = set()
+        cs = {str(r["doc_id"]): Counter(simple_tokenize(r["text"] or ""))
+              for r in rows}
+        for a, ca in cs.items():
+            na = sum(ca.values())
+            if na < min_inner or na == 0:
+                continue
+            for b, cb in cs.items():
+                if a == b:
+                    continue
+                m = sum(min(ca[x], cb[x]) for x in ca)
+                if m / na >= t:
+                    out.add((a, b, m, na, sum(cb.values()),
+                             round(m / na, 9)))
+        return out
+
+    def test_multiplicity_blocks_containment(self, ray_session):
+        # support-set containment holds, multiset containment must NOT:
+        # 30 'a's are not contained in a doc with one 'a'
+        rows = [{"doc_id": 1, "text": " ".join(["a"] * 30)},
+                {"doc_id": 2, "text": "a b c d e f g h i j"}]
+        got = self._run(rows, t=0.9, min_inner=1)
+        assert not any(a == "1" for a, *_ in got)
+
+    def test_matches_brute(self, ray_session):
+        import random
+
+        rng = random.Random(51)
+        words = [f"w{i}" for i in range(40)]
+        rows = []
+        for i in range(15):
+            rows.append({"doc_id": i,
+                         "text": " ".join(rng.choice(words)
+                                          for _ in range(25))})
+        # planted: doc 100's bag verbatim inside doc 101 plus extra
+        inner = " ".join(rng.choice(words) for _ in range(12))
+        rows.append({"doc_id": 100, "text": inner})
+        rows.append({"doc_id": 101,
+                     "text": inner + " xqz yqz zqz " + inner})
+        got = self._run(rows, t=0.9, min_inner=5)
+        exp = self._brute(rows, 0.9, 5)
+        assert ("100", "101") in {(a, b) for a, b, *_ in exp}
+        assert got == exp
