@@ -197,6 +197,33 @@ def q_near_dup_clusters_altstar(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_near_dup_clusters_incremental(sf_dir: str):
+    """Same cluster question as near_dup_clusters_docs, answered through
+    the FOURTH components path: INCREMENTAL maintenance
+    (state/unionfind.py:merge_components). Start from the exact-dedup
+    labeling (every row → its exact rep, a complete partition), then
+    merge the verified near-dup edges via LABEL-GRAPH contraction —
+    each new edge projects to (label(a), label(b)), components run over
+    that new-edge-sized graph only, and one left join repaints. This is
+    the continuous-ingestion shape: shard N+1's edges never recluster
+    the corpus, they contract against the standing labels. One SQL
+    truth, a fourth execution path."""
+    from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
+    from raydedup.state.unionfind import merge_components
+
+    assigned = signatures_with_rep(
+        _docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"]).materialize()
+    labels0 = assigned.map_batches(
+        lambda b: pa.table({"node": b["row_key"], "label": b["rep_key"]}),
+        batch_format="pyarrow")
+    pairs = near_dup_pairs(assigned, SIMPLE_CFG)
+    merged = merge_components(labels0, pairs)
+    return merged.map_batches(
+        lambda b: pa.table({"row_key": b["node"],
+                            "cluster_id": b["label"]}),
+        batch_format="pyarrow")
+
+
 def q_cluster_cohesion(sf_dir: str):
     """Transitive-chaining audit of connected-component dedup: per
     near-dup cluster (over exact-text reps), member count, verified
@@ -3900,6 +3927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_near_dup_pairs": q_bag_near_dup_pairs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "near_dup_clusters_altstar": q_near_dup_clusters_altstar,
+        "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
         "cluster_cohesion": q_cluster_cohesion,
         "cluster_survivor_by_score": q_cluster_survivor_by_score,
         "leakage_safe_split": q_leakage_safe_split,
@@ -8415,6 +8443,10 @@ def oracle_sql() -> dict[str, str]:
     # the alternating-star components backend answers the same cluster
     # question — one SQL truth, a third execution path
     oracles["near_dup_clusters_altstar"] = oracles["near_dup_clusters_docs"]
+    # incremental label-graph merge answers the same cluster question —
+    # one SQL truth, a fourth execution path
+    oracles["near_dup_clusters_incremental"] = (
+        oracles["near_dup_clusters_docs"])
     # the OPH signature kernel answers the same verified-pair question —
     # one SQL truth, another signature kernel (exact verify either way)
     oracles["near_dup_pairs_oph"] = oracles["near_dup_pairs_docs"]

@@ -390,3 +390,130 @@ def components_to_frame(components: dict[str, str]) -> pd.DataFrame:
     return pd.DataFrame(
         {"row_key": list(components.keys()), "component": list(components.values())}
     )
+
+
+def merge_components(labels_ds, new_edges_ds,
+                     node_col: str = "node", label_col: str = "label",
+                     a_col: str = "a_key", b_col: str = "b_key",
+                     backend: str = "driver"):
+    """INCREMENTAL connected-components maintenance: an existing complete
+    labeling (every node → min-key label of its component) plus a batch
+    of NEW edges → the updated labeling, with work proportional to the
+    NEW edges, not the corpus.
+
+    The trick is label-graph contraction: a new edge (a, b) merges the
+    COMPONENTS of a and b, so it suffices to project every new edge to
+    (label(a), label(b)), run components over that tiny label graph
+    (≤ 2·|new edges| nodes), and repaint — one hash join to project
+    edges, one components pass bounded by the touched clusters, one
+    left join to repaint (untouched labels coalesce through unchanged).
+    This is exact: within-cluster connectivity is already witnessed by
+    the star edges the labeling encodes, so merged components of
+    (star ∪ new) equal components of the label graph expanded back.
+
+    Contract: ``labels_ds`` must cover every endpoint of
+    ``new_edges_ds`` (label new nodes with themselves first). Labels
+    remain the lexicographic MIN key of each merged component because
+    min is associative: min over merged clusters' labels = min over
+    their union of keys.
+
+    ``backend``: "driver" (default — the label graph is new-edge-sized,
+    orders below the corpus) or "altstar" for the fully distributed
+    label-graph pass.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data
+
+    from raydedup.util import join_partitions
+
+    labels_ds = labels_ds.materialize()
+    new_edges_ds = new_edges_ds.materialize()
+    if new_edges_ds.count() == 0:
+        return labels_ds
+
+    lab = labels_ds.map_batches(
+        lambda b: pa.table({"jkey": pc.cast(b[node_col], pa.string()),
+                            "_lab": pc.cast(b[label_col], pa.string())}),
+        batch_format="pyarrow")
+    n_edges = new_edges_ds.count()
+    jp = join_partitions(2 * n_edges)
+
+    def sides(b: pa.Table) -> pa.Table:
+        a_s = pc.cast(b[a_col], pa.string()).combine_chunks()
+        b_s = pc.cast(b[b_col], pa.string()).combine_chunks()
+        # edge id must be GLOBALLY unique (a per-batch counter would
+        # cross-pair edges of different blocks): the pair key itself is
+        eid = pc.binary_join_element_wise(a_s, b_s, "\x1f")
+        return pa.table({
+            "jkey": pa.concat_arrays([a_s, b_s]),
+            "eid": pa.concat_arrays([eid.combine_chunks()
+                                     if isinstance(eid, pa.ChunkedArray)
+                                     else eid] * 2),
+            "side": pa.array([0] * len(a_s) + [1] * len(b_s),
+                             pa.int32()),
+        })
+
+    # project new edges into label space: (eid, side) rows join labels
+    proj = new_edges_ds.map_batches(
+        sides, batch_format="pyarrow").join(
+        lab, join_type="inner", num_partitions=jp, on=("jkey",))
+
+    def pair_up(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2 or "eid" not in group.column_names:
+            return pa.table({"a_key": pa.array([], pa.string()),
+                             "b_key": pa.array([], pa.string())})
+        eids = np.asarray(group["eid"].to_pylist())
+        side = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, eids))
+        se = eids[order]
+        both = np.flatnonzero(se[:-1] == se[1:])
+        labs = group["_lab"].combine_chunks()
+        la = pc.take(labs, pa.array(order[both]))
+        lb = pc.take(labs, pa.array(order[both + 1]))
+        keep = pc.invert(pc.equal(la, lb)).to_numpy(zero_copy_only=False)
+        sel = pa.array(np.flatnonzero(keep))
+        return pa.table({"a_key": la.take(sel), "b_key": lb.take(sel)})
+
+    # one Python call per edge-hash bucket, not per edge
+    from raydedup.stages.asof import _part_array
+
+    proj = proj.map_batches(
+        lambda b: b.append_column(
+            "_ep", _part_array(b["eid"], 64)),
+        batch_format="pyarrow")
+    label_edges = proj.groupby("_ep").map_groups(
+        pair_up, batch_format="pyarrow").materialize()
+
+    if label_edges.count() == 0:
+        return labels_ds
+    if backend == "altstar":
+        lab_map = connected_components_altstar(label_edges)
+        map_tbl = lab_map.map_batches(
+            lambda b: pa.table({"_old": b["node"], "_new": b["label"]}),
+            batch_format="pyarrow").materialize()
+    else:
+        comp = connected_components_driver(label_edges)
+        items = sorted(comp.items())
+        map_tbl = ray.data.from_arrow(pa.table({
+            "_old": pa.array([k for k, _ in items], pa.string()),
+            "_new": pa.array([v for _, v in items], pa.string()),
+        })).materialize()
+
+    out = labels_ds.map_batches(
+        lambda b: pa.table({node_col: pc.cast(b[node_col], pa.string()),
+                            "_old": pc.cast(b[label_col], pa.string())}),
+        batch_format="pyarrow").join(
+        map_tbl, join_type="left_outer",
+        num_partitions=join_partitions(labels_ds.count()), on=("_old",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            node_col: b[node_col],
+            label_col: pc.coalesce(b["_new"], b["_old"]),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

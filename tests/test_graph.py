@@ -274,3 +274,81 @@ def test_text_label_groups_full_partition(ray_session):
     assert exact["1"] == exact["3"] != exact["2"]
     assert bag["1"] == bag["2"] == bag["3"]
     assert exact["4"] == "4" and bag["4"] == "4"  # singleton self-label
+
+
+class TestMergeComponents:
+    """state/unionfind.py:merge_components — incremental CC maintenance
+    via label-graph contraction."""
+
+    def _merge(self, labels, edges, backend="driver", parallelism=4):
+        import pyarrow as pa
+        import ray.data
+
+        from raydedup.state.unionfind import merge_components
+
+        lab = ray.data.from_arrow(pa.table({
+            "node": pa.array([n for n, _ in labels], pa.string()),
+            "label": pa.array([l for _, l in labels], pa.string()),
+        }))
+        ed = ray.data.from_arrow(pa.table({
+            "a_key": pa.array([a for a, _ in edges], pa.string()),
+            "b_key": pa.array([b for _, b in edges], pa.string()),
+        }))
+        if parallelism and edges:
+            ed = ed.repartition(parallelism)
+        out = merge_components(lab, ed, backend=backend)
+        return {r["node"]: r["label"] for r in out.take_all()}
+
+    def _brute(self, labels, edges):
+        from raydedup.state.unionfind import UnionFind
+
+        uf = UnionFind()
+        for n, l in labels:
+            uf.union(n, l)
+        for a, b in edges:
+            uf.union(a, b)
+        return {n: uf.find(n) for n, _ in labels}
+
+    def test_matches_full_recompute_random(self, ray_session):
+        import random
+
+        rng = random.Random(61)
+        for trial in range(3):
+            nodes = [f"n{i:03d}" for i in range(40)]
+            # a valid complete labeling: components of some base edges
+            base = [(rng.choice(nodes), rng.choice(nodes))
+                    for _ in range(25)]
+            from raydedup.state.unionfind import UnionFind
+
+            uf = UnionFind()
+            for n in nodes:
+                uf.union(n, n)
+            for a, b in base:
+                uf.union(a, b)
+            labels = [(n, uf.find(n)) for n in nodes]
+            new = [(rng.choice(nodes), rng.choice(nodes))
+                   for _ in range(10)]
+            assert self._merge(labels, new) == self._brute(labels, new)
+
+    def test_multibatch_edges_do_not_cross_pair(self, ray_session):
+        # regression: per-batch edge counters cross-paired edges from
+        # different blocks and glued unrelated clusters
+        labels = [(f"x{i}", f"x{i}") for i in range(20)]
+        edges = [(f"x{i}", f"x{i + 1}") for i in range(0, 18, 2)]
+        got = self._merge(labels, edges, parallelism=6)
+        assert got == self._brute(labels, edges)
+        # pairs (x0,x1), (x2,x3)... must NOT merge across
+        assert got["x0"] == "x0" and got["x2"] == "x2"
+        assert got["x3"] == "x2" and got["x19"] == "x19"
+
+    def test_untouched_labels_unchanged_and_empty_edges(self, ray_session):
+        labels = [("a", "a"), ("b", "a"), ("c", "c"), ("d", "d")]
+        assert self._merge(labels, []) == dict(labels)
+        got = self._merge(labels, [("c", "d")])
+        assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+    def test_altstar_backend_agrees(self, ray_session):
+        labels = [(f"n{i}", f"n{i}") for i in range(12)]
+        edges = [("n0", "n5"), ("n5", "n9"), ("n1", "n2")]
+        assert (self._merge(labels, edges, backend="altstar")
+                == self._merge(labels, edges, backend="driver"))
