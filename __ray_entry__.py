@@ -586,6 +586,21 @@ def q_blocklist_hits_rk(sf_dir: str):
     return blocklist_scan_rk(_docs(sf_dir), _RK_PHRASES)
 
 
+def q_blocklist_hits_ac(sf_dir: str):
+    """Large-blocklist banned-phrase scan via the THIRD kernel: an
+    Aho-Corasick automaton in a Ray ACTOR POOL — goto/fail/output
+    tables build once per actor in __init__, each batch scans every
+    character ONCE regardless of blocklist size (the asymptotic win
+    over both the per-phrase substring pass and the per-length
+    Rabin-Karp pass when P reaches tens of thousands). Same
+    (doc_id, phrase, n_hits) non-overlapping contract — all three
+    kernels share one SQL oracle
+    (stages/textstats.py:AhoCorasickScanner)."""
+    from raydedup.stages.textstats import blocklist_scan_ac
+
+    return blocklist_scan_ac(_docs(sf_dir), _RK_PHRASES)
+
+
 def _docs_with_reordered(sf_dir: str):
     """Deterministic 'reordered corpus' view: every 9th doc also appears
     with its words REVERSED (id +4e6) — the shuffled-copy pattern bag
@@ -3942,6 +3957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_duplicates": q_cap_duplicates,
         "blocklist_hits": q_blocklist_hits,
         "blocklist_hits_rk": q_blocklist_hits_rk,
+        "blocklist_hits_ac": q_blocklist_hits_ac,
         "bbit_minhash_pairs": q_bbit_minhash_pairs,
         "typo_dedup_pairs": q_typo_dedup_pairs,
         "token_freq_spectrum": q_token_freq_spectrum,
@@ -8450,4 +8466,7 @@ def oracle_sql() -> dict[str, str]:
     # the OPH signature kernel answers the same verified-pair question —
     # one SQL truth, another signature kernel (exact verify either way)
     oracles["near_dup_pairs_oph"] = oracles["near_dup_pairs_docs"]
+    # the Aho-Corasick actor-pool kernel answers the same blocklist
+    # question as the Rabin-Karp pass — one SQL truth, a third kernel
+    oracles["blocklist_hits_ac"] = oracles["blocklist_hits_rk"]
     return oracles

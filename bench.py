@@ -248,7 +248,9 @@ def run_bench() -> dict:
                   "cross_corpus_sim_pairs",
                   "turn_dedup_in_conv",
                   "near_dup_pair_edits",
-                  "idf_weighted_near_pairs"):
+                  "idf_weighted_near_pairs",
+                  "near_dup_clusters_incremental",
+                  "blocklist_hits_ac"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -2159,3 +2159,123 @@ def effective_tokens_by_group(ds, group_col: str = "source",
             "eff_tokens": pc.cast(batch["eff_tokens"], pa.float64())})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+class AhoCorasickScanner:
+    """LARGE-blocklist banned-phrase scan via an Aho-Corasick automaton
+    (Aho & Corasick 1975) in a Ray ACTOR POOL — the third blocklist
+    kernel next to the per-phrase Arrow substring pass
+    (``blocklist_scan``, small P) and the Rabin-Karp rolling-hash pass
+    (``blocklist_scan_rk``, one pass per distinct LENGTH): the automaton
+    visits each character ONCE regardless of blocklist size, the right
+    shape when P reaches tens of thousands of phrases.
+
+    Ray shape: a callable CLASS for ``map_batches(cls, concurrency=N,
+    fn_constructor_kwargs=...)`` — the goto/fail/output tables build
+    ONCE per actor in ``__init__`` (the automaton is the expensive
+    state), each ``__call__`` scans a batch. Same output contract as
+    the other two kernels: (key, phrase, n_hits) with NON-OVERLAPPING
+    leftmost counts PER PHRASE (greedy left-to-right on that phrase's
+    match ends, independent of other phrases), so all three share one
+    SQL oracle.
+    """
+
+    def __init__(self, phrases: list[str], key_col: str = "doc_id",
+                 text_col: str = "text", case_insensitive: bool = True):
+        if not phrases:
+            raise ValueError("phrases must be non-empty")
+        self.key_col, self.text_col = key_col, text_col
+        self.fold = case_insensitive
+        plist = [p.lower() if case_insensitive else p for p in phrases]
+        if any(not p for p in plist):
+            raise ValueError("empty phrase in blocklist")
+        self.phrases = plist
+        # goto as list[dict], fail links, output = phrase indices ending
+        # at each state (inherited via fail links at build time)
+        goto: list[dict] = [{}]
+        out: list[list[int]] = [[]]
+        for pi, p in enumerate(plist):
+            s = 0
+            for ch in p:
+                nxt = goto[s].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append([])
+                    nxt = len(goto) - 1
+                    goto[s][ch] = nxt
+                s = nxt
+            out[s].append(pi)
+        from collections import deque
+
+        fail = [0] * len(goto)
+        q = deque()
+        for ch, s in goto[0].items():
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in goto[r].items():
+                q.append(s)
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s \
+                    else 0
+                out[s] = out[s] + out[fail[s]]
+        self._goto, self._fail, self._out = goto, fail, out
+        self._plens = [len(p) for p in plist]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col]
+        txt = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        if self.fold:
+            txt = pc.utf8_lower(txt)
+        goto, fail, out = self._goto, self._fail, self._out
+        plens = self._plens
+        out_k_idx, out_p, out_n = [], [], []
+        for ri, t in enumerate(txt.to_pylist()):
+            if not t:
+                continue
+            s = 0
+            ends: dict[int, list] = {}
+            for i, ch in enumerate(t):
+                while s and ch not in goto[s]:
+                    s = fail[s]
+                s = goto[s].get(ch, 0)
+                if out[s]:
+                    for pi in out[s]:
+                        ends.setdefault(pi, []).append(i + 1)
+            for pi, es in ends.items():
+                L = plens[pi]
+                n, prev_end = 0, -1
+                for e in es:  # ends are ascending by construction
+                    if e - L >= prev_end:
+                        n += 1
+                        prev_end = e
+                out_k_idx.append(ri)
+                out_p.append(self.phrases[pi])
+                out_n.append(n)
+        key_type = batch.schema.field(self.key_col).type
+        if not out_k_idx:
+            return pa.table({self.key_col: pa.array([], key_type),
+                             "phrase": pa.array([], pa.string()),
+                             "n_hits": pa.array([], pa.int64())})
+        return pa.table({
+            self.key_col: keys.take(pa.array(out_k_idx)),
+            "phrase": pa.array(out_p, pa.string()),
+            "n_hits": pa.array(out_n, pa.int64()),
+        })
+
+
+def blocklist_scan_ac(ds, phrases: list[str], key_col: str = "doc_id",
+                      text_col: str = "text",
+                      case_insensitive: bool = True,
+                      concurrency: int = 4):
+    """Aho-Corasick blocklist scan as an actor-pool stage (automaton
+    built once per actor). Same (key, phrase, n_hits) contract as
+    blocklist_scan / blocklist_scan_rk."""
+    return ds.select_columns([key_col, text_col]).map_batches(
+        AhoCorasickScanner,
+        fn_constructor_kwargs=dict(phrases=phrases, key_col=key_col,
+                                   text_col=text_col,
+                                   case_insensitive=case_insensitive),
+        batch_format="pyarrow", concurrency=concurrency)

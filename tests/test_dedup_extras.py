@@ -1195,3 +1195,54 @@ def test_normalized_dup_groups_folds_variants(ray_session):
     # min_size=1 keeps every row, singletons label themselves
     all_rows = normalized_dup_groups(ds, min_size=1).take_all()
     assert len(all_rows) == 5
+
+
+class TestAhoCorasickScanner:
+    """textstats.AhoCorasickScanner / blocklist_scan_ac: third blocklist
+    kernel, automaton per actor, same non-overlap contract."""
+
+    def test_parity_with_substring_kernel_fuzz(self, ray_session):
+        import random
+
+        import pyarrow as pa
+        import ray.data
+
+        from raydedup.stages.textstats import (
+            blocklist_scan,
+            blocklist_scan_ac,
+        )
+
+        rng = random.Random(71)
+        alpha = "ab "
+        rows = [{"doc_id": i,
+                 "text": "".join(rng.choice(alpha) for _ in range(120))}
+                for i in range(40)]
+        phrases = ["ab", "ba", "aa", "a b", "bab", "abab", "zz"]
+
+        def collect(fn):
+            ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+            out = set()
+            for r in fn(ds, phrases).take_all():
+                out.add((r["doc_id"], r["phrase"], r["n_hits"]))
+            return out
+
+        assert collect(blocklist_scan_ac) == collect(blocklist_scan)
+
+    def test_overlapping_and_nested_phrases(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from raydedup.stages.textstats import blocklist_scan_ac
+
+        rows = [{"doc_id": 1, "text": "aaaa"},
+                {"doc_id": 2, "text": "xAbAbAbx"}]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        got = {(r["doc_id"], r["phrase"]): r["n_hits"]
+               for r in blocklist_scan_ac(ds, ["aa", "abab", "bab"],
+                                          concurrency=2).take_all()}
+        # "aaaa".count("aa") == 2 (non-overlapping)
+        assert got[(1, "aa")] == 2
+        # case-folded "xababab x": abab once non-overlap, bab twice? no:
+        # "ababab" -> abab at 0 (ends 4), next start must be >= 4: none
+        assert got[(2, "abab")] == 1
+        assert got[(2, "bab")] == 1  # bab at 1, next at 3 overlaps
