@@ -3247,6 +3247,33 @@ def q_bag_containment_pairs(sf_dir: str):
         "containment")
 
 
+def q_bag_near_dup_clusters(sf_dir: str):
+    """Clusters over the WEIGHTED-Jaccard (multiset) near-dup graph:
+    exact-text groups ∪ verified bag pairs → connected components,
+    cluster_id = min member key — the cluster/survivor story for the
+    bag-similarity paradigm, composed from two session machines:
+    text_label_groups supplies the standing exact-text labeling and
+    merge_components contracts the bag edges against it (work ∝ pairs,
+    one repaint join). Oracle: the recursive reach CTE over exact-text
+    edges + the weighted-pair CTE."""
+    import ray.data
+
+    from raydedup.stages.exact import text_label_groups
+    from raydedup.stages.wjaccard import bag_near_dup_pairs
+    from raydedup.state.unionfind import merge_components
+
+    docs = _docs(sf_dir)
+    labels0 = text_label_groups(docs, key_cols=["doc_id"]).map_batches(
+        lambda b: pa.table({"node": b["row_key"], "label": b["label"]}),
+        batch_format="pyarrow")
+    pairs = bag_near_dup_pairs(docs, SIMPLE_CFG, key_cols=["doc_id"])
+    merged = merge_components(labels0, pairs)
+    return merged.map_batches(
+        lambda b: pa.table({"row_key": b["node"],
+                            "cluster_id": b["label"]}),
+        batch_format="pyarrow")
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """GUARANTEED heavy hitters over documents: exactly the tokens with
     corpus frequency n·(k+1) > N (k=64, N = total token instances),
@@ -4091,6 +4118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_containment_pairs": q_set_containment_pairs,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "bag_containment_pairs": q_bag_containment_pairs,
+        "bag_near_dup_clusters": q_bag_near_dup_clusters,
         "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
         "turn_dedup_in_conv": q_turn_dedup_in_conv,
         "near_dup_pair_edits": q_near_dup_pair_edits,
@@ -7654,6 +7682,37 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.ai
             JOIN sz y ON y.doc_id = i.bi
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        "bag_near_dup_clusters": f"""
+            WITH RECURSIVE bag_reps AS (
+                SELECT min(CAST(doc_id AS VARCHAR)) AS rep
+                FROM documents GROUP BY text
+            ),
+            barrs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM documents
+                WHERE CAST(doc_id AS VARCHAR) IN (SELECT rep FROM bag_reps)
+            ),
+            btoks AS (SELECT id, t.t FROM barrs, UNNEST(arr) AS t(t)),
+            bcnts AS (SELECT id, t, count(*) AS c
+                      FROM btoks GROUP BY 1, 2),
+            btot AS (SELECT id, sum(c) AS n FROM bcnts GROUP BY 1),
+            binter AS (
+                SELECT a.id AS ai, b.id AS bi, sum(least(a.c, b.c)) AS m
+                FROM bcnts a JOIN bcnts b ON a.t = b.t AND a.id < b.id
+                GROUP BY 1, 2
+            ),
+            near_pairs AS (
+                SELECT i.ai AS a_id, i.bi AS b_id
+                FROM binter i
+                JOIN btot x ON x.id = i.ai
+                JOIN btot y ON y.id = i.bi
+                WHERE CAST(i.m AS DOUBLE) / (x.n + y.n - i.m) >= 0.8
+            ),
+            {_DOC_CLUSTERS_CTE.lstrip()}
+            SELECT row_key, cluster_id FROM clust
         """,
         "bag_containment_pairs": f"""
             WITH arrs AS (

@@ -250,7 +250,8 @@ def run_bench() -> dict:
                   "near_dup_pair_edits",
                   "idf_weighted_near_pairs",
                   "near_dup_clusters_incremental",
-                  "blocklist_hits_ac"):
+                  "blocklist_hits_ac",
+                  "bag_near_dup_clusters"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame
