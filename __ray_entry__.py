@@ -3205,6 +3205,23 @@ def q_turn_dedup_in_conv(sf_dir: str):
         ["conv_id", "turn_idx"])
 
 
+def q_heavy_hitters_by_source(sf_dir: str):
+    """Per-SOURCE guaranteed heavy hitters (k=32): for each source,
+    exactly the tokens with n·(k+1) > that source's token-instance
+    total, exact counts — bounded-memory Misra-Gries state kept per
+    group (≤ k counters × groups per task; the merge-tree recall bound
+    applies per group independently), exact recount of the surviving
+    (group, token) candidates, strict integer threshold
+    (stages/heavyhitters.py:grouped_heavy_hitters)."""
+    from raydedup.stages.heavyhitters import grouped_heavy_hitters
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return grouped_heavy_hitters(docs, "source", k=32)
+
+
 def q_cross_corpus_sim_pairs(sf_dir: str):
     """Exact TWO-CORPUS (R-S) set-similarity join: every cross pair
     between the 'src0' slice (probe side — the benchmark/reference role)
@@ -4119,6 +4136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "bag_containment_pairs": q_bag_containment_pairs,
         "bag_near_dup_clusters": q_bag_near_dup_clusters,
+        "heavy_hitters_by_source": q_heavy_hitters_by_source,
         "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
         "turn_dedup_in_conv": q_turn_dedup_in_conv,
         "near_dup_pair_edits": q_near_dup_pair_edits,
@@ -7742,6 +7760,22 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN tot x ON x.doc_id = i.ai
             JOIN tot y ON y.doc_id = i.bi
             WHERE x.n >= 5 AND CAST(i.m AS DOUBLE) / x.n >= 0.9
+        """,
+        "heavy_hitters_by_source": """
+            WITH toks AS (
+                SELECT source, t.t
+                FROM (SELECT source,
+                             regexp_extract_all(lower(text),
+                                                '[0-9a-zA-Z_]+') AS arr
+                      FROM documents) a, UNNEST(arr) AS t(t)
+            ),
+            tot AS (SELECT source, count(*) AS n
+                    FROM toks GROUP BY source)
+            SELECT k.source AS "group", k.t AS token,
+                   count(*) AS n
+            FROM toks k JOIN tot ON tot.source = k.source
+            GROUP BY k.source, k.t, tot.n
+            HAVING count(*) * 33 > tot.n
         """,
         "heavy_hitter_tokens": """
             WITH toks AS (

@@ -251,7 +251,8 @@ def run_bench() -> dict:
                   "idf_weighted_near_pairs",
                   "near_dup_clusters_incremental",
                   "blocklist_hits_ac",
-                  "bag_near_dup_clusters"):
+                  "bag_near_dup_clusters",
+                  "heavy_hitters_by_source"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

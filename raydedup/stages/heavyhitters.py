@@ -140,3 +140,149 @@ def guaranteed_heavy_hitters(ds, k: int = 256, text_col: str = "text"):
     return ray.data.from_arrow(
         out.cast(_OUT_SCHEMA) if out.num_rows else
         _OUT_SCHEMA.empty_table())
+
+
+def grouped_heavy_hitters(ds, group_col: str = "source", k: int = 64,
+                          text_col: str = "text"):
+    """Per-GROUP guaranteed heavy hitters: for every group g, exactly
+    the tokens with n·(k+1) > N_g (N_g = g's total token instances),
+    exact counts — ``guaranteed_heavy_hitters`` with the Misra-Gries
+    state kept PER GROUP (≤ k counters × |groups in task|; the
+    merge-tree bound applies independently per group, so recall is
+    still a theorem under any Ray batching). Output
+    (group, token, n)."""
+    SEP = "\x1f"
+
+    def _compress_groups(tbl: pa.Table) -> pa.Table:
+        """(g, token, wt) rows → per-group MG compress to ≤ k each."""
+        if tbl.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "wt": pa.array([], pa.int64())})
+        g = tbl.group_by(["g", "token"]).aggregate([("wt", "sum")])
+        gcol = g["g"].combine_chunks()
+        enc = pc.dictionary_encode(gcol)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wt = g["wt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        keep_idx, keep_wt = [], []
+        bounds = np.flatnonzero(np.r_[True, codes[order][1:]
+                                      != codes[order][:-1]])
+        bounds = np.r_[bounds, order.size]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = order[s:e]
+            w = wt[seg]
+            if w.size <= k:
+                keep_idx.append(seg)
+                keep_wt.append(w)
+            else:
+                d = np.partition(w, w.size - (k + 1))[w.size - (k + 1)]
+                w2 = w - d
+                m = w2 > 0
+                keep_idx.append(seg[m])
+                keep_wt.append(w2[m])
+        ki = np.concatenate(keep_idx)
+        sel = pa.array(ki)
+        return pa.table({"g": gcol.take(sel),
+                         "token": g["token"].combine_chunks().take(sel),
+                         "wt": pa.array(np.concatenate(keep_wt),
+                                        pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        docidx, codes, vocab = _doc_term_codes(batch, text_col)
+        if codes.size == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "wt": pa.array([], pa.int64())})
+        grp = pc.cast(pc.fill_null(batch[group_col], ""),
+                      pa.string()).combine_chunks()
+        raw = pa.table({
+            "g": grp.take(pa.array(docidx)),
+            "token": pc.take(vocab, pa.array(codes)),
+            "wt": pa.array(np.ones(codes.size, dtype=np.int64)),
+        })
+        return _compress_groups(raw)
+
+    partials = ds.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow")
+    merged = partials.map_batches(_compress_groups,
+                                  batch_format="pyarrow",
+                                  batch_size=1 << 16)
+    parts = [pa.table(b) for b in merged.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")]
+    if not parts:
+        return ray.data.from_arrow(pa.table(
+            {"group": pa.array([], pa.string()),
+             "token": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}))
+    summary = _compress_groups(pa.concat_tables(parts).combine_chunks())
+    cand_keys = pc.binary_join_element_wise(
+        summary["g"].combine_chunks(), summary["token"].combine_chunks(),
+        SEP)
+    cand_ref = ray.put(cand_keys)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        docidx, codes, vocab = _doc_term_codes(batch, text_col)
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "wt": pa.array([], pa.int64())})
+        if codes.size == 0:
+            return empty
+        grp = pc.cast(pc.fill_null(batch[group_col], ""),
+                      pa.string()).combine_chunks()
+        gk = grp.take(pa.array(docidx))
+        keys = pc.binary_join_element_wise(
+            gk, pc.take(vocab, pa.array(codes)), SEP)
+        kenc = pc.dictionary_encode(keys)
+        kc = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(kc, minlength=len(kenc.dictionary)).astype(
+            np.int64)
+        hit = pc.is_valid(pc.index_in(kenc.dictionary, value_set=cands))
+        hm = hit.to_numpy(zero_copy_only=False)
+        # per-group instance totals ride as ("<g><SEP>", total) rows —
+        # the empty token never occurs (see _doc_term_codes)
+        genc = pc.dictionary_encode(gk)
+        gc = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gtot = np.bincount(gc, minlength=len(genc.dictionary)).astype(
+            np.int64)
+        tot_keys = pc.binary_join_element_wise(
+            genc.dictionary, pa.array([""] * len(genc.dictionary),
+                                      pa.string()), SEP)
+        return pa.table({
+            "key": pa.concat_arrays(
+                [kenc.dictionary.filter(hit),
+                 tot_keys.combine_chunks()
+                 if isinstance(tot_keys, pa.ChunkedArray) else tot_keys]),
+            "wt": pa.array(np.concatenate([cnt[hm], gtot]), pa.int64()),
+        })
+
+    counts = ds.select_columns([group_col, text_col]).map_batches(
+        recount, batch_format="pyarrow").groupby("key").sum("wt")
+    parts2 = [pa.table(b) for b in counts.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")]
+    tbl = pa.concat_tables(parts2).combine_chunks() if parts2 else None
+    out_schema = pa.schema([pa.field("group", pa.string()),
+                            pa.field("token", pa.string()),
+                            pa.field("n", pa.int64())])
+    if tbl is None or tbl.num_rows == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    wt_col = "sum(wt)" if "sum(wt)" in tbl.column_names else "wt"
+    keys = tbl["key"].to_pylist()
+    wts = tbl[wt_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    totals: dict[str, int] = {}
+    rows_g, rows_t, rows_n = [], [], []
+    for ky, w in zip(keys, wts):
+        g, t = ky.split(SEP, 1)
+        if t == "":
+            totals[g] = totals.get(g, 0) + int(w)
+    for ky, w in zip(keys, wts):
+        g, t = ky.split(SEP, 1)
+        if t and int(w) * (k + 1) > totals.get(g, 0):
+            rows_g.append(g)
+            rows_t.append(t)
+            rows_n.append(int(w))
+    return ray.data.from_arrow(pa.table({
+        "group": pa.array(rows_g, pa.string()),
+        "token": pa.array(rows_t, pa.string()),
+        "n": pa.array(rows_n, pa.int64()),
+    }))

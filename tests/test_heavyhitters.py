@@ -96,3 +96,45 @@ def test_exact_when_vocab_below_k(ray_session):
 def test_empty_and_null(ray_session):
     rows = [{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": None}]
     assert _run(rows, 8, parallelism=2) == set()
+
+
+def test_grouped_matches_brute(ray_session):
+    from raydedup.stages.heavyhitters import grouped_heavy_hitters
+
+    import ray.data
+
+    rng = random.Random(77)
+    words = [f"tok{i}" for i in range(1500)]
+    hot = {g: [f"hh{g}{i}" for i in range(4)] for g in ("s0", "s1", "s2")}
+    rows = []
+    for d in range(90):
+        g = f"s{d % 3}"
+        toks = [rng.choice(hot[g]) if rng.random() < 0.3
+                else rng.choice(words) for _ in range(50)]
+        rows.append({"source": g, "text": " ".join(toks)})
+    k = 16
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(8)
+    got = {(r["group"], r["token"], r["n"])
+           for r in grouped_heavy_hitters(ds, "source", k).take_all()}
+    cnt, tot = {}, Counter()
+    for r in rows:
+        for t in simple_tokenize(r["text"]):
+            cnt[(r["source"], t)] = cnt.get((r["source"], t), 0) + 1
+            tot[r["source"]] += 1
+    exp = {(g, t, n) for (g, t), n in cnt.items()
+           if n * (k + 1) > tot[g]}
+    assert got == exp and len(exp) >= 9
+
+
+def test_grouped_empty_and_single_group(ray_session):
+    from raydedup.stages.heavyhitters import grouped_heavy_hitters
+
+    import ray.data
+
+    rows = [{"source": "s", "text": "a a a b"},
+            {"source": "s", "text": "a c"}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    # N=6, k=2 → n*3 > 6 → n ≥ 3: a(4)
+    got = {(r["group"], r["token"], r["n"])
+           for r in grouped_heavy_hitters(ds, "source", 2).take_all()}
+    assert got == {("s", "a", 4)}
