@@ -3358,6 +3358,61 @@ def q_conv_near_dup_pairs(sf_dir: str):
     return out
 
 
+def q_conv_turn_edit_pairs(sf_dir: str):
+    """TURN-sequence edit forensics for conversation near-dup pairs:
+    per conv pair (shingle Jaccard >= 0.1 over assembled text, the
+    conv_near_dup_pairs contract), the TURN-level Levenshtein distance
+    — each turn reduced to its md5 identity, so the sequences compare
+    whole turns ('how many turns were inserted / replaced between the
+    two runs'), the conversation-granularity twin of
+    near_dup_pair_edits. Pure composition: assemble_by_key over
+    per-turn md5 streams + pair_edit_stats (md5 hex is one \\w+ token
+    per turn). Oracle: the conv-pair CTE + the dense_rank→chr
+    token-alphabet levenshtein idiom over turn hashes."""
+    import hashlib
+
+    from raydedup.stages.editjoin import pair_edit_stats
+    from raydedup.stages.ordered import assemble_by_key
+    from raydedup.stages.setjoin import set_similarity_self_join
+
+    ts = transcripts_from_documents(sf_dir).materialize()
+    convs = assemble_by_key(ts, by="conv_id", order_cols=["turn_idx"],
+                            text_col="text", sep="\n", out="conv_text")
+    pairs = set_similarity_self_join(
+        convs, 0.1, SIMPLE_CFG, id_col="conv_id", text_col="conv_text")
+    pr = pairs.map_batches(
+        lambda b: pa.table({"a_key": b["a_id"], "b_key": b["b_id"]}),
+        batch_format="pyarrow")
+
+    def md5s(b: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+              for t in b["text"].to_pylist()]
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": b["turn_idx"],
+                         "tsha": pa.array(hs, pa.string())})
+
+    streams = assemble_by_key(
+        ts.map_batches(md5s, batch_format="pyarrow"), by="conv_id",
+        order_cols=["turn_idx"], text_col="tsha", sep=" ",
+        out="sha_stream")
+    out = _round_col(
+        pair_edit_stats(pr, streams, key_col="conv_id",
+                        text_col="sha_stream"),
+        "nlev").materialize()
+    if out.count() == 0:
+        # zero conv pairs IS the correct answer at some scales, but Ray
+        # 2.49 to_pandas() drops all columns from a fully-empty Dataset
+        # — hand the driver a schema-carrying Arrow table instead (the
+        # conv_near_dup_pairs idiom)
+        return pa.schema([
+            pa.field("a_key", pa.string()), pa.field("b_key", pa.string()),
+            pa.field("n_a", pa.int64()), pa.field("n_b", pa.int64()),
+            pa.field("token_lev", pa.int64()),
+            pa.field("nlev", pa.float64()),
+        ]).empty_table()
+    return out
+
+
 def q_tiered_dedup_docs(sf_dir: str):
     """TIERED dedup cascade (the composition a web-scale curation run
     ships): tier 1 collapses sha256-identical texts to the min-id rep;
@@ -4137,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_containment_pairs": q_bag_containment_pairs,
         "bag_near_dup_clusters": q_bag_near_dup_clusters,
         "heavy_hitters_by_source": q_heavy_hitters_by_source,
+        "conv_turn_edit_pairs": q_conv_turn_edit_pairs,
         "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
         "turn_dedup_in_conv": q_turn_dedup_in_conv,
         "near_dup_pair_edits": q_near_dup_pair_edits,
@@ -7823,6 +7879,85 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.ai
             JOIN sz y ON y.doc_id = i.bi
             WHERE x.n >= 5 AND CAST(i.c AS DOUBLE) / x.n >= 0.9
+        """,
+        "conv_turn_edit_pairs": TRANSCRIPTS_SQL + f""",
+            conv AS (
+                SELECT conv_id,
+                       string_agg(text, chr(10) ORDER BY turn_idx)
+                           AS conv_text
+                FROM transcripts GROUP BY conv_id
+            ),
+            arrs AS (
+                SELECT conv_id,
+                       regexp_extract_all(lower(conv_text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM conv
+            ),
+            sl AS (
+                SELECT conv_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM arrs WHERE len(arr) > 0
+            ),
+            sh AS (SELECT DISTINCT conv_id, s.sh
+                   FROM sl, UNNEST(shl) AS s(sh)),
+            sz AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.conv_id AS a_id, b.conv_id AS b_id,
+                       count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.sh = b.sh AND a.conv_id < b.conv_id
+                GROUP BY 1, 2
+            ),
+            cpairs AS (
+                SELECT i.a_id, i.b_id
+                FROM inter i
+                JOIN sz x ON x.conv_id = i.a_id
+                JOIN sz y ON y.conv_id = i.b_id
+                WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.1
+            ),
+            tsha AS (
+                SELECT conv_id, turn_idx,
+                       md5(coalesce(text, '')) AS h
+                FROM transcripts
+            ),
+            pairtok AS (
+                SELECT p.a_id AS a_key, p.b_id AS b_key, 0 AS side,
+                       t.turn_idx AS p, t.h AS tok
+                FROM cpairs p JOIN tsha t ON t.conv_id = p.a_id
+                UNION ALL
+                SELECT p.a_id, p.b_id, 1, t.turn_idx, t.h
+                FROM cpairs p JOIN tsha t ON t.conv_id = p.b_id
+            ),
+            ranked AS (
+                SELECT a_key, b_key, side, p,
+                       dense_rank() OVER (PARTITION BY a_key, b_key
+                                          ORDER BY tok) AS r
+                FROM pairtok
+            ),
+            enc AS (
+                SELECT a_key, b_key,
+                       coalesce(string_agg(CASE WHEN side = 0 THEN
+                           chr(CAST(r AS INTEGER)) END, '' ORDER BY p),
+                           '') AS s_a,
+                       coalesce(string_agg(CASE WHEN side = 1 THEN
+                           chr(CAST(r AS INTEGER)) END, '' ORDER BY p),
+                           '') AS s_b
+                FROM ranked GROUP BY 1, 2
+            )
+            SELECT a_key, b_key,
+                   length(s_a) AS n_a, length(s_b) AS n_b,
+                   levenshtein(s_a, s_b) AS token_lev,
+                   round(CASE WHEN greatest(length(s_a),
+                                            length(s_b)) = 0
+                         THEN 0.0e0
+                         ELSE CAST(levenshtein(s_a, s_b) AS DOUBLE)
+                              / greatest(length(s_a), length(s_b)) END,
+                         {_ROUND}) AS nlev
+            FROM enc
         """,
         "conv_near_dup_pairs": TRANSCRIPTS_SQL + f""",
             conv AS (
