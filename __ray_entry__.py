@@ -3413,6 +3413,54 @@ def q_conv_turn_edit_pairs(sf_dir: str):
     return out
 
 
+def q_conv_turn_containment(sf_dir: str):
+    """Conversation TURN-MULTISET containment: ordered conv pairs where
+    every turn of the inner conv (as an md5 identity, WITH multiplicity)
+    also occurs in the outer conv — the rearranged-rerun-with-extra-
+    turns detector that prefix containment (order-bound) and whole-conv
+    Jaccard (dilution-bound) both miss. Composition: per-turn md5
+    streams → bag_element_sets (one (hash, occurrence) element per
+    turn) → the asymmetric prefix-filter containment join at t = 1.0,
+    inner ≥ 2 turns. Oracle replays Σmin(counts) = inner turn count
+    over per-(conv, turn-hash) counts."""
+    import hashlib
+
+    from raydedup.stages.ordered import assemble_by_key
+    from raydedup.stages.setjoin import set_containment_self_join
+    from raydedup.stages.wjaccard import bag_element_sets
+
+    ts = transcripts_from_documents(sf_dir)
+
+    def md5s(b: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+              for t in b["text"].to_pylist()]
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": b["turn_idx"],
+                         "tsha": pa.array(hs, pa.string())})
+
+    streams = assemble_by_key(
+        ts.map_batches(md5s, batch_format="pyarrow"), by="conv_id",
+        order_cols=["turn_idx"], text_col="tsha", sep=" ",
+        out="sha_stream").materialize()
+    sets = bag_element_sets(streams, SIMPLE_CFG, id_col="conv_id",
+                            text_col="sha_stream")
+    out = _round_col(
+        set_containment_self_join(streams, 1.0, SIMPLE_CFG, min_inner=2,
+                                  id_col="conv_id",
+                                  text_col="sha_stream", sets_ds=sets),
+        "containment").materialize()
+    if out.count() == 0:
+        return pa.schema([
+            pa.field("inner_id", pa.string()),
+            pa.field("outer_id", pa.string()),
+            pa.field("common", pa.int64()),
+            pa.field("n_inner", pa.int64()),
+            pa.field("n_outer", pa.int64()),
+            pa.field("containment", pa.float64()),
+        ]).empty_table()
+    return out
+
+
 def q_tiered_dedup_docs(sf_dir: str):
     """TIERED dedup cascade (the composition a web-scale curation run
     ships): tier 1 collapses sha256-identical texts to the min-id rep;
@@ -4193,6 +4241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_near_dup_clusters": q_bag_near_dup_clusters,
         "heavy_hitters_by_source": q_heavy_hitters_by_source,
         "conv_turn_edit_pairs": q_conv_turn_edit_pairs,
+        "conv_turn_containment": q_conv_turn_containment,
         "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
         "turn_dedup_in_conv": q_turn_dedup_in_conv,
         "near_dup_pair_edits": q_near_dup_pair_edits,
@@ -7879,6 +7928,32 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.ai
             JOIN sz y ON y.doc_id = i.bi
             WHERE x.n >= 5 AND CAST(i.c AS DOUBLE) / x.n >= 0.9
+        """,
+        "conv_turn_containment": TRANSCRIPTS_SQL + f""",
+            tsha AS (
+                SELECT conv_id, md5(coalesce(text, '')) AS h
+                FROM transcripts
+            ),
+            cnts AS (SELECT conv_id, h, count(*) AS c
+                     FROM tsha GROUP BY 1, 2),
+            tot AS (SELECT conv_id, sum(c) AS n FROM cnts GROUP BY 1),
+            inter AS (
+                SELECT a.conv_id AS ai, b.conv_id AS bi,
+                       sum(least(a.c, b.c)) AS m
+                FROM cnts a JOIN cnts b
+                  ON a.h = b.h AND a.conv_id <> b.conv_id
+                GROUP BY 1, 2
+            )
+            SELECT i.ai AS inner_id, i.bi AS outer_id,
+                   CAST(i.m AS BIGINT) AS common,
+                   CAST(x.n AS BIGINT) AS n_inner,
+                   CAST(y.n AS BIGINT) AS n_outer,
+                   round(CAST(i.m AS DOUBLE) / x.n, {_ROUND})
+                       AS containment
+            FROM inter i
+            JOIN tot x ON x.conv_id = i.ai
+            JOIN tot y ON y.conv_id = i.bi
+            WHERE x.n >= 2 AND i.m = x.n
         """,
         "conv_turn_edit_pairs": TRANSCRIPTS_SQL + f""",
             conv AS (

@@ -244,3 +244,55 @@ class TestDedupTurnsWithinConv:
                 seen.add(k)
                 exp.add((r["conv_id"], r["turn_idx"]))
         assert self._run(rows, num_partitions=5) == exp
+
+
+def test_conv_turn_containment_planted(ray_session):
+    """The q_conv_turn_containment composition on planted reruns:
+    conv B = conv A's turns REARRANGED plus extra turns → (A, B) is a
+    turn-multiset containment pair; a conv missing one of A's repeated
+    turns is NOT (multiplicity counts)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.config import DedupConfig
+    from raydedup.stages.ordered import assemble_by_key
+    from raydedup.stages.setjoin import set_containment_self_join
+    from raydedup.stages.wjaccard import bag_element_sets
+
+    cfg = DedupConfig().with_overrides(stemming=False,
+                                       remove_stopwords=False)
+    rows = []
+
+    def conv(cid, texts):
+        for i, t in enumerate(texts):
+            rows.append({"conv_id": cid, "turn_idx": i, "text": t})
+
+    conv("A", ["hello", "run it", "hello", "done"])
+    conv("B", ["extra", "done", "hello", "run it", "hello", "more"])
+    conv("C", ["done", "hello", "run it"])  # only ONE 'hello': not ⊇ A
+    conv("D", ["unrelated", "turns"])
+    ts = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    def md5s(b):
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in b["text"].to_pylist()]
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": b["turn_idx"],
+                         "tsha": pa.array(hs, pa.string())})
+
+    streams = assemble_by_key(
+        ts.map_batches(md5s, batch_format="pyarrow"), by="conv_id",
+        order_cols=["turn_idx"], text_col="tsha", sep=" ",
+        out="sha_stream").materialize()
+    sets = bag_element_sets(streams, cfg, id_col="conv_id",
+                            text_col="sha_stream")
+    got = {(r["inner_id"], r["outer_id"])
+           for r in set_containment_self_join(
+               streams, 1.0, cfg, min_inner=2, id_col="conv_id",
+               text_col="sha_stream", sets_ds=sets).take_all()}
+    assert ("A", "B") in got
+    assert ("C", "B") in got  # C's multiset is inside B too
+    assert ("A", "C") not in got  # multiplicity blocks
+    assert not any(x == "D" or y == "D" for x, y in got)
