@@ -3205,6 +3205,45 @@ def q_turn_dedup_in_conv(sf_dir: str):
         ["conv_id", "turn_idx"])
 
 
+def q_unified_dedup_clusters(sf_dir: str):
+    """UNIFIED multi-paradigm dedup clusters: connected components over
+    the union of every duplicate-evidence family the engine computes —
+    exact-text groups ∪ verified shingle near-dup pairs (J ≥ 0.8) ∪
+    weighted-bag pairs (J_w ≥ 0.8) ∪ set-containment pairs (c ≥ 0.9,
+    inner ≥ 5) — the most aggressive curation setting ('collapse
+    anything any detector flags'). Composed by CHAINED incremental
+    merges: text_label_groups supplies the standing exact labeling and
+    merge_components contracts each edge family against it in turn
+    (work ∝ that family's pairs, one repaint join each). Oracle: one
+    recursive reach over the union of all four edge CTEs."""
+    from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
+    from raydedup.stages.exact import text_label_groups
+    from raydedup.stages.setjoin import set_containment_self_join
+    from raydedup.stages.wjaccard import bag_near_dup_pairs
+    from raydedup.state.unionfind import merge_components
+
+    docs = _docs(sf_dir)
+    labels = text_label_groups(docs, key_cols=["doc_id"]).map_batches(
+        lambda b: pa.table({"node": b["row_key"], "label": b["label"]}),
+        batch_format="pyarrow")
+    assigned = signatures_with_rep(
+        docs, SIMPLE_CFG, key_cols=["doc_id"]).materialize()
+    near = near_dup_pairs(assigned, SIMPLE_CFG)
+    bag = bag_near_dup_pairs(docs, SIMPLE_CFG, key_cols=["doc_id"])
+    cont = set_containment_self_join(
+        docs, 0.9, SIMPLE_CFG, min_inner=5).map_batches(
+        lambda b: pa.table({"a_key": pc.cast(b["inner_id"], pa.string()),
+                            "b_key": pc.cast(b["outer_id"], pa.string())}),
+        batch_format="pyarrow")
+    merged = merge_components(labels, near)
+    merged = merge_components(merged, bag)
+    merged = merge_components(merged, cont)
+    return merged.map_batches(
+        lambda b: pa.table({"row_key": b["node"],
+                            "cluster_id": b["label"]}),
+        batch_format="pyarrow")
+
+
 def q_heavy_hitters_by_source(sf_dir: str):
     """Per-SOURCE guaranteed heavy hitters (k=32): for each source,
     exactly the tokens with n·(k+1) > that source's token-instance
@@ -4242,6 +4281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_by_source": q_heavy_hitters_by_source,
         "conv_turn_edit_pairs": q_conv_turn_edit_pairs,
         "conv_turn_containment": q_conv_turn_containment,
+        "unified_dedup_clusters": q_unified_dedup_clusters,
         "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
         "turn_dedup_in_conv": q_turn_dedup_in_conv,
         "near_dup_pair_edits": q_near_dup_pair_edits,
@@ -7928,6 +7968,84 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.ai
             JOIN sz y ON y.doc_id = i.bi
             WHERE x.n >= 5 AND CAST(i.c AS DOUBLE) / x.n >= 0.9
+        """,
+        "unified_dedup_clusters": f"""
+            WITH RECURSIVE {_DOC_SHINGLES_CTE},
+            btoks AS (SELECT doc_id, t.t FROM arrs, UNNEST(arr) AS t(t)),
+            bcnts AS (SELECT doc_id, t, count(*) AS c
+                      FROM btoks GROUP BY 1, 2),
+            btot AS (SELECT doc_id, sum(c) AS n FROM bcnts GROUP BY 1),
+            binter AS (
+                SELECT a.doc_id AS ai, b.doc_id AS bi,
+                       sum(least(a.c, b.c)) AS m
+                FROM bcnts a JOIN bcnts b
+                  ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            bagpairs AS (
+                SELECT i.ai, i.bi
+                FROM binter i
+                JOIN btot x ON x.doc_id = i.ai
+                JOIN btot y ON y.doc_id = i.bi
+                WHERE CAST(i.m AS DOUBLE) / (x.n + y.n - i.m) >= 0.8
+            ),
+            carrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
+                           AS arr
+                FROM documents
+            ),
+            csl AS (
+                SELECT doc_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM carrs WHERE len(arr) > 0
+            ),
+            csh AS (SELECT DISTINCT doc_id, s.sh
+                    FROM csl, UNNEST(shl) AS s(sh)),
+            csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+            cinter AS (
+                SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
+                FROM csh a JOIN csh b
+                  ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            ),
+            contpairs AS (
+                SELECT i.ai, i.bi
+                FROM cinter i JOIN csz x ON x.doc_id = i.ai
+                WHERE x.n >= 5 AND CAST(i.c AS DOUBLE) / x.n >= 0.9
+            ),
+            edges0 AS (
+                SELECT CAST(a.doc_id AS VARCHAR) AS ak,
+                       CAST(b.doc_id AS VARCHAR) AS bk
+                FROM documents a JOIN documents b
+                  ON a.text = b.text AND a.doc_id <> b.doc_id
+                UNION
+                SELECT CAST(a_id AS VARCHAR), CAST(b_id AS VARCHAR)
+                FROM near_pairs
+                UNION
+                SELECT CAST(ai AS VARCHAR), CAST(bi AS VARCHAR)
+                FROM bagpairs
+                UNION
+                SELECT CAST(ai AS VARCHAR), CAST(bi AS VARCHAR)
+                FROM contpairs
+            ),
+            edges AS (
+                SELECT ak AS a_key, bk AS b_key FROM edges0
+                UNION SELECT bk, ak FROM edges0
+            ),
+            reach(node, r) AS (
+                SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR)
+                FROM documents
+                UNION
+                SELECT reach.node, edges.b_key
+                FROM reach JOIN edges ON reach.r = edges.a_key
+            )
+            SELECT node AS row_key, min(r) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "conv_turn_containment": TRANSCRIPTS_SQL + f""",
             tsha AS (
