@@ -3244,6 +3244,61 @@ def q_unified_dedup_clusters(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_dedup_ablation_report(sf_dir: str):
+    """Marginal-yield ABLATION of the unified dedup cascade: after each
+    detector family joins the evidence union (exact → +near → +bag →
+    +containment), how many clusters remain and how many rows are
+    duplicates (rows − clusters) — the table that tells a curation run
+    which detector actually pays for its compute on this corpus.
+    Engine: the same chained merge_components as unified_dedup_clusters
+    with a distinct-label count after each stage (a native groupby
+    count, label-count-sized). Oracle: four recursive reach CTEs over
+    the growing edge unions."""
+    from ray.data.aggregate import Count
+
+    from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
+    from raydedup.stages.exact import text_label_groups
+    from raydedup.stages.setjoin import set_containment_self_join
+    from raydedup.stages.wjaccard import bag_near_dup_pairs
+    from raydedup.state.unionfind import merge_components
+
+    docs = _docs(sf_dir)
+    labels = text_label_groups(docs, key_cols=["doc_id"]).map_batches(
+        lambda b: pa.table({"node": b["row_key"], "label": b["label"]}),
+        batch_format="pyarrow").materialize()
+    assigned = signatures_with_rep(
+        docs, SIMPLE_CFG, key_cols=["doc_id"]).materialize()
+    near = near_dup_pairs(assigned, SIMPLE_CFG)
+    bag = bag_near_dup_pairs(docs, SIMPLE_CFG, key_cols=["doc_id"])
+    cont = set_containment_self_join(
+        docs, 0.9, SIMPLE_CFG, min_inner=5).map_batches(
+        lambda b: pa.table({"a_key": pc.cast(b["inner_id"], pa.string()),
+                            "b_key": pc.cast(b["outer_id"], pa.string())}),
+        batch_format="pyarrow")
+
+    def stats(lab_ds, stage: str):
+        n_rows = lab_ds.count()
+        n_clusters = lab_ds.groupby("label").aggregate(
+            Count(alias_name="c")).count()
+        return {"stage": stage, "n_clusters": n_clusters,
+                "n_duplicates": n_rows - n_clusters}
+
+    rows = [stats(labels, "exact")]
+    merged = merge_components(labels, near).materialize()
+    rows.append(stats(merged, "exact+near"))
+    merged = merge_components(merged, bag).materialize()
+    rows.append(stats(merged, "exact+near+bag"))
+    merged = merge_components(merged, cont).materialize()
+    rows.append(stats(merged, "exact+near+bag+containment"))
+    return pa.table({
+        "stage": pa.array([r["stage"] for r in rows], pa.string()),
+        "n_clusters": pa.array([r["n_clusters"] for r in rows],
+                               pa.int64()),
+        "n_duplicates": pa.array([r["n_duplicates"] for r in rows],
+                                 pa.int64()),
+    })
+
+
 def q_heavy_hitters_by_source(sf_dir: str):
     """Per-SOURCE guaranteed heavy hitters (k=32): for each source,
     exactly the tokens with n·(k+1) > that source's token-instance
@@ -4282,6 +4337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turn_edit_pairs": q_conv_turn_edit_pairs,
         "conv_turn_containment": q_conv_turn_containment,
         "unified_dedup_clusters": q_unified_dedup_clusters,
+        "dedup_ablation_report": q_dedup_ablation_report,
         "cross_corpus_sim_pairs": q_cross_corpus_sim_pairs,
         "turn_dedup_in_conv": q_turn_dedup_in_conv,
         "near_dup_pair_edits": q_near_dup_pair_edits,
@@ -7968,6 +8024,114 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.ai
             JOIN sz y ON y.doc_id = i.bi
             WHERE x.n >= 5 AND CAST(i.c AS DOUBLE) / x.n >= 0.9
+        """,
+        "dedup_ablation_report": f"""
+            WITH RECURSIVE {_DOC_SHINGLES_CTE},
+            btoks AS (SELECT doc_id, t.t FROM arrs, UNNEST(arr) AS t(t)),
+            bcnts AS (SELECT doc_id, t, count(*) AS c
+                      FROM btoks GROUP BY 1, 2),
+            btot AS (SELECT doc_id, sum(c) AS n FROM bcnts GROUP BY 1),
+            binter AS (
+                SELECT a.doc_id AS ai, b.doc_id AS bi,
+                       sum(least(a.c, b.c)) AS m
+                FROM bcnts a JOIN bcnts b
+                  ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            bagpairs AS (
+                SELECT i.ai, i.bi
+                FROM binter i
+                JOIN btot x ON x.doc_id = i.ai
+                JOIN btot y ON y.doc_id = i.bi
+                WHERE CAST(i.m AS DOUBLE) / (x.n + y.n - i.m) >= 0.8
+            ),
+            carrs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
+                           AS arr
+                FROM documents
+            ),
+            csl AS (
+                SELECT doc_id,
+                       CASE WHEN len(arr) > 3 THEN
+                           list_transform(range(len(arr) - 2),
+                               i -> arr[i + 1] || ' ' || arr[i + 2]
+                                    || ' ' || arr[i + 3])
+                       ELSE [array_to_string(arr, ' ')] END AS shl
+                FROM carrs WHERE len(arr) > 0
+            ),
+            csh AS (SELECT DISTINCT doc_id, s.sh
+                    FROM csl, UNNEST(shl) AS s(sh)),
+            csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+            cinter AS (
+                SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
+                FROM csh a JOIN csh b
+                  ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            ),
+            contpairs AS (
+                SELECT i.ai, i.bi
+                FROM cinter i JOIN csz x ON x.doc_id = i.ai
+                WHERE x.n >= 5 AND CAST(i.c AS DOUBLE) / x.n >= 0.9
+            ),
+            exe AS (
+                SELECT CAST(a.doc_id AS VARCHAR) AS ak,
+                       CAST(b.doc_id AS VARCHAR) AS bk
+                FROM documents a JOIN documents b
+                  ON a.text = b.text AND a.doc_id <> b.doc_id
+            ),
+            ne AS (SELECT CAST(a_id AS VARCHAR) AS ak,
+                          CAST(b_id AS VARCHAR) AS bk FROM near_pairs),
+            be AS (SELECT CAST(ai AS VARCHAR) AS ak,
+                          CAST(bi AS VARCHAR) AS bk FROM bagpairs),
+            ce AS (SELECT CAST(ai AS VARCHAR) AS ak,
+                          CAST(bi AS VARCHAR) AS bk FROM contpairs),
+            e1 AS (SELECT ak, bk FROM exe UNION SELECT bk, ak FROM exe),
+            e2 AS (SELECT * FROM e1
+                   UNION SELECT ak, bk FROM ne
+                   UNION SELECT bk, ak FROM ne),
+            e3 AS (SELECT * FROM e2
+                   UNION SELECT ak, bk FROM be
+                   UNION SELECT bk, ak FROM be),
+            e4 AS (SELECT * FROM e3
+                   UNION SELECT ak, bk FROM ce
+                   UNION SELECT bk, ak FROM ce),
+            base AS (SELECT CAST(doc_id AS VARCHAR) AS node
+                     FROM documents),
+            r1(node, r) AS (
+                SELECT node, node FROM base
+                UNION SELECT r1.node, e1.bk
+                FROM r1 JOIN e1 ON r1.r = e1.ak),
+            r2(node, r) AS (
+                SELECT node, node FROM base
+                UNION SELECT r2.node, e2.bk
+                FROM r2 JOIN e2 ON r2.r = e2.ak),
+            r3(node, r) AS (
+                SELECT node, node FROM base
+                UNION SELECT r3.node, e3.bk
+                FROM r3 JOIN e3 ON r3.r = e3.ak),
+            r4(node, r) AS (
+                SELECT node, node FROM base
+                UNION SELECT r4.node, e4.bk
+                FROM r4 JOIN e4 ON r4.r = e4.ak),
+            nn AS (SELECT count(*) AS total FROM documents),
+            s1 AS (SELECT count(DISTINCT cid) AS c FROM (
+                SELECT min(r) AS cid FROM r1 GROUP BY node)),
+            s2 AS (SELECT count(DISTINCT cid) AS c FROM (
+                SELECT min(r) AS cid FROM r2 GROUP BY node)),
+            s3 AS (SELECT count(DISTINCT cid) AS c FROM (
+                SELECT min(r) AS cid FROM r3 GROUP BY node)),
+            s4 AS (SELECT count(DISTINCT cid) AS c FROM (
+                SELECT min(r) AS cid FROM r4 GROUP BY node))
+            SELECT 'exact' AS stage, s1.c AS n_clusters,
+                   nn.total - s1.c AS n_duplicates FROM s1, nn
+            UNION ALL
+            SELECT 'exact+near', s2.c, nn.total - s2.c FROM s2, nn
+            UNION ALL
+            SELECT 'exact+near+bag', s3.c, nn.total - s3.c FROM s3, nn
+            UNION ALL
+            SELECT 'exact+near+bag+containment', s4.c, nn.total - s4.c
+            FROM s4, nn
         """,
         "unified_dedup_clusters": f"""
             WITH RECURSIVE {_DOC_SHINGLES_CTE},
