@@ -252,7 +252,8 @@ def run_bench() -> dict:
                   "near_dup_clusters_incremental",
                   "blocklist_hits_ac",
                   "bag_near_dup_clusters",
-                  "heavy_hitters_by_source"):
+                  "heavy_hitters_by_source",
+                  "unified_dedup_clusters"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame
