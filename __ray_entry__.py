@@ -120,6 +120,21 @@ def q_near_dup_pairs_docs(sf_dir: str):
     return _round_col(near_dup_pairs(assigned, SIMPLE_CFG), "jaccard")
 
 
+def q_near_dup_pairs_kperm(sf_dir: str):
+    """Same verified near-dup pair question, answered through the
+    K-independent-permutations minhash kernel (the classic
+    Broder/MMDS construction; ``minhash_kernel="kperm"``) — kept
+    value-gated alongside the OPH default so BOTH kernels stay pinned
+    to the same brute-force SQL truth."""
+    from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
+
+    cfg = SIMPLE_CFG.with_overrides(minhash_kernel="kperm")
+    assigned = signatures_with_rep(
+        _docs(sf_dir), cfg, key_cols=["doc_id"]
+    ).materialize()
+    return _round_col(near_dup_pairs(assigned, cfg), "jaccard")
+
+
 def q_near_dup_pairs_oph(sf_dir: str):
     """Same verified near-dup pair question as near_dup_pairs_docs,
     answered through the ONE-PERMUTATION-HASHING signature kernel
@@ -4180,6 +4195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_clusters": q_exact_dup_clusters,
         "near_dup_pairs_docs": q_near_dup_pairs_docs,
         "near_dup_pairs_oph": q_near_dup_pairs_oph,
+        "near_dup_pairs_kperm": q_near_dup_pairs_kperm,
         "bag_near_dup_pairs": q_bag_near_dup_pairs,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "near_dup_clusters_altstar": q_near_dup_clusters_altstar,
@@ -9051,6 +9067,7 @@ def oracle_sql() -> dict[str, str]:
     # the OPH signature kernel answers the same verified-pair question —
     # one SQL truth, another signature kernel (exact verify either way)
     oracles["near_dup_pairs_oph"] = oracles["near_dup_pairs_docs"]
+    oracles["near_dup_pairs_kperm"] = oracles["near_dup_pairs_docs"]
     # the Aho-Corasick actor-pool kernel answers the same blocklist
     # question as the Rabin-Karp pass — one SQL truth, a third kernel
     oracles["blocklist_hits_ac"] = oracles["blocklist_hits_rk"]

@@ -71,14 +71,21 @@ class DedupConfig:
     minhash_num_perms: int = 64
     minhash_shingle_words: int = 3
     minhash_seed: int = 4242
-    # signature kernel: "kperm" = K independent permutations (the
-    # reference-parity default); "oph" = one-permutation hashing with
+    # signature kernel: "oph" (default) = one-permutation hashing with
     # rotation densification (Li/Owen/Zhang 2012 + Shrivastava/Li 2014)
-    # — ONE hash pass per shingle instead of K multiply-adds, the scale
-    # path for the bandwidth-bound signature stage. Both produce (n, K)
-    # minwise sketches with the same banding math; candidate sets may
-    # differ per pair but verification is exact either way.
-    minhash_kernel: str = "kperm"
+    # — ONE scatter-min per shingle instead of K multiply-adds; "kperm"
+    # = K independent permutations. Both produce (n, K) minwise
+    # sketches with the same banding math; candidate sets may differ
+    # per pair but verification is exact either way, so verified-pair
+    # output matches the brute-force truth under both. OPH measured
+    # strictly faster at every parallelism (BASELINE.md session-10:
+    # 2→8 legs 100.8/27.6 s vs k-perm's 115.3/30.2; 8→32 efficiency
+    # 0.673 vs 0.641) because the (shingles × K) DRAM traffic — the
+    # single-socket scaling ceiling — disappears. MinHash/LSH is an
+    # engine addition (no reference counterpart), so the kernel choice
+    # does not touch reference parity, which lives in the simhash and
+    # measure contracts above.
+    minhash_kernel: str = "oph"
 
     # --- LSH banding: bands * rows == num_perms ---
     lsh_bands: int = 16
