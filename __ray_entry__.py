@@ -3143,6 +3143,29 @@ def q_multimodal_frames(sf_dir: str):
     )
 
 
+def q_image_dup_groups(sf_dir: str):
+    """Perceptual IMAGE dedup (dHash) over REAL decoded PPM payloads
+    with planted brightness-variant duplicates: every payload is
+    decoded by the numpy codec, difference-hashed (9×8 grayscale
+    downsample → 64 adjacent-comparison bits), and rows with identical
+    hashes cluster (label = min doc_id). Brightness variants of one
+    image share a cluster — dHash is provably invariant to a uniform
+    shift — while a byte checksum would scatter them. The oracle
+    replays every hash bit closed-form from doc_id alone, so the real
+    decoder + hash kernel are value-checked end-to-end."""
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_image_variants,
+        image_dup_groups,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=64)
+    return image_dup_groups(attach_synthetic_image_variants(docs))
+
+
 def q_set_sim_pairs_docs(sf_dir: str):
     """EXACT all-pairs shingle-set Jaccard >= 0.5 via prefix filtering
     (AllPairs/PPJoin — Bayardo et al. 2007, Xiao et al. 2008): the
@@ -4299,6 +4322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "image_dup_groups": q_image_dup_groups,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
         "range_join_events": q_range_join_events,
@@ -7740,6 +7764,60 @@ def _oracle_sql_base() -> dict[str, str]:
                                      * (rem - (256 - a) - 1)) // 2
                         END AS BIGINT) AS frame_sum
             FROM s
+        """,
+        # dHash replay: grid = 9x8 nearest-downsampled integer grayscale
+        # of the closed-form variant image (group g = doc_id % 40,
+        # w = 20 + g%9, h = 20 + g%7, channel value (3g + 5i) % 200 at
+        # raster index i, + brightness v on every channel — v shifts
+        # both sides of every strict comparison equally, so it is
+        # omitted); bit(y,x) = gray(y,x+1) > gray(y,x), k = y*8 + x,
+        # packed into two BIGINT halves exactly as dhash64 does.
+        "image_dup_groups": """
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       20 + (doc_id % 40) % 9 AS w,
+                       20 + (doc_id % 40) % 7 AS h
+                FROM documents
+            ),
+            grid AS (
+                SELECT p.doc_id, y.g AS y, x.g AS x,
+                       (((3 * p.g + 5 * (3 * (((y.g * p.h) // 8) * p.w
+                                              + ((x.g * p.w) // 9)))) % 200)
+                        + ((3 * p.g + 5 * (3 * (((y.g * p.h) // 8) * p.w
+                                               + ((x.g * p.w) // 9)))
+                            + 5) % 200)
+                        + ((3 * p.g + 5 * (3 * (((y.g * p.h) // 8) * p.w
+                                               + ((x.g * p.w) // 9)))
+                            + 10) % 200)) // 3 AS gray
+                FROM p,
+                     generate_series(0, 7) y(g),
+                     generate_series(0, 8) x(g)
+            ),
+            bits AS (
+                SELECT a.doc_id, (a.y * 8 + a.x) AS k,
+                       CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+                FROM grid a
+                JOIN grid b ON a.doc_id = b.doc_id AND a.y = b.y
+                           AND b.x = a.x + 1
+                WHERE a.x < 8
+            ),
+            hash AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN k >= 32
+                                THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                                ELSE 0 END) AS BIGINT) AS dhash_hi,
+                       CAST(SUM(CASE WHEN k < 32
+                                THEN bit * (CAST(1 AS BIGINT) << k)
+                                ELSE 0 END) AS BIGINT) AS dhash_lo
+                FROM bits GROUP BY doc_id
+            )
+            SELECT doc_id, dhash_hi, dhash_lo,
+                   MIN(doc_id) OVER (PARTITION BY dhash_hi, dhash_lo)
+                       AS img_cluster,
+                   COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo)
+                       AS n_members
+            FROM hash
         """,
         # near_dup_clusters_transcripts: the flagship runs the stemmed
         # reference config (Porter stemmer — not SQL-expressible); its

@@ -534,3 +534,141 @@ def sample_video_frames(ds, every_n: int = 2, id_col: str = "doc_id"):
     """REAL frame sampling over uncompressed-AVI payloads → Dataset(id,
     frame_idx, meta_w, meta_h, frame_sum), one row per sampled frame."""
     return sample_frames(ds, every_n=every_n, fake=False, id_col=id_col)
+
+
+# --- perceptual-hash image dedup --------------------------------------------
+
+
+def attach_synthetic_image_variants(ds, id_col: str = "doc_id",
+                                    groups: int = 40, variants: int = 7):
+    """REAL PPM payloads with PLANTED perceptual-duplicate structure:
+    row id d belongs to image group ``g = d % groups`` with brightness
+    offset ``v = (d // groups) % variants``. The image is the group's
+    gradient ``base[i] = (3*g + 5*i) % 200`` shifted by ``+v`` on every
+    byte (values <= 205, so no clipping), at per-group size
+    ``w = 20 + g % 9``, ``h = 20 + g % 7``.
+
+    A uniform ``+v`` on all channels moves the integer grayscale
+    ``(r+g+b)//3`` by exactly ``+v`` (3v is divisible by 3), so every
+    strict adjacent-pixel comparison — i.e. every dHash bit — is
+    provably invariant within a group, while the ``% 200`` wrap
+    positions (and the raster dimensions) differ across groups. The SQL
+    oracle recomputes the whole hash from ``doc_id`` alone."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        payloads = []
+        for d in ids:
+            d = int(d)
+            g, v = d % groups, (d // groups) % variants
+            w, h = 20 + g % 9, 20 + g % 7
+            pix = ((np.int64(3 * g)
+                    + 5 * np.arange(3 * w * h, dtype=np.int64)) % 200 + v)
+            payloads.append(encode_ppm(w, h, pix.astype(np.uint8)))
+        return batch.append_column(
+            "payload", pa.array(payloads, type=pa.binary())
+        ).append_column(
+            "media_type",
+            pa.array(["image/ppm"] * len(ids), type=pa.string()),
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def dhash64(img: np.ndarray, hash_w: int = 8, hash_h: int = 8
+            ) -> tuple[int, int]:
+    """Difference hash (dHash, Krawetz's public description): integer
+    grayscale ``(r+g+b)//3`` → nearest-neighbor downsample to
+    ``(hash_w+1) × hash_h`` (same floor-division index rule as
+    :func:`resize_nearest`) → bit(y, x) = gray[y, x+1] > gray[y, x] →
+    ``hash_w * hash_h`` bits packed row-major (k = y*hash_w + x) into
+    two non-negative int64 halves ``(hi = bits 32.., lo = bits 0..31)``
+    so the value stays BIGINT-exact on both the Arrow and SQL sides.
+
+    Invariant to any uniform brightness shift (strict comparisons are
+    translation-invariant) — the property that makes it a perceptual
+    near-duplicate key rather than a byte checksum."""
+    gray = img.astype(np.int64).sum(axis=2) // 3
+    h, w = gray.shape
+    yi = (np.arange(hash_h) * h // hash_h).clip(0, h - 1)
+    xi = (np.arange(hash_w + 1) * w // (hash_w + 1)).clip(0, w - 1)
+    g = gray[yi[:, None], xi[None, :]]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+    k = np.arange(bits.size, dtype=np.int64)
+    lo = int((bits[k < 32] << k[k < 32]).sum())
+    hi = int((bits[k >= 32] << (k[k >= 32] - 32)).sum())
+    return hi, lo
+
+
+class ImageDHash:
+    """Actor-pool perceptual hasher: decode (real codecs) → dHash.
+    Decoder state (PIL probe) is built once per actor."""
+
+    def __init__(self, hash_w: int = 8, hash_h: int = 8):
+        self.dec = DecodeImage(fake=False)
+        self.hw, self.hh = hash_w, hash_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        his, los = [], []
+        for p in batch["payload"].to_pylist():
+            _, _, img = self.dec._decode(p or b"")
+            hi, lo = dhash64(img, self.hw, self.hh)
+            his.append(hi)
+            los.append(lo)
+        return (
+            batch.append_column("dhash_hi", pa.array(his, pa.int64()))
+            .append_column("dhash_lo", pa.array(los, pa.int64()))
+        )
+
+
+def image_dhash(ds, batch_size: int = 64, concurrency=(1, 8)):
+    """payload column → + (dhash_hi, dhash_lo); small batches because
+    payload bytes dominate block size."""
+    return ds.map_batches(
+        ImageDHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def image_dup_groups(ds, id_col: str = "doc_id"):
+    """Perceptual image dedup: dHash every payload, then cluster rows
+    with IDENTICAL hashes — cluster label = min member id. Brightness
+    variants of the same image land in one cluster (dHash invariance);
+    byte-level checksum grouping would scatter them.
+
+    Scale shape: reuses :func:`raydedup.stages.exact.exact_dedup` — the
+    16-hex-char hash is the dedup key, so only hashes shuffle, only
+    DUPLICATED hash entries broadcast for the vectorized paint, and the
+    distributed grouped-aggregate path engages automatically above the
+    driver threshold. Row keys are zero-padded ids so the string min
+    exact_dedup computes equals the numeric min the oracle computes."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.exact import exact_dedup
+
+    hashed = image_dhash(ds)
+
+    def key(b: pa.Table) -> pa.Table:
+        hi = b["dhash_hi"].to_numpy(zero_copy_only=False)
+        lo = b["dhash_lo"].to_numpy(zero_copy_only=False)
+        sha = [f"{a:08x}{c:08x}" for a, c in zip(hi, lo)]
+        rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
+        return b.append_column(
+            "text_sha256", pa.array(sha, pa.string())
+        ).append_column("row_key", pa.array(rk, pa.string()))
+
+    assigned = exact_dedup(hashed.map_batches(key, batch_format="pyarrow"))
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "dhash_hi": b["dhash_hi"],
+            "dhash_lo": b["dhash_lo"],
+            "img_cluster": pc.cast(b["rep_key"], pa.int64()),
+            "n_members": pc.cast(b["n_exact"], pa.int64()),
+        })
+
+    return assigned.map_batches(out, batch_format="pyarrow")

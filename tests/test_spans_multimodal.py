@@ -1116,3 +1116,44 @@ def test_containment_pairs_empty_schema(ray_session):
     assert set(out.schema().names) == {"inner_key", "outer_key",
                                        "inner_len"}
     assert out.count() == 0
+
+
+def test_dhash_brightness_invariance_and_discrimination():
+    import numpy as np
+
+    from raydedup.stages.multimodal import dhash64
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, size=(23, 31, 3), dtype=np.int64)
+    h0 = dhash64(img.astype(np.uint8))
+    # uniform brightness shift (no clipping) leaves every bit unchanged
+    assert dhash64((img + 37).astype(np.uint8)) == h0
+    # a different random image lands elsewhere (seeded, deterministic)
+    other = rng.integers(0, 200, size=(23, 31, 3), dtype=np.int64)
+    assert dhash64(other.astype(np.uint8)) != h0
+    # halves are non-negative and fit 32 bits each
+    for half in h0:
+        assert 0 <= half < (1 << 32)
+
+
+def test_image_dup_groups_brightness_variants_cluster(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.multimodal import (
+        attach_synthetic_image_variants,
+        image_dup_groups,
+    )
+
+    n, groups = 120, 8
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n))}))
+    rows = image_dup_groups(
+        attach_synthetic_image_variants(ds, groups=groups)).take_all()
+    assert len(rows) == n
+    for r in rows:
+        # verified no cross-group dHash collisions at these params, so
+        # the cluster is exactly the residue class: label = min id = g
+        assert r["img_cluster"] == r["doc_id"] % groups
+        assert r["n_members"] == n // groups
+    # exactly one distinct hash per planted group
+    assert len({(r["dhash_hi"], r["dhash_lo"]) for r in rows}) == groups
