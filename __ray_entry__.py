@@ -3166,6 +3166,30 @@ def q_image_dup_groups(sf_dir: str):
     return image_dup_groups(attach_synthetic_image_variants(docs))
 
 
+def q_image_near_dup_pairs(sf_dir: str):
+    """Perceptual image NEAR-dup pairs: the spot-perturbed variant
+    corpus plants images 1-2 dHash bits away from their clean group
+    (a single white pixel at a sampled grid cell), and the engine finds
+    every representative pair with hamming <= 6 via the EXACT pigeonhole
+    block search after collapsing identical hashes. The oracle replays
+    the hashes closed-form from doc_id and brute-forces pairwise
+    bit_count(xor) over the distinct-hash representatives, so both the
+    candidate generation (no missed pair) and the verify (no spurious
+    pair, exact hamming) are value-gated."""
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_image_variants,
+        image_near_dup_pairs,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=64)
+    return image_near_dup_pairs(
+        attach_synthetic_image_variants(docs, spot_from=4), hamming_max=6)
+
+
 def q_set_sim_pairs_docs(sf_dir: str):
     """EXACT all-pairs shingle-set Jaccard >= 0.5 via prefix filtering
     (AllPairs/PPJoin — Bayardo et al. 2007, Xiao et al. 2008): the
@@ -4323,6 +4347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "image_dup_groups": q_image_dup_groups,
+        "image_near_dup_pairs": q_image_near_dup_pairs,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
         "range_join_events": q_range_join_events,
@@ -7818,6 +7843,69 @@ def _oracle_sql_base() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo)
                        AS n_members
             FROM hash
+        """,
+        # Same dHash replay, over the spot-perturbed corpus (v >= 4 rows
+        # carry one 255-white pixel at the source of grid cell y=3,x=4 —
+        # cell gray becomes exactly 255, everything else shifts by the
+        # brightness v which cancels), then brute-force bit_count(xor)
+        # pairs over the distinct-hash representatives.
+        "image_near_dup_pairs": """
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       (doc_id // 40) % 7 AS v,
+                       20 + (doc_id % 40) % 9 AS w,
+                       20 + (doc_id % 40) % 7 AS h
+                FROM documents
+            ),
+            cells AS (
+                SELECT p.doc_id, p.g, p.v, y.g AS y, x.g AS x,
+                       3 * (((y.g * p.h) // 8) * p.w
+                            + ((x.g * p.w) // 9)) AS e,
+                       3 * (((3 * p.h) // 8) * p.w
+                            + ((4 * p.w) // 9)) AS s
+                FROM p,
+                     generate_series(0, 7) y(g),
+                     generate_series(0, 8) x(g)
+            ),
+            grid AS (
+                SELECT doc_id, y, x,
+                       CASE WHEN v >= 4 AND e = s THEN 255
+                            ELSE ((3 * g + 5 * e) % 200
+                                  + (3 * g + 5 * e + 5) % 200
+                                  + (3 * g + 5 * e + 10) % 200
+                                  + 3 * v) // 3 END AS gray
+                FROM cells
+            ),
+            bits AS (
+                SELECT a.doc_id, (a.y * 8 + a.x) AS k,
+                       CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+                FROM grid a
+                JOIN grid b ON a.doc_id = b.doc_id AND a.y = b.y
+                           AND b.x = a.x + 1
+                WHERE a.x < 8
+            ),
+            hash AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN k >= 32
+                                THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                                ELSE 0 END) AS BIGINT) AS dhash_hi,
+                       CAST(SUM(CASE WHEN k < 32
+                                THEN bit * (CAST(1 AS BIGINT) << k)
+                                ELSE 0 END) AS BIGINT) AS dhash_lo
+                FROM bits GROUP BY doc_id
+            ),
+            reps AS (
+                SELECT MIN(doc_id) AS doc_id, dhash_hi, dhash_lo
+                FROM hash GROUP BY dhash_hi, dhash_lo
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                        + bit_count(xor(a.dhash_lo, b.dhash_lo))
+                        AS INTEGER) AS hamming
+            FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+                  + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 6
         """,
         # near_dup_clusters_transcripts: the flagship runs the stemmed
         # reference config (Porter stemmer — not SQL-expressible); its

@@ -540,7 +540,8 @@ def sample_video_frames(ds, every_n: int = 2, id_col: str = "doc_id"):
 
 
 def attach_synthetic_image_variants(ds, id_col: str = "doc_id",
-                                    groups: int = 40, variants: int = 7):
+                                    groups: int = 40, variants: int = 7,
+                                    spot_from: int | None = None):
     """REAL PPM payloads with PLANTED perceptual-duplicate structure:
     row id d belongs to image group ``g = d % groups`` with brightness
     offset ``v = (d // groups) % variants``. The image is the group's
@@ -553,7 +554,13 @@ def attach_synthetic_image_variants(ds, id_col: str = "doc_id",
     strict adjacent-pixel comparison — i.e. every dHash bit — is
     provably invariant within a group, while the ``% 200`` wrap
     positions (and the raster dimensions) differ across groups. The SQL
-    oracle recomputes the whole hash from ``doc_id`` alone."""
+    oracle recomputes the whole hash from ``doc_id`` alone.
+
+    ``spot_from=k`` additionally paints a single 255-white pixel (the
+    source pixel sampled by downsample grid cell (y=3, x=4)) on
+    variants with ``v >= k``: a localized perturbation that flips at
+    most two dHash bits, planting NEAR-duplicates (hamming 1-2) next
+    to the exact perceptual duplicates."""
 
     def attach(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -564,6 +571,13 @@ def attach_synthetic_image_variants(ds, id_col: str = "doc_id",
             w, h = 20 + g % 9, 20 + g % 7
             pix = ((np.int64(3 * g)
                     + 5 * np.arange(3 * w * h, dtype=np.int64)) % 200 + v)
+            if spot_from is not None and v >= spot_from:
+                # white spot at the source pixel the (y=3, x=4) grid
+                # cell samples: flips at most the two adjacent dHash
+                # comparisons in that row — a controlled NEAR-duplicate
+                # perturbation (hamming 0..2 from the clean variant)
+                p0 = ((3 * h) // 8) * w + ((4 * w) // 9)
+                pix[3 * p0: 3 * p0 + 3] = 255
             payloads.append(encode_ppm(w, h, pix.astype(np.uint8)))
         return batch.append_column(
             "payload", pa.array(payloads, type=pa.binary())
@@ -672,3 +686,55 @@ def image_dup_groups(ds, id_col: str = "doc_id"):
         })
 
     return assigned.map_batches(out, batch_format="pyarrow")
+
+
+def image_near_dup_pairs(ds, id_col: str = "doc_id", hamming_max: int = 6):
+    """Perceptual image NEAR-dup pairs: dHash every payload, keep one
+    representative per DISTINCT hash (min id — identical-hash rows are
+    the exact tier, handled by :func:`image_dup_groups`), then find all
+    representative pairs with hamming(dHash) <= ``hamming_max`` via the
+    EXACT pigeonhole block search (``stages/simhash_near.py`` — split
+    64 bits into h+1 blocks, group by block value, verify in-bucket).
+
+    Scale shape: hashes-only shuffle, identical-hash collapse BEFORE the
+    low-entropy block grouping (the documented precondition of the
+    pigeonhole stage), vectorized in-bucket hamming. Output
+    ``(a_id < b_id, hamming)``, one row per pair."""
+    import pyarrow.compute as pc
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.stages.exact import exact_dedup
+    from raydedup.stages.simhash_near import simhash_near_pairs
+
+    hashed = image_dhash(ds)
+
+    def key(b: pa.Table) -> pa.Table:
+        hi = b["dhash_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = b["dhash_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        combined = ((hi << np.uint64(32)) | lo).view(np.int64)
+        sha = [f"{a:08x}{c:08x}" for a, c in zip(hi, lo)]
+        rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
+        return pa.table({
+            "row_key": pa.array(rk, pa.string()),
+            "text_sha256": pa.array(sha, pa.string()),
+            "simhash": pa.array(combined, pa.int64()),
+        })
+
+    assigned = exact_dedup(hashed.map_batches(key, batch_format="pyarrow"))
+
+    def reps_only(b: pa.Table) -> pa.Table:
+        return b.filter(b["is_rep"].combine_chunks()).select(
+            ["row_key", "simhash"])
+
+    reps = assigned.map_batches(reps_only, batch_format="pyarrow")
+    cfg = DEFAULT_CONFIG.with_overrides(simhash_dup_hamming=hamming_max)
+    pairs = simhash_near_pairs(reps, cfg)
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "a_id": pc.cast(b["a_key"], pa.int64()),
+            "b_id": pc.cast(b["b_key"], pa.int64()),
+            "hamming": pc.cast(b["hamming"], pa.int32()),
+        })
+
+    return pairs.map_batches(out, batch_format="pyarrow")

@@ -1157,3 +1157,51 @@ def test_image_dup_groups_brightness_variants_cluster(ray_session):
         assert r["n_members"] == n // groups
     # exactly one distinct hash per planted group
     assert len({(r["dhash_hi"], r["dhash_lo"]) for r in rows}) == groups
+
+
+def test_image_near_dup_pairs_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.multimodal import (
+        attach_synthetic_image_variants,
+        decode_ppm,
+        dhash64,
+        encode_ppm,
+        image_near_dup_pairs,
+    )
+
+    n, groups, spot_from, h_max = 160, 8, 4, 6
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n))}))
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in image_near_dup_pairs(
+               attach_synthetic_image_variants(
+                   ds, groups=groups, spot_from=spot_from),
+               hamming_max=h_max).take_all()}
+
+    # brute force: hash every payload directly, reps = min id per hash,
+    # all rep pairs with hamming <= h_max
+    hashes = {}
+    for d in range(n):
+        g, v = d % groups, (d // groups) % 7
+        w, h = 20 + g % 9, 20 + g % 7
+        pix = ((np.int64(3 * g)
+                + 5 * np.arange(3 * w * h, dtype=np.int64)) % 200 + v)
+        if v >= spot_from:
+            p0 = ((3 * h) // 8) * w + ((4 * w) // 9)
+            pix[3 * p0: 3 * p0 + 3] = 255
+        _, _, img = decode_ppm(encode_ppm(w, h, pix.astype(np.uint8)))
+        hsh = dhash64(img)
+        if hsh not in hashes or d < hashes[hsh]:
+            hashes[hsh] = d
+    reps = sorted((d, hsh) for hsh, d in hashes.items())
+    want = {}
+    for i, (da, ha) in enumerate(reps):
+        for db, hb in reps[i + 1:]:
+            ham = (bin(ha[0] ^ hb[0]).count("1")
+                   + bin(ha[1] ^ hb[1]).count("1"))
+            if ham <= h_max:
+                want[(da, db)] = ham
+    assert got == want
+    assert want  # the planted perturbation produced at least one pair
