@@ -3190,6 +3190,29 @@ def q_image_near_dup_pairs(sf_dir: str):
         attach_synthetic_image_variants(docs, spot_from=4), hamming_max=6)
 
 
+def q_audio_dup_groups(sf_dir: str):
+    """Perceptual AUDIO dedup over REAL decoded WAV payloads with
+    planted volume-variant duplicates: every payload passes through the
+    RIFF/PCM16 decoder, gets a sign-of-energy-delta fingerprint (frame
+    energies, 32 comparison bits — the 1-D analogue of dHash), and rows
+    with identical fingerprints cluster (label = min doc_id). Volume
+    variants of one recording share a cluster — positive amplitude
+    scaling multiplies every frame energy equally — while a byte
+    checksum would scatter them. The oracle replays every sample value
+    closed-form from doc_id alone."""
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_audio_variants,
+        audio_dup_groups,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=64)
+    return audio_dup_groups(attach_synthetic_audio_variants(docs))
+
+
 def q_set_sim_pairs_docs(sf_dir: str):
     """EXACT all-pairs shingle-set Jaccard >= 0.5 via prefix filtering
     (AllPairs/PPJoin — Bayardo et al. 2007, Xiao et al. 2008): the
@@ -4348,6 +4371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "image_dup_groups": q_image_dup_groups,
         "image_near_dup_pairs": q_image_near_dup_pairs,
+        "audio_dup_groups": q_audio_dup_groups,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
         "range_join_events": q_range_join_events,
@@ -7906,6 +7930,47 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM reps a JOIN reps b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
                   + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 6
+        """,
+        # Audio fingerprint replay: sample u of doc d is
+        # (((13g + step*u) % mod) - mod//2) * (1+v) with g = d % 40,
+        # step = 3 + g%11, mod = 1024 + 37g, v = (d // 40) % 7; frame
+        # energy = sum |sample| over 64-sample frames, bit f =
+        # E(f+1) > E(f), 32 bits packed LSB-first exactly as
+        # audio_fingerprint64 does.
+        "audio_dup_groups": """
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       (doc_id // 40) % 7 AS v,
+                       3 + (doc_id % 40) % 11 AS st,
+                       1024 + 37 * (doc_id % 40) AS md
+                FROM documents
+            ),
+            e AS (
+                SELECT p.doc_id, f.g AS f,
+                       SUM(abs(((13 * p.g + p.st * (f.g * 64 + t.g)) % p.md)
+                               - p.md // 2) * (1 + p.v)) AS en
+                FROM p,
+                     generate_series(0, 32) f(g),
+                     generate_series(0, 63) t(g)
+                GROUP BY p.doc_id, f.g
+            ),
+            bits AS (
+                SELECT a.doc_id, a.f AS k,
+                       CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+                FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+                WHERE a.f < 32
+            ),
+            fp AS (
+                SELECT doc_id,
+                       CAST(SUM(bit * (CAST(1 AS BIGINT) << k))
+                            AS BIGINT) AS afp
+                FROM bits GROUP BY doc_id
+            )
+            SELECT doc_id, afp,
+                   MIN(doc_id) OVER (PARTITION BY afp) AS audio_cluster,
+                   COUNT(*) OVER (PARTITION BY afp) AS n_members
+            FROM fp
         """,
         # near_dup_clusters_transcripts: the flagship runs the stemmed
         # reference config (Porter stemmer — not SQL-expressible); its

@@ -738,3 +738,110 @@ def image_near_dup_pairs(ds, id_col: str = "doc_id", hamming_max: int = 6):
         })
 
     return pairs.map_batches(out, batch_format="pyarrow")
+
+
+# --- fingerprint audio dedup ------------------------------------------------
+
+
+def attach_synthetic_audio_variants(ds, id_col: str = "doc_id",
+                                    groups: int = 40, variants: int = 7,
+                                    frame_len: int = 64, n_frames: int = 33):
+    """REAL WAV payloads with PLANTED perceptual-duplicate structure:
+    row id d belongs to audio group ``g = d % groups`` whose base
+    waveform is ``base[t] = ((13g + (3 + g%11)·t) % (1024 + 37g))
+    - (1024 + 37g)//2`` — a group-specific sawtooth whose wrap pattern
+    (and hence frame-energy profile) differs per group. Variant
+    ``v = (d // groups) % variants`` scales amplitude by ``(1+v)``
+    (max |sample| < 2467·7/2 < 32768, no clipping): a VOLUME change,
+    which multiplies every frame energy by the same positive factor and
+    therefore leaves every energy comparison — every fingerprint bit —
+    provably invariant within a group. The SQL oracle replays the
+    samples closed-form from doc_id alone."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        t = np.arange(frame_len * n_frames, dtype=np.int64)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            g, v = d % groups, (d // groups) % variants
+            step, mod = 3 + g % 11, 1024 + 37 * g
+            s = (((13 * g + step * t) % mod) - mod // 2) * (1 + v)
+            payloads.append(encode_wav(8000, s.astype(np.int16)))
+        return batch.append_column(
+            "payload", pa.array(payloads, type=pa.binary())
+        ).append_column(
+            "media_type",
+            pa.array(["audio/wav"] * len(ids), type=pa.string()),
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def audio_fingerprint64(samples: np.ndarray, frame_len: int = 64) -> int:
+    """Sign-of-energy-delta fingerprint (the 1-D analogue of dHash,
+    Haitsma-Kalker-style energy-difference bits): frame energy
+    ``E_f = Σ |s|`` over consecutive ``frame_len``-sample frames,
+    bit f = ``E_{f+1} > E_f``, packed LSB-first. Invariant to any
+    positive amplitude scaling — the property that makes it a
+    perceptual key for volume-variant duplicates rather than a byte
+    checksum. Up to 63 frames of comparisons fit the BIGINT contract."""
+    n = (samples.size // frame_len) * frame_len
+    e = np.abs(samples[:n].astype(np.int64)).reshape(-1, frame_len).sum(axis=1)
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    return int((bits << np.arange(bits.size, dtype=np.int64)).sum())
+
+
+class AudioFingerprint:
+    """Actor-pool audio fingerprinter: real WAV decode → energy-delta
+    fingerprint column ``afp``."""
+
+    def __init__(self, frame_len: int = 64):
+        self.frame_len = frame_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = []
+        for p in batch["payload"].to_pylist():
+            _, _, samples = decode_wav(p or b"")
+            fps.append(audio_fingerprint64(samples, self.frame_len))
+        return batch.append_column("afp", pa.array(fps, pa.int64()))
+
+
+def audio_dup_groups(ds, id_col: str = "doc_id", frame_len: int = 64,
+                     batch_size: int = 64, concurrency=(1, 8)):
+    """Perceptual audio dedup: fingerprint every payload, cluster rows
+    with IDENTICAL fingerprints (label = min member id) — volume
+    variants of one recording share a cluster. Same scale shape as
+    :func:`image_dup_groups`: exact_dedup on the hex fingerprint, only
+    hashes shuffle, duplicated entries broadcast for the paint."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.exact import exact_dedup
+
+    fped = ds.map_batches(
+        AudioFingerprint,
+        fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        sha = [f"{int(a):016x}" for a in b["afp"].to_pylist()]
+        rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
+        return b.append_column(
+            "text_sha256", pa.array(sha, pa.string())
+        ).append_column("row_key", pa.array(rk, pa.string()))
+
+    assigned = exact_dedup(fped.map_batches(key, batch_format="pyarrow"))
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "afp": b["afp"],
+            "audio_cluster": pc.cast(b["rep_key"], pa.int64()),
+            "n_members": pc.cast(b["n_exact"], pa.int64()),
+        })
+
+    return assigned.map_batches(out, batch_format="pyarrow")

@@ -1205,3 +1205,53 @@ def test_image_near_dup_pairs_matches_bruteforce(ray_session):
                 want[(da, db)] = ham
     assert got == want
     assert want  # the planted perturbation produced at least one pair
+
+
+def test_audio_fingerprint_amplitude_invariance():
+    import numpy as np
+
+    from raydedup.stages.multimodal import audio_fingerprint64
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-4000, 4000, size=64 * 33, dtype=np.int64)
+    f0 = audio_fingerprint64(s.astype(np.int16))
+    # volume change (positive scale, no clipping) leaves every bit
+    assert audio_fingerprint64((s * 5).astype(np.int16)) == f0
+    other = rng.integers(-4000, 4000, size=64 * 33, dtype=np.int64)
+    assert audio_fingerprint64(other.astype(np.int16)) != f0
+    assert 0 <= f0 < (1 << 32)
+
+
+def test_audio_dup_groups_volume_variants_cluster(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.multimodal import (
+        attach_synthetic_audio_variants,
+        audio_dup_groups,
+        audio_fingerprint64,
+    )
+
+    n, groups = 120, 8
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n))}))
+    rows = audio_dup_groups(
+        attach_synthetic_audio_variants(ds, groups=groups)).take_all()
+    assert len(rows) == n
+
+    # brute force: generate + fingerprint directly, then min-id labels
+    t = np.arange(64 * 33, dtype=np.int64)
+    fps = {}
+    for d in range(n):
+        g, v = d % groups, (d // groups) % 7
+        step, mod = 3 + g % 11, 1024 + 37 * g
+        s = (((13 * g + step * t) % mod) - mod // 2) * (1 + v)
+        fps[d] = audio_fingerprint64(s.astype(np.int16))
+    label = {d: min(e for e in fps if fps[e] == fps[d]) for d in fps}
+    members = {d: sum(1 for e in fps if fps[e] == fps[d]) for d in fps}
+    for r in rows:
+        assert r["afp"] == fps[r["doc_id"]]
+        assert r["audio_cluster"] == label[r["doc_id"]]
+        assert r["n_members"] == members[r["doc_id"]]
+    # volume variants collapsed: every group clusters to one label
+    assert all(label[d] == label[d % groups] for d in range(n))
