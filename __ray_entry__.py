@@ -3213,6 +3213,27 @@ def q_audio_dup_groups(sf_dir: str):
     return audio_dup_groups(attach_synthetic_audio_variants(docs))
 
 
+def q_video_dup_groups(sf_dir: str):
+    """Perceptual VIDEO dedup over REAL AVI payloads with planted
+    brightness-variant duplicates: the RIFF walker extracts every
+    uncompressed DIB frame, each frame is dHashed, and the ORDERED
+    per-frame hash sequence is the identity key (re-cut or reversed
+    clips do not collapse). Brightness variants of one clip share a
+    cluster. The oracle replays every frame's hash bits closed-form
+    from doc_id and rebuilds the same ordered key via string_agg."""
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_video_variants,
+        video_dup_groups,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=64)
+    return video_dup_groups(attach_synthetic_video_variants(docs))
+
+
 def q_set_sim_pairs_docs(sf_dir: str):
     """EXACT all-pairs shingle-set Jaccard >= 0.5 via prefix filtering
     (AllPairs/PPJoin — Bayardo et al. 2007, Xiao et al. 2008): the
@@ -4372,6 +4393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dup_groups": q_image_dup_groups,
         "image_near_dup_pairs": q_image_near_dup_pairs,
         "audio_dup_groups": q_audio_dup_groups,
+        "video_dup_groups": q_video_dup_groups,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
         "range_join_events": q_range_join_events,
@@ -7971,6 +7993,69 @@ def _oracle_sql_base() -> dict[str, str]:
                    MIN(doc_id) OVER (PARTITION BY afp) AS audio_cluster,
                    COUNT(*) OVER (PARTITION BY afp) AS n_members
             FROM fp
+        """,
+        # Per-frame dHash replay over the closed-form video corpus
+        # (group g = doc_id % 40, w = 16+g%9, h = 16+g%7, 2+g%3 frames,
+        # frame f channel value (7g + 11f + 5i) % 200 at raster index i,
+        # brightness v omitted — cancels in strict comparisons), ordered
+        # frame hashes joined 'hi:lo;hi:lo' exactly as VideoDHash does.
+        "video_dup_groups": """
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       16 + (doc_id % 40) % 9 AS w,
+                       16 + (doc_id % 40) % 7 AS h,
+                       2 + (doc_id % 40) % 3 AS nf
+                FROM documents
+            ),
+            grid AS (
+                SELECT p.doc_id, f.g AS f, y.g AS y, x.g AS x,
+                       (((7 * p.g + 11 * f.g
+                          + 5 * (3 * (((y.g * p.h) // 8) * p.w
+                                      + ((x.g * p.w) // 9)))) % 200)
+                        + ((7 * p.g + 11 * f.g
+                            + 5 * (3 * (((y.g * p.h) // 8) * p.w
+                                        + ((x.g * p.w) // 9)))
+                            + 5) % 200)
+                        + ((7 * p.g + 11 * f.g
+                            + 5 * (3 * (((y.g * p.h) // 8) * p.w
+                                        + ((x.g * p.w) // 9)))
+                            + 10) % 200)) // 3 AS gray
+                FROM p,
+                     generate_series(0, 3) f(g),
+                     generate_series(0, 7) y(g),
+                     generate_series(0, 8) x(g)
+                WHERE f.g < p.nf
+            ),
+            bits AS (
+                SELECT a.doc_id, a.f, (a.y * 8 + a.x) AS k,
+                       CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+                FROM grid a
+                JOIN grid b ON a.doc_id = b.doc_id AND a.f = b.f
+                           AND a.y = b.y AND b.x = a.x + 1
+                WHERE a.x < 8
+            ),
+            fhash AS (
+                SELECT doc_id, f,
+                       CAST(SUM(CASE WHEN k >= 32
+                                THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                                ELSE 0 END) AS BIGINT) AS hi,
+                       CAST(SUM(CASE WHEN k < 32
+                                THEN bit * (CAST(1 AS BIGINT) << k)
+                                ELSE 0 END) AS BIGINT) AS lo
+                FROM bits GROUP BY doc_id, f
+            ),
+            vh AS (
+                SELECT doc_id,
+                       string_agg(CAST(hi AS VARCHAR) || ':'
+                                  || CAST(lo AS VARCHAR),
+                                  ';' ORDER BY f) AS vhash
+                FROM fhash GROUP BY doc_id
+            )
+            SELECT doc_id, vhash,
+                   MIN(doc_id) OVER (PARTITION BY vhash) AS video_cluster,
+                   COUNT(*) OVER (PARTITION BY vhash) AS n_members
+            FROM vh
         """,
         # near_dup_clusters_transcripts: the flagship runs the stemmed
         # reference config (Porter stemmer — not SQL-expressible); its

@@ -253,7 +253,11 @@ def run_bench() -> dict:
                   "blocklist_hits_ac",
                   "bag_near_dup_clusters",
                   "heavy_hitters_by_source",
-                  "unified_dedup_clusters"):
+                  "unified_dedup_clusters",
+                  "image_dup_groups",
+                  "image_near_dup_pairs",
+                  "audio_dup_groups",
+                  "video_dup_groups"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

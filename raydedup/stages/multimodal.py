@@ -845,3 +845,95 @@ def audio_dup_groups(ds, id_col: str = "doc_id", frame_len: int = 64,
         })
 
     return assigned.map_batches(out, batch_format="pyarrow")
+
+
+# --- perceptual video dedup -------------------------------------------------
+
+
+def attach_synthetic_video_variants(ds, id_col: str = "doc_id",
+                                    groups: int = 40, variants: int = 7):
+    """REAL AVI payloads with PLANTED perceptual-duplicate structure:
+    row id d belongs to video group ``g = d % groups`` (frame raster
+    ``pixel[i] = (7g + 11f + 5i) % 200`` for frame f, size
+    ``w = 16 + g%9, h = 16 + g%7``, ``2 + g%3`` frames) with brightness
+    offset ``v = (d // groups) % variants`` added to every byte
+    (<= 206, no clipping). As with the image corpus, a uniform ``+v``
+    shifts every frame's integer grayscale uniformly, so every
+    per-frame dHash bit is provably invariant within a group; the SQL
+    oracle replays all frame hashes closed-form from doc_id."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        payloads = []
+        for d in ids:
+            d = int(d)
+            g, v = d % groups, (d // groups) % variants
+            w, h, n_frames = 16 + g % 9, 16 + g % 7, 2 + g % 3
+            frames = [
+                ((np.int64(7 * g + 11 * f)
+                  + 5 * np.arange(3 * w * h, dtype=np.int64)) % 200 + v)
+                for f in range(n_frames)
+            ]
+            payloads.append(encode_avi(w, h, frames))
+        return batch.append_column(
+            "payload", pa.array(payloads, type=pa.binary())
+        ).append_column(
+            "media_type",
+            pa.array(["video/avi"] * len(ids), type=pa.string()),
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+class VideoDHash:
+    """Actor-pool perceptual video hasher: real RIFF/AVI walk → per-frame
+    dHash → order-preserving joined key ``hi:lo;hi:lo;...`` (decimal,
+    dialect-safe for the SQL twin's string_agg)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = []
+        for p in batch["payload"].to_pylist():
+            _, _, frames = decode_avi(p or b"")
+            parts = []
+            for fr in frames:
+                hi, lo = dhash64(fr)
+                parts.append(f"{hi}:{lo}")
+            keys.append(";".join(parts))
+        return batch.append_column("vhash", pa.array(keys, pa.string()))
+
+
+def video_dup_groups(ds, id_col: str = "doc_id", batch_size: int = 32,
+                     concurrency=(1, 8)):
+    """Perceptual video dedup: per-frame dHash sequence as the identity
+    key (frame ORDER matters — reversed or re-cut videos do not
+    collapse), clustered through exact_dedup exactly like the image and
+    audio tiers. Brightness variants of one clip share a cluster."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.exact import exact_dedup
+
+    hashed = ds.map_batches(
+        VideoDHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
+        return b.append_column(
+            "text_sha256", b["vhash"]
+        ).append_column("row_key", pa.array(rk, pa.string()))
+
+    assigned = exact_dedup(hashed.map_batches(key, batch_format="pyarrow"))
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "vhash": b["vhash"],
+            "video_cluster": pc.cast(b["rep_key"], pa.int64()),
+            "n_members": pc.cast(b["n_exact"], pa.int64()),
+        })
+
+    return assigned.map_batches(out, batch_format="pyarrow")

@@ -1255,3 +1255,43 @@ def test_audio_dup_groups_volume_variants_cluster(ray_session):
         assert r["n_members"] == members[r["doc_id"]]
     # volume variants collapsed: every group clusters to one label
     assert all(label[d] == label[d % groups] for d in range(n))
+
+
+def test_video_dup_groups_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.multimodal import (
+        attach_synthetic_video_variants,
+        decode_avi,
+        dhash64,
+        encode_avi,
+        video_dup_groups,
+    )
+
+    n, groups = 120, 8
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n))}))
+    rows = video_dup_groups(
+        attach_synthetic_video_variants(ds, groups=groups)).take_all()
+    assert len(rows) == n
+
+    # brute force: regenerate, decode, per-frame dHash, ordered key
+    keys = {}
+    for d in range(n):
+        g, v = d % groups, (d // groups) % 7
+        w, h, nf = 16 + g % 9, 16 + g % 7, 2 + g % 3
+        frames = [((np.int64(7 * g + 11 * f)
+                    + 5 * np.arange(3 * w * h, dtype=np.int64)) % 200 + v)
+                  for f in range(nf)]
+        _, _, dec = decode_avi(encode_avi(w, h, frames))
+        keys[d] = ";".join(
+            "{}:{}".format(*dhash64(fr)) for fr in dec)
+    label = {d: min(e for e in keys if keys[e] == keys[d]) for d in keys}
+    for r in rows:
+        assert r["vhash"] == keys[r["doc_id"]]
+        assert r["video_cluster"] == label[r["doc_id"]]
+    # brightness variants collapsed into their group's cluster
+    assert all(label[d] == label[d % groups] for d in range(n))
+    # and the planted groups are mutually distinct at these params
+    assert len(set(label.values())) == groups
