@@ -3234,6 +3234,28 @@ def q_video_dup_groups(sf_dir: str):
     return video_dup_groups(attach_synthetic_video_variants(docs))
 
 
+def q_image_near_dup_clusters(sf_dir: str):
+    """Unified perceptual image CLUSTERING over the spot-perturbed
+    corpus: exact tier (identical dHash → representative) ∪ near tier
+    (hamming <= 6 pairs among representatives) → connected components →
+    per-row label = min doc_id of the component. The image analogue of
+    the flagship text cascade (exact dedup → LSH pairs → union-find);
+    the oracle replays the hashes closed-form and walks the same pair
+    graph with a recursive reachability CTE."""
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_image_variants,
+        image_near_dup_clusters,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=64)
+    return image_near_dup_clusters(
+        attach_synthetic_image_variants(docs, spot_from=4), hamming_max=6)
+
+
 def q_set_sim_pairs_docs(sf_dir: str):
     """EXACT all-pairs shingle-set Jaccard >= 0.5 via prefix filtering
     (AllPairs/PPJoin — Bayardo et al. 2007, Xiao et al. 2008): the
@@ -4394,6 +4416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup_pairs": q_image_near_dup_pairs,
         "audio_dup_groups": q_audio_dup_groups,
         "video_dup_groups": q_video_dup_groups,
+        "image_near_dup_clusters": q_image_near_dup_clusters,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
         "range_join_events": q_range_join_events,
@@ -8056,6 +8079,85 @@ def _oracle_sql_base() -> dict[str, str]:
                    MIN(doc_id) OVER (PARTITION BY vhash) AS video_cluster,
                    COUNT(*) OVER (PARTITION BY vhash) AS n_members
             FROM vh
+        """,
+        # Spot-corpus dHash replay (as image_near_dup_pairs), then the
+        # unified clustering: reps per distinct hash, hamming<=6 pair
+        # edges, recursive reachability -> component min label, painted
+        # back onto every row through its hash's representative.
+        "image_near_dup_clusters": """
+            WITH RECURSIVE p AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       (doc_id // 40) % 7 AS v,
+                       20 + (doc_id % 40) % 9 AS w,
+                       20 + (doc_id % 40) % 7 AS h
+                FROM documents
+            ),
+            cells AS (
+                SELECT p.doc_id, p.g, p.v, y.g AS y, x.g AS x,
+                       3 * (((y.g * p.h) // 8) * p.w
+                            + ((x.g * p.w) // 9)) AS e,
+                       3 * (((3 * p.h) // 8) * p.w
+                            + ((4 * p.w) // 9)) AS s
+                FROM p,
+                     generate_series(0, 7) y(g),
+                     generate_series(0, 8) x(g)
+            ),
+            grid AS (
+                SELECT doc_id, y, x,
+                       CASE WHEN v >= 4 AND e = s THEN 255
+                            ELSE ((3 * g + 5 * e) % 200
+                                  + (3 * g + 5 * e + 5) % 200
+                                  + (3 * g + 5 * e + 10) % 200
+                                  + 3 * v) // 3 END AS gray
+                FROM cells
+            ),
+            bits AS (
+                SELECT a.doc_id, (a.y * 8 + a.x) AS k,
+                       CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+                FROM grid a
+                JOIN grid b ON a.doc_id = b.doc_id AND a.y = b.y
+                           AND b.x = a.x + 1
+                WHERE a.x < 8
+            ),
+            hash AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN k >= 32
+                                THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                                ELSE 0 END) AS BIGINT) AS dhash_hi,
+                       CAST(SUM(CASE WHEN k < 32
+                                THEN bit * (CAST(1 AS BIGINT) << k)
+                                ELSE 0 END) AS BIGINT) AS dhash_lo
+                FROM bits GROUP BY doc_id
+            ),
+            reps AS (
+                SELECT MIN(doc_id) AS rid, dhash_hi, dhash_lo
+                FROM hash GROUP BY dhash_hi, dhash_lo
+            ),
+            nedges AS (
+                SELECT a.rid AS a_id, b.rid AS b_id
+                FROM reps a JOIN reps b ON a.rid < b.rid
+                WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+                      + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 6
+            ),
+            edges AS (
+                SELECT a_id, b_id FROM nedges
+                UNION SELECT b_id, a_id FROM nedges
+            ),
+            reach(node, r) AS (
+                SELECT rid, rid FROM reps
+                UNION
+                SELECT reach.node, edges.b_id
+                FROM reach JOIN edges ON reach.r = edges.a_id
+            ),
+            comp AS (
+                SELECT node AS rid, MIN(r) AS lab FROM reach GROUP BY node
+            )
+            SELECT h.doc_id, c.lab AS img_cluster
+            FROM hash h
+            JOIN reps r ON h.dhash_hi = r.dhash_hi
+                       AND h.dhash_lo = r.dhash_lo
+            JOIN comp c ON c.rid = r.rid
         """,
         # near_dup_clusters_transcripts: the flagship runs the stemmed
         # reference config (Porter stemmer — not SQL-expressible); its

@@ -257,7 +257,8 @@ def run_bench() -> dict:
                   "image_dup_groups",
                   "image_near_dup_pairs",
                   "audio_dup_groups",
-                  "video_dup_groups"):
+                  "video_dup_groups",
+                  "image_near_dup_clusters"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

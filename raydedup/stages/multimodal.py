@@ -666,13 +666,19 @@ def image_dup_groups(ds, id_col: str = "doc_id"):
     hashed = image_dhash(ds)
 
     def key(b: pa.Table) -> pa.Table:
+        # skinny projection: the binary payload must NOT flow into the
+        # dedup shuffle/materialize — hashes only past this point
         hi = b["dhash_hi"].to_numpy(zero_copy_only=False)
         lo = b["dhash_lo"].to_numpy(zero_copy_only=False)
         sha = [f"{a:08x}{c:08x}" for a, c in zip(hi, lo)]
         rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
-        return b.append_column(
-            "text_sha256", pa.array(sha, pa.string())
-        ).append_column("row_key", pa.array(rk, pa.string()))
+        return pa.table({
+            id_col: b[id_col],
+            "dhash_hi": b["dhash_hi"],
+            "dhash_lo": b["dhash_lo"],
+            "text_sha256": pa.array(sha, pa.string()),
+            "row_key": pa.array(rk, pa.string()),
+        })
 
     assigned = exact_dedup(hashed.map_batches(key, batch_format="pyarrow"))
 
@@ -828,11 +834,15 @@ def audio_dup_groups(ds, id_col: str = "doc_id", frame_len: int = 64,
     )
 
     def key(b: pa.Table) -> pa.Table:
+        # skinny projection: drop the payload before the dedup shuffle
         sha = [f"{int(a):016x}" for a in b["afp"].to_pylist()]
         rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
-        return b.append_column(
-            "text_sha256", pa.array(sha, pa.string())
-        ).append_column("row_key", pa.array(rk, pa.string()))
+        return pa.table({
+            id_col: b[id_col],
+            "afp": b["afp"],
+            "text_sha256": pa.array(sha, pa.string()),
+            "row_key": pa.array(rk, pa.string()),
+        })
 
     assigned = exact_dedup(fped.map_batches(key, batch_format="pyarrow"))
 
@@ -921,10 +931,14 @@ def video_dup_groups(ds, id_col: str = "doc_id", batch_size: int = 32,
     )
 
     def key(b: pa.Table) -> pa.Table:
+        # skinny projection: drop the payload before the dedup shuffle
         rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
-        return b.append_column(
-            "text_sha256", b["vhash"]
-        ).append_column("row_key", pa.array(rk, pa.string()))
+        return pa.table({
+            id_col: b[id_col],
+            "vhash": b["vhash"],
+            "text_sha256": b["vhash"],
+            "row_key": pa.array(rk, pa.string()),
+        })
 
     assigned = exact_dedup(hashed.map_batches(key, batch_format="pyarrow"))
 
@@ -937,3 +951,83 @@ def video_dup_groups(ds, id_col: str = "doc_id", batch_size: int = 32,
         })
 
     return assigned.map_batches(out, batch_format="pyarrow")
+
+
+def image_near_dup_clusters(ds, id_col: str = "doc_id",
+                            hamming_max: int = 6,
+                            driver_max_edges: int = 5_000_000):
+    """Unified perceptual image CLUSTERING: exact tier (identical dHash
+    → one representative per hash, min id) ∪ near tier (hamming <= h
+    pairs among representatives via the exact pigeonhole search) →
+    connected components → every row labeled with the min doc_id of its
+    component. The image analogue of the flagship text cascade
+    (exact dedup → LSH pairs → union-find).
+
+    Scale shape: hashes-only shuffles throughout; components run on the
+    driver below ``driver_max_edges`` verified pairs and switch to the
+    distributed min-label propagation above it (the exact.py/lsh.py
+    auto-switch idiom). The broadcast label map covers only PAIRED
+    representatives — near-pairs between DISTINCT perceptual hashes are
+    sparse, the same bound the text union-find documents."""
+    import ray
+    import pyarrow.compute as pc
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.stages.exact import exact_dedup
+    from raydedup.stages.simhash_near import simhash_near_pairs
+    from raydedup.state.unionfind import (
+        connected_components_distributed,
+        connected_components_driver,
+    )
+
+    hashed = image_dhash(ds)
+
+    def key(b: pa.Table) -> pa.Table:
+        hi = b["dhash_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = b["dhash_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        combined = ((hi << np.uint64(32)) | lo).view(np.int64)
+        sha = [f"{a:08x}{c:08x}" for a, c in zip(hi, lo)]
+        rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
+        return pa.table({
+            id_col: b[id_col],
+            "row_key": pa.array(rk, pa.string()),
+            "text_sha256": pa.array(sha, pa.string()),
+            "simhash": pa.array(combined, pa.int64()),
+        })
+
+    assigned = exact_dedup(
+        hashed.map_batches(key, batch_format="pyarrow")).materialize()
+
+    def reps_only(b: pa.Table) -> pa.Table:
+        return b.filter(b["is_rep"].combine_chunks()).select(
+            ["row_key", "simhash"])
+
+    reps = assigned.map_batches(reps_only, batch_format="pyarrow")
+    cfg = DEFAULT_CONFIG.with_overrides(simhash_dup_hamming=hamming_max)
+    pairs = simhash_near_pairs(reps, cfg).materialize()
+
+    if pairs.count() > driver_max_edges:
+        lab = connected_components_distributed(pairs)
+        tbls = list(lab.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow"))
+        lt = pa.concat_tables(tbls) if tbls else pa.table(
+            {"node": pa.array([], pa.string()),
+             "label": pa.array([], pa.string())})
+        keys_arr = lt["node"].combine_chunks()
+        vals_arr = lt["label"].combine_chunks()
+    else:
+        comp = connected_components_driver(pairs)
+        keys_arr = pa.array(list(comp.keys()), pa.string())
+        vals_arr = pa.array(list(comp.values()), pa.string())
+    ref = ray.put((keys_arr, vals_arr))
+
+    def paint(b: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        at = pc.index_in(b["rep_key"], value_set=k)
+        lab_ = pc.coalesce(pc.take(v, at), b["rep_key"])
+        return pa.table({
+            id_col: b[id_col],
+            "img_cluster": pc.cast(lab_, pa.int64()),
+        })
+
+    return assigned.map_batches(paint, batch_format="pyarrow")

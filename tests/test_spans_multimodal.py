@@ -1295,3 +1295,62 @@ def test_video_dup_groups_matches_bruteforce(ray_session):
     assert all(label[d] == label[d % groups] for d in range(n))
     # and the planted groups are mutually distinct at these params
     assert len(set(label.values())) == groups
+
+
+def test_image_near_dup_clusters_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.multimodal import (
+        attach_synthetic_image_variants,
+        decode_ppm,
+        dhash64,
+        encode_ppm,
+        image_near_dup_clusters,
+    )
+
+    n, groups, spot_from, h_max = 160, 8, 4, 6
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n))}))
+    got = {r["doc_id"]: r["img_cluster"]
+           for r in image_near_dup_clusters(
+               attach_synthetic_image_variants(
+                   ds, groups=groups, spot_from=spot_from),
+               hamming_max=h_max).take_all()}
+    assert len(got) == n
+
+    # brute force: hash -> rep -> union-find over hamming<=h rep pairs
+    hashes = {}
+    for d in range(n):
+        g, v = d % groups, (d // groups) % 7
+        w, h = 20 + g % 9, 20 + g % 7
+        pix = ((np.int64(3 * g)
+                + 5 * np.arange(3 * w * h, dtype=np.int64)) % 200 + v)
+        if v >= spot_from:
+            p0 = ((3 * h) // 8) * w + ((4 * w) // 9)
+            pix[3 * p0: 3 * p0 + 3] = 255
+        _, _, img = decode_ppm(encode_ppm(w, h, pix.astype(np.uint8)))
+        hashes[d] = dhash64(img)
+    rep = {}
+    for d in range(n):
+        rep.setdefault(hashes[d], d)
+    parent = {r: r for r in rep.values()}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    rs = sorted(rep.items())
+    for i, (ha, da) in enumerate(rs):
+        for hb, db in rs[i + 1:]:
+            ham = (bin(ha[0] ^ hb[0]).count("1")
+                   + bin(ha[1] ^ hb[1]).count("1"))
+            if ham <= h_max:
+                ra, rb = find(da), find(db)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    for d in range(n):
+        assert got[d] == find(rep[hashes[d]])
+    # the near tier merged at least one pair of distinct-hash groups
+    assert len(set(got.values())) < len(rep)
