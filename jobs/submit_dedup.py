@@ -52,7 +52,8 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         try:
             ray.init(address="auto", logging_level="ERROR")
         except ConnectionError:
@@ -111,7 +112,8 @@ def main(argv=None) -> int:
         "cluster_rows": out_c.count(),
         "wall_sec": round(wall, 3),
     }))
-    ray.shutdown()
+    if owns_session:  # never tear down a caller-owned session (tests)
+        ray.shutdown()
     return 0
 
 

@@ -125,3 +125,54 @@ def test_manifest_counters_recorded():
         m = run.manifest("pairs")
         assert m["counters"] == {"buckets": 12, "capped": 0}
         assert m["inputs"] == "sigs"
+
+
+def test_submit_dedup_job_runs_and_resumes(ray_session, tmp_path):
+    """End-to-end drive of the `ray job submit` entrypoint
+    (jobs/submit_dedup.py): first run computes and checkpoints all
+    three stages; a re-submission with the same --run-dir must SKIP
+    every stage (checkpoint files untouched) and still produce
+    value-identical cluster/pair outputs in a fresh --output dir."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from jobs import submit_dedup
+    from raydedup.sources.transcripts import generate_transcripts
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pq.write_table(generate_transcripts(n_convs=40, seed=3),
+                   in_dir / "part-0.parquet")
+    run_dir = str(tmp_path / "ckpt")
+
+    def run(out_name):
+        out = str(tmp_path / out_name)
+        rc = submit_dedup.main(["--input", str(in_dir), "--output", out,
+                                "--run-dir", run_dir])
+        assert rc == 0
+        rows = []
+        for f in sorted(glob.glob(os.path.join(out, "clusters", "*.parquet"))):
+            rows += pq.read_table(f).to_pylist()
+        pairs = []
+        for f in sorted(glob.glob(os.path.join(out, "pairs", "*.parquet"))):
+            pairs += pq.read_table(f).to_pylist()
+        key = lambda r: sorted(r.items())  # noqa: E731
+        return sorted(rows, key=key), sorted(pairs, key=key)
+
+    c1, p1 = run("out1")
+    assert c1 and p1
+    # checkpoint data published for all three stages
+    stamps = {}
+    for st in ("signatures", "pairs", "clusters"):
+        files = glob.glob(os.path.join(run_dir, st, "data", "*.parquet"))
+        assert files, st
+        stamps[st] = {f: os.path.getmtime(f) for f in files}
+
+    c2, p2 = run("out2")
+    assert (c2, p2) == (c1, p1)  # resumed run is value-identical
+    for st, mt in stamps.items():  # and recomputed NOTHING
+        assert {f: os.path.getmtime(f)
+                for f in glob.glob(
+                    os.path.join(run_dir, st, "data", "*.parquet"))} == mt
