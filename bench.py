@@ -160,6 +160,27 @@ def run_bench() -> dict:
     semantic_dedup(emb, threshold=0.35, method="blockwise").count()
     queries["semantic_dedup"] = round(time.time() - t0, 3)
 
+    # multimodal tier at volume: 1M real PPM payloads generated, decoded,
+    # dHashed and clustered — records payloads/sec for the perceptual
+    # tier (the sf-dir corpora only exercise 5k payloads)
+    t0 = time.time()
+    import pyarrow as pa
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_image_variants,
+        image_dup_groups,
+    )
+
+    n_img = int(os.environ.get("BENCH_IMAGE_ROWS", "1000000"))
+    ids = ray.data.range(n_img).map_batches(
+        lambda b: pa.table({"doc_id": b["id"]}), batch_format="pyarrow")
+    image_dup_groups(attach_synthetic_image_variants(ids),
+                     batch_size=256,
+                     concurrency=(2, num_cpus)).count()
+    dt = time.time() - t0
+    queries["image_dedup_1m"] = round(dt, 3)
+    queries["image_dedup_payloads_per_sec"] = round(n_img / dt, 1)
+
     import __ray_entry__ as entrymod
 
     for qname in ("pricing_summary", "revenue_by_nation",

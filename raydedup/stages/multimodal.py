@@ -614,21 +614,51 @@ def dhash64(img: np.ndarray, hash_w: int = 8, hash_h: int = 8
     return hi, lo
 
 
+def dhash64_stack(imgs: np.ndarray, hash_w: int = 8, hash_h: int = 8
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`dhash64` over a (n, h, w, 3) stack of SAME-SIZE
+    images: one grayscale/downsample/compare pass for the whole stack
+    instead of ~20 tiny numpy calls per image (per-image call overhead
+    dominated the scalar path at ~100 µs/payload on 20×20 rasters).
+    Bit-identical to the scalar kernel (asserted in tests)."""
+    n, h, w = imgs.shape[:3]
+    gray = imgs.astype(np.int64).sum(axis=3) // 3
+    yi = (np.arange(hash_h) * h // hash_h).clip(0, h - 1)
+    xi = (np.arange(hash_w + 1) * w // (hash_w + 1)).clip(0, w - 1)
+    g = gray[:, yi[:, None], xi[None, :]]
+    bits = (g[:, :, 1:] > g[:, :, :-1]).astype(np.int64).reshape(n, -1)
+    half = (hash_w * hash_h) // 2
+    k = np.arange(half, dtype=np.int64)
+    lo = (bits[:, :half] << k).sum(axis=1)
+    hi = (bits[:, half:] << k).sum(axis=1)
+    return hi, lo
+
+
 class ImageDHash:
-    """Actor-pool perceptual hasher: decode (real codecs) → dHash.
-    Decoder state (PIL probe) is built once per actor."""
+    """Actor-pool perceptual hasher: decode (real codecs) → dHash,
+    vectorized over same-size image stacks (sizes bucket within each
+    batch; mixed-size corpora amortize per-bucket). Decoder state (PIL
+    probe) is built once per actor."""
 
     def __init__(self, hash_w: int = 8, hash_h: int = 8):
         self.dec = DecodeImage(fake=False)
         self.hw, self.hh = hash_w, hash_h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        his, los = [], []
-        for p in batch["payload"].to_pylist():
+        n = batch.num_rows
+        his = np.zeros(n, dtype=np.int64)
+        los = np.zeros(n, dtype=np.int64)
+        buckets: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
+        for i, p in enumerate(batch["payload"].to_pylist()):
             _, _, img = self.dec._decode(p or b"")
-            hi, lo = dhash64(img, self.hw, self.hh)
-            his.append(hi)
-            los.append(lo)
+            buckets.setdefault(img.shape[:2], []).append((i, img))
+        for _, members in buckets.items():
+            idx = np.fromiter((i for i, _ in members), dtype=np.int64,
+                              count=len(members))
+            stack = np.stack([im for _, im in members])
+            hi, lo = dhash64_stack(stack, self.hw, self.hh)
+            his[idx] = hi
+            los[idx] = lo
         return (
             batch.append_column("dhash_hi", pa.array(his, pa.int64()))
             .append_column("dhash_lo", pa.array(los, pa.int64()))
@@ -647,7 +677,8 @@ def image_dhash(ds, batch_size: int = 64, concurrency=(1, 8)):
     )
 
 
-def image_dup_groups(ds, id_col: str = "doc_id"):
+def image_dup_groups(ds, id_col: str = "doc_id", batch_size: int = 64,
+                     concurrency=(1, 8)):
     """Perceptual image dedup: dHash every payload, then cluster rows
     with IDENTICAL hashes — cluster label = min member id. Brightness
     variants of the same image land in one cluster (dHash invariance);
@@ -663,7 +694,7 @@ def image_dup_groups(ds, id_col: str = "doc_id"):
 
     from raydedup.stages.exact import exact_dedup
 
-    hashed = image_dhash(ds)
+    hashed = image_dhash(ds, batch_size=batch_size, concurrency=concurrency)
 
     def key(b: pa.Table) -> pa.Table:
         # skinny projection: the binary payload must NOT flow into the
@@ -694,7 +725,8 @@ def image_dup_groups(ds, id_col: str = "doc_id"):
     return assigned.map_batches(out, batch_format="pyarrow")
 
 
-def image_near_dup_pairs(ds, id_col: str = "doc_id", hamming_max: int = 6):
+def image_near_dup_pairs(ds, id_col: str = "doc_id", hamming_max: int = 6,
+                         batch_size: int = 64, concurrency=(1, 8)):
     """Perceptual image NEAR-dup pairs: dHash every payload, keep one
     representative per DISTINCT hash (min id — identical-hash rows are
     the exact tier, handled by :func:`image_dup_groups`), then find all
@@ -712,7 +744,7 @@ def image_near_dup_pairs(ds, id_col: str = "doc_id", hamming_max: int = 6):
     from raydedup.stages.exact import exact_dedup
     from raydedup.stages.simhash_near import simhash_near_pairs
 
-    hashed = image_dhash(ds)
+    hashed = image_dhash(ds, batch_size=batch_size, concurrency=concurrency)
 
     def key(b: pa.Table) -> pa.Table:
         hi = b["dhash_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -955,7 +987,8 @@ def video_dup_groups(ds, id_col: str = "doc_id", batch_size: int = 32,
 
 def image_near_dup_clusters(ds, id_col: str = "doc_id",
                             hamming_max: int = 6,
-                            driver_max_edges: int = 5_000_000):
+                            driver_max_edges: int = 5_000_000,
+                            batch_size: int = 64, concurrency=(1, 8)):
     """Unified perceptual image CLUSTERING: exact tier (identical dHash
     → one representative per hash, min id) ∪ near tier (hamming <= h
     pairs among representatives via the exact pigeonhole search) →
@@ -980,7 +1013,7 @@ def image_near_dup_clusters(ds, id_col: str = "doc_id",
         connected_components_driver,
     )
 
-    hashed = image_dhash(ds)
+    hashed = image_dhash(ds, batch_size=batch_size, concurrency=concurrency)
 
     def key(b: pa.Table) -> pa.Table:
         hi = b["dhash_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -1354,3 +1354,16 @@ def test_image_near_dup_clusters_matches_bruteforce(ray_session):
         assert got[d] == find(rep[hashes[d]])
     # the near tier merged at least one pair of distinct-hash groups
     assert len(set(got.values())) < len(rep)
+
+
+def test_dhash_stack_matches_scalar():
+    import numpy as np
+
+    from raydedup.stages.multimodal import dhash64, dhash64_stack
+
+    rng = np.random.default_rng(23)
+    imgs = rng.integers(0, 256, size=(17, 21, 29, 3), dtype=np.int64
+                        ).astype(np.uint8)
+    hi, lo = dhash64_stack(imgs)
+    for i in range(imgs.shape[0]):
+        assert (int(hi[i]), int(lo[i])) == dhash64(imgs[i])
