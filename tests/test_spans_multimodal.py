@@ -1367,3 +1367,19 @@ def test_dhash_stack_matches_scalar():
     hi, lo = dhash64_stack(imgs)
     for i in range(imgs.shape[0]):
         assert (int(hi[i]), int(lo[i])) == dhash64(imgs[i])
+
+
+def test_audio_fingerprint_stack_matches_scalar():
+    import numpy as np
+
+    from raydedup.stages.multimodal import (
+        audio_fingerprint64,
+        audio_fingerprint64_stack,
+    )
+
+    rng = np.random.default_rng(31)
+    stack = rng.integers(-30000, 30000, size=(9, 64 * 33 + 17),
+                         dtype=np.int64).astype(np.int16)
+    got = audio_fingerprint64_stack(stack)
+    for i in range(stack.shape[0]):
+        assert int(got[i]) == audio_fingerprint64(stack[i])
