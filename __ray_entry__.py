@@ -3256,6 +3256,84 @@ def q_image_near_dup_clusters(sf_dir: str):
         attach_synthetic_image_variants(docs, spot_from=4), hamming_max=6)
 
 
+def q_audio_near_dup_pairs(sf_dir: str):
+    """Perceptual audio NEAR-dup pairs: the spiked variant corpus
+    (one frame's amplitude doubled on variants v >= 4 of the
+    64-frame/63-bit fingerprint corpus) plants clips 1-2 energy-delta
+    bits away from their clean group, and the engine finds every
+    representative pair with hamming <= 4 via the EXACT pigeonhole
+    block search after collapsing identical fingerprints — the audio
+    analogue of image_near_dup_pairs (localized loudness burst vs
+    global volume change). The oracle replays every sample closed-form
+    from doc_id and brute-forces bit_count(xor) over the distinct-
+    fingerprint representatives, so candidate generation and verify
+    are both value-gated."""
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_audio_variants,
+        audio_near_dup_pairs,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=64)
+    return audio_near_dup_pairs(
+        attach_synthetic_audio_variants(docs, n_frames=64, spike_from=4),
+        hamming_max=4)
+
+
+def q_audio_near_dup_clusters(sf_dir: str):
+    """Unified perceptual audio CLUSTERING over the spiked corpus:
+    exact tier (identical fingerprint → representative) ∪ near tier
+    (hamming <= 4 pairs among representatives) → connected components →
+    per-row label = min doc_id of the component — the audio analogue of
+    image_near_dup_clusters, recursive-reachability oracle over the
+    closed-form fingerprint replay."""
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_audio_variants,
+        audio_near_dup_clusters,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=64)
+    return audio_near_dup_clusters(
+        attach_synthetic_audio_variants(docs, n_frames=64, spike_from=4),
+        hamming_max=4)
+
+
+def q_video_near_dup_pairs(sf_dir: str):
+    """RE-CUT video detection over the recut variant corpus (v == 4
+    reverses the frame order — same frame set, different ordered key;
+    v > 4 drops the last frame — set-Jaccard (nf-1)/nf): representative
+    pairs whose distinct per-frame dHash SETS overlap with Jaccard >=
+    0.5, found by the EXACT prefix-filter AllPairs join over the
+    frame-hash universe (stages/setjoin.set_similarity_join_sets) after
+    the ordered-key exact collapse. The oracle replays every frame hash
+    closed-form from doc_id, rebuilds the ordered keys (reversed
+    string_agg for the re-cut variant), collapses identical cuts and
+    brute-forces set intersections over the representatives — exact
+    candidate generation AND exact verify are both value-gated."""
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_video_variants,
+        video_near_dup_pairs,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=64)
+    return _round_col(
+        video_near_dup_pairs(
+            attach_synthetic_video_variants(docs, recut_from=4),
+            threshold=0.5),
+        "jaccard")
+
+
 def q_set_sim_pairs_docs(sf_dir: str):
     """EXACT all-pairs shingle-set Jaccard >= 0.5 via prefix filtering
     (AllPairs/PPJoin — Bayardo et al. 2007, Xiao et al. 2008): the
@@ -4417,6 +4495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_groups": q_audio_dup_groups,
         "video_dup_groups": q_video_dup_groups,
         "image_near_dup_clusters": q_image_near_dup_clusters,
+        "audio_near_dup_pairs": q_audio_near_dup_pairs,
+        "audio_near_dup_clusters": q_audio_near_dup_clusters,
+        "video_near_dup_pairs": q_video_near_dup_pairs,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
         "range_join_events": q_range_join_events,
@@ -8080,6 +8161,85 @@ def _oracle_sql_base() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY vhash) AS n_members
             FROM vh
         """,
+        # Recut-corpus frame-hash replay (v == 4 reverses frame order,
+        # v > 4 drops the last frame), ordered-key rep collapse, then
+        # brute-force frame-SET Jaccard >= 0.5 over representatives —
+        # set elements are the 'hi:lo' frame-hash strings (identical
+        # membership to the engine's packed uint64s).
+        "video_near_dup_pairs": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       (doc_id // 40) % 7 AS v,
+                       16 + (doc_id % 40) % 9 AS w,
+                       16 + (doc_id % 40) % 7 AS h,
+                       2 + (doc_id % 40) % 3 AS nf
+                FROM documents
+            ),
+            grid AS (
+                SELECT p.doc_id, p.v, f.g AS f, y.g AS y, x.g AS x,
+                       (((7 * p.g + 11 * f.g
+                          + 5 * (3 * (((y.g * p.h) // 8) * p.w
+                                      + ((x.g * p.w) // 9)))) % 200)
+                        + ((7 * p.g + 11 * f.g
+                            + 5 * (3 * (((y.g * p.h) // 8) * p.w
+                                        + ((x.g * p.w) // 9)))
+                            + 5) % 200)
+                        + ((7 * p.g + 11 * f.g
+                            + 5 * (3 * (((y.g * p.h) // 8) * p.w
+                                        + ((x.g * p.w) // 9)))
+                            + 10) % 200)) // 3 AS gray
+                FROM p,
+                     generate_series(0, 3) f(g),
+                     generate_series(0, 7) y(g),
+                     generate_series(0, 8) x(g)
+                WHERE f.g < CASE WHEN p.v > 4 THEN p.nf - 1 ELSE p.nf END
+            ),
+            bits AS (
+                SELECT a.doc_id, a.v, a.f, (a.y * 8 + a.x) AS k,
+                       CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+                FROM grid a
+                JOIN grid b ON a.doc_id = b.doc_id AND a.f = b.f
+                           AND a.y = b.y AND b.x = a.x + 1
+                WHERE a.x < 8
+            ),
+            fhash AS (
+                SELECT doc_id, v, f,
+                       CAST(SUM(CASE WHEN k >= 32
+                                THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                                ELSE 0 END) AS VARCHAR) || ':' ||
+                       CAST(SUM(CASE WHEN k < 32
+                                THEN bit * (CAST(1 AS BIGINT) << k)
+                                ELSE 0 END) AS VARCHAR) AS fh
+                FROM bits GROUP BY doc_id, v, f
+            ),
+            vh AS (
+                SELECT doc_id,
+                       string_agg(fh, ';' ORDER BY
+                                  CASE WHEN v = 4 THEN -f ELSE f END)
+                           AS vhash
+                FROM fhash GROUP BY doc_id
+            ),
+            reps AS (SELECT MIN(doc_id) AS doc_id FROM vh GROUP BY vhash),
+            fset AS (
+                SELECT DISTINCT h.doc_id, h.fh
+                FROM fhash h JOIN reps r ON r.doc_id = h.doc_id
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM fset GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM fset a JOIN fset b
+                  ON a.fh = b.fh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.a_id, i.b_id, i.c AS common, x.n AS na, y.n AS nb,
+                   round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c),
+                         {_ROUND}) AS jaccard
+            FROM inter i
+            JOIN sz x ON x.doc_id = i.a_id
+            JOIN sz y ON y.doc_id = i.b_id
+            WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
         # Spot-corpus dHash replay (as image_near_dup_pairs), then the
         # unified clustering: reps per distinct hash, hamming<=6 pair
         # edges, recursive reachability -> component min label, painted
@@ -8157,6 +8317,109 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM hash h
             JOIN reps r ON h.dhash_hi = r.dhash_hi
                        AND h.dhash_lo = r.dhash_lo
+            JOIN comp c ON c.rid = r.rid
+        """,
+        # Spiked-corpus fingerprint replay (64 frames -> 63 bits; frame
+        # kf = 1 + g%62 doubled on v >= 4), reps per distinct
+        # fingerprint, brute-force hamming <= 4 over reps.
+        "audio_near_dup_pairs": """
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       (doc_id // 40) % 7 AS v,
+                       3 + (doc_id % 40) % 11 AS st,
+                       1024 + 37 * (doc_id % 40) AS md,
+                       1 + (doc_id % 40) % 62 AS kf
+                FROM documents
+            ),
+            e AS (
+                SELECT p.doc_id, f.g AS f,
+                       SUM(abs(((13 * p.g + p.st * (f.g * 64 + t.g))
+                                % p.md) - p.md // 2) * (1 + p.v)
+                           * CASE WHEN p.v >= 4 AND f.g = p.kf
+                                  THEN 2 ELSE 1 END) AS en
+                FROM p,
+                     generate_series(0, 63) f(g),
+                     generate_series(0, 63) t(g)
+                GROUP BY p.doc_id, f.g
+            ),
+            bits AS (
+                SELECT a.doc_id, a.f AS k,
+                       CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+                FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+                WHERE a.f < 63
+            ),
+            fp AS (
+                SELECT doc_id,
+                       CAST(SUM(bit * (CAST(1 AS BIGINT) << k))
+                            AS BIGINT) AS afp
+                FROM bits GROUP BY doc_id
+            ),
+            reps AS (SELECT MIN(doc_id) AS doc_id, afp
+                     FROM fp GROUP BY afp)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+            FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.afp, b.afp)) <= 4
+        """,
+        # Same replay, then the unified clustering: hamming<=4 edges
+        # among reps, recursive reachability -> component min label,
+        # painted back through each row's fingerprint representative.
+        "audio_near_dup_clusters": """
+            WITH RECURSIVE p AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       (doc_id // 40) % 7 AS v,
+                       3 + (doc_id % 40) % 11 AS st,
+                       1024 + 37 * (doc_id % 40) AS md,
+                       1 + (doc_id % 40) % 62 AS kf
+                FROM documents
+            ),
+            e AS (
+                SELECT p.doc_id, f.g AS f,
+                       SUM(abs(((13 * p.g + p.st * (f.g * 64 + t.g))
+                                % p.md) - p.md // 2) * (1 + p.v)
+                           * CASE WHEN p.v >= 4 AND f.g = p.kf
+                                  THEN 2 ELSE 1 END) AS en
+                FROM p,
+                     generate_series(0, 63) f(g),
+                     generate_series(0, 63) t(g)
+                GROUP BY p.doc_id, f.g
+            ),
+            bits AS (
+                SELECT a.doc_id, a.f AS k,
+                       CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+                FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+                WHERE a.f < 63
+            ),
+            fp AS (
+                SELECT doc_id,
+                       CAST(SUM(bit * (CAST(1 AS BIGINT) << k))
+                            AS BIGINT) AS afp
+                FROM bits GROUP BY doc_id
+            ),
+            reps AS (SELECT MIN(doc_id) AS rid, afp FROM fp GROUP BY afp),
+            nedges AS (
+                SELECT a.rid AS a_id, b.rid AS b_id
+                FROM reps a JOIN reps b ON a.rid < b.rid
+                WHERE bit_count(xor(a.afp, b.afp)) <= 4
+            ),
+            edges AS (
+                SELECT a_id, b_id FROM nedges
+                UNION SELECT b_id, a_id FROM nedges
+            ),
+            reach(node, r) AS (
+                SELECT rid, rid FROM reps
+                UNION
+                SELECT reach.node, edges.b_id
+                FROM reach JOIN edges ON reach.r = edges.a_id
+            ),
+            comp AS (
+                SELECT node AS rid, MIN(r) AS lab FROM reach GROUP BY node
+            )
+            SELECT f.doc_id, c.lab AS audio_cluster
+            FROM fp f
+            JOIN reps r ON f.afp = r.afp
             JOIN comp c ON c.rid = r.rid
         """,
         # near_dup_clusters_transcripts: the flagship runs the stemmed

@@ -783,7 +783,8 @@ def image_near_dup_pairs(ds, id_col: str = "doc_id", hamming_max: int = 6,
 
 def attach_synthetic_audio_variants(ds, id_col: str = "doc_id",
                                     groups: int = 40, variants: int = 7,
-                                    frame_len: int = 64, n_frames: int = 33):
+                                    frame_len: int = 64, n_frames: int = 33,
+                                    spike_from: int | None = None):
     """REAL WAV payloads with PLANTED perceptual-duplicate structure:
     row id d belongs to audio group ``g = d % groups`` whose base
     waveform is ``base[t] = ((13g + (3 + g%11)·t) % (1024 + 37g))
@@ -794,7 +795,14 @@ def attach_synthetic_audio_variants(ds, id_col: str = "doc_id",
     which multiplies every frame energy by the same positive factor and
     therefore leaves every energy comparison — every fingerprint bit —
     provably invariant within a group. The SQL oracle replays the
-    samples closed-form from doc_id alone."""
+    samples closed-form from doc_id alone.
+
+    ``spike_from=k`` additionally DOUBLES the amplitude of one frame
+    (index ``1 + g % (n_frames - 2)``) on variants with ``v >= k``: a
+    localized loudness burst that flips at most the two adjacent
+    energy-delta comparisons, planting NEAR-duplicates (hamming 0..2)
+    next to the exact perceptual duplicates (max |sample| then
+    < 2467·7 < 32768 — still no clipping)."""
 
     def attach(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -805,6 +813,9 @@ def attach_synthetic_audio_variants(ds, id_col: str = "doc_id",
             g, v = d % groups, (d // groups) % variants
             step, mod = 3 + g % 11, 1024 + 37 * g
             s = (((13 * g + step * t) % mod) - mod // 2) * (1 + v)
+            if spike_from is not None and v >= spike_from:
+                k = 1 + g % (n_frames - 2)
+                s[k * frame_len: (k + 1) * frame_len] *= 2
             payloads.append(encode_wav(8000, s.astype(np.int16)))
         return batch.append_column(
             "payload", pa.array(payloads, type=pa.binary())
@@ -911,11 +922,143 @@ def audio_dup_groups(ds, id_col: str = "doc_id", frame_len: int = 64,
     return assigned.map_batches(out, batch_format="pyarrow")
 
 
+def _audio_rep_keys(ds, id_col: str, frame_len: int, batch_size: int,
+                    concurrency):
+    """Shared front half of the audio NEAR tier: fingerprint payloads,
+    collapse identical fingerprints through exact_dedup (hex key — only
+    hashes shuffle, payloads are dropped at the key projection), and
+    return the assigned Dataset whose ``is_rep`` rows carry the int64
+    fingerprint in the pigeonhole stage's ``simhash`` column."""
+    from raydedup.stages.exact import exact_dedup
+
+    fped = ds.map_batches(
+        AudioFingerprint,
+        fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        sha = [f"{int(a):016x}" for a in b["afp"].to_pylist()]
+        rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
+        return pa.table({
+            id_col: b[id_col],
+            "row_key": pa.array(rk, pa.string()),
+            "text_sha256": pa.array(sha, pa.string()),
+            "simhash": b["afp"],
+        })
+
+    return exact_dedup(fped.map_batches(key, batch_format="pyarrow"))
+
+
+def audio_near_dup_pairs(ds, id_col: str = "doc_id", hamming_max: int = 4,
+                         frame_len: int = 64, batch_size: int = 64,
+                         concurrency=(1, 8)):
+    """Perceptual audio NEAR-dup pairs: energy-delta fingerprint every
+    payload, keep one representative per DISTINCT fingerprint (min id —
+    identical fingerprints are the exact tier,
+    :func:`audio_dup_groups`), then find all representative pairs with
+    hamming(fingerprint) <= ``hamming_max`` via the EXACT pigeonhole
+    block search (``stages/simhash_near.py``) — the audio analogue of
+    :func:`image_near_dup_pairs`, catching clips that differ by a
+    localized loudness change (1-2 flipped comparison bits) rather
+    than a global volume shift (0 flipped bits).
+
+    Scale shape: hashes-only shuffle, identical-fingerprint collapse
+    BEFORE the block grouping (the documented pigeonhole precondition),
+    vectorized in-bucket hamming. Output ``(a_id < b_id, hamming)``."""
+    import pyarrow.compute as pc
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.stages.simhash_near import simhash_near_pairs
+
+    assigned = _audio_rep_keys(ds, id_col, frame_len, batch_size,
+                               concurrency)
+
+    def reps_only(b: pa.Table) -> pa.Table:
+        return b.filter(b["is_rep"].combine_chunks()).select(
+            ["row_key", "simhash"])
+
+    reps = assigned.map_batches(reps_only, batch_format="pyarrow")
+    cfg = DEFAULT_CONFIG.with_overrides(simhash_dup_hamming=hamming_max)
+    pairs = simhash_near_pairs(reps, cfg)
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "a_id": pc.cast(b["a_key"], pa.int64()),
+            "b_id": pc.cast(b["b_key"], pa.int64()),
+            "hamming": pc.cast(b["hamming"], pa.int32()),
+        })
+
+    return pairs.map_batches(out, batch_format="pyarrow")
+
+
+def audio_near_dup_clusters(ds, id_col: str = "doc_id",
+                            hamming_max: int = 4, frame_len: int = 64,
+                            driver_max_edges: int = 5_000_000,
+                            batch_size: int = 64, concurrency=(1, 8)):
+    """Unified perceptual audio CLUSTERING: exact tier (identical
+    fingerprint → one representative, min id) ∪ near tier (hamming <= h
+    pairs among representatives) → connected components → every row
+    labeled with the min doc_id of its component — the audio analogue
+    of :func:`image_near_dup_clusters`, same driver/distributed
+    component auto-switch at ``driver_max_edges``."""
+    import ray
+    import pyarrow.compute as pc
+
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.stages.simhash_near import simhash_near_pairs
+    from raydedup.state.unionfind import (
+        connected_components_distributed,
+        connected_components_driver,
+    )
+
+    assigned = _audio_rep_keys(ds, id_col, frame_len, batch_size,
+                               concurrency).materialize()
+
+    def reps_only(b: pa.Table) -> pa.Table:
+        return b.filter(b["is_rep"].combine_chunks()).select(
+            ["row_key", "simhash"])
+
+    reps = assigned.map_batches(reps_only, batch_format="pyarrow")
+    cfg = DEFAULT_CONFIG.with_overrides(simhash_dup_hamming=hamming_max)
+    pairs = simhash_near_pairs(reps, cfg).materialize()
+
+    if pairs.count() > driver_max_edges:
+        lab = connected_components_distributed(pairs)
+        tbls = list(lab.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow"))
+        lt = pa.concat_tables(tbls) if tbls else pa.table(
+            {"node": pa.array([], pa.string()),
+             "label": pa.array([], pa.string())})
+        keys_arr = lt["node"].combine_chunks()
+        vals_arr = lt["label"].combine_chunks()
+    else:
+        comp = connected_components_driver(pairs)
+        keys_arr = pa.array(list(comp.keys()), pa.string())
+        vals_arr = pa.array(list(comp.values()), pa.string())
+    ref = ray.put((keys_arr, vals_arr))
+
+    def paint(b: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        at = pc.index_in(b["rep_key"], value_set=k)
+        lab_ = pc.coalesce(pc.take(v, at), b["rep_key"])
+        return pa.table({
+            id_col: b[id_col],
+            "audio_cluster": pc.cast(lab_, pa.int64()),
+        })
+
+    return assigned.map_batches(paint, batch_format="pyarrow")
+
+
 # --- perceptual video dedup -------------------------------------------------
 
 
 def attach_synthetic_video_variants(ds, id_col: str = "doc_id",
-                                    groups: int = 40, variants: int = 7):
+                                    groups: int = 40, variants: int = 7,
+                                    recut_from: int | None = None):
     """REAL AVI payloads with PLANTED perceptual-duplicate structure:
     row id d belongs to video group ``g = d % groups`` (frame raster
     ``pixel[i] = (7g + 11f + 5i) % 200`` for frame f, size
@@ -924,7 +1067,14 @@ def attach_synthetic_video_variants(ds, id_col: str = "doc_id",
     (<= 206, no clipping). As with the image corpus, a uniform ``+v``
     shifts every frame's integer grayscale uniformly, so every
     per-frame dHash bit is provably invariant within a group; the SQL
-    oracle replays all frame hashes closed-form from doc_id."""
+    oracle replays all frame hashes closed-form from doc_id.
+
+    ``recut_from=k`` plants RE-CUT variants: ``v == k`` REVERSES the
+    frame order (same frame set — ordered-key distinct, set-Jaccard
+    1.0 vs the clean cut) and ``v > k`` DROPS the last frame
+    (set-Jaccard (nf-1)/nf ∈ {1/2, 2/3, 3/4}) — the structure
+    :func:`video_near_dup_pairs` is built to catch and an ordered-key
+    dedup provably cannot."""
 
     def attach(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -938,6 +1088,10 @@ def attach_synthetic_video_variants(ds, id_col: str = "doc_id",
                   + 5 * np.arange(3 * w * h, dtype=np.int64)) % 200 + v)
                 for f in range(n_frames)
             ]
+            if recut_from is not None and v == recut_from:
+                frames = frames[::-1]
+            elif recut_from is not None and v > recut_from:
+                frames = frames[:-1]
             payloads.append(encode_avi(w, h, frames))
         return batch.append_column(
             "payload", pa.array(payloads, type=pa.binary())
@@ -952,18 +1106,24 @@ def attach_synthetic_video_variants(ds, id_col: str = "doc_id",
 class VideoDHash:
     """Actor-pool perceptual video hasher: real RIFF/AVI walk → per-frame
     dHash → order-preserving joined key ``hi:lo;hi:lo;...`` (decimal,
-    dialect-safe for the SQL twin's string_agg)."""
+    dialect-safe for the SQL twin's string_agg), plus the same hashes
+    as a packed big-endian uint64 binary column ``fhb`` (frame order,
+    ``(hi << 32) | lo`` per frame) — binary packing because list
+    columns cannot ride an Acero groupby/join while binary payloads
+    can (the setjoin ``_pack_u64_lists`` idiom)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # collect every frame across the batch, hash per same-size
         # stack (one vectorized pass per size bucket), then reassemble
         # the ordered per-payload key
         per_doc: list[list[str]] = []
+        per_doc_u64: list[np.ndarray] = []
         buckets: dict[tuple[int, int],
                       list[tuple[int, int, np.ndarray]]] = {}
         for i, p in enumerate(batch["payload"].to_pylist()):
             _, _, frames = decode_avi(p or b"")
             per_doc.append([""] * len(frames))
+            per_doc_u64.append(np.zeros(len(frames), dtype=np.uint64))
             for f, fr in enumerate(frames):
                 buckets.setdefault(fr.shape[:2], []).append((i, f, fr))
         for _, members in buckets.items():
@@ -971,8 +1131,13 @@ class VideoDHash:
             hi, lo = dhash64_stack(stack)
             for j, (i, f, _) in enumerate(members):
                 per_doc[i][f] = f"{hi[j]}:{lo[j]}"
+                per_doc_u64[i][f] = ((np.uint64(hi[j]) << np.uint64(32))
+                                     | np.uint64(lo[j]))
         keys = [";".join(parts) for parts in per_doc]
-        return batch.append_column("vhash", pa.array(keys, pa.string()))
+        packed = [a.astype(">u8").tobytes() for a in per_doc_u64]
+        return batch.append_column(
+            "vhash", pa.array(keys, pa.string())
+        ).append_column("fhb", pa.array(packed, pa.binary()))
 
 
 def video_dup_groups(ds, id_col: str = "doc_id", batch_size: int = 32,
@@ -1014,6 +1179,79 @@ def video_dup_groups(ds, id_col: str = "doc_id", batch_size: int = 32,
         })
 
     return assigned.map_batches(out, batch_format="pyarrow")
+
+
+def video_near_dup_pairs(ds, threshold: float = 0.5,
+                         id_col: str = "doc_id", batch_size: int = 32,
+                         concurrency=(1, 8)):
+    """RE-CUT video detection: representative pairs whose distinct
+    per-frame dHash SETS overlap with Jaccard >= ``threshold`` — the
+    structure the ordered-key exact tier (:func:`video_dup_groups`)
+    provably cannot catch: a reversed clip (same frames, set-Jaccard
+    1.0) or a trimmed clip (one frame dropped, (nf-1)/nf) has a
+    different ordered key but a near-identical frame set.
+
+    Scale shape: per-frame hashes ride as packed binary through the
+    ordered-key exact_dedup collapse (one representative per distinct
+    CUT), then the representatives' frame-hash sets go through the
+    EXACT prefix-filter AllPairs join
+    (``stages/setjoin.set_similarity_join_sets`` — hot-last ordering,
+    singleton-bucket semi-join, tiled verify); payload bytes never
+    cross a shuffle. Output ``(a_id < b_id, common, na, nb, jaccard)``
+    over representative doc_ids, exact by construction."""
+    from raydedup.stages.exact import exact_dedup
+    from raydedup.stages.setjoin import set_similarity_join_sets
+
+    hashed = ds.map_batches(
+        VideoDHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        # skinny projection: ordered key + packed frame hashes only
+        rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
+        return pa.table({
+            id_col: b[id_col],
+            "row_key": pa.array(rk, pa.string()),
+            "text_sha256": b["vhash"],
+            "fhb": b["fhb"],
+        })
+
+    assigned = exact_dedup(hashed.map_batches(key, batch_format="pyarrow"))
+
+    def rep_sets(b: pa.Table) -> pa.Table:
+        sets_schema = pa.schema([pa.field(id_col, pa.int64()),
+                                 pa.field("nsh", pa.int64()),
+                                 pa.field("sh", pa.list_(pa.uint64()))])
+        b = b.filter(b["is_rep"].combine_chunks())
+        if b.num_rows == 0:
+            return sets_schema.empty_table()
+        ids, nshs, offs, vals = [], [], [0], []
+        for d, raw in zip(b[id_col].to_pylist(), b["fhb"].to_pylist()):
+            u = np.unique(np.frombuffer(raw or b"", dtype=">u8")
+                          .astype(np.uint64))
+            if u.size == 0:
+                continue
+            ids.append(int(d))
+            nshs.append(int(u.size))
+            vals.append(u)
+            offs.append(offs[-1] + u.size)
+        if not ids:
+            return sets_schema.empty_table()
+        flat = np.concatenate(vals)
+        sh = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(flat, type=pa.uint64()))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "nsh": pa.array(nshs, pa.int64()),
+                         "sh": sh})
+
+    sets = assigned.map_batches(rep_sets, batch_format="pyarrow")
+    return set_similarity_join_sets(sets, threshold, id_col=id_col,
+                                    id_type=pa.int64())
 
 
 def image_near_dup_clusters(ds, id_col: str = "doc_id",

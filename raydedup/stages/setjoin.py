@@ -249,17 +249,42 @@ def set_similarity_self_join(ds, threshold: float,
     ``a_id < b_id`` — ``common``/``na``/``nb`` are exact intersection /
     set sizes so the float is auditable downstream.
     """
-    from raydedup.util import join_partitions, repeated_keys
-
     sets = shingle_sets(ds, cfg, id_col=id_col, text_col=text_col)
-    sets = sets.materialize()  # consumed by hot-count AND explode
     # ds.filter(lambda)-emptied inputs report schema() None (Ray 2.49);
     # fall back to the materialized sets' schema, then to string ids
-    id_type = pa.string()
-    for sch in (ds.schema(), sets.schema()):
+    id_type = None
+    sch = ds.schema()
+    if sch is not None and id_col in sch.names:
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+    return set_similarity_join_sets(
+        sets, threshold, id_col=id_col, hot_k=hot_k,
+        num_partitions=num_partitions,
+        verify_broadcast_max_rows=verify_broadcast_max_rows,
+        id_type=id_type)
+
+
+def set_similarity_join_sets(sets, threshold: float,
+                             id_col: str = "doc_id",
+                             hot_k: int = 1024,
+                             num_partitions: int | None = None,
+                             verify_broadcast_max_rows: int = 200_000,
+                             id_type: pa.DataType | None = None):
+    """Exact prefix-filter self-join over a PRE-BUILT sets Dataset
+    ``(id, nsh, sh: list<uint64>)`` — the :func:`shingle_sets` contract.
+    The sets-level entry point lets non-text token universes (video
+    frame hashes, CDC chunk hashes, any integer feature space) reuse the
+    full AllPairs machinery — hot-last ordering, singleton-bucket
+    semi-join, tiled verify, broadcast/distributed auto-switch —
+    without faking a text column. Same output contract as
+    :func:`set_similarity_self_join`."""
+    from raydedup.util import join_partitions, repeated_keys
+
+    sets = sets.materialize()  # consumed by hot-count AND explode
+    if id_type is None:
+        id_type = pa.string()
+        sch = sets.schema()
         if sch is not None and id_col in sch.names:
             id_type = dict(zip(sch.names, sch.types))[id_col]
-            break
     id_field = pa.field(id_col, id_type)
     pair_schema = pa.schema([
         pa.field("a_id", id_field.type), pa.field("b_id", id_field.type),

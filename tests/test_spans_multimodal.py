@@ -1383,3 +1383,164 @@ def test_audio_fingerprint_stack_matches_scalar():
     got = audio_fingerprint64_stack(stack)
     for i in range(stack.shape[0]):
         assert int(got[i]) == audio_fingerprint64(stack[i])
+
+
+def test_audio_near_dup_pairs_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.multimodal import (
+        attach_synthetic_audio_variants,
+        audio_fingerprint64,
+        audio_near_dup_pairs,
+        decode_wav,
+        encode_wav,
+    )
+
+    n, groups, spike_from, h_max, nf = 280, 8, 4, 4, 64
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n))}))
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in audio_near_dup_pairs(
+               attach_synthetic_audio_variants(
+                   ds, groups=groups, n_frames=nf, spike_from=spike_from),
+               hamming_max=h_max).take_all()}
+
+    # brute force through the SAME wav round-trip the actor pool takes
+    fps = {}
+    t = np.arange(64 * nf, dtype=np.int64)
+    for d in range(n):
+        g, v = d % groups, (d // groups) % 7
+        step, mod = 3 + g % 11, 1024 + 37 * g
+        s = (((13 * g + step * t) % mod) - mod // 2) * (1 + v)
+        if v >= spike_from:
+            k = 1 + g % (nf - 2)
+            s[k * 64: (k + 1) * 64] *= 2
+        _, _, dec = decode_wav(encode_wav(8000, s.astype(np.int16)))
+        fp = audio_fingerprint64(dec)
+        if fp not in fps or d < fps[fp]:
+            fps[fp] = d
+    reps = sorted((d, fp) for fp, d in fps.items())
+    want = {}
+    for i, (da, fa) in enumerate(reps):
+        for db, fb in reps[i + 1:]:
+            ham = bin(fa ^ fb).count("1")
+            if ham <= h_max:
+                want[(da, db)] = ham
+    assert got == want
+    # the planted loudness burst produced genuine NEAR pairs (hamming
+    # in 1..h_max), not only identical-fingerprint collapses
+    assert any(0 < h <= h_max for h in want.values())
+
+
+def test_audio_near_dup_clusters_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.multimodal import (
+        attach_synthetic_audio_variants,
+        audio_fingerprint64,
+        audio_near_dup_clusters,
+    )
+
+    n, groups, spike_from, h_max, nf = 280, 8, 4, 4, 64
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n))}))
+    got = {r["doc_id"]: r["audio_cluster"]
+           for r in audio_near_dup_clusters(
+               attach_synthetic_audio_variants(
+                   ds, groups=groups, n_frames=nf, spike_from=spike_from),
+               hamming_max=h_max).take_all()}
+
+    t = np.arange(64 * nf, dtype=np.int64)
+    fp_of = {}
+    for d in range(n):
+        g, v = d % groups, (d // groups) % 7
+        step, mod = 3 + g % 11, 1024 + 37 * g
+        s = (((13 * g + step * t) % mod) - mod // 2) * (1 + v)
+        if v >= spike_from:
+            k = 1 + g % (nf - 2)
+            s[k * 64: (k + 1) * 64] *= 2
+        fp_of[d] = audio_fingerprint64(s.astype(np.int16))
+    reps = {}
+    for d, fp in fp_of.items():
+        if fp not in reps or d < reps[fp]:
+            reps[fp] = d
+    rl = sorted(reps.values())
+    lab = {r: r for r in rl}
+
+    def root(x):
+        while lab[x] != x:
+            x = lab[x]
+        return x
+
+    for i, a in enumerate(rl):
+        for b in rl[i + 1:]:
+            if bin(fp_of[a] ^ fp_of[b]).count("1") <= h_max:
+                ra, rb = root(a), root(b)
+                if ra != rb:
+                    lab[max(ra, rb)] = min(ra, rb)
+    want = {d: root(reps[fp_of[d]]) for d in range(n)}
+    assert got == want
+    # near edges actually merged at least two distinct-fingerprint reps
+    assert len(set(want.values())) < len(rl)
+
+
+def test_video_near_dup_pairs_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.multimodal import (
+        attach_synthetic_video_variants,
+        dhash64,
+        video_near_dup_pairs,
+    )
+
+    n, groups, recut_from, thr = 280, 8, 4, 0.5
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n))}))
+    rows = video_near_dup_pairs(
+        attach_synthetic_video_variants(ds, groups=groups,
+                                        recut_from=recut_from),
+        threshold=thr).take_all()
+    got = {(r["a_id"], r["b_id"]): (r["common"], r["na"], r["nb"])
+           for r in rows}
+    for r in rows:
+        assert abs(r["jaccard"]
+                   - r["common"] / (r["na"] + r["nb"] - r["common"])) < 1e-12
+
+    # brute force: ordered-hash key per doc, rep per distinct key,
+    # frame-SET jaccard over reps
+    vh = {}
+    for d in range(n):
+        g, v = d % groups, (d // groups) % 7
+        w, h, nf = 16 + g % 9, 16 + g % 7, 2 + g % 3
+        frames = [((np.int64(7 * g + 11 * f)
+                    + 5 * np.arange(3 * w * h, dtype=np.int64)) % 200 + v)
+                  for f in range(nf)]
+        if v == recut_from:
+            frames = frames[::-1]
+        elif v > recut_from:
+            frames = frames[:-1]
+        hs = []
+        for fr in frames:
+            hi, lo = dhash64(fr.reshape(h, w, 3).astype(np.uint8))
+            hs.append((int(hi) << 32) | int(lo))
+        vh[d] = tuple(hs)
+    reps = {}
+    for d, key in vh.items():
+        if key not in reps or d < reps[key]:
+            reps[key] = d
+    rl = sorted(reps.values())
+    want = {}
+    for i, a in enumerate(rl):
+        for b in rl[i + 1:]:
+            sa, sb = set(vh[a]), set(vh[b])
+            c, u = len(sa & sb), len(sa | sb)
+            if u and c / u >= thr:
+                want[(a, b)] = (c, len(sa), len(sb))
+    assert got == want
+    # both planted structures present: a reversed cut (jaccard 1.0)
+    # and a trimmed cut (jaccard < 1.0)
+    js = [c / (na + nb - c) for c, na, nb in want.values()]
+    assert any(j == 1.0 for j in js) and any(j < 1.0 for j in js)
