@@ -3334,6 +3334,77 @@ def q_video_near_dup_pairs(sf_dir: str):
         "jaccard")
 
 
+def q_multimodal_dup_clusters(sf_dir: str):
+    """UNIFIED CROSS-MODAL dedup clusters: connected components over the
+    union of every PERCEPTUAL duplicate-evidence family — image exact ∪
+    image hamming ≤ 6 pairs ∪ audio exact ∪ audio hamming ≤ 4 pairs ∪
+    video ordered-key exact ∪ video frame-set Jaccard ≥ 0.5 pairs —
+    'collapse any row any perceptual detector flags in ANY modality',
+    the multimodal twin of unified_dedup_clusters. Composed by CHAINED
+    incremental merges: the image clustering supplies the standing
+    labeling and merge_components contracts the audio label edges, the
+    video label edges and the video re-cut pairs against it in turn
+    (work ∝ that family's edges, one repaint join each). Evidence
+    differs genuinely per modality on this corpus (audio's fingerprint
+    space merges some planted groups the image/video spaces keep
+    apart), so the unified labels match no single modality's. Oracle:
+    one recursive reach over the union of all six edge CTEs."""
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_audio_variants,
+        attach_synthetic_image_variants,
+        attach_synthetic_video_variants,
+        audio_near_dup_clusters,
+        image_near_dup_clusters,
+        video_dup_groups,
+        video_near_dup_pairs,
+    )
+    from raydedup.state.unionfind import merge_components
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=64)
+
+    def pad2(b: pa.Table, a: str, c: str, na: str, nc: str) -> pa.Table:
+        return pa.table({
+            na: pa.array([f"{int(x):020d}" for x in b[a].to_pylist()],
+                         pa.string()),
+            nc: pa.array([f"{int(x):020d}" for x in b[c].to_pylist()],
+                         pa.string()),
+        })
+
+    img = image_near_dup_clusters(
+        attach_synthetic_image_variants(docs, spot_from=4), hamming_max=6)
+    labels = img.map_batches(
+        lambda b: pad2(b, "doc_id", "img_cluster", "node", "label"),
+        batch_format="pyarrow")
+    aud = audio_near_dup_clusters(
+        attach_synthetic_audio_variants(docs, n_frames=64, spike_from=4),
+        hamming_max=4).map_batches(
+        lambda b: pad2(b, "doc_id", "audio_cluster", "a_key", "b_key"),
+        batch_format="pyarrow")
+    vid = video_dup_groups(
+        attach_synthetic_video_variants(docs, recut_from=4)).map_batches(
+        lambda b: pad2(b, "doc_id", "video_cluster", "a_key", "b_key"),
+        batch_format="pyarrow")
+    vpairs = video_near_dup_pairs(
+        attach_synthetic_video_variants(docs, recut_from=4),
+        threshold=0.5).map_batches(
+        lambda b: pad2(b, "a_id", "b_id", "a_key", "b_key"),
+        batch_format="pyarrow")
+
+    merged = merge_components(labels, aud)
+    merged = merge_components(merged, vid)
+    merged = merge_components(merged, vpairs)
+    return merged.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b["node"], pa.int64()),
+            "mm_cluster": pc.cast(b["label"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
 def q_set_sim_pairs_docs(sf_dir: str):
     """EXACT all-pairs shingle-set Jaccard >= 0.5 via prefix filtering
     (AllPairs/PPJoin — Bayardo et al. 2007, Xiao et al. 2008): the
@@ -4498,6 +4569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_near_dup_pairs": q_audio_near_dup_pairs,
         "audio_near_dup_clusters": q_audio_near_dup_clusters,
         "video_near_dup_pairs": q_video_near_dup_pairs,
+        "multimodal_dup_clusters": q_multimodal_dup_clusters,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
         "range_join_events": q_range_join_events,
@@ -8239,6 +8311,210 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.a_id
             JOIN sz y ON y.doc_id = i.b_id
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        # Cross-modal components: union of image (spot corpus: exact
+        # dHash + hamming<=6 rep pairs), audio (spiked corpus: exact
+        # fingerprint + hamming<=4 rep pairs) and video (recut corpus:
+        # ordered-key exact + frame-set Jaccard>=0.5 rep pairs)
+        # evidence, one recursive reach, min-doc_id labels.
+        "multimodal_dup_clusters": """
+            WITH RECURSIVE ip AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       (doc_id // 40) % 7 AS v,
+                       20 + (doc_id % 40) % 9 AS w,
+                       20 + (doc_id % 40) % 7 AS h
+                FROM documents
+            ),
+            icells AS (
+                SELECT ip.doc_id, ip.g, ip.v, y.g AS y, x.g AS x,
+                       3 * (((y.g * ip.h) // 8) * ip.w
+                            + ((x.g * ip.w) // 9)) AS e,
+                       3 * (((3 * ip.h) // 8) * ip.w
+                            + ((4 * ip.w) // 9)) AS s
+                FROM ip,
+                     generate_series(0, 7) y(g),
+                     generate_series(0, 8) x(g)
+            ),
+            igrid AS (
+                SELECT doc_id, y, x,
+                       CASE WHEN v >= 4 AND e = s THEN 255
+                            ELSE ((3 * g + 5 * e) % 200
+                                  + (3 * g + 5 * e + 5) % 200
+                                  + (3 * g + 5 * e + 10) % 200
+                                  + 3 * v) // 3 END AS gray
+                FROM icells
+            ),
+            ibits AS (
+                SELECT a.doc_id, (a.y * 8 + a.x) AS k,
+                       CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+                FROM igrid a
+                JOIN igrid b ON a.doc_id = b.doc_id AND a.y = b.y
+                           AND b.x = a.x + 1
+                WHERE a.x < 8
+            ),
+            ihash AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN k >= 32
+                                THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                                ELSE 0 END) AS BIGINT) AS hh,
+                       CAST(SUM(CASE WHEN k < 32
+                                THEN bit * (CAST(1 AS BIGINT) << k)
+                                ELSE 0 END) AS BIGINT) AS hl
+                FROM ibits GROUP BY doc_id
+            ),
+            ireps AS (SELECT MIN(doc_id) AS rid, hh, hl
+                      FROM ihash GROUP BY hh, hl),
+            iedges AS (
+                SELECT h.doc_id AS s, r.rid AS t
+                FROM ihash h JOIN ireps r ON h.hh = r.hh AND h.hl = r.hl
+            ),
+            ipairs AS (
+                SELECT a.rid AS s, b.rid AS t
+                FROM ireps a JOIN ireps b ON a.rid < b.rid
+                WHERE bit_count(xor(a.hh, b.hh))
+                      + bit_count(xor(a.hl, b.hl)) <= 6
+            ),
+            aparams AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       (doc_id // 40) % 7 AS v,
+                       3 + (doc_id % 40) % 11 AS st,
+                       1024 + 37 * (doc_id % 40) AS md,
+                       1 + (doc_id % 40) % 62 AS kf
+                FROM documents
+            ),
+            aener AS (
+                SELECT ap.doc_id, f.g AS f,
+                       SUM(abs(((13 * ap.g + ap.st * (f.g * 64 + t.g))
+                                % ap.md) - ap.md // 2) * (1 + ap.v)
+                           * CASE WHEN ap.v >= 4 AND f.g = ap.kf
+                                  THEN 2 ELSE 1 END) AS en
+                FROM aparams ap,
+                     generate_series(0, 63) f(g),
+                     generate_series(0, 63) t(g)
+                GROUP BY ap.doc_id, f.g
+            ),
+            abits AS (
+                SELECT a.doc_id, a.f AS k,
+                       CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+                FROM aener a JOIN aener b ON a.doc_id = b.doc_id
+                       AND b.f = a.f + 1
+                WHERE a.f < 63
+            ),
+            afp AS (
+                SELECT doc_id,
+                       CAST(SUM(bit * (CAST(1 AS BIGINT) << k))
+                            AS BIGINT) AS fp
+                FROM abits GROUP BY doc_id
+            ),
+            areps AS (SELECT MIN(doc_id) AS rid, fp FROM afp GROUP BY fp),
+            aedges AS (
+                SELECT f.doc_id AS s, r.rid AS t
+                FROM afp f JOIN areps r ON f.fp = r.fp
+            ),
+            apairs AS (
+                SELECT a.rid AS s, b.rid AS t
+                FROM areps a JOIN areps b ON a.rid < b.rid
+                WHERE bit_count(xor(a.fp, b.fp)) <= 4
+            ),
+            vparams AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       (doc_id // 40) % 7 AS v,
+                       16 + (doc_id % 40) % 9 AS w,
+                       16 + (doc_id % 40) % 7 AS h,
+                       2 + (doc_id % 40) % 3 AS nf
+                FROM documents
+            ),
+            vgrid AS (
+                SELECT vp.doc_id, vp.v, f.g AS f, y.g AS y, x.g AS x,
+                       (((7 * vp.g + 11 * f.g
+                          + 5 * (3 * (((y.g * vp.h) // 8) * vp.w
+                                      + ((x.g * vp.w) // 9)))) % 200)
+                        + ((7 * vp.g + 11 * f.g
+                            + 5 * (3 * (((y.g * vp.h) // 8) * vp.w
+                                        + ((x.g * vp.w) // 9)))
+                            + 5) % 200)
+                        + ((7 * vp.g + 11 * f.g
+                            + 5 * (3 * (((y.g * vp.h) // 8) * vp.w
+                                        + ((x.g * vp.w) // 9)))
+                            + 10) % 200)) // 3 AS gray
+                FROM vparams vp,
+                     generate_series(0, 3) f(g),
+                     generate_series(0, 7) y(g),
+                     generate_series(0, 8) x(g)
+                WHERE f.g < CASE WHEN vp.v > 4 THEN vp.nf - 1
+                            ELSE vp.nf END
+            ),
+            vbits AS (
+                SELECT a.doc_id, a.v, a.f, (a.y * 8 + a.x) AS k,
+                       CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+                FROM vgrid a
+                JOIN vgrid b ON a.doc_id = b.doc_id AND a.f = b.f
+                           AND a.y = b.y AND b.x = a.x + 1
+                WHERE a.x < 8
+            ),
+            vfhash AS (
+                SELECT doc_id, v, f,
+                       CAST(SUM(CASE WHEN k >= 32
+                                THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                                ELSE 0 END) AS VARCHAR) || ':' ||
+                       CAST(SUM(CASE WHEN k < 32
+                                THEN bit * (CAST(1 AS BIGINT) << k)
+                                ELSE 0 END) AS VARCHAR) AS fh
+                FROM vbits GROUP BY doc_id, v, f
+            ),
+            vvh AS (
+                SELECT doc_id,
+                       string_agg(fh, ';' ORDER BY
+                                  CASE WHEN v = 4 THEN -f ELSE f END)
+                           AS vhash
+                FROM vfhash GROUP BY doc_id
+            ),
+            vreps AS (SELECT vhash, MIN(doc_id) AS rid
+                      FROM vvh GROUP BY vhash),
+            vedges AS (
+                SELECT h.doc_id AS s, r.rid AS t
+                FROM vvh h JOIN vreps r ON h.vhash = r.vhash
+            ),
+            vfset AS (
+                SELECT DISTINCT h.doc_id, h.fh
+                FROM vfhash h JOIN vreps r ON r.rid = h.doc_id
+            ),
+            vsz AS (SELECT doc_id, count(*) AS n FROM vfset GROUP BY 1),
+            vinter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+                FROM vfset a JOIN vfset b
+                  ON a.fh = b.fh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            vpairs AS (
+                SELECT i.a_id AS s, i.b_id AS t
+                FROM vinter i
+                JOIN vsz x ON x.doc_id = i.a_id
+                JOIN vsz y ON y.doc_id = i.b_id
+                WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+            ),
+            halfedges AS (
+                SELECT s, t FROM iedges UNION SELECT s, t FROM ipairs
+                UNION SELECT s, t FROM aedges
+                UNION SELECT s, t FROM apairs
+                UNION SELECT s, t FROM vedges
+                UNION SELECT s, t FROM vpairs
+            ),
+            alledges AS (
+                SELECT s, t FROM halfedges
+                UNION SELECT t, s FROM halfedges
+            ),
+            reach(node, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.node, alledges.t
+                FROM reach JOIN alledges ON reach.r = alledges.s
+            )
+            SELECT node AS doc_id, MIN(r) AS mm_cluster
+            FROM reach GROUP BY node
         """,
         # Spot-corpus dHash replay (as image_near_dup_pairs), then the
         # unified clustering: reps per distinct hash, hamming<=6 pair

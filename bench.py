@@ -279,7 +279,10 @@ def run_bench() -> dict:
                   "image_near_dup_pairs",
                   "audio_dup_groups",
                   "video_dup_groups",
-                  "image_near_dup_clusters"):
+                  "image_near_dup_clusters",
+                  "audio_near_dup_pairs",
+                  "audio_near_dup_clusters",
+                  "video_near_dup_pairs"):
         t0 = time.time()
         r = entrymod.queries()[qname](sf_dir)
         # consume: Dataset -> count(); small pa.Table / DataFrame

@@ -1544,3 +1544,136 @@ def test_video_near_dup_pairs_matches_bruteforce(ray_session):
     # and a trimmed cut (jaccard < 1.0)
     js = [c / (na + nb - c) for c, na, nb in want.values()]
     assert any(j == 1.0 for j in js) and any(j < 1.0 for j in js)
+
+
+def test_multimodal_dup_clusters_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.stages.multimodal import (
+        attach_synthetic_audio_variants,
+        attach_synthetic_image_variants,
+        attach_synthetic_video_variants,
+        audio_fingerprint64,
+        audio_near_dup_clusters,
+        dhash64,
+        image_near_dup_clusters,
+        video_dup_groups,
+        video_near_dup_pairs,
+    )
+    from raydedup.state.unionfind import merge_components
+
+    # mirror q_multimodal_dup_clusters's composition on a small corpus
+    n, groups = 280, 8
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n))}))
+
+    def pad2(b, a, c, na, nc):
+        return pa.table({
+            na: pa.array([f"{int(x):020d}" for x in b[a].to_pylist()]),
+            nc: pa.array([f"{int(x):020d}" for x in b[c].to_pylist()]),
+        })
+
+    img = image_near_dup_clusters(
+        attach_synthetic_image_variants(ds, groups=groups, spot_from=4),
+        hamming_max=6)
+    labels = img.map_batches(
+        lambda b: pad2(b, "doc_id", "img_cluster", "node", "label"),
+        batch_format="pyarrow")
+    aud = audio_near_dup_clusters(
+        attach_synthetic_audio_variants(ds, groups=groups, n_frames=64,
+                                        spike_from=4),
+        hamming_max=4).map_batches(
+        lambda b: pad2(b, "doc_id", "audio_cluster", "a_key", "b_key"),
+        batch_format="pyarrow")
+    vid = video_dup_groups(
+        attach_synthetic_video_variants(ds, groups=groups,
+                                        recut_from=4)).map_batches(
+        lambda b: pad2(b, "doc_id", "video_cluster", "a_key", "b_key"),
+        batch_format="pyarrow")
+    vpairs = video_near_dup_pairs(
+        attach_synthetic_video_variants(ds, groups=groups, recut_from=4),
+        threshold=0.5).map_batches(
+        lambda b: pad2(b, "a_id", "b_id", "a_key", "b_key"),
+        batch_format="pyarrow")
+    merged = merge_components(labels, aud)
+    merged = merge_components(merged, vid)
+    merged = merge_components(merged, vpairs)
+    got = {int(r["node"]): int(r["label"]) for r in merged.take_all()}
+
+    # brute force: all six evidence families -> one union-find
+    lab = list(range(n))
+
+    def root(x):
+        while lab[x] != x:
+            x = lab[x]
+        return x
+
+    def union(a, b):
+        ra, rb = root(a), root(b)
+        if ra != rb:
+            lab[max(ra, rb)] = min(ra, rb)
+
+    ih, af, vh = {}, {}, {}
+    for d in range(n):
+        g, v = d % groups, (d // groups) % 7
+        w, h = 20 + g % 9, 20 + g % 7
+        pix = ((np.int64(3 * g)
+                + 5 * np.arange(3 * w * h, dtype=np.int64)) % 200 + v)
+        if v >= 4:
+            p0 = ((3 * h) // 8) * w + ((4 * w) // 9)
+            pix[3 * p0: 3 * p0 + 3] = 255
+        ih[d] = dhash64(pix.reshape(h, w, 3).astype(np.uint8))
+        step, mod = 3 + g % 11, 1024 + 37 * g
+        t = np.arange(64 * 64, dtype=np.int64)
+        s = (((13 * g + step * t) % mod) - mod // 2) * (1 + v)
+        if v >= 4:
+            k = 1 + g % 62
+            s[k * 64: (k + 1) * 64] *= 2
+        af[d] = audio_fingerprint64(s.astype(np.int16))
+        w2, h2, nf = 16 + g % 9, 16 + g % 7, 2 + g % 3
+        frames = [((np.int64(7 * g + 11 * f)
+                    + 5 * np.arange(3 * w2 * h2, dtype=np.int64))
+                   % 200 + v) for f in range(nf)]
+        if v == 4:
+            frames = frames[::-1]
+        elif v > 4:
+            frames = frames[:-1]
+        vh[d] = tuple((int(hi) << 32) | int(lo) for hi, lo in
+                      (dhash64(fr.reshape(h2, w2, 3).astype(np.uint8))
+                       for fr in frames))
+
+    def family(keys_of, near):
+        reps = {}
+        for d in range(n):
+            k = keys_of[d]
+            if k not in reps or d < reps[k]:
+                reps[k] = d
+        for d in range(n):
+            union(d, reps[keys_of[d]])
+        rl = sorted(reps.values())
+        for i, a in enumerate(rl):
+            for b in rl[i + 1:]:
+                if near(keys_of[a], keys_of[b]):
+                    union(a, b)
+
+    family(ih, lambda a, b: bin(a[0] ^ b[0]).count("1")
+           + bin(a[1] ^ b[1]).count("1") <= 6)
+    family(af, lambda a, b: bin(a ^ b).count("1") <= 4)
+
+    def vnear(a, b):
+        sa, sb = set(a), set(b)
+        u = len(sa | sb)
+        return u > 0 and len(sa & sb) / u >= 0.5
+
+    family(vh, vnear)
+    want = {d: root(d) for d in range(n)}
+    assert got == want
+    # the union is a COARSENING of each single modality: two docs an
+    # individual modality merged are never split by the union
+    img_only = {r["doc_id"]: r["img_cluster"] for r in img.take_all()}
+    mod_to_mm = {}
+    for d in range(n):
+        prev = mod_to_mm.setdefault(img_only[d], want[d])
+        assert prev == want[d]
+    assert len(set(want.values())) <= len(set(img_only.values()))
