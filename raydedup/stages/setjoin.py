@@ -138,10 +138,21 @@ def shingle_sets(ds, cfg: DedupConfig = DEFAULT_CONFIG,
 
 
 def hot_shingle_hashes(sets_ds, k: int) -> np.ndarray:
-    """Top-``k`` shingle hashes by exact corpus document frequency, as a
-    SORTED uint64 array (the hot-last order's "late" set). Per-batch
-    ``np.unique`` partials → one hash-keyed groupby sum → per-block
-    top-k combiner → bounded driver merge (≤ k rows per block)."""
+    """Top-``k`` shingle hashes by corpus frequency, as a SORTED uint64
+    array (the hot-last order's "late" set). Per-batch ``np.unique``
+    partials PRUNED to the local top-``4k`` before the shuffle → one
+    hash-keyed groupby sum over the pruned partials → per-block top-k
+    combiner → bounded driver merge (≤ k rows per block).
+
+    The per-batch prune makes the result approximate on the long tail
+    (a hash hot in aggregate but below every batch's local top-4k can
+    be missed), which is sound here by construction: the hot set only
+    picks the global ORDER of the prefix-filter theorem, and the
+    theorem holds under ANY fixed order — boilerplate hot enough to
+    skew a bucket is per-batch frequent and always survives the local
+    cut. What the prune buys at scale: the groupby shuffles ≤ 4k rows
+    per input block instead of every distinct (hash, block) pair —
+    orders of magnitude less exchange on a 100-TB corpus."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -151,6 +162,9 @@ def hot_shingle_hashes(sets_ds, k: int) -> np.ndarray:
         shc = batch["sh"].combine_chunks()
         flat = shc.values.to_numpy(zero_copy_only=False)
         u, c = np.unique(flat, return_counts=True)
+        if u.size > 4 * k:
+            keep = np.lexsort((u, -c))[: 4 * k]
+            u, c = u[keep], c[keep]
         return pa.table({"h": pa.array(u.view(np.int64), type=pa.int64()),
                          "c": pa.array(c.astype(np.int64), type=pa.int64())})
 
@@ -277,7 +291,7 @@ def set_similarity_join_sets(sets, threshold: float,
     semi-join, tiled verify, broadcast/distributed auto-switch —
     without faking a text column. Same output contract as
     :func:`set_similarity_self_join`."""
-    from raydedup.util import join_partitions, repeated_keys
+    from raydedup.util import join_partitions
 
     sets = sets.materialize()  # consumed by hot-count AND explode
     if id_type is None:
@@ -346,38 +360,69 @@ def set_similarity_join_sets(sets, threshold: float,
     n_exploded = exploded.count()
     if n_exploded == 0:
         return ray.data.from_arrow(pair_schema.empty_table())
-    hot_buckets = repeated_keys(exploded, "bucket").materialize()
-    if hot_buckets.count() == 0:
-        return ray.data.from_arrow(pair_schema.empty_table())
-    n_parts = num_partitions or join_partitions(n_exploded)
-    cands = exploded.join(hot_buckets, join_type="inner",
-                          num_partitions=n_parts, on=("bucket",))
 
     cand_schema = pa.schema([pa.field("a_id", id_field.type),
                              pa.field("b_id", id_field.type)])
 
-    def gen_pairs(group: pa.Table) -> pa.Table:
-        m = group.num_rows
-        if m < 2:
-            return cand_schema.empty_table()
-        nsh = group["nsh"].to_numpy(zero_copy_only=False)
-        pi, pj = np.triu_indices(m, k=1)
-        # length filter: jac >= t needs min(na, nb) >= t * max(na, nb)
-        lo = np.minimum(nsh[pi], nsh[pj])
-        hi = np.maximum(nsh[pi], nsh[pj])
-        ok = lo >= threshold * hi - 1e-9
-        pi, pj = pi[ok], pj[ok]
-        if pi.size == 0:
-            return cand_schema.empty_table()
-        ids = group[id_col].combine_chunks()
-        ai = pc.take(ids, pa.array(pi))
-        bi = pc.take(ids, pa.array(pj))
-        swap = pc.greater(ai, bi)
-        return pa.table({"a_id": pc.if_else(swap, bi, ai),
-                         "b_id": pc.if_else(swap, ai, bi)})
+    # Candidate generation is ONE partition sweep (the ordered.py
+    # idiom): buckets hash-partition once, one map_groups call per
+    # PARTITION lexsorts its rows bucket-major and emits every
+    # length-filtered in-bucket pair. This replaces the former
+    # three-shuffle chain (repeated-bucket counting groupby →
+    # singleton-drop semi-join → per-bucket groupby) with a single
+    # all-to-all over the exploded table — at 100 TB the exploded
+    # prefix table is the largest intermediate of this operator, so
+    # exchange volume drops ~3x — while singleton buckets now cost one
+    # vectorized run-length row instead of a Python call.
+    import ray as _ray
 
-    raw_pairs = cands.groupby("bucket").map_groups(
-        gen_pairs, batch_format="pyarrow")
+    from raydedup.stages.asof import _part_array
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    n_sweep = num_partitions or max(
+        2 * ncpu, min(1024, n_exploded // 500_000 + 1))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part",
+                               _part_array(b["bucket"], n_sweep))
+
+    def sweep_pairs(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2 or "bucket" not in group.column_names:
+            return cand_schema.empty_table()
+        bkt = group["bucket"].to_numpy(zero_copy_only=False)
+        nsh = group["nsh"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nsh, bkt))
+        b_s, n_s = bkt[order], nsh[order]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        ends = np.r_[starts[1:], m]
+        ai_all, bi_all = [], []
+        for s, e in zip(starts, ends):
+            mm = e - s
+            if mm < 2:
+                continue
+            pi, pj = np.triu_indices(mm, k=1)
+            # length filter: jac >= t needs min(na,nb) >= t * max(na,nb)
+            lo = np.minimum(n_s[s + pi], n_s[s + pj])
+            hi = np.maximum(n_s[s + pi], n_s[s + pj])
+            ok = lo >= threshold * hi - 1e-9
+            if ok.any():
+                ai_all.append(order[s + pi[ok]])
+                bi_all.append(order[s + pj[ok]])
+        if not ai_all:
+            return cand_schema.empty_table()
+        ai = np.concatenate(ai_all)
+        bi = np.concatenate(bi_all)
+        ids = group[id_col].combine_chunks()
+        a = pc.take(ids, pa.array(ai))
+        b = pc.take(ids, pa.array(bi))
+        swap = pc.greater(a, b)
+        return pa.table({"a_id": pc.if_else(swap, b, a),
+                         "b_id": pc.if_else(swap, a, b)})
+
+    raw_pairs = (exploded.map_batches(add_part, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(sweep_pairs, batch_format="pyarrow"))
     # DISTINCT candidate pairs (native counting groupby) — each pair is
     # verified exactly once below regardless of shared-bucket count
     pairs = raw_pairs.groupby(["a_id", "b_id"]).count().drop_columns(
@@ -745,7 +790,7 @@ def set_containment_self_join(ds, threshold: float,
     probe side. Candidate volume per bucket is (prefix members ×
     members), linear in bucket size per probe.
     """
-    from raydedup.util import join_partitions, repeated_keys
+    from raydedup.util import join_partitions
 
     # sets_ds overrides the element universe: any (id, nsh, sh) table
     # with per-id DISTINCT uint64 elements works — e.g. the expanded
@@ -815,41 +860,66 @@ def set_containment_self_join(ds, threshold: float,
     n_exploded = exploded.count()
     if n_exploded == 0:
         return ray.data.from_arrow(pair_schema.empty_table())
-    hot_buckets = repeated_keys(exploded, "bucket").materialize()
-    if hot_buckets.count() == 0:
-        return ray.data.from_arrow(pair_schema.empty_table())
-    n_parts = num_partitions or join_partitions(n_exploded)
-    cands = exploded.join(hot_buckets, join_type="inner",
-                          num_partitions=n_parts, on=("bucket",))
 
     cand_schema = pa.schema([pa.field("inner_id", id_field.type),
                              pa.field("outer_id", id_field.type)])
 
-    def gen_pairs(group: pa.Table) -> pa.Table:
+    # ONE partition sweep replaces the former three-shuffle candidate
+    # chain — see set_similarity_join_sets for the rationale; the
+    # containment variant keeps the asymmetric (inner-prefix × every
+    # member) rule per bucket run.
+    import ray as _ray
+
+    from raydedup.stages.asof import _part_array
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    n_sweep = num_partitions or max(
+        2 * ncpu, min(1024, n_exploded // 500_000 + 1))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part",
+                               _part_array(b["bucket"], n_sweep))
+
+    def sweep_pairs(group: pa.Table) -> pa.Table:
         m = group.num_rows
-        if m < 2:
+        if m < 2 or "bucket" not in group.column_names:
             return cand_schema.empty_table()
+        bkt = group["bucket"].to_numpy(zero_copy_only=False)
         nsh = group["nsh"].to_numpy(zero_copy_only=False)
         pfx = group["pfx"].to_numpy(zero_copy_only=False)
-        inner = np.flatnonzero(pfx & (nsh >= min_inner))
-        if inner.size == 0:
-            return cand_schema.empty_table()
-        # ordered (inner, outer) candidates: every prefix member of the
-        # bucket against every member; self-pairs drop below
-        pi = np.repeat(inner, m)
-        pj = np.tile(np.arange(m, dtype=np.int64), inner.size)
-        keep = pi != pj
-        # containment >= t needs |outer| >= |inner ∩ outer| >= t*|inner|
-        keep &= nsh[pj] >= threshold * nsh[pi] - 1e-9
-        pi, pj = pi[keep], pj[keep]
-        if pi.size == 0:
+        order = np.lexsort((nsh, bkt))
+        b_s, n_s, p_s = bkt[order], nsh[order], pfx[order]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        ends = np.r_[starts[1:], m]
+        pi_all, pj_all = [], []
+        for s, e in zip(starts, ends):
+            mm = e - s
+            if mm < 2:
+                continue
+            inner = np.flatnonzero(p_s[s:e] & (n_s[s:e] >= min_inner))
+            if inner.size == 0:
+                continue
+            # ordered (inner, outer) candidates: every prefix member of
+            # the bucket against every member; self-pairs drop below
+            pi = np.repeat(inner, mm)
+            pj = np.tile(np.arange(mm, dtype=np.int64), inner.size)
+            keep = pi != pj
+            # containment >= t needs |outer| >= common >= t*|inner|
+            keep &= n_s[s + pj] >= threshold * n_s[s + pi] - 1e-9
+            if keep.any():
+                pi_all.append(order[s + pi[keep]])
+                pj_all.append(order[s + pj[keep]])
+        if not pi_all:
             return cand_schema.empty_table()
         ids = group[id_col].combine_chunks()
-        return pa.table({"inner_id": pc.take(ids, pa.array(pi)),
-                         "outer_id": pc.take(ids, pa.array(pj))})
+        return pa.table({
+            "inner_id": pc.take(ids, pa.array(np.concatenate(pi_all))),
+            "outer_id": pc.take(ids, pa.array(np.concatenate(pj_all))),
+        })
 
-    raw_pairs = cands.groupby("bucket").map_groups(
-        gen_pairs, batch_format="pyarrow")
+    raw_pairs = (exploded.map_batches(add_part, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(sweep_pairs, batch_format="pyarrow"))
     pairs = raw_pairs.groupby(["inner_id", "outer_id"]).count().drop_columns(
         ["count()"]).materialize()
     n_pairs = pairs.count()
@@ -1014,8 +1084,6 @@ def set_similarity_join(ds_a, ds_b, threshold: float,
     ds_b's native ``id_col`` type and MAY coincide across corpora —
     they identify rows within their own side.
     """
-    from raydedup.util import join_partitions, repeated_keys
-
     sets_a = shingle_sets(ds_a, cfg, id_col=id_col,
                           text_col=text_col).materialize()
     sets_b = shingle_sets(ds_b, cfg, id_col=id_col,
@@ -1093,40 +1161,65 @@ def set_similarity_join(ds_a, ds_b, threshold: float,
     n_exploded = exploded.count()
     if n_exploded == 0:
         return ray.data.from_arrow(pair_schema.empty_table())
-    hot_buckets = repeated_keys(exploded, "bucket").materialize()
-    if hot_buckets.count() == 0:
-        return ray.data.from_arrow(pair_schema.empty_table())
-    n_parts = num_partitions or join_partitions(n_exploded)
-    cands = exploded.join(hot_buckets, join_type="inner",
-                          num_partitions=n_parts, on=("bucket",))
 
     cand_schema = pa.schema([pa.field("a_id", id_field.type),
                              pa.field("b_id", id_field.type)])
 
-    def gen_pairs(group: pa.Table) -> pa.Table:
+    # ONE partition sweep replaces the former three-shuffle candidate
+    # chain — see set_similarity_join_sets for the rationale; the R-S
+    # variant keeps the probe-side x index-side cross rule per bucket
+    # run.
+    import ray as _ray
+
+    from raydedup.stages.asof import _part_array
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    n_sweep = num_partitions or max(
+        2 * ncpu, min(1024, n_exploded // 500_000 + 1))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part",
+                               _part_array(b["bucket"], n_sweep))
+
+    def sweep_pairs(group: pa.Table) -> pa.Table:
         m = group.num_rows
-        if m < 2:
+        if m < 2 or "bucket" not in group.column_names:
             return cand_schema.empty_table()
-        probe = group["probe"].to_numpy(zero_copy_only=False)
-        ai = np.flatnonzero(probe)
-        bi = np.flatnonzero(~probe)
-        if ai.size == 0 or bi.size == 0:
-            return cand_schema.empty_table()
+        bkt = group["bucket"].to_numpy(zero_copy_only=False)
         nsh = group["nsh"].to_numpy(zero_copy_only=False)
-        pi = np.repeat(ai, bi.size)
-        pj = np.tile(bi, ai.size)
-        lo = np.minimum(nsh[pi], nsh[pj])
-        hi = np.maximum(nsh[pi], nsh[pj])
-        keep = lo >= threshold * hi - 1e-9
-        pi, pj = pi[keep], pj[keep]
-        if pi.size == 0:
+        probe = group["probe"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nsh, bkt))
+        b_s, n_s, p_s = bkt[order], nsh[order], probe[order]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        ends = np.r_[starts[1:], m]
+        pi_all, pj_all = [], []
+        for s, e in zip(starts, ends):
+            mm = e - s
+            if mm < 2:
+                continue
+            ai = np.flatnonzero(p_s[s:e])
+            bi = np.flatnonzero(~p_s[s:e])
+            if ai.size == 0 or bi.size == 0:
+                continue
+            pi = np.repeat(ai, bi.size)
+            pj = np.tile(bi, ai.size)
+            lo = np.minimum(n_s[s + pi], n_s[s + pj])
+            hi = np.maximum(n_s[s + pi], n_s[s + pj])
+            keep = lo >= threshold * hi - 1e-9
+            if keep.any():
+                pi_all.append(order[s + pi[keep]])
+                pj_all.append(order[s + pj[keep]])
+        if not pi_all:
             return cand_schema.empty_table()
         ids = group[id_col].combine_chunks()
-        return pa.table({"a_id": pc.take(ids, pa.array(pi)),
-                         "b_id": pc.take(ids, pa.array(pj))})
+        return pa.table({
+            "a_id": pc.take(ids, pa.array(np.concatenate(pi_all))),
+            "b_id": pc.take(ids, pa.array(np.concatenate(pj_all))),
+        })
 
-    raw_pairs = cands.groupby("bucket").map_groups(
-        gen_pairs, batch_format="pyarrow")
+    raw_pairs = (exploded.map_batches(add_part, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(sweep_pairs, batch_format="pyarrow"))
     pairs = raw_pairs.groupby(["a_id", "b_id"]).count().drop_columns(
         ["count()"]).materialize()
     n_pairs = pairs.count()
