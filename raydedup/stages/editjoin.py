@@ -21,8 +21,9 @@ the reference's per-measure applicability rules).
 
 Scale shape: identical texts collapse to a min-id representative first
 (one groupby — the LSH-rep idiom), only 60-bit variant hashes shuffle,
-singleton buckets are dropped by the ``repeated_keys`` semi-join BEFORE
-the pair groupby (the measured map_groups tax), candidate pairs dedupe
+candidate generation is ONE bucket-hash partition sweep (singleton
+variant hashes cost a run-length row, not a Python call or a semi-join
+pass — the setjoin one-shuffle idiom), candidate pairs dedupe
 in a (a, b) groupby, and texts re-attach for the verify via two skinny
 hash joins sized by ``join_partitions``. A hot variant bucket is a
 clique of true lev-1 neighbors, so its quadratic pair emission is
@@ -76,7 +77,7 @@ def typo_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     import ray.data
     from ray.data.aggregate import Min
 
-    from raydedup.util import join_partitions, repeated_keys
+    from raydedup.util import join_partitions
 
     pair_schema = pa.schema([pa.field("a_id", pa.int64()),
                              pa.field("b_id", pa.int64())])
@@ -113,25 +114,59 @@ def typo_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     exploded = reps.map_batches(
         variants, batch_format="pyarrow").materialize()
-    hot = repeated_keys(exploded, "vhash").materialize()
-    if hot.count() == 0:
+    n_exploded = exploded.count()
+    if n_exploded == 0:
         return ray.data.from_arrow(pair_schema.empty_table())
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     n_parts = num_partitions or min(
-        join_partitions(exploded.count()),
-        max(2, 2 * int(ray.cluster_resources().get("CPU", 8))))
-    cands = exploded.join(hot, join_type="inner",
-                          num_partitions=n_parts, on=("vhash",))
+        join_partitions(n_exploded), max(2, 2 * ncpu))
 
-    def gen_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["rid"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pair_schema.empty_table()
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pa.table({"a_id": pa.array(ids[ai], pa.int64()),
-                         "b_id": pa.array(ids[bi], pa.int64())})
+    # candidate generation: one partition sweep over the variant-hash
+    # table (the setjoin.set_similarity_join_sets idiom) — one
+    # all-to-all instead of the former counting-groupby + semi-join +
+    # per-bucket groupby chain; singleton variant hashes cost a
+    # run-length row, not a Python call
+    from raydedup.stages.asof import _part_array
 
-    raw_pairs = cands.groupby("vhash").map_groups(
-        gen_pairs, batch_format="pyarrow")
+    n_sweep = num_partitions or max(
+        2 * ncpu, min(1024, n_exploded // 500_000 + 1))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part",
+                               _part_array(b["vhash"], n_sweep))
+
+    def sweep_pairs(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2 or "vhash" not in group.column_names:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
+        vh = group["vhash"].to_numpy(zero_copy_only=False)
+        rid = group["rid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, vh))
+        v_s, r_s = vh[order], rid[order]
+        starts = np.flatnonzero(np.r_[True, v_s[1:] != v_s[:-1]])
+        ends = np.r_[starts[1:], m]
+        a_all, b_all = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            seg = r_s[s:e]
+            ids = seg[np.r_[True, seg[1:] != seg[:-1]]]  # sorted-unique
+            if ids.size < 2:
+                continue
+            ai, bi = np.triu_indices(ids.size, k=1)
+            a_all.append(ids[ai])
+            b_all.append(ids[bi])
+        if not a_all:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
+        return pa.table(
+            {"a_id": pa.array(np.concatenate(a_all), pa.int64()),
+             "b_id": pa.array(np.concatenate(b_all), pa.int64())})
+
+    raw_pairs = (exploded.map_batches(add_part, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(sweep_pairs, batch_format="pyarrow"))
     # a pair can collide in several variant buckets: verify once
     from ray.data.aggregate import Count
 

@@ -300,6 +300,70 @@ def lcs_string(a: str, b: str) -> str:
     return raw.decode("utf-8", errors="ignore")
 
 
+def _candidate_pairs_sweep(exploded, key_col: str, cap: int,
+                           n_exploded: int,
+                           num_partitions: int | None):
+    """(fp, key) rows → candidate (a_key, b_key) pairs in ONE partition
+    sweep (the setjoin.set_similarity_join_sets idiom): fingerprints
+    hash-partition once, one map_groups call per PARTITION walks its
+    fingerprint runs and applies the member logic — full m²/2 pairs at
+    or below ``cap`` members, the rotated linear chain above it (the
+    documented hot-fingerprint budget; rotation offset = fp % m exactly
+    as before). Replaces the former repeated-fp counting groupby →
+    singleton-drop semi-join → per-fp groupby chain: one all-to-all
+    over the winnowed fingerprint table — the stage's largest
+    intermediate — instead of three, and singleton fingerprints cost a
+    run-length row, not a Python call."""
+    from raydedup.stages.asof import _part_array
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_sweep = num_partitions or max(
+        2 * ncpu, min(1024, n_exploded // 500_000 + 1))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part", _part_array(b["fp"], n_sweep))
+
+    def sweep(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a_key": pa.array([], type=pa.string()),
+                          "b_key": pa.array([], type=pa.string())})
+        m = group.num_rows
+        if m < 2 or "fp" not in group.column_names:
+            return empty
+        fps = group["fp"].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_pylist()
+        order = np.argsort(fps, kind="stable")
+        f_s = fps[order]
+        starts = np.flatnonzero(np.r_[True, f_s[1:] != f_s[:-1]])
+        ends = np.r_[starts[1:], m]
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ks = sorted({keys[i] for i in order[s:e]})
+            mm = len(ks)
+            if mm < 2:
+                continue
+            if mm > cap:
+                off = int(f_s[s]) % mm
+                rot = ks[off:] + ks[:off]
+                for x, y in zip(rot, rot[1:]):
+                    a, b = (x, y) if x < y else (y, x)
+                    a_out.append(a)
+                    b_out.append(b)
+            else:
+                for i in range(mm):
+                    for j in range(i + 1, mm):
+                        a_out.append(ks[i])
+                        b_out.append(ks[j])
+        if not a_out:
+            return empty
+        return pa.table({"a_key": pa.array(a_out, type=pa.string()),
+                         "b_key": pa.array(b_out, type=pa.string())})
+
+    return (exploded.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part").map_groups(sweep, batch_format="pyarrow"))
+
+
 def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
                     text_col: str = "text", key_col: str = "row_key",
                     fp_member_cap: int | None = None,
@@ -338,56 +402,21 @@ def long_span_pairs(ds, cfg: DedupConfig, k: int = 48,
             }
         )
 
-    from raydedup.util import join_partitions
-
     exploded = ds.map_batches(fp, batch_format="pyarrow").materialize()
     n_exploded = exploded.count()
     if n_exploded == 0:
         return ray.data.from_arrow(empty_tbl)
-    n_parts = num_partitions or join_partitions(n_exploded)
 
-    from raydedup.util import repeated_keys
-
-    hot = repeated_keys(exploded, "fp").materialize()
-    if hot.count() == 0:
-        return ray.data.from_arrow(empty_tbl)
-    cands = exploded.join(hot, join_type="inner", num_partitions=n_parts,
-                          on=("fp",))
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        keys = sorted(set(group[key_col].to_pylist()))
-        m = len(keys)
-        a_out, b_out = [], []
-        if m > cap:
-            # hot fingerprint: LINEAR pair budget instead of m^2/2 — a
-            # rotated chain over every member keeps the group's pair
-            # graph CONNECTED by construction (what downstream union-find
-            # clustering needs); the fp-dependent rotation varies chain
-            # neighbors across the many fingerprints a boilerplate family
-            # shares, recovering extra true pairs
-            off = int(group["fp"][0].as_py()) % m
-            rot = keys[off:] + keys[:off]
-            for x, y in zip(rot, rot[1:]):
-                a, b = (x, y) if x < y else (y, x)
-                a_out.append(a)
-                b_out.append(b)
-        else:
-            for i in range(m):
-                for j in range(i + 1, m):
-                    a_out.append(keys[i])
-                    b_out.append(keys[j])
-        return pa.table(
-            {"a_key": pa.array(a_out, type=pa.string()),
-             "b_key": pa.array(b_out, type=pa.string())}
-        )
-
-    candidates = cands.groupby("fp").map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    # candidate generation: one partition sweep with the hot-fingerprint
+    # rotation budget — see _candidate_pairs_sweep
+    candidates = _candidate_pairs_sweep(exploded, key_col, cap,
+                                        n_exploded, num_partitions)
 
     # distributed distinct: one row per (a_key, b_key) via the NATIVE
     # grouped count (vectorized sort-shuffle — a map_groups first-row
     # scan pays a Python call per candidate pair)
+    from raydedup.util import join_partitions
+
     pairs = candidates.groupby(["a_key", "b_key"]).count().drop_columns(
         ["count()"]
     ).materialize()
@@ -698,45 +727,15 @@ def containment_pairs(ds, k: int = 16, window: int = 48,
              key_col: batch[key_col].combine_chunks().take(pa.array(rid))}
         )
 
-    from raydedup.util import join_partitions, repeated_keys
+    from raydedup.util import join_partitions
 
     exploded = ds.map_batches(fp, batch_format="pyarrow").materialize()
     n_exploded = exploded.count()
     if n_exploded == 0:
         return ray.data.from_arrow(empty_tbl)
-    n_parts = num_partitions or join_partitions(n_exploded)
 
-    hot = repeated_keys(exploded, "fp").materialize()
-    if hot.count() == 0:
-        return ray.data.from_arrow(empty_tbl)
-    cands = exploded.join(hot, join_type="inner", num_partitions=n_parts,
-                          on=("fp",))
-
-    cap = fp_member_cap
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        keys = sorted(set(group[key_col].to_pylist()))
-        m = len(keys)
-        a_out, b_out = [], []
-        if m > cap:
-            off = int(group["fp"][0].as_py()) % m
-            rot = keys[off:] + keys[:off]
-            for x, y in zip(rot, rot[1:]):
-                a, b = (x, y) if x < y else (y, x)
-                a_out.append(a)
-                b_out.append(b)
-        else:
-            for i in range(m):
-                for j in range(i + 1, m):
-                    a_out.append(keys[i])
-                    b_out.append(keys[j])
-        return pa.table(
-            {"a_key": pa.array(a_out, type=pa.string()),
-             "b_key": pa.array(b_out, type=pa.string())}
-        )
-
-    candidates = cands.groupby("fp").map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    candidates = _candidate_pairs_sweep(exploded, key_col, fp_member_cap,
+                                        n_exploded, num_partitions)
     pairs = candidates.groupby(["a_key", "b_key"]).count().drop_columns(
         ["count()"]).materialize()
     n_pairs = pairs.count()
