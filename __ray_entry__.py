@@ -3488,11 +3488,14 @@ def q_unified_dedup_clusters(sf_dir: str):
     exact-text groups ∪ verified shingle near-dup pairs (J ≥ 0.8) ∪
     weighted-bag pairs (J_w ≥ 0.8) ∪ set-containment pairs (c ≥ 0.9,
     inner ≥ 5) — the most aggressive curation setting ('collapse
-    anything any detector flags'). Composed by CHAINED incremental
-    merges: text_label_groups supplies the standing exact labeling and
-    merge_components contracts each edge family against it in turn
-    (work ∝ that family's pairs, one repaint join each). Oracle: one
-    recursive reach over the union of all four edge CTEs."""
+    anything any detector flags'). Composed as ONE incremental merge:
+    text_label_groups supplies the standing exact labeling and
+    merge_components contracts the UNION of the three edge families
+    against it (min-label is associative, so this equals the chained
+    per-family merges at one repaint join instead of three — the
+    ablation query keeps the chain because its report needs the
+    intermediate labelings). Oracle: one recursive reach over the
+    union of all four edge CTEs."""
     from raydedup.pipelines.neardup import near_dup_pairs, signatures_with_rep
     from raydedup.stages.exact import text_label_groups
     from raydedup.stages.setjoin import set_containment_self_join
@@ -3505,16 +3508,23 @@ def q_unified_dedup_clusters(sf_dir: str):
         batch_format="pyarrow")
     assigned = signatures_with_rep(
         docs, SIMPLE_CFG, key_cols=["doc_id"]).materialize()
-    near = near_dup_pairs(assigned, SIMPLE_CFG)
-    bag = bag_near_dup_pairs(docs, SIMPLE_CFG, key_cols=["doc_id"])
+    near = near_dup_pairs(assigned, SIMPLE_CFG).select_columns(
+        ["a_key", "b_key"])
+    bag = bag_near_dup_pairs(
+        docs, SIMPLE_CFG, key_cols=["doc_id"]).select_columns(
+        ["a_key", "b_key"])
     cont = set_containment_self_join(
         docs, 0.9, SIMPLE_CFG, min_inner=5).map_batches(
         lambda b: pa.table({"a_key": pc.cast(b["inner_id"], pa.string()),
                             "b_key": pc.cast(b["outer_id"], pa.string())}),
         batch_format="pyarrow")
-    merged = merge_components(labels, near)
-    merged = merge_components(merged, bag)
-    merged = merge_components(merged, cont)
+    # components of (star ∪ near ∪ bag ∪ cont) equal the chained
+    # per-family contraction (min-label is associative), so the three
+    # edge families union into ONE label-graph contraction — one
+    # repaint join instead of three; the ablation query keeps the
+    # stage-by-stage chain because its REPORT needs the intermediate
+    # labelings
+    merged = merge_components(labels, near.union(bag).union(cont))
     return merged.map_batches(
         lambda b: pa.table({"row_key": b["node"],
                             "cluster_id": b["label"]}),
