@@ -3340,11 +3340,12 @@ def q_multimodal_dup_clusters(sf_dir: str):
     image hamming ≤ 6 pairs ∪ audio exact ∪ audio hamming ≤ 4 pairs ∪
     video ordered-key exact ∪ video frame-set Jaccard ≥ 0.5 pairs —
     'collapse any row any perceptual detector flags in ANY modality',
-    the multimodal twin of unified_dedup_clusters. Composed by CHAINED
-    incremental merges: the image clustering supplies the standing
-    labeling and merge_components contracts the audio label edges, the
-    video label edges and the video re-cut pairs against it in turn
-    (work ∝ that family's edges, one repaint join each). Evidence
+    the multimodal twin of unified_dedup_clusters. Composed as ONE
+    incremental merge: the image clustering supplies the standing
+    labeling and merge_components contracts the UNION of the audio
+    label edges, the video label edges and the video re-cut pairs
+    against it (min-label associativity ≡ the chained per-family
+    merges at one repaint join instead of three). Evidence
     differs genuinely per modality on this corpus (audio's fingerprint
     space merges some planted groups the image/video spaces keep
     apart), so the unified labels match no single modality's. Oracle:
@@ -3394,9 +3395,10 @@ def q_multimodal_dup_clusters(sf_dir: str):
         lambda b: pad2(b, "a_id", "b_id", "a_key", "b_key"),
         batch_format="pyarrow")
 
-    merged = merge_components(labels, aud)
-    merged = merge_components(merged, vid)
-    merged = merge_components(merged, vpairs)
+    # one label-graph contraction over the union of the audio, video
+    # and re-cut edge families (min-label associativity — the
+    # unified_dedup_clusters idiom): one repaint join instead of three
+    merged = merge_components(labels, aud.union(vid).union(vpairs))
     return merged.map_batches(
         lambda b: pa.table({
             "doc_id": pc.cast(b["node"], pa.int64()),

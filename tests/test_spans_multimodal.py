@@ -1596,9 +1596,8 @@ def test_multimodal_dup_clusters_matches_bruteforce(ray_session):
         threshold=0.5).map_batches(
         lambda b: pad2(b, "a_id", "b_id", "a_key", "b_key"),
         batch_format="pyarrow")
-    merged = merge_components(labels, aud)
-    merged = merge_components(merged, vid)
-    merged = merge_components(merged, vpairs)
+    # one contraction over the union of families (the query's shape)
+    merged = merge_components(labels, aud.union(vid).union(vpairs))
     got = {int(r["node"]): int(r["label"]) for r in merged.take_all()}
 
     # brute force: all six evidence families -> one union-find
