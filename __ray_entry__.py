@@ -91,6 +91,58 @@ def _docs(sf_dir: str):
                                  override_num_blocks=64)
 
 
+_ATTACH_CACHE: dict = {}
+
+
+def _attach_col(left, side, key: str, col: str,
+                broadcast_max: int = 2_000_000):
+    """Attach ``side``'s ``col`` to ``left`` on ``key`` with the
+    broadcast/join auto-switch idiom (exact.py/lsh.py): at or below
+    ``broadcast_max`` side rows the (key → value) arrays broadcast once
+    via ``ray.put`` and paint with one vectorized ``pc.index_in`` per
+    batch — no join actor pool, no shuffle of ``left``; above it, the
+    distributed hash join (the 100-TB path, where the side is
+    corpus-sized). Inner-join semantics: left rows without a side match
+    are dropped on both paths. Contract: side keys are UNIQUE and side
+    values non-null (the broadcast paint keeps one match per key and
+    uses null to mean 'no match')."""
+    import ray as _ray
+
+    from raydedup.util import join_partitions
+
+    side = side.select_columns([key, col]).materialize()
+    n = side.count()
+    if n > broadcast_max:
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        n_parts = min(join_partitions(n), max(2, 2 * ncpu))
+        return left.join(side, join_type="inner",
+                         num_partitions=n_parts, on=(key,))
+
+    tbls = [pa.table(b) for b in
+            side.iter_batches(batch_size=1 << 20,
+                              batch_format="pyarrow")]
+    allt = (pa.concat_tables(tbls).combine_chunks() if tbls
+            else None)
+    ref = _ray.put((allt[key].combine_chunks() if allt is not None
+                    else pa.array([], pa.int64()),
+                    allt[col].combine_chunks() if allt is not None
+                    else pa.array([], pa.string())))
+
+    def paint(b: pa.Table) -> pa.Table:
+        ck = ref.binary()
+        cached = _ATTACH_CACHE.get(ck)
+        if cached is None:
+            cached = _ray.get(ref)
+            _ATTACH_CACHE.clear()
+            _ATTACH_CACHE[ck] = cached
+        keys_arr, vals_arr = cached
+        at = pc.index_in(b[key], value_set=keys_arr)
+        out = b.append_column(col, pc.take(vals_arr, at))
+        return out.filter(pc.is_valid(out[col]))
+
+    return left.map_batches(paint, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -3868,16 +3920,12 @@ def q_dup_rate_by_source(sf_dir: str):
     import ray.data
 
     from raydedup.pipelines.tiered import tiered_dedup
-    from raydedup.util import join_partitions
 
     tiers = tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
     src = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                 columns=["doc_id", "source"])
-    import ray as _ray
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    n_parts = min(join_partitions(src.count()), max(2, 2 * ncpu))
-    joined = tiers.select_columns(["doc_id", "tier"]).join(
-        src, join_type="inner", num_partitions=n_parts, on=("doc_id",))
+    joined = _attach_col(tiers.select_columns(["doc_id", "tier"]),
+                         src, "doc_id", "source")
 
     def pivot(batch: pa.Table) -> pa.Table:
         t = batch["tier"]
@@ -4024,19 +4072,14 @@ def q_dup_rate_by_lang(sf_dir: str):
     langid stage output → one combiner-friendly pivot groupby (same
     shape as dup_rate_by_source, keyed by the MODEL'S language call
     rather than a stored column)."""
-    import ray as _ray
-
     from raydedup.pipelines.tiered import tiered_dedup
     from raydedup.stages.textstats import detect_language
-    from raydedup.util import join_partitions
 
     tiers = tiered_dedup(_docs(sf_dir), 0.5, SIMPLE_CFG)
     langs = detect_language(_docs(sf_dir)).select_columns(
         ["doc_id", "detected_lang"])
-    ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    n_parts = min(join_partitions(langs.count()), max(2, 2 * ncpu))
-    joined = tiers.select_columns(["doc_id", "tier"]).join(
-        langs, join_type="inner", num_partitions=n_parts, on=("doc_id",))
+    joined = _attach_col(tiers.select_columns(["doc_id", "tier"]),
+                         langs, "doc_id", "detected_lang")
 
     def pivot(batch: pa.Table) -> pa.Table:
         t = batch["tier"]
