@@ -224,6 +224,26 @@ def q_bag_near_dup_pairs(sf_dir: str):
         "jaccard")
 
 
+def q_bag_near_dup_pairs_icws(sf_dir: str):
+    """Weighted-Jaccard near-dup pairs via the ICWS weighted-minhash
+    kernel (Ioffe 2010 Improved Consistent Weighted Sampling,
+    functions/icws.py) instead of the expansion reduction: per-column
+    sample collision probability is exactly J_w, so the flagship
+    banding + exact Σmin/Σmax verification run unchanged and the
+    OUTPUT pair set is exact — the same oracle as bag_near_dup_pairs
+    gates both kernels. ICWS signature cost is linear in DISTINCT
+    (doc, token) pairs rather than total multiset mass: the scale path
+    for heavy-multiplicity bags where expansion blows up by the mean
+    count. Deterministic hash-derived Gamma/Uniform draws (repo
+    contract: reproducible across processes and runs)."""
+    from raydedup.stages.wjaccard import bag_near_dup_pairs
+
+    return _round_col(
+        bag_near_dup_pairs(_docs(sf_dir), SIMPLE_CFG, key_cols=["doc_id"],
+                           bag_kernel="icws"),
+        "jaccard")
+
+
 def q_near_dup_clusters_docs(sf_dir: str):
     from raydedup.pipelines.neardup import near_dup_pipeline
 
@@ -4514,6 +4534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs_oph": q_near_dup_pairs_oph,
         "near_dup_pairs_kperm": q_near_dup_pairs_kperm,
         "bag_near_dup_pairs": q_bag_near_dup_pairs,
+        "bag_near_dup_pairs_icws": q_bag_near_dup_pairs_icws,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "near_dup_clusters_altstar": q_near_dup_clusters_altstar,
         "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
@@ -10069,6 +10090,10 @@ def oracle_sql() -> dict[str, str]:
     # PQ-shortlist + exact re-rank answers the same top-k question —
     # one SQL truth, another execution path (like the bucketed pairs)
     oracles["ann_topk_pq"] = oracles["ann_topk"]
+    # the ICWS weighted-minhash kernel answers the same weighted-pair
+    # question — one SQL truth, a second candidate-generation kernel
+    # (the exact verify makes both outputs the exact J_w pair set)
+    oracles["bag_near_dup_pairs_icws"] = oracles["bag_near_dup_pairs"]
     # the alternating-star components backend answers the same cluster
     # question — one SQL truth, a third execution path
     oracles["near_dup_clusters_altstar"] = oracles["near_dup_clusters_docs"]

@@ -264,6 +264,7 @@ def run_bench() -> dict:
                   "cluster_survivor_by_score",
                   "near_dup_pairs_oph",
                   "bag_near_dup_pairs",
+                  "bag_near_dup_pairs_icws",
                   "set_containment_pairs",
                   "heavy_hitter_tokens",
                   "cross_corpus_sim_pairs",

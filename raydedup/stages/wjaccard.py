@@ -88,7 +88,8 @@ def expanded_elements_ref(tokens: list[str]) -> list[int]:
 
 
 def _bag_signature_batch(batch: pa.Table, cfg: DedupConfig,
-                         text_col: str) -> pa.Table:
+                         text_col: str,
+                         bag_kernel: str = "expand") -> pa.Table:
     minhasher, tok_cache = _state_for(cfg)
 
     enc = pc.dictionary_encode(
@@ -133,7 +134,31 @@ def _bag_signature_batch(batch: pa.Table, cfg: DedupConfig,
     else:
         fs = np.empty(0, dtype=np.uint64)
 
-    if cfg.minhash_kernel == "oph":
+    if bag_kernel == "icws":
+        # ICWS weighted minhash (functions/icws.py — Ioffe 2010):
+        # signature cost linear in DISTINCT (doc, token) pairs instead
+        # of total multiset mass; exactly the same banding semantics
+        # (per-column collision probability = J_w, as the expansion
+        # minhash's is). Counts come from the same lexsorted runs the
+        # expansion already computes.
+        from raydedup.functions.icws import icws_samples
+
+        if flat_tokens:
+            d_starts = np.flatnonzero(run_start)
+            d_counts = np.diff(np.r_[d_starts, ts.size]).astype(np.int64)
+            d_toks = ts[d_starts]
+            d_docs = td[d_starts]
+            d_offsets = np.zeros(n_u + 1, dtype=np.int64)
+            np.add.at(d_offsets, d_docs + 1, 1)
+            np.cumsum(d_offsets, out=d_offsets)
+        else:
+            d_toks = np.empty(0, dtype=np.uint64)
+            d_counts = np.empty(0, dtype=np.int64)
+            d_offsets = np.zeros(n_u + 1, dtype=np.int64)
+        u_minhash = icws_samples(d_toks, d_counts, d_offsets,
+                                 cfg.minhash_num_perms,
+                                 seed=cfg.minhash_seed)
+    elif cfg.minhash_kernel == "oph":
         u_minhash = oph_signatures_from_flat(
             fs, offsets, cfg.minhash_num_perms, values_ascending=True)
     else:
@@ -161,16 +186,27 @@ def _bag_signature_batch(batch: pa.Table, cfg: DedupConfig,
 def bag_near_dup_pairs(ds, cfg: DedupConfig = DEFAULT_CONFIG,
                        key_cols: list[str] | None = None,
                        text_col: str = "text",
-                       min_jaccard: float | None = None):
+                       min_jaccard: float | None = None,
+                       bag_kernel: str = "expand"):
     """rows → verified weighted-Jaccard near-dup pairs between exact-text
     representatives: (a_key < b_key, jaccard = EXACT token-multiset
     weighted Jaccard ≥ cfg.jaccard_dup_threshold). Exact-text duplicates
     collapse first (identical text ⇒ J_w = 1 trivially — those are exact
-    pairs, not bag pairs), mirroring the flagship's rep contract."""
+    pairs, not bag pairs), mirroring the flagship's rep contract.
+
+    ``bag_kernel``: 'expand' (default — minhash over the expanded
+    (token, occurrence) elements) or 'icws' (Ioffe 2010 consistent
+    weighted sampling over (token, count) pairs — signature cost linear
+    in DISTINCT tokens instead of total multiset mass, the scale path
+    for heavy-multiplicity bags). Both estimate J_w per banding column
+    and share the SAME exact Σmin/Σmax in-bucket verification, so the
+    output pair set is exact under either kernel; only the candidate
+    recall is probabilistic (standard banding guarantees)."""
     key_cols = key_cols or ["doc_id"]
     keyed = add_row_key(ds.select_columns(key_cols + [text_col]), key_cols)
     sigs = keyed.map_batches(
-        lambda b: _bag_signature_batch(b, cfg, text_col),
+        lambda b: _bag_signature_batch(b, cfg, text_col,
+                                       bag_kernel=bag_kernel),
         batch_format="pyarrow", batch_size=cfg.batch_size)
     assigned = exact_dedup(sigs)
     reps = assigned.filter(expr="is_rep").select_columns(

@@ -205,3 +205,89 @@ class TestBagContainment:
         exp = self._brute(rows, 0.9, 5)
         assert ("100", "101") in {(a, b) for a, b, *_ in exp}
         assert got == exp
+
+
+class TestICWS:
+    def test_estimator_unbiased_and_invariant(self):
+        import numpy as np
+
+        from raydedup.functions.icws import icws_estimate, icws_samples
+
+        rng = np.random.default_rng(5)
+        toks = rng.integers(1, 2 ** 63, size=40, dtype=np.uint64)
+        wa = rng.integers(1, 50, size=40).astype(np.int64)
+        wb = wa.copy()
+        wb[:10] = rng.integers(1, 50, size=10)
+        jw = np.minimum(wa, wb).sum() / np.maximum(wa, wb).sum()
+        K = 4096
+        offs = np.array([0, 40], dtype=np.int64)
+        sa = icws_samples(toks, wa, offs, K)[0]
+        sb = icws_samples(toks, wb, offs, K)[0]
+        est = icws_estimate(sa, sb)
+        sd = float(np.sqrt(jw * (1 - jw) / K))
+        assert abs(est - jw) < 4 * sd
+        # identical bags collide on every sample; disjoint on none
+        assert icws_estimate(sa, icws_samples(toks, wa, offs, K)[0]) == 1.0
+        toks2 = rng.integers(1, 2 ** 63, size=40, dtype=np.uint64)
+        assert icws_estimate(sa, icws_samples(toks2, wa, offs, K)[0]) < 0.01
+        # J_w(w, 7w) = 1/7 — the count-sensitivity a set sketch loses
+        est7 = icws_estimate(sa, icws_samples(toks, wa * 7, offs, K)[0])
+        assert abs(est7 - 1 / 7) < 4 * np.sqrt((1 / 7) * (6 / 7) / K)
+
+    def test_batching_invariance_and_empty_docs(self):
+        import numpy as np
+
+        from raydedup.functions.icws import icws_samples
+
+        rng = np.random.default_rng(11)
+        toks_a = rng.integers(1, 2 ** 63, size=17, dtype=np.uint64)
+        toks_b = rng.integers(1, 2 ** 63, size=9, dtype=np.uint64)
+        wa = rng.integers(1, 30, size=17).astype(np.int64)
+        wb = rng.integers(1, 30, size=9).astype(np.int64)
+        # batch = [doc_a, EMPTY, doc_b]; must equal per-doc calls, and
+        # the empty doc must collide only with other empties
+        both = icws_samples(np.concatenate([toks_a, toks_b]),
+                            np.concatenate([wa, wb]),
+                            np.array([0, 17, 17, 26], dtype=np.int64), 64)
+        one_a = icws_samples(toks_a, wa, np.array([0, 17]), 64)[0]
+        one_b = icws_samples(toks_b, wb, np.array([0, 9]), 64)[0]
+        empty = icws_samples(np.empty(0, np.uint64), np.empty(0, np.int64),
+                             np.array([0, 0]), 64)[0]
+        assert (both[0] == one_a).all()
+        assert (both[1] == empty).all()
+        assert (both[2] == one_b).all()
+        assert not (empty == one_a).any()
+
+    def test_icws_pairs_equal_expand_pairs(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data
+        from raydedup.config import DEFAULT_CONFIG
+        from raydedup.stages.wjaccard import bag_near_dup_pairs
+
+        # reordered + count-doubled + edited copies: the planted bag
+        # structure; both kernels must emit the identical EXACT pair set
+        base = ("alpha beta beta gamma delta delta delta epsilon "
+                "zeta eta theta iota kappa " * 3)
+        words = base.split()
+        rows = []
+        for i in range(30):
+            rows.append((3 * i, " ".join(words)))
+            rows.append((3 * i + 1, " ".join(reversed(words))))
+            rows.append((3 * i + 2,
+                         " ".join(words[:-2] + [f"unique{i}", f"only{i}"])))
+            words = words[1:] + [f"w{i}"]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }))
+        cfg = DEFAULT_CONFIG.with_overrides(jaccard_dup_threshold=0.8)
+        a = bag_near_dup_pairs(ds, cfg, key_cols=["doc_id"]).take_all()
+        b = bag_near_dup_pairs(ds, cfg, key_cols=["doc_id"],
+                               bag_kernel="icws").take_all()
+        ka = sorted((r["a_key"], r["b_key"], round(r["jaccard"], 9))
+                    for r in a)
+        kb = sorted((r["a_key"], r["b_key"], round(r["jaccard"], 9))
+                    for r in b)
+        assert ka == kb
+        assert ka  # the planted reorders produced pairs
