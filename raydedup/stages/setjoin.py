@@ -1055,6 +1055,114 @@ def set_containment_self_join(ds, threshold: float,
     return out
 
 
+def _rs_verify_partitioned(pairs, sets_a, sets_b, threshold: float,
+                           id_col: str, id_field: pa.Field,
+                           pair_schema: pa.Schema, n_pairs: int,
+                           num_partitions: int | None):
+    """Distributed R-S verification (the self-join's pair-exploded-join
+    shape): each candidate pair explodes to two ``(jkey, pid, side)``
+    rows with SIDE-TAGGED keys (``'a\\x1f<id>'`` / ``'b\\x1f<id>'`` —
+    a_ids and b_ids may coincide numerically across corpora), both
+    sides' packed sets union under the same tagged keys, one hash join
+    co-partitions each pair with its two sets, and a per-vpart sweep
+    runs the shared tiled intersection kernel over the whole
+    partition's pairs — the 100-TB path where neither side's packed
+    sets fit a worker heap."""
+    from raydedup.stages.asof import _part_array
+    from raydedup.util import join_partitions
+
+    jp = num_partitions or join_partitions(2 * n_pairs)
+    n_vparts = max(1, min(64, n_pairs // 4096 + 1))
+
+    def _arr(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        a_s = _arr(pc.cast(b["a_id"], pa.string()))
+        b_s = _arr(pc.cast(b["b_id"], pa.string()))
+        pid = _arr(pc.binary_join_element_wise(a_s, b_s, "\x1f"))
+        pidc = pa.concat_arrays([pid] * 2)
+        ja = _arr(pc.binary_join_element_wise(
+            pa.array(["a"] * b.num_rows), a_s, "\x1f"))
+        jb = _arr(pc.binary_join_element_wise(
+            pa.array(["b"] * b.num_rows), b_s, "\x1f"))
+        return pa.table({
+            "jkey": pa.concat_arrays([ja, jb]),
+            "pid": pidc,
+            "side": pa.array([0] * b.num_rows + [1] * b.num_rows,
+                             pa.int32()),
+            "vpart": _part_array(pa.chunked_array([pidc]), n_vparts),
+        })
+
+    exp = pairs.map_batches(explode_pairs, batch_format="pyarrow")
+
+    def pack_tagged(tag: str):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b[id_col], pa.string()).combine_chunks()
+            return pa.table({
+                "jkey": pc.binary_join_element_wise(
+                    pa.array([tag] * b.num_rows), ids, "\x1f"),
+                "shbin": _pack_u64_lists(b["sh"].combine_chunks()),
+            })
+        return fn
+
+    packed = (sets_a.map_batches(pack_tagged("a"), batch_format="pyarrow")
+              .union(sets_b.map_batches(pack_tagged("b"),
+                                        batch_format="pyarrow")))
+    joined = exp.join(packed, join_type="inner", num_partitions=jp,
+                      on=("jkey",))
+
+    raw_schema = pa.schema([
+        pa.field("a_id", id_field.type), pa.field("b_id", id_field.type),
+        pa.field("common", pa.int64()), pa.field("na", pa.int64()),
+        pa.field("nb", pa.int64()),
+    ])
+
+    def verify_part(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2 or "pid" not in group.column_names:
+            return raw_schema.empty_table()
+        pids = np.asarray(group["pid"].to_pylist())
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sides, pids))
+        sp = pids[order]
+        both = np.flatnonzero(sp[:-1] == sp[1:])
+        if both.size == 0:
+            return raw_schema.empty_table()
+        ia = order[both]        # side 0 (corpus a) row of each pair
+        ib = order[both + 1]    # side 1 (corpus b) row
+        flat, offs = _unpack_u64_binary(group["shbin"])
+        la = (offs[ia + 1] - offs[ia]).astype(np.int64)
+        lb = (offs[ib + 1] - offs[ib]).astype(np.int64)
+
+        def fill(row: np.ndarray, i: int) -> None:
+            k = la[i]
+            row[:k] = flat[offs[ia[i]]: offs[ia[i] + 1]]
+            row[k: k + lb[i]] = flat[offs[ib[i]]: offs[ib[i] + 1]]
+
+        inter = _tiled_intersections(la, lb, fill)
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = np.flatnonzero(jac >= threshold)
+        if keep.size == 0:
+            return raw_schema.empty_table()
+        # strip the 2-char side tag back off the join keys
+        jkeys = pc.utf8_slice_codeunits(
+            group["jkey"].combine_chunks(), start=2)
+        return pa.table({
+            "a_id": pc.cast(pc.take(jkeys, pa.array(ia[keep])),
+                            id_field.type),
+            "b_id": pc.cast(pc.take(jkeys, pa.array(ib[keep])),
+                            id_field.type),
+            "common": pa.array(inter[keep], type=pa.int64()),
+            "na": pa.array(la[keep], type=pa.int64()),
+            "nb": pa.array(lb[keep], type=pa.int64()),
+        })
+
+    verified = joined.groupby("vpart").map_groups(
+        verify_part, batch_format="pyarrow")
+    return _finish_pairs(verified, pair_schema)
+
+
 def set_similarity_join(ds_a, ds_b, threshold: float,
                         cfg: DedupConfig = DEFAULT_CONFIG,
                         id_col: str = "doc_id",
@@ -1226,12 +1334,21 @@ def set_similarity_join(ds_a, ds_b, threshold: float,
     if n_pairs == 0:
         return ray.data.from_arrow(pair_schema.empty_table())
 
-    # verify: broadcast path only (the a/b sides are separate tables, so
-    # the pair-exploded join would need a side-tagged union; broadcast
-    # covers both sides' packed sets and is the measured-faster path at
-    # every tested scale — the partitioned fallback mirrors
-    # set_containment_self_join's and is cut in when a corpus outgrows
-    # worker heaps by packing (side, id) keys instead)
+    if (sets_a.count() + sets_b.count()) > verify_broadcast_max_rows:
+        # partitioned verify (the self-join's pair-exploded-join shape,
+        # made R-S-safe by SIDE-TAGGED join keys — a_ids and b_ids may
+        # coincide numerically across corpora): pairs explode to two
+        # (jkey, pid, side) rows with jkey = 'a\\x1f<id>' / 'b\\x1f<id>',
+        # both sides' packed sets union under the same tagged keys, one
+        # distributed hash join co-partitions sets with their pairs, and
+        # the per-vpart sweep verifies every pair with the shared tiled
+        # intersection kernel — nothing corpus-sized on the driver.
+        return _rs_verify_partitioned(
+            pairs, sets_a, sets_b, threshold, id_col, id_field,
+            pair_schema, n_pairs, num_partitions)
+
+    # broadcast verify — the measured-faster path while both sides'
+    # packed sets fit worker heaps
     def packed_of(sets):
         chunks = [pa.table(b) for b in
                   sets.map_batches(lambda t: pa.table(
@@ -1244,13 +1361,6 @@ def set_similarity_join(ds_a, ds_b, threshold: float,
         flat, offs = _unpack_u64_binary(alltbl["shbin"])
         return alltbl["jkey"].combine_chunks(), flat, offs
 
-    if (sets_a.count() + sets_b.count()) > verify_broadcast_max_rows:
-        import warnings
-
-        warnings.warn("set_similarity_join: corpus exceeds "
-                      "verify_broadcast_max_rows; verification still "
-                      "broadcasts (partitioned R-S verify not yet "
-                      "implemented)")
     aref = ray.put(packed_of(sets_a))
     bref = ray.put(packed_of(sets_b))
 

@@ -262,3 +262,41 @@ def test_top_values_by_group_prefilter_exact(ray_session):
         for i, (v, n) in enumerate(ranked, 1):
             want[(g, i)] = (v, n)
     assert got == want
+
+
+def test_rs_join_partitioned_verify_equals_broadcast(ray_session):
+    """The partitioned R-S verify (side-tagged pair-exploded join) must
+    emit exactly the broadcast path's pairs — including when a_ids and
+    b_ids COINCIDE numerically across the two corpora, the case the
+    side tags exist for."""
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.stages.setjoin import set_similarity_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    rows_a, rows_b = [], []
+    for i in range(25):
+        t = " ".join(words)
+        rows_a.append((i, t))                       # corpus A id = i
+        rows_b.append((i, t + f" extra{i}"))        # corpus B SAME id
+        rows_b.append((100 + i, " ".join(reversed(words)) + f" w{i}"))
+        words = words[1:] + [f"tok{i}"]
+    ds_a = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows_a], pa.int64()),
+        "text": pa.array([r[1] for r in rows_a]),
+    }))
+    ds_b = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows_b], pa.int64()),
+        "text": pa.array([r[1] for r in rows_b]),
+    }))
+    cfg = DEFAULT_CONFIG
+    bc = set_similarity_join(ds_a, ds_b, 0.5, cfg).take_all()
+    pt = set_similarity_join(ds_a, ds_b, 0.5, cfg,
+                             verify_broadcast_max_rows=1).take_all()
+    key = lambda r: (r["a_id"], r["b_id"], r["common"], r["na"], r["nb"],
+                     round(r["jaccard"], 12))
+    ka, kb = sorted(map(key, bc)), sorted(map(key, pt))
+    assert ka == kb
+    assert ka  # the shared-shingle plant produced cross pairs
+    # the id-collision rows actually met: some pair has a_id == b_id
+    assert any(r["a_id"] == r["b_id"] for r in bc)
