@@ -173,30 +173,63 @@ def typo_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     uniq = (raw_pairs.groupby(["a_id", "b_id"])
             .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
 
-    def as_text(col_id: str, col_txt: str):
-        def f(batch: pa.Table) -> pa.Table:
-            return pa.table({col_id: batch["rid"],
-                             col_txt: batch[text_col]})
-        return f
+    # texts attach via ONE hash join (the lsh.py / suffix_span pair
+    # idiom): each pair explodes to two (jkey=rid, pid, side) rows, the
+    # rep texts join once, and each hash partition of pairs verifies in
+    # one Python call — replaces the former TWO chained join pools,
+    # which is both an extra shuffle and the documented
+    # one-join-per-streaming-plan deadlock shape at small CPU counts
+    n_vparts = max(1, min(64, n_reps // 4096 + 1))
 
-    joined = (uniq
-              .join(reps.map_batches(as_text("a_id", "_ta"),
-                                     batch_format="pyarrow"),
-                    join_type="inner", num_partitions=n_parts,
-                    on=("a_id",))
-              .join(reps.map_batches(as_text("b_id", "_tb"),
-                                     batch_format="pyarrow"),
-                    join_type="inner", num_partitions=n_parts,
-                    on=("b_id",)))
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        a_s = pc.cast(b["a_id"], pa.string()).combine_chunks()
+        b_s = pc.cast(b["b_id"], pa.string()).combine_chunks()
+        pid = pc.binary_join_element_wise(a_s, b_s, "\x1f")
+        pidc = pa.concat_arrays([pid] * 2)
+        from raydedup.stages.asof import _part_array
 
-    def verify(batch: pa.Table) -> pa.Table:
-        ta = batch["_ta"].to_pylist()
-        tb = batch["_tb"].to_pylist()
-        keep = pa.array([_lev_le1(x, y) for x, y in zip(ta, tb)])
-        t = batch.filter(keep)
-        return pa.table({"a_id": t["a_id"], "b_id": t["b_id"]})
+        return pa.table({
+            "jkey": pa.concat_arrays([b["a_id"].combine_chunks(),
+                                      b["b_id"].combine_chunks()]),
+            "pid": pidc,
+            "side": pa.array([0] * b.num_rows + [1] * b.num_rows,
+                             pa.int32()),
+            "vpart": _part_array(pa.chunked_array([pidc]), n_vparts),
+        })
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    exp = uniq.map_batches(explode_pairs, batch_format="pyarrow")
+    texts = reps.map_batches(
+        lambda b: pa.table({"jkey": b["rid"], "_t": b[text_col]}),
+        batch_format="pyarrow")
+    joined = exp.join(texts, join_type="inner", num_partitions=n_parts,
+                      on=("jkey",))
+
+    def verify_part(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2 or "pid" not in group.column_names:
+            return pair_schema.empty_table()
+        pids = np.asarray(group["pid"].to_pylist())
+        sides = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sides, pids))
+        sp = pids[order]
+        both = np.flatnonzero(sp[:-1] == sp[1:])
+        if both.size == 0:
+            return pair_schema.empty_table()
+        ia, ib = order[both], order[both + 1]
+        txt = group["_t"].to_pylist()
+        keep = np.fromiter(
+            (_lev_le1(txt[i], txt[j]) for i, j in zip(ia, ib)),
+            dtype=bool, count=ia.size)
+        if not keep.any():
+            return pair_schema.empty_table()
+        jk = group["jkey"].combine_chunks()
+        sel_a = pa.array(ia[keep])
+        sel_b = pa.array(ib[keep])
+        return pa.table({"a_id": pc.take(jk, sel_a),
+                         "b_id": pc.take(jk, sel_b)})
+
+    out = joined.groupby("vpart").map_groups(
+        verify_part, batch_format="pyarrow")
+    return out.union(ray.data.from_arrow(pair_schema.empty_table()))
 
 
 def pair_edit_stats(pairs_ds, keyed_texts_ds, key_col: str = "row_key",
