@@ -103,9 +103,9 @@ def _attach_col(left, side, key: str, col: str,
     batch — no join actor pool, no shuffle of ``left``; above it, the
     distributed hash join (the 100-TB path, where the side is
     corpus-sized). Inner-join semantics: left rows without a side match
-    are dropped on both paths. Contract: side keys are UNIQUE and side
-    values non-null (the broadcast paint keeps one match per key and
-    uses null to mean 'no match')."""
+    are dropped on both paths. Contract: side keys are UNIQUE (the
+    broadcast paint keeps one match per key); a matched row whose side
+    VALUE is null survives with a null column, same as a hash join."""
     import ray as _ray
 
     from raydedup.util import join_partitions
@@ -123,10 +123,16 @@ def _attach_col(left, side, key: str, col: str,
                               batch_format="pyarrow")]
     allt = (pa.concat_tables(tbls).combine_chunks() if tbls
             else None)
+    # empty-side arrays take their types from the side SCHEMA (a
+    # hardcoded int64/string pair makes pc.index_in raise on any other
+    # key type); the match mask below comes from the KEY lookup, not the
+    # painted value, so a matched row whose side value is genuinely NULL
+    # survives — same inner-join semantics as the distributed path.
+    side_schema = side.schema().base_schema
     ref = _ray.put((allt[key].combine_chunks() if allt is not None
-                    else pa.array([], pa.int64()),
+                    else pa.array([], side_schema.field(key).type),
                     allt[col].combine_chunks() if allt is not None
-                    else pa.array([], pa.string())))
+                    else pa.array([], side_schema.field(col).type)))
 
     def paint(b: pa.Table) -> pa.Table:
         ck = ref.binary()
@@ -138,7 +144,7 @@ def _attach_col(left, side, key: str, col: str,
         keys_arr, vals_arr = cached
         at = pc.index_in(b[key], value_set=keys_arr)
         out = b.append_column(col, pc.take(vals_arr, at))
-        return out.filter(pc.is_valid(out[col]))
+        return out.filter(pc.is_valid(at))
 
     return left.map_batches(paint, batch_format="pyarrow")
 

@@ -66,7 +66,8 @@ def _h60(s: str) -> int:
 
 
 def typo_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-               max_len: int = 64, num_partitions: int | None = None):
+               max_len: int = 64, num_partitions: int | None = None,
+               sweep_partitions: int | None = None):
     """rows -> Dataset(a_id, b_id): every unordered pair of DISTINCT
     text values at Levenshtein distance exactly 1, identified by the
     min-``id_col`` representative of each text (a_id < b_id). Rows with
@@ -128,8 +129,13 @@ def typo_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     # run-length row, not a Python call
     from raydedup.stages.asof import _part_array
 
-    n_sweep = num_partitions or max(
-        2 * ncpu, min(1024, n_exploded // 500_000 + 1))
+    # sweep parallelism is its OWN knob (``sweep_partitions``), not the
+    # jkey-join's ``num_partitions`` — tuning join parallelism must not
+    # silently change sweep-group sizes. No fixed ceiling: the count
+    # targets ~500k exploded rows per partition so single-group memory
+    # stays bounded at any input size.
+    n_sweep = sweep_partitions or max(
+        2 * ncpu, n_exploded // 500_000 + 1)
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column("__part",
@@ -179,7 +185,10 @@ def typo_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     # one Python call — replaces the former TWO chained join pools,
     # which is both an extra shuffle and the documented
     # one-join-per-streaming-plan deadlock shape at small CPU counts
-    n_vparts = max(1, min(64, n_reps // 4096 + 1))
+    # no fixed ceiling: vparts scale with the rep count (~4k reps'
+    # worth of pairs per verify group) so one verify_part call never
+    # holds an unbounded candidate slice on corpus-sized inputs
+    n_vparts = max(1, n_reps // 4096 + 1)
 
     def explode_pairs(b: pa.Table) -> pa.Table:
         a_s = pc.cast(b["a_id"], pa.string()).combine_chunks()
@@ -269,7 +278,7 @@ def pair_edit_stats(pairs_ds, keyed_texts_ds, key_col: str = "row_key",
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return ray.data.from_arrow(out_schema.empty_table())
-    nvp = n_vparts or max(1, min(64, n_pairs // 4096 + 1))
+    nvp = n_vparts or max(1, n_pairs // 4096 + 1)  # no ceiling — scale with pairs
 
     def explode_pairs(b: pa.Table) -> pa.Table:
         a_s = pc.cast(b["a_key"], pa.string())

@@ -136,17 +136,19 @@ def heavy_explode(batch: pa.Table, cfg: DedupConfig,
     batch = batch.filter(pc.greater(batch["n_shingles"], 0))
     n = batch.num_rows
     b = cfg.lsh_bands
-    empty = pa.table(
-        {
-            "bucket": pa.array([], type=pa.int64()),
-            "sgrp": pa.array([], type=pa.int64()),
-            "salt": pa.array([], type=pa.int32()),
-            "band_id": pa.array([], type=pa.int32()),
-            "row_key": pa.array([], type=pa.string()),
-            "band_hashes": pa.array([], type=pa.list_(pa.uint64())),
-            "shingle_hashes": pa.array([], type=pa.list_(pa.uint64())),
-        }
-    )
+    weighted = "shingle_weights" in batch.column_names
+    empty_cols = {
+        "bucket": pa.array([], type=pa.int64()),
+        "sgrp": pa.array([], type=pa.int64()),
+        "salt": pa.array([], type=pa.int32()),
+        "band_id": pa.array([], type=pa.int32()),
+        "row_key": pa.array([], type=pa.string()),
+        "band_hashes": pa.array([], type=pa.list_(pa.uint64())),
+        "shingle_hashes": pa.array([], type=pa.list_(pa.uint64())),
+    }
+    if weighted:
+        empty_cols["shingle_weights"] = pa.array([], type=pa.list_(pa.int64()))
+    empty = pa.table(empty_cols)
     if n == 0:
         return empty
     bh = _bands_matrix(batch, b)
@@ -221,19 +223,22 @@ def heavy_explode(batch: pa.Table, cfg: DedupConfig,
     bh_list = pa.FixedSizeListArray.from_arrays(
         pa.array(bh.reshape(-1), type=pa.uint64()), b
     )
-    return pa.table(
-        {
-            "bucket": pa.array(buckets),
-            "sgrp": pa.array(sgrp),
-            "salt": pa.array(salt),
-            "band_id": pa.array(bands_out.astype(np.int32)),
-            "row_key": pc.take(batch["row_key"], idx),
-            "band_hashes": pc.take(bh_list, idx),
-            "shingle_hashes": pc.take(
-                batch["shingle_hashes"].combine_chunks(), idx
-            ),
-        }
-    )
+    out_cols = {
+        "bucket": pa.array(buckets),
+        "sgrp": pa.array(sgrp),
+        "salt": pa.array(salt),
+        "band_id": pa.array(bands_out.astype(np.int32)),
+        "row_key": pc.take(batch["row_key"], idx),
+        "band_hashes": pc.take(bh_list, idx),
+        "shingle_hashes": pc.take(
+            batch["shingle_hashes"].combine_chunks(), idx
+        ),
+    }
+    if weighted:
+        out_cols["shingle_weights"] = pc.take(
+            batch["shingle_weights"].combine_chunks(), idx
+        )
+    return pa.table(out_cols)
 
 
 def _exact_jaccard(x: np.ndarray, y: np.ndarray) -> float:
@@ -302,6 +307,65 @@ def _tiled_pair_jaccard(flat: np.ndarray, offs: np.ndarray,
     return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
 
+def _tiled_pair_weighted_jaccard(flat: np.ndarray, wflat: np.ndarray,
+                                 offs: np.ndarray, pi: np.ndarray,
+                                 pj: np.ndarray) -> np.ndarray:
+    """Exact WEIGHTED Jaccard (Σmin/Σmax of per-element counts) for index
+    pairs over a flattened list column of per-row sorted-unique uint64
+    element sets with a parallel int64 weight column. Same tiling scheme
+    as ``_tiled_intersections``, but the combined buffer sorts via
+    argsort so each element's weight rides along: a value present on
+    both sides appears adjacent after the sort, contributing
+    min(w_a, w_b) to Σmin; Σmax = W_a + W_b − Σmin. Equals plain Jaccard
+    of the EXPANDED (element, occurrence) multisets — the contract the
+    expansion kernel verifies against — without ever materializing
+    O(multiset-mass) arrays."""
+    la = (offs[pi + 1] - offs[pi]).astype(np.int64)
+    lb = (offs[pj + 1] - offs[pj]).astype(np.int64)
+    # per-row weight totals via one cumsum over the VALUES buffer
+    # (offs holds positions into wflat, possibly starting nonzero on a
+    # sliced array — same addressing contract as _tiled_pair_jaccard)
+    cw = np.zeros(wflat.size + 1, dtype=np.int64)
+    np.cumsum(wflat, out=cw[1:])
+    row_w = cw[offs[1:]] - cw[offs[:-1]]
+    wa = row_w[pi]
+    wb = row_w[pj]
+    n = la.size
+    tot = la + lb
+    smin = np.zeros(n, dtype=np.int64)
+    order = np.argsort(tot, kind="stable")
+    pos = 0
+    while pos < n:
+        hi_pos = pos + 1
+        lmax = int(tot[order[pos]])
+        while hi_pos < n:
+            cand = max(lmax, int(tot[order[hi_pos]]))
+            if (hi_pos + 1 - pos) * cand > _PAIR_TILE_ELEMS and hi_pos > pos:
+                break
+            lmax = cand
+            hi_pos += 1
+        idx = order[pos:hi_pos]
+        buf = np.full((idx.size, max(lmax, 1)), _PAIR_SENTINEL,
+                      dtype=np.uint64)
+        wbuf = np.zeros((idx.size, max(lmax, 1)), dtype=np.int64)
+        for k, i in enumerate(idx):
+            m = la[i]
+            buf[k, :m] = flat[offs[pi[i]]: offs[pi[i] + 1]]
+            buf[k, m: m + lb[i]] = flat[offs[pj[i]]: offs[pj[i] + 1]]
+            wbuf[k, :m] = wflat[offs[pi[i]]: offs[pi[i] + 1]]
+            wbuf[k, m: m + lb[i]] = wflat[offs[pj[i]]: offs[pj[i] + 1]]
+        srt = np.argsort(buf, axis=1, kind="stable")
+        buf = np.take_along_axis(buf, srt, axis=1)
+        wbuf = np.take_along_axis(wbuf, srt, axis=1)
+        eq = buf[:, 1:] == buf[:, :-1]
+        valid = np.arange(buf.shape[1] - 1)[None, :] < (tot[idx] - 1)[:, None]
+        minw = np.minimum(wbuf[:, 1:], wbuf[:, :-1])
+        smin[idx] = np.where(eq & valid, minw, 0).sum(axis=1)
+        pos = hi_pos
+    smax = wa + wb - smin
+    return np.where(smax > 0, smin / np.maximum(smax, 1), 0.0)
+
+
 class BucketVerify:
     """map_groups body over surviving (bucket, sgrp) groups → verified
     pairs. Within-salt groups (i == j) pair all members; cross-salt groups
@@ -350,7 +414,15 @@ class BucketVerify:
 
         flat = shingle_col.values.to_numpy(zero_copy_only=False)
         offs = shingle_col.offsets.to_numpy().astype(np.int64)
-        jac = _tiled_pair_jaccard(flat, offs, pi, pj)
+        if "shingle_weights" in group.column_names:
+            # weighted (ICWS / bag) sets: distinct elements + counts —
+            # Σmin/Σmax weighted Jaccard, exactly the expanded-multiset
+            # Jaccard without the O(mass) expansion
+            wcol = group["shingle_weights"].combine_chunks()
+            wflat = wcol.values.to_numpy(zero_copy_only=False)
+            jac = _tiled_pair_weighted_jaccard(flat, wflat, offs, pi, pj)
+        else:
+            jac = _tiled_pair_jaccard(flat, offs, pi, pj)
         keep = np.flatnonzero(jac >= self.min_jaccard)
         a_out: list[str] = []
         b_out: list[str] = []

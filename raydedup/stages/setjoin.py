@@ -380,7 +380,7 @@ def set_similarity_join_sets(sets, threshold: float,
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8))
     n_sweep = num_partitions or max(
-        2 * ncpu, min(1024, n_exploded // 500_000 + 1))
+        2 * ncpu, n_exploded // 500_000 + 1)  # no ceiling: ~500k rows/part
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column("__part",
@@ -489,7 +489,7 @@ def set_similarity_join_sets(sets, threshold: float,
         return _finish_pairs(verified, pair_schema)
 
     jp = join_partitions(2 * n_pairs)
-    n_vparts = max(1, min(64, n_pairs // 4096 + 1))
+    n_vparts = max(1, n_pairs // 4096 + 1)  # no ceiling: scale with pairs
 
     def explode_pairs(b: pa.Table) -> pa.Table:
         a_s = pc.cast(b["a_id"], pa.string())
@@ -874,7 +874,7 @@ def set_containment_self_join(ds, threshold: float,
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8))
     n_sweep = num_partitions or max(
-        2 * ncpu, min(1024, n_exploded // 500_000 + 1))
+        2 * ncpu, n_exploded // 500_000 + 1)  # no ceiling: ~500k rows/part
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column("__part",
@@ -983,7 +983,7 @@ def set_containment_self_join(ds, threshold: float,
         return out
 
     jp = join_partitions(2 * n_pairs)
-    n_vparts = max(1, min(64, n_pairs // 4096 + 1))
+    n_vparts = max(1, n_pairs // 4096 + 1)  # no ceiling: scale with pairs
 
     def explode_pairs(b: pa.Table) -> pa.Table:
         a_s = pc.cast(b["inner_id"], pa.string())
@@ -1072,7 +1072,7 @@ def _rs_verify_partitioned(pairs, sets_a, sets_b, threshold: float,
     from raydedup.util import join_partitions
 
     jp = num_partitions or join_partitions(2 * n_pairs)
-    n_vparts = max(1, min(64, n_pairs // 4096 + 1))
+    n_vparts = max(1, n_pairs // 4096 + 1)  # no ceiling: scale with pairs
 
     def _arr(x):
         return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
@@ -1283,7 +1283,7 @@ def set_similarity_join(ds_a, ds_b, threshold: float,
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8))
     n_sweep = num_partitions or max(
-        2 * ncpu, min(1024, n_exploded // 500_000 + 1))
+        2 * ncpu, n_exploded // 500_000 + 1)  # no ceiling: ~500k rows/part
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column("__part",

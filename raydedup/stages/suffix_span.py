@@ -318,7 +318,7 @@ def _candidate_pairs_sweep(exploded, key_col: str, cap: int,
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     n_sweep = num_partitions or max(
-        2 * ncpu, min(1024, n_exploded // 500_000 + 1))
+        2 * ncpu, n_exploded // 500_000 + 1)  # no ceiling: ~500k rows/part
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column("__part", _part_array(b["fp"], n_sweep))

@@ -119,28 +119,27 @@ def _bag_signature_batch(batch: pa.Table, cfg: DedupConfig,
                 tok_cache[s] = h
             dh[i] = h
         th = dh[idx]
-        # occurrence index per (doc, token): lexsort by (doc, token hash)
-        # → within-run rank; element hash = fmix64(th + occ * POLY_C)
+        # (doc, token-hash) lexsort → runs of equal (doc, token); run
+        # length = multiplicity. Everything both kernels need derives
+        # from this ONE sort.
         d_ids = np.repeat(np.arange(n_u, dtype=np.int64), lens)
         order = np.lexsort((th, d_ids))
         ts, td = th[order], d_ids[order]
-        pos = np.arange(ts.size, dtype=np.int64)
         run_start = np.r_[True, (td[1:] != td[:-1]) | (ts[1:] != ts[:-1])]
-        occ = pos - np.maximum.accumulate(np.where(run_start, pos, 0)) + 1
-        elem = _fmix64_batch(ts + occ.astype(np.uint64) * np.uint64(_POLY_C))
-        # per-doc value-ascending order (td is already doc-contiguous)
-        eorder = np.lexsort((elem, td))
-        fs = elem[eorder]
     else:
-        fs = np.empty(0, dtype=np.uint64)
+        ts = np.empty(0, dtype=np.uint64)
+        td = np.empty(0, dtype=np.int64)
+        run_start = np.empty(0, dtype=bool)
 
     if bag_kernel == "icws":
         # ICWS weighted minhash (functions/icws.py — Ioffe 2010):
-        # signature cost linear in DISTINCT (doc, token) pairs instead
-        # of total multiset mass; exactly the same banding semantics
-        # (per-column collision probability = J_w, as the expansion
-        # minhash's is). Counts come from the same lexsorted runs the
-        # expansion already computes.
+        # signature AND verify-set cost linear in DISTINCT (doc, token)
+        # pairs — the expanded per-instance element hashes (the 'else'
+        # branch's occ/elem/fs, O(total multiset mass) work + shuffle
+        # payload) are never materialized. The verify sets ship as
+        # (distinct hash, count) list pairs; lsh.BucketVerify's weighted
+        # Σmin/Σmax kernel equals expanded-multiset Jaccard exactly, so
+        # the verified pair set is unchanged.
         from raydedup.functions.icws import icws_samples
 
         if flat_tokens:
@@ -158,11 +157,35 @@ def _bag_signature_batch(batch: pa.Table, cfg: DedupConfig,
         u_minhash = icws_samples(d_toks, d_counts, d_offsets,
                                  cfg.minhash_num_perms,
                                  seed=cfg.minhash_seed)
-    elif cfg.minhash_kernel == "oph":
-        u_minhash = oph_signatures_from_flat(
-            fs, offsets, cfg.minhash_num_perms, values_ascending=True)
+        # per-doc hash-ascending by construction (lexsort above)
+        sh_list = pa.ListArray.from_arrays(
+            pa.array(d_offsets, type=pa.int32()),
+            pa.array(d_toks, type=pa.uint64()))
+        w_list = pa.ListArray.from_arrays(
+            pa.array(d_offsets, type=pa.int32()),
+            pa.array(d_counts, type=pa.int64()))
     else:
-        u_minhash = minhasher.signatures_from_flat(fs, offsets)
+        # expansion kernel: occurrence index per (doc, token) → element
+        # hash fmix64(th + occ * POLY_C), per-doc value-ascending
+        if flat_tokens:
+            pos = np.arange(ts.size, dtype=np.int64)
+            occ = (pos - np.maximum.accumulate(
+                np.where(run_start, pos, 0)) + 1)
+            elem = _fmix64_batch(
+                ts + occ.astype(np.uint64) * np.uint64(_POLY_C))
+            eorder = np.lexsort((elem, td))
+            fs = elem[eorder]
+        else:
+            fs = np.empty(0, dtype=np.uint64)
+        if cfg.minhash_kernel == "oph":
+            u_minhash = oph_signatures_from_flat(
+                fs, offsets, cfg.minhash_num_perms, values_ascending=True)
+        else:
+            u_minhash = minhasher.signatures_from_flat(fs, offsets)
+        sh_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(fs, type=pa.uint64()))
+        w_list = None
     u_bands = band_hashes_from_minhash(u_minhash, cfg.lsh_bands, cfg.lsh_rows)
 
     sel = pa.array(row_to_uniq)
@@ -173,11 +196,9 @@ def _bag_signature_batch(batch: pa.Table, cfg: DedupConfig,
         pa.FixedSizeListArray.from_arrays(
             pa.array(u_bands.reshape(-1), type=pa.uint64()), cfg.lsh_bands),
         sel)
-    cols["shingle_hashes"] = pc.take(
-        pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
-            pa.array(fs, type=pa.uint64())),
-        sel)
+    cols["shingle_hashes"] = pc.take(sh_list, sel)
+    if w_list is not None:
+        cols["shingle_weights"] = pc.take(w_list, sel)
     cols["n_shingles"] = pc.take(
         pa.array(lens.astype(np.int32), type=pa.int32()), sel)
     return pa.table(cols)
@@ -209,9 +230,16 @@ def bag_near_dup_pairs(ds, cfg: DedupConfig = DEFAULT_CONFIG,
                                        bag_kernel=bag_kernel),
         batch_format="pyarrow", batch_size=cfg.batch_size)
     assigned = exact_dedup(sigs)
-    reps = assigned.filter(expr="is_rep").select_columns(
-        ["row_key", "band_hashes", "shingle_hashes", "n_shingles"])
-    return lsh_verified_pairs(reps, cfg, min_jaccard=min_jaccard)
+    rep_cols = ["row_key", "band_hashes", "shingle_hashes", "n_shingles"]
+    if bag_kernel == "icws":
+        rep_cols.append("shingle_weights")
+    reps = assigned.filter(expr="is_rep").select_columns(rep_cols)
+    # icws ships (distinct hash, count) verify sets → the weighted
+    # Σmin/Σmax kernel lives on the co-partitioned Dataset path (the
+    # scale path); the driver ref-shuffle fast path is expansion-only
+    return lsh_verified_pairs(
+        reps, cfg, min_jaccard=min_jaccard,
+        copartition_verify=True if bag_kernel == "icws" else None)
 
 
 def bag_element_sets(ds, cfg: DedupConfig = DEFAULT_CONFIG,

@@ -1,9 +1,15 @@
 """Local stand-in for the driver's correctness gate: run every queries()
 entry at a given sf dir and diff against oracle_sql() via DuckDB
-(row count + schema + order-insensitive value comparison)."""
+(row count + schema + order-insensitive value comparison).
+
+Writes a machine-readable sweep artifact (per-query status/rows/secs)
+to the path in $SWEEP_JSON_OUT when set — committed per validation run
+as SWEEP_r{N}.json so the full-sweep evidence is a diffable artifact,
+not prose (VERDICT r3 'Missing #1')."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -49,6 +55,7 @@ def main(sf_dir: str, only: list[str] | None = None):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    sweep: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -58,16 +65,24 @@ def main(sf_dir: str, only: list[str] | None = None):
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"query raised: {e!r}"))
             print(f"[FAIL] {name}: query raised {e!r}")
+            sweep[name] = {"status": "fail", "rows": None,
+                           "secs": round(time.time() - t0, 2),
+                           "err": f"query raised: {e!r}"[:300]}
             continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(mine)} rows "
                   f"({time.time()-t0:.1f}s)")
+            sweep[name] = {"status": "rows-only", "rows": len(mine),
+                           "secs": round(time.time() - t0, 2), "err": None}
             continue
         try:
             theirs = canon(con.sql(oracles[name]).df())
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"oracle raised: {e!r}"))
             print(f"[FAIL] {name}: oracle raised {e!r}")
+            sweep[name] = {"status": "fail", "rows": len(mine),
+                           "secs": round(time.time() - t0, 2),
+                           "err": f"oracle raised: {e!r}"[:300]}
             continue
         status = []
         if list(mine.columns) != list(theirs.columns):
@@ -86,9 +101,28 @@ def main(sf_dir: str, only: list[str] | None = None):
         if status:
             failures.append((name, "; ".join(status)))
             print(f"[FAIL] {name}: {'; '.join(status)}")
+            sweep[name] = {"status": "fail", "rows": len(mine),
+                           "secs": round(time.time() - t0, 2),
+                           "err": "; ".join(status)[:300]}
         else:
             print(f"[ok]   {name}: {len(mine)} rows ({time.time()-t0:.1f}s)")
+            sweep[name] = {"status": "ok", "rows": len(mine),
+                           "secs": round(time.time() - t0, 2), "err": None}
     print(f"\n{len(failures)} failures")
+    out_path = os.environ.get("SWEEP_JSON_OUT")
+    if out_path:
+        doc = {
+            "sf_dir": sf_dir,
+            "n_queries": len(sweep),
+            "n_ok": sum(1 for v in sweep.values() if v["status"] == "ok"),
+            "n_rows_only": sum(1 for v in sweep.values()
+                               if v["status"] == "rows-only"),
+            "n_fail": len(failures),
+            "queries": sweep,
+        }
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"sweep artifact written to {out_path}")
     return failures
 
 
