@@ -54,9 +54,27 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
 
-    # warm the page cache (untimed read) so we measure compute, not cold IO
-    ts_warm = expand_documents_to_transcripts(sf_dir, repeats).materialize()
-    n_turns = ts_warm.count()
+    # BENCH_STREAM_EXPAND=1: do NOT materialize the expanded turns —
+    # the expansion streams INTO the signature stage and the text
+    # column never hits the object store (the expanded-text
+    # materialization was the single largest intermediate of the
+    # capacity runs; at 7.5M turns it alone is several GB of spill).
+    # The timed DAG then includes expansion compute — documented with
+    # the capacity records in BASELINE.md.
+    stream_expand = bool(os.environ.get("BENCH_STREAM_EXPAND"))
+    if stream_expand:
+        import pyarrow.parquet as pq
+
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        n_turns = n_docs * repeats
+        ts_warm = expand_documents_to_transcripts(sf_dir, repeats)  # lazy
+        # warm the page cache on the (small) source parquet only
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"]).count()
+    else:
+        # warm the page cache (untimed read) — measure compute, not cold IO
+        ts_warm = expand_documents_to_transcripts(sf_dir, repeats).materialize()
+        n_turns = ts_warm.count()
 
     # headline = min of BENCH_HEADLINE_PASSES full-DAG passes (default 2):
     # background load on the shared VM swings identical runs up to 2x,
@@ -64,11 +82,22 @@ def run_bench() -> dict:
     # luck of one draw. The second pass also runs on warm workers.
     passes = int(os.environ.get("BENCH_HEADLINE_PASSES", "2"))
 
-    # BENCH_MINHASH_KERNEL=oph benches the one-permutation-hashing
-    # signature kernel; default is the reference-parity k-perm config
+    # BENCH_MINHASH_KERNEL overrides the signature kernel; the default
+    # config is OPH (config.py — measured strictly faster at every
+    # parallelism), BENCH_MINHASH_KERNEL=kperm benches the classic
+    # K-permutation kernel
     kernel = os.environ.get("BENCH_MINHASH_KERNEL")
     cfg = (DEFAULT_CONFIG.with_overrides(minhash_kernel=kernel)
            if kernel else DEFAULT_CONFIG)
+    # BENCH_LSH_DRIVER_MAX raises/lowers the driver-path cutover for
+    # capacity runs: on ONE sandbox node the driver ref-shuffle's
+    # footprint (store columns once per bundle, ids-only pair gen) is
+    # several times smaller than the co-partitioned sort's exploded
+    # payload — the single shared spill disk is the binding constraint
+    # here, whereas a real N-node cluster multiplies spill capacity by N
+    dmax = os.environ.get("BENCH_LSH_DRIVER_MAX")
+    if dmax:
+        cfg = cfg.with_overrides(lsh_driver_max_rows=int(dmax))
 
     def one_headline() -> tuple[dict, float, int, object, object]:
         q: dict[str, float] = {}

@@ -389,8 +389,11 @@ def vocab_coverage(ds, coverages: list[float] | None = None,
 
     Scale shape: the corpus reduces to the unigram count Dataset, which
     reduces again to one row per DISTINCT FREQUENCY VALUE (n, n_terms,
-    tokens) — O(sqrt(total_tokens)) rows by Zipf — and only that tiny
-    table reaches the driver for the cumulative walk. Terms sharing a
+    tokens) — and that table is UNCONDITIONALLY driver-bounded, not by
+    assumption: d distinct frequencies are d distinct positive integers,
+    so total_tokens >= 1+2+...+d >= d^2/2, i.e. d <= sqrt(2*T) (~1.4M
+    rows even at 10^12 tokens). Only that table reaches the driver for
+    the cumulative walk. Terms sharing a
     frequency are interchangeable, so the answer needs no term
     identities and no tie-break: within the boundary frequency group the
     minimal extra terms is ceil((c·T − cum_prev) / n), mirrored

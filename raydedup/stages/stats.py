@@ -637,44 +637,107 @@ def conversation_stats(ds, conv_col: str = "conv_id",
 
 
 def value_deciles(ds, value_col: str, k: int = 10,
-                  out: str = "decile"):
+                  out: str = "decile",
+                  driver_max_distinct: int = 2_000_000):
     """Global exact quantile binning: bucket i of ``k`` by cumulative
     distribution over the VALUE (ties share a bucket; bucket =
     ceil(k * cume_dist) in exact integer arithmetic, so both sides of
     the oracle agree bit-for-bit) — the quality-binning primitive a
     curation run uses to, e.g., drop the bottom length decile.
 
-    Scale shape: the corpus reduces to one row per DISTINCT value
-    (one groupby count); only that bounded table reaches the driver
-    for the cumulative walk, and the value -> bucket map is broadcast
-    back (``ray.put`` once) for a vectorized ``pc.index_in`` paint.
-    Same driver-walk contract as ``collection.vocab_coverage`` —
-    correct while distinct values stay driver-bounded (true for any
-    integer measurement column; NOT for free-form text keys)."""
+    Scale shape (auto-switch on the distinct-value count): the corpus
+    always reduces first to one row per DISTINCT value (one counting
+    groupby — the only corpus-scale exchange). At or below
+    ``driver_max_distinct`` distinct values the cumulative walk runs on
+    the driver and the value -> bucket map broadcasts back (``ray.put``
+    once, vectorized ``pc.index_in`` paint) — the fast path for integer
+    measurement columns. ABOVE it (free-form/text keys, unbounded
+    cardinality) nothing corpus-sized touches the driver: the distinct
+    table range-sorts by value, per-block (first-value, row-count,
+    value-count) summaries — bounded by the BLOCK count, not the value
+    count — compute exclusive prefix offsets on the driver, a second
+    pass over the same materialized blocks adds offset + local cumsum
+    (the ordered.py partition-boundary-carry idiom), and the resulting
+    (value, bucket) table attaches to the corpus through a distributed
+    hash join. Both paths produce identical buckets."""
     if k < 1:
         raise ValueError("k must be >= 1")
     counts = ds.groupby(value_col).count().materialize()
-    rows = sorted((r[value_col], r["count()"])
-                  for r in counts.iter_rows())
-    n = sum(m for _, m in rows)
-    if n == 0:
+    n_distinct = counts.count()
+    if n_distinct == 0:
         def noop(b: pa.Table) -> pa.Table:
             return b.append_column(out, pa.array([], pa.int64()))
         return ds.map_batches(noop, batch_format="pyarrow")
-    vals = pa.array([v for v, _ in rows])
-    cum = np.cumsum([m for _, m in rows], dtype=np.int64)
-    buckets = (k * cum + n - 1) // n
-    vals_ref = ray.put(vals)
-    buckets_ref = ray.put(buckets)
 
-    def paint(b: pa.Table) -> pa.Table:
-        v = ray.get(vals_ref)
-        bk = ray.get(buckets_ref)
-        idx = pc.index_in(b[value_col], value_set=v).to_numpy(
-            zero_copy_only=False)
-        return b.append_column(out, pa.array(bk[idx], pa.int64()))
+    if n_distinct <= driver_max_distinct:
+        rows = sorted((r[value_col], r["count()"])
+                      for r in counts.iter_rows())
+        n = sum(m for _, m in rows)
+        vals = pa.array([v for v, _ in rows])
+        cum = np.cumsum([m for _, m in rows], dtype=np.int64)
+        buckets = (k * cum + n - 1) // n
+        vals_ref = ray.put(vals)
+        buckets_ref = ray.put(buckets)
 
-    return ds.map_batches(paint, batch_format="pyarrow")
+        def paint(b: pa.Table) -> pa.Table:
+            v = ray.get(vals_ref)
+            bk = ray.get(buckets_ref)
+            idx = pc.index_in(b[value_col], value_set=v).to_numpy(
+                zero_copy_only=False)
+            return b.append_column(out, pa.array(bk[idx], pa.int64()))
+
+        return ds.map_batches(paint, batch_format="pyarrow")
+
+    # ---- distributed path: two passes over the SAME materialized sorted
+    # blocks (batch_size=None → one zero-copy batch per block, identical
+    # block boundaries both passes); distinct values never collide across
+    # blocks (post-groupby uniqueness), so a block's FIRST value is a
+    # collision-free block id
+    sorted_counts = counts.sort(value_col).materialize()
+
+    def block_summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lo": pa.array([], b[value_col].type),
+                             "rows_total": pa.array([], pa.int64())})
+        return pa.table({
+            "lo": b[value_col].slice(0, 1),
+            "rows_total": pa.array(
+                [int(pc.sum(b["count()"]).as_py())], pa.int64()),
+        })
+
+    summaries = sorted_counts.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).take_all()  # one row per BLOCK — bounded
+    summaries.sort(key=lambda r: r["lo"])
+    lo_vals = [r["lo"] for r in summaries]
+    blk_rows = np.asarray([r["rows_total"] for r in summaries],
+                          dtype=np.int64)
+    n = int(blk_rows.sum())
+    offsets = np.concatenate(([0], np.cumsum(blk_rows)[:-1]))
+    lo_to_offset = {v: int(o) for v, o in zip(lo_vals, offsets)}
+    off_ref = ray.put(lo_to_offset)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({value_col: pa.array([], b[value_col].type),
+                             out: pa.array([], pa.int64())})
+        offs = ray.get(off_ref)
+        base = offs[b[value_col][0].as_py()]
+        local = np.cumsum(
+            b["count()"].to_numpy(zero_copy_only=False).astype(np.int64))
+        cum = base + local
+        return pa.table({value_col: b[value_col],
+                         out: pa.array((k * cum + n - 1) // n, pa.int64())})
+
+    vmap = sorted_counts.map_batches(
+        bucketize, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    from raydedup.util import join_partitions
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = min(join_partitions(n_distinct), max(2, 2 * ncpu))
+    return ds.join(vmap, join_type="inner", num_partitions=n_parts,
+                   on=(value_col,))
 
 
 def ecdf_drift_by_group(ds, by: str = "source", value_col: str = "n_chars"):

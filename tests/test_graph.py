@@ -210,6 +210,34 @@ def test_value_deciles_exact_contract():
         assert got4[i] == (4 * cume + 10 - 1) // 10
 
 
+def test_value_deciles_distributed_path_free_form_keys(ray_session):
+    """The distributed sorted-block prefix-carry path (forced with
+    driver_max_distinct=1) must bucket FREE-FORM STRING keys — the
+    cardinality class the old driver-walk contract excluded — and agree
+    bucket-for-bucket with the broadcast driver path on the same data."""
+    import numpy as np
+
+    from raydedup.stages.stats import value_deciles
+
+    rng = np.random.default_rng(11)
+    keys = [f"tok-{rng.integers(0, 60):03d}-{i % 7}" for i in range(400)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(400)), pa.int64()),
+        "s": pa.array(keys, pa.string()),
+    })).repartition(8)
+    driver = {r["doc_id"]: r["decile"]
+              for r in value_deciles(ds, "s").take_all()}
+    dist = {r["doc_id"]: r["decile"]
+            for r in value_deciles(ds, "s",
+                                   driver_max_distinct=1).take_all()}
+    assert dist == driver
+    # brute-force cume_dist on the string ordering
+    arr = np.array(keys)
+    for i, v in enumerate(keys):
+        cume = int((arr <= v).sum())
+        assert driver[i] == (10 * cume + 400 - 1) // 400
+
+
 def test_clustering_agreement_hand_computed(ray_session):
     import pyarrow as pa
     import ray.data
