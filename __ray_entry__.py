@@ -3412,6 +3412,35 @@ def q_video_near_dup_pairs(sf_dir: str):
         "jaccard")
 
 
+def q_audio_shift_near_dup_pairs(sf_dir: str):
+    """TIME-SHIFT-robust audio near-dup pairs over the trim+volume
+    corpus (variant v cuts the first v frames AND scales amplitude —
+    the avalanche-hash frame levels make each group's delta-bit stream
+    effectively random, so only true trims overlap): representative
+    pairs (one rep per distinct delta-bit STREAM — volume variants of
+    one cut collapse exactly) whose overlapping 16-bit window-word SETS
+    have Jaccard >= 0.6, via the exact prefix-filter AllPairs join —
+    the audio twin of video re-cut detection, catching what the packed
+    single-fingerprint hamming tier provably cannot (a trim shifts
+    every bit position). The oracle replays the samples closed-form
+    from doc_id, rebuilds streams/windows in SQL, and brute-forces set
+    intersections over the representatives."""
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_audio_trims,
+        audio_shift_near_dup_pairs,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"],
+                                 override_num_blocks=64)
+    return _round_col(
+        audio_shift_near_dup_pairs(
+            attach_synthetic_audio_trims(docs), threshold=0.6),
+        "jaccard")
+
+
 def q_multimodal_dup_clusters(sf_dir: str):
     """UNIFIED CROSS-MODAL dedup clusters: connected components over the
     union of every PERCEPTUAL duplicate-evidence family — image exact ∪
@@ -4651,6 +4680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_near_dup_pairs": q_audio_near_dup_pairs,
         "audio_near_dup_clusters": q_audio_near_dup_clusters,
         "video_near_dup_pairs": q_video_near_dup_pairs,
+        "audio_shift_near_dup_pairs": q_audio_shift_near_dup_pairs,
         "multimodal_dup_clusters": q_multimodal_dup_clusters,
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "asof_clicks_purchases_bucketed": q_asof_clicks_purchases_bucketed,
@@ -8393,6 +8423,75 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz x ON x.doc_id = i.a_id
             JOIN sz y ON y.doc_id = i.b_id
             WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.5
+        """,
+        # Shift-robust audio: closed-form avalanche frame levels
+        # (energy comparisons reduce to level comparisons — frame_len
+        # and the (1+v) volume factor are positive constants), exact
+        # collapse on the delta-bit STREAM, overlapping 16-bit window
+        # words per rep, brute-force set Jaccard >= 0.6 among reps.
+        "audio_shift_near_dup_pairs": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 40 AS g,
+                       (doc_id // 40) % 7 AS v
+                FROM documents
+            ),
+            lv AS (
+                SELECT doc_id, v, f, xor(h2, h2 // 8192) % 4000 AS lvl
+                FROM (
+                    SELECT doc_id, v, f,
+                           (xor(h1, h1 // 32768) * 2246822519)
+                               % 2147483648 AS h2
+                    FROM (
+                        SELECT p.doc_id, p.v, f.g AS f,
+                               ((64 * p.g + f.g) * 2654435761)
+                                   % 2147483648 AS h1
+                        FROM p, generate_series(0, 63) f(g)
+                        WHERE f.g >= p.v
+                    )
+                )
+            ),
+            bits AS (
+                SELECT a.doc_id, a.f AS k,
+                       CASE WHEN b.lvl > a.lvl THEN 1 ELSE 0 END AS bit
+                FROM lv a JOIN lv b
+                  ON a.doc_id = b.doc_id AND b.f = a.f + 1
+            ),
+            fp AS (
+                SELECT doc_id,
+                       string_agg(CAST(bit AS VARCHAR), '' ORDER BY k)
+                           AS stream
+                FROM bits GROUP BY doc_id
+            ),
+            reps AS (SELECT MIN(doc_id) AS rid FROM fp GROUP BY stream),
+            win AS (
+                SELECT b.doc_id, w.g AS i,
+                       CAST(SUM(b.bit *
+                                (CAST(1 AS BIGINT) << (b.k - w.g)))
+                            AS BIGINT) AS wv
+                FROM bits b, generate_series(0, 47) w(g)
+                WHERE b.k >= w.g AND b.k <= w.g + 15
+                GROUP BY b.doc_id, w.g
+                HAVING COUNT(*) = 16
+            ),
+            wset AS (
+                SELECT DISTINCT r.rid, w.wv
+                FROM reps r JOIN win w ON w.doc_id = r.rid
+            ),
+            sz AS (SELECT rid, COUNT(*) AS n FROM wset GROUP BY rid),
+            inter AS (
+                SELECT a.rid AS a_id, b.rid AS b_id, COUNT(*) AS c
+                FROM wset a JOIN wset b
+                  ON a.wv = b.wv AND a.rid < b.rid
+                GROUP BY 1, 2
+            )
+            SELECT i.a_id, i.b_id, i.c AS common, x.n AS na, y.n AS nb,
+                   round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c),
+                         {_ROUND}) AS jaccard
+            FROM inter i
+            JOIN sz x ON x.rid = i.a_id
+            JOIN sz y ON y.rid = i.b_id
+            WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= 0.6
         """,
         # Cross-modal components: union of image (spot corpus: exact
         # dHash + hamming<=6 rep pairs), audio (spiked corpus: exact

@@ -1053,6 +1053,182 @@ def audio_near_dup_clusters(ds, id_col: str = "doc_id",
     return assigned.map_batches(paint, batch_format="pyarrow")
 
 
+def attach_synthetic_audio_trims(ds, id_col: str = "doc_id",
+                                 groups: int = 40, variants: int = 7,
+                                 frame_len: int = 64, n_frames: int = 64):
+    """REAL WAV payloads with PLANTED trim+volume duplicate structure —
+    the fixture for the TIME-SHIFT-robust audio tier: row id d belongs
+    to audio group ``g = d % groups`` whose base clip holds one CONSTANT
+    level per frame, drawn from an AVALANCHE hash of the absolute frame
+    id ``x = 64·g + f``::
+
+        h = (x · 2654435761) mod 2^31
+        h = ((h xor (h >> 15)) · 2246822519) mod 2^31
+        level(g, f) = (h xor (h >> 13)) mod 4000
+
+    so the frame-energy profile (hence the delta-bit stream) is
+    effectively random per group — a LINEAR frame hash makes every
+    group a modular time-shift of one global orbit, which a
+    shift-robust detector then (correctly!) matches across groups;
+    measured separation with this form: in-group window-set Jaccard
+    >= 0.86, cross-group <= 0.14. Variant ``v = (d // groups) %
+    variants`` cuts the first ``v`` FRAMES off the clip (a frame-aligned
+    re-trim, the audio analogue of a re-cut video dropping leading
+    frames) AND scales amplitude by ``(1+v)`` (max sample 3999·7 =
+    27993 < 32768, no clipping) — a detector must be invariant to BOTH
+    a volume change and a time shift to group them. The SQL oracle
+    replays every sample closed-form from doc_id."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        payloads = []
+        for d in ids:
+            d = int(d)
+            g, v = d % groups, (d // groups) % variants
+            x = np.arange(v, n_frames, dtype=np.int64) + n_frames * g
+            h = (x * 2654435761) % (1 << 31)
+            h = ((h ^ (h >> 15)) * 2246822519) % (1 << 31)
+            lvl = ((h ^ (h >> 13)) % 4000) * (1 + v)
+            s = np.repeat(lvl, frame_len)
+            payloads.append(encode_wav(8000, s.astype(np.int16)))
+        return batch.append_column(
+            "payload", pa.array(payloads, type=pa.binary())
+        ).append_column(
+            "media_type",
+            pa.array(["audio/wav"] * len(ids), type=pa.string()),
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def audio_window_fingerprints(samples: np.ndarray, frame_len: int = 64,
+                              window_bits: int = 16
+                              ) -> tuple[np.ndarray, np.ndarray]:
+    """Constellation-style shift-robust fingerprinting (the pure-numpy
+    landmark idea behind Wang 2003's constellation hashing, applied to
+    the energy-delta domain): the clip reduces to its energy-delta BIT
+    STREAM ``b_f = (E_{f+1} > E_f)`` (volume-invariant), and every
+    ``window_bits``-long run of consecutive bits packs into one word —
+    the clip's SET of overlapping window words. A frame-aligned trim of
+    k frames removes exactly k leading (or trailing) bits, so ALL
+    interior windows survive: trimmed clips share (W-k)/W of their
+    windows and cluster under set-Jaccard, where single-fingerprint
+    hamming (``audio_near_dup_pairs``) sees a completely misaligned bit
+    string. Returns (sorted distinct window words uint64, bit stream)."""
+    n = (samples.size // frame_len) * frame_len
+    e = np.abs(samples[:n].astype(np.int64)).reshape(
+        -1, frame_len).sum(axis=1)
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    w = bits.size - window_bits + 1
+    if w <= 0:
+        return np.empty(0, np.uint64), bits
+    win = np.zeros(w, dtype=np.uint64)
+    for j in range(window_bits):
+        win |= bits[j: j + w] << np.uint64(j)
+    return np.unique(win), bits
+
+
+class AudioWindowFingerprint:
+    """Actor-pool shift-robust audio fingerprinter: real WAV decode →
+    delta-bit stream + overlapping-window word set. Emits the exact
+    collapse key (packed bit stream + length — identical streams are
+    volume variants of one cut) and the packed window set for the
+    set-similarity join."""
+
+    def __init__(self, frame_len: int = 64, window_bits: int = 16):
+        self.frame_len = frame_len
+        self.window_bits = window_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, wsets = [], []
+        for p in batch["payload"].to_pylist():
+            _, _, samples = decode_wav(p or b"")
+            wins, bits = audio_window_fingerprints(
+                samples, self.frame_len, self.window_bits)
+            keys.append(
+                f"{np.packbits(bits.astype(np.uint8)).tobytes().hex()}"
+                f":{bits.size}")
+            wsets.append(wins.astype(">u8").tobytes())
+        return batch.append_column(
+            "sbit", pa.array(keys, pa.string())
+        ).append_column("whb", pa.array(wsets, pa.binary()))
+
+
+def audio_shift_near_dup_pairs(ds, threshold: float = 0.6,
+                               id_col: str = "doc_id",
+                               frame_len: int = 64, window_bits: int = 16,
+                               batch_size: int = 64, concurrency=(1, 8)):
+    """TIME-SHIFT-robust audio near-dup pairs: representative pairs
+    whose overlapping delta-bit WINDOW SETS overlap with Jaccard >=
+    ``threshold`` — the structure the single-fingerprint hamming tier
+    (:func:`audio_near_dup_pairs`) provably cannot catch: a re-trimmed
+    clip shifts every energy-delta bit position, scrambling the packed
+    64-bit fingerprint, while its interior window WORDS are untouched
+    (:func:`audio_window_fingerprints`). The audio twin of
+    :func:`video_near_dup_pairs`'s frame-set re-cut detection.
+
+    Scale shape: window words ride as packed binary through the
+    bit-stream exact_dedup collapse (one representative per distinct
+    cut — volume variants collapse first), then the representatives'
+    window sets go through the EXACT prefix-filter AllPairs join
+    (``stages/setjoin.set_similarity_join_sets``); payload bytes never
+    cross a shuffle. Output ``(a_id < b_id, common, na, nb, jaccard)``
+    over representative ids, exact by construction."""
+    from raydedup.stages.exact import exact_dedup
+    from raydedup.stages.setjoin import set_similarity_join_sets
+
+    fped = ds.map_batches(
+        AudioWindowFingerprint,
+        fn_constructor_kwargs={"frame_len": frame_len,
+                               "window_bits": window_bits},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def key(b: pa.Table) -> pa.Table:
+        rk = [f"{int(d):020d}" for d in b[id_col].to_pylist()]
+        return pa.table({
+            id_col: b[id_col],
+            "row_key": pa.array(rk, pa.string()),
+            "text_sha256": b["sbit"],
+            "whb": b["whb"],
+        })
+
+    assigned = exact_dedup(fped.map_batches(key, batch_format="pyarrow"))
+
+    def rep_sets(b: pa.Table) -> pa.Table:
+        sets_schema = pa.schema([pa.field(id_col, pa.int64()),
+                                 pa.field("nsh", pa.int64()),
+                                 pa.field("sh", pa.list_(pa.uint64()))])
+        b = b.filter(b["is_rep"].combine_chunks())
+        if b.num_rows == 0:
+            return sets_schema.empty_table()
+        ids, nshs, offs, vals = [], [], [0], []
+        for d, raw in zip(b[id_col].to_pylist(), b["whb"].to_pylist()):
+            u = np.frombuffer(raw or b"", dtype=">u8").astype(np.uint64)
+            if u.size == 0:
+                continue
+            ids.append(int(d))
+            nshs.append(int(u.size))
+            vals.append(u)
+            offs.append(offs[-1] + u.size)
+        if not ids:
+            return sets_schema.empty_table()
+        flat = np.concatenate(vals)
+        sh = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(flat, type=pa.uint64()))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "nsh": pa.array(nshs, pa.int64()),
+                         "sh": sh})
+
+    sets = assigned.map_batches(rep_sets, batch_format="pyarrow")
+    return set_similarity_join_sets(sets, threshold, id_col=id_col,
+                                    id_type=pa.int64())
+
+
 # --- perceptual video dedup -------------------------------------------------
 
 

@@ -1676,3 +1676,65 @@ def test_multimodal_dup_clusters_matches_bruteforce(ray_session):
         prev = mod_to_mm.setdefault(img_only[d], want[d])
         assert prev == want[d]
     assert len(set(want.values())) <= len(set(img_only.values()))
+
+
+def test_audio_window_fingerprints_trim_subset():
+    """Kernel contract: a frame-aligned trim of k leading frames keeps
+    the delta-bit SUFFIX intact, so the trimmed clip's window-word set
+    is a subset of the untrimmed clip's — the invariance that makes the
+    constellation tier shift-robust where the packed 64-bit
+    fingerprint's hamming is scrambled by any shift."""
+    import numpy as np
+
+    from raydedup.stages.multimodal import (
+        audio_fingerprint64,
+        audio_window_fingerprints,
+    )
+
+    g = 3
+    x = np.arange(0, 64, dtype=np.int64) + 64 * g
+    h = (x * 2654435761) % (1 << 31)
+    h = ((h ^ (h >> 15)) * 2246822519) % (1 << 31)
+    lvl = (h ^ (h >> 13)) % 4000
+    full = np.repeat(lvl, 64).astype(np.int16)
+    for k in (1, 3, 6):
+        trimmed = np.repeat(lvl[k:] * 2, 64).astype(np.int16)  # + volume
+        wt, bt = audio_window_fingerprints(trimmed)
+        wf, bf = audio_window_fingerprints(full)
+        assert np.array_equal(bt, bf[k:])       # bit stream = suffix
+        assert set(wt.tolist()) <= set(wf.tolist())
+        assert wt.size >= wf.size - k           # only leading windows lost
+        # the packed single fingerprint is NOT shift-robust: hamming
+        # between full and trimmed is large (every bit position moved)
+        fp_full = audio_fingerprint64(full)
+        fp_trim = audio_fingerprint64(trimmed)
+        assert bin(fp_full ^ fp_trim).count("1") > 6
+
+
+def test_audio_shift_near_dup_pairs_planted(ray_session):
+    """Planted trim+volume corpus: every in-group variant pair (21 per
+    group — all trims of one recording) is found at Jaccard >= 0.6 and
+    NO cross-group pair appears; exact-duplicate ids (d and d+280 share
+    (g, v)) collapse to one representative first."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from raydedup.stages.multimodal import (
+        attach_synthetic_audio_trims,
+        audio_shift_near_dup_pairs,
+    )
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(560)), pa.int64())}))
+    pairs = audio_shift_near_dup_pairs(
+        attach_synthetic_audio_trims(docs), threshold=0.6).take_all()
+    assert len(pairs) == 40 * 21
+    by_group = collections.Counter()
+    for r in pairs:
+        assert r["a_id"] % 40 == r["b_id"] % 40, r  # no cross-group
+        assert r["a_id"] < 280 and r["b_id"] < 280  # reps are min ids
+        assert r["jaccard"] >= 0.6
+        by_group[r["a_id"] % 40] += 1
+    assert all(v == 21 for v in by_group.values())
