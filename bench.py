@@ -151,6 +151,26 @@ def run_bench() -> dict:
     chain_scan_survivors(assigned).count()
     queries["chain_scan"] = round(time.time() - t0, 3)
 
+    # hot-bucket skew guard: the same dedup DAG over the pathological
+    # boilerplate corpus (30% of groups share one global template →
+    # corpus-wide hot LSH buckets, no true-pair blow-up). The recorded
+    # claim (BASELINE.md round-4): wall stays within ~1.5x of the
+    # uniform-corpus headline at equal turn count — salting + the
+    # first-colliding-band rule absorb the skew.
+    from raydedup.sources.transcripts import (
+        expand_documents_to_transcripts_skewed,
+    )
+
+    t0 = time.time()
+    ts_skew = expand_documents_to_transcripts_skewed(
+        sf_dir, repeats).materialize()
+    t0 = time.time()  # expansion excluded, like the headline
+    a_skew = signatures_with_rep(ts_skew, cfg).materialize()
+    n_skew_pairs = near_dup_pairs(a_skew, cfg).materialize().count()
+    queries["skewed_hot_bucket_dedup"] = round(time.time() - t0, 3)
+    queries["skewed_hot_bucket_pairs"] = n_skew_pairs
+    del ts_skew, a_skew
+
     t0 = time.time()
     ts_keyed = add_row_key(ts_warm, ["conv_id", "turn_idx"])
     anchor_measures(

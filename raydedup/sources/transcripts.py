@@ -172,6 +172,75 @@ def expand_documents_to_transcripts(sf_dir: str, repeats: int = 8):
     return docs.map_batches(expand, batch_format="pyarrow")
 
 
+def expand_documents_to_transcripts_skewed(sf_dir: str, repeats: int = 8,
+                                           boiler_frac: float = 0.3,
+                                           template_words: int = 20,
+                                           noise_words: int = 60):
+    """PATHOLOGICAL-SKEW variant of :func:`expand_documents_to_transcripts`
+    for the hot-bucket bench: ``boiler_frac`` of the duplicate-family
+    groups are BOILERPLATE groups whose text is one GLOBAL
+    ``template_words``-word block followed by per-group unique noise —
+    every boilerplate doc shares the template's interior shingles, so the
+    band buckets whose minima all land in the template collect a
+    corpus-wide hot membership (tens of thousands of docs at 1M+ turns,
+    far past ``lsh_bucket_salt_above``) while cross-group Jaccard stays
+    ~template/(2·total) << the dup threshold — hot CANDIDATE buckets
+    with no true-pair blow-up, exactly the salting stress case. Group
+    structure (members 0-1 verbatim, 2-7 with m-1 word edits) is
+    preserved, so the TRUE pair set per group matches the uniform
+    corpus's semantics. Deterministic, no RNG, pure map_batches."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=64)
+    cut = int(boiler_frac * 1000)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        conv, turn, role, out_t, tool, ts = [], [], [], [], [], []
+        tmpl = [f"tmplw{k}" for k in range(template_words)]
+        for d, t in zip(doc_ids, texts):
+            base_words = (t or "").split()
+            for r in range(repeats):
+                g, m = r // 8, r % 8
+                boiler = ((int(d) * 2654435761 + g * 40503) % 1000) < cut
+                if boiler:
+                    words = tmpl + [f"n{int(d)}g{g}x{j}"
+                                    for j in range(noise_words)]
+                else:
+                    words = [
+                        f"g{g}s{int(d)}p{k}" if k % 3 == 0 else base_words[k]
+                        for k in range(len(base_words))
+                    ]
+                if m <= 1 or not words:
+                    new = " ".join(words)
+                else:
+                    w = list(words)
+                    for e in range(m - 1):
+                        w[(int(d) + 7 * e) % len(w)] = f"edit{m}x{e}"
+                    new = " ".join(w)
+                conv.append(f"conv-{int(d) % N_CONVS_FROM_DOCS}")
+                turn.append(int(d) // N_CONVS_FROM_DOCS * repeats + r)
+                role.append(["user", "assistant", "tool"][r % 3])
+                out_t.append(new)
+                tool.append("search" if r % 3 == 2 else "")
+                ts.append(_EPOCH_US + (int(d) * repeats + r) * 60_000_000)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, type=pa.string()),
+                "turn_idx": pa.array(turn, type=pa.int32()),
+                "role": pa.array(role, type=pa.string()),
+                "text": pa.array(out_t, type=pa.string()),
+                "tool": pa.array(tool, type=pa.string()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+            }
+        )
+
+    return docs.map_batches(expand, batch_format="pyarrow")
+
+
 _VOCAB = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
     "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "

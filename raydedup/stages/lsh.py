@@ -126,13 +126,18 @@ def light_explode(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
 def heavy_explode(batch: pa.Table, cfg: DedupConfig,
                   surviving: np.ndarray,
-                  hot_sizes: dict[int, int]) -> pa.Table:
+                  hot_sizes: dict[int, int],
+                  salt_limit: int | None = None) -> pa.Table:
     """rows → bucket rows (with payloads) for SURVIVING buckets only.
 
     ``surviving`` is a SORTED int64 array of >= 2-member bucket keys;
     ``hot_sizes`` maps bucket → global member count for buckets above the
     salt limit. Hot-bucket members are replicated into every
-    (salt_i, salt_j) pair-group (see module docstring)."""
+    (salt_i, salt_j) pair-group (see module docstring). ``salt_limit``
+    overrides ``cfg.lsh_bucket_salt_above`` as the per-class size
+    target — the hybrid ScanCount route uses a larger class (its cost
+    is posting mass, invariant to the split; replication volume shrinks
+    linearly with class size)."""
     batch = batch.filter(pc.greater(batch["n_shingles"], 0))
     n = batch.num_rows
     b = cfg.lsh_bands
@@ -165,7 +170,7 @@ def heavy_explode(batch: pa.Table, cfg: DedupConfig,
     if hot_sizes:
         import hashlib
 
-        limit = cfg.lsh_bucket_salt_above
+        limit = salt_limit or cfg.lsh_bucket_salt_above
         hot_here = np.isin(buckets, np.fromiter(
             hot_sizes, dtype=np.int64, count=len(hot_sizes)))
         if hot_here.any():
@@ -373,13 +378,118 @@ class BucketVerify:
     in-bucket pair exactly once. The first-colliding-band rule (skip pairs
     already sharing an earlier band) dedups across bands; it is checked
     VECTORIZED over the candidate pair arrays, never as an O(m^2 * b)
-    broadcast."""
+    broadcast.
 
-    def __init__(self, cfg: DedupConfig, min_jaccard: float | None = None):
+    Groups of >= ``scan_min`` members verify through the SCANCOUNT
+    kernel instead of per-pair sorted merges: pair intersection sizes
+    accumulate through per-ELEMENT posting lists (work proportional to
+    Σ|A∩B| — for the boilerplate hot-bucket pathology, ~1/9 of the
+    merge kernel's Σ(|A|+|B|) — all bincount/triu numpy, no per-pair
+    Python), then the exact threshold c >= t·(la+lb)/(1+t), the salt
+    masks and the first-band rule apply to the extracted counts. A pair
+    at J >= t must share elements, so it always has a nonzero count and
+    is always extracted: output is IDENTICAL to the merge kernel
+    (asserted in tests), only the arithmetic route differs."""
+
+    def __init__(self, cfg: DedupConfig, min_jaccard: float | None = None,
+                 scan_min: int = 128):
         self.cfg = cfg
+        self.scan_min = scan_min
         self.min_jaccard = (
             cfg.jaccard_dup_threshold if min_jaccard is None else min_jaccard
         )
+
+    def _scan_pairs(self, group: pa.Table, m: int,
+                    si: int, sj: int, band_j: int,
+                    bh: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                             np.ndarray]:
+        """ScanCount: (ci, cj, jaccard) arrays of verified pairs."""
+        shingle_col = group["shingle_hashes"].combine_chunks()
+        flat_all = shingle_col.values.to_numpy(zero_copy_only=False)
+        offs = shingle_col.offsets.to_numpy().astype(np.int64)
+        sub = flat_all[offs[0]: offs[-1]]
+        lens = offs[1:] - offs[:-1]
+        inv = np.unique(sub, return_inverse=True)[1]
+        docidx = np.repeat(np.arange(m, dtype=np.int64), lens)
+        order = np.argsort(inv, kind="stable")  # docidx ascending per run
+        e_s, d_s = inv[order], docidx[order]
+        starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]])
+        run_lens = np.diff(np.r_[starts, e_s.size])
+        counts = np.zeros(m * m, dtype=np.int64)
+        # DENSE elements (df > m/2 — the bucket's band minima and any
+        # template core) contribute through their COMPLEMENT: +1 to
+        # every pair as a constant, −1 for each pair involving a member
+        # that LACKS the element — q·m increments instead of C(df, 2),
+        # the bulk of a boilerplate bucket's posting mass
+        dense = run_lens > m // 2
+        base_dense = int(dense.sum())
+        if base_dense:
+            present = np.zeros(m, dtype=bool)
+            all_j = np.arange(m, dtype=np.int64)
+            for s0, L in zip(starts[dense], run_lens[dense]):
+                present[:] = False
+                present[d_s[s0: s0 + L]] = True
+                miss = np.flatnonzero(~present)
+                for i in miss:
+                    keys = np.concatenate(
+                        (i * m + all_j[i + 1:], all_j[:i] * m + i))
+                    counts[keys] -= 1
+                if miss.size >= 2:
+                    # inclusion-exclusion: a pair BOTH of whose members
+                    # lack the element was subtracted twice above —
+                    # its true contribution is 0, so add one back
+                    iu, ju = np.triu_indices(miss.size, k=1)
+                    counts[miss[iu] * m + miss[ju]] += 1
+        # sparse runs: plain posting-pair accumulation, batched by
+        # posting length (the _emit_run_pairs idiom), chunked so the
+        # scratch keys stay ~tens of MB
+        for L in np.unique(run_lens[~dense]):
+            if L < 2:
+                continue
+            rs = starts[~dense & (run_lens == L)]
+            Li = int(L)
+            step = max(1, (1 << 22) // (Li * Li))
+            iu, ju = np.triu_indices(Li, k=1)
+            for lo in range(0, rs.size, step):
+                M = d_s[rs[lo: lo + step, None] + np.arange(Li)[None, :]]
+                keys = (M[:, iu] * m + M[:, ju]).ravel()
+                counts += np.bincount(keys, minlength=m * m)
+        # extraction bound: any pair at J >= t needs inter >=
+        # ceil(t(la+lb)/(1+t)) >= ceil(2 t lmin/(1+t)); with inter =
+        # base_dense + counts, only slots with counts >= that bound
+        # minus base_dense can survive — on boilerplate buckets this
+        # extracts ~nothing instead of C(m, 2)
+        lmin = int(lens.min()) if lens.size else 0
+        needed_min = int(np.ceil(2 * self.min_jaccard * lmin
+                                 / (1 + self.min_jaccard)))
+        cmin = needed_min - base_dense
+        if cmin > 0:
+            cand = np.flatnonzero(counts >= cmin)
+        else:
+            iu, ju = np.triu_indices(m, k=1)
+            cand = (iu * m + ju).astype(np.int64)
+        if cand.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.float64))
+        ci, cj = cand // m, cand % m  # ci < cj by run-ascending docidx
+        inter = counts[cand] + base_dense
+        if si != sj:
+            # cross-class pairs in either index order (the triu path
+            # pairs a_idx x b_idx irrespective of member-index order)
+            salts = group["salt"].to_numpy()
+            keep = (((salts[ci] == si) & (salts[cj] == sj))
+                    | ((salts[ci] == sj) & (salts[cj] == si)))
+            ci, cj, inter = ci[keep], cj[keep], inter[keep]
+        la, lb = lens[ci], lens[cj]
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= self.min_jaccard
+        ci, cj, jac = ci[keep], cj[keep], jac[keep]
+        if band_j > 0 and ci.size:
+            prior = bh[:, :band_j]
+            fresh = ~(prior[ci] == prior[cj]).any(axis=1)
+            ci, cj, jac = ci[fresh], cj[fresh], jac[fresh]
+        return ci, cj, jac
 
     def __call__(self, group: pa.Table) -> pa.Table:
         m = group.num_rows
@@ -394,6 +504,24 @@ class BucketVerify:
             group["band_hashes"].combine_chunks().flatten()
             .to_numpy(zero_copy_only=False).reshape(m, cfg.lsh_bands)
         )
+        if (m >= self.scan_min and self.min_jaccard > 0
+                and "shingle_weights" not in group.column_names):
+            ci, cj, jac_arr = self._scan_pairs(group, m, si, sj, band_j, bh)
+            a_out, b_out, j_out = [], [], []
+            for i in range(ci.size):
+                ka, kb = keys[ci[i]], keys[cj[i]]
+                if kb < ka:
+                    ka, kb = kb, ka
+                a_out.append(ka)
+                b_out.append(kb)
+                j_out.append(float(jac_arr[i]))
+            return pa.table(
+                {
+                    "a_key": pa.array(a_out, type=pa.string()),
+                    "b_key": pa.array(b_out, type=pa.string()),
+                    "jaccard": pa.array(j_out, type=pa.float64()),
+                }
+            )
         shingle_col = group["shingle_hashes"].combine_chunks()
 
         if si == sj:
@@ -539,11 +667,14 @@ def _partition_pairs(lo: np.ndarray, hi: np.ndarray) -> tuple:
 
 
 @ray.remote(num_cpus=1, num_returns=_N_PARTS)
-def _pairgen_reducer(*parts):
+def _pairgen_reducer(exclude, *parts):
     """Reducer for one bucket partition: concat the mappers' stacked
     (2, m) arrays, run run-length pair generation, dedup locally, and
     re-partition the candidate pairs by pair hash for the parallel
-    cross-partition dedup+verify tasks."""
+    cross-partition dedup+verify tasks. ``exclude`` (sorted int64 array
+    or None) drops whole bucket runs — the hybrid path verifies those
+    HOT buckets through the salted ScanCount groupby instead, so their
+    O(m^2) pair mass never enters the per-pair verify."""
     b_arr = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
     h_arr = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
     empty = np.empty((2, 0), dtype=np.int64)
@@ -553,6 +684,11 @@ def _pairgen_reducer(*parts):
     sb, sh = b_arr[order], h_arr[order]
     starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
     lens = np.diff(np.r_[starts, sb.size])
+    if exclude is not None and exclude.size and starts.size:
+        rb = sb[starts]
+        hot = exclude[np.clip(np.searchsorted(exclude, rb), 0,
+                              exclude.size - 1)] == rb
+        starts, lens = starts[~hot], lens[~hot]
     pa_l: list = []
     pb_l: list = []
     _emit_run_pairs(sh, starts, lens, pa_l, pb_l)
@@ -639,7 +775,8 @@ def _dedup_verify_task(min_jaccard: float, n_bundles: int, *flat) -> pa.Table:
     )
 
 
-def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
+def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float,
+                        exclude_buckets: np.ndarray | None = None):
     """Single-node-fast LSH tail as a hand-rolled ref-based shuffle: every
     phase (partitioned light explode, per-bucket-partition pair
     generation, pair-hash-partitioned cross dedup + verification) runs in
@@ -664,8 +801,9 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
 
     # reducers get only their own bucket partition's refs; each returns
     # its candidate pairs re-partitioned by pair hash
+    excl_ref = ray.put(exclude_buckets)
     red_futs = [
-        _pairgen_reducer.remote(*[f[p] for f in map_futs])
+        _pairgen_reducer.remote(excl_ref, *[f[p] for f in map_futs])
         for p in range(_N_PARTS)
     ]
     if _N_PARTS == 1:
@@ -687,6 +825,116 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float):
     return rd.from_arrow_refs(ver_futs)
 
 
+def _estimate_hot_pair_mass(rep_sigs_ds, cfg: DedupConfig,
+                            n_reps: int) -> int:
+    """Sampled estimate of Σ C(m, 2) over pathologically hot buckets.
+
+    RANDOM sample, not a prefix: duplicate families are LOCAL (adjacent
+    rows), so a contiguous prefix contains whole families and the 1/f
+    scale-up overestimates their buckets ~1/f-fold; random sampling
+    thins local structure to ~zero while a corpus-WIDE hot bucket keeps
+    its proportional share. Only buckets with >= 8 sampled hits enter
+    the estimate (Poisson-noise floor); smaller buckets' aggregate mass
+    is the healthy regime the driver path already handles."""
+    frac = min(1.0, 100_000 / n_reps)
+    arrs = []
+    for b in (rep_sigs_ds.random_sample(frac, seed=17)
+              .map_batches(lambda t: light_explode(t, cfg),
+                           batch_format="pyarrow")
+              .iter_batches(batch_size=1 << 20,
+                            batch_format="pyarrow")):
+        arrs.append(b["bucket"].to_numpy())
+    if not arrs or not sum(a.size for a in arrs):
+        return 0
+    _, c = np.unique(np.concatenate(arrs), return_counts=True)
+    big = c[c >= 8].astype(np.float64) / frac
+    return int((big * (big - 1) / 2).sum())
+
+
+# estimated hot-bucket pair mass above which the driver path's per-pair
+# verify would dominate and the hybrid (hot buckets → salted ScanCount
+# groupby, cold buckets → driver ref-shuffle) takes over. ~20M pairs ≈
+# a few seconds of per-pair verify at 32 cpus — below it the plain
+# driver path wins on fixed costs, above it quadratically loses.
+_HYBRID_PAIR_MASS = 20_000_000
+
+
+def _hybrid_pair_verify(rep_sigs_ds, cfg: DedupConfig, thr: float):
+    """Per-BUCKET routing for corpora with pathological boilerplate: the
+    partial-count pass identifies buckets above the salt limit; those
+    HOT buckets verify through the salted (bucket, sgrp) groupby whose
+    ScanCount kernel costs posting-list time (Σ|A∩B|, ~1/9 of per-pair
+    merges on template-heavy candidates), while every COLD bucket runs
+    the normal driver ref-shuffle with the hot runs excluded. A pair
+    whose first shared band is hot but that also shares a later cold
+    band is emitted by both halves (the first-band rule only dedups
+    within the hot half), so the union aggregates distinct — jaccard is
+    exact and identical on both routes."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["bucket"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    light = rep_sigs_ds.map_batches(
+        lambda t: light_explode(t, cfg),
+        batch_format="pyarrow", batch_size=cfg.batch_size)
+    bucket_arrs, count_arrs = [], []
+    for b in light.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        bucket_arrs.append(b["bucket"].to_numpy())
+        count_arrs.append(b["n"].to_numpy())
+    if not bucket_arrs:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+    all_b = np.concatenate(bucket_arrs)
+    all_c = np.concatenate(count_arrs)
+    u, inv = np.unique(all_b, return_inverse=True)
+    totals = np.bincount(inv, weights=all_c)
+    hot = totals > cfg.lsh_bucket_salt_above
+    hot_keys = np.sort(u[hot])
+    if hot_keys.size == 0:
+        return _driver_pair_verify(rep_sigs_ds, cfg, thr)
+    hot_sizes = dict(zip(
+        u[hot].tolist(), totals[hot].astype(np.int64).tolist()))
+    surv_ref = ray.put((hot_keys, hot_sizes))
+    # ScanCount groups tolerate ~4x larger salt classes than the triu
+    # kernel (cost is posting mass, invariant to the split) — the
+    # replication volume of a B-member bucket is B * ceil(B / class),
+    # so the bigger class cuts the hot half's payload shuffle ~4x
+    scan_salt = max(4 * cfg.lsh_bucket_salt_above, 1024)
+
+    def heavy(batch: pa.Table) -> pa.Table:
+        surv, hs = ray.get(surv_ref)
+        return heavy_explode(batch, cfg, surv, hs, salt_limit=scan_salt)
+
+    exploded = rep_sigs_ds.map_batches(
+        heavy, batch_format="pyarrow", batch_size=cfg.batch_size)
+    bv = BucketVerify(cfg, thr)
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        return bv(group)
+
+    hot_pairs = exploded.groupby(["bucket", "sgrp"]).map_groups(
+        verify_bucket, batch_format="pyarrow")
+    cold_pairs = _driver_pair_verify(rep_sigs_ds, cfg, thr,
+                                     exclude_buckets=hot_keys)
+    merged = (hot_pairs.union(cold_pairs)
+              .groupby(["a_key", "b_key"])
+              .aggregate(Min("jaccard", alias_name="jaccard")))
+
+    def project(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table({n: b[n] for n in _PAIR_SCHEMA.names},
+                        schema=_PAIR_SCHEMA)
+
+    return merged.map_batches(project, batch_format="pyarrow")
+
+
 def lsh_verified_pairs(rep_sigs_ds, cfg: DedupConfig,
                        min_jaccard: float | None = None,
                        distributed_counts: bool | None = None,
@@ -698,16 +946,29 @@ def lsh_verified_pairs(rep_sigs_ds, cfg: DedupConfig,
     Path selection (``copartition_verify=None``): the driver-routed
     ref-shuffle below ``cfg.lsh_driver_max_rows`` representatives (lowest
     serial overhead), the co-partitioned Dataset path above it — so the
-    pipeline that runs by default at scale IS the scale pipeline."""
+    pipeline that runs by default at scale IS the scale pipeline. Below
+    the cutover a sampled probe estimates the HOT-bucket pair mass; past
+    ``_HYBRID_PAIR_MASS`` the hybrid route verifies hot buckets through
+    the salted ScanCount groupby and everything else through the driver
+    path (exact either way — the probe only affects performance)."""
     thr = cfg.jaccard_dup_threshold if min_jaccard is None else min_jaccard
     rep_sigs_ds = rep_sigs_ds.materialize()
+    hybrid = False
     if copartition_verify is None:
-        copartition_verify = rep_sigs_ds.count() > cfg.lsh_driver_max_rows
+        n_reps = rep_sigs_ds.count()
+        copartition_verify = n_reps > cfg.lsh_driver_max_rows
+        if (not copartition_verify
+                and thr > 0
+                and n_reps > 8 * cfg.lsh_bucket_salt_above):
+            hybrid = (_estimate_hot_pair_mass(rep_sigs_ds, cfg, n_reps)
+                      > _HYBRID_PAIR_MASS)
         if distributed_counts is None:
-            distributed_counts = copartition_verify
+            distributed_counts = n_reps > cfg.lsh_driver_max_rows
     if distributed_counts is None:
         distributed_counts = False
     if not copartition_verify:
+        if hybrid:
+            return _hybrid_pair_verify(rep_sigs_ds, cfg, thr)
         return _driver_pair_verify(rep_sigs_ds, cfg, thr)
 
     # materialized once: the skinny (bucket, row_key) explode is consumed

@@ -1246,3 +1246,79 @@ class TestAhoCorasickScanner:
         # "ababab" -> abab at 0 (ends 4), next start must be >= 4: none
         assert got[(2, "abab")] == 1
         assert got[(2, "bab")] == 1  # bab at 1, next at 3 overlaps
+
+
+def _mk_bucket_group(rng, m, sgrp, band_j, n_dense=6, bands=16):
+    """Synthetic (bucket, sgrp) verify group: every member holds the
+    n_dense common elements (a template core) plus a random sparse
+    tail; a random fifth of members DROP one dense element each, so the
+    ScanCount complement path sees partial-density runs. Random shared
+    sparse elements plant a few genuinely-similar pairs."""
+    import pyarrow as pa
+
+    rows_sh = []
+    bh = rng.integers(1, 1 << 48, size=(m, bands), dtype=np.int64)
+    # force some prior-band equality so the first-band rule bites
+    if band_j > 0:
+        for _ in range(m // 4):
+            i, j = rng.integers(0, m, 2)
+            bh[j, : band_j // 2 + 1] = bh[i, : band_j // 2 + 1]
+    dense = np.arange(1, n_dense + 1, dtype=np.uint64) * np.uint64(7919)
+    for i in range(m):
+        d = dense.copy()
+        if i % 5 == 0 and n_dense > 1:
+            d = np.delete(d, i % n_dense)
+        if i % 7 == 0 and i > 0:
+            # near-copy of member i-1 → a true high-jaccard pair
+            prev = rows_sh[-1]
+            tail = prev[np.isin(prev, dense, invert=True)]
+            tail = tail.copy()
+            if tail.size:
+                tail[rng.integers(0, tail.size)] = np.uint64(
+                    rng.integers(1 << 50, 1 << 60))
+        else:
+            tail = rng.integers(1 << 50, 1 << 60,
+                                size=rng.integers(8, 20)).astype(np.uint64)
+        rows_sh.append(np.unique(np.concatenate((d, tail))))
+    offs = np.zeros(m + 1, dtype=np.int32)
+    np.cumsum([s.size for s in rows_sh], out=offs[1:])
+    sh = pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()),
+        pa.array(np.concatenate(rows_sh), pa.uint64()))
+    si, sj = sgrp
+    salts = (np.full(m, si, np.int32) if si == sj
+             else rng.integers(0, 2, m).astype(np.int32) * (sj - si) + si)
+    return pa.table({
+        "bucket": pa.array(np.full(m, 42, np.int64)),
+        "sgrp": pa.array(np.full(m, si * (1 << 15) + sj, np.int64)),
+        "salt": pa.array(salts),
+        "band_id": pa.array(np.full(m, band_j, np.int32)),
+        "row_key": pa.array([f"k{i:05d}" for i in range(m)], pa.string()),
+        "band_hashes": pa.FixedSizeListArray.from_arrays(
+            pa.array(bh.reshape(-1).astype(np.uint64), pa.uint64()), bands),
+        "shingle_hashes": sh,
+    })
+
+
+def test_bucket_verify_scancount_equals_triu_kernel():
+    """The ScanCount hot-group kernel must emit the EXACT pair set and
+    jaccards of the per-pair merge kernel on every group shape: within-
+    salt and cross-salt, with and without prior bands, dense elements
+    partially missing (the inclusion-exclusion complement path), and a
+    low threshold that exercises the full-enumeration extraction."""
+    from raydedup.stages.lsh import BucketVerify
+
+    rng = np.random.default_rng(23)
+    for sgrp in ((0, 0), (1, 3)):
+        for band_j in (0, 5):
+            for thr in (0.8, 0.12):
+                group = _mk_bucket_group(rng, 180, sgrp, band_j)
+                scan = BucketVerify(DEFAULT_CONFIG, thr, scan_min=16)
+                triu = BucketVerify(DEFAULT_CONFIG, thr, scan_min=10**9)
+                a = {(r["a_key"], r["b_key"], round(r["jaccard"], 12))
+                     for r in scan(group).to_pylist()}
+                b = {(r["a_key"], r["b_key"], round(r["jaccard"], 12))
+                     for r in triu(group).to_pylist()}
+                assert a == b, (sgrp, band_j, thr, len(a), len(b),
+                                list(a ^ b)[:4])
+                assert a or thr > 0.5  # low threshold must find pairs
