@@ -574,14 +574,16 @@ class BucketVerify:
 _N_PARTS = 32
 
 
-@ray.remote(num_cpus=1, num_returns=_N_PARTS + 4)
+@ray.remote(num_cpus=1, num_returns=_N_PARTS + 5)
 def _light_part_task(bundle_idx: int, bands: int, *tbls: pa.Table):
     """A bundle of signature blocks → _N_PARTS per-partition
     (bucket, row_id) stacked arrays (each a (2, m) int64) followed by the
-    bundle's store columns (shingle flat values/offsets, key
-    bytes/offsets). Row ids are composite (bundle << 40 | row) —
-    globally unique, zero collisions. Separate returns → reducers address
-    exactly their partition's ref; everything numpy → zero-copy."""
+    bundle's store columns (shingle flat values/offsets, OPTIONAL
+    per-element weights aligned to the same offsets — empty when the
+    sets are unweighted — and key bytes/offsets). Row ids are composite
+    (bundle << 40 | row) — globally unique, zero collisions. Separate
+    returns → reducers address exactly their partition's ref; everything
+    numpy → zero-copy."""
     tbls = [t for t in tbls if t.num_rows > 0]  # empty blocks keep the
     n = 0                                       # pre-map schema — drop
     if tbls:
@@ -593,7 +595,8 @@ def _light_part_task(bundle_idx: int, bands: int, *tbls: pa.Table):
         eu = np.empty(0, dtype=np.uint64)
         e8 = np.empty(0, dtype=np.uint8)
         return tuple([e2] * _N_PARTS) + (
-            eu, np.zeros(1, np.int64), e8, np.zeros(1, np.int64),
+            eu, np.zeros(1, np.int64), np.empty(0, np.int64),
+            e8, np.zeros(1, np.int64),
         )
     fused = _fused_buckets(_bands_matrix(tbl, bands), bands)
     ids = (np.int64(bundle_idx) << _ID_BITS) | np.arange(n, dtype=np.int64)
@@ -611,11 +614,21 @@ def _light_part_task(bundle_idx: int, bands: int, *tbls: pa.Table):
     sh_col = tbl["shingle_hashes"].combine_chunks()
     sh_values = sh_col.values.to_numpy(zero_copy_only=False).copy()
     sh_offsets = sh_col.offsets.to_numpy().astype(np.int64)
+    if "shingle_weights" in tbl.column_names:
+        # align the weight buffer so sh_offsets index it directly
+        # (parallel list columns can carry a constant offset delta)
+        w_col = tbl["shingle_weights"].combine_chunks()
+        w_vals = w_col.values.to_numpy(zero_copy_only=False)
+        w_offs = w_col.offsets.to_numpy().astype(np.int64)
+        w_store = np.zeros(int(sh_offsets[-1]), dtype=np.int64)
+        w_store[sh_offsets[0]:] = w_vals[w_offs[0]: w_offs[-1]]
+    else:
+        w_store = np.empty(0, dtype=np.int64)
     key_enc = [k.encode("utf-8") for k in tbl["row_key"].to_pylist()]
     key_offsets = np.zeros(len(key_enc) + 1, dtype=np.int64)
     np.cumsum([len(e) for e in key_enc], out=key_offsets[1:])
     key_bytes = np.frombuffer(b"".join(key_enc), dtype=np.uint8)
-    return parts + (sh_values, sh_offsets, key_bytes, key_offsets)
+    return parts + (sh_values, sh_offsets, w_store, key_bytes, key_offsets)
 
 
 _PAIR_TILE = 4096
@@ -729,6 +742,76 @@ def _batch_intersections(blocks, ba, ra, bb, rb) -> tuple:
     return inter, la, lb
 
 
+def _batch_weighted(blocks, ba, ra, bb, rb) -> tuple:
+    """Σmin / per-side weight totals for WEIGHTED candidate pairs (the
+    bundle stores hold (sorted distinct hash, count) sets; block slot 2
+    is the offset-aligned weight buffer). Same tiling scheme as
+    ``_tiled_intersections`` but the combined buffer argsorts so each
+    element's weight rides along — cf. ``_tiled_pair_weighted_jaccard``.
+    Returns (smin, wa, wb) int64 arrays; weighted jaccard =
+    smin / (wa + wb − smin) equals expanded-multiset Jaccard exactly."""
+    n = ba.size
+    la = np.empty(n, dtype=np.int64)
+    lb = np.empty(n, dtype=np.int64)
+    wa = np.empty(n, dtype=np.int64)
+    wb = np.empty(n, dtype=np.int64)
+    cws: dict[int, np.ndarray] = {}
+
+    def cw_for(bu: int) -> np.ndarray:
+        c = cws.get(bu)
+        if c is None:
+            wv = blocks[bu][2]
+            c = np.zeros(wv.size + 1, dtype=np.int64)
+            np.cumsum(wv, out=c[1:])
+            cws[bu] = c
+        return c
+
+    for side_b, side_r, out_l, out_w in ((ba, ra, la, wa),
+                                         (bb, rb, lb, wb)):
+        for bu in np.unique(side_b):
+            m = side_b == bu
+            sho = blocks[bu][1]
+            cw = cw_for(int(bu))
+            r = side_r[m]
+            out_l[m] = sho[r + 1] - sho[r]
+            out_w[m] = cw[sho[r + 1]] - cw[sho[r]]
+
+    tot = la + lb
+    smin = np.zeros(n, dtype=np.int64)
+    order = np.argsort(tot, kind="stable")
+    pos = 0
+    while pos < n:
+        hi_pos = pos + 1
+        lmax = int(tot[order[pos]])
+        while hi_pos < n:
+            cand = max(lmax, int(tot[order[hi_pos]]))
+            if (hi_pos + 1 - pos) * cand > _PAIR_TILE_ELEMS and hi_pos > pos:
+                break
+            lmax = cand
+            hi_pos += 1
+        idx = order[pos:hi_pos]
+        buf = np.full((idx.size, max(lmax, 1)), _PAIR_SENTINEL,
+                      dtype=np.uint64)
+        wbuf = np.zeros((idx.size, max(lmax, 1)), dtype=np.int64)
+        for k, i in enumerate(idx):
+            shv_x, sho_x, wv_x = blocks[ba[i]][:3]
+            shv_y, sho_y, wv_y = blocks[bb[i]][:3]
+            m0 = la[i]
+            buf[k, :m0] = shv_x[sho_x[ra[i]]: sho_x[ra[i] + 1]]
+            buf[k, m0: m0 + lb[i]] = shv_y[sho_y[rb[i]]: sho_y[rb[i] + 1]]
+            wbuf[k, :m0] = wv_x[sho_x[ra[i]]: sho_x[ra[i] + 1]]
+            wbuf[k, m0: m0 + lb[i]] = wv_y[sho_y[rb[i]]: sho_y[rb[i] + 1]]
+        srt = np.argsort(buf, axis=1, kind="stable")
+        buf = np.take_along_axis(buf, srt, axis=1)
+        wbuf = np.take_along_axis(wbuf, srt, axis=1)
+        eq = buf[:, 1:] == buf[:, :-1]
+        valid = np.arange(buf.shape[1] - 1)[None, :] < (tot[idx] - 1)[:, None]
+        minw = np.minimum(wbuf[:, 1:], wbuf[:, :-1])
+        smin[idx] = np.where(eq & valid, minw, 0).sum(axis=1)
+        pos = hi_pos
+    return smin, wa, wb
+
+
 @ray.remote(num_cpus=1)
 def _dedup_verify_task(min_jaccard: float, n_bundles: int, *flat) -> pa.Table:
     """One pair-hash partition: concat the reducers' candidate arrays,
@@ -740,8 +823,8 @@ def _dedup_verify_task(min_jaccard: float, n_bundles: int, *flat) -> pa.Table:
     local plasma store (a prior design gathered the whole store into one
     re-serialized object through a single task: a serial full-store copy
     that dominated the stage and anti-scaled with CPUs)."""
-    blocks = [tuple(flat[4 * i: 4 * i + 4]) for i in range(n_bundles)]
-    parts = flat[4 * n_bundles:]
+    blocks = [tuple(flat[5 * i: 5 * i + 5]) for i in range(n_bundles)]
+    parts = flat[5 * n_bundles:]
     lo = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
     hi = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
     if lo.size == 0:
@@ -751,14 +834,20 @@ def _dedup_verify_task(min_jaccard: float, n_bundles: int, *flat) -> pa.Table:
     ra = (pair_a & _ID_MASK).astype(np.int64)
     bb = (pair_b >> _ID_BITS).astype(np.int64)
     rb = (pair_b & _ID_MASK).astype(np.int64)
-    inter, la, lb = _batch_intersections(blocks, ba, ra, bb, rb)
-    union = la + lb - inter
-    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    if any(blocks[i][2].size for i in range(n_bundles)):
+        # weighted (ICWS / bag) stores: exact Σmin/Σmax weighted jaccard
+        smin, wwa, wwb = _batch_weighted(blocks, ba, ra, bb, rb)
+        denom = wwa + wwb - smin
+        jac = np.where(denom > 0, smin / np.maximum(denom, 1), 0.0)
+    else:
+        inter, la, lb = _batch_intersections(blocks, ba, ra, bb, rb)
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
     keep = np.flatnonzero(jac >= min_jaccard)
     a_out, b_out, j_out = [], [], []
     for i in keep:
-        _, _, kb_x, ko_x = blocks[ba[i]]
-        _, _, kb_y, ko_y = blocks[bb[i]]
+        _, _, _, kb_x, ko_x = blocks[ba[i]]
+        _, _, _, kb_y, ko_y = blocks[bb[i]]
         ka = kb_x[ko_x[ra[i]]: ko_x[ra[i] + 1]].tobytes().decode("utf-8")
         kb = kb_y[ko_y[rb[i]]: ko_y[rb[i] + 1]].tobytes().decode("utf-8")
         if kb < ka:
@@ -813,7 +902,7 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float,
     store_refs = [
         r for f in map_futs
         for r in (f[_N_PARTS], f[_N_PARTS + 1], f[_N_PARTS + 2],
-                  f[_N_PARTS + 3])
+                  f[_N_PARTS + 3], f[_N_PARTS + 4])
     ]
     ver_futs = [
         _dedup_verify_task.remote(

@@ -234,12 +234,11 @@ def bag_near_dup_pairs(ds, cfg: DedupConfig = DEFAULT_CONFIG,
     if bag_kernel == "icws":
         rep_cols.append("shingle_weights")
     reps = assigned.filter(expr="is_rep").select_columns(rep_cols)
-    # icws ships (distinct hash, count) verify sets → the weighted
-    # Σmin/Σmax kernel lives on the co-partitioned Dataset path (the
-    # scale path); the driver ref-shuffle fast path is expansion-only
-    return lsh_verified_pairs(
-        reps, cfg, min_jaccard=min_jaccard,
-        copartition_verify=True if bag_kernel == "icws" else None)
+    # icws ships (distinct hash, count) verify sets; BOTH verify paths
+    # carry the weighted Σmin/Σmax kernel (BucketVerify's weighted
+    # tiled kernel on the co-partitioned path, _batch_weighted on the
+    # driver ref-shuffle), so the normal auto-switch applies
+    return lsh_verified_pairs(reps, cfg, min_jaccard=min_jaccard)
 
 
 def bag_element_sets(ds, cfg: DedupConfig = DEFAULT_CONFIG,
