@@ -291,3 +291,46 @@ class TestICWS:
                     for r in b)
         assert ka == kb
         assert ka  # the planted reorders produced pairs
+
+
+def test_icws_weighted_verify_paths_agree(ray_session):
+    """The weighted Σmin/Σmax verify exists on BOTH routes — the driver
+    ref-shuffle's _batch_weighted store kernel (the auto-switch default
+    at this size) and the co-partitioned BucketVerify weighted tiled
+    kernel — and they must emit the identical exact pair set for the
+    same (distinct hash, count) signature table."""
+    import pyarrow as pa
+
+    import ray.data
+    from raydedup.config import DEFAULT_CONFIG
+    from raydedup.stages.exact import add_row_key, exact_dedup
+    from raydedup.stages.lsh import lsh_verified_pairs
+    from raydedup.stages.wjaccard import _bag_signature_batch
+
+    base = ("red green green blue blue blue cyan magenta yellow "
+            "black white gray pink " * 4)
+    words = base.split()
+    rows = []
+    for i in range(25):
+        rows.append((2 * i, " ".join(words)))
+        rows.append((2 * i + 1, " ".join(reversed(words[:-1]))))
+        words = words[2:] + [f"v{i}", f"u{i}"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+    cfg = DEFAULT_CONFIG.with_overrides(jaccard_dup_threshold=0.7)
+    keyed = add_row_key(ds.select_columns(["doc_id", "text"]), ["doc_id"])
+    sigs = keyed.map_batches(
+        lambda b: _bag_signature_batch(b, cfg, "text", bag_kernel="icws"),
+        batch_format="pyarrow")
+    reps = exact_dedup(sigs).filter(expr="is_rep").select_columns(
+        ["row_key", "band_hashes", "shingle_hashes", "n_shingles",
+         "shingle_weights"]).materialize()
+    out = {}
+    for name, co in (("driver", False), ("copart", True)):
+        pairs = lsh_verified_pairs(reps, cfg, copartition_verify=co)
+        out[name] = sorted((r["a_key"], r["b_key"], round(r["jaccard"], 9))
+                           for r in pairs.take_all())
+    assert out["driver"] == out["copart"]
+    assert out["driver"]  # the planted reorders produced pairs
