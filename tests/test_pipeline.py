@@ -316,3 +316,51 @@ def test_random_corpus_fuzz_vs_oracle():
         for r in crows:
             assert r["cluster_id"] == want_cluster[r["row_key"]], (
                 seed, r["row_key"])
+
+
+def test_hybrid_hot_cold_verify_matches_driver(ray_session):
+    """The hybrid route (hot buckets → salted ScanCount groupby, cold
+    buckets → driver ref-shuffle with hot runs excluded, union distinct)
+    must emit exactly the driver path's pair set on a corpus that mixes
+    a planted HOT family (far above the salt limit) with ordinary cold
+    near-dup families."""
+    from raydedup.stages.lsh import _driver_pair_verify, _hybrid_pair_verify
+
+    cfg = DEFAULT_CONFIG.with_overrides(lsh_bucket_salt_above=40)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon") * 3
+    rows = {"conv_id": [], "turn_idx": [], "text": []}
+    words = base.split()
+    for i in range(260):  # hot family: one-word tweaks of one template
+        w = list(words)
+        w[i % len(w)] = f"tweak{i}"
+        rows["conv_id"].append(f"hot{i:04d}")
+        rows["turn_idx"].append(0)
+        rows["text"].append(" ".join(w))
+    for g in range(40):   # cold families of 4 (small buckets)
+        cw = [f"g{g}w{k}" for k in range(30)]
+        for m in range(4):
+            w = list(cw)
+            if m:
+                w[(g + m) % len(w)] = f"e{g}x{m}"
+            rows["conv_id"].append(f"cold{g:03d}m{m}")
+            rows["turn_idx"].append(0)
+            rows["text"].append(" ".join(w))
+    tbl = pa.table({
+        "conv_id": pa.array(rows["conv_id"]),
+        "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
+        "text": pa.array(rows["text"]),
+    })
+    assigned = signatures_with_rep(
+        ray.data.from_arrow(tbl), cfg).materialize()
+    reps = assigned.filter(expr="is_rep").select_columns(
+        ["row_key", "band_hashes", "shingle_hashes", "n_shingles"]
+    ).materialize()
+    thr = cfg.jaccard_dup_threshold
+    hybrid = {(r["a_key"], r["b_key"], round(r["jaccard"], 9))
+              for r in _hybrid_pair_verify(reps, cfg, thr).take_all()}
+    driver = {(r["a_key"], r["b_key"], round(r["jaccard"], 9))
+              for r in _driver_pair_verify(reps, cfg, thr).take_all()}
+    assert hybrid == driver
+    assert len(hybrid) > 2000  # the hot family's pairs are all present
+    assert any(a.startswith("cold") for a, _, _ in hybrid)  # cold too
