@@ -266,6 +266,211 @@ def _project(ds, schema: pa.Schema):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# a (new-side count x old-side count) bucket product above which the
+# candidate equi-join + per-pair verify would dominate the probe (the
+# boilerplate-index pathology: sub-threshold template docs accumulate
+# as 'new' and every future shard's template docs cross-join against
+# them quadratically); such HOT buckets route to the R-S ScanCount
+# groupby instead — exact either way, the split only moves work
+_PROBE_HOT_PRODUCT = 1_000_000
+
+
+def _hot_bucket_rs_verify(nsig, sigs_paths, hot_keys, old_counts,
+                          new_counts, cfg: DedupConfig, thr: float,
+                          class_target: int = 1024):
+    """Exact R-S verification of the HOT probe buckets: both sides'
+    members co-group per (bucket, old-class, new-class) — classes of
+    ~``class_target`` members per side, every class pair its own group,
+    so coverage is the exact cross product with bounded group memory —
+    and each group runs a cross-side SCANCOUNT: pair intersections
+    accumulate through per-element posting lists, elements present in
+    EVERY group member enter as a constant with inclusion-exclusion
+    complement corrections (the boilerplate template core), and
+    extraction uses the exact bound c >= ceil(2t*lmin/(1+t)) - base.
+    Returns Dataset(key, okey, jaccard >= thr) — same schema the cold
+    join-verify emits; duplicated (key, okey) rows across the two
+    routes carry identical jaccard and reduce away in the shared
+    argmax."""
+    from raydedup.stages.lsh import _fused_buckets, _bands_matrix
+
+    hot_sorted = np.sort(hot_keys)
+    s_old = {int(b): max(1, -(-int(old_counts[b]) // class_target))
+             for b in hot_keys}
+    s_new = {int(b): max(1, -(-int(new_counts[b]) // class_target))
+             for b in hot_keys}
+    plan_ref = ray.put((hot_sorted, s_old, s_new))
+    out_schema = pa.schema([
+        pa.field("key", pa.string()), pa.field("okey", pa.string()),
+        pa.field("jaccard", pa.float64()),
+    ])
+    grp_schema = pa.schema([
+        pa.field("bucket", pa.int64()), pa.field("co", pa.int32()),
+        pa.field("cn", pa.int32()), pa.field("side", pa.int32()),
+        pa.field("key", pa.string()), pa.field("blob", pa.binary()),
+    ])
+
+    def explode_side(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            hs, so, sn = ray.get(plan_ref)
+            b = b.filter(pc.greater(b["n_shingles"], 0))
+            n = b.num_rows
+            if n == 0:
+                return grp_schema.empty_table()
+            fused = _fused_buckets(_bands_matrix(b, cfg.lsh_bands),
+                                   cfg.lsh_bands)
+            mask = np.isin(fused, hs)
+            rows, bands = np.nonzero(mask)
+            if rows.size == 0:
+                return grp_schema.empty_table()
+            # one incidence per (row, DISTINCT hot bucket)
+            bk = fused[rows, bands]
+            pairkey = rows.astype(np.int64) * (1 << 32) + (
+                bk.astype(np.int64) & 0xFFFFFFFF)
+            _, first = np.unique(pairkey, return_index=True)
+            rows, bk = rows[first], bk[first]
+            keys = b["row_key"].combine_chunks()
+            blobs = _lists_to_blob(b["shingle_hashes"])
+            import hashlib as _h
+
+            out_b, out_co, out_cn, out_side, out_k, out_blob = (
+                [], [], [], [], [], [])
+            for r, bkt in zip(rows.tolist(), bk.tolist()):
+                key = keys[r].as_py()
+                kh = int.from_bytes(
+                    _h.blake2b(key.encode(), digest_size=4).digest(),
+                    "big")
+                so_b, sn_b = so[bkt], sn[bkt]
+                if side == 1:   # old: fixed class, replicate over new classes
+                    ci = kh % so_b
+                    for j in range(sn_b):
+                        out_b.append(bkt)
+                        out_co.append(ci)
+                        out_cn.append(j)
+                else:           # new: fixed class, replicate over old classes
+                    cj = kh % sn_b
+                    for i in range(so_b):
+                        out_b.append(bkt)
+                        out_co.append(i)
+                        out_cn.append(cj)
+                reps = sn_b if side == 1 else so_b
+                out_side.extend([side] * reps)
+                out_k.extend([key] * reps)
+                out_blob.extend([blobs[r].as_py()] * reps)
+            return pa.table({
+                "bucket": pa.array(out_b, pa.int64()),
+                "co": pa.array(out_co, pa.int32()),
+                "cn": pa.array(out_cn, pa.int32()),
+                "side": pa.array(out_side, pa.int32()),
+                "key": pa.array(out_k, pa.string()),
+                "blob": pa.array(out_blob, pa.binary()),
+            })
+
+        return fn
+
+    old_side = ray.data.read_parquet(
+        sigs_paths,
+        columns=["row_key", "band_hashes", "n_shingles",
+                 "shingle_hashes"]).map_batches(
+        explode_side(1), batch_format="pyarrow")
+    new_side = nsig.select_columns(
+        ["row_key", "band_hashes", "n_shingles",
+         "shingle_hashes"]).map_batches(
+        explode_side(0), batch_format="pyarrow")
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return out_schema.empty_table()
+        side = g["side"].to_numpy(zero_copy_only=False)
+        new_i = np.flatnonzero(side == 0)
+        old_i = np.flatnonzero(side == 1)
+        if new_i.size == 0 or old_i.size == 0:
+            return out_schema.empty_table()
+        flat, offs = _blob_views(g["blob"])
+        lens = offs[1:] - offs[:-1]
+        nn, no_ = new_i.size, old_i.size
+        # dense ids over the group's elements
+        inv = np.unique(flat[offs[0]: offs[-1]],
+                        return_inverse=True)[1]
+        m = g.num_rows
+        docidx = np.repeat(np.arange(m, dtype=np.int64),
+                           lens)
+        order = np.argsort(inv, kind="stable")
+        e_s, d_s = inv[order], docidx[order]
+        starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]])
+        run_lens = np.diff(np.r_[starts, e_s.size])
+        # member index -> (new rank | old rank)
+        rank = np.empty(m, dtype=np.int64)
+        rank[new_i] = np.arange(nn)
+        rank[old_i] = np.arange(no_)
+        is_new = np.zeros(m, dtype=bool)
+        is_new[new_i] = True
+        counts = np.zeros(nn * no_, dtype=np.int64)
+        dense = run_lens > m // 2
+        base_dense = int(dense.sum())
+        if base_dense:
+            present = np.zeros(m, dtype=bool)
+            for s0, L in zip(starts[dense], run_lens[dense]):
+                present[:] = False
+                present[d_s[s0: s0 + L]] = True
+                miss = np.flatnonzero(~present)
+                miss_new = miss[is_new[miss]]
+                miss_old = miss[~is_new[miss]]
+                for i in miss_new:
+                    counts[rank[i] * no_: (rank[i] + 1) * no_] -= 1
+                for j in miss_old:
+                    counts[rank[j]::no_] -= 1
+                if miss_new.size and miss_old.size:
+                    rn = rank[miss_new]
+                    ro = rank[miss_old]
+                    counts[(rn[:, None] * no_ + ro[None, :]).ravel()] += 1
+        for L in np.unique(run_lens[~dense]):
+            if L < 2:
+                continue
+            rs = starts[~dense & (run_lens == L)]
+            Li = int(L)
+            step = max(1, (1 << 22) // (Li * Li))
+            for lo in range(0, rs.size, step):
+                M = d_s[rs[lo: lo + step, None] + np.arange(Li)[None, :]]
+                mn = is_new[M]
+                # cross pairs only: per row of M, new members x old members
+                for row, rown in zip(M, mn):
+                    nr = row[rown]
+                    orr = row[~rown]
+                    if nr.size and orr.size:
+                        keys_ = (rank[nr][:, None] * no_
+                                 + rank[orr][None, :]).ravel()
+                        counts[keys_] += 1
+        lmin = int(lens.min()) if lens.size else 0
+        needed_min = int(np.ceil(2 * thr * lmin / (1 + thr)))
+        cmin = needed_min - base_dense
+        if cmin > 0:
+            cand = np.flatnonzero(counts >= cmin)
+        else:
+            cand = np.arange(nn * no_, dtype=np.int64)
+        if cand.size == 0:
+            return out_schema.empty_table()
+        ci = cand // no_
+        cj = cand % no_
+        inter = counts[cand] + base_dense
+        la = lens[new_i][ci]
+        lb = lens[old_i][cj]
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= thr
+        if not keep.any():
+            return out_schema.empty_table()
+        ci, cj, jac = ci[keep], cj[keep], jac[keep]
+        keys_col = g["key"].combine_chunks()
+        nk = pc.take(keys_col, pa.array(new_i[ci]))
+        ok = pc.take(keys_col, pa.array(old_i[cj]))
+        return pa.table({"key": nk, "okey": ok,
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    return (old_side.union(new_side)
+            .groupby(["bucket", "co", "cn"])
+            .map_groups(verify_group, batch_format="pyarrow"))
+
+
 def dedup_against_index(new_ds, index_dir: str,
                         cfg: DedupConfig = DEFAULT_CONFIG,
                         key_cols: list[str] | None = None,
@@ -367,6 +572,50 @@ def dedup_against_index(new_ds, index_dir: str,
             batch_format="pyarrow"),
         pa.schema([pa.field("bucket", pa.int64()),
                    pa.field("row_key", pa.string())]))
+
+    # HOT-bucket split: per-side bucket counts (cheap partial merges);
+    # a bucket whose |new| x |old| cross product exceeds
+    # _PROBE_HOT_PRODUCT would dominate both the equi-join output and
+    # the per-pair blob verify — route it to the R-S ScanCount groupby
+    # (exact either way; duplicated pairs reduce in the shared argmax)
+    def _bucket_counts(ds_):
+        arrs_u, arrs_c = [], []
+        for b in ds_.iter_batches(batch_size=1 << 20,
+                                  batch_format="pyarrow"):
+            u, c = np.unique(b["bucket"].to_numpy(), return_counts=True)
+            arrs_u.append(u)
+            arrs_c.append(c)
+        if not arrs_u:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        u, inv = np.unique(np.concatenate(arrs_u), return_inverse=True)
+        tot = np.bincount(inv, weights=np.concatenate(arrs_c))
+        return u, tot.astype(np.int64)
+
+    o_u, o_c = _bucket_counts(old_bands)
+    n_u, n_c = _bucket_counts(new_bands)
+    common, io_, in_ = np.intersect1d(o_u, n_u, return_indices=True)
+    prod = o_c[io_] * n_c[in_]
+    hot_mask = prod > _PROBE_HOT_PRODUCT
+    hot_keys = common[hot_mask]
+    hot_verified = None
+    if hot_keys.size:
+        old_counts = dict(zip(common[hot_mask].tolist(),
+                              o_c[io_][hot_mask].tolist()))
+        new_counts = dict(zip(common[hot_mask].tolist(),
+                              n_c[in_][hot_mask].tolist()))
+        hot_verified = _hot_bucket_rs_verify(
+            nsig, sigs_paths, hot_keys, old_counts, new_counts, cfg, thr)
+        hot_sorted = np.sort(hot_keys)
+        cold_ref = ray.put(hot_sorted)
+
+        def drop_hot(b: pa.Table) -> pa.Table:
+            hs = ray.get(cold_ref)
+            bk = b["bucket"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(~np.isin(bk, hs)))
+
+        old_bands = old_bands.map_batches(drop_hot, batch_format="pyarrow")
+        new_bands = new_bands.map_batches(drop_hot, batch_format="pyarrow")
+
     cand = new_bands.join(
         old_bands, join_type="inner", num_partitions=jp, on=("bucket",),
     ).groupby(["row_key", "okey"]).aggregate(Count(alias_name="_nb"))
@@ -376,9 +625,10 @@ def dedup_against_index(new_ds, index_dir: str,
     n_cand = cand.count()
 
     near_best = None
+    verified = None
+    jp_c = min(join_partitions(max(n_cand, 1)), max(2, 2 * ncpu))
     if n_cand:
         # ---- phase 3: exact verify over stored shingle sets ----
-        jp_c = min(join_partitions(n_cand), max(2, 2 * ncpu))
         # semi-filter the stored shingle sets down to the CANDIDATE
         # okeys before the verify join: candidates are shard-
         # proportional (LSH collisions), so this turns an index-wide
@@ -426,6 +676,14 @@ def dedup_against_index(new_ds, index_dir: str,
             pa.schema([pa.field("row_key", pa.string()),
                        pa.field("okey", pa.string()),
                        pa.field("oblob", pa.binary())]))
+        # materialize between the two joins: two chained join pools in
+        # ONE streaming plan is the documented deadlock shape (their
+        # memory reservations starve each other once the candidate
+        # volume is real — reproduced at a 50k-index/10k-shard
+        # boilerplate probe, which hung indefinitely without this
+        # barrier and completes in ~2 min with it); the barrier is
+        # candidate-pair-sized, the store spills it if needed
+        with_old = with_old.materialize()
         with_both = _project(
             with_old.join(new_blob, join_type="inner",
                           num_partitions=jp_c, on=("row_key",)),
@@ -466,6 +724,17 @@ def dedup_against_index(new_ds, index_dir: str,
 
         verified = with_both.map_batches(
             verify, batch_format="pyarrow").materialize()
+    if hot_verified is not None:
+        # the HOT-bucket ScanCount route's verified matches join the
+        # cold route's before the shared argmax; duplicated (key, okey)
+        # rows carry identical exact jaccard and reduce away there
+        hv = hot_verified.map_batches(
+            lambda b: pa.table(
+                {"key": b["key"], "okey": b["okey"],
+                 "jaccard": b["jaccard"]}),
+            batch_format="pyarrow").materialize()
+        verified = hv if verified is None else verified.union(hv)
+    if verified is not None:
         if verified.count():
             # argmax jaccard per key, ties broken by min okey; raw
             # float ranking is safe — both engine and oracle compute

@@ -499,3 +499,63 @@ def test_ingest_shards_job_compact_every(tmp_path):
     c2 = _json.loads(buf2.getvalue().strip().splitlines()[-1])
     assert c2["skipped"] == 3 and c2["n_reps"] == 3
     assert c2["generations"] == 1
+
+
+def test_probe_hot_bucket_route_matches_join_route(tmp_path, monkeypatch,
+                                                   ray_session):
+    """The hot-bucket R-S ScanCount route must label EXACTLY like the
+    plain candidate-join route. Corpus: boilerplate template docs (hot
+    candidate buckets, sub-threshold matches) PLUS shard docs that are
+    genuine near-copies of stored docs (>= threshold) — so the hot
+    groups contain both true and false candidates, and exact/near/new
+    all appear."""
+    import collections
+
+    from raydedup.stages import incremental as inc
+    from raydedup.stages.incremental import (build_dedup_index,
+                                             dedup_against_index)
+
+    tmpl = " ".join(f"tmplw{k}" for k in range(20))
+
+    def boiler(i):
+        return tmpl + " " + " ".join(f"n{i}x{j}" for j in range(12))
+
+    idx_rows = [(str(i), boiler(i)) for i in range(120)]
+    idx_tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in idx_rows]),
+        "text": pa.array([r[1] for r in idx_rows]),
+    })
+    build_dedup_index(ray.data.from_arrow(idx_tbl), str(tmp_path / "idx"),
+                      DEFAULT_CONFIG, key_cols=["doc_id"])
+
+    shard_rows = []
+    for i in range(40):
+        if i % 4 == 0:      # exact copy of a stored doc
+            shard_rows.append((str(1000 + i), boiler(i)))
+        elif i % 4 == 1:    # near-copy: one noise word changed
+            t = boiler(i).split()
+            t[-1] = f"edit{i}"
+            shard_rows.append((str(1000 + i), " ".join(t)))
+        else:               # template + fresh noise → sub-threshold
+            shard_rows.append((str(1000 + i), boiler(10000 + i)))
+    shard = pa.table({
+        "doc_id": pa.array([r[0] for r in shard_rows]),
+        "text": pa.array([r[1] for r in shard_rows]),
+    })
+
+    def labels_with(product_threshold):
+        monkeypatch.setattr(inc, "_PROBE_HOT_PRODUCT", product_threshold)
+        out = dedup_against_index(
+            ray.data.from_arrow(shard), str(tmp_path / "idx"),
+            DEFAULT_CONFIG, key_cols=["doc_id"]).take_all()
+        return sorted((r["key"], r["status"], r["match_key"],
+                       None if r["jaccard"] is None
+                       else round(r["jaccard"], 9)) for r in out)
+
+    hot_route = labels_with(50)           # every shared bucket is "hot"
+    join_route = labels_with(10**15)      # pure candidate-join path
+    assert hot_route == join_route
+    statuses = collections.Counter(s for _, s, _, _ in hot_route)
+    assert statuses["exact"] == 10
+    assert statuses["near"] == 10
+    assert statuses["new"] == 20
