@@ -1322,3 +1322,38 @@ def test_bucket_verify_scancount_equals_triu_kernel():
                 assert a == b, (sgrp, band_j, thr, len(a), len(b),
                                 list(a ^ b)[:4])
                 assert a or thr > 0.5  # low threshold must find pairs
+
+
+def test_bucket_verify_scancount_fuzz():
+    """Property fuzz: ScanCount == merge kernel on RANDOM groups — set
+    sizes, density mix, salt shapes, prior bands and thresholds all
+    drawn randomly. Catches the interaction bugs a fixed fixture can't
+    (e.g. the both-members-missing inclusion-exclusion case only
+    appears when two members independently drop the same dense
+    element)."""
+    from hypothesis import given, settings, strategies as st
+
+    from raydedup.stages.lsh import BucketVerify
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 10**6))
+    def check(seed):
+        rng = np.random.default_rng(seed)
+        m = int(rng.integers(20, 90))
+        sgrp = ((0, 0) if rng.random() < 0.5
+                else tuple(sorted(rng.integers(0, 4, 2).tolist())))
+        band_j = int(rng.integers(0, 8))
+        thr = float(rng.choice([0.1, 0.3, 0.5, 0.8]))
+        n_dense = int(rng.integers(0, 8))
+        group = _mk_bucket_group(rng, m, sgrp, band_j,
+                                 n_dense=max(1, n_dense))
+        scan = BucketVerify(DEFAULT_CONFIG, thr, scan_min=2)
+        triu = BucketVerify(DEFAULT_CONFIG, thr, scan_min=10**9)
+        a = {(r["a_key"], r["b_key"], round(r["jaccard"], 12))
+             for r in scan(group).to_pylist()}
+        b = {(r["a_key"], r["b_key"], round(r["jaccard"], 12))
+             for r in triu(group).to_pylist()}
+        assert a == b, (seed, m, sgrp, band_j, thr, len(a), len(b),
+                        list(a ^ b)[:3])
+
+    check()
