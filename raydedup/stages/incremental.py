@@ -294,11 +294,13 @@ def _hot_bucket_rs_verify(nsig, sigs_paths, hot_keys, old_counts,
     from raydedup.stages.lsh import _fused_buckets, _bands_matrix
 
     hot_sorted = np.sort(hot_keys)
-    s_old = {int(b): max(1, -(-int(old_counts[b]) // class_target))
-             for b in hot_keys}
-    s_new = {int(b): max(1, -(-int(new_counts[b]) // class_target))
-             for b in hot_keys}
-    plan_ref = ray.put((hot_sorted, s_old, s_new))
+    so_arr = np.array(
+        [max(1, -(-int(old_counts[b]) // class_target))
+         for b in hot_sorted], dtype=np.int64)
+    sn_arr = np.array(
+        [max(1, -(-int(new_counts[b]) // class_target))
+         for b in hot_sorted], dtype=np.int64)
+    plan_ref = ray.put((hot_sorted, so_arr, sn_arr))
     out_schema = pa.schema([
         pa.field("key", pa.string()), pa.field("okey", pa.string()),
         pa.field("jaccard", pa.float64()),
@@ -322,7 +324,9 @@ def _hot_bucket_rs_verify(nsig, sigs_paths, hot_keys, old_counts,
             rows, bands = np.nonzero(mask)
             if rows.size == 0:
                 return grp_schema.empty_table()
-            # one incidence per (row, DISTINCT hot bucket)
+            # one incidence per (row, DISTINCT hot bucket); everything
+            # below is vectorized — the only per-ROW python is the
+            # blake2b class hash (once per distinct source row)
             bk = fused[rows, bands]
             pairkey = rows.astype(np.int64) * (1 << 32) + (
                 bk.astype(np.int64) & 0xFFFFFFFF)
@@ -332,37 +336,31 @@ def _hot_bucket_rs_verify(nsig, sigs_paths, hot_keys, old_counts,
             blobs = _lists_to_blob(b["shingle_hashes"])
             import hashlib as _h
 
-            out_b, out_co, out_cn, out_side, out_k, out_blob = (
-                [], [], [], [], [], [])
-            for r, bkt in zip(rows.tolist(), bk.tolist()):
-                key = keys[r].as_py()
-                kh = int.from_bytes(
-                    _h.blake2b(key.encode(), digest_size=4).digest(),
-                    "big")
-                so_b, sn_b = so[bkt], sn[bkt]
-                if side == 1:   # old: fixed class, replicate over new classes
-                    ci = kh % so_b
-                    for j in range(sn_b):
-                        out_b.append(bkt)
-                        out_co.append(ci)
-                        out_cn.append(j)
-                else:           # new: fixed class, replicate over old classes
-                    cj = kh % sn_b
-                    for i in range(so_b):
-                        out_b.append(bkt)
-                        out_co.append(i)
-                        out_cn.append(cj)
-                reps = sn_b if side == 1 else so_b
-                out_side.extend([side] * reps)
-                out_k.extend([key] * reps)
-                out_blob.extend([blobs[r].as_py()] * reps)
+            key_h = np.array([
+                int.from_bytes(_h.blake2b(k.encode(),
+                                          digest_size=4).digest(), "big")
+                for k in keys.to_pylist()], dtype=np.int64)
+            pos = np.searchsorted(hs, bk)
+            s_self = (so if side == 1 else sn)[pos]
+            s_other = (sn if side == 1 else so)[pos]
+            ci_self = key_h[rows] % s_self
+            reps = s_other
+            total = int(reps.sum())
+            rep_inc = np.repeat(np.arange(rows.size, dtype=np.int64),
+                                reps)
+            cum = np.concatenate(([0], np.cumsum(reps)))
+            j = np.arange(total, dtype=np.int64) - cum[rep_inc]
+            take = pa.array(rows[rep_inc])
+            co_out = (ci_self[rep_inc] if side == 1 else j)
+            cn_out = (j if side == 1 else ci_self[rep_inc])
             return pa.table({
-                "bucket": pa.array(out_b, pa.int64()),
-                "co": pa.array(out_co, pa.int32()),
-                "cn": pa.array(out_cn, pa.int32()),
-                "side": pa.array(out_side, pa.int32()),
-                "key": pa.array(out_k, pa.string()),
-                "blob": pa.array(out_blob, pa.binary()),
+                "bucket": pa.array(bk[rep_inc], pa.int64()),
+                "co": pa.array(co_out.astype(np.int32), pa.int32()),
+                "cn": pa.array(cn_out.astype(np.int32), pa.int32()),
+                "side": pa.array(
+                    np.full(total, side, np.int32), pa.int32()),
+                "key": pc.take(keys, take),
+                "blob": pc.take(blobs, take),
             })
 
         return fn
