@@ -257,6 +257,37 @@ def q_near_dup_clusters_docs(sf_dir: str):
     return clusters.select_columns(["row_key", "cluster_id"])
 
 
+def q_cluster_common_tokens(sf_dir: str):
+    """Per-cluster BOILERPLATE commonality over the flagship's dup
+    clusters: for every >= 2-member cluster, the count of distinct
+    tokens present in EVERY member (the shared template core), the
+    smallest member's distinct-token count, and their ratio — the
+    'how much of this duplicate family is shared template' report
+    (stages/collection.py:cluster_common_tokens — one label-hash
+    partition sweep over skinny (label, token-hash) rows). Oracle:
+    the shared recursive cluster CTE + per-(cluster, token) document
+    frequencies, common = df == cluster size."""
+    from raydedup.pipelines.neardup import near_dup_pipeline
+    from raydedup.stages.collection import cluster_common_tokens
+
+    clusters, _ = near_dup_pipeline(_docs(sf_dir), SIMPLE_CFG,
+                                    key_cols=["doc_id"])
+    labels = clusters.select_columns(["row_key", "cluster_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "row_key": pc.cast(b["doc_id"], pa.string()),
+            "text": b["text"],
+        })
+
+    kd = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    labeled = _attach_col(kd, labels, "row_key", "cluster_id")
+    return _round_col(
+        cluster_common_tokens(labeled, id_col="row_key",
+                              text_col="text"),
+        "commonality")
+
+
 def q_near_dup_clusters_altstar(sf_dir: str):
     """Same cluster question as near_dup_clusters_docs, answered
     through the THIRD components backend: alternating large-star /
@@ -4571,6 +4602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_near_dup_pairs": q_bag_near_dup_pairs,
         "bag_near_dup_pairs_icws": q_bag_near_dup_pairs_icws,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
+        "cluster_common_tokens": q_cluster_common_tokens,
         "near_dup_clusters_altstar": q_near_dup_clusters_altstar,
         "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
         "cluster_cohesion": q_cluster_cohesion,
@@ -6274,6 +6306,52 @@ def _oracle_sql_base() -> dict[str, str]:
         "near_dup_clusters_docs": f"""
             WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE}
             SELECT row_key, cluster_id FROM clust
+        """,
+        # per-cluster boilerplate commonality: distinct (cluster, doc,
+        # token) flags, common = per-(cluster, token) doc frequency ==
+        # cluster size; empty members force min 0 / common 0 via the
+        # LEFT JOIN count
+        "cluster_common_tokens": f"""
+            WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE},
+            sizes AS (
+                SELECT cluster_id, count(*) AS n_members
+                FROM clust GROUP BY 1),
+            doctoks AS (
+                SELECT DISTINCT c.cluster_id, c.row_key, t.tok
+                FROM clust c
+                JOIN documents d ON CAST(d.doc_id AS VARCHAR) = c.row_key,
+                UNNEST(regexp_extract_all(lower(d.text),
+                                          '[0-9a-zA-Z_]+')) AS t(tok)
+            ),
+            permem AS (
+                SELECT c.cluster_id, c.row_key, count(t.tok) AS nt
+                FROM clust c LEFT JOIN doctoks t
+                  ON t.cluster_id = c.cluster_id
+                 AND t.row_key = c.row_key
+                GROUP BY 1, 2
+            ),
+            tokcnt AS (
+                SELECT cluster_id, tok, count(*) AS c
+                FROM doctoks GROUP BY 1, 2),
+            agg AS (
+                SELECT t.cluster_id,
+                       SUM(CASE WHEN t.c = s.n_members
+                                THEN 1 ELSE 0 END) AS nc
+                FROM tokcnt t JOIN sizes s USING (cluster_id)
+                GROUP BY 1
+            ),
+            mins AS (
+                SELECT cluster_id, MIN(nt) AS mn FROM permem GROUP BY 1)
+            SELECT s.cluster_id, s.n_members,
+                   CAST(COALESCE(a.nc, 0) AS BIGINT) AS n_common_tokens,
+                   m.mn AS min_member_tokens,
+                   CASE WHEN m.mn = 0 THEN 0.0
+                        ELSE round(CAST(COALESCE(a.nc, 0) AS DOUBLE)
+                                   / m.mn, {_ROUND}) END AS commonality
+            FROM sizes s
+            JOIN mins m USING (cluster_id)
+            LEFT JOIN agg a USING (cluster_id)
+            WHERE s.n_members >= 2
         """,
         "cluster_survivor_by_score": f"""
             WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE},

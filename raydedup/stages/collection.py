@@ -976,3 +976,135 @@ def hot_ngrams(ds, n: int = 5, k: int = 10, min_docs: int = 2,
              .groupby("gram").aggregate(Sum("c", alias_name="n_docs"))
              .filter(expr=f"n_docs >= {thr}"))
     return final.union(ray.data.from_arrow(out_schema.empty_table()))
+
+
+def cluster_common_tokens(labeled_ds, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          label_col: str = "cluster_id",
+                          min_members: int = 2,
+                          num_partitions: int | None = None):
+    """Per-cluster BOILERPLATE commonality report: for every duplicate
+    cluster with >= ``min_members`` members, the number of distinct
+    tokens present in EVERY member (the cluster's common template core),
+    the smallest member's distinct-token count, and their ratio — the
+    "how much of each duplicate family is shared template" table a
+    curation run reads to decide between dropping duplicates and
+    extracting the template. Output: (cluster_id, n_members,
+    n_common_tokens, min_member_tokens, commonality).
+
+    Scale shape: texts reduce per batch to skinny (label, per-doc
+    DISTINCT token-hash) rows plus one (label, n_tokens) row per member
+    (so empty members count — an empty member forces n_common = 0 and
+    min = 0), everything hash-partitions ONCE by label, and a single
+    map_groups per PARTITION lexsorts label-major and counts token runs
+    whose document frequency equals the cluster size — one all-to-all
+    over O(Σ distinct tokens) rows, vectorized run arithmetic, no
+    Python in the per-token path. Token identity is blake64 hashes
+    (the engine-wide documented collision contract); the SQL oracle
+    compares counts, which the hash preserves. Tokenizer:
+    ``simple_tokenize`` (the SQL-mirrorable contract)."""
+    import ray as _ray
+    import ray.data
+
+    from raydedup.functions.minhash import _blake64
+    from raydedup.stages.asof import _part_array
+
+    out_schema = pa.schema([
+        pa.field("cluster_id", pa.string()),
+        pa.field("n_members", pa.int64()),
+        pa.field("n_common_tokens", pa.int64()),
+        pa.field("min_member_tokens", pa.int64()),
+        pa.field("commonality", pa.float64()),
+    ])
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    n_parts = num_partitions or max(2, 2 * ncpu)
+
+    # per-worker token-hash cache (pure function values)
+    cache: dict[str, int] = {}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            pc.fill_null(batch[text_col].combine_chunks(), ""))
+        row_to_uniq = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq_sets: list[np.ndarray] = []
+        get = cache.get
+        for t in enc.dictionary.to_pylist():
+            hs = set()
+            for tok in simple_tokenize(t):
+                h = get(tok)
+                if h is None:
+                    h = _blake64(tok)
+                    cache[tok] = h
+                hs.add(h)
+            uniq_sets.append(np.fromiter(hs, dtype=np.uint64,
+                                         count=len(hs)))
+        labels = batch[label_col].to_pylist()
+        out_l: list[str] = []
+        out_h: list[int] = []
+        out_k: list[int] = []   # 1 = token row, 0 = member row
+        out_n: list[int] = []   # member row: distinct-token count
+        for lab, u in zip(labels, row_to_uniq):
+            hs = uniq_sets[u]
+            out_l.append(lab)
+            out_h.append(0)
+            out_k.append(0)
+            out_n.append(int(hs.size))
+            out_l.extend([lab] * hs.size)
+            out_h.extend(hs.tolist())
+            out_k.extend([1] * hs.size)
+            out_n.extend([0] * hs.size)
+        t = pa.table({
+            "label": pa.array(out_l, pa.string()),
+            "h": pa.array(np.array(out_h, dtype=np.uint64), pa.uint64()),
+            "kind": pa.array(out_k, pa.int8()),
+            "nt": pa.array(out_n, pa.int64()),
+        })
+        return t.append_column("__part", _part_array(t["label"], n_parts))
+
+    def sweep(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "label" not in group.column_names:
+            return out_schema.empty_table()
+        lab = np.array(group["label"].to_pylist(), dtype=object)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        nt = group["nt"].to_numpy(zero_copy_only=False)
+        # label-major order; member rows (kind 0) first within label
+        order = np.lexsort((h, kind, lab))
+        lab_s, h_s, k_s, nt_s = lab[order], h[order], kind[order], nt[order]
+        lstarts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        lends = np.r_[lstarts[1:], lab_s.size]
+        out_c, out_m, out_common, out_min = [], [], [], []
+        for s, e in zip(lstarts, lends):
+            ks = k_s[s:e]
+            n_members = int((ks == 0).sum())
+            if n_members < min_members:
+                continue
+            min_nt = int(nt_s[s:e][ks == 0].min())
+            th = h_s[s:e][ks == 1]  # sorted (lexsort minor key)
+            if th.size:
+                rs = np.flatnonzero(np.r_[True, th[1:] != th[:-1]])
+                rl = np.diff(np.r_[rs, th.size])
+                n_common = int((rl == n_members).sum())
+            else:
+                n_common = 0
+            out_c.append(str(lab_s[s]))
+            out_m.append(n_members)
+            out_common.append(n_common)
+            out_min.append(min_nt)
+        commonality = [
+            0.0 if mn == 0 else c / mn
+            for c, mn in zip(out_common, out_min)]
+        return pa.table({
+            "cluster_id": pa.array(out_c, pa.string()),
+            "n_members": pa.array(out_m, pa.int64()),
+            "n_common_tokens": pa.array(out_common, pa.int64()),
+            "min_member_tokens": pa.array(out_min, pa.int64()),
+            "commonality": pa.array(commonality, pa.float64()),
+        })
+
+    out = (labeled_ds.select_columns([id_col, text_col, label_col])
+           .map_batches(explode, batch_format="pyarrow")
+           .groupby("__part")
+           .map_groups(sweep, batch_format="pyarrow"))
+    return out.union(ray.data.from_arrow(out_schema.empty_table()))

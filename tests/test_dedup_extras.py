@@ -1357,3 +1357,37 @@ def test_bucket_verify_scancount_fuzz():
                         list(a ^ b)[:3])
 
     check()
+
+
+def test_cluster_common_tokens_planted(ray_session):
+    """Planted template families: 3 clusters whose members share a
+    known 6-token template plus per-member slots, one cluster with an
+    EMPTY member (forces common 0 / min 0), singletons excluded."""
+    from raydedup.stages.collection import cluster_common_tokens
+
+    rows = []
+    for g in range(3):
+        for m in range(3):
+            rows.append((f"g{g}m{m}", f"c{g}",
+                         f"tpl{g}a tpl{g}b tpl{g}c tpl{g}d tpl{g}e "
+                         f"tpl{g}f slot{g}{m} extra{g}{m}"))
+    rows.append(("e0", "ce", "only tokens here"))
+    rows.append(("e1", "ce", ""))          # empty member
+    rows.append(("s0", "cs", "lonely singleton text"))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "cluster_id": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    }))
+    got = {r["cluster_id"]: r for r in cluster_common_tokens(
+        ds, id_col="doc_id").take_all()}
+    assert set(got) == {"c0", "c1", "c2", "ce"}  # singleton dropped
+    for g in range(3):
+        r = got[f"c{g}"]
+        assert r["n_members"] == 3
+        assert r["n_common_tokens"] == 6      # the template
+        assert r["min_member_tokens"] == 8    # template + 2 slots
+        assert abs(r["commonality"] - 6 / 8) < 1e-12
+    r = got["ce"]
+    assert (r["n_members"], r["n_common_tokens"],
+            r["min_member_tokens"], r["commonality"]) == (2, 0, 0, 0.0)
