@@ -288,6 +288,35 @@ def q_cluster_common_tokens(sf_dir: str):
         "commonality")
 
 
+def q_cluster_template_text(sf_dir: str):
+    """Per-cluster TEMPLATE EXTRACTION over the flagship's dup
+    clusters: the tokens present in every member rendered in
+    first-occurrence order of the cluster's representative (the
+    cluster_id member — labels are min member keys), as an actual
+    boilerplate string (stages/collection.py:cluster_template_text —
+    the label-hash sweep reduced to one small row per cluster + one
+    rep-sized join). Oracle: shared recursive cluster CTE, per-token
+    document frequency == cluster size, string_agg ordered by the
+    rep's first token positions."""
+    from raydedup.pipelines.neardup import near_dup_pipeline
+    from raydedup.stages.collection import cluster_template_text
+
+    clusters, _ = near_dup_pipeline(_docs(sf_dir), SIMPLE_CFG,
+                                    key_cols=["doc_id"])
+    labels = clusters.select_columns(["row_key", "cluster_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "row_key": pc.cast(b["doc_id"], pa.string()),
+            "text": b["text"],
+        })
+
+    kd = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    labeled = _attach_col(kd, labels, "row_key", "cluster_id")
+    return cluster_template_text(labeled, id_col="row_key",
+                                 text_col="text")
+
+
 def q_near_dup_clusters_altstar(sf_dir: str):
     """Same cluster question as near_dup_clusters_docs, answered
     through the THIRD components backend: alternating large-star /
@@ -4603,6 +4632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_near_dup_pairs_icws": q_bag_near_dup_pairs_icws,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "cluster_common_tokens": q_cluster_common_tokens,
+        "cluster_template_text": q_cluster_template_text,
         "near_dup_clusters_altstar": q_near_dup_clusters_altstar,
         "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
         "cluster_cohesion": q_cluster_cohesion,
@@ -6351,6 +6381,52 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM sizes s
             JOIN mins m USING (cluster_id)
             LEFT JOIN agg a USING (cluster_id)
+            WHERE s.n_members >= 2
+        """,
+        # template extraction: common tokens (df == cluster size)
+        # string_agg'd in the REP member's first-occurrence order (the
+        # rep IS the cluster_id doc — labels are min member keys)
+        "cluster_template_text": f"""
+            WITH RECURSIVE {_DOC_SHINGLES_CTE}, {_DOC_CLUSTERS_CTE},
+            sizes AS (
+                SELECT cluster_id, count(*) AS n_members
+                FROM clust GROUP BY 1),
+            doctoks AS (
+                SELECT DISTINCT c.cluster_id, c.row_key, t.tok
+                FROM clust c
+                JOIN documents d ON CAST(d.doc_id AS VARCHAR) = c.row_key,
+                UNNEST(regexp_extract_all(lower(d.text),
+                                          '[0-9a-zA-Z_]+')) AS t(tok)
+            ),
+            tokcnt AS (
+                SELECT cluster_id, tok, count(*) AS c
+                FROM doctoks GROUP BY 1, 2),
+            reparr AS (
+                SELECT s.cluster_id, s.n_members,
+                       regexp_extract_all(lower(d.text),
+                                          '[0-9a-zA-Z_]+') AS arr
+                FROM sizes s
+                JOIN documents d
+                  ON CAST(d.doc_id AS VARCHAR) = s.cluster_id
+                WHERE s.n_members >= 2),
+            reppos AS (
+                SELECT r.cluster_id, x.i AS pos, r.arr[x.i + 1] AS tok
+                FROM reparr r, UNNEST(range(len(r.arr))) AS x(i)),
+            firstpos AS (
+                SELECT cluster_id, tok, MIN(pos) AS p
+                FROM reppos GROUP BY 1, 2),
+            tmpl AS (
+                SELECT f.cluster_id,
+                       string_agg(f.tok, ' ' ORDER BY f.p) AS template
+                FROM firstpos f
+                JOIN tokcnt t ON t.cluster_id = f.cluster_id
+                             AND t.tok = f.tok
+                JOIN sizes s ON s.cluster_id = f.cluster_id
+                WHERE t.c = s.n_members
+                GROUP BY 1)
+            SELECT s.cluster_id, s.n_members,
+                   COALESCE(m.template, '') AS template
+            FROM sizes s LEFT JOIN tmpl m USING (cluster_id)
             WHERE s.n_members >= 2
         """,
         "cluster_survivor_by_score": f"""

@@ -1108,3 +1108,164 @@ def cluster_common_tokens(labeled_ds, id_col: str = "doc_id",
            .groupby("__part")
            .map_groups(sweep, batch_format="pyarrow"))
     return out.union(ray.data.from_arrow(out_schema.empty_table()))
+
+
+def cluster_template_text(labeled_ds, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          label_col: str = "cluster_id",
+                          min_members: int = 2,
+                          num_partitions: int | None = None):
+    """Per-cluster TEMPLATE EXTRACTION: for every >= ``min_members``
+    cluster, the tokens present in EVERY member, rendered in the
+    ORDER of their first occurrence in the cluster's representative
+    (the ``cluster_id`` member — cluster labels are min member keys by
+    the engine-wide contract, so the rep needs no extra election) —
+    the actual boilerplate string a curation run can subtract or ship
+    to a template library, the text complement of
+    :func:`cluster_common_tokens`'s counts. Output: (cluster_id,
+    n_members, template).
+
+    Scale shape: phase A is the same one-shuffle label-hash sweep as
+    the commonality report, reduced to (cluster_id, n_members, packed
+    common-hash blob) — one SMALL row per cluster; phase B broadcasts
+    nothing corpus-sized: the rep rows (row_key == a cluster_id) join
+    the cluster table and each rep re-tokenizes ITS OWN text once,
+    keeping first occurrences whose blake64 hash is in the cluster's
+    common set (the engine-wide hash-identity contract)."""
+    import ray as _ray
+    import ray.data
+
+    from raydedup.functions.minhash import _blake64
+    from raydedup.stages.asof import _part_array
+
+    out_schema = pa.schema([
+        pa.field("cluster_id", pa.string()),
+        pa.field("n_members", pa.int64()),
+        pa.field("template", pa.string()),
+    ])
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    n_parts = num_partitions or max(2, 2 * ncpu)
+    cache: dict[str, int] = {}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            pc.fill_null(batch[text_col].combine_chunks(), ""))
+        row_to_uniq = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        get = cache.get
+        uniq_sets: list[np.ndarray] = []
+        for t in enc.dictionary.to_pylist():
+            hs = set()
+            for tok in simple_tokenize(t):
+                h = get(tok)
+                if h is None:
+                    h = _blake64(tok)
+                    cache[tok] = h
+                hs.add(h)
+            uniq_sets.append(np.fromiter(hs, dtype=np.uint64,
+                                         count=len(hs)))
+        labels = batch[label_col].to_pylist()
+        out_l: list[str] = []
+        out_h: list[int] = []
+        out_k: list[int] = []
+        for lab, u in zip(labels, row_to_uniq):
+            hs = uniq_sets[u]
+            out_l.append(lab)
+            out_h.append(0)
+            out_k.append(0)
+            out_l.extend([lab] * hs.size)
+            out_h.extend(hs.tolist())
+            out_k.extend([1] * hs.size)
+        t = pa.table({
+            "label": pa.array(out_l, pa.string()),
+            "h": pa.array(np.array(out_h, dtype=np.uint64), pa.uint64()),
+            "kind": pa.array(out_k, pa.int8()),
+        })
+        return t.append_column("__part", _part_array(t["label"], n_parts))
+
+    clu_schema = pa.schema([
+        pa.field("cluster_id", pa.string()),
+        pa.field("n_members", pa.int64()),
+        pa.field("common_blob", pa.binary()),
+    ])
+
+    def sweep(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "label" not in group.column_names:
+            return clu_schema.empty_table()
+        lab = np.array(group["label"].to_pylist(), dtype=object)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, kind, lab))
+        lab_s, h_s, k_s = lab[order], h[order], kind[order]
+        lstarts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        lends = np.r_[lstarts[1:], lab_s.size]
+        out_c, out_m, out_b = [], [], []
+        for s, e in zip(lstarts, lends):
+            ks = k_s[s:e]
+            n_members = int((ks == 0).sum())
+            if n_members < min_members:
+                continue
+            th = h_s[s:e][ks == 1]
+            if th.size:
+                rs = np.flatnonzero(np.r_[True, th[1:] != th[:-1]])
+                rl = np.diff(np.r_[rs, th.size])
+                common = th[rs[rl == n_members]]
+            else:
+                common = np.empty(0, np.uint64)
+            out_c.append(str(lab_s[s]))
+            out_m.append(n_members)
+            out_b.append(common.tobytes())
+        return pa.table({
+            "cluster_id": pa.array(out_c, pa.string()),
+            "n_members": pa.array(out_m, pa.int64()),
+            "common_blob": pa.array(out_b, pa.binary()),
+        })
+
+    clusters = (labeled_ds.select_columns([id_col, text_col, label_col])
+                .map_batches(explode, batch_format="pyarrow")
+                .groupby("__part")
+                .map_groups(sweep, batch_format="pyarrow")).materialize()
+
+    # phase B: rep rows (id == cluster_id) render the template in
+    # first-occurrence order; one inner hash join, rep-sized
+    reps = labeled_ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: pa.table({"cluster_id": pc.cast(b[id_col], pa.string()),
+                            "__rep_text": b[text_col]}),
+        batch_format="pyarrow")
+    from raydedup.util import join_partitions
+
+    n_clu = clusters.count()
+    if n_clu == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    jp = min(join_partitions(n_clu), max(2, 2 * ncpu))
+    joined = clusters.join(reps, join_type="inner", num_partitions=jp,
+                           on=("cluster_id",))
+
+    def render(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        get = cache.get
+        out_t: list[str] = []
+        for raw, txt in zip(b["common_blob"].to_pylist(),
+                            b["__rep_text"].to_pylist()):
+            common = np.frombuffer(raw or b"", dtype=np.uint64)
+            cs = set(common.tolist())
+            seen: set = set()
+            parts: list[str] = []
+            for tok in simple_tokenize(txt or ""):
+                hh = get(tok)
+                if hh is None:
+                    hh = _blake64(tok)
+                    cache[tok] = hh
+                if hh in cs and hh not in seen:
+                    seen.add(hh)
+                    parts.append(tok)
+            out_t.append(" ".join(parts))
+        return pa.table({
+            "cluster_id": b["cluster_id"],
+            "n_members": b["n_members"],
+            "template": pa.array(out_t, pa.string()),
+        })
+
+    out = joined.map_batches(render, batch_format="pyarrow")
+    return out.union(ray.data.from_arrow(out_schema.empty_table()))

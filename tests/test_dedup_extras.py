@@ -1391,3 +1391,31 @@ def test_cluster_common_tokens_planted(ray_session):
     r = got["ce"]
     assert (r["n_members"], r["n_common_tokens"],
             r["min_member_tokens"], r["commonality"]) == (2, 0, 0, 0.0)
+
+
+def test_cluster_template_text_planted(ray_session):
+    """Template extraction renders the common tokens in the REP's
+    first-occurrence order (rep = the cluster_id member), deduping
+    repeated template tokens and skipping slot tokens."""
+    from raydedup.stages.collection import cluster_template_text
+
+    rows = [
+        ("a1", "a1", "the quick brown fox the quick slotA1 jumps"),
+        ("a2", "a1", "jumps fox brown quick the slotA2 padA2"),
+        ("a3", "a1", "quick the jumps brown fox slotA3"),
+        ("b1", "b1", "zeta alpha slotB1"),
+        ("b2", "b1", "alpha zeta slotB2"),
+        ("solo", "solo", "nothing shared here"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "cluster_id": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    }))
+    got = {r["cluster_id"]: r for r in cluster_template_text(
+        ds, id_col="doc_id").take_all()}
+    assert set(got) == {"a1", "b1"}
+    # rep a1's first-occurrence order of {the, quick, brown, fox, jumps}
+    assert got["a1"]["template"] == "the quick brown fox jumps"
+    assert got["a1"]["n_members"] == 3
+    assert got["b1"]["template"] == "zeta alpha"  # rep b1's order
