@@ -291,7 +291,8 @@ def _hot_bucket_rs_verify(nsig, sigs_paths, hot_keys, old_counts,
     join-verify emits; duplicated (key, okey) rows across the two
     routes carry identical jaccard and reduce away in the shared
     argmax."""
-    from raydedup.stages.lsh import _fused_buckets, _bands_matrix
+    from raydedup.stages.lsh import (_fused_buckets, _bands_matrix,
+                                     _key_class_hash)
 
     hot_sorted = np.sort(hot_keys)
     so_arr = np.array(
@@ -325,22 +326,21 @@ def _hot_bucket_rs_verify(nsig, sigs_paths, hot_keys, old_counts,
             if rows.size == 0:
                 return grp_schema.empty_table()
             # one incidence per (row, DISTINCT hot bucket); everything
-            # below is vectorized — the only per-ROW python is the
-            # blake2b class hash (once per distinct source row)
+            # below is vectorized, including the salt-class identity
+            # hash (_key_class_hash over the distinct source rows)
             bk = fused[rows, bands]
-            pairkey = rows.astype(np.int64) * (1 << 32) + (
-                bk.astype(np.int64) & 0xFFFFFFFF)
+            # collision-free dedup key: dense index into the sorted hot
+            # array (NOT a truncated bucket hash — two hot buckets
+            # colliding on low bits would silently drop an incidence)
+            pos = np.searchsorted(hs, bk)
+            pairkey = rows.astype(np.int64) * np.int64(len(hs)) + pos
             _, first = np.unique(pairkey, return_index=True)
-            rows, bk = rows[first], bk[first]
+            rows, bk, pos = rows[first], bk[first], pos[first]
             keys = b["row_key"].combine_chunks()
             blobs = _lists_to_blob(b["shingle_hashes"])
-            import hashlib as _h
-
-            key_h = np.array([
-                int.from_bytes(_h.blake2b(k.encode(),
-                                          digest_size=4).digest(), "big")
-                for k in keys.to_pylist()], dtype=np.int64)
-            pos = np.searchsorted(hs, bk)
+            need = np.unique(rows)
+            key_h = np.zeros(b.num_rows, dtype=np.int64)
+            key_h[need] = _key_class_hash(pc.take(keys, pa.array(need)))
             s_self = (so if side == 1 else sn)[pos]
             s_other = (sn if side == 1 else so)[pos]
             ci_self = key_h[rows] % s_self

@@ -89,6 +89,28 @@ def _unique_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return a[keep], b[keep]
 
 
+def _key_class_hash(keys) -> np.ndarray:
+    """Vectorized 64-bit identity hash of row-key strings → nonnegative
+    int64 (salt-class assignment). Salt-class COVERAGE is exact for ANY
+    assignment (module docstring), so the kernel only needs balance and
+    within-run determinism — polars' vectorized xxhash gives both with
+    zero per-row Python; the blake2b loop is the no-polars fallback."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    try:
+        import polars as pl
+
+        h = pl.from_arrow(keys).hash(seed=0).to_numpy()
+        return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    except ImportError:  # pragma: no cover - polars is baked in
+        import hashlib
+
+        return np.array([
+            int.from_bytes(hashlib.blake2b(
+                k.encode("utf-8"), digest_size=4).digest(), "big")
+            for k in keys.to_pylist()], dtype=np.int64)
+
+
 def _bands_matrix(batch: pa.Table, b: int) -> np.ndarray:
     return (
         batch["band_hashes"].combine_chunks().flatten()
@@ -168,9 +190,10 @@ def heavy_explode(batch: pa.Table, cfg: DedupConfig,
     sgrp = np.zeros(rows_out.size, dtype=np.int64)
     salt = np.zeros(rows_out.size, dtype=np.int32)
     if hot_sizes:
-        import hashlib
-
-        limit = salt_limit or cfg.lsh_bucket_salt_above
+        limit = (cfg.lsh_bucket_salt_above if salt_limit is None
+                 else salt_limit)
+        if limit < 1:
+            raise ValueError(f"salt_limit must be >= 1, got {limit}")
         hot_here = np.isin(buckets, np.fromiter(
             hot_sizes, dtype=np.int64, count=len(hot_sizes)))
         if hot_here.any():
@@ -186,13 +209,9 @@ def heavy_explode(batch: pa.Table, cfg: DedupConfig,
             # batch once one bucket is globally hot).
             hot_pre = np.nonzero(hot_here)[0]
             need_rows = np.unique(rows_out[hot_pre])
-            keys_col = batch["row_key"]
             key_hash = np.zeros(n, dtype=np.int64)
-            for r in need_rows:
-                key_hash[r] = int.from_bytes(
-                    hashlib.blake2b(
-                        keys_col[int(r)].as_py().encode(), digest_size=4
-                    ).digest(), "big")
+            key_hash[need_rows] = _key_class_hash(
+                pc.take(batch["row_key"], pa.array(need_rows)))
             cold_idx = np.nonzero(~hot_here)[0]
             parts_r = [rows_out[cold_idx]]
             parts_b = [bands_out[cold_idx]]
@@ -679,20 +698,32 @@ def _partition_pairs(lo: np.ndarray, hi: np.ndarray) -> tuple:
     )
 
 
-@ray.remote(num_cpus=1, num_returns=_N_PARTS)
-def _pairgen_reducer(exclude, *parts):
+@ray.remote(num_cpus=1, num_returns=_N_PARTS + 1)
+def _pairgen_reducer(exclude, defer_floor, defer_budget, *parts):
     """Reducer for one bucket partition: concat the mappers' stacked
     (2, m) arrays, run run-length pair generation, dedup locally, and
     re-partition the candidate pairs by pair hash for the parallel
     cross-partition dedup+verify tasks. ``exclude`` (sorted int64 array
-    or None) drops whole bucket runs — the hybrid path verifies those
-    HOT buckets through the salted ScanCount groupby instead, so their
-    O(m^2) pair mass never enters the per-pair verify."""
+    or None) drops whole bucket runs outright.
+
+    Lazy hot-bucket deferral (``defer_floor > 0``): because incidences
+    are partitioned BY BUCKET, a run's length here is the bucket's exact
+    GLOBAL member count — so pathological boilerplate buckets are
+    detected for free, with no sampling probe or extra count pass. Runs
+    are deferred largest-pair-mass-first until the reducer's remaining
+    inline mass is within ``defer_budget`` (runs at or below
+    ``defer_floor`` members never defer — small buckets are cheaper
+    inline than through the salted ScanCount groupby). Deferred
+    (bucket, global_count) rows come back in the extra return slot; the
+    driver routes exactly those buckets through the ScanCount hot half.
+    Routing is performance-only: both routes verify exactly, so the
+    merged pair set is identical for ANY defer decision."""
     b_arr = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
     h_arr = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
     empty = np.empty((2, 0), dtype=np.int64)
+    hot_report = np.empty((2, 0), dtype=np.int64)
     if b_arr.size == 0:
-        return tuple([empty] * _N_PARTS)
+        return tuple([empty] * _N_PARTS) + (hot_report,)
     order = np.lexsort((h_arr, b_arr))
     sb, sh = b_arr[order], h_arr[order]
     starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
@@ -702,18 +733,36 @@ def _pairgen_reducer(exclude, *parts):
         hot = exclude[np.clip(np.searchsorted(exclude, rb), 0,
                               exclude.size - 1)] == rb
         starts, lens = starts[~hot], lens[~hot]
+    if defer_floor and starts.size:
+        mass = lens * (lens - 1) // 2
+        eligible = np.flatnonzero(lens > defer_floor)
+        if eligible.size:
+            by_mass = eligible[np.argsort(-mass[eligible], kind="stable")]
+            total = int(mass.sum())
+            defer_idx = []
+            for i in by_mass:
+                if total <= defer_budget:
+                    break
+                defer_idx.append(int(i))
+                total -= int(mass[i])
+            if defer_idx:
+                d = np.asarray(defer_idx, dtype=np.int64)
+                hot_report = np.stack([sb[starts[d]], lens[d]])
+                keep_run = np.ones(starts.size, dtype=bool)
+                keep_run[d] = False
+                starts, lens = starts[keep_run], lens[keep_run]
     pa_l: list = []
     pb_l: list = []
     _emit_run_pairs(sh, starts, lens, pa_l, pb_l)
     if not pa_l:
-        return tuple([empty] * _N_PARTS)
+        return tuple([empty] * _N_PARTS) + (hot_report,)
     a = np.concatenate(pa_l)
     b = np.concatenate(pb_l)
     lo = np.minimum(a, b)
     hi = np.maximum(a, b)
     lo, hi = _unique_pairs(lo, hi)
     keep = lo != hi  # same row colliding via two bands
-    return _partition_pairs(lo[keep], hi[keep])
+    return _partition_pairs(lo[keep], hi[keep]) + (hot_report,)
 
 
 def _batch_intersections(blocks, ba, ra, bb, rb) -> tuple:
@@ -865,7 +914,9 @@ def _dedup_verify_task(min_jaccard: float, n_bundles: int, *flat) -> pa.Table:
 
 
 def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float,
-                        exclude_buckets: np.ndarray | None = None):
+                        exclude_buckets: np.ndarray | None = None,
+                        defer_hot: bool = False,
+                        defer_budget: int | None = None):
     """Single-node-fast LSH tail as a hand-rolled ref-based shuffle: every
     phase (partitioned light explode, per-bucket-partition pair
     generation, pair-hash-partitioned cross dedup + verification) runs in
@@ -875,7 +926,14 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float,
     scaling criterion actually measures). The verified pair tables feed
     ``from_arrow_refs`` directly. (The co-partitioned Dataset groupby
     path is the default for corpora whose exploded bucket membership
-    outgrows single-machine memory.)"""
+    outgrows single-machine memory.)
+
+    With ``defer_hot=True`` returns ``(pairs_ds, hot_keys, hot_sizes)``:
+    the reducers skip pathologically hot bucket runs (exact global
+    counts — each bucket lives wholly in one reducer partition) and
+    report them; the caller verifies those through the salted ScanCount
+    groupby (``_hot_scan_pairs``) and merges distinct. Healthy corpora
+    report nothing and pay nothing — there is no probe pass."""
     import ray.data as rd
 
     block_refs = rep_sigs_ds.materialize().to_arrow_refs()
@@ -889,14 +947,16 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float,
     ]
 
     # reducers get only their own bucket partition's refs; each returns
-    # its candidate pairs re-partitioned by pair hash
+    # its candidate pairs re-partitioned by pair hash (+ a hot report)
     excl_ref = ray.put(exclude_buckets)
+    defer_floor = 2 * cfg.lsh_bucket_salt_above if defer_hot else 0
+    if defer_budget is None:
+        defer_budget = _HYBRID_PAIR_MASS // _N_PARTS
     red_futs = [
-        _pairgen_reducer.remote(excl_ref, *[f[p] for f in map_futs])
+        _pairgen_reducer.remote(excl_ref, defer_floor, defer_budget,
+                                *[f[p] for f in map_futs])
         for p in range(_N_PARTS)
     ]
-    if _N_PARTS == 1:
-        red_futs = [[r] for r in red_futs]
 
     # per-bundle store arrays passed straight through as top-level refs
     store_refs = [
@@ -911,84 +971,38 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float,
         )
         for q in range(_N_PARTS)
     ]
-    return rd.from_arrow_refs(ver_futs)
+    pairs_ds = rd.from_arrow_refs(ver_futs)
+    if not defer_hot:
+        return pairs_ds
+    # hot reports are tiny ((2, h) per reducer); reducers finish before
+    # the already-submitted verify tasks, so this sync adds no pass
+    reports = ray.get([r[_N_PARTS] for r in red_futs])
+    hk = np.concatenate([r[0] for r in reports])
+    hn = np.concatenate([r[1] for r in reports])
+    order = np.argsort(hk)  # buckets are unique across reducer partitions
+    hot_keys = hk[order]
+    hot_sizes = dict(zip(hot_keys.tolist(), hn[order].tolist()))
+    return pairs_ds, hot_keys, hot_sizes
 
 
-def _estimate_hot_pair_mass(rep_sigs_ds, cfg: DedupConfig,
-                            n_reps: int) -> int:
-    """Sampled estimate of Σ C(m, 2) over pathologically hot buckets.
-
-    RANDOM sample, not a prefix: duplicate families are LOCAL (adjacent
-    rows), so a contiguous prefix contains whole families and the 1/f
-    scale-up overestimates their buckets ~1/f-fold; random sampling
-    thins local structure to ~zero while a corpus-WIDE hot bucket keeps
-    its proportional share. Only buckets with >= 8 sampled hits enter
-    the estimate (Poisson-noise floor); smaller buckets' aggregate mass
-    is the healthy regime the driver path already handles."""
-    frac = min(1.0, 100_000 / n_reps)
-    arrs = []
-    for b in (rep_sigs_ds.random_sample(frac, seed=17)
-              .map_batches(lambda t: light_explode(t, cfg),
-                           batch_format="pyarrow")
-              .iter_batches(batch_size=1 << 20,
-                            batch_format="pyarrow")):
-        arrs.append(b["bucket"].to_numpy())
-    if not arrs or not sum(a.size for a in arrs):
-        return 0
-    _, c = np.unique(np.concatenate(arrs), return_counts=True)
-    big = c[c >= 8].astype(np.float64) / frac
-    return int((big * (big - 1) / 2).sum())
-
-
-# estimated hot-bucket pair mass above which the driver path's per-pair
-# verify would dominate and the hybrid (hot buckets → salted ScanCount
-# groupby, cold buckets → driver ref-shuffle) takes over. ~20M pairs ≈
-# a few seconds of per-pair verify at 32 cpus — below it the plain
-# driver path wins on fixed costs, above it quadratically loses.
+# hot-bucket pair mass above which a reducer starts deferring its
+# largest runs to the salted ScanCount groupby (split across _N_PARTS
+# reducers — bucket-hash partitioning spreads mass ~uniformly, so the
+# per-reducer budget reproduces a ~20M global trigger: a few seconds of
+# per-pair verify at 32 cpus). Below it the plain driver path wins on
+# fixed costs, above it quadratically loses.
 _HYBRID_PAIR_MASS = 20_000_000
 
 
-def _hybrid_pair_verify(rep_sigs_ds, cfg: DedupConfig, thr: float):
-    """Per-BUCKET routing for corpora with pathological boilerplate: the
-    partial-count pass identifies buckets above the salt limit; those
-    HOT buckets verify through the salted (bucket, sgrp) groupby whose
-    ScanCount kernel costs posting-list time (Σ|A∩B|, ~1/9 of per-pair
-    merges on template-heavy candidates), while every COLD bucket runs
-    the normal driver ref-shuffle with the hot runs excluded. A pair
-    whose first shared band is hot but that also shares a later cold
-    band is emitted by both halves (the first-band rule only dedups
-    within the hot half), so the union aggregates distinct — jaccard is
-    exact and identical on both routes."""
-    import ray.data as rd
-    from ray.data.aggregate import Min
-
-    def partial(batch: pa.Table) -> pa.Table:
-        u, c = np.unique(batch["bucket"].to_numpy(), return_counts=True)
-        return pa.table(
-            {"bucket": pa.array(u), "n": pa.array(c.astype(np.int64))}
-        )
-
-    light = rep_sigs_ds.map_batches(
-        lambda t: light_explode(t, cfg),
-        batch_format="pyarrow", batch_size=cfg.batch_size)
-    bucket_arrs, count_arrs = [], []
-    for b in light.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ):
-        bucket_arrs.append(b["bucket"].to_numpy())
-        count_arrs.append(b["n"].to_numpy())
-    if not bucket_arrs:
-        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
-    all_b = np.concatenate(bucket_arrs)
-    all_c = np.concatenate(count_arrs)
-    u, inv = np.unique(all_b, return_inverse=True)
-    totals = np.bincount(inv, weights=all_c)
-    hot = totals > cfg.lsh_bucket_salt_above
-    hot_keys = np.sort(u[hot])
-    if hot_keys.size == 0:
-        return _driver_pair_verify(rep_sigs_ds, cfg, thr)
-    hot_sizes = dict(zip(
-        u[hot].tolist(), totals[hot].astype(np.int64).tolist()))
+def _hot_scan_pairs(rep_sigs_ds, cfg: DedupConfig, thr: float,
+                    hot_keys: np.ndarray, hot_sizes: dict[int, int]):
+    """Verify the DEFERRED hot buckets through the salted (bucket, sgrp)
+    groupby whose ScanCount kernel costs posting-list time (Σ|A∩B|,
+    ~1/9 of per-pair merges on template-heavy candidates). A pair whose
+    first shared band is hot but that also shares a later cold band is
+    emitted by both halves (the first-band rule only dedups within the
+    hot half), so the caller merges distinct — jaccard is exact and
+    identical on both routes."""
     surv_ref = ray.put((hot_keys, hot_sizes))
     # ScanCount groups tolerate ~4x larger salt classes than the triu
     # kernel (cost is posting mass, invariant to the split) — the
@@ -1007,10 +1021,15 @@ def _hybrid_pair_verify(rep_sigs_ds, cfg: DedupConfig, thr: float):
     def verify_bucket(group: pa.Table) -> pa.Table:
         return bv(group)
 
-    hot_pairs = exploded.groupby(["bucket", "sgrp"]).map_groups(
+    return exploded.groupby(["bucket", "sgrp"]).map_groups(
         verify_bucket, batch_format="pyarrow")
-    cold_pairs = _driver_pair_verify(rep_sigs_ds, cfg, thr,
-                                     exclude_buckets=hot_keys)
+
+
+def _merge_distinct_pairs(hot_pairs, cold_pairs):
+    """Union the hot/cold halves and aggregate distinct (both routes are
+    exact, so a doubly-emitted pair carries identical jaccard)."""
+    from ray.data.aggregate import Min
+
     merged = (hot_pairs.union(cold_pairs)
               .groupby(["a_key", "b_key"])
               .aggregate(Min("jaccard", alias_name="jaccard")))
@@ -1036,29 +1055,32 @@ def lsh_verified_pairs(rep_sigs_ds, cfg: DedupConfig,
     ref-shuffle below ``cfg.lsh_driver_max_rows`` representatives (lowest
     serial overhead), the co-partitioned Dataset path above it — so the
     pipeline that runs by default at scale IS the scale pipeline. Below
-    the cutover a sampled probe estimates the HOT-bucket pair mass; past
-    ``_HYBRID_PAIR_MASS`` the hybrid route verifies hot buckets through
-    the salted ScanCount groupby and everything else through the driver
-    path (exact either way — the probe only affects performance)."""
+    the cutover the driver path defers pathologically hot buckets
+    LAZILY: its bucket-partitioned reducers see exact global bucket
+    sizes for free and report runs past the per-reducer pair-mass
+    budget, which then verify through the salted ScanCount groupby
+    (``_hot_scan_pairs``) and merge distinct — exact either way, no
+    probe pass, and healthy corpora pay nothing."""
     thr = cfg.jaccard_dup_threshold if min_jaccard is None else min_jaccard
     rep_sigs_ds = rep_sigs_ds.materialize()
-    hybrid = False
     if copartition_verify is None:
         n_reps = rep_sigs_ds.count()
         copartition_verify = n_reps > cfg.lsh_driver_max_rows
-        if (not copartition_verify
-                and thr > 0
-                and n_reps > 8 * cfg.lsh_bucket_salt_above):
-            hybrid = (_estimate_hot_pair_mass(rep_sigs_ds, cfg, n_reps)
-                      > _HYBRID_PAIR_MASS)
         if distributed_counts is None:
             distributed_counts = n_reps > cfg.lsh_driver_max_rows
     if distributed_counts is None:
         distributed_counts = False
     if not copartition_verify:
-        if hybrid:
-            return _hybrid_pair_verify(rep_sigs_ds, cfg, thr)
-        return _driver_pair_verify(rep_sigs_ds, cfg, thr)
+        if thr <= 0:
+            # no threshold to prune by → ScanCount's count bound is
+            # vacuous; run everything through the per-pair verify
+            return _driver_pair_verify(rep_sigs_ds, cfg, thr)
+        cold, hot_keys, hot_sizes = _driver_pair_verify(
+            rep_sigs_ds, cfg, thr, defer_hot=True)
+        if hot_keys.size == 0:
+            return cold
+        hot = _hot_scan_pairs(rep_sigs_ds, cfg, thr, hot_keys, hot_sizes)
+        return _merge_distinct_pairs(hot, cold)
 
     # materialized once: the skinny (bucket, row_key) explode is consumed
     # twice (count pass + surviving-membership collect)

@@ -659,7 +659,12 @@ def value_deciles(ds, value_col: str, k: int = 10,
     pass over the same materialized blocks adds offset + local cumsum
     (the ordered.py partition-boundary-carry idiom), and the resulting
     (value, bucket) table attaches to the corpus through a distributed
-    hash join. Both paths produce identical buckets."""
+    hash join. Both paths produce identical buckets.
+
+    Contract: ``value_col`` must be NON-NULL (a null has no rank in a
+    cumulative distribution; the two paths would otherwise diverge —
+    the join drops nulls, the driver paint would crash). Both paths
+    assert this explicitly on the distinct-value table."""
     if k < 1:
         raise ValueError("k must be >= 1")
     counts = ds.groupby(value_col).count().materialize()
@@ -670,8 +675,12 @@ def value_deciles(ds, value_col: str, k: int = 10,
         return ds.map_batches(noop, batch_format="pyarrow")
 
     if n_distinct <= driver_max_distinct:
-        rows = sorted((r[value_col], r["count()"])
-                      for r in counts.iter_rows())
+        rows = [(r[value_col], r["count()"]) for r in counts.iter_rows()]
+        if any(v is None for v, _ in rows):
+            raise ValueError(
+                "value_deciles: value_col contains nulls (non-null "
+                "contract — see docstring)")
+        rows.sort()
         n = sum(m for _, m in rows)
         vals = pa.array([v for v, _ in rows])
         cum = np.cumsum([m for _, m in rows], dtype=np.int64)
@@ -696,6 +705,10 @@ def value_deciles(ds, value_col: str, k: int = 10,
     sorted_counts = counts.sort(value_col).materialize()
 
     def block_summary(b: pa.Table) -> pa.Table:
+        if b[value_col].null_count:
+            raise ValueError(
+                "value_deciles: value_col contains nulls (non-null "
+                "contract — see docstring)")
         if b.num_rows == 0:
             return pa.table({"lo": pa.array([], b[value_col].type),
                              "rows_total": pa.array([], pa.int64())})

@@ -319,12 +319,14 @@ def test_random_corpus_fuzz_vs_oracle():
 
 
 def test_hybrid_hot_cold_verify_matches_driver(ray_session):
-    """The hybrid route (hot buckets → salted ScanCount groupby, cold
-    buckets → driver ref-shuffle with hot runs excluded, union distinct)
-    must emit exactly the driver path's pair set on a corpus that mixes
-    a planted HOT family (far above the salt limit) with ordinary cold
-    near-dup families."""
-    from raydedup.stages.lsh import _driver_pair_verify, _hybrid_pair_verify
+    """The lazy-defer route (reducers defer hot bucket runs → salted
+    ScanCount groupby; remaining cold runs → driver ref-shuffle; union
+    distinct) must emit exactly the plain driver path's pair set on a
+    corpus that mixes a planted HOT family (far above the salt limit)
+    with ordinary cold near-dup families."""
+    from raydedup.stages.lsh import (_driver_pair_verify,
+                                     _hot_scan_pairs,
+                                     _merge_distinct_pairs)
 
     cfg = DEFAULT_CONFIG.with_overrides(lsh_bucket_salt_above=40)
     base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
@@ -357,8 +359,16 @@ def test_hybrid_hot_cold_verify_matches_driver(ray_session):
         ["row_key", "band_hashes", "shingle_hashes", "n_shingles"]
     ).materialize()
     thr = cfg.jaccard_dup_threshold
+    # tiny budget forces the reducers to defer the 260-member hot family
+    # (mass ~33.7k pairs) while the 4-member cold runs stay inline
+    cold_ds, hot_keys, hot_sizes = _driver_pair_verify(
+        reps, cfg, thr, defer_hot=True, defer_budget=1000)
+    assert hot_keys.size > 0, "planted hot family must be deferred"
+    assert max(hot_sizes.values()) >= 200  # reported global run sizes
+    merged = _merge_distinct_pairs(
+        _hot_scan_pairs(reps, cfg, thr, hot_keys, hot_sizes), cold_ds)
     hybrid = {(r["a_key"], r["b_key"], round(r["jaccard"], 9))
-              for r in _hybrid_pair_verify(reps, cfg, thr).take_all()}
+              for r in merged.take_all()}
     driver = {(r["a_key"], r["b_key"], round(r["jaccard"], 9))
               for r in _driver_pair_verify(reps, cfg, thr).take_all()}
     assert hybrid == driver
