@@ -36,51 +36,73 @@ SIMPLE_CFG = DEFAULT_CONFIG.with_overrides(stemming=False, remove_stopwords=Fals
 _ROUND = 6
 
 
+def _round_vals(v: np.ndarray, nudge: float = 0.0) -> np.ndarray:
+    """Correctly-rounded half-away-from-zero to ``_ROUND`` decimals,
+    bit-for-bit equal to Decimal half-up quantize (= DuckDB ``round()``).
+
+    pc.round can land one ulp off (breaks value comparison when the two
+    sides sum in different orders) and Python round() breaks ties
+    half-to-even, so the reference semantics are Decimal's. The hot path
+    is the vectorized kernel sign(x) * floor(|x|*1e6 + 0.5) / 1e6, which
+    can only misdecide when the float product |x|*1e6 sits within its
+    own ~ulp error of a .5 tie boundary — exactly those values (plus
+    signed zeros and non-finites) fall back to per-value Decimal, a
+    vanishing minority on real score columns.
+
+    ``nudge`` is for measures whose engine arithmetic takes a different
+    FP path than the oracle (e.g. LSI via SVD vs. direct BoW cosine):
+    when a true value is an exact half-boundary dyadic rational, 1e-16
+    ulp noise flips the rounded digit; adding the same tiny epsilon on
+    BOTH sides (round(v + nudge) here, round(v + nudge) in SQL) moves
+    ties off the boundary consistently."""
+    scale = 10.0 ** _ROUND
+    x = v + nudge if nudge else v.astype(np.float64, copy=True)
+    ax = np.abs(x) * scale
+    with np.errstate(invalid="ignore"):
+        res = np.where(x < 0, -1.0, 1.0) * np.floor(ax + 0.5) / scale
+        # guard band: distance of |x|*1e6 from its nearest .5 tie
+        # boundary, in (generous) ulps of the product
+        d = np.abs((ax + 0.5) - np.floor(ax + 0.5) - 0.5)
+        unsafe = np.abs(d - 0.5) <= np.maximum(1e-9, ax * 1e-12)
+    unsafe |= ~np.isfinite(x) | ((ax == 0) & np.signbit(x))
+    if unsafe.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        quant = Decimal(1).scaleb(-_ROUND)
+        idx = np.flatnonzero(unsafe)
+        res[idx] = [
+            float(Decimal(float(v[i]) + nudge).quantize(
+                quant, rounding=ROUND_HALF_UP))
+            for i in idx
+        ]
+    return res
+
+
+def _round_arr(arr, nudge: float = 0.0) -> pa.Array:
+    """Arrow float column → rounded float64 array, nulls preserved."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    if arr.null_count:
+        mask = np.asarray(pc.is_null(arr))
+        vals = np.where(mask, 0.0, vals)
+        return pa.array(_round_vals(vals, nudge), type=pa.float64(),
+                        mask=mask)
+    return pa.array(_round_vals(vals, nudge), type=pa.float64())
+
+
 def _round_col(ds, col, nudge: float = 0.0):
-    from decimal import ROUND_HALF_UP, Decimal
-
-    quant = Decimal(1).scaleb(-_ROUND)
-
     def r(batch: pa.Table) -> pa.Table:
         i = batch.schema.get_field_index(col)
-        # Decimal half-up quantize = correctly-rounded half-away-from-zero,
-        # matching DuckDB's round() bit-for-bit; pc.round can land one ulp
-        # off (breaks value comparison when the two sides sum in different
-        # orders) and Python round() breaks ties half-to-even. `nudge` is
-        # for measures whose engine arithmetic takes a different FP path
-        # than the oracle (e.g. LSI via SVD vs. direct BoW cosine): when a
-        # true value is an exact half-boundary dyadic rational, 1e-16 ulp
-        # noise flips the rounded digit; adding the same tiny epsilon on
-        # BOTH sides (round(v + nudge) here, round(v + nudge) in SQL)
-        # moves ties off the boundary consistently.
-        vals = batch[col].to_pylist()
-        rounded = pa.array(
-            [
-                None if v is None
-                else float(Decimal(v + nudge).quantize(quant,
-                                                       rounding=ROUND_HALF_UP))
-                for v in vals
-            ],
-            type=pa.float64(),
-        )
-        return batch.set_column(i, col, rounded)
+        return batch.set_column(i, col, _round_arr(batch[col], nudge))
 
     return ds.map_batches(r, batch_format="pyarrow")
 
 
 def _round_tbl(tbl: pa.Table, col: str) -> pa.Table:
     """_round_col for an in-memory (small) pyarrow Table result."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    quant = Decimal(1).scaleb(-_ROUND)
     i = tbl.schema.get_field_index(col)
-    rounded = pa.array(
-        [None if v is None
-         else float(Decimal(v).quantize(quant, rounding=ROUND_HALF_UP))
-         for v in tbl[col].to_pylist()],
-        type=pa.float64(),
-    )
-    return tbl.set_column(i, col, rounded)
+    return tbl.set_column(i, col, _round_arr(tbl[col]))
 
 
 def _docs(sf_dir: str):

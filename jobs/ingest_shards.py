@@ -60,6 +60,18 @@ def main(argv=None) -> int:
                         "every N ingested shards, and once at the end "
                         "(0 = never; compaction is crash-safe and "
                         "idempotent, see compact_dedup_index)")
+    p.add_argument("--auto-compact", action="store_true",
+                   help="service-shaped compaction policy driven by "
+                        "MEASURED index state instead of a hand-chosen "
+                        "cadence: after each extend, compact when the "
+                        "non-base generations' combined row count "
+                        "reaches the base generation's (geometric / "
+                        "LSM-style — total compaction work stays "
+                        "O(total rows x log shards) and the generation "
+                        "count stays <= 2 + log2(shards), bounding "
+                        "per-generation probe overhead to a small "
+                        "constant factor), or unconditionally past "
+                        "8 generations (skewed-shard safety bound)")
     args = p.parse_args(argv)
 
     import ray
@@ -80,6 +92,7 @@ def main(argv=None) -> int:
     from raydedup.config import DEFAULT_CONFIG
     from raydedup.stages.incremental import (
         _META_FILE,
+        _count_rows,
         build_dedup_index,
         compact_dedup_index,
         dedup_against_index,
@@ -100,7 +113,8 @@ def main(argv=None) -> int:
     shard_files = sorted(
         f for f in os.listdir(args.shards) if f.endswith(".parquet"))
     os.makedirs(args.labels_out, exist_ok=True)
-    counters: dict = {"shards": {}, "skipped": 0}
+    counters: dict = {"shards": {}, "skipped": 0,
+                      "auto_compactions": 0, "max_generations_probed": 0}
     manifest = None
     for fname in shard_files:
         shard_id = fname[: -len(".parquet")]
@@ -108,6 +122,11 @@ def main(argv=None) -> int:
         shard = ray.data.read_parquet(
             os.path.join(args.shards, fname),
             columns=[args.key_col, args.text_col])
+        with open(os.path.join(args.index, _META_FILE)) as fh:
+            n_gens_probed = len(json.load(fh)["generations"])
+        counters["max_generations_probed"] = max(
+            counters["max_generations_probed"], n_gens_probed)
+        t_probe = time.time()
         if os.path.exists(out_dir):
             # labels already published — reuse them so the (idempotent)
             # extend below can still replay after a mid-shard crash
@@ -124,6 +143,7 @@ def main(argv=None) -> int:
             os.makedirs(tmp, exist_ok=True)
             os.replace(tmp, out_dir)
             labels = ray.data.read_parquet(out_dir)
+        probe_sec = round(time.time() - t_probe, 3)
         manifest = extend_dedup_index(
             shard, args.index, labels, cfg, key_cols=[args.key_col],
             text_col=args.text_col, statuses=statuses,
@@ -135,9 +155,23 @@ def main(argv=None) -> int:
                 by[s] += int(pc.sum(pc.cast(pc.equal(
                     b["status"], pa.scalar(s)), pa.int64())).as_py() or 0)
         counters["shards"][shard_id] = by
+        # timing/state evidence lives OUTSIDE the per-shard label counts
+        # (those must replay byte-identical on a resumed run)
+        counters.setdefault("probe_evidence", {})[shard_id] = {
+            "probe_sec": probe_sec, "generations_probed": n_gens_probed}
         if (args.compact_every
                 and len(counters["shards"]) % args.compact_every == 0):
             manifest = compact_dedup_index(args.index, cfg)
+        elif args.auto_compact and len(manifest["generations"]) > 1:
+            # measured-state policy (no hand-chosen cadence): per-gen
+            # row counts come from parquet footers only
+            rows = [_count_rows(os.path.join(args.index, g))
+                    for g in manifest["generations"]]
+            base = max(rows)
+            tail = sum(rows) - base
+            if (tail > 0 and tail >= base) or len(rows) > 8:
+                manifest = compact_dedup_index(args.index, cfg)
+                counters["auto_compactions"] += 1
 
     if args.compact_every and manifest:
         manifest = compact_dedup_index(args.index, cfg)
