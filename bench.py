@@ -62,18 +62,23 @@ def run_bench() -> dict:
     # The timed DAG then includes expansion compute — documented with
     # the capacity records in BASELINE.md.
     stream_expand = bool(os.environ.get("BENCH_STREAM_EXPAND"))
+    # BENCH_EXPAND_BLOCKS: source fan-out = signature task count (the
+    # 8→32 cache-warmup experiment knob; BASELINE.md session notes)
+    n_blocks = int(os.environ.get("BENCH_EXPAND_BLOCKS", "64"))
     if stream_expand:
         import pyarrow.parquet as pq
 
         n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
         n_turns = n_docs * repeats
-        ts_warm = expand_documents_to_transcripts(sf_dir, repeats)  # lazy
+        ts_warm = expand_documents_to_transcripts(
+            sf_dir, repeats, num_blocks=n_blocks)  # lazy
         # warm the page cache on the (small) source parquet only
         ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["doc_id"]).count()
     else:
         # warm the page cache (untimed read) — measure compute, not cold IO
-        ts_warm = expand_documents_to_transcripts(sf_dir, repeats).materialize()
+        ts_warm = expand_documents_to_transcripts(
+            sf_dir, repeats, num_blocks=n_blocks).materialize()
         n_turns = ts_warm.count()
 
     # headline = min of BENCH_HEADLINE_PASSES full-DAG passes (default 2):

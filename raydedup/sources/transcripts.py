@@ -112,7 +112,8 @@ def transcripts_from_documents(sf_dir: str):
     return docs.map_batches(derive, batch_format="pyarrow")
 
 
-def expand_documents_to_transcripts(sf_dir: str, repeats: int = 8):
+def expand_documents_to_transcripts(sf_dir: str, repeats: int = 8,
+                                    num_blocks: int = 64):
     """Bench-scale deterministic expansion with CONSTANT duplicate-family
     size: each doc becomes ``repeats`` turns organized as groups of 8;
     each group gets a unique salt phrase (pushing cross-group shingle
@@ -122,12 +123,16 @@ def expand_documents_to_transcripts(sf_dir: str, repeats: int = 8):
     throughput). Within a group: members 0-1 are verbatim (one exact-dup
     pair), members 2-7 rewrite m-1 words (graded near dups). Pure
     map_batches, no driver loop, no RNG.
+
+    ``num_blocks`` sets the source fan-out and therefore the signature
+    task count (block fan-out is the source's job — neardup.py note);
+    the 8→32-cpu scaling experiment varies it via BENCH_EXPAND_BLOCKS.
     """
     import ray.data
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"],
-                                 override_num_blocks=64)
+                                 override_num_blocks=num_blocks)
 
     def expand(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
