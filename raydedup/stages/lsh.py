@@ -951,7 +951,7 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float,
     excl_ref = ray.put(exclude_buckets)
     defer_floor = 2 * cfg.lsh_bucket_salt_above if defer_hot else 0
     if defer_budget is None:
-        defer_budget = _HYBRID_PAIR_MASS // _N_PARTS
+        defer_budget = _DEFER_BUDGET_PER_REDUCER
     red_futs = [
         _pairgen_reducer.remote(excl_ref, defer_floor, defer_budget,
                                 *[f[p] for f in map_futs])
@@ -986,12 +986,19 @@ def _driver_pair_verify(rep_sigs_ds, cfg: DedupConfig, min_jaccard: float,
 
 
 # hot-bucket pair mass above which a reducer starts deferring its
-# largest runs to the salted ScanCount groupby (split across _N_PARTS
-# reducers — bucket-hash partitioning spreads mass ~uniformly, so the
-# per-reducer budget reproduces a ~20M global trigger: a few seconds of
-# per-pair verify at 32 cpus). Below it the plain driver path wins on
-# fixed costs, above it quadratically loses.
+# largest runs to the salted ScanCount groupby. PER-REDUCER budget, set
+# to 1/4 of the round-4 hybrid's 20M GLOBAL trigger — NOT 20M/_N_PARTS:
+# pathological boilerplate mass concentrates in a handful of buckets
+# (and therefore reducers), so a uniform split would fire on healthy
+# corpora whose few-M-pair family buckets the inline path chews through
+# faster than the ScanCount half's ~2-3 s fixed cost (measured: the
+# weighted-bag bench corpora carry 0.8k-1.9k-member buckets ≈ 2M pairs
+# per hottest reducer and regressed 1.7-2x under a 625k budget). 5M
+# pairs ≈ the point where the reducer's own pairgen materialization
+# (16 B x 2 per pair) plus the downstream verify mass clearly exceed
+# that fixed cost.
 _HYBRID_PAIR_MASS = 20_000_000
+_DEFER_BUDGET_PER_REDUCER = _HYBRID_PAIR_MASS // 4
 
 
 def _hot_scan_pairs(rep_sigs_ds, cfg: DedupConfig, thr: float,
