@@ -9361,69 +9361,58 @@ def _oracle_sql_base() -> dict[str, str]:
             bcnts AS (SELECT doc_id, t, count(*) AS c
                       FROM btoks GROUP BY 1, 2),
             btot AS (SELECT doc_id, sum(c) AS n FROM bcnts GROUP BY 1),
-            binter AS (
+            binter AS MATERIALIZED (
                 SELECT a.doc_id AS ai, b.doc_id AS bi,
                        sum(least(a.c, b.c)) AS m
                 FROM bcnts a JOIN bcnts b
                   ON a.t = b.t AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             ),
-            bagpairs AS (
+            bagpairs AS MATERIALIZED (
                 SELECT i.ai, i.bi
                 FROM binter i
                 JOIN btot x ON x.doc_id = i.ai
                 JOIN btot y ON y.doc_id = i.bi
                 WHERE CAST(i.m AS DOUBLE) / (x.n + y.n - i.m) >= 0.8
             ),
-            carrs AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
-                           AS arr
-                FROM documents
+            -- containment edges BETWEEN exact-text reps, reusing the
+            -- shared shingles/pair_common CTEs: containment is a pure
+            -- function of text, and rep↔member connectivity is already
+            -- carried by the exact edges in the closure, so component
+            -- counts and min-key labels are identical to the
+            -- all-members formulation — which re-derived shingles over
+            -- EVERY doc and self-joined the full posting lists
+            -- (common-shingle blowup; the sf0.1 ablation oracle spilled
+            -- >75 GB of DuckDB temp and died on disk)
+            contpairs AS MATERIALIZED (
+                SELECT p.a_id AS ai, p.b_id AS bi
+                FROM pair_common p JOIN shsize x ON x.doc_id = p.a_id
+                WHERE x.n >= 5 AND CAST(p.c AS DOUBLE) / x.n >= 0.9
+                UNION
+                SELECT p.b_id, p.a_id
+                FROM pair_common p JOIN shsize x ON x.doc_id = p.b_id
+                WHERE x.n >= 5 AND CAST(p.c AS DOUBLE) / x.n >= 0.9
             ),
-            csl AS (
-                SELECT doc_id,
-                       CASE WHEN len(arr) > 3 THEN
-                           list_transform(range(len(arr) - 2),
-                               i -> arr[i + 1] || ' ' || arr[i + 2]
-                                    || ' ' || arr[i + 3])
-                       ELSE [array_to_string(arr, ' ')] END AS shl
-                FROM carrs WHERE len(arr) > 0
-            ),
-            csh AS (SELECT DISTINCT doc_id, s.sh
-                    FROM csl, UNNEST(shl) AS s(sh)),
-            csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
-            cinter AS (
-                SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
-                FROM csh a JOIN csh b
-                  ON a.sh = b.sh AND a.doc_id <> b.doc_id
-                GROUP BY 1, 2
-            ),
-            contpairs AS (
-                SELECT i.ai, i.bi
-                FROM cinter i JOIN csz x ON x.doc_id = i.ai
-                WHERE x.n >= 5 AND CAST(i.c AS DOUBLE) / x.n >= 0.9
-            ),
-            exe AS (
+            exe AS MATERIALIZED (
                 SELECT CAST(a.doc_id AS VARCHAR) AS ak,
                        CAST(b.doc_id AS VARCHAR) AS bk
                 FROM documents a JOIN documents b
                   ON a.text = b.text AND a.doc_id <> b.doc_id
             ),
-            ne AS (SELECT CAST(a_id AS VARCHAR) AS ak,
+            ne AS MATERIALIZED (SELECT CAST(a_id AS VARCHAR) AS ak,
                           CAST(b_id AS VARCHAR) AS bk FROM near_pairs),
-            be AS (SELECT CAST(ai AS VARCHAR) AS ak,
+            be AS MATERIALIZED (SELECT CAST(ai AS VARCHAR) AS ak,
                           CAST(bi AS VARCHAR) AS bk FROM bagpairs),
-            ce AS (SELECT CAST(ai AS VARCHAR) AS ak,
+            ce AS MATERIALIZED (SELECT CAST(ai AS VARCHAR) AS ak,
                           CAST(bi AS VARCHAR) AS bk FROM contpairs),
-            e1 AS (SELECT ak, bk FROM exe UNION SELECT bk, ak FROM exe),
-            e2 AS (SELECT * FROM e1
+            e1 AS MATERIALIZED (SELECT ak, bk FROM exe UNION SELECT bk, ak FROM exe),
+            e2 AS MATERIALIZED (SELECT * FROM e1
                    UNION SELECT ak, bk FROM ne
                    UNION SELECT bk, ak FROM ne),
-            e3 AS (SELECT * FROM e2
+            e3 AS MATERIALIZED (SELECT * FROM e2
                    UNION SELECT ak, bk FROM be
                    UNION SELECT bk, ak FROM be),
-            e4 AS (SELECT * FROM e3
+            e4 AS MATERIALIZED (SELECT * FROM e3
                    UNION SELECT ak, bk FROM ce
                    UNION SELECT bk, ak FROM ce),
             base AS (SELECT CAST(doc_id AS VARCHAR) AS node
@@ -9465,54 +9454,43 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "unified_dedup_clusters": f"""
             WITH RECURSIVE {_DOC_SHINGLES_CTE},
-            btoks AS (SELECT doc_id, t.t FROM arrs, UNNEST(arr) AS t(t)),
-            bcnts AS (SELECT doc_id, t, count(*) AS c
+            btoks AS MATERIALIZED (SELECT doc_id, t.t FROM arrs, UNNEST(arr) AS t(t)),
+            bcnts AS MATERIALIZED (SELECT doc_id, t, count(*) AS c
                       FROM btoks GROUP BY 1, 2),
-            btot AS (SELECT doc_id, sum(c) AS n FROM bcnts GROUP BY 1),
-            binter AS (
+            btot AS MATERIALIZED (SELECT doc_id, sum(c) AS n FROM bcnts GROUP BY 1),
+            binter AS MATERIALIZED (
                 SELECT a.doc_id AS ai, b.doc_id AS bi,
                        sum(least(a.c, b.c)) AS m
                 FROM bcnts a JOIN bcnts b
                   ON a.t = b.t AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             ),
-            bagpairs AS (
+            bagpairs AS MATERIALIZED (
                 SELECT i.ai, i.bi
                 FROM binter i
                 JOIN btot x ON x.doc_id = i.ai
                 JOIN btot y ON y.doc_id = i.bi
                 WHERE CAST(i.m AS DOUBLE) / (x.n + y.n - i.m) >= 0.8
             ),
-            carrs AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '[0-9a-zA-Z_]+')
-                           AS arr
-                FROM documents
+            -- containment edges BETWEEN exact-text reps, reusing the
+            -- shared shingles/pair_common CTEs: containment is a pure
+            -- function of text, and rep↔member connectivity is already
+            -- carried by the exact edges in the closure, so component
+            -- counts and min-key labels are identical to the
+            -- all-members formulation — which re-derived shingles over
+            -- EVERY doc and self-joined the full posting lists
+            -- (common-shingle blowup; the sf0.1 ablation oracle spilled
+            -- >75 GB of DuckDB temp and died on disk)
+            contpairs AS MATERIALIZED (
+                SELECT p.a_id AS ai, p.b_id AS bi
+                FROM pair_common p JOIN shsize x ON x.doc_id = p.a_id
+                WHERE x.n >= 5 AND CAST(p.c AS DOUBLE) / x.n >= 0.9
+                UNION
+                SELECT p.b_id, p.a_id
+                FROM pair_common p JOIN shsize x ON x.doc_id = p.b_id
+                WHERE x.n >= 5 AND CAST(p.c AS DOUBLE) / x.n >= 0.9
             ),
-            csl AS (
-                SELECT doc_id,
-                       CASE WHEN len(arr) > 3 THEN
-                           list_transform(range(len(arr) - 2),
-                               i -> arr[i + 1] || ' ' || arr[i + 2]
-                                    || ' ' || arr[i + 3])
-                       ELSE [array_to_string(arr, ' ')] END AS shl
-                FROM carrs WHERE len(arr) > 0
-            ),
-            csh AS (SELECT DISTINCT doc_id, s.sh
-                    FROM csl, UNNEST(shl) AS s(sh)),
-            csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
-            cinter AS (
-                SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
-                FROM csh a JOIN csh b
-                  ON a.sh = b.sh AND a.doc_id <> b.doc_id
-                GROUP BY 1, 2
-            ),
-            contpairs AS (
-                SELECT i.ai, i.bi
-                FROM cinter i JOIN csz x ON x.doc_id = i.ai
-                WHERE x.n >= 5 AND CAST(i.c AS DOUBLE) / x.n >= 0.9
-            ),
-            edges0 AS (
+            edges0 AS MATERIALIZED (
                 SELECT CAST(a.doc_id AS VARCHAR) AS ak,
                        CAST(b.doc_id AS VARCHAR) AS bk
                 FROM documents a JOIN documents b
@@ -9527,7 +9505,7 @@ def _oracle_sql_base() -> dict[str, str]:
                 SELECT CAST(ai AS VARCHAR), CAST(bi AS VARCHAR)
                 FROM contpairs
             ),
-            edges AS (
+            edges AS MATERIALIZED (
                 SELECT ak AS a_key, bk AS b_key FROM edges0
                 UNION SELECT bk, ak FROM edges0
             ),
